@@ -1,13 +1,166 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.util.Durations
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY §2 (or a
+  * beyond-reference scale operator), and each `oracleSql` entry is the
+  * equivalent DuckDB SQL over the same parquet tables. Column names are
+  * aliased identically on both sides (the driver sorts columns by name
+  * and hashes values).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read nanos as long (legacy conf) and floor-convert
+    * to microsecond timestamps (integral `div` — a double division
+    * would lose precision above 2^53). Values are µs-aligned in the
+    * testdata, so this is lossless and matches DuckDB's
+    * `CAST(ts AS TIMESTAMP)`.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+
+  /** The label spine used by the PIT-join queries: every 20th event is
+    * a "label observation" (deterministic, ~5% of events), with the
+    * full event history as the feature table.
+    */
+  private def eventSpine(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_id") % 20 === 0)
+      .select(
+        col("event_id").as(AsOfJoin.RowIdCol),
+        col("user_id"),
+        col("ts").as("label_time"))
+
+  private def pitSpec(
+      inclusive: Boolean = false,
+      embargoDays: Int = 0,
+      stalenessDays: Int = 0): AsOfJoin.Spec =
+    AsOfJoin.Spec(
+      leftKeys = Seq("user_id"),
+      rightKeys = Seq("user_id"),
+      leftTime = "label_time",
+      rightTime = "ts",
+      valueCols = Seq("value"),
+      inclusive = inclusive,
+      embargo = java.time.Duration.ofDays(embargoDays.toLong),
+      maxLookback = Some(java.time.Duration.ofDays(365)),
+      maxStaleness =
+        if (stalenessDays > 0) Some(java.time.Duration.ofDays(stalenessDays.toLong))
+        else None,
+      tieBreakers = Seq("event_id"))
+
+  private def pit(s: SparkSession, dir: String, spec: AsOfJoin.Spec,
+      strategy: AsOfJoin.Strategy): DataFrame = {
+    val strat = strategy match {
+      case AsOfJoin.Strategy.UnionAsOf =>
+        // the union path needs the tiebreaker inside the carried struct;
+        // events have unique (user_id, ts) so drop it there
+        return AsOfJoin
+          .unionAsOf(eventSpine(s, dir), events(s, dir), spec.copy(tieBreakers = Nil))
+          .select(
+            col(AsOfJoin.RowIdCol).as("label_event_id"),
+            col("user_id"), col("label_time"), col("feature_time"),
+            col("value").as("feat_value"))
+          .orderBy("label_event_id")
+      case other => other
+    }
+    AsOfJoin
+      .join(eventSpine(s, dir), events(s, dir), spec, strat)
+      .select(
+        col(AsOfJoin.RowIdCol).as("label_event_id"),
+        col("user_id"), col("label_time"), col("feature_time"),
+        col("value").as("feat_value"))
+      .orderBy("label_event_id")
+  }
+
+  /** Shared oracle shape for the PIT-join queries (DuckDB SQL). */
+  private def pitOracle(upperOp: String, embargoDays: Int, stalenessDays: Int): String = {
+    val embargo =
+      if (embargoDays > 0) s" - INTERVAL '$embargoDays' DAY" else ""
+    val staleness =
+      if (stalenessDays > 0)
+        s" AND CAST(f.ts AS TIMESTAMP) >= CAST(l.label_time AS TIMESTAMP) - INTERVAL '$stalenessDays' DAY"
+      else ""
+    s"""WITH lbl AS (
+       |  SELECT event_id AS label_event_id, user_id, CAST(ts AS TIMESTAMP) AS label_time
+       |  FROM events WHERE event_id % 20 = 0
+       |), cand AS (
+       |  SELECT l.label_event_id, l.user_id, l.label_time,
+       |         CAST(f.ts AS TIMESTAMP) AS feature_time, f.value AS feat_value,
+       |         ROW_NUMBER() OVER (PARTITION BY l.label_event_id
+       |                            ORDER BY f.ts DESC, f.event_id DESC) AS rn
+       |  FROM lbl l LEFT JOIN events f
+       |    ON f.user_id = l.user_id
+       |   AND CAST(f.ts AS TIMESTAMP) $upperOp l.label_time$embargo
+       |   AND CAST(f.ts AS TIMESTAMP) >= l.label_time - INTERVAL '365' DAY$staleness
+       |)
+       |SELECT label_event_id, user_id, label_time, feature_time, feat_value
+       |FROM cand WHERE rn = 1
+       |ORDER BY label_event_id""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    pit(spark, "/root/testdata/sf0.001", pitSpec(), AsOfJoin.Strategy.RowNumber)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J2/P5/P6: strict PIT join, row_number strategy
+    "q_pit_strict" -> ((s, dir) =>
+      pit(s, dir, pitSpec(), AsOfJoin.Strategy.RowNumber)),
+    // J2 + P5 embargo: upper bound shifted by 3 days
+    "q_pit_embargo" -> ((s, dir) =>
+      pit(s, dir, pitSpec(embargoDays = 3), AsOfJoin.Strategy.RowNumber)),
+    // J2 inclusive mode (<=)
+    "q_pit_inclusive" -> ((s, dir) =>
+      pit(s, dir, pitSpec(inclusive = true), AsOfJoin.Strategy.RowNumber)),
+    // J2 + P7 max_staleness floor
+    "q_pit_staleness" -> ((s, dir) =>
+      pit(s, dir, pitSpec(stalenessDays = 7), AsOfJoin.Strategy.RowNumber)),
+    // J1 analog: union + carry-forward strategy — same oracle as strict
+    "q_pit_union" -> ((s, dir) =>
+      pit(s, dir, pitSpec(), AsOfJoin.Strategy.UnionAsOf)),
+    // A2-style aggregation baseline (TPC-H Q1 shape)
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus"))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_pit_strict" -> pitOracle("<", 0, 0),
+    "q_pit_embargo" -> pitOracle("<", 3, 0),
+    "q_pit_inclusive" -> pitOracle("<=", 0, 0),
+    "q_pit_staleness" -> pitOracle("<", 0, 7),
+    "q_pit_union" -> pitOracle("<", 0, 0),
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       sum(l_extendedprice) AS sum_price,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
 }

@@ -1,0 +1,339 @@
+package graft.engine
+
+import java.time.Duration
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+import graft.errors._
+import graft.model._
+import graft.operators.AsOfJoin
+import graft.util.{Durations, Names}
+
+/** Options governing a build — mirrors the reference's `build()`
+  * parameter surface (`/root/reference/src/timefence/engine.py:933-1015`).
+  */
+final case class BuildOptions(
+    join: String = "strict", // strict | inclusive
+    onMissing: String = "null", // null | skip
+    maxLookback: Duration = Duration.ofDays(365),
+    flattenColumns: Boolean = false,
+    splits: Seq[Split] = Nil,
+    output: Option[String] = None,
+    strategy: AsOfJoin.Strategy = AsOfJoin.Strategy.Auto,
+    /** Run the post-build invariant verification pass (engine.py:1342-1384). */
+    verify: Boolean = true,
+    /** Eager duplicate (key,ts) detection per feature (engine.py:586-627).
+      * An extra job per distinct source; disable for trusted inputs. */
+    checkDuplicates: Boolean = true,
+    /** Collect matched/missing per-feature stats (one extra agg job). */
+    collectStats: Boolean = true,
+    /** Deterministic full sort of the result (reference O1). At cluster
+      * scale flip off: a total sort is a range-shuffle you rarely want. */
+    sortResult: Boolean = true
+) {
+  if (join != "strict" && join != "inclusive")
+    throw Errors.config(s"Invalid join '$join'.", "Use 'strict' or 'inclusive'.")
+  if (onMissing != "null" && onMissing != "skip")
+    throw Errors.config(s"Invalid on_missing '$onMissing'.", "Use 'null' or 'skip'.")
+}
+
+/** Half-open time split `[start, end)` (engine.py:1386-1403). */
+final case class Split(name: String, start: String, end: String)
+
+final case class FeatureStats(
+    name: String,
+    matched: Long,
+    missing: Long,
+    violations: Long
+)
+
+final case class BuildResult(
+    df: DataFrame,
+    rows: Long,
+    columns: Seq[String],
+    features: Seq[FeatureStats],
+    auditPassed: Boolean
+) {
+  def validate(): BuildResult = {
+    if (!auditPassed) {
+      val bad = features.filter(_.violations > 0).map(f =>
+        s"${f.name}: ${f.violations} violating rows").mkString("; ")
+      throw new LeakageError(
+        s"Post-build verification failed — temporal invariant violated. $bad")
+    }
+    this
+  }
+}
+
+/** The point-in-time training-set builder.
+  *
+  * Spark-first lifecycle (vs the reference's temp-table pipeline,
+  * SURVEY §3.1): steps 1-2 are driver-only validation; the label spine
+  * and per-feature joins build ONE lazy DataFrame DAG; all per-feature
+  * stats and invariant checks collapse into a single aggregation job
+  * over the assembled frame (the reference runs 3 queries per feature).
+  */
+object Build {
+
+  val RowId: String = AsOfJoin.RowIdCol
+
+  def apply(
+      spark: SparkSession,
+      labels: Labels,
+      features: Seq[Feature],
+      options: BuildOptions = BuildOptions()
+  ): BuildResult = {
+    validateFeatures(features, options)
+
+    // ---- label spine -----------------------------------------------
+    val rawLabels = labels.resolve(spark)
+    requireColumns("Labels", rawLabels, labels.keys ++ (labels.labelTime +: labels.target))
+    validateSplits(options.splits)
+    // The rowid is assigned ONCE; every downstream consumer (join,
+    // verify, audit-rebuild) shares this numbering. Uniqueness is the
+    // only property consumed (SURVEY §7.3) so the non-contiguous but
+    // shuffle-free monotonically_increasing_id beats a global
+    // ROW_NUMBER() OVER () (a single-partition sort at scale).
+    val spine = rawLabels
+      .select(labels.keys.map(col) ++ Seq(col(labels.labelTime)) ++
+        labels.target.map(col): _*)
+      .withColumn(RowId, monotonically_increasing_id())
+    val spineNarrow = spine
+      .select((RowId +: labels.keys :+ labels.labelTime).map(col): _*)
+      .cache() // reused once per feature join
+
+    // ---- per-feature compute + PIT join ----------------------------
+    val sourceCache = scala.collection.mutable.Map.empty[String, DataFrame]
+    val joined = features.map { f =>
+      val feat = computeFeature(spark, f, labels, sourceCache)
+      val rightKeys = labels.keys.map(k => f.keyMapping.getOrElse(k, k))
+      requireColumns(s"Feature '${f.name}'", feat.df, rightKeys :+ feat.timeCol)
+      checkTimezone(labels, rawLabels, f, feat)
+      if (options.checkDuplicates && f.onDuplicate == OnDuplicate.Error)
+        checkDuplicates(f, feat.df, rightKeys, feat.timeCol)
+
+      val valueCols = feat.df.columns.filterNot(c =>
+        rightKeys.contains(c) || c == feat.timeCol).toSeq
+      val spec = AsOfJoin.Spec(
+        leftKeys = labels.keys,
+        rightKeys = rightKeys,
+        leftTime = labels.labelTime,
+        rightTime = feat.timeCol,
+        valueCols = valueCols,
+        inclusive = options.join == "inclusive",
+        embargo = f.embargo,
+        maxLookback = Some(options.maxLookback),
+        maxStaleness = f.maxStaleness,
+        rightTimeOut = Names.featureTimeCol(f.name)
+      )
+      val j = AsOfJoin.join(spineNarrow, feat.df, spec, options.strategy)
+      // narrow to rowid + namespaced outputs for assembly
+      val ns = j.select(
+        col(RowId) +: col(Names.featureTimeCol(f.name)) +:
+          valueCols.map(c => col(c).as(Names.namespaced(f.name, c))): _*)
+      (f, valueCols, ns)
+    }
+
+    // ---- assembly (J4): N-way equi-join on the rowid ---------------
+    val assembled = joined.foldLeft(spine) { case (acc, (_, _, ns)) =>
+      acc.join(ns, Seq(RowId), "left")
+    }
+
+    val ftCols = features.map(f => Names.featureTimeCol(f.name))
+    val nsValueCols: Seq[String] = joined.flatMap { case (f, vcs, _) =>
+      vcs.map(c => Names.namespaced(f.name, c))
+    }
+
+    val skipped =
+      if (options.onMissing == "skip" && nsValueCols.nonEmpty)
+        assembled.na.drop("any", nsValueCols)
+      else assembled
+
+    val cached = skipped.cache()
+
+    // ---- single-pass stats + invariant verification ----------------
+    val lt = col(labels.labelTime)
+    val statAggs: Seq[Column] = features.flatMap { f =>
+      val ft = col(Names.featureTimeCol(f.name))
+      val upperRef =
+        if (f.embargo.isZero) lt
+        else lt - expr(Durations.toSqlInterval(f.embargo))
+      val violation =
+        if (options.join == "inclusive") ft > upperRef else ft >= upperRef
+      Seq(
+        count(ft).as(s"__m_${f.safeName}"),
+        sum(when(ft.isNotNull && violation, 1L).otherwise(0L))
+          .as(s"__x_${f.safeName}")
+      )
+    }
+    val (total, stats) =
+      if (options.collectStats || options.verify) {
+        val row = cached.agg(count(lit(1)), statAggs: _*).head()
+        val n = row.getLong(0)
+        val st = features.zipWithIndex.map { case (f, i) =>
+          val matched = row.getLong(1 + 2 * i)
+          val viol = row.getLong(2 + 2 * i)
+          FeatureStats(f.name, matched, n - matched, viol)
+        }
+        (n, st)
+      } else (cached.count(), features.map(f => FeatureStats(f.name, -1, -1, 0)))
+
+    // ---- final projection ------------------------------------------
+    val outCols = labels.keys ++ Seq(labels.labelTime) ++ labels.target ++ nsValueCols
+    val projected = cached.select(outCols.map(col): _*)
+    val sorted =
+      if (options.sortResult)
+        projected.orderBy((labels.keys :+ labels.labelTime).map(col): _*)
+      else projected
+    val result =
+      if (options.flattenColumns) flatten(sorted, nsValueCols, outCols.dropRight(nsValueCols.size))
+      else sorted
+
+    // ---- write + splits --------------------------------------------
+    options.output.foreach { out =>
+      result.write.mode("overwrite").parquet(out)
+      options.splits.foreach { s =>
+        val part = result.filter(
+          lt >= lit(s.start).cast("timestamp") && lt < lit(s.end).cast("timestamp"))
+        val stem = out.stripSuffix(".parquet")
+        part.write.mode("overwrite").parquet(s"${stem}_${s.name}.parquet")
+      }
+    }
+
+    val passed = stats.forall(_.violations == 0)
+    spineNarrow.unpersist()
+    BuildResult(result, total, result.columns.toSeq, stats, passed)
+  }
+
+  // ---- feature computation (3 modes) -------------------------------
+
+  final case class ComputedFeature(df: DataFrame, timeCol: String)
+
+  def computeFeature(
+      spark: SparkSession,
+      f: Feature,
+      labels: Labels,
+      sourceCache: scala.collection.mutable.Map[String, DataFrame]
+  ): ComputedFeature = {
+    val src = sourceCache.getOrElseUpdate(f.source.name, f.source.resolve(spark))
+    f.mode match {
+      case ColumnsMode(cols) =>
+        requireColumns(s"Source '${f.source.name}'", src,
+          f.source.keys ++ (f.source.timestamp +: cols.values.toSeq))
+        val proj = src.select(
+          f.source.keys.map(col) ++
+            Seq(col(f.source.timestamp).as("feature_time")) ++
+            cols.toSeq.sortBy(_._1).map { case (out, in) => col(in).as(out) }: _*)
+        ComputedFeature(proj, "feature_time")
+      case SqlMode(sql) =>
+        val view = s"__src_${f.safeName}"
+        src.createOrReplaceTempView(view)
+        val out = spark.sql(sql.replace("{source}", view))
+        ComputedFeature(out, "feature_time")
+      case TransformMode(fn, _) =>
+        ComputedFeature(fn(src), "feature_time")
+    }
+  }
+
+  // ---- validation helpers ------------------------------------------
+
+  private def validateFeatures(features: Seq[Feature], options: BuildOptions): Unit = {
+    if (features.isEmpty)
+      throw Errors.config("No features given.", "Pass at least one Feature.")
+    val dup = features.groupBy(_.name).collect { case (n, fs) if fs.size > 1 => n }
+    if (dup.nonEmpty)
+      throw Errors.config(s"Duplicate feature names: ${dup.mkString(", ")}.",
+        "Feature names must be unique.")
+    val safeDup = features.groupBy(_.safeName).collect { case (n, fs) if fs.size > 1 =>
+      s"$n <- ${fs.map(_.name).mkString(", ")}" }
+    if (safeDup.nonEmpty)
+      throw Errors.config(
+        s"Feature names collide after sanitization: ${safeDup.mkString("; ")}.",
+        "Rename features so sanitized identifiers are distinct.")
+    features.foreach { f =>
+      if (f.embargo.compareTo(options.maxLookback) >= 0)
+        throw Errors.config(
+          s"Feature '${f.name}': embargo ${Durations.format(f.embargo)} must be < max_lookback ${Durations.format(options.maxLookback)}.",
+          "Shrink embargo or grow max_lookback.")
+      f.maxStaleness.foreach { st =>
+        if (st.compareTo(f.embargo) <= 0)
+          throw Errors.config(
+            s"Feature '${f.name}': max_staleness ${Durations.format(st)} must be > embargo ${Durations.format(f.embargo)}.",
+            "The staleness floor must leave a non-empty availability window.")
+      }
+    }
+  }
+
+  def validateSplits(splits: Seq[Split]): Unit = {
+    val parsed = splits.map(s => (s, java.sql.Timestamp.valueOf(normalizeTs(s.start)),
+      java.sql.Timestamp.valueOf(normalizeTs(s.end))))
+    parsed.foreach { case (s, a, b) =>
+      if (!a.before(b))
+        throw Errors.config(s"Split '${s.name}' start >= end.", "Use start < end.")
+    }
+    val sorted = parsed.sortBy(_._2.getTime)
+    sorted.sliding(2).foreach {
+      case Seq((s1, _, e1), (s2, a2, _)) =>
+        if (a2.before(e1))
+          throw Errors.config(s"Splits '${s1.name}' and '${s2.name}' overlap.",
+            "Split ranges must be disjoint.")
+      case _ => ()
+    }
+  }
+
+  private def normalizeTs(s: String): String =
+    if (s.contains(" ") || s.contains("T")) s.replace("T", " ") else s + " 00:00:00"
+
+  private def requireColumns(what: String, df: DataFrame, cols: Seq[String]): Unit = {
+    val have = df.columns.toSet
+    val missing = cols.distinct.filterNot(have)
+    if (missing.nonEmpty)
+      throw Errors.schema(
+        s"$what is missing column(s): ${missing.mkString(", ")}. Available: ${df.columns.mkString(", ")}.",
+        "Check key/timestamp/column spellings against the table schema.")
+  }
+
+  private def checkTimezone(labels: Labels, rawLabels: DataFrame, f: Feature,
+      feat: ComputedFeature): Unit = {
+    val lt = rawLabels.schema(labels.labelTime).dataType
+    val ft = feat.df.schema(feat.timeCol).dataType
+    val mismatch = (lt, ft) match {
+      case (TimestampType, TimestampNTZType) => true
+      case (TimestampNTZType, TimestampType) => true
+      case _                                 => false
+    }
+    if (mismatch)
+      throw new TimezoneMismatchError(
+        s"Feature '${f.name}': timestamp timezone-awareness mismatch — labels '${labels.labelTime}' is $lt but feature time is $ft.\n" +
+          "  Fix: make both tz-aware (TIMESTAMP) or both naive (TIMESTAMP_NTZ).")
+  }
+
+  private def checkDuplicates(f: Feature, df: DataFrame, keys: Seq[String],
+      timeCol: String): Unit = {
+    val dups = df.groupBy((keys :+ timeCol).map(col): _*).count()
+      .filter(col("count") > 1)
+    val top = dups.orderBy(col("count").desc).limit(3).collect()
+    if (top.nonEmpty) {
+      val total = dups.count()
+      val examples = top.map(r =>
+        keys.indices.map(i => s"${keys(i)}=${r.get(i)}").mkString(",") +
+          s" @ ${r.get(keys.size)} ×${r.getLong(keys.size + 1)}").mkString("; ")
+      throw new DuplicateRowsError(
+        s"Feature '${f.name}': $total duplicate (key, timestamp) group(s), e.g. $examples.\n" +
+          "  Fix: deduplicate upstream or set on_duplicate=keep_any.")
+    }
+  }
+
+  /** Strip `{feature}__` prefixes when the short names are globally
+    * unique (engine.py:1281-1304); keep namespaced otherwise.
+    */
+  def flatten(df: DataFrame, nsCols: Seq[String], passthrough: Seq[String]): DataFrame = {
+    val shortNames = nsCols.map(c => c.split("__", 2).last)
+    val all = passthrough ++ shortNames
+    val unique = all.size == all.distinct.size
+    if (!unique) df
+    else df.toDF(passthrough ++ shortNames: _*)
+  }
+}

@@ -1,0 +1,220 @@
+package graft.operators
+
+import java.time.Duration
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Durations
+
+/** Point-in-time (as-of) LEFT join: for each label row, pick the latest
+  * feature row satisfying the temporal-availability invariant
+  *
+  *   feature_time <  label_time - embargo      (strict)
+  *   feature_time <= label_time - embargo      (inclusive)
+  *   feature_time >= label_time - maxLookback  (lower bound)
+  *   feature_time >= label_time - maxStaleness (optional, tighter floor)
+  *
+  * Semantics follow the reference's two join strategies
+  * (`/root/reference/src/timefence/engine.py:762-925`), re-expressed
+  * Spark-first:
+  *
+  *  - [[Strategy.RowNumber]]: LEFT equi-join on keys with the range
+  *    bounds as residual predicates, then
+  *    `row_number() over (partition by label-rowid order by feature_time desc)`
+  *    keeping rank 1 (unmatched labels survive with nulls). Exactly the
+  *    reference's universal fallback (engine.py:762-828). Catalyst plans
+  *    the equi-part as broadcast/shuffled hash or SMJ; AQE handles skew.
+  *    Cost grows with the number of in-window candidates per label.
+  *
+  *  - [[Strategy.UnionAsOf]]: the scale path Spark lacks natively —
+  *    union label rows (time-shifted by embargo) with feature rows, sort
+  *    once per entity key by time, carry the last whole feature row
+  *    forward as a struct, keep label rows, then null-mask values that
+  *    violate the lookback/staleness floor (the reference applies lower
+  *    bounds as post-hoc masking on its ASOF path too,
+  *    engine.py:905-917). One shuffle by entity key, no candidate
+  *    blow-up — survives labels with thousands of in-window feature
+  *    rows, which is the 100 TB failure mode of RowNumber.
+  *
+  * Both strategies return identical results (modulo ties on
+  * feature_time, resolved deterministically via `tieBreakers`).
+  */
+object AsOfJoin {
+
+  sealed trait Strategy
+  object Strategy {
+    case object RowNumber extends Strategy
+    case object UnionAsOf extends Strategy
+    /** Currently RowNumber (reference-faithful default); flips per
+      * benchmark evidence at engine level. */
+    case object Auto extends Strategy
+  }
+
+  final case class Spec(
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      inclusive: Boolean = false,
+      embargo: Duration = Duration.ZERO,
+      maxLookback: Option[Duration] = Some(Duration.ofDays(365)),
+      maxStaleness: Option[Duration] = None,
+      /** Output name of the carried feature timestamp column. */
+      rightTimeOut: String = "feature_time",
+      /** Extra right-side columns ordered DESC after feature_time to
+        * break ties deterministically (empty = reference behavior:
+        * arbitrary tie winner). */
+      tieBreakers: Seq[String] = Nil
+  ) {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      "as-of join needs matching non-empty key lists")
+  }
+
+  private def minusInterval(c: Column, d: Duration): Column =
+    if (d.isZero) c else c - expr(Durations.toSqlInterval(d))
+
+  /** Internal rowid column identifying label rows across the join. */
+  val RowIdCol = "__label_rowid"
+
+  def join(labels: DataFrame, features: DataFrame, spec: Spec,
+      strategy: Strategy = Strategy.Auto): DataFrame =
+    strategy match {
+      case Strategy.UnionAsOf => unionAsOf(labels, features, spec)
+      case _                  => rowNumber(labels, features, spec)
+    }
+
+  /** LEFT join + per-label-row rank. `labels` must already carry a
+    * unique [[RowIdCol]] (the engine assigns it once per build so every
+    * downstream consumer shares one numbering — SURVEY §7.3).
+    * Output: all label columns + carried `rightTimeOut` + valueCols.
+    */
+  def rowNumber(labels: DataFrame, features: DataFrame, spec: Spec): DataFrame = {
+    // Rename the right side up-front so self-joins (labels and features
+    // derived from the same frame) never hit ambiguous references.
+    val keyAliases = spec.rightKeys.zipWithIndex.map { case (k, i) => (k, s"__rk$i") }
+    val tieAliases = spec.tieBreakers.zipWithIndex.map { case (c, i) => (c, s"__tb$i") }
+    val ftCol = "__ft"
+    val feat = features.select(
+      keyAliases.map { case (k, a) => col(k).as(a) } ++
+        Seq(col(spec.rightTime).as(ftCol)) ++
+        spec.valueCols.map(c => col(c).as(s"__v_$c")) ++
+        tieAliases.map { case (c, a) => col(c).as(a) }: _*
+    )
+
+    val lt = labels(spec.leftTime)
+    val upperRef = minusInterval(lt, spec.embargo)
+    val upper =
+      if (spec.inclusive) feat(ftCol) <= upperRef else feat(ftCol) < upperRef
+    val bounds = Seq(
+      spec.maxLookback.map(d => feat(ftCol) >= minusInterval(lt, d)),
+      spec.maxStaleness.map(d => feat(ftCol) >= minusInterval(lt, d))
+    ).flatten
+    val keyCond = keyAliases.zip(spec.leftKeys).map { case ((_, a), lk) =>
+      labels(lk) === feat(a)
+    }
+    val cond = (keyCond :+ upper) ++ bounds
+
+    val order = col(ftCol).desc_nulls_last +:
+      tieAliases.map { case (_, a) => col(a).desc_nulls_last }
+    val w = Window.partitionBy(col(RowIdCol)).orderBy(order: _*)
+
+    labels
+      .join(feat, cond.reduce(_ && _), "left")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .drop(keyAliases.map(_._2) ++ tieAliases.map(_._2): _*)
+      .withColumnRenamed(ftCol, spec.rightTimeOut)
+      .withColumnsRenamed(spec.valueCols.map(c => s"__v_$c" -> c).toMap)
+  }
+
+  /** Union + sorted carry-forward. One shuffle on the entity keys; the
+    * per-key sort is what a native ASOF merge would do. The whole
+    * feature row is carried as ONE struct via `last(_, ignoreNulls)` so
+    * genuinely-null feature values are preserved (a per-column carry
+    * would wrongly skip back to an older non-null value). Lower bounds
+    * (lookback/staleness) are applied as post-pass null-masking, which
+    * is equivalent in output to having them in the join predicate.
+    */
+  def unionAsOf(labels: DataFrame, features: DataFrame, spec: Spec): DataFrame = {
+    val ftCol = "__ft"
+    val tagCol = "__tag"
+    val joinKeys = spec.leftKeys.indices.map(i => s"__jk$i")
+    val sortTime = "__t"
+    val tieAliases = spec.tieBreakers.zipWithIndex.map { case (c, i) => (c, s"__tb$i") }
+
+    // Strict: at equal sort time the label row must order BEFORE the
+    // feature row, so the carry-forward at the label row cannot see a
+    // feature with feature_time == label_time - embargo. Inclusive:
+    // the feature orders first and is visible. last() over
+    // (unboundedPreceding, currentRow) then implements < vs <=.
+    val (labelTagV, featTagV) = if (spec.inclusive) (1, 0) else (0, 1)
+
+    val labelCols = labels.columns.toSeq
+    val lhs = labels.select(
+      spec.leftKeys.zip(joinKeys).map { case (k, a) => col(k).as(a) } ++
+        Seq(
+          minusInterval(col(spec.leftTime), spec.embargo).as(sortTime),
+          lit(labelTagV).as(tagCol),
+          lit(null).cast(features.schema(spec.rightTime).dataType).as(ftCol)
+        ) ++
+        labelCols.map(c => col(c)) ++
+        spec.valueCols.map(c => lit(null).cast(features.schema(c).dataType).as(s"__v_$c")) ++
+        tieAliases.map { case (c, a) => lit(null).cast(features.schema(c).dataType).as(a) }: _*
+    )
+    val rhs = features
+      .filter(col(spec.rightTime).isNotNull)
+      .select(
+        spec.rightKeys.zip(joinKeys).map { case (k, a) => col(k).as(a) } ++
+          Seq(
+            col(spec.rightTime).as(sortTime),
+            lit(featTagV).as(tagCol),
+            col(spec.rightTime).as(ftCol)
+          ) ++
+          labelCols.map(c => lit(null).cast(labels.schema(c).dataType).as(c)) ++
+          spec.valueCols.map(c => col(c).as(s"__v_$c")) ++
+          tieAliases.map { case (c, a) => col(c).as(a) }: _*
+      )
+    val unioned = lhs.unionByName(rhs)
+
+    // Order: time asc, then tag (visibility at ties), then tiebreakers
+    // ASC so the deterministic winner (max tiebreaker) is carried last.
+    val orderCols = col(sortTime).asc_nulls_first +: col(tagCol).asc +:
+      tieAliases.map { case (_, a) => col(a).asc_nulls_first }
+    val w = Window
+      .partitionBy(joinKeys.map(col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val featRow = when(
+      col(tagCol) === featTagV,
+      struct(col(ftCol).as("ft") +: spec.valueCols.zipWithIndex.map {
+        case (c, i) => col(s"__v_$c").as(s"v$i")
+      }: _*)
+    )
+    val carried = unioned
+      .withColumn("__frow", featRow)
+      .withColumn("__c", last(col("__frow"), ignoreNulls = true).over(w))
+
+    val lt = col(spec.leftTime)
+    val cft = col("__c").getField("ft")
+    val floorOk = Seq(
+      spec.maxLookback.map(d => cft >= minusInterval(lt, d)),
+      spec.maxStaleness.map(d => cft >= minusInterval(lt, d))
+    ).flatten.reduceOption(_ && _).getOrElse(lit(true))
+    val valid = col("__c").isNotNull && floorOk
+
+    carried
+      .filter(col(tagCol) === labelTagV)
+      .select(
+        labelCols.map(col) ++
+          Seq(when(valid, cft).as(spec.rightTimeOut)) ++
+          spec.valueCols.zipWithIndex.map { case (c, i) =>
+            when(valid, col("__c").getField(s"v$i")).as(c)
+          }: _*
+      )
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import java.time.Duration
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.operators.AsOfJoin.{Spec, Strategy}
+
+class AsOfJoinSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  // labels: 3 users, various times; rowid pre-assigned
+  private lazy val labels: DataFrame = Seq(
+    (1L, 1L, "2024-01-10 00:00:00"),
+    (2L, 1L, "2024-01-20 00:00:00"),
+    (3L, 2L, "2024-01-05 00:00:00"),
+    (4L, 3L, "2024-01-15 00:00:00") // user 3 has no features
+  ).toDF(AsOfJoin.RowIdCol, "user_id", "lt")
+    .withColumn("lt", $"lt".cast("timestamp"))
+
+  private lazy val features: DataFrame = Seq(
+    (1L, "2024-01-01 00:00:00", 10.0),
+    (1L, "2024-01-10 00:00:00", 20.0), // exactly at label 1's time
+    (1L, "2024-01-15 00:00:00", 30.0),
+    (2L, "2023-01-01 00:00:00", 99.0) // > lookback for label 3 w/ short lookback
+  ).toDF("user_id", "ft", "value")
+    .withColumn("ft", $"ft".cast("timestamp"))
+
+  private def spec(
+      inclusive: Boolean = false,
+      embargo: Duration = Duration.ZERO,
+      lookback: Option[Duration] = Some(Duration.ofDays(365)),
+      staleness: Option[Duration] = None) =
+    Spec(Seq("user_id"), Seq("user_id"), "lt", "ft", Seq("value"),
+      inclusive, embargo, lookback, staleness)
+
+  private def run(s: Spec, strat: Strategy): Map[Long, (Option[java.sql.Timestamp], Option[Double])] =
+    AsOfJoin.join(labels, features, s, strat)
+      .collect()
+      .map { r =>
+        val id = r.getLong(r.fieldIndex(AsOfJoin.RowIdCol))
+        val ft = Option(r.getAs[java.sql.Timestamp]("feature_time"))
+        val v = Option(r.getAs[Any]("value")).map(_.asInstanceOf[Double])
+        id -> (ft, v)
+      }.toMap
+
+  for (strat <- Seq(Strategy.RowNumber, Strategy.UnionAsOf)) {
+    val n = strat.toString
+
+    test(s"$n: strict excludes feature at exactly label_time") {
+      val r = run(spec(), strat)
+      assert(r(1L) == (Some(ts("2024-01-01 00:00:00")), Some(10.0)))
+    }
+
+    test(s"$n: inclusive includes feature at exactly label_time") {
+      val r = run(spec(inclusive = true), strat)
+      assert(r(1L) == (Some(ts("2024-01-10 00:00:00")), Some(20.0)))
+    }
+
+    test(s"$n: picks latest prior, not first") {
+      val r = run(spec(), strat)
+      assert(r(2L) == (Some(ts("2024-01-15 00:00:00")), Some(30.0)))
+    }
+
+    test(s"$n: embargo shifts the upper bound") {
+      val r = run(spec(embargo = Duration.ofDays(6)), strat)
+      // label 2 at 01-20, embargo 6d -> bound 01-14 -> latest is 01-10
+      assert(r(2L) == (Some(ts("2024-01-10 00:00:00")), Some(20.0)))
+    }
+
+    test(s"$n: unmatched labels survive with nulls") {
+      val r = run(spec(), strat)
+      assert(r(4L) == (None, None))
+      assert(r.size == 4)
+    }
+
+    test(s"$n: lookback floors the window") {
+      val r = run(spec(lookback = Some(Duration.ofDays(30))), strat)
+      // label 3 (user 2, 2024-01-05): only feature is 2023-01-01 (370d prior)
+      // -> out of window at 30d (and even at the 365d default)
+      assert(r(3L) == (None, None))
+      val rDefault = run(spec(), strat)
+      assert(rDefault(3L) == (None, None))
+      // a 400d lookback admits it
+      val r2 = run(spec(lookback = Some(Duration.ofDays(400))), strat)
+      assert(r2(3L) == (Some(ts("2023-01-01 00:00:00")), Some(99.0)))
+    }
+
+    test(s"$n: staleness floors tighter than lookback") {
+      val r = run(spec(staleness = Some(Duration.ofDays(3))), strat)
+      // label 2 at 01-20 with 3d staleness: latest feature 01-15 is too old
+      assert(r(2L) == (None, None))
+    }
+
+    test(s"$n: strict at zero embargo with duplicate label rows") {
+      // two labels same (user, time) must each get a row
+      val dup = labels.union(labels.filter(col(AsOfJoin.RowIdCol) === 1L)
+        .withColumn(AsOfJoin.RowIdCol, lit(99L)))
+      val out = AsOfJoin.join(dup, features, spec(), strat)
+      assert(out.count() == 5)
+    }
+  }
+
+  test("strategies agree on a randomized frame") {
+    val n = 2000
+    val feats = spark.range(n).select(
+      (col("id") % 37).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 7919L * 1000000L).as("ft"),
+      (col("id") * 13 % 101).cast("double").as("value"))
+    val lbls = spark.range(300).select(
+      col("id").as(AsOfJoin.RowIdCol),
+      (col("id") % 41).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 104729L * 1000000L).as("lt"))
+    val s = spec(embargo = Duration.ofHours(12), staleness = Some(Duration.ofDays(30)))
+    val a = AsOfJoin.join(lbls, feats, s, Strategy.RowNumber)
+      .select(AsOfJoin.RowIdCol, "feature_time", "value")
+    val b = AsOfJoin.join(lbls, feats, s, Strategy.UnionAsOf)
+      .select(AsOfJoin.RowIdCol, "feature_time", "value")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() == 300)
+  }
+
+  test("all-null feature values are carried as null (not skipped back)") {
+    val f2 = Seq(
+      (1L, "2024-01-01 00:00:00", Some(7.0)),
+      (1L, "2024-01-09 00:00:00", None: Option[Double])
+    ).toDF("user_id", "ft", "value").withColumn("ft", $"ft".cast("timestamp"))
+    for (strat <- Seq(Strategy.RowNumber, Strategy.UnionAsOf)) {
+      val out = AsOfJoin.join(labels.filter(col(AsOfJoin.RowIdCol) === 1L), f2, spec(), strat)
+      val row = out.collect().head
+      // latest row (01-09) wins even though its value is null
+      assert(row.getAs[java.sql.Timestamp]("feature_time") == ts("2024-01-09 00:00:00"))
+      assert(row.isNullAt(row.fieldIndex("value")))
+    }
+  }
+}
