@@ -137,6 +137,26 @@ object SparkEntry {
     // J1 analog: union + carry-forward strategy — same oracle as strict
     "q_pit_union" -> ((s, dir) =>
       pit(s, dir, pitSpec(), AsOfJoin.Strategy.UnionAsOf)),
+    // A4/A5/A6: temporal audit stats over a frame with planted leakage
+    // (events shifted by (event_id % 5 - 2) minutes -> ~60% leaky)
+    "q_audit_temporal" -> ((s, dir) => {
+      val d = events(s, dir).select(
+        col("ts").as("lt"),
+        (col("ts") + make_dt_interval(
+          lit(0), lit(0), (col("event_id") % 5 - 2).cast("int"), lit(0))).as("ft"))
+      graft.engine.Audit.temporalStats(d, "lt", Map("f" -> "ft"))
+    }),
+    // A7/A8/A9: diff stats — orders totalprice perturbed (+5.0 every
+    // 7th key, nulled every 13th key)
+    "q_diff_stats" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val n = o.withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, lit(null).cast("double"))
+          .when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 5.0)
+          .otherwise(col("o_totalprice")))
+      graft.engine.Diff.comparisonFrame(o, n, Seq("o_orderkey"), "o_orderdate")
+    }),
     // A2-style aggregation baseline (TPC-H Q1 shape)
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -156,6 +176,45 @@ object SparkEntry {
     "q_pit_inclusive" -> pitOracle("<=", 0, 0),
     "q_pit_staleness" -> pitOracle("<", 0, 7),
     "q_pit_union" -> pitOracle("<", 0, 0),
+    "q_audit_temporal" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS lt,
+        |         CAST(ts AS TIMESTAMP)
+        |           + to_minutes(CAST(event_id % 5 AS BIGINT) - 2) AS ft
+        |  FROM events)
+        |SELECT count(*) AS total_rows,
+        |       sum(CASE WHEN ft IS NOT NULL AND ft >= lt THEN 1 ELSE 0 END) AS f__leaky_rows,
+        |       max(CASE WHEN ft IS NOT NULL AND ft >= lt
+        |                THEN epoch_us(ft) - epoch_us(lt) END) AS f__max_leak_us,
+        |       CAST(median(CASE WHEN ft IS NOT NULL AND ft >= lt
+        |                THEN epoch_us(ft) - epoch_us(lt) END) AS DOUBLE) AS f__median_leak_us,
+        |       sum(CASE WHEN ft IS NULL THEN 1 ELSE 0 END) AS f__null_rows
+        |FROM d""".stripMargin,
+    "q_diff_stats" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders),
+        |n AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |              WHEN o_orderkey % 7 = 0 THEN o_totalprice + 5.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |j AS (
+        |  SELECT o.o_totalprice AS ov, n.o_totalprice AS nv
+        |  FROM o JOIN n USING (o_orderkey, o_orderdate))
+        |SELECT count(*) AS common_rows,
+        |       sum(CASE WHEN ov IS NOT NULL AND nv IS NOT NULL
+        |                 AND abs(ov - nv) > 1e-10 + 1e-7 * abs(nv)
+        |                THEN 1 ELSE 0 END) AS o_totalprice__changed,
+        |       sum(CASE WHEN (ov IS NULL) <> (nv IS NULL) THEN 1 ELSE 0 END)
+        |         AS o_totalprice__null_transitions,
+        |       avg(CASE WHEN ov IS DISTINCT FROM nv AND ov IS NOT NULL
+        |                 AND nv IS NOT NULL THEN nv - ov END)
+        |         AS o_totalprice__mean_delta,
+        |       max(abs(CASE WHEN ov IS DISTINCT FROM nv AND ov IS NOT NULL
+        |                 AND nv IS NOT NULL THEN nv - ov END))
+        |         AS o_totalprice__max_abs_delta
+        |FROM j""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,

@@ -1,0 +1,262 @@
+package graft.engine
+
+import java.time.Duration
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.errors.LeakageError
+import graft.model._
+import graft.util.Names
+
+/** Temporal-leakage audit over an existing training dataset.
+  * Two modes, mirroring `/root/reference/src/timefence/engine.py:1508-1872`:
+  *
+  *  - [[Audit.temporal]]: `featureTimeColumns` maps feature name ->
+  *    its feature_time column in the dataset; leakage = rows where
+  *    `feature_time >= label_time` (embargo-less invariant). Pure
+  *    scan + one aggregation pass per dataset (the reference runs 4+
+  *    queries per feature; we fold counts, max, median and null counts
+  *    of ALL features into a single job).
+  *
+  *  - [[Audit.rebuild]]: recompute every feature from its source with
+  *    the build engine's PIT join on a spine extracted from the
+  *    dataset, then compare stored vs rebuilt values under
+  *    numpy.allclose-style tolerance (atol=1e-10, rtol=1e-7 against
+  *    the magnitude of the REBUILT value — engine.py:1784).
+  */
+object Audit {
+
+  val DefaultAtol = 1e-10
+  val DefaultRtol = 1e-7
+
+  // severity thresholds (reference _constants.py:16-19)
+  val HighPct = 0.05
+  val MediumPct = 0.01
+  val HighDays = 7
+  val MediumDays = 1
+
+  final case class FeatureAuditDetail(
+      feature: String,
+      leakyRows: Long,
+      totalRows: Long,
+      maxLeak: Option[Duration],
+      medianLeak: Option[Duration],
+      nullRows: Long,
+      /** rebuild mode only: stored vs rebuilt mismatches per column */
+      mismatches: Map[String, Long] = Map.empty
+  ) {
+    def leakPct: Double = if (totalRows == 0) 0.0 else leakyRows.toDouble / totalRows
+    def severity: String =
+      if (leakyRows == 0) "NONE"
+      else if (leakPct > HighPct || maxLeak.exists(_.compareTo(Duration.ofDays(HighDays.toLong)) > 0)) "HIGH"
+      else if (leakPct > MediumPct || maxLeak.exists(_.compareTo(Duration.ofDays(MediumDays.toLong)) >= 0)) "MEDIUM"
+      else "LOW"
+  }
+
+  final case class AuditReport(
+      totalRows: Long,
+      details: Seq[FeatureAuditDetail],
+      /** capped sample of violating rows (reference LIMIT 1000) */
+      leakySample: Option[DataFrame]
+  ) {
+    def passed: Boolean = details.forall(d => d.leakyRows == 0 && d.mismatches.values.forall(_ == 0L))
+    def assertClean(): Unit =
+      if (!passed) {
+        val bad = details.filterNot(d => d.leakyRows == 0 && d.mismatches.values.forall(_ == 0L))
+          .map(d => s"${d.feature}: ${d.leakyRows} leaky rows (${d.severity})" +
+            (if (d.mismatches.nonEmpty) s", mismatches=${d.mismatches}" else ""))
+        throw new LeakageError("Temporal leakage detected — " + bad.mkString("; "))
+      }
+    def toJson: String = {
+      def detail(d: FeatureAuditDetail): String =
+        s"""{"feature":${q(d.feature)},"leaky_rows":${d.leakyRows},"total_rows":${d.totalRows},""" +
+          s""""leak_pct":${d.leakPct},"severity":${q(d.severity)},""" +
+          s""""max_leak_seconds":${d.maxLeak.map(_.getSeconds).getOrElse(0L)},""" +
+          s""""median_leak_seconds":${d.medianLeak.map(_.getSeconds).getOrElse(0L)},""" +
+          s""""null_rows":${d.nullRows}}"""
+      s"""{"total_rows":$totalRows,"passed":$passed,"features":[${details.map(detail).mkString(",")}]}"""
+    }
+    private def q(s: String): String = "\"" + s.replace("\"", "\\\"") + "\""
+  }
+
+  /** Single-row stats frame for the temporal check — the lazily-planned
+    * core shared by [[temporal]] and the driver's oracle queries.
+    * Columns: `total_rows`, then per feature (sorted by name):
+    * `{f}__leaky_rows`, `{f}__max_leak_us`, `{f}__median_leak_us`,
+    * `{f}__null_rows`.
+    */
+  def temporalStats(
+      data: DataFrame,
+      labelTime: String,
+      featureTimeColumns: Map[String, String],
+      approxMedian: Boolean = false
+  ): DataFrame = {
+    val lt = col(labelTime)
+    val feats = featureTimeColumns.toSeq.sortBy(_._1)
+    val aggs: Seq[Column] = feats.flatMap { case (name, ftCol) =>
+      val ft = col(ftCol)
+      val leaky = ft.isNotNull && ft >= lt
+      val leakUs = when(leaky, unix_micros(ft) - unix_micros(lt))
+      Seq(
+        sum(when(leaky, 1L).otherwise(0L)).as(s"${name}__leaky_rows"),
+        max(leakUs).as(s"${name}__max_leak_us"),
+        // exact interpolated median matches DuckDB MEDIAN; the approx
+        // variant is the memory-bounded choice at cluster scale
+        (if (approxMedian) percentile_approx(leakUs, lit(0.5), lit(10000)).cast("double")
+         else percentile(leakUs, lit(0.5))).as(s"${name}__median_leak_us"),
+        sum(when(ft.isNull, 1L).otherwise(0L)).as(s"${name}__null_rows")
+      )
+    }
+    data.agg(count(lit(1)).as("total_rows"), aggs: _*)
+  }
+
+  /** Mode A: pure temporal check. One aggregation job for all mapped
+    * columns + one capped sample job if anything leaked.
+    */
+  def temporal(
+      data: DataFrame,
+      labelTime: String,
+      featureTimeColumns: Map[String, String],
+      sampleLimit: Int = 1000,
+      approxMedian: Boolean = false
+  ): AuditReport = {
+    val lt = col(labelTime)
+    val feats = featureTimeColumns.toSeq.sortBy(_._1)
+    val row = temporalStats(data, labelTime, featureTimeColumns, approxMedian).head()
+    val total = row.getLong(0)
+    val details = feats.zipWithIndex.map { case ((fname, _), i) =>
+      val base = 1 + 4 * i
+      val leaky = if (row.isNullAt(base)) 0L else row.getLong(base)
+      val maxL =
+        if (row.isNullAt(base + 1)) None
+        else Some(Duration.ofSeconds(row.getLong(base + 1) / 1000000L))
+      val medL =
+        if (row.isNullAt(base + 2)) None
+        else Some(Duration.ofSeconds((anyToDouble(row.get(base + 2)) / 1e6).toLong))
+      val nulls = if (row.isNullAt(base + 3)) 0L else row.getLong(base + 3)
+      FeatureAuditDetail(fname, leaky, total, maxL, medL, nulls)
+    }
+    val sample =
+      if (details.exists(_.leakyRows > 0)) {
+        val anyLeak = feats.map { case (_, ftCol) =>
+          col(ftCol).isNotNull && col(ftCol) >= lt
+        }.reduce(_ || _)
+        Some(data.filter(anyLeak).limit(sampleLimit))
+      } else None
+    AuditReport(total, details, sample)
+  }
+
+  private def anyToDouble(v: Any): Double = v match {
+    case d: Double            => d
+    case l: Long              => l.toDouble
+    case i: Int               => i.toDouble
+    case d: java.math.BigDecimal => d.doubleValue()
+    case other                => other.toString.toDouble
+  }
+
+  /** Mode B: rebuild-and-compare. The spine is extracted from the
+    * dataset itself with a one-shot rowid shared by both the rebuilt
+    * and stored frames (positional-identity pitfall — SURVEY §7.3).
+    */
+  def rebuild(
+      spark: SparkSession,
+      data: DataFrame,
+      features: Seq[Feature],
+      keys: Seq[String],
+      labelTime: String,
+      options: BuildOptions = BuildOptions(),
+      atol: Double = DefaultAtol,
+      rtol: Double = DefaultRtol
+  ): AuditReport = {
+    // One rowid assigned ONCE on the loaded dataset; both the spine
+    // and the stored-value comparison frame derive from this.
+    val numbered = data.withColumn(Build.RowId, monotonically_increasing_id()).cache()
+    val spine = numbered.select((Build.RowId +: keys :+ labelTime).map(col): _*)
+
+    // Rebuild each feature joined to the spine.
+    val sourceCacheM = scala.collection.mutable.Map.empty[String, DataFrame]
+    val lbl = Labels.frame(
+      spine.withColumn("__dummy_target", lit(1)),
+      keys, labelTime, Seq("__dummy_target"))
+
+    var compared = numbered
+    val detailsB = features.map { f =>
+      val feat = Build.computeFeature(spark, f, lbl, sourceCacheM)
+      val rightKeys = keys.map(k => f.keyMapping.getOrElse(k, k))
+      val valueCols = feat.df.columns.filterNot(c =>
+        rightKeys.contains(c) || c == feat.timeCol).toSeq
+      val spec = graft.operators.AsOfJoin.Spec(
+        leftKeys = keys,
+        rightKeys = rightKeys,
+        leftTime = labelTime,
+        rightTime = feat.timeCol,
+        valueCols = valueCols,
+        inclusive = options.join == "inclusive",
+        embargo = f.embargo,
+        maxLookback = Some(options.maxLookback),
+        maxStaleness = f.maxStaleness,
+        rightTimeOut = Names.featureTimeCol(f.name))
+      val rebuilt = graft.operators.AsOfJoin
+        .join(spine, feat.df, spec, options.strategy)
+        .select(col(Build.RowId) +: col(Names.featureTimeCol(f.name)) +:
+          valueCols.map(c => col(c).as(s"__rb__${Names.namespaced(f.name, c)}")): _*)
+      compared = compared.join(rebuilt, Seq(Build.RowId), "left")
+      f -> valueCols
+    }
+
+    val cmp = compared.cache()
+    val lt = col(labelTime)
+    // Stored column matching: namespaced `{f}__{col}` preferred, bare
+    // `{col}` fallback (engine.py:1757-1771).
+    val dataCols = data.columns.toSet
+    val aggs = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val aggMeta = scala.collection.mutable.ArrayBuffer.empty[(String, String)] // feature, kind
+    detailsB.foreach { case (f, valueCols) =>
+      val ft = col(Names.featureTimeCol(f.name))
+      val leaky = ft.isNotNull && ft >= lt
+      aggs += sum(when(leaky, 1L).otherwise(0L)); aggMeta += ((f.name, "leaky"))
+      aggs += max(when(leaky, unix_micros(ft) - unix_micros(lt))); aggMeta += ((f.name, "max"))
+      aggs += sum(when(ft.isNull, 1L).otherwise(0L)); aggMeta += ((f.name, "null"))
+      valueCols.foreach { c =>
+        val storedName =
+          if (dataCols.contains(Names.namespaced(f.name, c))) Some(Names.namespaced(f.name, c))
+          else if (dataCols.contains(c)) Some(c)
+          else None
+        storedName.foreach { sn =>
+          val stored = col(sn)
+          val rb = col(s"__rb__${Names.namespaced(f.name, c)}")
+          val numeric = cmp.schema(sn).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+          val differs =
+            if (numeric)
+              abs(stored.cast("double") - rb.cast("double")) >
+                lit(atol) + lit(rtol) * abs(rb.cast("double"))
+            else stored.cast("string") =!= rb.cast("string")
+          val mismatch = (stored.isNull =!= rb.isNull) || (stored.isNotNull && rb.isNotNull && differs)
+          aggs += sum(when(mismatch, 1L).otherwise(0L)); aggMeta += ((f.name, s"mm:$sn"))
+        }
+      }
+    }
+    val row = cmp.agg(count(lit(1)), aggs.toSeq: _*).head()
+    val total = row.getLong(0)
+    def lngAt(i: Int): Long = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
+    val byFeature = aggMeta.zipWithIndex.groupBy(_._1._1)
+    val details = detailsB.map { case (f, _) =>
+      val entries = byFeature(f.name)
+      var leaky = 0L; var maxL: Option[Duration] = None; var nulls = 0L
+      val mms = scala.collection.mutable.Map.empty[String, Long]
+      entries.foreach { case ((_, kind), i) =>
+        kind match {
+          case "leaky" => leaky = lngAt(i)
+          case "max" =>
+            if (!row.isNullAt(i + 1)) maxL = Some(Duration.ofSeconds(row.getLong(i + 1) / 1000000L))
+          case "null" => nulls = lngAt(i)
+          case mm if mm.startsWith("mm:") => mms(mm.drop(3)) = lngAt(i)
+        }
+      }
+      FeatureAuditDetail(f.name, leaky, total, maxL, None, nulls, mms.toMap)
+    }
+    numbered.unpersist()
+    AuditReport(total, details, None)
+  }
+}

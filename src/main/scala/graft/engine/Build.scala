@@ -171,10 +171,11 @@ object Build {
     val (total, stats) =
       if (options.collectStats || options.verify) {
         val row = cached.agg(count(lit(1)), statAggs: _*).head()
-        val n = row.getLong(0)
+        def lng(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
+        val n = lng(0)
         val st = features.zipWithIndex.map { case (f, i) =>
-          val matched = row.getLong(1 + 2 * i)
-          val viol = row.getLong(2 + 2 * i)
+          val matched = lng(1 + 2 * i)
+          val viol = lng(2 + 2 * i)
           FeatureStats(f.name, matched, n - matched, viol)
         }
         (n, st)

@@ -1,0 +1,109 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Local build store: manifests, content-hash memoization and
+  * feature/build-level parquet caches.
+  * Mirrors `/root/reference/src/timefence/store.py:15-161`; hashes are
+  * sha256 truncated to 16 hex chars (reference `_constants.py:22`,
+  * `CACHE_KEY_LENGTH`). The content-hash memo is keyed on
+  * `(path, size, mtime_ns)` so unchanged files skip re-hashing.
+  */
+final class Store(val root: String = ".graft") {
+
+  private val buildsDir = Paths.get(root, "builds")
+  private val cacheDir = Paths.get(root, "cache", "features")
+  private val memo = mutable.Map.empty[(String, Long, Long), String]
+
+  def init(): this.type = {
+    Files.createDirectories(buildsDir)
+    Files.createDirectories(cacheDir)
+    this
+  }
+
+  // ---- hashing ------------------------------------------------------
+
+  def sha256Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  def hashString(s: String): String = sha256Hex(s.getBytes("UTF-8")).take(16)
+
+  /** Content hash of a file or parquet directory, memoized on
+    * (path, size, mtime_ns). Directory hash = hash of sorted
+    * (relative-name, per-file hash) pairs.
+    */
+  def contentHash(pathStr: String): String = {
+    val p = Paths.get(pathStr)
+    if (Files.isDirectory(p)) {
+      val parts = Files.list(p).iterator().asScala.toSeq
+        .filter(f => !f.getFileName.toString.startsWith("_") &&
+          !f.getFileName.toString.startsWith("."))
+        .sortBy(_.getFileName.toString)
+        .map(f => s"${f.getFileName}:${fileHash(f)}")
+      hashString(parts.mkString("\n"))
+    } else fileHash(p)
+  }
+
+  private def fileHash(p: Path): String = {
+    val size = Files.size(p)
+    val mtime = Files.getLastModifiedTime(p).toMillis
+    memo.getOrElseUpdate((p.toString, size, mtime), {
+      val md = MessageDigest.getInstance("SHA-256")
+      val in = Files.newInputStream(p)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      md.digest().map("%02x".format(_)).mkString.take(16)
+    })
+  }
+
+  // ---- feature cache ------------------------------------------------
+
+  /** Cache key for a computed feature table: definition + source
+    * content + embargo (+ explicit transform version); mirrors
+    * store.py:113-131 with the JVM caveat that transform closures
+    * contribute a user-supplied version string (SURVEY §7.3).
+    */
+  def featureCacheKey(definition: String, sourceHash: String, embargoSeconds: Long): String =
+    hashString(s"$definition|$sourceHash|$embargoSeconds")
+
+  def featureCachePath(key: String): String =
+    cacheDir.resolve(s"$key.parquet").toString
+
+  def loadFeatureCache(spark: SparkSession, key: String): Option[DataFrame] = {
+    val p = Paths.get(featureCachePath(key))
+    if (Files.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  def saveFeatureCache(df: DataFrame, key: String): Unit =
+    df.write.mode("overwrite").parquet(featureCachePath(key))
+
+  // ---- build cache / manifests -------------------------------------
+
+  def buildKey(labelsHash: String, featureKeys: Seq[String], params: String): String =
+    hashString((labelsHash +: featureKeys.sorted :+ params).mkString("|"))
+
+  def saveManifest(buildId: String, json: String): Unit = {
+    Files.createDirectories(buildsDir)
+    Files.writeString(buildsDir.resolve(s"$buildId.json"), json)
+  }
+
+  def loadManifest(buildId: String): Option[String] = {
+    val p = buildsDir.resolve(s"$buildId.json")
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
+  def listManifests(): Seq[String] =
+    if (!Files.isDirectory(buildsDir)) Nil
+    else Files.list(buildsDir).iterator().asScala
+      .map(_.getFileName.toString.stripSuffix(".json")).toSeq.sorted
+}

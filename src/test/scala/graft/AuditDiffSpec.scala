@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Audit, Build, BuildOptions, Diff, Explain}
+import graft.errors.LeakageError
+import graft.model._
+
+class AuditDiffSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private lazy val clean = Seq(
+    (1L, ts("2024-01-10 00:00:00"), ts("2024-01-05 00:00:00"), 1.0),
+    (2L, ts("2024-01-11 00:00:00"), ts("2024-01-02 00:00:00"), 2.0),
+    (3L, ts("2024-01-12 00:00:00"), null.asInstanceOf[java.sql.Timestamp], 3.0)
+  ).toDF("user_id", "label_time", "f__feature_time", "f__v")
+
+  private lazy val leaky = Seq(
+    (1L, ts("2024-01-10 00:00:00"), ts("2024-01-15 00:00:00"), 1.0), // 5d leak
+    (2L, ts("2024-01-11 00:00:00"), ts("2024-01-11 00:00:00"), 2.0), // 0s leak (>=)
+    (3L, ts("2024-01-12 00:00:00"), ts("2024-01-01 00:00:00"), 3.0) // fine
+  ).toDF("user_id", "label_time", "f__feature_time", "f__v")
+
+  test("temporal audit: clean dataset passes") {
+    val r = Audit.temporal(clean, "label_time", Map("f" -> "f__feature_time"))
+    assert(r.passed)
+    assert(r.details.head.leakyRows == 0)
+    assert(r.details.head.nullRows == 1)
+    r.assertClean()
+  }
+
+  test("temporal audit: leaky dataset fails with stats") {
+    val r = Audit.temporal(leaky, "label_time", Map("f" -> "f__feature_time"))
+    assert(!r.passed)
+    val d = r.details.head
+    assert(d.leakyRows == 2)
+    assert(d.maxLeak.contains(java.time.Duration.ofDays(5)))
+    // median of (5d, 0s) leaks = 2.5d
+    assert(d.medianLeak.contains(java.time.Duration.ofHours(60)))
+    assert(d.severity == "HIGH") // 2/3 leaky and 5d max... pct > 5%
+    assertThrows[LeakageError](r.assertClean())
+    assert(r.leakySample.get.count() == 2)
+  }
+
+  test("severity boundaries") {
+    // tiny pct + small leak => LOW
+    val n = 1000
+    val rows = (1 to n).map { i =>
+      val lt = ts("2024-01-10 00:00:00")
+      val ft = if (i == 1) ts("2024-01-10 00:30:00") else ts("2024-01-01 00:00:00")
+      (i.toLong, lt, ft)
+    }
+    val df = rows.toDF("user_id", "label_time", "ftc")
+    val r = Audit.temporal(df, "label_time", Map("f" -> "ftc"))
+    assert(r.details.head.leakyRows == 1)
+    assert(r.details.head.severity == "LOW")
+  }
+
+  test("audit json serializes") {
+    val r = Audit.temporal(leaky, "label_time", Map("f" -> "f__feature_time"))
+    val j = r.toJson
+    assert(j.contains("\"leaky_rows\":2"))
+    assert(j.contains("\"passed\":false"))
+  }
+
+  test("rebuild audit: clean build audits clean; tampered column flagged") {
+    val users = spark.range(1, 20).select(
+      col("id").as("user_id"),
+      (lit(ts("2023-06-01 00:00:00")) + make_dt_interval(col("id"))).as("updated_at"),
+      (col("id") * 2.0).as("score"))
+    val labelsDf = spark.range(1, 20).select(
+      col("id").as("user_id"),
+      (lit(ts("2023-07-01 00:00:00")) + make_dt_interval(col("id"))).as("label_time"),
+      (col("id") % 2 === 0).as("y"))
+    val feature = Feature("score",
+      Source.frame("users", users, Seq("user_id"), "updated_at"),
+      ColumnsMode(Map("score" -> "score")))
+    val built = Build(spark,
+      Labels.frame(labelsDf, Seq("user_id"), "label_time", Seq("y")),
+      Seq(feature)).df
+
+    val cleanR = Audit.rebuild(spark, built, Seq(feature), Seq("user_id"), "label_time")
+    assert(cleanR.passed, cleanR.details.toString)
+
+    val tampered = built.withColumn("score__score",
+      when(col("user_id") === 5, lit(999.0)).otherwise(col("score__score")))
+    val badR = Audit.rebuild(spark, tampered, Seq(feature), Seq("user_id"), "label_time")
+    assert(!badR.passed)
+    assert(badR.details.head.mismatches("score__score") == 1)
+  }
+
+  test("diff: identical frames") {
+    val r = Diff(clean, clean, Seq("user_id"), "label_time")
+    assert(r.identical)
+  }
+
+  test("diff: schema drift + value changes + null transitions + tolerance") {
+    val newDf = clean
+      .withColumn("f__v", when(col("user_id") === 1, 10.5).otherwise(col("f__v")))
+      .withColumn("f__feature_time",
+        when(col("user_id") === 2, lit(null).cast("timestamp"))
+          .otherwise(col("f__feature_time")))
+      .withColumn("extra", lit(1))
+    val r = Diff(clean, newDf, Seq("user_id"), "label_time")
+    assert(r.addedColumns == Seq("extra"))
+    val v = r.columns.find(_.column == "f__v").get
+    assert(v.changed == 1)
+    assert(v.meanDelta.exists(d => math.abs(d - 9.5) < 1e-9))
+    assert(v.maxAbsDelta.exists(d => math.abs(d - 9.5) < 1e-9))
+    val ftc = r.columns.find(_.column == "f__feature_time").get
+    assert(ftc.nullTransitions == 1) // user 2: ts -> null; user 3 stays null
+  }
+
+  test("diff: within-tolerance changes don't count") {
+    val newDf = clean.withColumn("f__v", col("f__v") + lit(1e-12))
+    val r = Diff(clean, newDf, Seq("user_id"), "label_time")
+    assert(r.columns.find(_.column == "f__v").get.changed == 0)
+  }
+
+  test("explain renders without executing joins") {
+    val labelsDf = Seq((1L, ts("2024-01-01 00:00:00"), true))
+      .toDF("user_id", "label_time", "y")
+    val f = Feature("f",
+      Source.frame("s", Seq((1L, ts("2023-01-01 00:00:00"), 1.0)).toDF("user_id", "t", "v"),
+        Seq("user_id"), "t"),
+      ColumnsMode(Map("v" -> "v")),
+      embargo = java.time.Duration.ofDays(2))
+    val r = Explain(spark, Labels.frame(labelsDf, Seq("user_id"), "label_time", Seq("y")), Seq(f))
+    assert(r.labelRows == 1)
+    assert(r.plans.head.window.contains("2d"))
+    assert(r.render.contains("row_number"))
+  }
+
+  test("store: hashing determinism and mtime memo") {
+    val s = new graft.store.Store(
+      java.nio.file.Files.createTempDirectory("graft_store").toString).init()
+    val f = java.nio.file.Files.createTempFile("graft", ".bin")
+    java.nio.file.Files.write(f, "hello".getBytes)
+    val h1 = s.contentHash(f.toString)
+    val h2 = s.contentHash(f.toString)
+    assert(h1 == h2 && h1.length == 16)
+    java.nio.file.Files.write(f, "world".getBytes)
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    assert(s.contentHash(f.toString) != h1)
+    assert(s.featureCacheKey("def", h1, 0) != s.featureCacheKey("def", h1, 86400))
+    s.saveManifest("b1", """{"x":1}""")
+    assert(s.loadManifest("b1").contains("""{"x":1}"""))
+    assert(s.listManifests() == Seq("b1"))
+  }
+}
