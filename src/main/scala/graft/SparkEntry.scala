@@ -165,7 +165,67 @@ object SparkEntry {
           sum("l_quantity").as("sum_qty"),
           sum("l_extendedprice").as("sum_price"),
           count(lit(1)).as("n_rows"))
-        .orderBy("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- training-data pipeline operators -------------------------
+    // Exact dedup via hash-groupBy (docs unioned with shifted copies
+    // so duplicate groups actually exist)
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val d = docs.union(docs.withColumn("doc_id", col("doc_id") + 100000))
+      graft.ops.Dedup.exactGroups(d, "text", "doc_id").orderBy("keep_id")
+    }),
+    // Token counting + quality signals, pure codegen'd expressions
+    "q_text_stats" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(txt).as("n_tokens"),
+        graft.ops.TextAnalysis.charCount(txt).as("n_chars_m"),
+        graft.ops.TextAnalysis.meanWordLength(txt).as("mean_word_len"),
+        graft.ops.TextAnalysis.stopwordRatio(txt).as("stop_ratio")
+      ).orderBy("doc_id")
+    }),
+    // Language-ID heuristic (stopword argmax)
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.langId(col("text")).as("lang_id")
+      ).orderBy("doc_id")),
+    // Document fingerprinting (md5 of normalized text)
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.fingerprint(col("text")).as("fp")
+      ).orderBy("doc_id")),
+    // Exact n-gram Jaccard near-dup pairs
+    "q_ngram_jaccard" -> ((s, dir) =>
+      graft.ops.Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.2)
+        .orderBy("a", "b")),
+    // MinHash + LSH banding candidate pairs (md5-portable hasher)
+    "q_minhash_lsh" -> ((s, dir) =>
+      graft.ops.Dedup.minhashCandidates(
+        t(s, dir, "documents"), "doc_id", "text",
+        k = 8, bands = 4, n = 3, maxBucket = 1000000)
+        .orderBy("a", "b")),
+    // Brute-force cosine top-k ANN baseline
+    "q_embed_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // Embedding-cosine near-duplicate pairs (exact, all-pairs)
+    "q_embed_neardup" -> ((s, dir) =>
+      graft.ops.Similarity.cosineNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, dim = 64)
+        .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+        .orderBy("a", "b"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -220,6 +280,119 @@ object SparkEntry {
         |       sum(l_quantity) AS sum_qty,
         |       sum(l_extendedprice) AS sum_price,
         |       count(*) AS n_rows
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)
+        |SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |       min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM d GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  length(text) AS n_chars_m,
+        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS mean_word_len,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |    len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS h_en,
+        |    len(list_filter(w, t -> t IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS h_de,
+        |    len(list_filter(w, t -> t IN ('le','la','les','et','est','une','que','pour','dans','pas'))) AS h_fr,
+        |    len(list_filter(w, t -> t IN ('el','la','los','y','es','que','una','por','con','para'))) AS h_es
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+        |       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+        |       WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+        |       WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+        |       ELSE 'de' END AS lang_id
+        |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS s
+        |  FROM docs WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = a
+        |JOIN sizes sb ON sb.doc_id = b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+        |ORDER BY a, b""".stripMargin,
+
+    "q_minhash_lsh" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS s
+        |  FROM docs WHERE len(w) >= 3),
+        |seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+        |sig AS (
+        |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS m
+        |  FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        |band AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |         md5(string_agg(m, '|' ORDER BY seed)) AS bucket
+        |  FROM sig GROUP BY 1, 2)
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |FROM band x JOIN band y
+        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |ORDER BY a, b""".stripMargin,
+
+    "q_embed_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |         list_dot_product(qv, cv)
+        |           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |         list_dot_product(x.v, y.v)
+        |           / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS sim
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+        |SELECT a, b, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.4
+        |ORDER BY a, b""".stripMargin
   )
 }

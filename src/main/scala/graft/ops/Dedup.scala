@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora: exact (hash-groupBy),
+  * MinHash+LSH banding, n-gram Jaccard, and embedding-cosine near-dup
+  * (via [[Similarity]]).
+  *
+  * Scale notes (the interesting part at 100 TB):
+  *  - exact dedup is ONE shuffle on the fingerprint; partial
+  *    aggregation (map-side combine) collapses duplicates before the
+  *    exchange, so shuffle volume ~ distinct docs, not total docs.
+  *  - MinHash/LSH replaces the O(n²) pair space with band-bucket
+  *    joins: shuffle keyed on (band index, band hash). Hot buckets are
+  *    bounded by `maxBucket` — the classic guard against a degenerate
+  *    bucket producing |bucket|² candidate pairs on one executor.
+  *  - n-gram Jaccard's shared-shingle join explodes on stop-shingles;
+  *    `maxDf` drops shingles occurring in more than that many docs
+  *    (an IDF cut), which is what keeps the join linear-ish in corpus
+  *    size.
+  */
+object Dedup {
+
+  /** Distinct word n-grams ("shingles") of a text column. Guarded for
+    * texts shorter than n words (Spark's `sequence(1, k)` would count
+    * DOWN for k < 1). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = split(trim(text), "\\s+")
+    val grams = transform(
+      sequence(lit(1), size(w) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*))
+    when(size(w) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact duplicate groups keyed on a fingerprint of `textCol`:
+    * (fingerprint, keep_id = min id, n_dups). One shuffle, map-side
+    * combined. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Keep exactly one row (min id) per distinct text. Implemented as a
+    * semi-join against the winners rather than a global window — the
+    * winner set is the aggregated (small) side and broadcasts. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.join(
+      exactGroups(df, textCol, idCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** Portable per-shingle hash: lexicographic min over
+    * `md5(seed:shingle)` strings. Identical in DuckDB — used by the
+    * oracle-checked queries. */
+  def md5Hash(shingle: Column, seed: Int): Column =
+    md5(concat(lit(s"$seed:"), shingle))
+
+  /** Fast numeric variant for production scale. */
+  def xxHash(shingle: Column, seed: Int): Column =
+    xxhash64(lit(seed), shingle)
+
+  /** MinHash signature from an ALREADY-PROJECTED shingle array column:
+    * array of k per-seed minima. Computed entirely inside the row (no
+    * shuffle; codegen'd higher-order functions). Take the shingle
+    * column, not the text — referencing `shingles(text)` here would
+    * clone that subtree k times. */
+  def minhashSignatureFromShingles(sh: Column, k: Int = 16,
+      hasher: (Column, Int) => Column = md5Hash): Column =
+    array((0 until k).map(seed => array_min(transform(sh, s => hasher(s, seed)))): _*)
+
+  /** Convenience single-column form — only for ad-hoc use on narrow
+    * data; the df-level operators project shingles first. */
+  def minhashSignature(text: Column, k: Int = 16, n: Int = 3,
+      hasher: (Column, Int) => Column = md5Hash): Column =
+    minhashSignatureFromShingles(shingles(text, n), k, hasher)
+
+  /** LSH band buckets: split the k-length signature into `bands` bands
+    * of k/bands rows; one output row per (doc, band) with the band's
+    * bucket hash.
+    *
+    * The signature is materialized as a projected column FIRST and the
+    * band hashes reference that column — inlining the signature
+    * expression once per band would multiply an already-wide expression
+    * tree by `bands` and blow up Catalyst/codegen time.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, n: Int = 3,
+      hasher: (Column, Int) => Column = md5Hash): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val rows = k / bands
+    val withSig = df
+      .select(col(idCol), shingles(col(textCol), n).as("__sh"))
+      .select(col(idCol), minhashSignatureFromShingles(col("__sh"), k, hasher).as("__sig"))
+    val banded = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", slice(col("__sig"), b * rows + 1, rows))).as("bucket"))
+    }
+    withSig.select(col(idCol), explode(array(banded: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate near-dup pairs from LSH banding: distinct (a, b) doc-id
+    * pairs sharing at least one band bucket. `maxBucket` bounds the
+    * blow-up from degenerate buckets. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, n: Int = 3,
+      maxBucket: Int = 1000,
+      hasher: (Column, Int) => Column = md5Hash): DataFrame = {
+    val buckets = lshBuckets(df, idCol, textCol, k, bands, n, hasher)
+    val bounded = buckets
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    val a = bounded.select(col("band"), col("bucket"), col(idCol).as("a"))
+    val b = bounded.select(col("band"), col("bucket"), col(idCol).as("b"))
+    a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing at least
+    * one (document-frequency-bounded) shingle, filtered to
+    * `threshold`. Output: (a, b, jaccard). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 10000): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    val bounded = sh
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("n"))
+    val inter = bounded.as("x")
+      .join(bounded.as("y"), col("x.s") === col("y.s") && col("x.__id") < col("y.__id"))
+      .groupBy(col("x.__id").as("a"), col("y.__id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("__id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("__id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash-estimated Jaccard for candidate pairs (signature
+    * agreement fraction), the scale path that skips exact set
+    * intersection entirely: candidates from LSH, similarity from
+    * signatures, no second pass over the corpus. */
+  def minhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, n: Int = 3, threshold: Double = 0.5,
+      hasher: (Column, Int) => Column = md5Hash): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh"))
+      .select(col("__id"), minhashSignatureFromShingles(col("__sh"), k, hasher).as("sig"))
+    val cands = minhashCandidates(df, idCol, textCol, k, bands, n, hasher = hasher)
+    cands
+      .join(sigs.select(col("__id").as("a"), col("sig").as("siga")), "a")
+      .join(sigs.select(col("__id").as("b"), col("sig").as("sigb")), "b")
+      .select(col("a"), col("b"),
+        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
+          .cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification and
+  * document fingerprinting.
+  *
+  * All operators are pure Column expressions over built-in functions —
+  * whole-stage-codegen'd, embarrassingly parallel, no shuffle, no UDFs.
+  * At 100 TB these run at parquet-scan speed with full column pruning.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the BPE-ish regex variant is
+    * [[bpeTokenCount]]). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** A BPE-flavored token estimate: words and punctuation split like a
+    * byte-pair pre-tokenizer would (letters+digits runs, single
+    * punctuation marks). */
+  def bpeTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(t) > 0 && t =!= " "))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+        / length(text))
+
+  /** Fraction of characters that are uppercase letters. */
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double")
+        / length(text))
+
+  /** Mean word length — long-words-heavy or fragmenty text scores off
+    * the typical 3–10 band. */
+  def meanWordLength(text: Column): Column =
+    when(tokenCount(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double")
+        / tokenCount(text))
+
+  /** Tiny per-language stopword lists — enough signal for an n-gram /
+    * stopword heuristic; not a full langdetect. */
+  val StopwordLists: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "que", "una", "por", "con", "para")
+  )
+
+  private def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(arr, t)))
+  }
+
+  /** Fraction of tokens that are stopwords of the given language. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column =
+    when(tokenCount(text) === 0, 0.0)
+      .otherwise(stopwordHits(text, StopwordLists(lang)).cast("double") / tokenCount(text))
+
+  /** Language ID: argmax of per-language stopword hit counts, 'und'
+    * (undetermined) when nothing hits. Deterministic tie-break by
+    * language code order. */
+  def langId(text: Column): Column = {
+    val scored = StopwordLists.toSeq.sortBy(_._1).map { case (langCode, words) =>
+      struct(stopwordHits(text, words).as("hits"), lit(langCode).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0, 1]: rewards reasonable length,
+    * moderate punctuation, presence of stopwords, typical word length.
+    * Weights are heuristic; the VALUE is being cheap enough to run on
+    * every document of a 100 TB corpus in the scan stage.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 20.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val wordLenScore = when(meanWordLength(text).between(3.0, 10.0), 1.0).otherwise(0.5)
+    round(lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordLenScore * 0.2, 6)
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text.
+    * Identical in DuckDB (`md5(...)`) — exact-dedup hashes and oracle
+    * checks line up across engines. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit rolling-style fingerprint using xxhash64 — the cheap
+    * numeric variant for joins/bucketing at scale. */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** One-pass enrichment of a document frame. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumns(Map(
+      "n_tokens" -> tokenCount(t),
+      "n_tokens_bpe" -> bpeTokenCount(t),
+      "punct_ratio" -> punctRatio(t),
+      "stopword_ratio" -> stopwordRatio(t),
+      "mean_word_len" -> meanWordLength(t),
+      "lang_id" -> langId(t),
+      "quality" -> qualityScore(t),
+      "fingerprint" -> fingerprint(t)
+    ))
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+class OpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("text stats basics") {
+    val df = Seq((1L, "The quick brown fox. It is fast!"), (2L, ""), (3L, "  a  "))
+      .toDF("id", "text")
+      .select(col("id"),
+        TextAnalysis.tokenCount(col("text")).as("n"),
+        TextAnalysis.punctRatio(col("text")).as("p"),
+        TextAnalysis.stopwordRatio(col("text")).as("s"),
+        TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(df(1L).getInt(1) == 7)
+    assert(df(1L).getDouble(2) > 0.0)
+    assert(df(1L).getString(4) == "en")
+    assert(df(2L).getInt(1) == 0)
+    assert(df(3L).getInt(1) == 1)
+  }
+
+  test("quality score ranks real text above junk") {
+    val q = Seq(
+      ("good", "the cat sat on the mat and it is a fine day for walking in the park"),
+      ("junk", "!!!! ???? .... ;;;; @@@@ #### $$$$ %%%%")
+    ).toDF("k", "text")
+      .select(col("k"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(q("good") > q("junk"))
+  }
+
+  test("shingles: guarded for short texts, distinct") {
+    val r = Seq("a b c d", "x y", "p p p p")
+      .toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1) == Seq.empty)
+    assert(r(2) == Seq("p p p")) // distinct
+  }
+
+  test("exact dedup keeps min id per duplicate group") {
+    val d = Seq((1L, "same text here"), (2L, "same text here"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(d, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+    val groups = Dedup.exactGroups(d, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(groups.map(_.getLong(2)).toSeq == Seq(2L, 1L))
+  }
+
+  test("minhash candidates recall exact high-jaccard pairs") {
+    // ground truth: exact jaccard pairs >= 0.5 on real documents
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+      k = 16, bands = 8, n = 3, maxBucket = 100000)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // LSH with 8 bands of 2 rows catches j>=0.5 pairs w.h.p.
+    val recall = exact.count(cands.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} true pairs")
+  }
+
+  test("minhash estimated jaccard approximates exact") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val est = Dedup.minhashJaccardPairs(docs, "doc_id", "text",
+      k = 64, bands = 32, n = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val both = exact.keySet & est.keySet
+    assert(both.nonEmpty)
+    both.foreach { k =>
+      assert(math.abs(exact(k) - est(k)) < 0.35,
+        s"pair $k exact=${exact(k)} est=${est(k)}")
+    }
+  }
+
+  test("cosine is 1 for identical, 0 for orthogonal") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    ).toDF("a", "b").select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val r = df.as[Double].collect()
+    assert(math.abs(r(0) - 1.0) < 1e-12)
+    assert(math.abs(r(1)) < 1e-12)
+  }
+
+  test("brute-force topk returns k ranked neighbors per query") {
+    val q = embeddings.filter(col("vec_id") % 25 === 0)
+    val r = Similarity.bruteForceTopK(q, embeddings, "vec_id", "vec_id", "embedding", 3)
+    val rows = r.collect()
+    val nQueries = q.count()
+    assert(rows.length == nQueries * 3)
+    // ranks are 1..3 and sims are descending within a query
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("lsh topk neighbors are a subset of brute-force candidates with decent recall") {
+    val q = embeddings.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopK(q, embeddings, "vec_id", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(q, embeddings, "vec_id", "vec_id", "embedding", 5,
+      dim = 64, planes = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // these embeddings are near-random (max pairwise cosine ~0.5), the
+    // worst case for LSH — expect partial recall, well above zero
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall > 0.15, s"recall $recall")
+    assert(approx.nonEmpty)
+  }
+
+  test("ivf topk probes nearest lists") {
+    val q = embeddings.filter(col("vec_id") % 25 === 0)
+    val r = Similarity.ivfTopK(q, embeddings, "vec_id", "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 2)
+    assert(r.count() > 0)
+    assert(r.groupBy("query_id").count().agg(max("count")).head().getLong(0) <= 3)
+  }
+
+  test("near-dup pairs via cosine threshold") {
+    val pairs = Similarity.cosineNearDupPairs(embeddings, "vec_id", "embedding",
+      threshold = 0.4, dim = 64)
+    pairs.collect().foreach { r =>
+      assert(r.getAs[Double]("sim") >= 0.4)
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+    }
+  }
+}
