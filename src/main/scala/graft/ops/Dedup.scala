@@ -142,6 +142,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** SimHash near-dup pairs: 64-bit fingerprints (custom Catalyst
+    * expression, [[graft.functions.SimHash]]) blocked into `bands`
+    * 16-bit bands — a pair within Hamming distance h collides on at
+    * least one band when h < bands (pigeonhole), so banding is
+    * recall-complete for maxHamming < bands. One shuffle keyed on
+    * (band, band-bits); the Hamming check is `bit_count(a^b)`, pure
+    * codegen. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 100000): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sigs = df
+      .select(col(idCol).as("__id"),
+        graft.functions.SimHash.simhash64(split(trim(col(textCol)), "\\s+")).as("sig"))
+    val banded = sigs.select(col("__id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask)).as("bits"))): _*))
+        .as("bb"))
+      .select(col("__id"), col("sig"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val bounded = banded
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bits")))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    val a = bounded.select(col("band"), col("bits"), col("__id").as("a"), col("sig").as("__sa"))
+    val b = bounded.select(col("band"), col("bits"), col("__id").as("b"), col("sig").as("__sb"))
+    a.join(b, Seq("band", "bits")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** MinHash-estimated Jaccard for candidate pairs (signature
     * agreement fraction), the scale path that skips exact set
     * intersection entirely: candidates from LSH, similarity from

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming extensions of the point-in-time engine — beyond the
+  * batch-only reference (SURVEY §2.9), using Structured Streaming:
+  *
+  *  - [[leakMonitor]]: a continuous temporal audit — watermarked
+  *    windowed counts of invariant violations on an event stream that
+  *    carries both label_time and feature_time.
+  *  - [[StreamingAsOf.enrich]]: stateful streaming as-of join via
+  *    `flatMapGroupsWithState` — per key, keep the latest feature
+  *    values in state; each arriving label event is enriched with the
+  *    newest feature whose `feature_time < label_time - embargo`.
+  *    State holds a bounded buffer (not just the latest row) so a
+  *    feature that is still embargoed for one label can serve a later
+  *    one; entries older than `retention` are pruned on every update.
+  *
+  * Caveat (documented, tested): within a micro-batch, arrival order
+  * inside a key group is the event order Spark hands the group — the
+  * operator sorts each group's batch by event time before folding, so
+  * out-of-order arrival WITHIN a batch is handled; late data across
+  * batches beyond `retention` is dropped, the same trade every
+  * watermarked stateful op makes.
+  */
+object StreamingPit {
+
+  /** Windowed violation counts: one row per (window, feature) with the
+    * number of rows where feature_time >= label_time. Append-safe with
+    * the given watermark. */
+  def leakMonitor(
+      events: DataFrame,
+      labelTimeCol: String,
+      featureTimeCol: String,
+      watermark: String = "10 minutes",
+      window: String = "5 minutes"
+  ): DataFrame =
+    events
+      .withWatermark(labelTimeCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(labelTimeCol), window))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(featureTimeCol).isNotNull &&
+          col(featureTimeCol) >= col(labelTimeCol), 1L).otherwise(0L))
+          .as("n_leaky"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_rows"), col("n_leaky"))
+
+  final case class Event(
+      key: Long,
+      eventTime: Timestamp,
+      isLabel: Boolean,
+      value: Double)
+
+  final case class Enriched(
+      key: Long,
+      labelTime: Timestamp,
+      featureTime: Option[Timestamp],
+      value: Option[Double])
+
+  final case class FeatureState(times: List[Long], values: List[Double])
+
+  object StreamingAsOf {
+
+    /** Fold one key group's new events (sorted by time) into state,
+      * emitting one enriched row per label event. */
+    def processGroup(embargoMs: Long, retentionMs: Long)(
+        key: Long,
+        events: Iterator[Event],
+        state: GroupState[FeatureState]): Iterator[Enriched] = {
+      var st = state.getOption.getOrElse(FeatureState(Nil, Nil))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Enriched]
+      val sorted = events.toArray.sortBy(e => (e.eventTime.getTime, e.isLabel))
+      // features before labels at equal time in the fold; the strict
+      // `< label_time - embargo` bound still excludes the tie itself
+      sorted.foreach { e =>
+        if (e.isLabel) {
+          val bound = e.eventTime.getTime - embargoMs
+          // state is kept newest-first, so the first hit is the
+          // newest feature strictly before the bound
+          val idx = st.times.indexWhere(_ < bound)
+          if (idx >= 0)
+            out += Enriched(key, e.eventTime,
+              Some(new Timestamp(st.times(idx))), Some(st.values(idx)))
+          else out += Enriched(key, e.eventTime, None, None)
+        } else {
+          val cutoff = e.eventTime.getTime - retentionMs
+          val kept = ((e.eventTime.getTime, e.value) :: st.times.zip(st.values))
+            .filter(_._1 >= cutoff)
+            .sortBy(-_._1) // newest-first even under cross-batch disorder
+          st = FeatureState(kept.map(_._1), kept.map(_._2))
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    /** Streaming as-of enrichment. `stream` is a Dataset[Event] mixing
+      * feature rows (isLabel=false) and label rows (isLabel=true). */
+    def enrich(
+        spark: SparkSession,
+        stream: Dataset[Event],
+        embargo: Duration = Duration.ZERO,
+        retention: Duration = Duration.ofDays(365)
+    ): Dataset[Enriched] = {
+      import spark.implicits._
+      stream
+        .groupByKey(_.key)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          processGroup(embargo.toMillis, retention.toMillis))
+    }
+  }
+}

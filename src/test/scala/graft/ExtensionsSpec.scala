@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash
+import graft.ops.{Dedup, Multimodal}
+import graft.streaming.StreamingPit
+
+class ExtensionsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  // ---- SimHash ------------------------------------------------------
+
+  test("simhash64: deterministic, sensitive to content, tolerant to small edits") {
+    val texts = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again today"),
+      ("a2", "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      ("b", "completely different subject matter about database query engines")
+    ).toDF("k", "text")
+      .select(col("k"), SimHash.simhash64(split(col("text"), "\\s+")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    def hamming(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(texts("a"), texts("a2")) < hamming(texts("a"), texts("b")))
+    // determinism across evaluations
+    val again = Seq("the quick brown fox jumps over the lazy dog again and again today")
+      .toDF("text").select(SimHash.simhash64(split(col("text"), "\\s+")))
+      .as[Long].head()
+    assert(again == texts("a"))
+  }
+
+  test("simhash64 works under codegen and with nulls in the array") {
+    val r = Seq(Seq("a", null, "b"), Seq.empty[String])
+      .toDF("toks").select(SimHash.simhash64(col("toks"))).as[Long].collect()
+    assert(r.length == 2)
+  }
+
+  test("simhashPairs finds planted near-dups") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val near = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    if (near.nonEmpty) {
+      val sims = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12, bands = 16)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val recall = near.count(sims.contains).toDouble / near.size
+      assert(recall >= 0.5, s"recall $recall of ${near.size} pairs")
+    }
+  }
+
+  // ---- Multimodal ---------------------------------------------------
+
+  test("multimodal plumbing: schema, determinism, batch independence") {
+    val media = Multimodal.syntheticMedia(spark, 200)
+    val feats = Multimodal.imageFeatures(media, dim = 8)
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("media_id", "width", "height", "embedding"))
+    val rows = feats.collect()
+    assert(rows.length == 200)
+    assert(rows.forall(_.embedding.length == 8))
+    // repartitioning must not change results (batch-shape independence)
+    val repart = Multimodal.imageFeatures(media, dim = 8, repartitionTo = Some(7))
+      .collect().map(f => f.media_id -> f.embedding.toSeq).toMap
+    rows.foreach(f => assert(repart(f.media_id) == f.embedding.toSeq))
+  }
+
+  test("audio features + frame sampling") {
+    val media = Multimodal.syntheticMedia(spark, 10)
+    val audio = Multimodal.audioFeatures(media).collect()
+    assert(audio.forall(_.mfcc.length == 13))
+    val frames = Multimodal.sampleFrames(media, frames = 30, stride = 10).collect()
+    assert(frames.length == 10 * 3)
+    assert(frames.map(f => (f.media_id, f.frameIndex)).distinct.length == 30)
+  }
+
+  // ---- Streaming ----------------------------------------------------
+
+  test("streaming leak monitor counts violations per window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Timestamp)]
+    val df = input.toDF().toDF("label_time", "feature_time")
+    val q = StreamingPit
+      .leakMonitor(df, "label_time", "feature_time", "1 minute", "5 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("leaks").start()
+    input.addData(
+      (ts("2024-01-01 00:01:00"), ts("2024-01-01 00:00:00")), // clean
+      (ts("2024-01-01 00:02:00"), ts("2024-01-01 00:03:00")), // leak
+      (ts("2024-01-01 00:03:00"), ts("2024-01-01 00:03:00"))  // leak (>=)
+    )
+    q.processAllAvailable()
+    val out = spark.sql("SELECT * FROM leaks").collect()
+    q.stop()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == 3)
+    assert(out.map(_.getAs[Long]("n_leaky")).sum == 2)
+  }
+
+  test("streaming as-of enrichment is point-in-time correct across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamingPit.Event]
+    val enriched = StreamingPit.StreamingAsOf.enrich(
+      spark, input.toDS(), embargo = java.time.Duration.ofMinutes(10))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+
+    // batch 1: two features then a label (label at :30, embargo 10m ->
+    // bound :20 -> feature at :05 qualifies, :25 does not)
+    input.addData(
+      StreamingPit.Event(1L, ts("2024-01-01 00:05:00"), isLabel = false, 1.0),
+      StreamingPit.Event(1L, ts("2024-01-01 00:25:00"), isLabel = false, 2.0),
+      StreamingPit.Event(1L, ts("2024-01-01 00:30:00"), isLabel = true, 0.0))
+    q.processAllAvailable()
+    // batch 2: later label sees the :25 feature (bound now :50)
+    input.addData(StreamingPit.Event(1L, ts("2024-01-01 01:00:00"), isLabel = true, 0.0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT * FROM enriched ORDER BY labelTime").collect()
+    q.stop()
+    assert(out.length == 2)
+    assert(out(0).getAs[Timestamp]("featureTime") == ts("2024-01-01 00:05:00"))
+    assert(out(1).getAs[Timestamp]("featureTime") == ts("2024-01-01 00:25:00"))
+  }
+
+  test("streaming as-of: label with no eligible feature emits nulls") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamingPit.Event]
+    val q = StreamingPit.StreamingAsOf.enrich(spark, input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("enriched2").start()
+    input.addData(StreamingPit.Event(7L, ts("2024-01-01 00:00:00"), isLabel = true, 0.0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT * FROM enriched2").collect()
+    q.stop()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("featureTime")))
+  }
+}
