@@ -1,23 +1,118 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Audit, Build, BuildOptions}
+import graft.model._
+
+/** Benchmark main — prints ONE JSON line with per-query seconds.
+  *
+  * Methodology mirrors the reference's (BASELINE.md: 1 warmup + timed
+  * runs, one process): every query gets one warm-up execution (JIT +
+  * codegen + file-listing amortization, exactly what one SparkSession
+  * amortizes in production), then one timed run.
+  *
+  * Beyond the SparkEntry operator queries, the `build_*` / `audit_*`
+  * scenarios reproduce the reference benchmark shapes (BASELINE.md:
+  * n_entities = n_labels/5, feature tables 2x label rows, labels over
+  * one day, features over the prior year) through the REAL engine
+  * (`Build` / `Audit.temporal`), so the numbers are comparable
+  * end-to-end, not operator-micro.
+  */
 object Bench {
+
+  private def syntheticScenario(spark: SparkSession, nLabels: Int, nFeatures: Int)
+      : (Labels, Seq[Feature]) = {
+    val nEntities = math.max(1000, nLabels / 5)
+    // precomputed per-row microsecond steps keep id*step within Long
+    val labelStepUs = 86400000000L / nLabels // 1 day spread
+    val featStepUs = 31536000000000L / (2L * nLabels) // 1 year spread
+    val labels = spark.range(nLabels.toLong).select(
+      (col("id") % nEntities).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) // 2024-01-01
+        + col("id") * math.max(1L, labelStepUs)).as("label_time"),
+      (col("id") % 5 === 0).as("churned"))
+    val features = (0 until nFeatures).map { k =>
+      val fdf = spark.range(2L * nLabels).select(
+        (col("id") % nEntities).as("user_id"),
+        timestamp_micros(lit(1672531200000000L) // 2023-01-01
+          + col("id") * math.max(1L, featStepUs)).as("updated_at"),
+        ((col("id") * (k + 17)) % 1000 / 10.0).as(s"val_$k"))
+      Feature(s"f$k",
+        Source.frame(s"src$k", fdf, Seq("user_id"), "updated_at"),
+        ColumnsMode(Map(s"val_$k" -> s"val_$k")))
+    }
+    (Labels.frame(labels, Seq("user_id"), "label_time", Seq("churned")), features)
+  }
+
+  private def buildScenario(nLabels: Int, nFeatures: Int)(spark: SparkSession): Long = {
+    val (labels, features) = syntheticScenario(spark, nLabels, nFeatures)
+    // measured like the reference: full build incl. stats + invariant
+    // verification, no output write, duplicate scan off (the synthetic
+    // frames are unique by construction; reference data is too)
+    Build(spark, labels, features, BuildOptions(
+      checkDuplicates = false, sortResult = false)).rows
+  }
+
+  /** Temporal audit over an nLabels-row dataset (the reference's audit
+    * bench shape: existing dataset, one feature_time column). */
+  private def auditScenario(nLabels: Int)(spark: SparkSession): Long = {
+    val nEntities = math.max(1000, nLabels / 5)
+    val data = spark.range(nLabels.toLong).select(
+      (col("id") % nEntities).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L).as("label_time"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L
+        - lit(3600000000L) + (col("id") % 100) * 72000000L).as("f0__feature_time"),
+      (col("id") % 7).cast("double").as("f0__v"))
+    Audit.temporal(data, "label_time", Map("f0" -> "f0__feature_time"),
+      approxMedian = true).totalRows
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      body
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val operatorQueries: Seq[(String, () => Unit)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> (() => { fn(spark, sfDir).count(); () })
+      }
+    val scenarios: Seq[(String, () => Unit)] = Seq(
+      "build_100k_x1" -> (() => { buildScenario(100000, 1)(spark); () }),
+      "build_100k_x10" -> (() => { buildScenario(100000, 10)(spark); () }),
+      "build_1m_x1" -> (() => { buildScenario(1000000, 1)(spark); () }),
+      "build_1m_x10" -> (() => { buildScenario(1000000, 10)(spark); () }),
+      "audit_1m_x1" -> (() => { auditScenario(1000000)(spark); () })
+    )
+
+    val results = (operatorQueries ++ scenarios).map { case (name, body) =>
+      try {
+        body() // warmup: codegen + shuffle-file + listing amortization
+        name -> timed(body())
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
+      }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,306 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine._
+import graft.model._
+import graft.util.{Durations, MiniYaml}
+
+/** Command-line surface mirroring the reference CLI
+  * (`/root/reference/src/timefence/cli.py`): build, audit, explain,
+  * diff, inspect, catalog, doctor, init. Feature definitions come from
+  * a `graft.yaml` config (the Scala analog of the reference's
+  * importable-Python feature files — SURVEY §2.11 notes this
+  * deliberate departure).
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { println(usage); sys.exit(2) }
+    val cmd = args.head
+    val rest = args.tail
+    val code =
+      try {
+        cmd match {
+          case "build"   => cmdBuild(rest)
+          case "audit"   => cmdAudit(rest)
+          case "explain" => cmdExplain(rest)
+          case "diff"    => cmdDiff(rest)
+          case "inspect" => cmdInspect(rest)
+          case "catalog" => cmdCatalog(rest)
+          case "doctor"  => cmdDoctor(rest)
+          case "init"    => cmdInit(rest)
+          case "help" | "-h" | "--help" => println(usage); 0
+          case other => System.err.println(s"Unknown command '$other'\n$usage"); 2
+        }
+      } catch {
+        case e: graft.errors.GraftException =>
+          System.err.println(s"error: ${e.getMessage}"); 1
+      }
+    sys.exit(code)
+  }
+
+  private def usage: String =
+    """graft — point-in-time training sets on Spark
+      |
+      |Commands:
+      |  build   --config graft.yaml [--output PATH] [--dry-run]
+      |  audit   --data PATH --label-time COL --feature-time-cols f=col[,g=col] [--strict]
+      |  explain --config graft.yaml
+      |  diff    --old PATH --new PATH --keys a[,b] --label-time COL
+      |  inspect PATH
+      |  catalog [--store DIR]
+      |  doctor  --config graft.yaml
+      |  init    [DIR]
+      |""".stripMargin
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def flags(args: Array[String]): (Map[String, String], List[String]) = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    val pos = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val k = a.drop(2)
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          m(k) = args(i + 1); i += 2
+        } else { m(k) = "true"; i += 1 }
+      } else { pos += a; i += 1 }
+    }
+    (m.toMap, pos.toList)
+  }
+
+  // ---- config loading ------------------------------------------------
+
+  final case class Config(
+      labels: Labels,
+      features: Seq[Feature],
+      options: BuildOptions,
+      outputDir: Option[String])
+
+  def loadConfig(path: String): Config = {
+    val root = MiniYaml.parse(Files.readString(Paths.get(path)))
+    def str(m: Map[String, Any], k: String): Option[String] =
+      m.get(k).map(_.toString)
+    def strList(m: Map[String, Any], k: String): Seq[String] = m.get(k) match {
+      case Some(l: List[_]) => l.map(_.toString)
+      case Some(s: String)  => Seq(s)
+      case _                => Nil
+    }
+    def sub(k: String): Map[String, Any] = root.get(k) match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case _                  => Map.empty
+    }
+
+    val lbl = sub("labels")
+    val labels = Labels.parquet(
+      str(lbl, "path").getOrElse(throw graft.errors.Errors.config(
+        "labels.path missing in config.", "Add labels: {path: ...}")),
+      strList(lbl, "keys"),
+      str(lbl, "label_time").getOrElse("label_time"),
+      strList(lbl, "target"))
+
+    val feats = root.get("features") match {
+      case Some(l: List[_]) => l.map {
+        case fm: Map[_, _] =>
+          val f = fm.asInstanceOf[Map[String, Any]]
+          val name = str(f, "name").getOrElse(throw graft.errors.Errors.config(
+            "feature missing name.", "Every feature needs name:"))
+          val srcPath = str(f, "source").getOrElse(throw graft.errors.Errors.config(
+            s"feature '$name' missing source.", "Add source: /path/to.parquet"))
+          val keys = strList(f, "keys")
+          val tsCol = str(f, "timestamp").getOrElse("updated_at")
+          val source =
+            if (srcPath.endsWith(".csv")) Source.csv(name + "_src", srcPath, keys, tsCol)
+            else Source.parquet(name + "_src", srcPath, keys, tsCol)
+          val mode: FeatureMode = (str(f, "sql"), strList(f, "columns")) match {
+            case (Some(sqlText), _) => SqlMode(sqlText)
+            case (None, cols) if cols.nonEmpty => ColumnsMode(cols.map(c => c -> c).toMap)
+            case _ => throw graft.errors.Errors.config(
+              s"feature '$name' needs columns or sql.", "Set exactly one mode.")
+          }
+          Feature(name, source, mode,
+            embargo = Durations.parse(str(f, "embargo").getOrElse("0")),
+            keyMapping = f.get("key_mapping") match {
+              case Some(m: Map[_, _]) =>
+                m.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString }
+              case _ => Map.empty
+            },
+            onDuplicate = OnDuplicate.parse(str(f, "on_duplicate").getOrElse("error")),
+            maxStaleness = str(f, "max_staleness").map(Durations.parse))
+        case other => throw graft.errors.Errors.config(
+          s"bad feature entry: $other.", "features must be a list of maps")
+      }
+      case _ => Nil
+    }
+
+    val d = sub("defaults")
+    val options = BuildOptions(
+      join = str(d, "join").getOrElse("strict"),
+      onMissing = str(d, "on_missing").getOrElse("null"),
+      maxLookback = Durations.parse(str(d, "max_lookback").getOrElse("365d")))
+
+    Config(labels, feats, options, str(sub("output"), "dir"))
+  }
+
+  // ---- commands ------------------------------------------------------
+
+  private def cmdBuild(args: Array[String]): Int = {
+    val (f, _) = flags(args)
+    val cfg = loadConfig(f.getOrElse("config", "graft.yaml"))
+    val out = f.get("output")
+      .orElse(cfg.outputDir.map(d => s"$d/train.parquet"))
+    if (f.contains("dry-run")) return cmdExplainCfg(cfg)
+    val spark = session()
+    val r = Build(spark, cfg.labels, cfg.features, cfg.options.copy(output = out))
+    println(s"rows=${r.rows} columns=${r.columns.size} audit_passed=${r.auditPassed}")
+    r.features.foreach(s =>
+      println(f"  ${s.name}%-30s matched=${s.matched} missing=${s.missing} violations=${s.violations}"))
+    out.foreach(o => println(s"wrote $o"))
+    if (r.auditPassed) 0 else 1
+  }
+
+  private def cmdExplain(args: Array[String]): Int = {
+    val (f, _) = flags(args)
+    cmdExplainCfg(loadConfig(f.getOrElse("config", "graft.yaml")))
+  }
+
+  private def cmdExplainCfg(cfg: Config): Int = {
+    val spark = session()
+    print(Explain(spark, cfg.labels, cfg.features, cfg.options).render)
+    0
+  }
+
+  private def cmdAudit(args: Array[String]): Int = {
+    val (f, _) = flags(args)
+    val spark = session()
+    val data = spark.read.parquet(f("data"))
+    val mapping = f("feature-time-cols").split(",").map { kv =>
+      val Array(k, v) = kv.split("=", 2); k -> v
+    }.toMap
+    val r = Audit.temporal(data, f.getOrElse("label-time", "label_time"), mapping)
+    println(r.toJson)
+    if (!r.passed && f.contains("strict")) 1 else 0
+  }
+
+  private def cmdDiff(args: Array[String]): Int = {
+    val (f, _) = flags(args)
+    val spark = session()
+    val r = Diff(
+      spark.read.parquet(f("old")),
+      spark.read.parquet(f("new")),
+      f("keys").split(",").toSeq,
+      f.getOrElse("label-time", "label_time"))
+    println(s"old_rows=${r.oldRows} new_rows=${r.newRows} common=${r.commonRows}")
+    if (r.addedColumns.nonEmpty) println(s"added: ${r.addedColumns.mkString(", ")}")
+    if (r.removedColumns.nonEmpty) println(s"removed: ${r.removedColumns.mkString(", ")}")
+    r.columns.filterNot(c => c.changed == 0 && c.nullTransitions == 0).foreach(c =>
+      println(f"  ${c.column}%-30s changed=${c.changed} null_trans=${c.nullTransitions}" +
+        c.meanDelta.map(d => f" mean_delta=$d%.6g").getOrElse("") +
+        c.maxAbsDelta.map(d => f" max_abs=$d%.6g").getOrElse("")))
+    if (r.identical) 0 else 1
+  }
+
+  private def cmdInspect(args: Array[String]): Int = {
+    val (_, pos) = flags(args)
+    val spark = session()
+    val df = spark.read.parquet(pos.head)
+    val n = df.count()
+    println(s"${pos.head}: $n rows, ${df.columns.length} columns")
+    val distincts = df.select(df.columns.map(c =>
+      countDistinct(col(c)).as(c)).toSeq: _*).head()
+    df.schema.fields.zipWithIndex.foreach { case (fld, i) =>
+      val d = distincts.getLong(i)
+      val pct = if (n == 0) 0.0 else d.toDouble / n
+      val hint =
+        if (pct > 0.99 && fld.dataType.typeName.contains("long")) "  <- key?"
+        else if (fld.dataType.typeName.startsWith("timestamp") && pct > 0.1) "  <- timestamp?"
+        else ""
+      println(f"  ${fld.name}%-25s ${fld.dataType.simpleString}%-15s distinct=$d ($pct%.1f%%)$hint")
+    }
+    0
+  }
+
+  private def cmdCatalog(args: Array[String]): Int = {
+    val (f, _) = flags(args)
+    val store = new graft.store.Store(f.getOrElse("store", ".graft"))
+    val builds = store.listManifests()
+    if (builds.isEmpty) println("no builds")
+    else builds.foreach(println)
+    0
+  }
+
+  private def cmdDoctor(args: Array[String]): Int = {
+    val (f, _) = flags(args)
+    val path = f.getOrElse("config", "graft.yaml")
+    var ok = true
+    def check(name: String)(body: => Boolean): Unit = {
+      val good = try body catch { case _: Throwable => false }
+      println(s"${if (good) "ok " else "FAIL"} $name")
+      if (!good) ok = false
+    }
+    check("config file exists")(Files.exists(Paths.get(path)))
+    if (Files.exists(Paths.get(path))) {
+      lazy val cfg = loadConfig(path)
+      check("config parses")(cfg != null)
+      check("labels path exists")(Files.exists(Paths.get(cfg.labels.path.get)))
+      check("feature sources exist")(cfg.features.forall(ft =>
+        ft.source match {
+          case s: Source => s.path.forall(p => Files.exists(Paths.get(p)))
+          case _         => true
+        }))
+      check("feature names unique")(
+        cfg.features.map(_.name).distinct.size == cfg.features.size)
+    }
+    if (ok) 0 else 1
+  }
+
+  private def cmdInit(args: Array[String]): Int = {
+    val (_, pos) = flags(args)
+    val dir = Paths.get(pos.headOption.getOrElse("."))
+    Files.createDirectories(dir)
+    val cfgPath = dir.resolve("graft.yaml")
+    if (Files.exists(cfgPath)) { System.err.println(s"$cfgPath already exists"); return 1 }
+    Files.writeString(cfgPath,
+      """# graft configuration
+        |labels:
+        |  path: labels.parquet
+        |  keys: [user_id]
+        |  label_time: label_time
+        |  target: [churned]
+        |features:
+        |  - name: user_country
+        |    source: users.parquet
+        |    keys: [user_id]
+        |    timestamp: updated_at
+        |    columns: [country]
+        |    embargo: 0
+        |defaults:
+        |  max_lookback: 365d
+        |  join: strict
+        |  on_missing: null
+        |output:
+        |  dir: ./out
+        |""".stripMargin)
+    println(s"wrote $cfgPath")
+    0
+  }
+}

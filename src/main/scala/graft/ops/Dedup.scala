@@ -107,10 +107,13 @@ object Dedup {
       maxBucket: Int = 1000,
       hasher: (Column, Int) => Column = md5Hash): DataFrame = {
     val buckets = lshBuckets(df, idCol, textCol, k, bands, n, hasher)
+    // cached: both sides of the pair join consume this frame — without
+    // it the k×|shingles| hash computation runs twice
     val bounded = buckets
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("__n") <= maxBucket)
       .drop("__n")
+      .cache()
     val a = bounded.select(col("band"), col("bucket"), col(idCol).as("a"))
     val b = bounded.select(col("band"), col("bucket"), col(idCol).as("b"))
     a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
@@ -122,12 +125,16 @@ object Dedup {
     * `threshold`. Output: (a, b, jaccard). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = 10000): DataFrame = {
+    // cached: the exploded shingle frame feeds three consumers (sizes +
+    // both sides of the self-join) — recomputing the explode+window per
+    // consumer doubles the heaviest stage
     val sh = df.select(col(idCol).as("__id"),
-      explode(shingles(col(textCol), n)).as("s"))
+      explode(shingles(col(textCol), n)).as("s")).cache()
     val bounded = sh
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
       .filter(col("__df") <= maxDf)
       .drop("__df")
+      .cache()
     val sizes = sh.groupBy("__id").agg(count(lit(1)).as("n"))
     val inter = bounded.as("x")
       .join(bounded.as("y"), col("x.s") === col("y.s") && col("x.__id") < col("y.__id"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VecOps
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   *  - [[cosine]] / [[dot]] are pure codegen'd expressions (`zip_with`
@@ -26,11 +28,10 @@ object Similarity {
 
   /** Cast to double FIRST so float*float doesn't round at float
     * precision — matches DuckDB's DOUBLE[] math exactly. */
-  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    VecOps.vecDot(asDouble(a), asDouble(b))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -45,13 +46,19 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       qidCol: String, idCol: String, vecCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    // cast + norm hoisted per ROW; the per-PAIR work is one native
+    // vec_dot and a divide — same arithmetic as cosine(), bit-exact
+    val q = queries.select(col(qidCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", sqrt(VecOps.vecDot(col("__qv"), col("__qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cn", sqrt(VecOps.vecDot(col("__cv"), col("__cv"))))
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
     val scored = joined.select(
       col("query_id"), col("neighbor_id"),
-      cosine(col("__qv"), col("__cv")).as("sim"))
+      (VecOps.vecDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -76,17 +83,19 @@ object Similarity {
       qidCol: String, idCol: String, vecCol: String, k: Int,
       dim: Int, planes: Int = 8, seed: Long = 42L): DataFrame = {
     val sig = hyperplaneSignature(col(vecCol), dim, planes, seed)
-    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
-      sig.as("__bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      sig.as("__bucket"))
+    val q = queries.select(col(qidCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"), sig.as("__bucket"))
+      .withColumn("__qn", sqrt(VecOps.vecDot(col("__qv"), col("__qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"), sig.as("__bucket"))
+      .withColumn("__cn", sqrt(VecOps.vecDot(col("__cv"), col("__cv"))))
     val joined = c.join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     joined
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("sim"))
+        (VecOps.vecDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -130,20 +139,33 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Unit-normalize a vector (double precision). */
+  def normalize(v: Column): Column = {
+    val dv = asDouble(v)
+    val n = sqrt(aggregate(dv, lit(0.0), (acc, x) => acc + x * x))
+    transform(dv, x => x / n)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
     * cosine >= threshold. Exact variant = bucketless cross join within
     * LSH buckets (planes=0 disables bucketing → full O(n²), only for
-    * modest n). */
+    * modest n). Casts and norms are hoisted per ROW; the per-PAIR cost
+    * is one native vec_dot + a divide, arithmetically identical to
+    * `cosine()` (same left-to-right double accumulation). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, planes: Int = 0, seed: Long = 42L): DataFrame = {
-    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val base = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", sqrt(VecOps.vecDot(col("__v"), col("__v"))))
     val withBucket =
       if (planes <= 0) base.withColumn("__bucket", lit(""))
       else base.withColumn("__bucket", hyperplaneSignature(col("__v"), dim, planes, seed))
-    val a = withBucket.select(col("__bucket"), col("__id").as("a"), col("__v").as("__va"))
-    val b = withBucket.select(col("__bucket"), col("__id").as("b"), col("__v").as("__vb"))
+    val a = withBucket.select(col("__bucket"), col("__id").as("a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = withBucket.select(col("__bucket"), col("__id").as("b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
     a.join(b, Seq("__bucket")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), cosine(col("__va"), col("__vb")).as("sim"))
+      .select(col("a"), col("b"),
+        (VecOps.vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Build
+import graft.util.MiniYaml
+
+class CliSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("MiniYaml parses the config subset") {
+    val m = MiniYaml.parse(
+      """# comment
+        |labels:
+        |  path: /tmp/l.parquet
+        |  keys: [user_id, product_id]
+        |  target: [churned]
+        |features:
+        |  - name: f1
+        |    source: /tmp/u.parquet
+        |    columns: [country]
+        |    embargo: 1d
+        |  - name: f2
+        |    source: /tmp/t.parquet
+        |    sql: "SELECT 1 AS x"
+        |defaults:
+        |  join: strict
+        |""".stripMargin)
+    val labels = m("labels").asInstanceOf[Map[String, Any]]
+    assert(labels("path") == "/tmp/l.parquet")
+    assert(labels("keys") == List("user_id", "product_id"))
+    val feats = m("features").asInstanceOf[List[Map[String, Any]]]
+    assert(feats.map(_("name")) == List("f1", "f2"))
+    assert(feats(0)("embargo") == "1d")
+    assert(feats(1)("sql") == "SELECT 1 AS x")
+    assert(m("defaults").asInstanceOf[Map[String, Any]]("join") == "strict")
+  }
+
+  test("config-driven build end-to-end") {
+    val dir = Files.createTempDirectory("graft_cli")
+    val users = spark.range(1, 20).select(
+      col("id").as("user_id"),
+      (lit(ts("2023-06-01 00:00:00")) + make_dt_interval(col("id"))).as("updated_at"),
+      concat(lit("C"), col("id") % 3).as("country"))
+    val labels = spark.range(1, 20).select(
+      col("id").as("user_id"),
+      (lit(ts("2023-07-01 00:00:00")) + make_dt_interval(col("id"))).as("label_time"),
+      (col("id") % 2 === 0).as("churned"))
+    users.write.parquet(s"$dir/users.parquet")
+    labels.write.parquet(s"$dir/labels.parquet")
+    Files.writeString(dir.resolve("graft.yaml"),
+      s"""labels:
+         |  path: $dir/labels.parquet
+         |  keys: [user_id]
+         |  label_time: label_time
+         |  target: [churned]
+         |features:
+         |  - name: user_country
+         |    source: $dir/users.parquet
+         |    keys: [user_id]
+         |    timestamp: updated_at
+         |    columns: [country]
+         |defaults:
+         |  max_lookback: 365d
+         |  join: strict
+         |""".stripMargin)
+    val cfg = graft.cli.Main.loadConfig(s"$dir/graft.yaml")
+    assert(cfg.features.size == 1)
+    val r = Build(spark, cfg.labels, cfg.features, cfg.options)
+    assert(r.rows == 19)
+    assert(r.auditPassed)
+    assert(r.columns.contains("user_country__country"))
+    assert(r.features.head.matched == 19)
+  }
+}
