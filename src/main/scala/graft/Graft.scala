@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine._
+import graft.model._
+
+/** Public API facade — the Scala analog of the reference's module
+  * exports (`/root/reference/src/timefence/__init__.py:40-55`):
+  * `build`, `audit` (+ `audit.temporal`), `explain`, `diff`, plus the
+  * model types re-exported from [[graft.model]].
+  *
+  * {{{
+  * import graft.Graft
+  * import graft.model._
+  *
+  * val users = Source.parquet("users", "/data/users.parquet",
+  *   keys = Seq("user_id"), timestamp = "updated_at")
+  * val country = Feature.columns(users, Seq("country"))
+  * val labels = Labels.parquet("/data/labels.parquet",
+  *   keys = Seq("user_id"), labelTime = "label_time", target = Seq("churned"))
+  *
+  * val result = Graft.build(spark, labels, Seq(country),
+  *   BuildOptions(output = Some("/data/train.parquet")))
+  * result.validate()
+  * }}}
+  */
+object Graft {
+
+  /** Point-in-time-correct training-set build (SURVEY §3.1). */
+  def build(
+      spark: SparkSession,
+      labels: Labels,
+      features: Seq[Feature],
+      options: BuildOptions = BuildOptions()
+  ): BuildResult = Build(spark, labels, features, options)
+
+  /** Temporal-leakage audit of an existing dataset (mode A). */
+  def auditTemporal(
+      data: DataFrame,
+      labelTime: String,
+      featureTimeColumns: Map[String, String]
+  ): Audit.AuditReport = Audit.temporal(data, labelTime, featureTimeColumns)
+
+  /** Rebuild-and-compare audit (mode B). */
+  def auditRebuild(
+      spark: SparkSession,
+      data: DataFrame,
+      features: Seq[Feature],
+      keys: Seq[String],
+      labelTime: String
+  ): Audit.AuditReport = Audit.rebuild(spark, data, features, keys, labelTime)
+
+  /** Dry-run plan: no joins executed. */
+  def explain(
+      spark: SparkSession,
+      labels: Labels,
+      features: Seq[Feature],
+      options: BuildOptions = BuildOptions()
+  ): Explain.ExplainResult = Explain(spark, labels, features, options)
+
+  /** Dataset diff under numeric tolerance. */
+  def diff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keys: Seq[String],
+      labelTime: String,
+      atol: Double = Audit.DefaultAtol,
+      rtol: Double = Audit.DefaultRtol
+  ): Diff.DiffResult = Diff(oldDf, newDf, keys, labelTime, atol, rtol)
+}

@@ -167,6 +167,25 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // Flagship end-to-end: the REAL Build engine — label spine from
+    // purchase events, two features (one embargoed) from the event
+    // history, strict PIT join, assembly, namespacing, final sort
+    "q_build_e2e" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val labelsDf = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts").as("label_time"), col("value").as("label_value"))
+      val labels = graft.model.Labels.frame(
+        labelsDf, Seq("user_id"), "label_time", Seq("label_value"))
+      val src = graft.model.Source.frame("events", ev, Seq("user_id"), "ts")
+      val fVal = graft.model.Feature("f_val", src,
+        graft.model.ColumnsMode(Map("value" -> "value")))
+      val fType = graft.model.Feature("f_type", src,
+        graft.model.ColumnsMode(Map("event_type" -> "event_type")),
+        embargo = java.time.Duration.ofDays(1))
+      graft.engine.Build(s, labels, Seq(fVal, fType),
+        graft.engine.BuildOptions(checkDuplicates = false)).df
+    }),
+
     // ---- training-data pipeline operators -------------------------
     // Exact dedup via hash-groupBy (docs unioned with shifted copies
     // so duplicate groups actually exist)
@@ -281,6 +300,34 @@ object SparkEntry {
         |       sum(l_extendedprice) AS sum_price,
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_build_e2e" ->
+      """WITH lbl AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS label_time,
+        |         value AS label_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |f1 AS (
+        |  SELECT l.event_id, f.value,
+        |         ROW_NUMBER() OVER (PARTITION BY l.event_id
+        |                            ORDER BY f.ts DESC, f.event_id DESC) AS rn
+        |  FROM lbl l LEFT JOIN events f
+        |    ON f.user_id = l.user_id
+        |   AND CAST(f.ts AS TIMESTAMP) < l.label_time
+        |   AND CAST(f.ts AS TIMESTAMP) >= l.label_time - INTERVAL '365' DAY),
+        |f2 AS (
+        |  SELECT l.event_id, f.event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY l.event_id
+        |                            ORDER BY f.ts DESC, f.event_id DESC) AS rn
+        |  FROM lbl l LEFT JOIN events f
+        |    ON f.user_id = l.user_id
+        |   AND CAST(f.ts AS TIMESTAMP) < l.label_time - INTERVAL '1' DAY
+        |   AND CAST(f.ts AS TIMESTAMP) >= l.label_time - INTERVAL '365' DAY)
+        |SELECT l.user_id, l.label_time, l.label_value,
+        |       f1.value AS f_val__value, f2.event_type AS f_type__event_type
+        |FROM lbl l
+        |LEFT JOIN (SELECT event_id, value FROM f1 WHERE rn = 1) f1 USING (event_id)
+        |LEFT JOIN (SELECT event_id, event_type FROM f2 WHERE rn = 1) f2 USING (event_id)
+        |ORDER BY user_id, label_time""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH d AS (

@@ -35,6 +35,7 @@ object Main {
           case "catalog" => cmdCatalog(rest)
           case "doctor"  => cmdDoctor(rest)
           case "init"    => cmdInit(rest)
+          case "quickstart" => cmdQuickstart(rest)
           case "help" | "-h" | "--help" => println(usage); 0
           case other => System.err.println(s"Unknown command '$other'\n$usage"); 2
         }
@@ -57,6 +58,7 @@ object Main {
       |  catalog [--store DIR]
       |  doctor  --config graft.yaml
       |  init    [DIR]
+      |  quickstart [DIR]   generate demo data, build, audit
       |""".stripMargin
 
   private def session(): SparkSession = {
@@ -271,6 +273,63 @@ object Main {
         cfg.features.map(_.name).distinct.size == cfg.features.size)
     }
     if (ok) 0 else 1
+  }
+
+  /** Demo flow mirroring the reference's quickstart
+    * (`quickstart.py:12-38`): generate users/transactions/labels,
+    * build a training set, then audit it clean. */
+  private def cmdQuickstart(args: Array[String]): Int = {
+    val (_, pos) = flags(args)
+    val dir = Paths.get(pos.headOption.getOrElse("graft_quickstart"))
+    Files.createDirectories(dir)
+    val spark = session()
+
+    val users = spark.range(1, 1001).select(
+      col("id").as("user_id"),
+      element_at(lit(Array("US", "UK", "DE")), (col("id") % 3 + 1).cast("int")).as("country"),
+      (lit(java.sql.Timestamp.valueOf("2023-01-15 00:00:00")) +
+        make_dt_interval(col("id") % 300)).as("updated_at"),
+      element_at(lit(Array("free", "pro", "team")), (col("id") % 3 + 1).cast("int")).as("tier"))
+    val txns = spark.range(1, 20001).select(
+      (col("id") % 1000 + 1).as("user_id"),
+      (lit(java.sql.Timestamp.valueOf("2022-01-01 00:00:00")) +
+        make_dt_interval(col("id") * 13 % 900, col("id") % 24,
+          // txn index within the user as minutes -> unique (key, ts)
+          (col("id") / 1000).cast("int") % 60, lit(0))).as("created_at"),
+      round((col("id") * 17 % 2000) / 10.0, 2).as("amount"))
+    val labels = spark.range(1, 5001).select(
+      (col("id") % 1000 + 1).as("user_id"),
+      (lit(java.sql.Timestamp.valueOf("2023-06-01 00:00:00")) +
+        make_dt_interval(col("id") % 540)).as("label_time"),
+      (col("id") % 5 === 0).as("churned"))
+    users.write.mode("overwrite").parquet(s"$dir/users.parquet")
+    txns.write.mode("overwrite").parquet(s"$dir/transactions.parquet")
+    labels.write.mode("overwrite").parquet(s"$dir/labels.parquet")
+
+    val lbl = Labels.parquet(s"$dir/labels.parquet", Seq("user_id"), "label_time", Seq("churned"))
+    val fCountry = Feature("user_country",
+      Source.parquet("users", s"$dir/users.parquet", Seq("user_id"), "updated_at"),
+      ColumnsMode(Map("country" -> "country", "tier" -> "tier")))
+    val fSpend = Feature("rolling_spend",
+      Source.parquet("transactions", s"$dir/transactions.parquet", Seq("user_id"), "created_at"),
+      SqlMode(
+        """SELECT user_id, created_at AS feature_time,
+          |  SUM(amount) OVER (PARTITION BY user_id ORDER BY created_at
+          |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS spend_30d
+          |FROM {source}""".stripMargin),
+      embargo = Durations.parse("1d"))
+    val out = s"$dir/train.parquet"
+    val r = Build(spark, lbl, Seq(fCountry, fSpend),
+      BuildOptions(output = Some(out), maxLookback = Durations.parse("900d")))
+    println(s"built $out: ${r.rows} rows x ${r.columns.size} cols, audit_passed=${r.auditPassed}")
+
+    val audit = Audit.rebuild(spark, spark.read.parquet(out),
+      Seq(fCountry, fSpend), Seq("user_id"), "label_time",
+      BuildOptions(maxLookback = Durations.parse("900d")))
+    println(s"rebuild audit passed=${audit.passed}")
+    audit.details.foreach(d =>
+      println(s"  ${d.feature}: leaky=${d.leakyRows} severity=${d.severity} mismatches=${d.mismatches.values.sum}"))
+    if (r.auditPassed && audit.passed) 0 else 1
   }
 
   private def cmdInit(args: Array[String]): Int = {

@@ -31,7 +31,11 @@ final case class BuildOptions(
     collectStats: Boolean = true,
     /** Deterministic full sort of the result (reference O1). At cluster
       * scale flip off: a total sort is a range-shuffle you rarely want. */
-    sortResult: Boolean = true
+    sortResult: Boolean = true,
+    /** Optional build store: enables feature-level parquet caches for
+      * path-backed sources and a build-level cache keyed on content
+      * hashes + parameters (reference store.py:113-161). */
+    store: Option[graft.store.Store] = None
 ) {
   if (join != "strict" && join != "inclusive")
     throw Errors.config(s"Invalid join '$join'.", "Use 'strict' or 'inclusive'.")
@@ -79,6 +83,40 @@ object Build {
 
   val RowId: String = AsOfJoin.RowIdCol
 
+  /** Stable definition string participating in cache keys. Transform
+    * features contribute their explicit `version` (the JVM has no
+    * inspect.getsource — SURVEY §7.3). */
+  def featureDefinition(f: Feature): String = {
+    val mode = f.mode match {
+      case ColumnsMode(cols) => s"columns:${cols.toSeq.sorted.mkString(",")}"
+      case SqlMode(sql)      => s"sql:$sql"
+      case TransformMode(_, v) => s"transform:v$v"
+    }
+    s"${f.name}|$mode|${f.embargo.getSeconds}|${f.keyMapping.toSeq.sorted.mkString(",")}|" +
+      s"${f.maxStaleness.map(_.getSeconds).getOrElse(-1L)}"
+  }
+
+  private def buildCacheKey(store: graft.store.Store, labels: Labels,
+      features: Seq[Feature], options: BuildOptions): Option[String] = {
+    val sourcePaths = features.map(_.source match {
+      case s: Source => s.path
+      case _         => None
+    })
+    for {
+      lp <- labels.path
+      if sourcePaths.forall(_.isDefined)
+    } yield {
+      val featKeys = features.zip(sourcePaths).map { case (f, sp) =>
+        store.featureCacheKey(featureDefinition(f), store.contentHash(sp.get),
+          f.embargo.getSeconds)
+      }
+      store.buildKey(store.contentHash(lp), featKeys,
+        s"${options.join}|${options.onMissing}|${options.maxLookback.getSeconds}|" +
+          s"${options.flattenColumns}|${labels.keys.mkString(",")}|${labels.labelTime}|" +
+          s"${labels.target.mkString(",")}")
+    }
+  }
+
   def apply(
       spark: SparkSession,
       labels: Labels,
@@ -86,6 +124,25 @@ object Build {
       options: BuildOptions = BuildOptions()
   ): BuildResult = {
     validateFeatures(features, options)
+
+    // ---- build-level cache probe (engine.py:1017-1057) -------------
+    val cacheKey = options.store.flatMap(st =>
+      buildCacheKey(st, labels, features, options))
+    for {
+      st <- options.store
+      key <- cacheKey
+      manifest <- st.loadManifest(s"build_$key")
+      out <- options.output
+      if java.nio.file.Files.exists(java.nio.file.Paths.get(out))
+    } {
+      val df = spark.read.parquet(out)
+      def extract(field: String): Option[Long] =
+        s""""$field":(-?\\d+)""".r.findFirstMatchIn(manifest).map(_.group(1).toLong)
+      val rows = extract("rows").getOrElse(df.count())
+      val passed = manifest.contains("\"audit_passed\":true")
+      return BuildResult(df, rows, df.columns.toSeq,
+        features.map(f => FeatureStats(f.name, -1, -1, if (passed) 0 else -1)), passed)
+    }
 
     // ---- label spine -----------------------------------------------
     val rawLabels = labels.resolve(spark)
@@ -106,8 +163,36 @@ object Build {
 
     // ---- per-feature compute + PIT join ----------------------------
     val sourceCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+    // feature-level cache: path-backed sources only (content hash needs
+    // a file); a hit reloads the materialized parquet, which also
+    // truncates the lineage exactly like the reference's temp-table
+    // materialization did
+    def featureCacheKeyOf(f: Feature): Option[(graft.store.Store, String)] =
+      options.store.flatMap { st =>
+        f.source match {
+          case s: Source if s.path.isDefined =>
+            Some((st, st.featureCacheKey(featureDefinition(f),
+              st.contentHash(s.path.get), f.embargo.getSeconds)))
+          case _ => None
+        }
+      }
+
+    def computeOrLoadFeature(f: Feature): ComputedFeature =
+      featureCacheKeyOf(f) match {
+        case Some((st, key)) =>
+          st.loadFeatureCache(spark, key) match {
+            case Some(df) => ComputedFeature(df, "feature_time")
+            case None =>
+              val computed = computeFeature(spark, f, labels, sourceCache)
+              st.saveFeatureCache(computed.df, key)
+              ComputedFeature(spark.read.parquet(st.featureCachePath(key)), computed.timeCol)
+          }
+        case None => computeFeature(spark, f, labels, sourceCache)
+      }
+
     val joined = features.map { f =>
-      val feat = computeFeature(spark, f, labels, sourceCache)
+      val feat = computeOrLoadFeature(f)
       val rightKeys = labels.keys.map(k => f.keyMapping.getOrElse(k, k))
       requireColumns(s"Feature '${f.name}'", feat.df, rightKeys :+ feat.timeCol)
       checkTimezone(labels, rawLabels, f, feat)
@@ -204,6 +289,20 @@ object Build {
     }
 
     val passed = stats.forall(_.violations == 0)
+
+    // ---- manifest (engine.py:1422-1489) ----------------------------
+    for { st <- options.store; key <- cacheKey } {
+      val featJson = stats.map(s =>
+        s"""{"name":"${s.name}","matched":${s.matched},"missing":${s.missing},"violations":${s.violations}}""")
+        .mkString("[", ",", "]")
+      st.saveManifest(s"build_$key",
+        s"""{"build_key":"$key","rows":$total,"audit_passed":$passed,""" +
+          s""""columns":${result.columns.map(c => "\"" + c + "\"").mkString("[", ",", "]")},""" +
+          s""""join":"${options.join}","on_missing":"${options.onMissing}",""" +
+          s""""max_lookback_s":${options.maxLookback.getSeconds},""" +
+          s""""features":$featJson,"built_at_ms":${System.currentTimeMillis()}}""")
+    }
+
     spineNarrow.unpersist()
     BuildResult(result, total, result.columns.toSeq, stats, passed)
   }

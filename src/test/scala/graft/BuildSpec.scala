@@ -225,6 +225,36 @@ class BuildSpec extends SparkFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("store: feature + build caches populate and hit; content change invalidates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cache")
+    labelsDf.write.parquet(s"$dir/labels.parquet")
+    users.write.parquet(s"$dir/users.parquet")
+    val store = new graft.store.Store(s"$dir/.graft").init()
+    val lbl = Labels.parquet(s"$dir/labels.parquet", Seq("user_id"), "label_time", Seq("churned"))
+    val feat = Feature("user_country",
+      Source.parquet("users", s"$dir/users.parquet", Seq("user_id"), "updated_at"),
+      ColumnsMode(Map("country" -> "country")))
+    val opts = BuildOptions(output = Some(s"$dir/out.parquet"), store = Some(store))
+
+    val r1 = Build(spark, lbl, Seq(feat), opts)
+    assert(r1.rows == 50)
+    // feature cache written + manifest saved
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/.graft/cache/features"))
+      .count() >= 1)
+    assert(store.listManifests().exists(_.startsWith("build_")))
+
+    // second build: cache hit (stats are skipped, rows come from manifest)
+    val r2 = Build(spark, lbl, Seq(feat), opts)
+    assert(r2.rows == 50)
+    assert(r2.features.head.matched == -1) // marker for manifest-backed result
+    assert(r2.auditPassed)
+
+    // changing the source content invalidates the build key
+    users.limit(10).write.mode("overwrite").parquet(s"$dir/users.parquet")
+    val r3 = Build(spark, lbl, Seq(feat), opts)
+    assert(r3.features.head.matched >= 0) // freshly computed
+  }
+
   test("tz-aware labels vs naive features raise") {
     val naiveUsers = users.withColumn("updated_at",
       col("updated_at").cast("timestamp_ntz"))

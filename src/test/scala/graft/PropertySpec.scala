@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Audit, Build, BuildOptions}
+import graft.model._
+import graft.operators.AsOfJoin
+
+/** Property tests of THE invariant (reference `tests/test_property.py`):
+  * for arbitrary feature/label timestamps, any embargo 0-168h, both
+  * join modes and both strategies, every output row satisfies
+  * `feature_time < label_time - embargo` (strict) or `<=` (inclusive);
+  * and every build passes its own audit.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop, minSuccessful: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minSuccessful), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  private val genCase = for {
+    nFeat <- Gen.choose(1, 20)
+    nLbl <- Gen.choose(1, 20)
+    featOffsets <- Gen.listOfN(nFeat, Gen.choose(0L, 400L))
+    lblOffsets <- Gen.listOfN(nLbl, Gen.choose(60L, 460L))
+    featKeys <- Gen.listOfN(nFeat, Gen.choose(1, 5))
+    lblKeys <- Gen.listOfN(nLbl, Gen.choose(1, 5))
+    embargoH <- Gen.choose(0, 168)
+    inclusive <- Gen.oneOf(true, false)
+    union <- Gen.oneOf(true, false)
+  } yield (featOffsets.zip(featKeys), lblOffsets.zip(lblKeys), embargoH, inclusive, union)
+
+  test("as-of join output always satisfies the temporal invariant") {
+    check(Prop.forAllNoShrink(genCase) { case (feats, lbls, embargoH, inclusive, union) =>
+      val featDf = feats.zipWithIndex.map { case ((off, k), i) =>
+        (k.toLong, new Timestamp(base + off * 3600 * 1000), i.toDouble)
+      }.toDF("user_id", "ft", "v")
+      val lblDf = lbls.zipWithIndex.map { case ((off, k), i) =>
+        (i.toLong, k.toLong, new Timestamp(base + off * 3600 * 1000))
+      }.toDF(AsOfJoin.RowIdCol, "user_id", "lt")
+      val spec = AsOfJoin.Spec(
+        Seq("user_id"), Seq("user_id"), "lt", "ft", Seq("v"),
+        inclusive = inclusive,
+        embargo = Duration.ofHours(embargoH.toLong),
+        maxLookback = Some(Duration.ofDays(365)))
+      val strat = if (union) AsOfJoin.Strategy.UnionAsOf else AsOfJoin.Strategy.RowNumber
+      val out = AsOfJoin.join(lblDf, featDf, spec, strat).collect()
+
+      val allLabelsKept = out.length == lbls.size
+      val invariantHolds = out.forall { r =>
+        val ft = r.getAs[Timestamp]("feature_time")
+        if (ft == null) true
+        else {
+          val lt = r.getAs[Timestamp]("lt")
+          val bound = lt.getTime - embargoH * 3600L * 1000L
+          if (inclusive) ft.getTime <= bound else ft.getTime < bound
+        }
+      }
+      // and: the chosen row is the LATEST eligible one
+      val latestChosen = out.forall { r =>
+        val ft = r.getAs[Timestamp]("feature_time")
+        val lt = r.getAs[Timestamp]("lt").getTime
+        val key = r.getAs[Long]("user_id")
+        val bound = lt - embargoH * 3600L * 1000L
+        val eligible = feats.collect {
+          case (off, k) if k.toLong == key =>
+            base + off * 3600 * 1000
+        }.filter(t => if (inclusive) t <= bound else t < bound)
+          .filter(t => t >= lt - 365L * 86400 * 1000)
+        if (eligible.isEmpty) ft == null
+        else ft != null && ft.getTime == eligible.max
+      }
+      allLabelsKept && invariantHolds && latestChosen
+    }, 40)
+  }
+
+  test("build -> audit roundtrip: every build passes its own audit") {
+    check(Prop.forAllNoShrink(genCase) { case (feats, lbls, embargoH, inclusive, _) =>
+      val featDf = feats.zipWithIndex.map { case ((off, k), i) =>
+        (k.toLong, new Timestamp(base + off * 3600 * 1000), i.toDouble)
+      }.toDF("user_id", "ft", "v")
+      val lblDf = lbls.zipWithIndex.map { case ((off, k), i) =>
+        (k.toLong, new Timestamp(base + off * 3600 * 1000), i % 2 == 0)
+      }.toDF("user_id", "label_time", "y")
+      val f = Feature("f",
+        Source.frame("s", featDf, Seq("user_id"), "ft"),
+        ColumnsMode(Map("v" -> "v")),
+        embargo = Duration.ofHours(embargoH.toLong))
+      val r = Build(spark,
+        Labels.frame(lblDf, Seq("user_id"), "label_time", Seq("y")),
+        Seq(f),
+        BuildOptions(join = if (inclusive) "inclusive" else "strict",
+          checkDuplicates = false, sortResult = false))
+      r.auditPassed && r.rows == lbls.size
+    }, 20)
+  }
+}
