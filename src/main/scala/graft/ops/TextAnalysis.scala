@@ -8,8 +8,12 @@ import org.apache.spark.sql.functions._
   * document fingerprinting.
   *
   * All operators are pure Column expressions over built-in functions —
-  * whole-stage-codegen'd, embarrassingly parallel, no shuffle, no UDFs.
-  * At 100 TB these run at parquet-scan speed with full column pruning.
+  * embarrassingly parallel, no shuffle, no UDFs; everything computes in
+  * one projection over the columnar scan with full column pruning.
+  * (The higher-order-function pieces — stopword `filter` lambdas — are
+  * interpreted rather than codegen'd, a Spark limitation on HOFs; the
+  * scalar pieces stay in whole-stage codegen.) At 100 TB these run at
+  * parquet-scan speed.
   */
 object TextAnalysis {
 

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+/** Physical-plan shape assertions — the "is this the plan you'd want
+  * at 100 TB" checks: predicate/projection pushdown reaching the
+  * parquet scan, broadcasts where a side is known-small, partial
+  * aggregation before exchanges, and no accidental cartesian products.
+  */
+class PlanSpec extends SparkFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .select("l_orderkey", "l_extendedprice")
+    val f = formatted(li)
+    assert(f.contains("PushedFilters:") && f.contains("LessThan(l_shipdate"),
+      s"no pushed filter in:\n$f")
+    assert(f.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double"),
+      s"scan reads more than the projection needs:\n$f")
+  }
+
+  test("brute-force topk broadcasts the query side, never the corpus") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = planOf(Similarity.bruteForceTopK(
+      e.filter(col("vec_id") % 50 === 0), e, "vec_id", "vec_id", "embedding", 3))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "unbroadcast cartesian product")
+  }
+
+  test("exact dedup partially aggregates before the exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(Dedup.exactGroups(docs, "text", "doc_id"))
+    // partial HashAggregate -> Exchange -> final HashAggregate: the
+    // map-side combine that keeps shuffle volume ~ distinct keys
+    val firstExchange = plan.indexOf("Exchange")
+    val firstAgg = plan.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && firstExchange >= 0)
+    assert(plan.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      s"missing partial aggregation:\n$plan")
+  }
+
+  test("union as-of join plans one shuffle per side into the window, no join explosion") {
+    val ev = SparkEntry.events(spark, sf)
+    val spine = ev.filter(col("event_id") % 20 === 0).select(
+      col("event_id").as(graft.operators.AsOfJoin.RowIdCol),
+      col("user_id"), col("ts").as("label_time"))
+    val spec = graft.operators.AsOfJoin.Spec(
+      Seq("user_id"), Seq("user_id"), "label_time", "ts", Seq("value"))
+    val plan = planOf(graft.operators.AsOfJoin.unionAsOf(spine, ev, spec))
+    assert(plan.contains("Window"), "carry-forward window missing")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"union as-of must not contain a join operator at all:\n$plan")
+  }
+
+  test("text analysis is a single scan-side pass (no shuffles)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.ops.TextAnalysis.analyze(docs))
+    assert(!plan.contains("Exchange"), s"text analysis should not shuffle:\n$plan")
+    // note: the higher-order-function expressions (filter/transform
+    // lambdas) are interpreted, not codegen'd — Spark limitation; the
+    // pass is still one projection over the columnar scan
+  }
+
+  test("simhash custom expression participates in whole-stage codegen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = docs.select(graft.functions.SimHash.simhash64(
+      split(col("text"), "\\s+")).as("h"))
+    val plan = planOf(df)
+    // '*(n)' prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project") && plan.contains("simhash64"),
+      s"fell out of codegen:\n$plan")
+    assert(!plan.contains("Exchange"))
+  }
+}
