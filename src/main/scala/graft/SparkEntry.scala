@@ -167,6 +167,40 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // J3: key_mapping — feature table keyed 'uid', labels keyed
+    // 'user_id'; same strict semantics as q_pit_strict
+    "q_pit_keymap" -> ((s, dir) => {
+      val feat = events(s, dir).withColumnRenamed("user_id", "uid")
+      AsOfJoin
+        .join(eventSpine(s, dir), feat,
+          pitSpec().copy(rightKeys = Seq("uid")), AsOfJoin.Strategy.RowNumber)
+        .select(
+          col(AsOfJoin.RowIdCol).as("label_event_id"),
+          col("user_id"), col("label_time"), col("feature_time"),
+          col("value").as("feat_value"))
+        .orderBy("label_event_id")
+    }),
+    // Composite entity keys: orders self-PIT on (custkey, orderstatus)
+    "q_pit_composite" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val spine = o.filter(col("o_orderkey") % 10 === 0).select(
+        col("o_orderkey").as(AsOfJoin.RowIdCol),
+        col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate").as("label_time"))
+      val spec = AsOfJoin.Spec(
+        leftKeys = Seq("o_custkey", "o_orderstatus"),
+        rightKeys = Seq("o_custkey", "o_orderstatus"),
+        leftTime = "label_time",
+        rightTime = "o_orderdate",
+        valueCols = Seq("o_totalprice"),
+        maxLookback = Some(java.time.Duration.ofDays(3650)),
+        tieBreakers = Seq("o_orderkey"))
+      AsOfJoin.join(spine, o, spec, AsOfJoin.Strategy.RowNumber)
+        .select(col(AsOfJoin.RowIdCol).as("label_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("label_time"),
+          col("feature_time"), col("o_totalprice").as("prior_totalprice"))
+        .orderBy("label_orderkey")
+    }),
     // Flagship end-to-end: the REAL Build engine — label spine from
     // purchase events, two features (one embargoed) from the event
     // history, strict PIT join, assembly, namespacing, final sort
@@ -301,6 +335,24 @@ object SparkEntry {
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_pit_keymap" -> pitOracle("<", 0, 0),
+    "q_pit_composite" ->
+      """WITH lbl AS (
+        |  SELECT o_orderkey AS label_orderkey, o_custkey, o_orderstatus,
+        |         o_orderdate AS label_time
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |cand AS (
+        |  SELECT l.label_orderkey, l.o_custkey, l.o_orderstatus, l.label_time,
+        |         f.o_orderdate AS feature_time, f.o_totalprice AS prior_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY l.label_orderkey
+        |                            ORDER BY f.o_orderdate DESC, f.o_orderkey DESC) AS rn
+        |  FROM lbl l LEFT JOIN orders f
+        |    ON f.o_custkey = l.o_custkey AND f.o_orderstatus = l.o_orderstatus
+        |   AND f.o_orderdate < l.label_time
+        |   AND f.o_orderdate >= l.label_time - INTERVAL '3650' DAY)
+        |SELECT label_orderkey, o_custkey, o_orderstatus, label_time,
+        |       feature_time, prior_totalprice
+        |FROM cand WHERE rn = 1 ORDER BY label_orderkey""".stripMargin,
     "q_build_e2e" ->
       """WITH lbl AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS label_time,

@@ -58,7 +58,8 @@ final case class BuildResult(
     rows: Long,
     columns: Seq[String],
     features: Seq[FeatureStats],
-    auditPassed: Boolean
+    auditPassed: Boolean,
+    warnings: Seq[String] = Nil
 ) {
   def validate(): BuildResult = {
     if (!auditPassed) {
@@ -253,9 +254,10 @@ object Build {
           .as(s"__x_${f.safeName}")
       )
     }
-    val (total, stats) =
-      if (options.collectStats || options.verify) {
-        val row = cached.agg(count(lit(1)), statAggs: _*).head()
+    val (total, stats, labelRange) =
+      if (options.collectStats || options.verify || options.splits.nonEmpty) {
+        val row = cached
+          .agg(count(lit(1)), statAggs ++ Seq(min(lt), max(lt)): _*).head()
         def lng(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
         val n = lng(0)
         val st = features.zipWithIndex.map { case (f, i) =>
@@ -263,8 +265,15 @@ object Build {
           val viol = lng(2 + 2 * i)
           FeatureStats(f.name, matched, n - matched, viol)
         }
-        (n, st)
-      } else (cached.count(), features.map(f => FeatureStats(f.name, -1, -1, 0)))
+        val mmBase = 1 + 2 * features.size
+        val range =
+          if (row.isNullAt(mmBase)) None
+          else Some((row.getTimestamp(mmBase), row.getTimestamp(mmBase + 1)))
+        (n, st, range)
+      } else (cached.count(), features.map(f => FeatureStats(f.name, -1, -1, 0)), None)
+
+    // split gap / coverage warnings (engine.py:654-673)
+    val warnings = splitWarnings(options.splits, labelRange)
 
     // ---- final projection ------------------------------------------
     val outCols = labels.keys ++ Seq(labels.labelTime) ++ labels.target ++ nsValueCols
@@ -289,6 +298,7 @@ object Build {
     }
 
     val passed = stats.forall(_.violations == 0)
+    warnings.foreach(w => log.warn(w))
 
     // ---- manifest (engine.py:1422-1489) ----------------------------
     for { st <- options.store; key <- cacheKey } {
@@ -304,7 +314,37 @@ object Build {
     }
 
     spineNarrow.unpersist()
-    BuildResult(result, total, result.columns.toSeq, stats, passed)
+    BuildResult(result, total, result.columns.toSeq, stats, passed, warnings)
+  }
+
+  private lazy val log = org.apache.log4j.Logger.getLogger(getClass)
+
+  /** Warn (never fail) when splits leave gaps between one another or
+    * fail to cover the label time range — mirrors the reference's
+    * non-fatal split diagnostics. */
+  def splitWarnings(splits: Seq[Split],
+      labelRange: Option[(java.sql.Timestamp, java.sql.Timestamp)]): Seq[String] = {
+    if (splits.isEmpty) return Nil
+    val parsed = splits
+      .map(s => (s.name, java.sql.Timestamp.valueOf(normalizeTs(s.start)),
+        java.sql.Timestamp.valueOf(normalizeTs(s.end))))
+      .sortBy(_._2.getTime)
+    val gaps = parsed.sliding(2).collect {
+      case Seq((n1, _, e1), (n2, s2, _)) if s2.after(e1) =>
+        s"gap between split '$n1' (ends $e1) and '$n2' (starts $s2): labels in between land in no split"
+    }.toSeq
+    val coverage = labelRange.toSeq.flatMap { case (lo, hi) =>
+      val before =
+        if (lo.before(parsed.head._2))
+          Seq(s"labels start at $lo but the first split '${parsed.head._1}' starts at ${parsed.head._2}")
+        else Nil
+      val after =
+        if (!hi.before(parsed.last._3)) // half-open: end is exclusive
+          Seq(s"labels end at $hi but the last split '${parsed.last._1}' ends (exclusive) at ${parsed.last._3}")
+        else Nil
+      before ++ after
+    }
+    gaps ++ coverage
   }
 
   // ---- feature computation (3 modes) -------------------------------

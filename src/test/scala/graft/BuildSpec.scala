@@ -209,6 +209,42 @@ class BuildSpec extends SparkFunSuite {
     assert(train.count() + test.count() == 50)
   }
 
+  test("split gap and coverage warnings") {
+    val r = Build(spark, labels, Seq(userCountry), BuildOptions(splits = Seq(
+      Split("a", "2024-02-01", "2024-03-01"),
+      Split("b", "2024-04-01", "2024-05-01"))))
+    // labels run 2024-01-20..2024-09-22: before first split, gap
+    // between a and b, and past the last split
+    assert(r.warnings.exists(w => w.contains("gap between split 'a'")), r.warnings.toString)
+    assert(r.warnings.exists(_.contains("labels start")))
+    assert(r.warnings.exists(_.contains("labels end")))
+  }
+
+  test("CSV source end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    users.select("user_id", "country", "updated_at")
+      .write.option("header", "true").csv(s"$dir/users_csv")
+    val f = Feature("csv_country",
+      Source.csv("users_csv", s"$dir/users_csv", Seq("user_id"), "updated_at"),
+      ColumnsMode(Map("country" -> "country")))
+    val r = Build(spark, labels, Seq(f),
+      BuildOptions(maxLookback = java.time.Duration.ofDays(3650)))
+    assert(r.rows == 50)
+    assert(r.features.head.matched == 50)
+    assert(r.auditPassed)
+  }
+
+  test("SQL-query source resolves against the session catalog") {
+    transactions.createOrReplaceTempView("txn_view")
+    val src = SqlSource("txn_sql",
+      "SELECT user_id, created_at, amount * 2 AS amount2 FROM txn_view",
+      Seq("user_id"), "created_at")
+    val f = Feature("dbl", src, ColumnsMode(Map("amount2" -> "amount2")))
+    val r = Build(spark, labels, Seq(f))
+    assert(r.columns.contains("dbl__amount2"))
+    assert(r.features.head.matched > 0)
+  }
+
   test("empty labels produce an empty result") {
     val empty = Labels.frame(labelsDf.filter(lit(false)),
       Seq("user_id"), "label_time", Seq("churned"))
