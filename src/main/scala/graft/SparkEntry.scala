@@ -167,6 +167,19 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // W3: user-facing rolling agg — interval RANGE frame over event
+    // time (the reference's canonical feature SQL; integral sum so
+    // accumulation order cannot perturb the comparison)
+    "q_window_rolling" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("__events_w")
+      s.sql(
+        """SELECT event_id, user_id,
+          |  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+          |    PARTITION BY user_id ORDER BY ts
+          |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |    AS rolling_cents_1h
+          |FROM __events_w ORDER BY event_id""".stripMargin)
+    }),
     // J3: key_mapping — feature table keyed 'uid', labels keyed
     // 'user_id'; same strict semantics as q_pit_strict
     "q_pit_keymap" -> ((s, dir) => {
@@ -335,6 +348,13 @@ object SparkEntry {
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_window_rolling" ->
+      """SELECT event_id, user_id,
+        |  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |    RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+        |    AS rolling_cents_1h
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_pit_keymap" -> pitOracle("<", 0, 0),
     "q_pit_composite" ->
       """WITH lbl AS (

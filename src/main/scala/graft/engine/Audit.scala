@@ -215,8 +215,10 @@ object Audit {
     detailsB.foreach { case (f, valueCols) =>
       val ft = col(Names.featureTimeCol(f.name))
       val leaky = ft.isNotNull && ft >= lt
+      val leakUs = when(leaky, unix_micros(ft) - unix_micros(lt))
       aggs += sum(when(leaky, 1L).otherwise(0L)); aggMeta += ((f.name, "leaky"))
-      aggs += max(when(leaky, unix_micros(ft) - unix_micros(lt))); aggMeta += ((f.name, "max"))
+      aggs += max(leakUs); aggMeta += ((f.name, "max"))
+      aggs += percentile(leakUs, lit(0.5)); aggMeta += ((f.name, "med"))
       aggs += sum(when(ft.isNull, 1L).otherwise(0L)); aggMeta += ((f.name, "null"))
       valueCols.foreach { c =>
         val storedName =
@@ -244,17 +246,21 @@ object Audit {
     val details = detailsB.map { case (f, _) =>
       val entries = byFeature(f.name)
       var leaky = 0L; var maxL: Option[Duration] = None; var nulls = 0L
+      var medL: Option[Duration] = None
       val mms = scala.collection.mutable.Map.empty[String, Long]
       entries.foreach { case ((_, kind), i) =>
         kind match {
           case "leaky" => leaky = lngAt(i)
           case "max" =>
             if (!row.isNullAt(i + 1)) maxL = Some(Duration.ofSeconds(row.getLong(i + 1) / 1000000L))
+          case "med" =>
+            if (!row.isNullAt(i + 1))
+              medL = Some(Duration.ofSeconds((anyToDouble(row.get(i + 1)) / 1e6).toLong))
           case "null" => nulls = lngAt(i)
           case mm if mm.startsWith("mm:") => mms(mm.drop(3)) = lngAt(i)
         }
       }
-      FeatureAuditDetail(f.name, leaky, total, maxL, None, nulls, mms.toMap)
+      FeatureAuditDetail(f.name, leaky, total, maxL, medL, nulls, mms.toMap)
     }
     numbered.unpersist()
     AuditReport(total, details, None)

@@ -47,6 +47,10 @@ object AsOfJoin {
   object Strategy {
     case object RowNumber extends Strategy
     case object UnionAsOf extends Strategy
+    /** UnionAsOf with the per-key window split into time buckets —
+      * the skew escape hatch when single entity keys hold more rows
+      * than one task should sort (see [[unionAsOfSegmented]]). */
+    final case class UnionAsOfSegmented(bucket: Duration) extends Strategy
     /** UnionAsOf: benchmarked 6.7x faster at sf0.1 (dense feature
       * histories make RowNumber's candidate set explode — each label
       * joins every in-window feature row before ranking), with
@@ -85,8 +89,9 @@ object AsOfJoin {
   def join(labels: DataFrame, features: DataFrame, spec: Spec,
       strategy: Strategy = Strategy.Auto): DataFrame =
     strategy match {
-      case Strategy.RowNumber => rowNumber(labels, features, spec)
-      case _                  => unionAsOf(labels, features, spec)
+      case Strategy.RowNumber                  => rowNumber(labels, features, spec)
+      case Strategy.UnionAsOfSegmented(bucket) => unionAsOfSegmented(labels, features, spec, bucket)
+      case _                                   => unionAsOf(labels, features, spec)
     }
 
   /** LEFT join + per-label-row rank. `labels` must already carry a
@@ -134,35 +139,40 @@ object AsOfJoin {
       .withColumnsRenamed(spec.valueCols.map(c => s"__v_$c" -> c).toMap)
   }
 
-  /** Union + sorted carry-forward. One shuffle on the entity keys; the
-    * per-key sort is what a native ASOF merge would do. The whole
-    * feature row is carried as ONE struct via `last(_, ignoreNulls)` so
-    * genuinely-null feature values are preserved (a per-column carry
-    * would wrongly skip back to an older non-null value). Lower bounds
-    * (lookback/staleness) are applied as post-pass null-masking, which
-    * is equivalent in output to having them in the join predicate.
-    */
-  def unionAsOf(labels: DataFrame, features: DataFrame, spec: Spec): DataFrame = {
-    val ftCol = "__ft"
-    val tagCol = "__tag"
-    val joinKeys = spec.leftKeys.indices.map(i => s"__jk$i")
-    val sortTime = "__t"
-    val tieAliases = spec.tieBreakers.zipWithIndex.map { case (c, i) => (c, s"__tb$i") }
+  private val FtCol = "__ft"
+  private val TagCol = "__tag"
+  private val SortTime = "__t"
 
-    // Strict: at equal sort time the label row must order BEFORE the
-    // feature row, so the carry-forward at the label row cannot see a
-    // feature with feature_time == label_time - embargo. Inclusive:
-    // the feature orders first and is visible. last() over
-    // (unboundedPreceding, currentRow) then implements < vs <=.
+  private final case class UnionParts(
+      unioned: DataFrame,
+      joinKeys: Seq[String],
+      labelTagV: Int,
+      featTagV: Int,
+      tieAliases: Seq[(String, String)],
+      labelCols: Seq[String])
+
+  /** Shared union construction for both carry-forward variants:
+    * label rows (time-shifted by embargo) and feature rows in one
+    * frame, with a `__frow` struct holding the whole feature row.
+    *
+    * Strict: at equal sort time the label row must order BEFORE the
+    * feature row, so the carry-forward at the label row cannot see a
+    * feature with feature_time == label_time - embargo. Inclusive:
+    * the feature orders first and is visible. `last()` over
+    * (unboundedPreceding, currentRow) then implements < vs <=.
+    */
+  private def buildUnion(labels: DataFrame, features: DataFrame, spec: Spec): UnionParts = {
+    val joinKeys = spec.leftKeys.indices.map(i => s"__jk$i")
+    val tieAliases = spec.tieBreakers.zipWithIndex.map { case (c, i) => (c, s"__tb$i") }
     val (labelTagV, featTagV) = if (spec.inclusive) (1, 0) else (0, 1)
 
     val labelCols = labels.columns.toSeq
     val lhs = labels.select(
       spec.leftKeys.zip(joinKeys).map { case (k, a) => col(k).as(a) } ++
         Seq(
-          minusInterval(col(spec.leftTime), spec.embargo).as(sortTime),
-          lit(labelTagV).as(tagCol),
-          lit(null).cast(features.schema(spec.rightTime).dataType).as(ftCol)
+          minusInterval(col(spec.leftTime), spec.embargo).as(SortTime),
+          lit(labelTagV).as(TagCol),
+          lit(null).cast(features.schema(spec.rightTime).dataType).as(FtCol)
         ) ++
         labelCols.map(c => col(c)) ++
         spec.valueCols.map(c => lit(null).cast(features.schema(c).dataType).as(s"__v_$c")) ++
@@ -173,51 +183,125 @@ object AsOfJoin {
       .select(
         spec.rightKeys.zip(joinKeys).map { case (k, a) => col(k).as(a) } ++
           Seq(
-            col(spec.rightTime).as(sortTime),
-            lit(featTagV).as(tagCol),
-            col(spec.rightTime).as(ftCol)
+            col(spec.rightTime).as(SortTime),
+            lit(featTagV).as(TagCol),
+            col(spec.rightTime).as(FtCol)
           ) ++
           labelCols.map(c => lit(null).cast(labels.schema(c).dataType).as(c)) ++
           spec.valueCols.map(c => col(c).as(s"__v_$c")) ++
           tieAliases.map { case (c, a) => col(c).as(a) }: _*
       )
-    val unioned = lhs.unionByName(rhs)
-
-    // Order: time asc, then tag (visibility at ties), then tiebreakers
-    // ASC so the deterministic winner (max tiebreaker) is carried last.
-    val orderCols = col(sortTime).asc_nulls_first +: col(tagCol).asc +:
-      tieAliases.map { case (_, a) => col(a).asc_nulls_first }
-    val w = Window
-      .partitionBy(joinKeys.map(col): _*)
-      .orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
     val featRow = when(
-      col(tagCol) === featTagV,
-      struct(col(ftCol).as("ft") +: spec.valueCols.zipWithIndex.map {
+      lit(true) && col(TagCol) === featTagV,
+      struct(col(FtCol).as("ft") +: spec.valueCols.zipWithIndex.map {
         case (c, i) => col(s"__v_$c").as(s"v$i")
       }: _*)
     )
-    val carried = unioned
-      .withColumn("__frow", featRow)
-      .withColumn("__c", last(col("__frow"), ignoreNulls = true).over(w))
+    UnionParts(lhs.unionByName(rhs).withColumn("__frow", featRow),
+      joinKeys, labelTagV, featTagV, tieAliases, labelCols)
+  }
 
+  /** Order: time asc, then tag (visibility at ties), then tiebreakers
+    * ASC so the deterministic winner (max tiebreaker) is carried last. */
+  private def carryOrder(parts: UnionParts): Seq[Column] =
+    col(SortTime).asc_nulls_first +: col(TagCol).asc +:
+      parts.tieAliases.map { case (_, a) => col(a).asc_nulls_first }
+
+  /** Final projection: keep label rows, mask lookback/staleness
+    * violations to null, emit carried feature_time + value columns. */
+  private def finishCarry(carried: DataFrame, parts: UnionParts, spec: Spec,
+      carriedCol: String): DataFrame = {
     val lt = col(spec.leftTime)
-    val cft = col("__c").getField("ft")
+    val cft = col(carriedCol).getField("ft")
     val floorOk = Seq(
       spec.maxLookback.map(d => cft >= minusInterval(lt, d)),
       spec.maxStaleness.map(d => cft >= minusInterval(lt, d))
     ).flatten.reduceOption(_ && _).getOrElse(lit(true))
-    val valid = col("__c").isNotNull && floorOk
-
+    val valid = col(carriedCol).isNotNull && floorOk
     carried
-      .filter(col(tagCol) === labelTagV)
+      .filter(col(TagCol) === parts.labelTagV)
       .select(
-        labelCols.map(col) ++
+        parts.labelCols.map(col) ++
           Seq(when(valid, cft).as(spec.rightTimeOut)) ++
           spec.valueCols.zipWithIndex.map { case (c, i) =>
-            when(valid, col("__c").getField(s"v$i")).as(c)
+            when(valid, col(carriedCol).getField(s"v$i")).as(c)
           }: _*
       )
+  }
+
+  /** Union + sorted carry-forward. One shuffle on the entity keys; the
+    * per-key sort is what a native ASOF merge would do. The whole
+    * feature row is carried as ONE struct via `last(_, ignoreNulls)` so
+    * genuinely-null feature values are preserved (a per-column carry
+    * would wrongly skip back to an older non-null value). Lower bounds
+    * (lookback/staleness) are applied as post-pass null-masking, which
+    * is equivalent in output to having them in the join predicate.
+    */
+  def unionAsOf(labels: DataFrame, features: DataFrame, spec: Spec): DataFrame = {
+    val parts = buildUnion(labels, features, spec)
+    val w = Window
+      .partitionBy(parts.joinKeys.map(col): _*)
+      .orderBy(carryOrder(parts): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = parts.unioned
+      .withColumn("__c", last(col("__frow"), ignoreNulls = true).over(w))
+    finishCarry(carried, parts, spec, "__c")
+  }
+
+  /** Skew-resistant variant of [[unionAsOf]]: the per-key window is
+    * segmented into fixed time buckets so a hot entity key (one user
+    * with 100M events) spreads over many tasks instead of serializing
+    * into one sort.
+    *
+    * Three stages, all bounded:
+    *  1. carry WITHIN (key, bucket) — the big window, now partitioned
+    *     by (key, bucket) so partition size ≈ rows per key per bucket;
+    *  2. per (key, bucket): the bucket's LAST feature row (an
+    *     aggregation, map-side combined), then a tiny per-key window
+    *     over BUCKETS carries the latest previous-bucket feature
+    *     forward (rows per partition = number of buckets, not events);
+    *  3. each row's carry = its in-bucket carry, else the previous
+    *     buckets' carry, joined back on (key, bucket).
+    *
+    * Results are identical to [[unionAsOf]] (test-pinned, including a
+    * hot-key fuzz); cost is one extra small shuffle.
+    */
+  def unionAsOfSegmented(labels: DataFrame, features: DataFrame, spec: Spec,
+      bucket: Duration): DataFrame = {
+    require(!bucket.isZero && !bucket.isNegative, "bucket must be positive")
+    val parts = buildUnion(labels, features, spec)
+    val bucketCol = "__bkt"
+    val withBucket = parts.unioned.withColumn(bucketCol,
+      floor(unix_micros(col(SortTime)) / lit(bucket.toMillis * 1000L)))
+
+    // stage 1: in-bucket carry
+    val wLocal = Window
+      .partitionBy((parts.joinKeys :+ bucketCol).map(col): _*)
+      .orderBy(carryOrder(parts): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localCarried = withBucket
+      .withColumn("__c_local", last(col("__frow"), ignoreNulls = true).over(wLocal))
+
+    // stage 2: last feature per (key, bucket) — max of an orderable
+    // struct over feature rows only — then carry across buckets
+    val ordStruct = struct(
+      (col(SortTime) +: parts.tieAliases.map { case (_, a) => col(a) }) :+
+        col("__frow").as("frow"): _*)
+    val bucketLast = withBucket
+      .groupBy((parts.joinKeys :+ bucketCol).map(col): _*)
+      .agg(max(when(col(TagCol) === parts.featTagV, ordStruct)).as("__blast"))
+    val wBuckets = Window
+      .partitionBy(parts.joinKeys.map(col): _*)
+      .orderBy(col(bucketCol).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevByBucket = bucketLast
+      .withColumn("__prev", last(col("__blast").getField("frow"), ignoreNulls = true).over(wBuckets))
+      .select((parts.joinKeys :+ bucketCol).map(col) :+ col("__prev"): _*)
+
+    // stage 3: combine
+    val carried = localCarried
+      .join(prevByBucket, parts.joinKeys :+ bucketCol, "left")
+      .withColumn("__c", coalesce(col("__c_local"), col("__prev")))
+    finishCarry(carried, parts, spec, "__c")
   }
 }

@@ -122,6 +122,29 @@ class AsOfJoinSpec extends SparkFunSuite {
     assert(a.count() == 300)
   }
 
+  test("segmented union as-of equals plain union as-of, including a hot key") {
+    // one hot key (90% of rows) + long tail; unique times per key
+    val feats = spark.range(5000).select(
+      when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id") % 37 + 2).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 977L * 1000000L).as("ft"),
+      (col("id") % 101).cast("double").as("value"))
+    val lbls = spark.range(400).select(
+      col("id").as(AsOfJoin.RowIdCol),
+      when(col("id") % 5 =!= 0, lit(1L)).otherwise(col("id") % 41 + 2).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 13441L * 1000000L).as("lt"))
+    for (bucketHours <- Seq(1L, 24L, 24L * 365)) {
+      val s = spec(embargo = Duration.ofHours(3), staleness = Some(Duration.ofDays(7)))
+      val plain = AsOfJoin.unionAsOf(lbls, feats, s)
+        .select(AsOfJoin.RowIdCol, "feature_time", "value")
+      val seg = AsOfJoin.unionAsOfSegmented(lbls, feats, s,
+        Duration.ofHours(bucketHours))
+        .select(AsOfJoin.RowIdCol, "feature_time", "value")
+      assert(seg.count() == 400)
+      assert(plain.exceptAll(seg).isEmpty && seg.exceptAll(plain).isEmpty,
+        s"bucket=${bucketHours}h diverged")
+    }
+  }
+
   test("all-null feature values are carried as null (not skipped back)") {
     val f2 = Seq(
       (1L, "2024-01-01 00:00:00", Some(7.0)),
