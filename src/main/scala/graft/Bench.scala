@@ -102,7 +102,11 @@ object Bench {
     val results = (operatorQueries ++ scenarios).map { case (name, body) =>
       try {
         body() // warmup: codegen + shuffle-file + listing amortization
-        name -> timed(body())
+        val t = timed(body())
+        // drop caches accumulated inside operators so later queries
+        // aren't taxed by this one's memory (GC isolation)
+        spark.catalog.clearCache()
+        name -> t
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

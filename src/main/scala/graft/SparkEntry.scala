@@ -291,7 +291,55 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, dim = 64)
         .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
-        .orderBy("a", "b"))
+        .orderBy("a", "b")),
+
+    // ---- approximate / stub operators (no SQL oracle -> the driver
+    // records a rows-only check; correctness is pinned by ScalaTest
+    // against exact ground truth instead) -------------------------
+    // SimHash near-dup pairs (custom Catalyst expression + banding;
+    // 16-bit bands keep buckets selective — narrower bands degenerate
+    // into all-pairs)
+    "q_dedup_simhash" -> ((s, dir) =>
+      graft.ops.Dedup.simhashPairs(
+        t(s, dir, "documents"), "doc_id", "text", maxHamming = 3, bands = 4)
+        .orderBy("a", "b")),
+    // MinHash signature-estimated jaccard for LSH candidates (numeric
+    // xxhash64 hasher — the production-speed path; md5 stays on the
+    // oracle-checked q_minhash_lsh)
+    "q_dedup_minhash_est" -> ((s, dir) =>
+      graft.ops.Dedup.minhashJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        k = 16, bands = 8, threshold = 0.3,
+        hasher = graft.ops.Dedup.xxHash)
+        .orderBy("a", "b")),
+    // Hyperplane-LSH approximate top-k
+    "q_embed_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.Similarity.lshTopK(
+        e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "vec_id", "embedding", k = 5, dim = 64, planes = 2)
+        .orderBy("query_id", "rank")
+    }),
+    // IVF-probe approximate top-k
+    "q_embed_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.Similarity.ivfTopK(
+        e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
+        .orderBy("query_id", "rank")
+    }),
+    // Multimodal: batched stub decode over binary media columns
+    "q_multimodal_features" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 2000)
+      graft.ops.Multimodal.imageFeatures(media, dim = 16).toDF()
+        .select(col("media_id"), col("width"), col("height"))
+        .orderBy("media_id")
+    }),
+    // Full one-pass text enrichment
+    "q_text_analyze" -> ((s, dir) =>
+      graft.ops.TextAnalysis.analyze(t(s, dir, "documents"))
+        .select("doc_id", "n_tokens", "n_tokens_bpe", "lang_id", "quality", "fingerprint")
+        .orderBy("doc_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -192,7 +192,7 @@ object AsOfJoin {
           tieAliases.map { case (c, a) => col(c).as(a) }: _*
       )
     val featRow = when(
-      lit(true) && col(TagCol) === featTagV,
+      col(TagCol) === featTagV,
       struct(col(FtCol).as("ft") +: spec.valueCols.zipWithIndex.map {
         case (c, i) => col(s"__v_$c").as(s"v$i")
       }: _*)

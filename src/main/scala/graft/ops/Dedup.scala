@@ -85,17 +85,26 @@ object Dedup {
     */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, n: Int = 3,
-      hasher: (Column, Int) => Column = md5Hash): DataFrame = {
+      hasher: (Column, Int) => Column = md5Hash): DataFrame =
+    lshBucketsFromSigs(signatures(df, idCol, textCol, k, n, hasher), idCol, k, bands)
+
+  /** (id, sig) signature frame — compute ONCE and share between
+    * bucketing and estimation; the signature is the expensive part
+    * (k hashes per shingle). */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, n: Int = 3,
+      hasher: (Column, Int) => Column = md5Hash): DataFrame =
+    df.select(col(idCol), shingles(col(textCol), n).as("__sh"))
+      .select(col(idCol), minhashSignatureFromShingles(col("__sh"), k, hasher).as("sig"))
+
+  def lshBucketsFromSigs(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val rows = k / bands
-    val withSig = df
-      .select(col(idCol), shingles(col(textCol), n).as("__sh"))
-      .select(col(idCol), minhashSignatureFromShingles(col("__sh"), k, hasher).as("__sig"))
     val banded = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|", slice(col("__sig"), b * rows + 1, rows))).as("bucket"))
+        md5(concat_ws("|", slice(col("sig"), b * rows + 1, rows))).as("bucket"))
     }
-    withSig.select(col(idCol), explode(array(banded: _*)).as("bb"))
+    sigs.select(col(idCol), explode(array(banded: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
@@ -105,8 +114,13 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, n: Int = 3,
       maxBucket: Int = 1000,
-      hasher: (Column, Int) => Column = md5Hash): DataFrame = {
-    val buckets = lshBuckets(df, idCol, textCol, k, bands, n, hasher)
+      hasher: (Column, Int) => Column = md5Hash): DataFrame =
+    candidatesFromSigs(signatures(df, idCol, textCol, k, n, hasher),
+      idCol, k, bands, maxBucket)
+
+  def candidatesFromSigs(sigs: DataFrame, idCol: String, k: Int, bands: Int,
+      maxBucket: Int): DataFrame = {
+    val buckets = lshBucketsFromSigs(sigs, idCol, k, bands)
     // cached: both sides of the pair join consume this frame — without
     // it the k×|shingles| hash computation runs twice
     val bounded = buckets
@@ -189,10 +203,12 @@ object Dedup {
   def minhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, n: Int = 3, threshold: Double = 0.5,
       hasher: (Column, Int) => Column = md5Hash): DataFrame = {
-    val sigs = df
-      .select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh"))
-      .select(col("__id"), minhashSignatureFromShingles(col("__sh"), k, hasher).as("sig"))
-    val cands = minhashCandidates(df, idCol, textCol, k, bands, n, hasher = hasher)
+    // signatures computed ONCE, cached, and shared by the bucketing
+    // pass and both sides of the estimation join
+    val sigs = signatures(df, idCol, textCol, k, n, hasher)
+      .withColumnRenamed(idCol, "__id").cache()
+    val cands = candidatesFromSigs(sigs.withColumnRenamed("__id", idCol),
+      idCol, k, bands, maxBucket = 1000000)
     cands
       .join(sigs.select(col("__id").as("a"), col("sig").as("siga")), "a")
       .join(sigs.select(col("__id").as("b"), col("sig").as("sigb")), "b")
