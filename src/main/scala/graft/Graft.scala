@@ -59,6 +59,13 @@ object Graft {
       options: BuildOptions = BuildOptions()
   ): Explain.ExplainResult = Explain(spark, labels, features, options)
 
+  /** Parity stub with the reference's `from_dbt` (`__init__.py:17-37`
+    * — a placeholder that always raises there too). */
+  def fromDbt(manifestPath: String): Nothing =
+    throw new UnsupportedOperationException(
+      "from_dbt is not implemented (the reference ships the same always-raising stub). " +
+        "Define Sources against the dbt-produced tables directly.")
+
   /** Dataset diff under numeric tolerance. */
   def diff(
       oldDf: DataFrame,

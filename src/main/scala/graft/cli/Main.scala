@@ -8,6 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine._
+import graft.errors.Errors
 import graft.model._
 import graft.util.{Durations, MiniYaml}
 
@@ -155,10 +156,24 @@ object Main {
     }
 
     val d = sub("defaults")
+    val splits = root.get("splits") match {
+      case Some(l: List[_]) => l.map {
+        case sm: Map[_, _] =>
+          val s = sm.asInstanceOf[Map[String, Any]]
+          Split(
+            str(s, "name").getOrElse(throw graft.errors.Errors.config(
+              "split missing name.", "Every split needs name/start/end")),
+            str(s, "start").getOrElse(""), str(s, "end").getOrElse(""))
+        case other => throw graft.errors.Errors.config(
+          s"bad split entry: $other.", "splits must be a list of {name,start,end}")
+      }
+      case _ => Nil
+    }
     val options = BuildOptions(
       join = str(d, "join").getOrElse("strict"),
       onMissing = str(d, "on_missing").getOrElse("null"),
-      maxLookback = Durations.parse(str(d, "max_lookback").getOrElse("365d")))
+      maxLookback = Durations.parse(str(d, "max_lookback").getOrElse("365d")),
+      splits = splits)
 
     Config(labels, feats, options, str(sub("output"), "dir"))
   }
@@ -171,8 +186,19 @@ object Main {
     val out = f.get("output")
       .orElse(cfg.outputDir.map(d => s"$d/train.parquet"))
     if (f.contains("dry-run")) return cmdExplainCfg(cfg)
+    // --split name:start:end (repeatable via comma) overrides config
+    val flagSplits = f.get("split").toSeq.flatMap(_.split(",")).map { s =>
+      s.split(":", 3) match {
+        case Array(n, a, b) => Split(n, a, b)
+        case _ => throw graft.errors.Errors.config(
+          s"bad --split '$s'.", "Use name:start:end")
+      }
+    }
+    val opts = cfg.options.copy(output = out,
+      splits = if (flagSplits.nonEmpty) flagSplits else cfg.options.splits)
     val spark = session()
-    val r = Build(spark, cfg.labels, cfg.features, cfg.options.copy(output = out))
+    val r = Build(spark, cfg.labels, cfg.features, opts)
+    r.warnings.foreach(w => System.err.println(s"warning: $w"))
     println(s"rows=${r.rows} columns=${r.columns.size} audit_passed=${r.auditPassed}")
     r.features.foreach(s =>
       println(f"  ${s.name}%-30s matched=${s.matched} missing=${s.missing} violations=${s.violations}"))

@@ -429,10 +429,32 @@ object Build {
   private def requireColumns(what: String, df: DataFrame, cols: Seq[String]): Unit = {
     val have = df.columns.toSet
     val missing = cols.distinct.filterNot(have)
-    if (missing.nonEmpty)
+    if (missing.nonEmpty) {
+      val hints = missing.flatMap(m => suggest(m, df.columns).map(s => s"'$m' -> did you mean '$s'?"))
       throw Errors.schema(
-        s"$what is missing column(s): ${missing.mkString(", ")}. Available: ${df.columns.mkString(", ")}.",
+        s"$what is missing column(s): ${missing.mkString(", ")}. Available: ${df.columns.mkString(", ")}." +
+          (if (hints.nonEmpty) s" ${hints.mkString(" ")}" else ""),
         "Check key/timestamp/column spellings against the table schema.")
+    }
+  }
+
+  /** Closest-name hint for schema errors (reference errors.py:122-132
+    * uses substring matching; we use substring + edit distance). */
+  def suggest(name: String, available: Seq[String]): Option[String] = {
+    val lower = name.toLowerCase
+    val bySubstring = available.find(c =>
+      c.toLowerCase.contains(lower) || lower.contains(c.toLowerCase))
+    bySubstring.orElse {
+      def dist(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      available.map(c => c -> dist(lower, c.toLowerCase)).filter(_._2 <= 3)
+        .sortBy(_._2).headOption.map(_._1)
+    }
   }
 
   private def checkTimezone(labels: Labels, rawLabels: DataFrame, f: Feature,
