@@ -269,6 +269,12 @@ object SparkEntry {
       graft.ops.Dedup.ngramJaccardPairs(
         t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.2)
         .orderBy("a", "b")),
+    // Connected components over the jaccard pairs -> dedup decisions
+    "q_dedup_components" -> ((s, dir) => {
+      val pairs = graft.ops.Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.2)
+      graft.ops.Dedup.connectedComponents(pairs).orderBy("id")
+    }),
     // MinHash + LSH banding candidate pairs (md5-portable hasher)
     "q_minhash_lsh" -> ((s, dir) =>
       graft.ops.Dedup.minhashCandidates(
@@ -512,6 +518,29 @@ object SparkEntry {
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
         |ORDER BY a, b""".stripMargin,
 
+    "q_dedup_components" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS s
+        |  FROM docs WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |jpairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |good AS (
+        |  SELECT a, b FROM jpairs
+        |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2),
+        |edges AS (SELECT a AS x, b AS y FROM good UNION SELECT b, a FROM good),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+        |SELECT x AS id, least(x, min(y)) AS comp
+        |FROM reach GROUP BY x ORDER BY id""".stripMargin,
     "q_minhash_lsh" ->
       """WITH docs AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),

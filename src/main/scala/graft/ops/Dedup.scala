@@ -42,8 +42,9 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Keep exactly one row (min id) per distinct text. Implemented as a
-    * semi-join against the winners rather than a global window — the
-    * winner set is the aggregated (small) side and broadcasts. */
+    * semi-join against the winner ids rather than a global window —
+    * the winner frame is one narrow column (and already aggregated),
+    * so the semi-join shuffles ids, not documents. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.join(
       exactGroups(df, textCol, idCol).select(col("keep_id").as(idCol)),
@@ -194,6 +195,57 @@ object Dedup {
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Connected components over near-duplicate pairs — the step that
+    * turns pairwise similarity into dedup decisions. Iterative
+    * min-label propagation: every node's component label converges to
+    * the smallest id reachable from it. Each iteration is one
+    * edge-join + one aggregation (both shuffle on node id, AQE-sized);
+    * iterations needed = graph diameter, which for near-dup clusters
+    * is tiny (dup groups are dense). `maxIter` bounds runaway chains.
+    * Returns (id, component) for every node appearing in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // symmetric edge list
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .union(pairs.select(col("b").as("x"), col("a").as("y")))
+      .cache()
+    var labels = edges.select(col("x").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate label per node: min over own label and neighbors'
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "y").withColumnRenamed("comp", "ncomp"), "y")
+        .groupBy(col("x").as("id"))
+        .agg(min(col("ncomp")).as("mincomp"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full near-dup dedup decision: given the corpus and a pair frame
+    * (from any of the similarity operators), keep the minimum id of
+    * each duplicate component plus every untouched document. */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    val comps = connectedComponents(pairs, maxIter)
+    val losers = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** MinHash-estimated Jaccard for candidate pairs (signature

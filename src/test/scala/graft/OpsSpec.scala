@@ -85,6 +85,37 @@ class OpsSpec extends SparkFunSuite {
     }
   }
 
+  test("connected components match a local union-find") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), // chain -> comp 1
+      (10L, 11L), // pair -> comp 10
+      (20L, 21L), (21L, 22L), (20L, 22L), // triangle -> comp 20
+      (30L, 35L), (35L, 31L), (31L, 36L), (36L, 32L) // longer chain -> comp 30
+    ).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    // local union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    got.foreach { case (id, comp) => assert(comp == find(id), s"node $id") }
+  }
+
+  test("dedupByPairs keeps one doc per duplicate component") {
+    val d = Seq((1L, "x"), (2L, "x"), (3L, "x"), (7L, "y"), (9L, "z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val kept = Dedup.dedupByPairs(d, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 7L, 9L))
+  }
+
   test("cosine is 1 for identical, 0 for orthogonal") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
