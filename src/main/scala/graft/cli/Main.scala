@@ -217,14 +217,24 @@ object Main {
     0
   }
 
+  /** Two modes like the reference CLI: temporal
+    * (`--feature-time-cols f=col,...`) or rebuild-and-compare
+    * (`--config graft.yaml` supplying the feature definitions). */
   private def cmdAudit(args: Array[String]): Int = {
     val (f, _) = flags(args)
     val spark = session()
     val data = spark.read.parquet(f("data"))
-    val mapping = f("feature-time-cols").split(",").map { kv =>
-      val Array(k, v) = kv.split("=", 2); k -> v
-    }.toMap
-    val r = Audit.temporal(data, f.getOrElse("label-time", "label_time"), mapping)
+    val r = f.get("feature-time-cols") match {
+      case Some(spec) =>
+        val mapping = spec.split(",").map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
+        Audit.temporal(data, f.getOrElse("label-time", "label_time"), mapping)
+      case None =>
+        val cfg = loadConfig(f.getOrElse("config", "graft.yaml"))
+        Audit.rebuild(spark, data, cfg.features, cfg.labels.keys,
+          f.getOrElse("label-time", cfg.labels.labelTime), cfg.options)
+    }
     println(r.toJson)
     if (!r.passed && f.contains("strict")) 1 else 0
   }

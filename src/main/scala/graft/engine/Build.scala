@@ -59,7 +59,8 @@ final case class BuildResult(
     columns: Seq[String],
     features: Seq[FeatureStats],
     auditPassed: Boolean,
-    warnings: Seq[String] = Nil
+    warnings: Seq[String] = Nil,
+    durationMs: Long = -1L
 ) {
   def validate(): BuildResult = {
     if (!auditPassed) {
@@ -124,6 +125,7 @@ object Build {
       features: Seq[Feature],
       options: BuildOptions = BuildOptions()
   ): BuildResult = {
+    val startedAt = System.nanoTime()
     validateFeatures(features, options)
 
     // ---- build-level cache probe (engine.py:1017-1057) -------------
@@ -314,7 +316,8 @@ object Build {
     }
 
     spineNarrow.unpersist()
-    BuildResult(result, total, result.columns.toSeq, stats, passed, warnings)
+    BuildResult(result, total, result.columns.toSeq, stats, passed, warnings,
+      (System.nanoTime() - startedAt) / 1000000L)
   }
 
   private lazy val log = org.apache.log4j.Logger.getLogger(getClass)
