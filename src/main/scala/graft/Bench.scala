@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Audit, Build, BuildOptions}
+import graft.engine.{Audit, Build, BuildOptions, Split}
 import graft.model._
 
 /** Benchmark main — prints ONE JSON line with per-query seconds.
@@ -46,13 +46,22 @@ object Bench {
     (Labels.frame(labels, Seq("user_id"), "label_time", Seq("churned")), features)
   }
 
-  private def buildScenario(nLabels: Int, nFeatures: Int)(spark: SparkSession): Long = {
-    val (labels, features) = syntheticScenario(spark, nLabels, nFeatures)
+  private def buildScenario(nLabels: Int, nFeatures: Int,
+      embargo: String = "0", staleness: Option[String] = None,
+      splits: Seq[Split] = Nil)(spark: SparkSession): Long = {
+    val (labels, features0) = syntheticScenario(spark, nLabels, nFeatures)
+    val features = features0.map(_.copy(
+      embargo = graft.util.Durations.parse(embargo),
+      maxStaleness = staleness.map(graft.util.Durations.parse)))
     // measured like the reference: full build incl. stats + invariant
-    // verification, no output write, duplicate scan off (the synthetic
-    // frames are unique by construction; reference data is too)
+    // verification, duplicate scan off (the synthetic frames are unique
+    // by construction; reference data is too); split variants write
+    val out =
+      if (splits.isEmpty) None
+      else Some(java.nio.file.Files.createTempDirectory("graft_bench").toString + "/out.parquet")
     Build(spark, labels, features, BuildOptions(
-      checkDuplicates = false, sortResult = false)).rows
+      checkDuplicates = false, sortResult = false,
+      splits = splits, output = out)).rows
   }
 
   /** Temporal audit over an nLabels-row dataset (the reference's audit
@@ -96,6 +105,16 @@ object Bench {
       "build_100k_x10" -> (() => { buildScenario(100000, 10)(spark); () }),
       "build_1m_x1" -> (() => { buildScenario(1000000, 1)(spark); () }),
       "build_1m_x10" -> (() => { buildScenario(1000000, 10)(spark); () }),
+      // extended matrix variants (reference bench.py:217-236)
+      "build_1m_x1_embargo1d" -> (() => { buildScenario(1000000, 1, embargo = "1d")(spark); () }),
+      "build_1m_x1_staleness30d" -> (() => {
+        buildScenario(1000000, 1, staleness = Some("30d"))(spark); ()
+      }),
+      "build_1m_x1_splits" -> (() => {
+        buildScenario(1000000, 1, splits = Seq(
+          Split("train", "2024-01-01", "2024-01-01 12:00:00"),
+          Split("test", "2024-01-01 12:00:00", "2024-01-02")))(spark); ()
+      }),
       "audit_1m_x1" -> (() => { auditScenario(1000000)(spark); () })
     )
 
