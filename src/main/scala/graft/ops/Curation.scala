@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composition a 100 TB training-data
+  * pipeline actually runs — analyze → quality/language filter → exact
+  * dedup → near-dup dedup — with per-stage drop accounting so nothing
+  * is silently lost.
+  *
+  * Stage order is deliberate: the cheap scan-side filters (quality,
+  * language) run FIRST and shrink the corpus before any shuffle; exact
+  * dedup (one aggregation) runs before the pair-generating near-dup
+  * stage, which is the most expensive.
+  */
+object Curation {
+
+  final case class CurationStats(
+      input: Long,
+      afterQuality: Long,
+      afterLanguage: Long,
+      afterExact: Long,
+      afterNearDup: Long) {
+    def dropped: Map[String, Long] = Map(
+      "quality" -> (input - afterQuality),
+      "language" -> (afterQuality - afterLanguage),
+      "exact_dup" -> (afterLanguage - afterExact),
+      "near_dup" -> (afterExact - afterNearDup))
+  }
+
+  final case class CurationResult(df: DataFrame, stats: CurationStats)
+
+  def curate(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minQuality: Double = 0.3,
+      languages: Seq[String] = Seq("en"),
+      nearDupThreshold: Double = 0.8,
+      shingleSize: Int = 3
+  ): CurationResult = {
+    val input = docs.count()
+
+    val scored = docs
+      .withColumn("__q", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("__lang", TextAnalysis.langId(col(textCol)))
+
+    val qualityKept = scored.filter(col("__q") >= minQuality)
+    val afterQuality = qualityKept.count()
+
+    val langKept =
+      (if (languages.isEmpty) qualityKept
+       else qualityKept.filter(col("__lang").isin(languages: _*)))
+        .drop("__q", "__lang")
+        .cache()
+    val afterLanguage = langKept.count()
+
+    val exactKept = Dedup.exactDedup(langKept, textCol, idCol).cache()
+    val afterExact = exactKept.count()
+
+    val pairs = Dedup.ngramJaccardPairs(exactKept, idCol, textCol,
+      shingleSize, nearDupThreshold)
+    val curated = Dedup.dedupByPairs(exactKept, idCol, pairs)
+    val afterNearDup = curated.count()
+
+    langKept.unpersist()
+    CurationResult(curated,
+      CurationStats(input, afterQuality, afterLanguage, afterExact, afterNearDup))
+  }
+}

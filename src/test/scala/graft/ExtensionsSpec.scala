@@ -49,6 +49,39 @@ class ExtensionsSpec extends SparkFunSuite {
     }
   }
 
+  test("custom expressions callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((Seq("a", "b", "c"), Array(1.0, 2.0), Array(3.0, 4.0)))
+      .toDF("toks", "va", "vb").createOrReplaceTempView("__fx")
+    val r = spark.sql(
+      "SELECT simhash64(toks) AS h, vec_dot(va, vb) AS d FROM __fx").head()
+    assert(r.getDouble(1) == 11.0)
+    // SQL result equals Column-API result
+    val viaApi = Seq(Seq("a", "b", "c")).toDF("toks")
+      .select(SimHash.simhash64(col("toks"))).as[Long].head()
+    assert(r.getLong(0) == viaApi)
+  }
+
+  test("curation pipeline composes filters + dedup with drop accounting") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away today"), // exact dup
+      (3L, "the quick brown fox jumps over the lazy dog and runs far away tonight"), // near dup
+      (4L, "!!! ??? ### $$$"), // junk -> quality filter
+      (5L, "der hund und die katze sind nicht zu hause und das ist gut so heute"), // german
+      (6L, "a completely different document about the weather in the mountains today")
+    ).toDF("doc_id", "text")
+    val r = graft.ops.Curation.curate(docs, minQuality = 0.3,
+      languages = Seq("en"), nearDupThreshold = 0.5)
+    val kept = r.df.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(r.stats.input == 6)
+    assert(r.stats.dropped("quality") >= 1) // junk gone
+    assert(r.stats.dropped("language") >= 1) // german gone
+    assert(r.stats.dropped("exact_dup") == 1) // doc 2
+    assert(r.stats.dropped("near_dup") == 1) // doc 3
+    assert(kept == Seq(1L, 6L))
+  }
+
   // ---- Multimodal ---------------------------------------------------
 
   test("multimodal plumbing: schema, determinism, batch independence") {
