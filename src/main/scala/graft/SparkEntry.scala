@@ -116,9 +116,12 @@ object SparkEntry {
        |ORDER BY label_event_id""".stripMargin
   }
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The full engine build (spine + two features + strict PIT
+    * join + assembly + verification) is the most representative
+    * single query. */
   def entry(spark: SparkSession): DataFrame =
-    pit(spark, "/root/testdata/sf0.001", pitSpec(), AsOfJoin.Strategy.RowNumber)
+    queries("q_build_e2e")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

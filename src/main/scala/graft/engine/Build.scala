@@ -395,6 +395,15 @@ object Build {
       throw Errors.config(
         s"Feature names collide after sanitization: ${safeDup.mkString("; ")}.",
         "Rename features so sanitized identifiers are distinct.")
+    // two distinct SourceLike instances sharing a name would silently
+    // collide in the per-name source cache (the reference registers
+    // sources by name too, engine.py:1119-1127 — but fails loudly here)
+    val nameClash = features.map(_.source).distinct.groupBy(_.name)
+      .collect { case (n, ss) if ss.size > 1 => n }
+    if (nameClash.nonEmpty)
+      throw Errors.config(
+        s"Multiple distinct sources share name(s): ${nameClash.mkString(", ")}.",
+        "Give each distinct source a unique name (sources are cached per name).")
     features.foreach { f =>
       if (f.embargo.compareTo(options.maxLookback) >= 0)
         throw Errors.config(

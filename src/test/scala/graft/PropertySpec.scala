@@ -55,7 +55,12 @@ class PropertySpec extends AnyFunSuite {
         inclusive = inclusive,
         embargo = Duration.ofHours(embargoH.toLong),
         maxLookback = Some(Duration.ofDays(365)))
-      val strat = if (union) AsOfJoin.Strategy.UnionAsOf else AsOfJoin.Strategy.RowNumber
+      // exercise all three strategies: embargoH parity picks between
+      // union and segmented so the fuzz covers the skew path too
+      val strat =
+        if (!union) AsOfJoin.Strategy.RowNumber
+        else if (embargoH % 2 == 0) AsOfJoin.Strategy.UnionAsOf
+        else AsOfJoin.Strategy.UnionAsOfSegmented(Duration.ofHours(48))
       val out = AsOfJoin.join(lblDf, featDf, spec, strat).collect()
 
       val allLabelsKept = out.length == lbls.size
