@@ -51,6 +51,24 @@ object StreamingPit {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("n_rows"), col("n_leaky"))
 
+  /** Streaming exact dedup: drop documents whose content fingerprint
+    * was already seen, with state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark` — state for a fingerprint is
+    * held only while late arrivals could still reference it; the
+    * unbounded-state alternative is exactly what kills streaming dedup
+    * at scale). `eventTimeCol` must be an event-time column. */
+  def streamingExactDedup(
+      docs: DataFrame,
+      textCol: String,
+      eventTimeCol: String,
+      watermark: String = "1 hour"
+  ): DataFrame =
+    docs
+      .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   final case class Event(
       key: Long,
       eventTime: Timestamp,

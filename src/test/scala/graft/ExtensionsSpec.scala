@@ -155,6 +155,25 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(out(1).getAs[Timestamp]("featureTime") == ts("2024-01-01 00:25:00"))
   }
 
+  test("streaming exact dedup drops repeat fingerprints within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "event_time", "text")
+    val q = StreamingPit.streamingExactDedup(df, "text", "event_time", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sdedup").start()
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00"), "same text"),
+      (2L, ts("2024-01-01 00:01:00"), "same text"),
+      (3L, ts("2024-01-01 00:02:00"), "other text"))
+    q.processAllAvailable()
+    input.addData((4L, ts("2024-01-01 00:03:00"), "same text")) // still duplicate
+    q.processAllAvailable()
+    val out = spark.sql("SELECT doc_id FROM sdedup").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
   test("streaming as-of: label with no eligible feature emits nulls") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
