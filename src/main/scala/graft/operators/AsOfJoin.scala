@@ -161,7 +161,15 @@ object AsOfJoin {
     * the feature orders first and is visible. `last()` over
     * (unboundedPreceding, currentRow) then implements < vs <=.
     */
+  private val ReservedCols =
+    Set(FtCol, TagCol, SortTime, "__frow", "__c", "__c_local", "__prev", "__bkt", "__blast")
+
   private def buildUnion(labels: DataFrame, features: DataFrame, spec: Spec): UnionParts = {
+    val clash = labels.columns.filter(c =>
+      ReservedCols.contains(c) || c.startsWith("__jk") || c.startsWith("__v_") ||
+        c.startsWith("__tb"))
+    require(clash.isEmpty,
+      s"label columns collide with as-of internals: ${clash.mkString(", ")}")
     val joinKeys = spec.leftKeys.indices.map(i => s"__jk$i")
     val tieAliases = spec.tieBreakers.zipWithIndex.map { case (c, i) => (c, s"__tb$i") }
     val (labelTagV, featTagV) = if (spec.inclusive) (1, 0) else (0, 1)

@@ -103,6 +103,21 @@ class AsOfJoinSpec extends SparkFunSuite {
     }
   }
 
+  test("null label times keep their rows with null features (all strategies)") {
+    val lblWithNull = labels.union(
+      Seq((50L, 1L, null.asInstanceOf[String]))
+        .toDF(AsOfJoin.RowIdCol, "user_id", "lt")
+        .withColumn("lt", $"lt".cast("timestamp")))
+    for (strat <- Seq(Strategy.RowNumber, Strategy.UnionAsOf,
+        Strategy.UnionAsOfSegmented(Duration.ofDays(1)))) {
+      val out = AsOfJoin.join(lblWithNull, features, spec(), strat).collect()
+      assert(out.length == 5)
+      val nullRow = out.find(_.getLong(0) == 50L).get
+      assert(nullRow.isNullAt(nullRow.fieldIndex("feature_time")))
+      assert(nullRow.isNullAt(nullRow.fieldIndex("value")))
+    }
+  }
+
   test("strategies agree on a randomized frame") {
     val n = 2000
     val feats = spark.range(n).select(
