@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** Repeated-build co-location: when the feature history is persisted
+  * bucketed by entity key, does the as-of window reuse the bucketing
+  * instead of shuffling? (The feature-store pattern: write once
+  * bucketed, build many times.)
+  */
+class BucketingSpec extends SparkFunSuite {
+
+  test("bucketed feature table: document exchange behavior of the as-of plan") {
+    val ev = SparkEntry.events(spark, "/root/testdata/sf0.001")
+    ev.write.mode("overwrite")
+      .bucketBy(8, "user_id").sortBy("user_id", "ts")
+      .saveAsTable("events_bucketed")
+    val bucketed = spark.table("events_bucketed")
+
+    val spine = bucketed.filter(col("event_id") % 20 === 0).select(
+      col("event_id").as(AsOfJoin.RowIdCol),
+      col("user_id"), col("ts").as("label_time"))
+    val spec = AsOfJoin.Spec(
+      Seq("user_id"), Seq("user_id"), "label_time", "ts", Seq("value"))
+    val out = AsOfJoin.unionAsOf(spine, bucketed, spec)
+    // correctness against the unbucketed path
+    val plain = AsOfJoin.unionAsOf(
+      ev.filter(col("event_id") % 20 === 0).select(
+        col("event_id").as(AsOfJoin.RowIdCol),
+        col("user_id"), col("ts").as("label_time")),
+      ev, spec)
+    assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
+
+    val exchanges = out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    // The union re-aliases keys, so today the window still shuffles —
+    // this pin documents the current behavior; if it starts passing
+    // with 0 exchanges after a Spark upgrade, bucketing became free.
+    info(s"exchanges in bucketed as-of plan: $exchanges")
+    assert(exchanges <= 2)
+  }
+}
