@@ -13,6 +13,16 @@ class BucketingSpec extends SparkFunSuite {
 
   test("bucketed feature table: document exchange behavior of the as-of plan") {
     val ev = SparkEntry.events(spark, "/root/testdata/sf0.001")
+    // a previous JVM's managed-table location survives session restarts
+    spark.sql("DROP TABLE IF EXISTS events_bucketed")
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "events_bucketed")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
     ev.write.mode("overwrite")
       .bucketBy(8, "user_id").sortBy("user_id", "ts")
       .saveAsTable("events_bucketed")
