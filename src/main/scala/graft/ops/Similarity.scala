@@ -139,6 +139,26 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max(|x|)/127, elements round to [-127, 127]. Cuts
+    * embedding storage 4x (float32 -> int8 + one float scale) — at
+    * 100 TB of vectors that is the difference between fitting the ANN
+    * working set in cluster memory or not. Returns a struct
+    * (scale: double, q: array<tinyint>). */
+  def quantizeInt8(v: Column): Column = {
+    val dv = asDouble(v)
+    val scale = aggregate(dv, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0
+    struct(
+      scale.as("scale"),
+      transform(dv, x =>
+        when(lit(true) && scale === 0.0, lit(0))
+          .otherwise(round(x / scale, 0).cast("int")).cast("byte")).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: array<double> approximation. */
+  def dequantizeInt8(qv: Column): Column =
+    transform(qv.getField("q"), x => x.cast("double") * qv.getField("scale"))
+
   /** Unit-normalize a vector (double precision). */
   def normalize(v: Column): Column = {
     val dv = asDouble(v)

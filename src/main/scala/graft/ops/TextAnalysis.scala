@@ -106,6 +106,16 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Corpus document-frequency table: one row per distinct token with
+    * the number of documents containing it. One map-side-combined
+    * aggregation over exploded distinct-per-doc tokens — the input for
+    * IDF weighting and for choosing [[Dedup.ngramJaccardPairs]]'s
+    * `maxDf` cut empirically instead of by guess. */
+  def documentFrequency(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"))
+
   /** One-pass enrichment of a document frame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

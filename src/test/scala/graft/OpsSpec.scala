@@ -126,6 +126,29 @@ class OpsSpec extends SparkFunSuite {
     assert(math.abs(r(1)) < 1e-12)
   }
 
+  test("int8 quantization roundtrip bounded by scale/2 per element") {
+    val q = embeddings.select(
+      col("vec_id"), col("embedding"),
+      Similarity.quantizeInt8(col("embedding")).as("qv"))
+    val r = q.select(col("vec_id"),
+      Similarity.cosine(col("embedding"), Similarity.dequantizeInt8(col("qv"))).as("fidelity"))
+      .agg(min("fidelity")).head().getDouble(0)
+    // int8 cosine fidelity vs original should stay very high
+    assert(r > 0.999, s"min cosine fidelity $r")
+    // storage shape: bytes + one scale
+    val row = q.select("qv").head()
+    val st = row.getStruct(0)
+    assert(st.getAs[scala.collection.Seq[Byte]]("q").length == 64)
+  }
+
+  test("document frequency table supports empirical maxDf selection") {
+    val dfreq = TextAnalysis.documentFrequency(docs)
+    val total = docs.count()
+    val top = dfreq.orderBy(col("doc_freq").desc).head()
+    assert(top.getLong(1) <= total)
+    assert(dfreq.filter(col("token") === "the").count() == 1)
+  }
+
   test("brute-force topk returns k ranked neighbors per query") {
     val q = embeddings.filter(col("vec_id") % 25 === 0)
     val r = Similarity.bruteForceTopK(q, embeddings, "vec_id", "vec_id", "embedding", 3)
