@@ -442,7 +442,7 @@ object Build {
     val have = df.columns.toSet
     val missing = cols.distinct.filterNot(have)
     if (missing.nonEmpty) {
-      val hints = missing.flatMap(m => suggest(m, df.columns).map(s => s"'$m' -> did you mean '$s'?"))
+      val hints = missing.flatMap(m => suggest(m, df.columns.toIndexedSeq).map(s => s"'$m' -> did you mean '$s'?"))
       throw Errors.schema(
         s"$what is missing column(s): ${missing.mkString(", ")}. Available: ${df.columns.mkString(", ")}." +
           (if (hints.nonEmpty) s" ${hints.mkString(" ")}" else ""),
