@@ -57,8 +57,10 @@ object Explain {
         case _: TransformMode => "transform"
       }
       val strat = options.strategy match {
-        case AsOfJoin.Strategy.UnionAsOf => "union_asof"
-        case _                           => "row_number"
+        case AsOfJoin.Strategy.RowNumber => "row_number"
+        case AsOfJoin.Strategy.UnionAsOfSegmented(b) =>
+          s"union_asof_segmented(${Durations.format(b)})"
+        case _ => "union_asof"
       }
       FeaturePlan(
         f.name,

@@ -38,6 +38,21 @@ class CliSpec extends SparkFunSuite {
     assert(m("defaults").asInstanceOf[Map[String, Any]]("join") == "strict")
   }
 
+  test("MiniYaml rejects malformed input with line numbers") {
+    val e1 = intercept[IllegalArgumentException](MiniYaml.parse("key value-no-colon"))
+    assert(e1.getMessage.contains("line 1"))
+    val e2 = intercept[IllegalArgumentException](MiniYaml.parse("a:\n   b: 1\n  c: 2"))
+    assert(e2.getMessage.toLowerCase.contains("indent"))
+  }
+
+  test("identifier hygiene: unicode/quotes reduce to safe names") {
+    import graft.util.Names
+    assert(Names.safeName("fancy name!") == "fancy_name_")
+    assert(Names.safeName("漢字x") == "__x")
+    assert(Names.quoteLit("o'brien") == "'o''brien'")
+    assert(Names.quoteIdent("a\"b") == "\"a\"\"b\"")
+  }
+
   test("config-driven build end-to-end") {
     val dir = Files.createTempDirectory("graft_cli")
     val users = spark.range(1, 20).select(
