@@ -128,7 +128,7 @@ class AuditDiffSpec extends SparkFunSuite {
     val r = Explain(spark, Labels.frame(labelsDf, Seq("user_id"), "label_time", Seq("y")), Seq(f))
     assert(r.labelRows == 1)
     assert(r.plans.head.window.contains("2d"))
-    assert(r.render.contains("row_number"))
+    assert(r.render.contains("union_asof")) // Auto strategy default
   }
 
   test("store: hashing determinism and mtime memo") {
