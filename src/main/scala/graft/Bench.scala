@@ -64,6 +64,31 @@ object Bench {
       splits = splits, output = out)).rows
   }
 
+  /** All nFeatures as columns of ONE wide history table — exercises
+    * the engine's merged single-carry path (one shuffle for all
+    * features instead of one per feature). */
+  private def wideSourceScenario(nLabels: Int, nFeatures: Int)(spark: SparkSession): Long = {
+    val nEntities = math.max(1000, nLabels / 5)
+    val featStepUs = 31536000000000L / (2L * nLabels)
+    val wide = spark.range(2L * nLabels).select(
+      (col("id") % nEntities).as("user_id") +:
+        timestamp_micros(lit(1672531200000000L) + col("id") * math.max(1L, featStepUs))
+          .as("updated_at") +:
+        (0 until nFeatures).map(k =>
+          ((col("id") * (k + 17)) % 1000 / 10.0).as(s"val_$k")): _*)
+    val src = Source.frame("wide", wide, Seq("user_id"), "updated_at")
+    val features = (0 until nFeatures).map(k =>
+      Feature(s"f$k", src, ColumnsMode(Map(s"val_$k" -> s"val_$k"))))
+    val labelStepUs = 86400000000L / nLabels
+    val labels = spark.range(nLabels.toLong).select(
+      (col("id") % nEntities).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * math.max(1L, labelStepUs))
+        .as("label_time"),
+      (col("id") % 5 === 0).as("churned"))
+    Build(spark, Labels.frame(labels, Seq("user_id"), "label_time", Seq("churned")),
+      features, BuildOptions(checkDuplicates = false, sortResult = false)).rows
+  }
+
   /** Temporal audit over an nLabels-row dataset (the reference's audit
     * bench shape: existing dataset, one feature_time column). */
   private def auditScenario(nLabels: Int)(spark: SparkSession): Long = {
@@ -105,6 +130,8 @@ object Bench {
       "build_100k_x10" -> (() => { buildScenario(100000, 10)(spark); () }),
       "build_1m_x1" -> (() => { buildScenario(1000000, 1)(spark); () }),
       "build_1m_x10" -> (() => { buildScenario(1000000, 10)(spark); () }),
+      // 10 features from ONE wide source: the merged-carry fast path
+      "build_1m_x10_widesource" -> (() => { wideSourceScenario(1000000, 10)(spark); () }),
       // extended matrix variants (reference bench.py:217-236)
       "build_1m_x1_embargo1d" -> (() => { buildScenario(1000000, 1, embargo = "1d")(spark); () }),
       "build_1m_x1_staleness30d" -> (() => {

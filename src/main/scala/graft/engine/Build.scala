@@ -194,45 +194,112 @@ object Build {
         case None => computeFeature(spark, f, labels, sourceCache)
       }
 
-    val joined = features.map { f =>
-      val feat = computeOrLoadFeature(f)
-      val rightKeys = labels.keys.map(k => f.keyMapping.getOrElse(k, k))
-      requireColumns(s"Feature '${f.name}'", feat.df, rightKeys :+ feat.timeCol)
-      checkTimezone(labels, rawLabels, f, feat)
-      if (options.checkDuplicates && f.onDuplicate == OnDuplicate.Error)
-        checkDuplicates(f, feat.df, rightKeys, feat.timeCol)
+    // Merge-compatible features — ColumnsMode on the same source with
+    // identical join parameters — share ONE as-of carry pass: the "N
+    // features from one wide history table" pattern costs one shuffle
+    // instead of N (and no extra assembly joins, since merged features
+    // land on the same row). Disabled when a store is configured (the
+    // per-feature cache is keyed per feature).
+    def mergeKey(f: Feature): Option[Any] = f.mode match {
+      case _: ColumnsMode if options.store.isEmpty =>
+        Some((f.source.name, f.keyMapping, f.embargo.getSeconds,
+          f.maxStaleness.map(_.getSeconds).getOrElse(-1L), f.onDuplicate))
+      case _ => None
+    }
+    val groups: Seq[Seq[Feature]] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Feature]]
+      val byKey = scala.collection.mutable.Map.empty[Any, Int]
+      features.foreach { f =>
+        mergeKey(f) match {
+          case Some(k) if byKey.contains(k) =>
+            val i = byKey(k); buf(i) = buf(i) :+ f
+          case Some(k) =>
+            byKey(k) = buf.length; buf += Seq(f)
+          case None => buf += Seq(f)
+        }
+      }
+      buf.toSeq
+    }
 
-      val valueCols = feat.df.columns.filterNot(c =>
-        rightKeys.contains(c) || c == feat.timeCol).toSeq
-      val spec = AsOfJoin.Spec(
-        leftKeys = labels.keys,
-        rightKeys = rightKeys,
-        leftTime = labels.labelTime,
-        rightTime = feat.timeCol,
-        valueCols = valueCols,
-        inclusive = options.join == "inclusive",
-        embargo = f.embargo,
-        maxLookback = Some(options.maxLookback),
-        maxStaleness = f.maxStaleness,
-        rightTimeOut = Names.featureTimeCol(f.name)
-      )
-      val j = AsOfJoin.join(spineNarrow, feat.df, spec, options.strategy)
-      // narrow to rowid + namespaced outputs for assembly
-      val ns = j.select(
-        col(RowId) +: col(Names.featureTimeCol(f.name)) +:
-          valueCols.map(c => col(c).as(Names.namespaced(f.name, c))): _*)
-      (f, valueCols, ns)
+    def sortedCols(f: Feature): Seq[(String, String)] = f.mode match {
+      case ColumnsMode(cols) => cols.toSeq.sortBy(_._1)
+      case _                 => Nil
+    }
+
+    // per-feature output value-column names, in declaration order
+    val valueColsOf = scala.collection.mutable.Map.empty[String, Seq[String]]
+
+    def baseSpec(f: Feature, rightKeys: Seq[String], timeCol: String,
+        valueCols: Seq[String]) = AsOfJoin.Spec(
+      leftKeys = labels.keys,
+      rightKeys = rightKeys,
+      leftTime = labels.labelTime,
+      rightTime = timeCol,
+      valueCols = valueCols,
+      inclusive = options.join == "inclusive",
+      embargo = f.embargo,
+      maxLookback = Some(options.maxLookback),
+      maxStaleness = f.maxStaleness,
+      rightTimeOut = Names.featureTimeCol(f.name))
+
+    val joined: Seq[DataFrame] = groups.map {
+      case Seq(f) =>
+        val feat = computeOrLoadFeature(f)
+        val rightKeys = labels.keys.map(k => f.keyMapping.getOrElse(k, k))
+        requireColumns(s"Feature '${f.name}'", feat.df, rightKeys :+ feat.timeCol)
+        checkTimezone(labels, rawLabels, f, feat)
+        if (options.checkDuplicates && f.onDuplicate == OnDuplicate.Error)
+          checkDuplicates(f, feat.df, rightKeys, feat.timeCol)
+        val valueCols = feat.df.columns.filterNot(c =>
+          rightKeys.contains(c) || c == feat.timeCol).toSeq
+        valueColsOf(f.name) = valueCols
+        val j = AsOfJoin.join(spineNarrow, feat.df,
+          baseSpec(f, rightKeys, feat.timeCol, valueCols), options.strategy)
+        j.select(
+          col(RowId) +: col(Names.featureTimeCol(f.name)) +:
+            valueCols.map(c => col(c).as(Names.namespaced(f.name, c))): _*)
+
+      case grp =>
+        val f0 = grp.head
+        val src = sourceCache.getOrElseUpdate(f0.source.name, f0.source.resolve(spark))
+        val rightKeys = labels.keys.map(k => f0.keyMapping.getOrElse(k, k))
+        grp.foreach { f =>
+          requireColumns(s"Source '${f.source.name}'", src,
+            f.source.keys ++ (f.source.timestamp +: sortedCols(f).map(_._2)))
+          valueColsOf(f.name) = sortedCols(f).map(_._1)
+        }
+        // one combined frame: keys + feature_time + every feature's
+        // columns already namespaced (names are unique across features)
+        val combined = src.select(
+          rightKeys.map(col) ++
+            Seq(col(f0.source.timestamp).as("feature_time")) ++
+            grp.flatMap(f => sortedCols(f).map { case (out, in) =>
+              col(in).as(Names.namespaced(f.name, out))
+            }): _*)
+        requireColumns(s"Feature group '${grp.map(_.name).mkString("+")}'",
+          combined, rightKeys :+ "feature_time")
+        checkTimezone(labels, rawLabels, f0, ComputedFeature(combined, "feature_time"))
+        if (options.checkDuplicates && f0.onDuplicate == OnDuplicate.Error)
+          checkDuplicates(f0, combined, rightKeys, "feature_time")
+        val nsCols = grp.flatMap(f => valueColsOf(f.name).map(Names.namespaced(f.name, _)))
+        val spec = baseSpec(f0, rightKeys, "feature_time", nsCols)
+          .copy(rightTimeOut = "__grp_feature_time")
+        val j = AsOfJoin.join(spineNarrow, combined, spec, options.strategy)
+        // each merged feature gets its own {f}__feature_time alias —
+        // identical values by construction (same embargo → same row)
+        j.select(
+          (col(RowId) +:
+            grp.map(f => col("__grp_feature_time").as(Names.featureTimeCol(f.name)))) ++
+            nsCols.map(col): _*)
     }
 
     // ---- assembly (J4): N-way equi-join on the rowid ---------------
-    val assembled = joined.foldLeft(spine) { case (acc, (_, _, ns)) =>
+    val assembled = joined.foldLeft(spine) { case (acc, ns) =>
       acc.join(ns, Seq(RowId), "left")
     }
 
-    val ftCols = features.map(f => Names.featureTimeCol(f.name))
-    val nsValueCols: Seq[String] = joined.flatMap { case (f, vcs, _) =>
-      vcs.map(c => Names.namespaced(f.name, c))
-    }
+    val nsValueCols: Seq[String] = features.flatMap(f =>
+      valueColsOf(f.name).map(c => Names.namespaced(f.name, c)))
 
     val skipped =
       if (options.onMissing == "skip" && nsValueCols.nonEmpty)

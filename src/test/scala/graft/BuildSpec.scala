@@ -261,6 +261,28 @@ class BuildSpec extends SparkFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("same-source ColumnsMode features merge into one carry pass with identical results") {
+    val wide = users.withColumn("tier", concat(lit("T"), col("user_id") % 4))
+    def feats(srcName: String => String) = Seq(
+      Feature("f_country", Source.frame(srcName("a"), wide, Seq("user_id"), "updated_at"),
+        ColumnsMode(Map("country" -> "country"))),
+      Feature("f_tier", Source.frame(srcName("b"), wide, Seq("user_id"), "updated_at"),
+        ColumnsMode(Map("tier" -> "tier"))),
+      Feature("f_signup", Source.frame(srcName("c"), wide, Seq("user_id"), "updated_at"),
+        ColumnsMode(Map("signup_date" -> "signup_date"))))
+    val opts = BuildOptions(maxLookback = java.time.Duration.ofDays(3650))
+    // same source name -> merged into one pass
+    val merged = Build(spark, labels, feats(_ => "wide"), opts)
+    // distinct names -> three separate passes
+    val unmerged = Build(spark, labels, feats(s => s"wide_$s"), opts)
+    assert(merged.columns == unmerged.columns)
+    assert(merged.df.exceptAll(unmerged.df).isEmpty &&
+      unmerged.df.exceptAll(merged.df).isEmpty)
+    assert(merged.features.map(s => (s.name, s.matched, s.violations)) ==
+      unmerged.features.map(s => (s.name, s.matched, s.violations)))
+    assert(merged.auditPassed)
+  }
+
   test("store: feature + build caches populate and hit; content change invalidates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cache")
     labelsDf.write.parquet(s"$dir/labels.parquet")
