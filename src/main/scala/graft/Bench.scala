@@ -89,17 +89,23 @@ object Bench {
       features, BuildOptions(checkDuplicates = false, sortResult = false)).rows
   }
 
-  /** Temporal audit over an nLabels-row dataset (the reference's audit
-    * bench shape: existing dataset, one feature_time column). */
-  private def auditScenario(nLabels: Int)(spark: SparkSession): Long = {
+  /** Temporal audit over an nLabels-row dataset with nFeatures
+    * feature_time columns (the reference's audit bench shapes —
+    * BASELINE.md rows 100K×{1,10} and 1M×{1,10}). */
+  private def auditScenario(nLabels: Int, nFeatures: Int = 1)(spark: SparkSession): Long = {
     val nEntities = math.max(1000, nLabels / 5)
-    val data = spark.range(nLabels.toLong).select(
-      (col("id") % nEntities).as("user_id"),
-      timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L).as("label_time"),
-      timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L
-        - lit(3600000000L) + (col("id") % 100) * 72000000L).as("f0__feature_time"),
-      (col("id") % 7).cast("double").as("f0__v"))
-    Audit.temporal(data, "label_time", Map("f0" -> "f0__feature_time"),
+    val base = spark.range(nLabels.toLong).select(
+      col("id") +:
+        (col("id") % nEntities).as("user_id") +:
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L).as("label_time") +:
+        (0 until nFeatures).flatMap(k => Seq(
+          timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L
+            - lit(3600000000L) + ((col("id") + k) % 100) * 72000000L)
+            .as(s"f${k}__feature_time"),
+          ((col("id") + k) % 7).cast("double").as(s"f${k}__v"))): _*)
+      .drop("id")
+    Audit.temporal(base, "label_time",
+      (0 until nFeatures).map(k => s"f$k" -> s"f${k}__feature_time").toMap,
       approxMedian = true).totalRows
   }
 
@@ -142,28 +148,46 @@ object Bench {
           Split("train", "2024-01-01", "2024-01-01 12:00:00"),
           Split("test", "2024-01-01 12:00:00", "2024-01-02")))(spark); ()
       }),
-      "audit_1m_x1" -> (() => { auditScenario(1000000)(spark); () })
+      // all four BASELINE.md audit rows
+      "audit_100k_x1" -> (() => { auditScenario(100000, 1)(spark); () }),
+      "audit_100k_x10" -> (() => { auditScenario(100000, 10)(spark); () }),
+      "audit_1m_x1" -> (() => { auditScenario(1000000, 1)(spark); () }),
+      "audit_1m_x10" -> (() => { auditScenario(1000000, 10)(spark); () })
     )
 
-    val results = (operatorQueries ++ scenarios).map { case (name, body) =>
+    // BASELINE-comparable engine scenarios run FIRST: the dedup /
+    // similarity operator queries cache aggressively and leave the heap
+    // fragmented, which round-1 measurements showed taxing whatever runs
+    // after them by many x (13.5s vs 0.48s isolated for audit_1m_x1)
+    val results = (scenarios ++ operatorQueries).map { case (name, body) =>
       try {
         body() // warmup: codegen + shuffle-file + listing amortization
         val t = timed(body())
-        // drop caches accumulated inside operators so later queries
-        // aren't taxed by this one's memory (GC isolation)
-        spark.catalog.clearCache()
         name -> t
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           name -> -1.0
+      } finally {
+        // drop caches accumulated inside operators so later queries
+        // aren't taxed by this one's memory, and give the JVM a chance
+        // to compact before the next measurement
+        spark.catalog.clearCache()
+        System.gc()
       }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout goes through sbt's logger when forked (the [info] prefix
+    // broke the driver's parse in round 1) — always ALSO write the JSON
+    // to a plain file the driver can read back.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+    println(json)
     spark.stop()
   }
 }

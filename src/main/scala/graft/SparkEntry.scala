@@ -294,11 +294,14 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("query_id", "rank")
     }),
-    // Embedding-cosine near-duplicate pairs (exact, all-pairs)
+    // Embedding-cosine near-duplicate pairs. The DuckDB oracle computes
+    // the complete pair set, so this query opts into the exact all-pairs
+    // path explicitly; production default is bucketed LSH (see
+    // Similarity.cosineNearDupPairs).
     "q_embed_neardup" -> ((s, dir) =>
       graft.ops.Similarity.cosineNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4, dim = 64)
+        threshold = 0.4, dim = 64, allPairs = true)
         .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
         .orderBy("a", "b")),
 
@@ -365,13 +368,13 @@ object SparkEntry {
         |         CAST(ts AS TIMESTAMP)
         |           + to_minutes(CAST(event_id % 5 AS BIGINT) - 2) AS ft
         |  FROM events)
-        |SELECT count(*) AS total_rows,
-        |       sum(CASE WHEN ft IS NOT NULL AND ft >= lt THEN 1 ELSE 0 END) AS f__leaky_rows,
-        |       max(CASE WHEN ft IS NOT NULL AND ft >= lt
-        |                THEN epoch_us(ft) - epoch_us(lt) END) AS f__max_leak_us,
+        |SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        |       CAST(sum(CASE WHEN ft IS NOT NULL AND ft >= lt THEN 1 ELSE 0 END) AS BIGINT) AS f__leaky_rows,
+        |       CAST(max(CASE WHEN ft IS NOT NULL AND ft >= lt
+        |                THEN epoch_us(ft) - epoch_us(lt) END) AS BIGINT) AS f__max_leak_us,
         |       CAST(median(CASE WHEN ft IS NOT NULL AND ft >= lt
         |                THEN epoch_us(ft) - epoch_us(lt) END) AS DOUBLE) AS f__median_leak_us,
-        |       sum(CASE WHEN ft IS NULL THEN 1 ELSE 0 END) AS f__null_rows
+        |       CAST(sum(CASE WHEN ft IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f__null_rows
         |FROM d""".stripMargin,
     "q_diff_stats" ->
       """WITH o AS (
@@ -385,17 +388,17 @@ object SparkEntry {
         |j AS (
         |  SELECT o.o_totalprice AS ov, n.o_totalprice AS nv
         |  FROM o JOIN n USING (o_orderkey, o_orderdate))
-        |SELECT count(*) AS common_rows,
-        |       sum(CASE WHEN ov IS NOT NULL AND nv IS NOT NULL
+        |SELECT CAST(count(*) AS BIGINT) AS common_rows,
+        |       CAST(sum(CASE WHEN ov IS NOT NULL AND nv IS NOT NULL
         |                 AND abs(ov - nv) > 1e-10 + 1e-7 * abs(nv)
-        |                THEN 1 ELSE 0 END) AS o_totalprice__changed,
-        |       sum(CASE WHEN (ov IS NULL) <> (nv IS NULL) THEN 1 ELSE 0 END)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice__changed,
+        |       CAST(sum(CASE WHEN (ov IS NULL) <> (nv IS NULL) THEN 1 ELSE 0 END) AS BIGINT)
         |         AS o_totalprice__null_transitions,
-        |       avg(CASE WHEN ov IS DISTINCT FROM nv AND ov IS NOT NULL
-        |                 AND nv IS NOT NULL THEN nv - ov END)
+        |       CAST(avg(CASE WHEN ov IS DISTINCT FROM nv AND ov IS NOT NULL
+        |                 AND nv IS NOT NULL THEN nv - ov END) AS DOUBLE)
         |         AS o_totalprice__mean_delta,
-        |       max(abs(CASE WHEN ov IS DISTINCT FROM nv AND ov IS NOT NULL
-        |                 AND nv IS NOT NULL THEN nv - ov END))
+        |       CAST(max(abs(CASE WHEN ov IS DISTINCT FROM nv AND ov IS NOT NULL
+        |                 AND nv IS NOT NULL THEN nv - ov END)) AS DOUBLE)
         |         AS o_totalprice__max_abs_delta
         |FROM j""".stripMargin,
     "q1_agg" ->
@@ -407,9 +410,9 @@ object SparkEntry {
 
     "q_window_rolling" ->
       """SELECT event_id, user_id,
-        |  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+        |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
-        |    RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+        |    RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS rolling_cents_1h
         |FROM events ORDER BY event_id""".stripMargin,
     "q_pit_keymap" -> pitOracle("<", 0, 0),

@@ -167,7 +167,8 @@ object Audit {
       labelTime: String,
       options: BuildOptions = BuildOptions(),
       atol: Double = DefaultAtol,
-      rtol: Double = DefaultRtol
+      rtol: Double = DefaultRtol,
+      sampleLimit: Int = 1000
   ): AuditReport = {
     // One rowid assigned ONCE on the loaded dataset; both the spine
     // and the stored-value comparison frame derive from this.
@@ -212,9 +213,14 @@ object Audit {
     val dataCols = data.columns.toSet
     val aggs = scala.collection.mutable.ArrayBuffer.empty[Column]
     val aggMeta = scala.collection.mutable.ArrayBuffer.empty[(String, String)] // feature, kind
+    // predicates collected for the capped offending-row sample
+    // (reference captures <=1000 mismatching rows in rebuild mode too,
+    // engine.py:1800-1815)
+    val offending = scala.collection.mutable.ArrayBuffer.empty[Column]
     detailsB.foreach { case (f, valueCols) =>
       val ft = col(Names.featureTimeCol(f.name))
       val leaky = ft.isNotNull && ft >= lt
+      offending += leaky
       val leakUs = when(leaky, unix_micros(ft) - unix_micros(lt))
       aggs += sum(when(leaky, 1L).otherwise(0L)); aggMeta += ((f.name, "leaky"))
       aggs += max(leakUs); aggMeta += ((f.name, "max"))
@@ -235,6 +241,7 @@ object Audit {
                 lit(atol) + lit(rtol) * abs(rb.cast("double"))
             else stored.cast("string") =!= rb.cast("string")
           val mismatch = (stored.isNull =!= rb.isNull) || (stored.isNotNull && rb.isNotNull && differs)
+          offending += mismatch
           aggs += sum(when(mismatch, 1L).otherwise(0L)); aggMeta += ((f.name, s"mm:$sn"))
         }
       }
@@ -262,7 +269,14 @@ object Audit {
       }
       FeatureAuditDetail(f.name, leaky, total, maxL, medL, nulls, mms.toMap)
     }
+    // capped sample of offending rows (leaks OR value mismatches); reads
+    // the already-materialized `cmp` cache, so it costs one cache scan
+    val sample =
+      if (offending.nonEmpty &&
+          details.exists(d => d.leakyRows > 0 || d.mismatches.values.exists(_ > 0)))
+        Some(cmp.filter(offending.reduce(_ || _)).limit(sampleLimit))
+      else None
     numbered.unpersist()
-    AuditReport(total, details, None)
+    AuditReport(total, details, sample)
   }
 }

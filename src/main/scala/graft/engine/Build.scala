@@ -156,13 +156,18 @@ object Build {
     // only property consumed (SURVEY §7.3) so the non-contiguous but
     // shuffle-free monotonically_increasing_id beats a global
     // ROW_NUMBER() OVER () (a single-partition sort at scale).
+    // Cache the FULL spine (not a derived projection): both the feature
+    // joins and the final assembly read the same InMemoryRelation, so the
+    // id assignment is physically materialized once even when the label
+    // input has no deterministic order (mirrors Audit.rebuild, which
+    // caches the numbered frame before comparing).
     val spine = rawLabels
       .select(labels.keys.map(col) ++ Seq(col(labels.labelTime)) ++
         labels.target.map(col): _*)
       .withColumn(RowId, monotonically_increasing_id())
+      .cache()
     val spineNarrow = spine
       .select((RowId +: labels.keys :+ labels.labelTime).map(col): _*)
-      .cache() // reused once per feature join
 
     // ---- per-feature compute + PIT join ----------------------------
     val sourceCache = scala.collection.mutable.Map.empty[String, DataFrame]
@@ -382,7 +387,7 @@ object Build {
           s""""features":$featJson,"built_at_ms":${System.currentTimeMillis()}}""")
     }
 
-    spineNarrow.unpersist()
+    spine.unpersist()
     BuildResult(result, total, result.columns.toSeq, stats, passed, warnings,
       (System.nanoTime() - startedAt) / 1000000L)
   }

@@ -211,10 +211,13 @@ object Dedup {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .union(pairs.select(col("b").as("x"), col("a").as("y")))
       .cache()
-    var labels = edges.select(col("x").as("id"))
+    // `materialized` tracks the physically-stored frame of each round so
+    // the previous round can be released; `labels` is its (id, comp) view.
+    var materialized = edges.select(col("x").as("id"))
       .distinct()
       .withColumn("comp", col("id"))
       .cache()
+    var labels = materialized
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -223,14 +226,21 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "y").withColumnRenamed("comp", "ncomp"), "y")
         .groupBy(col("x").as("id"))
         .agg(min(col("ncomp")).as("mincomp"))
+      // keep the old label alongside the new one: the convergence check
+      // below is a scan of this cached frame, not a second join job
       val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      // every 3rd round cut the lineage: at billion-edge scale the
+      // accumulated iterative plan otherwise grows unboundedly and
+      // re-optimizes ever-larger trees (cache alone keeps full lineage)
+      val nextMat =
+        if ((iter + 1) % 3 == 0) next.localCheckpoint(false)
+        else next.cache()
+      changed = nextMat.filter(col("comp") =!= col("__old")).count()
+      materialized.unpersist()
+      materialized = nextMat
+      labels = nextMat.select("id", "comp")
       iter += 1
     }
     edges.unpersist()

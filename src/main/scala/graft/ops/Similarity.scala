@@ -100,15 +100,18 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF-style approximate top-k. Centroids = every (n/nlist)-th
-    * corpus vector (deterministic sample standing in for k-means —
-    * the assignment/probe machinery is the scale-relevant part).
+  /** IVF-style approximate top-k. Centroids = `nlist` corpus vectors
+    * picked by hash order (a deterministic pseudo-random spread over
+    * the id space, standing in for k-means — the assignment/probe
+    * machinery is the scale-relevant part; first-N-by-id would cover
+    * one corner of the space when ids are clustered). TakeOrdered
+    * keeps the pick distributed — no global sort materializes.
     * Corpus partitioned into `nlist` inverted lists by nearest
     * centroid; queries probe the `nprobe` nearest lists only. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       qidCol: String, idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = corpus.orderBy(col(idCol)).limit(nlist)
+    val centroids = corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(nlist)
       .select(col(idCol).as("list_id"), col(vecCol).as("__centroid"))
     val cb = broadcast(centroids)
 
@@ -166,26 +169,47 @@ object Similarity {
     transform(dv, x => x / n)
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
-    * cosine >= threshold. Exact variant = bucketless cross join within
-    * LSH buckets (planes=0 disables bucketing → full O(n²), only for
-    * modest n). Casts and norms are hoisted per ROW; the per-PAIR cost
-    * is one native vec_dot + a divide, arithmetically identical to
-    * `cosine()` (same left-to-right double accumulation). */
+  /** Embedding-cosine near-duplicate pairs: (a < b) pairs with
+    * cosine >= threshold.
+    *
+    * DEFAULT is the bucketed scale path: `tables` independent
+    * hyperplane-LSH tables (different seeds), candidates = same bucket
+    * in ANY table, exact cosine re-scored on candidates only. Multiple
+    * tables recover the recall a single signature loses; per-pair work
+    * stays one native vec_dot. The exact all-pairs O(n²) variant —
+    * a scale-killer on a real corpus — now requires an explicit
+    * `allPairs = true` (used by the oracle query, which needs the
+    * complete pair set for the DuckDB comparison).
+    * Casts and norms are hoisted per ROW; the per-PAIR cost is one
+    * native vec_dot + a divide, arithmetically identical to `cosine()`
+    * (same left-to-right double accumulation). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int, planes: Int = 0, seed: Long = 42L): DataFrame = {
+      threshold: Double, dim: Int, planes: Int = 8, tables: Int = 4,
+      seed: Long = 42L, allPairs: Boolean = false): DataFrame = {
     val base = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", sqrt(VecOps.vecDot(col("__v"), col("__v"))))
     val withBucket =
-      if (planes <= 0) base.withColumn("__bucket", lit(""))
-      else base.withColumn("__bucket", hyperplaneSignature(col("__v"), dim, planes, seed))
+      if (allPairs) base.withColumn("__bucket", lit(""))
+      else {
+        require(planes > 0 && tables > 0,
+          "planes and tables must be > 0 (or pass allPairs = true for the exact O(n^2) path)")
+        // one bucket id per table: "t<i>:<signature_i>"; explode so a
+        // pair collides if it shares a bucket in ANY table
+        val buckets = array((0 until tables).map(i =>
+          concat_ws(":", lit(s"t$i"),
+            hyperplaneSignature(col("__v"), dim, planes, seed + i))): _*)
+        base.withColumn("__bucket", explode(buckets))
+      }
     val a = withBucket.select(col("__bucket"), col("__id").as("a"),
       col("__v").as("__va"), col("__n").as("__na"))
     val b = withBucket.select(col("__bucket"), col("__id").as("b"),
       col("__v").as("__vb"), col("__n").as("__nb"))
-    a.join(b, Seq("__bucket")).filter(col("a") < col("b"))
+    val scored = a.join(b, Seq("__bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         (VecOps.vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("sim"))
       .filter(col("sim") >= threshold)
+    // a pair can collide in several tables; sim is deterministic so a
+    // plain distinct dedupes without a re-join
+    if (allPairs) scored else scored.distinct()
   }
 }

@@ -37,23 +37,34 @@ final class Store(val root: String = ".graft") {
 
   /** Content hash of a file or parquet directory, memoized on
     * (path, size, mtime_ns). Directory hash = hash of sorted
-    * (relative-name, per-file hash) pairs.
+    * (relative-path, per-file hash) pairs, walked RECURSIVELY so
+    * partitioned datasets (key=…/part-*.parquet) hash correctly.
     */
   def contentHash(pathStr: String): String = {
     val p = Paths.get(pathStr)
     if (Files.isDirectory(p)) {
-      val parts = Files.list(p).iterator().asScala.toSeq
-        .filter(f => !f.getFileName.toString.startsWith("_") &&
-          !f.getFileName.toString.startsWith("."))
-        .sortBy(_.getFileName.toString)
-        .map(f => s"${f.getFileName}:${fileHash(f)}")
+      val stream = Files.walk(p)
+      val parts =
+        try {
+          stream.iterator().asScala
+            .filter(f => Files.isRegularFile(f))
+            .map(f => (p.relativize(f).toString, f))
+            .filter { case (rel, _) =>
+              !rel.split('/').exists(seg =>
+                seg.startsWith("_") || seg.startsWith("."))
+            }
+            .toSeq.sortBy(_._1)
+            .map { case (rel, f) => s"$rel:${fileHash(f)}" }
+        } finally stream.close()
       hashString(parts.mkString("\n"))
     } else fileHash(p)
   }
 
   private def fileHash(p: Path): String = {
     val size = Files.size(p)
-    val mtime = Files.getLastModifiedTime(p).toMillis
+    // nanosecond mtime (reference memoizes on mtime_ns): a same-size
+    // sub-millisecond rewrite must not serve a stale hash
+    val mtime = Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS)
     memo.getOrElseUpdate((p.toString, size, mtime), {
       val md = MessageDigest.getInstance("SHA-256")
       val in = Files.newInputStream(p)

@@ -87,6 +87,13 @@ class AuditDiffSpec extends SparkFunSuite {
     val badR = Audit.rebuild(spark, tampered, Seq(feature), Seq("user_id"), "label_time")
     assert(!badR.passed)
     assert(badR.details.head.mismatches("score__score") == 1)
+    // rebuild mode captures the offending rows (reference engine.py:1800-1815)
+    val sample = badR.leakySample.get.collect()
+    assert(sample.length == 1)
+    assert(sample.head.getAs[Long]("user_id") == 5L)
+    assert(sample.head.getAs[Double]("score__score") == 999.0)
+    // clean audit produces no sample
+    assert(cleanR.leakySample.isEmpty)
   }
 
   test("diff: identical frames") {
@@ -147,5 +154,21 @@ class AuditDiffSpec extends SparkFunSuite {
     s.saveManifest("b1", """{"x":1}""")
     assert(s.loadManifest("b1").contains("""{"x":1}"""))
     assert(s.listManifests() == Seq("b1"))
+  }
+
+  test("store: contentHash recurses into partitioned directories") {
+    val s = new graft.store.Store(
+      java.nio.file.Files.createTempDirectory("graft_store2").toString).init()
+    val dir = java.nio.file.Files.createTempDirectory("graft_part")
+    val sub = java.nio.file.Files.createDirectories(dir.resolve("key=1"))
+    java.nio.file.Files.write(sub.resolve("part-0.parquet"), "aaa".getBytes)
+    java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    val h1 = s.contentHash(dir.toString) // must not throw on the subdir
+    assert(h1.length == 16)
+    // content change inside the partition changes the hash
+    java.nio.file.Files.write(sub.resolve("part-0.parquet"), "bbb".getBytes)
+    java.nio.file.Files.setLastModifiedTime(sub.resolve("part-0.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    assert(s.contentHash(dir.toString) != h1)
   }
 }

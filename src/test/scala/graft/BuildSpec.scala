@@ -90,6 +90,22 @@ class BuildSpec extends SparkFunSuite {
     assert(matched2 < matched1)
   }
 
+  test("rowid stability: order-unstable labels frame still aligns features") {
+    // Labels downstream of a shuffle have no deterministic row order, so
+    // a rowid recomputed per-consumer could renumber between the join
+    // side and the assembly side. The cached spine materializes the
+    // assignment once; every feature value must still land on its own row.
+    val unstable = labelsDf.repartition(7)
+    val r = Build(spark,
+      Labels.frame(unstable, Seq("user_id"), "label_time", Seq("churned")),
+      Seq(userCountry, rollingSpend))
+    val stable = Build(spark, labels, Seq(userCountry, rollingSpend))
+    assert(r.rows == stable.rows)
+    val a = r.df.orderBy("user_id").collect().toSeq
+    val b = stable.df.orderBy("user_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("inclusive vs strict differ exactly at boundary") {
     val lbl = Labels.frame(
       Seq((1L, ts("2023-01-10 00:00:00"), true)).toDF("user_id", "label_time", "churned"),

@@ -195,4 +195,21 @@ class OpsSpec extends SparkFunSuite {
       assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
     }
   }
+
+  test("near-dup bucketed default: subset of exact, usable recall") {
+    val exact = Similarity.cosineNearDupPairs(embeddings, "vec_id", "embedding",
+      threshold = 0.4, dim = 64, allPairs = true)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val bucketed = Similarity.cosineNearDupPairs(embeddings, "vec_id", "embedding",
+      threshold = 0.4, dim = 64, planes = 4, tables = 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // candidates only shrink the pair set, never add to it
+    assert(bucketed.subsetOf(exact))
+    // these embeddings are near-random (0.4 is a weak association), the
+    // worst case for LSH; real near-dups (cos >= 0.9) bucket together
+    // with probability ~0.94 at these parameters
+    val recall = exact.count(bucketed.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
 }
