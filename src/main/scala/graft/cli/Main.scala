@@ -132,7 +132,9 @@ object Main {
           val keys = strList(f, "keys")
           val tsCol = str(f, "timestamp").getOrElse("updated_at")
           val source =
-            if (srcPath.endsWith(".csv")) Source.csv(name + "_src", srcPath, keys, tsCol)
+            if (srcPath.endsWith(".csv"))
+              Source.csv(name + "_src", srcPath, keys, tsCol,
+                delimiter = str(f, "delimiter").getOrElse(","))
             else Source.parquet(name + "_src", srcPath, keys, tsCol)
           val mode: FeatureMode = (str(f, "sql"), strList(f, "columns")) match {
             case (Some(sqlText), _) => SqlMode(sqlText)
@@ -169,11 +171,20 @@ object Main {
       }
       case _ => Nil
     }
+    // `store:` config key wires the build/feature cache exactly like the
+    // reference CLI (cli.py:169-174 defaults to its ".timefence" dir);
+    // `store: none` opts out.
+    val store = root.get("store").map(_.toString).getOrElse(".graft") match {
+      case "none" | "false" | "off" => None
+      case path                     => Some(new graft.store.Store(path))
+    }
     val options = BuildOptions(
       join = str(d, "join").getOrElse("strict"),
       onMissing = str(d, "on_missing").getOrElse("null"),
       maxLookback = Durations.parse(str(d, "max_lookback").getOrElse("365d")),
-      splits = splits)
+      flattenColumns = str(d, "flatten_columns").exists(_.toBoolean),
+      splits = splits,
+      store = store)
 
     Config(labels, feats, options, str(sub("output"), "dir"))
   }
@@ -281,34 +292,110 @@ object Main {
     val (f, _) = flags(args)
     val store = new graft.store.Store(f.getOrElse("store", ".graft"))
     val builds = store.listManifests()
-    if (builds.isEmpty) println("no builds")
-    else builds.foreach(println)
+    if (builds.isEmpty) { println("no builds"); return 0 }
+    builds.foreach { b =>
+      val m = store.loadManifest(b).getOrElse("")
+      def field(k: String): String =
+        (s""""$k":"([^"]*)"""".r.findFirstMatchIn(m).map(_.group(1)) orElse
+          s""""$k":(-?[\\d.]+|true|false)""".r.findFirstMatchIn(m).map(_.group(1)))
+          .getOrElse("?")
+      println(s"$b  created=${field("created_at")}  rows=${field("rows")}  " +
+        s"columns=${field("column_count")}  audit_passed=${field("audit_passed")}  " +
+        s"output=${field("output_path")}")
+    }
     0
   }
 
+  /** Project health check; the check list mirrors the reference doctor
+    * (`cli.py:922-1090`): config, labels schema vs keys, source
+    * existence, duplicate (key, timestamp) rows per source (WARN), and
+    * cross-feature namespaced column conflicts (WARN). FAIL → exit 1;
+    * WARNs alone keep exit 0, like the reference. */
   private def cmdDoctor(args: Array[String]): Int = {
     val (f, _) = flags(args)
     val path = f.getOrElse("config", "graft.yaml")
-    var ok = true
-    def check(name: String)(body: => Boolean): Unit = {
-      val good = try body catch { case _: Throwable => false }
-      println(s"${if (good) "ok " else "FAIL"} $name")
-      if (!good) ok = false
+    var fails = 0
+    def check(status: String, message: String, detail: String = ""): Unit = {
+      println(f"$status%-5s $message")
+      if (detail.nonEmpty) println(s"      $detail")
+      if (status == "FAIL") fails += 1
     }
-    check("config file exists")(Files.exists(Paths.get(path)))
-    if (Files.exists(Paths.get(path))) {
-      lazy val cfg = loadConfig(path)
-      check("config parses")(cfg != null)
-      check("labels path exists")(Files.exists(Paths.get(cfg.labels.path.get)))
-      check("feature sources exist")(cfg.features.forall(ft =>
+    def attempt(name: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable => check("FAIL", s"$name: ${e.getMessage}")
+      }
+
+    if (!Files.exists(Paths.get(path))) {
+      check("FAIL", s"config $path not found")
+      return 1
+    }
+    check("OK", s"$path found")
+    val cfg =
+      try loadConfig(path)
+      catch {
+        case e: Throwable =>
+          check("FAIL", s"config does not parse: ${e.getMessage}"); return 1
+      }
+    check("OK", "config parses")
+    check(
+      if (cfg.features.map(_.name).distinct.size == cfg.features.size) "OK" else "FAIL",
+      "feature names unique")
+
+    val labelsExist = cfg.labels.path.exists(p => Files.exists(Paths.get(p)))
+    check(if (labelsExist) "OK" else "FAIL", "labels path exists")
+    cfg.features.foreach { ft =>
+      ft.source match {
+        case s: Source =>
+          s.path.foreach(p =>
+            if (!Files.exists(Paths.get(p)))
+              check("FAIL", s"source file not found: $p"))
+        case _ => ()
+      }
+    }
+
+    // namespaced column conflicts across features (driver-side only)
+    val conflicts = cfg.features.flatMap(ft => ft.mode match {
+      case ColumnsMode(cols) => cols.keys.map(c => graft.util.Names.namespaced(ft.name, c))
+      case _                 => Nil
+    }).groupBy(identity).collect { case (c, cs) if cs.size > 1 => c }
+    check(if (conflicts.isEmpty) "OK" else "WARN",
+      if (conflicts.isEmpty) "no column name conflicts between features"
+      else s"column name conflicts: ${conflicts.mkString(", ")}")
+
+    if (labelsExist) {
+      val spark = session()
+      attempt("label schema check") {
+        val cols = spark.read.parquet(cfg.labels.path.get).columns.toSet
+        val missing = (cfg.labels.keys :+ cfg.labels.labelTime).filterNot(cols)
+        if (missing.nonEmpty)
+          check("FAIL", s"label file missing columns: ${missing.mkString(", ")}")
+        else check("OK", "label file schema matches keys and label_time")
+      }
+      // duplicate (key, timestamp) rows per distinct path-backed source
+      val seen = scala.collection.mutable.Set.empty[String]
+      cfg.features.foreach { ft =>
         ft.source match {
-          case s: Source => s.path.forall(p => Files.exists(Paths.get(p)))
-          case _         => true
-        }))
-      check("feature names unique")(
-        cfg.features.map(_.name).distinct.size == cfg.features.size)
+          case s: Source if s.path.exists(p =>
+              Files.exists(Paths.get(p)) && seen.add(p)) =>
+            attempt(s"duplicate check '${s.name}'") {
+              val df = s.resolve(spark)
+              val have = df.columns.toSet
+              if ((s.keys :+ s.timestamp).forall(have)) {
+                val dups = df.groupBy((s.keys :+ s.timestamp).map(col): _*)
+                  .count().filter(col("count") > 1).count()
+                if (dups > 0)
+                  check("WARN",
+                    s"source '${s.name}' has $dups duplicate (${s.keys.mkString(",")}, ${s.timestamp}) groups",
+                    "Deduplicate upstream or set on_duplicate: keep_any.")
+                else check("OK", s"source '${s.name}' has no duplicate (key, timestamp) rows")
+              } else check("WARN",
+                s"source '${s.name}' missing declared key/timestamp columns; skipping duplicate check")
+            }
+          case _ => ()
+        }
+      }
     }
-    if (ok) 0 else 1
+    if (fails == 0) 0 else 1
   }
 
   /** Demo flow mirroring the reference's quickstart
@@ -394,6 +481,7 @@ object Main {
         |  on_missing: null
         |output:
         |  dir: ./out
+        |store: .graft
         |""".stripMargin)
     println(s"wrote $cfgPath")
     0

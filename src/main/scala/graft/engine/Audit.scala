@@ -78,6 +78,39 @@ object Audit {
       s"""{"total_rows":$totalRows,"passed":$passed,"features":[${details.map(detail).mkString(",")}]}"""
     }
     private def q(s: String): String = "\"" + s.replace("\"", "\\\"") + "\""
+
+    /** Write the JSON report to a file (reference `to_json(path)`,
+      * engine.py:190-215). */
+    def toJson(path: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toJson)
+
+    /** Self-contained HTML report (reference `to_html`,
+      * engine.py:217-238). */
+    def toHtml: String = {
+      val rows = details.map { d =>
+        val status = if (d.leakyRows == 0 && d.mismatches.values.forall(_ == 0L)) "CLEAN" else "LEAK"
+        val color = if (status == "CLEAN") "#2ecc71" else "#e74c3c"
+        s"<tr><td style='color:$color;font-weight:bold'>$status</td>" +
+          s"<td>${escape(d.feature)}</td><td>${d.leakyRows}</td>" +
+          f"<td>${d.leakPct * 100}%.1f%%</td><td>${d.severity}</td></tr>"
+      }.mkString
+      s"""<!DOCTYPE html>
+         |<html><head><title>Graft Audit Report</title>
+         |<style>body{font-family:monospace;max-width:800px;margin:40px auto;}
+         |table{border-collapse:collapse;width:100%;}
+         |th,td{border:1px solid #ddd;padding:8px;text-align:left;}
+         |th{background:#f5f5f5;}</style></head>
+         |<body><h1>Graft Temporal Audit Report</h1>
+         |<p>Scanned $totalRows rows</p>
+         |<table><tr><th>Status</th><th>Feature</th><th>Leaky Rows</th><th>%</th><th>Severity</th></tr>
+         |$rows</table></body></html>""".stripMargin
+    }
+
+    def toHtml(path: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toHtml)
+
+    private def escape(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
   }
 
   /** Single-row stats frame for the temporal check — the lazily-planned

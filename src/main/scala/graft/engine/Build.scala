@@ -71,6 +71,47 @@ final case class BuildResult(
     }
     this
   }
+
+  /** Human summary, the reference `BuildResult.__str__`
+    * (engine.py:82-100). */
+  def render: String = {
+    val sb = new StringBuilder(s"BuildResult: $rows rows, ${columns.size} columns\n")
+    if (durationMs >= 0) sb.append(f"  Time: ${durationMs / 1000.0}%.1fs\n")
+    features.foreach { f =>
+      val total = f.matched + f.missing
+      if (f.missing > 0)
+        sb.append(s"  ${f.name}: ${f.matched}/$total matched (${f.missing} missing -> null)\n")
+      else sb.append(s"  ${f.name}: ${f.matched}/$total matched\n")
+    }
+    sb.toString
+  }
+
+  /** The join logic actually planned — the Spark analog of the
+    * reference's `explain()` returning its generated SQL
+    * (engine.py:105-107): Catalyst's formatted physical plan. */
+  def explain(): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  /** Notebook-style HTML summary (reference `_repr_html_`,
+    * engine.py:109-140). */
+  def toHtml: String = {
+    val rowsHtml = features.map { f =>
+      val total = f.matched + f.missing
+      val status = if (f.missing == 0) "OK" else "OK (nulls)"
+      s"<tr><td style='color:#2ecc71;font-weight:bold'>$status</td>" +
+        s"<td>${f.name}</td><td>${f.matched}/$total</td><td>${f.missing}</td></tr>"
+    }.mkString
+    val auditStatus = if (auditPassed) "PASSED" else "FAILED"
+    val auditColor = if (auditPassed) "#2ecc71" else "#e74c3c"
+    s"<div style='font-family:monospace;max-width:700px'>" +
+      s"<h3>Graft Build Result</h3>" +
+      s"<p>$rows rows, ${columns.size} columns in ${durationMs / 1000.0}s</p>" +
+      s"<p>Audit: <span style='color:$auditColor;font-weight:bold'>$auditStatus</span></p>" +
+      s"<table style='border-collapse:collapse;width:100%'>" +
+      s"<tr style='background:#f5f5f5'><th>Status</th><th>Feature</th><th>Matched</th><th>Missing</th></tr>" +
+      s"$rowsHtml</table></div>"
+  }
 }
 
 /** The point-in-time training-set builder.
@@ -115,7 +156,12 @@ object Build {
       store.buildKey(store.contentHash(lp), featKeys,
         s"${options.join}|${options.onMissing}|${options.maxLookback.getSeconds}|" +
           s"${options.flattenColumns}|${labels.keys.mkString(",")}|${labels.labelTime}|" +
-          s"${labels.target.mkString(",")}")
+          s"${labels.target.mkString(",")}|" +
+          // splits + sortResult change what lands on disk: a build that
+          // adds splits must NOT hit the cache of one that didn't (the
+          // split files were never written)
+          s"${options.splits.map(s => s"${s.name}:${s.start}:${s.end}").mkString(";")}|" +
+          s"${options.sortResult}")
     }
   }
 
@@ -137,6 +183,18 @@ object Build {
       manifest <- st.loadManifest(s"build_$key")
       out <- options.output
       if java.nio.file.Files.exists(java.nio.file.Paths.get(out))
+      // the manifest must describe THIS output: same path, and the
+      // parquet currently on disk must hash to what the build wrote —
+      // otherwise (path reused by a different build, file overwritten)
+      // the probe would return a foreign dataset stamped with this
+      // manifest's audit_passed. On any mismatch, fall through to a
+      // fresh build.
+      manifestOut <- """"output_path":"([^"]+)"""".r
+        .findFirstMatchIn(manifest).map(_.group(1))
+      if manifestOut == out
+      manifestHash <- """"output_content_hash":"([a-f0-9]+)"""".r
+        .findFirstMatchIn(manifest).map(_.group(1))
+      if manifestHash == st.contentHash(out)
     } {
       val df = spark.read.parquet(out)
       def extract(field: String): Option[Long] =
@@ -186,11 +244,15 @@ object Build {
         }
       }
 
+    val featureCacheHit = scala.collection.mutable.Map.empty[String, Boolean]
+
     def computeOrLoadFeature(f: Feature): ComputedFeature =
       featureCacheKeyOf(f) match {
         case Some((st, key)) =>
           st.loadFeatureCache(spark, key) match {
-            case Some(df) => ComputedFeature(df, "feature_time")
+            case Some(df) =>
+              featureCacheHit(f.name) = true
+              ComputedFeature(df, "feature_time")
             case None =>
               val computed = computeFeature(spark, f, labels, sourceCache)
               st.saveFeatureCache(computed.df, key)
@@ -374,17 +436,86 @@ object Build {
     val passed = stats.forall(_.violations == 0)
     warnings.foreach(w => log.warn(w))
 
-    // ---- manifest (engine.py:1422-1489) ----------------------------
+    // ---- manifest (full parity with engine.py:1422-1489) -----------
     for { st <- options.store; key <- cacheKey } {
-      val featJson = stats.map(s =>
-        s"""{"name":"${s.name}","matched":${s.matched},"missing":${s.missing},"violations":${s.violations}}""")
-        .mkString("[", ",", "]")
-      st.saveManifest(s"build_$key",
-        s"""{"build_key":"$key","rows":$total,"audit_passed":$passed,""" +
-          s""""columns":${result.columns.map(c => "\"" + c + "\"").mkString("[", ",", "]")},""" +
-          s""""join":"${options.join}","on_missing":"${options.onMissing}",""" +
-          s""""max_lookback_s":${options.maxLookback.getSeconds},""" +
-          s""""features":$featJson,"built_at_ms":${System.currentTimeMillis()}}""")
+      import graft.util.Jsons
+      import graft.util.Jsons.Raw
+      val nowMs = System.currentTimeMillis()
+      val createdAt = java.time.Instant.ofEpochMilli(nowMs).toString
+      val buildId = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(nowMs))
+      def pathSize(dir: String): Long = {
+        val p = java.nio.file.Paths.get(dir)
+        if (!java.nio.file.Files.exists(p)) -1L
+        else {
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.walk(p)
+          try s.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size(_)).sum
+          finally s.close()
+        }
+      }
+      val statsByName = stats.map(s => s.name -> s).toMap
+      val featuresJson = Raw(features.map { f =>
+        val srcHash = f.source match {
+          case s: Source => s.path.map(st.contentHash)
+          case _         => None
+        }
+        val fs = statsByName(f.name)
+        Jsons.str(f.name) + ":" + Jsons.obj(
+          "definition_hash" -> st.hashString(featureDefinition(f)),
+          "source_content_hash" -> srcHash,
+          "embargo_s" -> f.embargo.getSeconds,
+          "matched_rows" -> fs.matched,
+          "missing_rows" -> fs.missing,
+          "violations" -> fs.violations,
+          "output_columns" -> valueColsOf(f.name).map(Names.namespaced(f.name, _)),
+          "cached" -> featureCacheHit.getOrElse(f.name, false))
+      }.mkString("{", ",", "}"))
+      val invariantOp = if (options.join == "strict") "<" else "<="
+      st.saveManifest(s"build_$key", Jsons.obj(
+        "graft_version" -> graft.Graft.Version,
+        "build_id" -> buildId,
+        "created_at" -> createdAt,
+        "duration_seconds" -> (System.nanoTime() - startedAt) / 1e9,
+        "build_key" -> key,
+        "rows" -> total,
+        "audit_passed" -> passed,
+        "labels" -> Raw(Jsons.obj(
+          "path" -> labels.path,
+          "content_hash" -> labels.path.map(st.contentHash),
+          "row_count" -> total,
+          "time_range" -> labelRange.map { case (lo, hi) =>
+            Seq(lo.toString, hi.toString) },
+          "keys" -> labels.keys,
+          "label_time_column" -> labels.labelTime,
+          "target_columns" -> labels.target)),
+        "features" -> featuresJson,
+        "parameters" -> Raw(Jsons.obj(
+          "max_lookback" -> Durations.format(options.maxLookback),
+          "join" -> options.join,
+          "on_missing" -> options.onMissing,
+          "flatten_columns" -> options.flattenColumns,
+          "sort_result" -> options.sortResult,
+          "splits" -> options.splits.map(s => Raw(Jsons.obj(
+            "name" -> s.name, "start" -> s.start, "end" -> s.end))))),
+        "output" -> Raw(Jsons.obj(
+          "output_path" -> options.output,
+          "output_content_hash" -> options.output.map(st.contentHash),
+          "row_count" -> total,
+          "column_count" -> result.columns.size,
+          "file_size_bytes" -> options.output.map(pathSize))),
+        "audit" -> Raw(Jsons.obj(
+          "passed" -> passed,
+          "invariant" -> s"feature_time $invariantOp label_time - embargo",
+          "rows_checked" -> total)),
+        "columns" -> result.columns.toSeq,
+        "environment" -> Raw(Jsons.obj(
+          "spark_version" -> spark.version,
+          "scala_version" -> scala.util.Properties.versionNumberString,
+          "os" -> s"${sys.props.getOrElse("os.name", "?")} ${sys.props.getOrElse("os.arch", "")}"))))
     }
 
     spine.unpersist()

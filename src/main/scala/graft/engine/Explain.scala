@@ -20,7 +20,11 @@ object Explain {
       strategy: String,
       window: String,
       embargo: String,
-      staleness: Option[String]
+      staleness: Option[String],
+      joinCondition: String,
+      /** Per-label lookup SQL the join is equivalent to
+        * (engine.py:1929-1947 renders the same preview). */
+      exampleSql: String
   )
 
   final case class ExplainResult(
@@ -33,9 +37,11 @@ object Explain {
       sb.append(s"Labels: $labelRows rows (${labelColumns.mkString(", ")})\n")
       plans.foreach { p =>
         sb.append(s"Feature ${p.feature} <- ${p.source} [${p.mode}] strategy=${p.strategy}\n")
+        sb.append(s"  join: ${p.joinCondition}\n")
         sb.append(s"  window: ${p.window}  embargo: ${p.embargo}")
         p.staleness.foreach(s => sb.append(s"  staleness: $s"))
         sb.append('\n')
+        sb.append(p.exampleSql.linesIterator.map("    " + _).mkString("", "\n", "\n"))
       }
       sb.toString
     }
@@ -62,14 +68,44 @@ object Explain {
           s"union_asof_segmented(${Durations.format(b)})"
         case _ => "union_asof"
       }
+      val cmpOp = if (options.join == "inclusive") "<=" else "<"
+      val embargoStr = Durations.format(f.embargo)
+      val lookbackStr = Durations.format(options.maxLookback)
+      val joinCond =
+        if (f.embargo.isZero) s"feature_time $cmpOp label_time"
+        else s"feature_time $cmpOp label_time - INTERVAL '$embargoStr'"
+      val sourceRef = f.source match {
+        case s: Source => s.path.getOrElse(s.name)
+        case s         => s.name
+      }
+      val exampleSql = f.mode match {
+        case ColumnsMode(cols) =>
+          val ts = f.source.timestamp
+          val keyCol = f.keyMapping.getOrElse(labels.keys.head, labels.keys.head)
+          val embargoClause =
+            if (f.embargo.isZero) "" else s" - INTERVAL '$embargoStr'"
+          s"""SELECT $keyCol, $ts AS feature_time, ${cols.values.toSeq.sorted.mkString(", ")}
+             |FROM '$sourceRef'
+             |WHERE $keyCol = {K}
+             |  AND $ts $cmpOp {T}$embargoClause
+             |  AND $ts >= {T} - INTERVAL '$lookbackStr'
+             |ORDER BY $ts DESC
+             |LIMIT 1""".stripMargin
+        case SqlMode(sql) =>
+          s"WITH feature AS (\n  ${sql.trim}\n)\nSELECT * FROM feature\n..."
+        case TransformMode(_, v) =>
+          s"-- DataFrame transform (cache version $v)"
+      }
       FeaturePlan(
         f.name,
         f.source.name,
         modeStr,
         strat,
-        s"[label_time - ${Durations.format(options.maxLookback)}, label_time - ${Durations.format(f.embargo)}$op",
-        Durations.format(f.embargo),
-        f.maxStaleness.map(Durations.format)
+        s"[label_time - $lookbackStr, label_time - $embargoStr$op",
+        embargoStr,
+        f.maxStaleness.map(Durations.format),
+        joinCond,
+        exampleSql
       )
     }
     ExplainResult(labelRows, lblDf.columns.toSeq, plans)

@@ -63,6 +63,19 @@ class AuditDiffSpec extends SparkFunSuite {
     assert(j.contains("\"passed\":false"))
   }
 
+  test("audit report file + html output (reference to_json/to_html)") {
+    val r = Audit.temporal(leaky, "label_time", Map("f" -> "f__feature_time"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_report")
+    r.toJson(s"$dir/audit.json")
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/audit.json"))
+      .contains("\"leaky_rows\":2"))
+    r.toHtml(s"$dir/audit.html")
+    val html = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/audit.html"))
+    assert(html.contains("LEAK") && html.contains("Scanned 3 rows"))
+    val cleanHtml = Audit.temporal(clean, "label_time", Map("f" -> "f__feature_time")).toHtml
+    assert(cleanHtml.contains("CLEAN") && !cleanHtml.contains(">LEAK<"))
+  }
+
   test("rebuild audit: clean build audits clean; tampered column flagged") {
     val users = spark.range(1, 20).select(
       col("id").as("user_id"),
@@ -136,6 +149,26 @@ class AuditDiffSpec extends SparkFunSuite {
     assert(r.labelRows == 1)
     assert(r.plans.head.window.contains("2d"))
     assert(r.render.contains("union_asof")) // Auto strategy default
+    // per-feature example SQL (engine.py:1929-1947)
+    assert(r.plans.head.joinCondition == "feature_time < label_time - INTERVAL '2d'")
+    val sql = r.plans.head.exampleSql
+    assert(sql.contains("ORDER BY t DESC") && sql.contains("LIMIT 1"))
+    assert(sql.contains("- INTERVAL '2d'"))
+    assert(r.render.contains("LIMIT 1"))
+  }
+
+  test("build result render/explain/html") {
+    val labelsDf = Seq((1L, ts("2024-01-01 00:00:00"), true))
+      .toDF("user_id", "label_time", "y")
+    val f = Feature("f",
+      Source.frame("s", Seq((1L, ts("2023-01-01 00:00:00"), 1.0)).toDF("user_id", "t", "v"),
+        Seq("user_id"), "t"),
+      ColumnsMode(Map("v" -> "v")))
+    val r = Build(spark, Labels.frame(labelsDf, Seq("user_id"), "label_time", Seq("y")), Seq(f))
+    assert(r.render.contains("BuildResult: 1 rows"))
+    assert(r.render.contains("f: 1/1 matched"))
+    assert(r.explain().contains("Physical Plan"))
+    assert(r.toHtml.contains("PASSED"))
   }
 
   test("store: hashing determinism and mtime memo") {

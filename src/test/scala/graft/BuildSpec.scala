@@ -329,6 +329,48 @@ class BuildSpec extends SparkFunSuite {
     assert(r3.features.head.matched >= 0) // freshly computed
   }
 
+  test("store: probe validates output on disk; splits/sort participate in the key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cache2")
+    labelsDf.write.parquet(s"$dir/labels.parquet")
+    users.write.parquet(s"$dir/users.parquet")
+    val store = new graft.store.Store(s"$dir/.graft").init()
+    val lbl = Labels.parquet(s"$dir/labels.parquet", Seq("user_id"), "label_time", Seq("churned"))
+    val feat = Feature("user_country",
+      Source.parquet("users", s"$dir/users.parquet", Seq("user_id"), "updated_at"),
+      ColumnsMode(Map("country" -> "country")))
+    val out = s"$dir/out.parquet"
+    val opts = BuildOptions(output = Some(out), store = Some(store))
+
+    val r1 = Build(spark, lbl, Seq(feat), opts)
+    assert(r1.rows == 50)
+    // manifest carries the reference-parity fields (engine.py:1422-1489)
+    val manifest = store.listManifests().filter(_.startsWith("build_"))
+      .flatMap(store.loadManifest).head
+    Seq("graft_version", "build_id", "created_at", "duration_seconds",
+      "content_hash", "time_range", "output_path", "output_content_hash",
+      "file_size_bytes", "invariant", "spark_version", "definition_hash")
+      .foreach(k => assert(manifest.contains(k), s"manifest missing $k"))
+
+    // cache hit while the output is untouched
+    assert(Build(spark, lbl, Seq(feat), opts).features.head.matched == -1)
+
+    // a FOREIGN dataset overwriting the output must not be served from
+    // the manifest: the content hash no longer matches -> fresh build
+    users.write.mode("overwrite").parquet(out)
+    val r2 = Build(spark, lbl, Seq(feat), opts)
+    assert(r2.features.head.matched >= 0)
+    assert(r2.df.columns.contains("user_country__country"))
+
+    // asking for splits must bypass the split-less cache entry and
+    // actually write the split files
+    val withSplits = opts.copy(splits = Seq(
+      Split("train", "2024-01-01", "2024-03-01"),
+      Split("test", "2024-03-01", "2025-01-01")))
+    val r3 = Build(spark, lbl, Seq(feat), withSplits)
+    assert(r3.features.head.matched >= 0)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/out_train.parquet")))
+  }
+
   test("tz-aware labels vs naive features raise") {
     val naiveUsers = users.withColumn("updated_at",
       col("updated_at").cast("timestamp_ntz"))

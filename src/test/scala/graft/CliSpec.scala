@@ -83,10 +83,87 @@ class CliSpec extends SparkFunSuite {
          |""".stripMargin)
     val cfg = graft.cli.Main.loadConfig(s"$dir/graft.yaml")
     assert(cfg.features.size == 1)
-    val r = Build(spark, cfg.labels, cfg.features, cfg.options)
+    // CLI configs wire a store by default (reference cli.py:169-174)
+    assert(cfg.options.store.isDefined)
+    val r = Build(spark, cfg.labels, cfg.features,
+      cfg.options.copy(store = None))
     assert(r.rows == 19)
     assert(r.auditPassed)
     assert(r.columns.contains("user_country__country"))
     assert(r.features.head.matched == 19)
+  }
+
+  test("config store wiring: second config-driven build is a cache hit") {
+    val dir = Files.createTempDirectory("graft_cli_store")
+    val users = spark.range(1, 20).select(
+      col("id").as("user_id"),
+      (lit(ts("2023-06-01 00:00:00")) + make_dt_interval(col("id"))).as("updated_at"),
+      concat(lit("C"), col("id") % 3).as("country"))
+    val labels = spark.range(1, 20).select(
+      col("id").as("user_id"),
+      (lit(ts("2023-07-01 00:00:00")) + make_dt_interval(col("id"))).as("label_time"),
+      (col("id") % 2 === 0).as("churned"))
+    users.write.parquet(s"$dir/users.parquet")
+    labels.write.parquet(s"$dir/labels.parquet")
+    Files.writeString(dir.resolve("graft.yaml"),
+      s"""labels:
+         |  path: $dir/labels.parquet
+         |  keys: [user_id]
+         |  label_time: label_time
+         |  target: [churned]
+         |features:
+         |  - name: user_country
+         |    source: $dir/users.parquet
+         |    keys: [user_id]
+         |    timestamp: updated_at
+         |    columns: [country]
+         |store: $dir/.graft
+         |""".stripMargin)
+    val cfg = graft.cli.Main.loadConfig(s"$dir/graft.yaml")
+    assert(cfg.options.store.get.root == s"$dir/.graft")
+    val opts = cfg.options.copy(output = Some(s"$dir/train.parquet"))
+    val r1 = Build(spark, cfg.labels, cfg.features, opts)
+    assert(r1.rows == 19 && r1.features.head.matched == 19)
+    val r2 = Build(spark, cfg.labels, cfg.features, opts)
+    assert(r2.rows == 19 && r2.features.head.matched == -1) // manifest-backed
+  }
+
+  test("config passthrough: csv delimiter, flatten_columns, store off") {
+    val dir = Files.createTempDirectory("graft_cli_csv")
+    Files.writeString(dir.resolve("users.csv"),
+      "user_id;updated_at;country\n" +
+        (1 to 19).map(i => s"$i;2023-06-01 0${i % 10}:00:00;C${i % 3}")
+          .mkString("\n"))
+    val labels = spark.range(1, 20).select(
+      col("id").as("user_id"),
+      (lit(ts("2023-07-01 00:00:00")) + make_dt_interval(col("id"))).as("label_time"),
+      (col("id") % 2 === 0).as("churned"))
+    labels.write.parquet(s"$dir/labels.parquet")
+    Files.writeString(dir.resolve("graft.yaml"),
+      s"""labels:
+         |  path: $dir/labels.parquet
+         |  keys: [user_id]
+         |  label_time: label_time
+         |  target: [churned]
+         |features:
+         |  - name: user_country
+         |    source: $dir/users.csv
+         |    keys: [user_id]
+         |    timestamp: updated_at
+         |    columns: [country]
+         |    delimiter: ";"
+         |defaults:
+         |  flatten_columns: true
+         |store: none
+         |""".stripMargin)
+    val cfg = graft.cli.Main.loadConfig(s"$dir/graft.yaml")
+    assert(cfg.options.store.isEmpty)
+    assert(cfg.options.flattenColumns)
+    val src = cfg.features.head.source.asInstanceOf[graft.model.Source]
+    assert(src.delimiter == ";")
+    val r = Build(spark, cfg.labels, cfg.features, cfg.options)
+    assert(r.rows == 19)
+    // flattened: short name, no user_country__ prefix
+    assert(r.columns.contains("country"))
   }
 }
