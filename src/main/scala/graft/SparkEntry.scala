@@ -305,9 +305,9 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
         .orderBy("a", "b")),
 
-    // ---- approximate / stub operators (no SQL oracle -> the driver
-    // records a rows-only check; correctness is pinned by ScalaTest
-    // against exact ground truth instead) -------------------------
+    // ---- remaining non-oracle operators (murmur3 hashing / synthetic
+    // media aren't replayable in DuckDB -> rows-only driver check;
+    // correctness pinned by ScalaTest against ground truth) --------
     // SimHash near-dup pairs (custom Catalyst expression + banding;
     // 16-bit bands keep buckets selective — narrower bands degenerate
     // into all-pairs)
@@ -315,29 +315,35 @@ object SparkEntry {
       graft.ops.Dedup.simhashPairs(
         t(s, dir, "documents"), "doc_id", "text", maxHamming = 3, bands = 4)
         .orderBy("a", "b")),
-    // MinHash signature-estimated jaccard for LSH candidates (numeric
-    // xxhash64 hasher — the production-speed path; md5 stays on the
-    // oracle-checked q_minhash_lsh)
+    // MinHash signature-estimated jaccard for LSH candidates. Uses the
+    // md5 hasher so the full pipeline (signatures -> banding ->
+    // candidates -> agreement fraction) replays in DuckDB; production
+    // swaps in Dedup.xxHash for the numeric fast path.
     "q_dedup_minhash_est" -> ((s, dir) =>
       graft.ops.Dedup.minhashJaccardPairs(
         t(s, dir, "documents"), "doc_id", "text",
-        k = 16, bands = 8, threshold = 0.3,
-        hasher = graft.ops.Dedup.xxHash)
+        k = 16, bands = 8, threshold = 0.3)
         .orderBy("a", "b")),
-    // Hyperplane-LSH approximate top-k
+    // Hyperplane-LSH approximate top-k (the oracle inlines the same
+    // seeded plane constants, so the bucketing replays exactly)
     "q_embed_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       graft.ops.Similarity.lshTopK(
         e.filter(col("vec_id") % 50 === 0), e,
         "vec_id", "vec_id", "embedding", k = 5, dim = 64, planes = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("query_id", "rank")
     }),
-    // IVF-probe approximate top-k
+    // IVF-probe approximate top-k (md5-ordered centroid pick is
+    // engine-portable)
     "q_embed_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       graft.ops.Similarity.ivfTopK(
         e.filter(col("vec_id") % 50 === 0), e,
         "vec_id", "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("query_id", "rank")
     }),
     // Multimodal: batched stub decode over binary media columns
@@ -353,6 +359,16 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "n_tokens_bpe", "lang_id", "quality", "fingerprint")
         .orderBy("doc_id"))
   )
+
+  /** The exact hyperplane constants `Similarity.hyperplaneSignature`
+    * draws for (dim=64, planes=2, seed=42), rendered as DuckDB DOUBLE[]
+    * literals. `Double.toString` round-trips, so DuckDB parses back the
+    * bit-identical plane — the LSH bucketing replays exactly. */
+  private lazy val lshPlaneLiterals: Seq[String] = {
+    val rnd = new scala.util.Random(42L)
+    Seq.fill(2)(IndexedSeq.fill(64)(rnd.nextGaussian()))
+      .map(_.mkString("[", ",", "]"))
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -595,6 +611,141 @@ object SparkEntry {
         |           / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS sim
         |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
         |SELECT a, b, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.4
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    // MinHash signature pipeline with the md5 hasher: signatures,
+    // 8 bands x 2 rows, candidate pairs, agreement-fraction jaccard —
+    // the same replay as q_minhash_lsh plus the estimation join.
+    "q_dedup_minhash_est" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS s
+        |  FROM docs WHERE len(w) >= 3),
+        |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+        |sig AS (
+        |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS m
+        |  FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        |band AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |         md5(string_agg(m, '|' ORDER BY seed)) AS bucket
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM band x JOIN band y
+        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |est AS (
+        |  SELECT c.a, c.b,
+        |         CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 16
+        |           AS est_jaccard
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.a
+        |  JOIN sig sb ON sb.doc_id = c.b AND sb.seed = sa.seed
+        |  GROUP BY 1, 2)
+        |SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.3
+        |ORDER BY a, b""".stripMargin,
+
+    // Hyperplane-LSH top-k: the two plane vectors are the EXACT doubles
+    // the Spark side draws (seed 42), inlined as literals.
+    "q_embed_lsh_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sig AS (
+         |  SELECT vec_id, v,
+         |    (CASE WHEN list_dot_product(v, ${lshPlaneLiterals(0)}) >= 0 THEN '1' ELSE '0' END) ||
+         |    (CASE WHEN list_dot_product(v, ${lshPlaneLiterals(1)}) >= 0 THEN '1' ELSE '0' END) AS bucket
+         |  FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM sig),
+         |s AS (
+         |  SELECT query_id, neighbor_id,
+         |         list_dot_product(qv, cv)
+         |           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+         |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // IVF probe: centroids = first 8 corpus vectors in md5(id) order
+    // (the Spark pick is the same portable hash), corpus assigned to
+    // its nearest centroid, queries probe the 3 nearest lists.
+    "q_embed_ivf_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS list_id, v AS cv
+        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |assign AS (
+        |  SELECT neighbor_id, v, list_id FROM (
+        |    SELECT x.vec_id AS neighbor_id, x.v, c.list_id,
+        |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        |             ORDER BY list_dot_product(x.v, c.cv)
+        |               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |               c.list_id) AS r
+        |    FROM e x CROSS JOIN cent c) t WHERE r = 1),
+        |probe AS (
+        |  SELECT query_id, qv, list_id FROM (
+        |    SELECT x.vec_id AS query_id, x.v AS qv, c.list_id,
+        |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        |             ORDER BY list_dot_product(x.v, c.cv)
+        |               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |               c.list_id) AS r
+        |    FROM e x CROSS JOIN cent c WHERE x.vec_id % 50 = 0) t WHERE r <= 3),
+        |s AS (
+        |  SELECT DISTINCT p.query_id, a.neighbor_id,
+        |         list_dot_product(p.qv, a.v)
+        |           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS sim
+        |  FROM assign a JOIN probe p USING (list_id)
+        |  WHERE p.query_id <> a.neighbor_id),
+        |r2 AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+        |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Full one-pass text enrichment: every component mirrors the
+    // TextAnalysis column expression (BPE-ish token count = alnum runs
+    // + isolated non-alnum non-space chars, since RE2 has no lookarounds).
+    "q_text_analyze" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    len(list_filter(wl, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS h_en,
+        |    len(list_filter(wl, t -> t IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS h_de,
+        |    len(list_filter(wl, t -> t IN ('le','la','les','et','est','une','que','pour','dans','pas'))) AS h_fr,
+        |    len(list_filter(wl, t -> t IN ('el','la','los','y','es','que','una','por','con','para'))) AS h_es
+        |  FROM m),
+        |q AS (
+        |  SELECT doc_id, text, n_tokens, h_en, h_de, h_fr, h_es,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+        |      + (length(regexp_replace(text, '[A-Za-z0-9]', '', 'g'))
+        |         - (length(text) - length(replace(text, ' ', '')))) AS n_tokens_bpe,
+        |    least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) AS len_score,
+        |    1.0 - least(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |                / length(text) * 5.0, 1.0) AS punct_score,
+        |    least(CAST(h_en AS DOUBLE) / n_tokens * 5.0, 1.0) AS stop_score,
+        |    CASE WHEN CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / n_tokens
+        |              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS wordlen_score
+        |  FROM h)
+        |SELECT doc_id, n_tokens, n_tokens_bpe,
+        |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+        |       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+        |       WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+        |       WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+        |       ELSE 'de' END AS lang_id,
+        |  ROUND(len_score * 0.3 + punct_score * 0.3 + stop_score * 0.2 + wordlen_score * 0.2, 6) AS quality,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM q ORDER BY doc_id""".stripMargin
   )
 }

@@ -104,14 +104,18 @@ object Similarity {
     * picked by hash order (a deterministic pseudo-random spread over
     * the id space, standing in for k-means — the assignment/probe
     * machinery is the scale-relevant part; first-N-by-id would cover
-    * one corner of the space when ids are clustered). TakeOrdered
-    * keeps the pick distributed — no global sort materializes.
-    * Corpus partitioned into `nlist` inverted lists by nearest
-    * centroid; queries probe the `nprobe` nearest lists only. */
+    * one corner of the space when ids are clustered). The hash is md5
+    * of the id string so the pick is reproducible in other engines
+    * (DuckDB oracle); TakeOrdered keeps it distributed — no global
+    * sort materializes. Corpus partitioned into `nlist` inverted
+    * lists by nearest centroid; queries probe the `nprobe` nearest
+    * lists only. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       qidCol: String, idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(nlist)
+    val centroids = corpus
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(nlist)
       .select(col(idCol).as("list_id"), col(vecCol).as("__centroid"))
     val cb = broadcast(centroids)
 
