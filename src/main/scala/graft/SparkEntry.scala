@@ -305,14 +305,21 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
         .orderBy("a", "b")),
 
-    // ---- remaining non-oracle operators (murmur3 hashing / synthetic
-    // media aren't replayable in DuckDB -> rows-only driver check;
-    // correctness pinned by ScalaTest against ground truth) --------
-    // SimHash near-dup pairs (custom Catalyst expression + banding;
-    // 16-bit bands keep buckets selective — narrower bands degenerate
-    // into all-pairs)
+    // SimHash near-dup pairs, production path: murmur3 SimHash64Expr
+    // (codegen'd custom Catalyst expression). Murmur isn't replayable
+    // in DuckDB -> rows-only driver check, pinned by OpsSpec; the
+    // md5 variant below is the oracle-checked twin.
     "q_dedup_simhash" -> ((s, dir) =>
       graft.ops.Dedup.simhashPairs(
+        t(s, dir, "documents"), "doc_id", "text", maxHamming = 3, bands = 4)
+        .orderBy("a", "b")),
+    // Same banding/hamming pipeline with the portable 60-bit md5 token
+    // hash — votes, fingerprint, bands and bit_count all replay in the
+    // DuckDB oracle. ~5x slower than the murmur expression (60 HOF
+    // vote aggregates vs one codegen'd kernel): the price of
+    // cross-engine verifiability, paid only by this query.
+    "q_dedup_simhash_md5" -> ((s, dir) =>
+      graft.ops.Dedup.simhashPairsPortable(
         t(s, dir, "documents"), "doc_id", "text", maxHamming = 3, bands = 4)
         .orderBy("a", "b")),
     // MinHash signature-estimated jaccard for LSH candidates. Uses the
@@ -346,7 +353,11 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("query_id", "rank")
     }),
-    // Multimodal: batched stub decode over binary media columns
+    // Multimodal: batched stub decode over binary media columns — the
+    // ONE remaining rows-only query (synthetic media is generated
+    // in-session, not parquet-backed, so there is nothing for the
+    // DuckDB oracle to read; the decode plumbing is pinned by
+    // ExtensionsSpec/OpsSpec instead)
     "q_multimodal_features" -> ((s, dir) => {
       val media = graft.ops.Multimodal.syntheticMedia(s, 2000)
       graft.ops.Multimodal.imageFeatures(media, dim = 16).toDF()
@@ -611,6 +622,36 @@ object SparkEntry {
         |           / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS sim
         |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
         |SELECT a, b, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.4
+        |ORDER BY a, b""".stripMargin,
+
+    // Portable 60-bit md5 SimHash: token hash = ('0x' || first 15 md5
+    // hex chars)::BIGINT, per-bit +/-1 votes via a generate_series
+    // cross join, fingerprint reassembled from positive votes, 4x15-bit
+    // bands, hamming = bit_count(xor).
+    "q_dedup_simhash_md5" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS v FROM toks),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |         sum(CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js
+        |  GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, sig, b, (sig >> (b * 15)) & 32767 AS bits
+        |  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS sa, y.sig AS sb
+        |  FROM banded x JOIN banded y
+        |    ON x.b = y.b AND x.bits = y.bits AND x.doc_id < y.doc_id)
+        |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         |ORDER BY a, b""".stripMargin,
 
     // MinHash signature pipeline with the md5 hasher: signatures,

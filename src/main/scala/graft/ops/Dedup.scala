@@ -197,6 +197,55 @@ object Dedup {
       .distinct()
   }
 
+  /** Portable SimHash near-dup pairs: 60-bit fingerprints whose token
+    * hash is the first 15 hex chars of md5 — `('0x'||hex)::BIGINT` in
+    * DuckDB reproduces the exact value, so the whole pipeline
+    * (votes -> fingerprint -> 4x15-bit bands -> hamming<=h) replays in
+    * the oracle. The production path stays [[simhashPairs]] (murmur3
+    * `SimHash64Expr`, codegen'd kernel — strictly faster); this
+    * variant exists for cross-engine verification and engine
+    * migration checks.
+    *
+    * Structure mirrors the expression-tree lesson from the minhash
+    * operators: the token-hash array is projected ONCE (`__h`), the 60
+    * per-bit vote aggregates reference that column — inlining the
+    * hash `transform` into each vote would clone it 60 times and blow
+    * up Catalyst/codegen time.
+    */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 100000): DataFrame = {
+    val totalBits = 60
+    require(totalBits % bands == 0, "bands must divide 60")
+    val width = totalBits / bands
+    val mask = (1L << width) - 1
+    val hashed = df.select(col(idCol).as("__id"),
+      transform(split(trim(col(textCol)), "\\s+"),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("__h"))
+    val votes = hashed.select(col("__id") +: (0 until totalBits).map(j =>
+      aggregate(col("__h"), lit(0), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"__v$j")): _*)
+    val sigs = votes.select(col("__id"),
+      (0 until totalBits).map(j =>
+        when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("sig"))
+    val banded = sigs.select(col("__id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask)).as("bits"))): _*))
+        .as("bb"))
+      .select(col("__id"), col("sig"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val bounded = banded
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bits")))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    val a = bounded.select(col("band"), col("bits"), col("__id").as("a"), col("sig").as("__sa"))
+    val b = bounded.select(col("band"), col("bits"), col("__id").as("b"), col("sig").as("__sb"))
+    a.join(b, Seq("band", "bits")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Connected components over near-duplicate pairs — the step that
     * turns pairwise similarity into dedup decisions. Iterative
     * min-label propagation: every node's component label converges to
