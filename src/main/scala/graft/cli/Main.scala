@@ -51,13 +51,15 @@ object Main {
     """graft — point-in-time training sets on Spark
       |
       |Commands:
-      |  build   --config graft.yaml [--output PATH] [--dry-run]
-      |  audit   --data PATH --label-time COL --feature-time-cols f=col[,g=col] [--strict]
+      |  build   --config graft.yaml [--output PATH] [--dry-run] [--split n:s:e]
+      |          [--flatten] [--max-lookback D] [--max-staleness D] [--on-missing null|skip]
+      |  audit   --data PATH --label-time COL --feature-time-cols f=col[,g=col]
+      |          [--strict] [--json PATH] [--html PATH]
       |  explain --config graft.yaml
       |  diff    --old PATH --new PATH --keys a[,b] --label-time COL
       |  inspect PATH
       |  catalog [--store DIR]
-      |  doctor  --config graft.yaml
+      |  doctor  --config graft.yaml [--json]
       |  init    [DIR]
       |  quickstart [DIR]   generate demo data, build, audit
       |""".stripMargin
@@ -205,10 +207,21 @@ object Main {
           s"bad --split '$s'.", "Use name:start:end")
       }
     }
+    // flag overrides mirroring the reference build options
+    // (cli.py:475-492): --flatten, --max-lookback, --max-staleness
+    // (applied to every feature), --on-missing
+    val withStaleness = f.get("max-staleness") match {
+      case Some(d) => cfg.features.map(_.copy(maxStaleness = Some(Durations.parse(d))))
+      case None    => cfg.features
+    }
     val opts = cfg.options.copy(output = out,
-      splits = if (flagSplits.nonEmpty) flagSplits else cfg.options.splits)
+      splits = if (flagSplits.nonEmpty) flagSplits else cfg.options.splits,
+      flattenColumns = f.contains("flatten") || cfg.options.flattenColumns,
+      maxLookback = f.get("max-lookback").map(Durations.parse)
+        .getOrElse(cfg.options.maxLookback),
+      onMissing = f.getOrElse("on-missing", cfg.options.onMissing))
     val spark = session()
-    val r = Build(spark, cfg.labels, cfg.features, opts)
+    val r = Build(spark, cfg.labels, withStaleness, opts)
     r.warnings.foreach(w => System.err.println(s"warning: $w"))
     println(s"rows=${r.rows} columns=${r.columns.size} audit_passed=${r.auditPassed}")
     r.features.foreach(s =>
@@ -247,6 +260,9 @@ object Main {
           f.getOrElse("label-time", cfg.labels.labelTime), cfg.options)
     }
     println(r.toJson)
+    // --json PATH / --html PATH file exports (cli.py:344-345)
+    f.get("json").filter(_ != "true").foreach(r.toJson)
+    f.get("html").foreach(r.toHtml)
     if (!r.passed && f.contains("strict")) 1 else 0
   }
 
@@ -314,10 +330,21 @@ object Main {
   private def cmdDoctor(args: Array[String]): Int = {
     val (f, _) = flags(args)
     val path = f.getOrElse("config", "graft.yaml")
+    val jsonOut = f.contains("json")
     var fails = 0
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    def emit(): Unit = if (jsonOut) {
+      import graft.util.Jsons
+      println(Jsons.obj("checks" -> collected.toSeq.map { case (s, m, d) =>
+        Jsons.Raw(Jsons.obj("status" -> s, "message" -> m, "detail" -> d))
+      }))
+    }
     def check(status: String, message: String, detail: String = ""): Unit = {
-      println(f"$status%-5s $message")
-      if (detail.nonEmpty) println(s"      $detail")
+      collected += ((status, message, detail))
+      if (!jsonOut) {
+        println(f"$status%-5s $message")
+        if (detail.nonEmpty) println(s"      $detail")
+      }
       if (status == "FAIL") fails += 1
     }
     def attempt(name: String)(body: => Unit): Unit =
@@ -327,6 +354,7 @@ object Main {
 
     if (!Files.exists(Paths.get(path))) {
       check("FAIL", s"config $path not found")
+      emit()
       return 1
     }
     check("OK", s"$path found")
@@ -334,7 +362,7 @@ object Main {
       try loadConfig(path)
       catch {
         case e: Throwable =>
-          check("FAIL", s"config does not parse: ${e.getMessage}"); return 1
+          check("FAIL", s"config does not parse: ${e.getMessage}"); emit(); return 1
       }
     check("OK", "config parses")
     check(
@@ -395,6 +423,7 @@ object Main {
         }
       }
     }
+    emit()
     if (fails == 0) 0 else 1
   }
 

@@ -119,16 +119,22 @@ object Audit {
     * `{f}__leaky_rows`, `{f}__max_leak_us`, `{f}__median_leak_us`,
     * `{f}__null_rows`.
     */
+  /** Normalize TIMESTAMP_NTZ to TIMESTAMP (session tz is pinned to
+    * UTC, so values are unchanged) — `unix_micros` only accepts the
+    * tz-aware type, and audited datasets written by other engines
+    * (e.g. DuckDB) often carry naive timestamps. */
+  private def tsNorm(c: Column): Column = c.cast("timestamp")
+
   def temporalStats(
       data: DataFrame,
       labelTime: String,
       featureTimeColumns: Map[String, String],
       approxMedian: Boolean = false
   ): DataFrame = {
-    val lt = col(labelTime)
+    val lt = tsNorm(col(labelTime))
     val feats = featureTimeColumns.toSeq.sortBy(_._1)
     val aggs: Seq[Column] = feats.flatMap { case (name, ftCol) =>
-      val ft = col(ftCol)
+      val ft = tsNorm(col(ftCol))
       val leaky = ft.isNotNull && ft >= lt
       val leakUs = when(leaky, unix_micros(ft) - unix_micros(lt))
       Seq(
@@ -154,7 +160,7 @@ object Audit {
       sampleLimit: Int = 1000,
       approxMedian: Boolean = false
   ): AuditReport = {
-    val lt = col(labelTime)
+    val lt = tsNorm(col(labelTime))
     val feats = featureTimeColumns.toSeq.sortBy(_._1)
     val row = temporalStats(data, labelTime, featureTimeColumns, approxMedian).head()
     val total = row.getLong(0)
@@ -173,7 +179,7 @@ object Audit {
     val sample =
       if (details.exists(_.leakyRows > 0)) {
         val anyLeak = feats.map { case (_, ftCol) =>
-          col(ftCol).isNotNull && col(ftCol) >= lt
+          col(ftCol).isNotNull && tsNorm(col(ftCol)) >= lt
         }.reduce(_ || _)
         Some(data.filter(anyLeak).limit(sampleLimit))
       } else None

@@ -42,6 +42,18 @@ class AuditDiffSpec extends SparkFunSuite {
     assert(r.leakySample.get.count() == 2)
   }
 
+  test("temporal audit accepts TIMESTAMP_NTZ columns (foreign-engine parquet)") {
+    // datasets written by other engines (DuckDB, pandas) often carry
+    // naive timestamps; unix_micros alone would reject them
+    val ntz = leaky
+      .withColumn("label_time", col("label_time").cast("timestamp_ntz"))
+      .withColumn("f__feature_time", col("f__feature_time").cast("timestamp_ntz"))
+    val r = Audit.temporal(ntz, "label_time", Map("f" -> "f__feature_time"))
+    assert(r.details.head.leakyRows == 2)
+    assert(r.details.head.maxLeak.contains(java.time.Duration.ofDays(5)))
+    assert(r.leakySample.get.count() == 2)
+  }
+
   test("severity boundaries") {
     // tiny pct + small leak => LOW
     val n = 1000
