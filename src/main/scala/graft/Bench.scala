@@ -152,7 +152,12 @@ object Bench {
       "audit_100k_x1" -> (() => { auditScenario(100000, 1)(spark); () }),
       "audit_100k_x10" -> (() => { auditScenario(100000, 10)(spark); () }),
       "audit_1m_x1" -> (() => { auditScenario(1000000, 1)(spark); () }),
-      "audit_1m_x10" -> (() => { auditScenario(1000000, 10)(spark); () })
+      "audit_1m_x10" -> (() => { auditScenario(1000000, 10)(spark); () }),
+      // 10M-row headroom rows (the reference DEFINES this scenario in
+      // its extended matrix but never published numbers — BASELINE.md):
+      // shows the same plans hold an order of magnitude up
+      "build_10m_x1" -> (() => { buildScenario(10000000, 1)(spark); () }),
+      "audit_10m_x1" -> (() => { auditScenario(10000000, 1)(spark); () })
     )
 
     // BASELINE-comparable engine scenarios run FIRST: the dedup /

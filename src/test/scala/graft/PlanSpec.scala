@@ -77,6 +77,38 @@ class PlanSpec extends SparkFunSuite {
     // pass is still one projection over the columnar scan
   }
 
+  test("ivf topk broadcasts centroids; no cartesian product") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = planOf(Similarity.ivfTopK(
+      e.filter(col("vec_id") % 50 === 0), e, "vec_id", "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 2))
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+  }
+
+  test("bucketed near-dup default joins on LSH buckets, not all pairs") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = planOf(Similarity.cosineNearDupPairs(
+      e, "vec_id", "embedding", threshold = 0.4, dim = 64))
+    // the default must join on the exploded bucket keys — an all-pairs
+    // plan would show a cartesian/bnl join on a constant key
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the default path:\n$plan")
+    assert(plan.contains("Generate explode"), s"no bucket explode:\n$plan")
+  }
+
+  test("minhash estimation reuses the cached signature frame") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(Dedup.minhashJaccardPairs(docs, "doc_id", "text",
+      k = 8, bands = 4, threshold = 0.3))
+    // bucketing + both sides of the estimation join must read the SAME
+    // materialized signatures, not recompute the k x |shingles| hashes
+    val scans = plan.sliding("InMemoryTableScan".length)
+      .count(_ == "InMemoryTableScan")
+    assert(scans >= 3, s"signature frame not shared (got $scans cache scans):\n$plan")
+  }
+
   test("simhash custom expression participates in whole-stage codegen") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = docs.select(graft.functions.SimHash.simhash64(
