@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Build, BuildOptions}
+import graft.model._
+
+/** Dev tool: run ONE build scenario with per-phase timing to locate
+  * where the wall-clock goes.
+  * `sbt "runMain graft.BenchOne <nLabels> <nFeatures> [dir]"`
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val nLabels = args.headOption.map(_.toInt).getOrElse(1000000)
+    val nFeatures = args.lift(1).map(_.toInt).getOrElse(10)
+    val dir = args.lift(2).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_benchone").toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[benchone] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
+    val nEntities = math.max(1000, nLabels / 5)
+    val lp = s"$dir/labels.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(lp))) {
+      timed("datagen") {
+        val labelStepUs = 86400000000L / nLabels
+        val featStepUs = 31536000000000L / (2L * nLabels)
+        def files(rows: Long): Int = math.max(1, (rows / 2000000L).toInt)
+        spark.range(nLabels.toLong).select(
+          (col("id") % nEntities).as("user_id"),
+          timestamp_micros(lit(1704067200000000L) + col("id") * math.max(1L, labelStepUs)).as("label_time"),
+          (col("id") % 5 === 0).as("churned"))
+          .coalesce(files(nLabels.toLong))
+          .write.mode("overwrite").parquet(lp)
+        (0 until nFeatures).foreach { k =>
+          spark.range(2L * nLabels).select(
+            (col("id") % nEntities).as("user_id"),
+            timestamp_micros(lit(1672531200000000L) + col("id") * math.max(1L, featStepUs)).as("updated_at"),
+            ((col("id") * (k + 17)) % 1000 / 10.0).as(s"val_$k"))
+            .coalesce(files(2L * nLabels))
+            .write.mode("overwrite").parquet(s"$dir/feature_$k.parquet")
+        }
+      }
+    }
+    val labels = Labels.parquet(lp, Seq("user_id"), "label_time", Seq("churned"))
+    val features = (0 until nFeatures).map { k =>
+      Feature(s"f$k",
+        Source.parquet(s"src$k", s"$dir/feature_$k.parquet", Seq("user_id"), "updated_at"),
+        ColumnsMode(Map(s"val_$k" -> s"val_$k")))
+    }
+
+    // phase timings: one as-of join alone, then the full build twice
+    timed("single feature as-of (count)") {
+      val spine = spark.read.parquet(lp)
+        .withColumn(Build.RowId, monotonically_increasing_id())
+        .select(Build.RowId, "user_id", "label_time")
+      val feat = spark.read.parquet(s"$dir/feature_0.parquet")
+      val spec = graft.operators.AsOfJoin.Spec(
+        Seq("user_id"), Seq("user_id"), "label_time", "updated_at", Seq("val_0"))
+      println("  rows=" + graft.operators.AsOfJoin.unionAsOf(spine, feat, spec).count())
+    }
+    (1 to 2).foreach { i =>
+      timed(s"full build run$i") {
+        val r = Build(spark, labels, features, BuildOptions(
+          checkDuplicates = false, sortResult = false,
+          output = Some(s"$dir/out.parquet")))
+        println("  rows=" + r.rows)
+      }
+    }
+    // variant: stats/verify off to isolate that pass
+    timed("build, verify+stats off") {
+      val r = Build(spark, labels, features, BuildOptions(
+        checkDuplicates = false, sortResult = false,
+        verify = false, collectStats = false,
+        output = Some(s"$dir/out2.parquet")))
+      println("  rows=" + r.rows)
+    }
+    // variant: no output write
+    timed("build, no output") {
+      val r = Build(spark, labels, features, BuildOptions(
+        checkDuplicates = false, sortResult = false))
+      println("  rows=" + r.rows)
+    }
+    spark.stop()
+  }
+}

@@ -214,18 +214,17 @@ object Build {
     // only property consumed (SURVEY §7.3) so the non-contiguous but
     // shuffle-free monotonically_increasing_id beats a global
     // ROW_NUMBER() OVER () (a single-partition sort at scale).
-    // Cache the FULL spine (not a derived projection): both the feature
-    // joins and the final assembly read the same InMemoryRelation, so the
-    // id assignment is physically materialized once even when the label
-    // input has no deterministic order (mirrors Audit.rebuild, which
-    // caches the numbered frame before comparing).
-    val spine = rawLabels
+    // Whether the spine must be CACHED depends on how many plan
+    // branches read it — decided below, after join batching: a build
+    // whose features all ride one multi-carry consumes the spine in
+    // exactly ONE linear subtree, where the id assignment cannot
+    // diverge and materialization would be pure overhead. Two or more
+    // branches → cache, so the ids are physically assigned once even
+    // for order-unstable label inputs (mirrors Audit.rebuild).
+    val spineBase = rawLabels
       .select(labels.keys.map(col) ++ Seq(col(labels.labelTime)) ++
         labels.target.map(col): _*)
       .withColumn(RowId, monotonically_increasing_id())
-      .cache()
-    val spineNarrow = spine
-      .select((RowId +: labels.keys :+ labels.labelTime).map(col): _*)
 
     // ---- per-feature compute + PIT join ----------------------------
     val sourceCache = scala.collection.mutable.Map.empty[String, DataFrame]
@@ -309,7 +308,14 @@ object Build {
       maxStaleness = f.maxStaleness,
       rightTimeOut = Names.featureTimeCol(f.name))
 
-    val joined: Seq[DataFrame] = groups.map {
+    // Every group (a single feature, or same-source merged features)
+    // first becomes a JoinUnit: its feature frame with value columns
+    // already renamed to their namespaced OUTPUT names, plus the
+    // carried-time aliases it must emit.
+    case class JoinUnit(f0: Feature, df: DataFrame, rightKeys: Seq[String],
+        timeCol: String, nsValueCols: Seq[String], timeOuts: Seq[String])
+
+    val units: Seq[JoinUnit] = groups.map {
       case Seq(f) =>
         val feat = computeOrLoadFeature(f)
         val rightKeys = labels.keys.map(k => f.keyMapping.getOrElse(k, k))
@@ -320,11 +326,12 @@ object Build {
         val valueCols = feat.df.columns.filterNot(c =>
           rightKeys.contains(c) || c == feat.timeCol).toSeq
         valueColsOf(f.name) = valueCols
-        val j = AsOfJoin.join(spineNarrow, feat.df,
-          baseSpec(f, rightKeys, feat.timeCol, valueCols), options.strategy)
-        j.select(
-          col(RowId) +: col(Names.featureTimeCol(f.name)) +:
+        val ns = feat.df.select(
+          rightKeys.map(col) ++ Seq(col(feat.timeCol)) ++
             valueCols.map(c => col(c).as(Names.namespaced(f.name, c))): _*)
+        JoinUnit(f, ns, rightKeys, feat.timeCol,
+          valueCols.map(Names.namespaced(f.name, _)),
+          Seq(Names.featureTimeCol(f.name)))
 
       case grp =>
         val f0 = grp.head
@@ -349,20 +356,79 @@ object Build {
         if (options.checkDuplicates && f0.onDuplicate == OnDuplicate.Error)
           checkDuplicates(f0, combined, rightKeys, "feature_time")
         val nsCols = grp.flatMap(f => valueColsOf(f.name).map(Names.namespaced(f.name, _)))
-        val spec = baseSpec(f0, rightKeys, "feature_time", nsCols)
-          .copy(rightTimeOut = "__grp_feature_time")
-        val j = AsOfJoin.join(spineNarrow, combined, spec, options.strategy)
         // each merged feature gets its own {f}__feature_time alias —
         // identical values by construction (same embargo → same row)
-        j.select(
-          (col(RowId) +:
-            grp.map(f => col("__grp_feature_time").as(Names.featureTimeCol(f.name)))) ++
-            nsCols.map(col): _*)
+        JoinUnit(f0, combined, rightKeys, "feature_time", nsCols,
+          grp.map(f => Names.featureTimeCol(f.name)))
     }
 
-    // ---- assembly (J4): N-way equi-join on the rowid ---------------
-    val assembled = joined.foldLeft(spine) { case (acc, ns) =>
-      acc.join(ns, Seq(RowId), "left")
+    // Units whose join parameters agree — embargo, staleness, and
+    // unionable key/time column types — share ONE shuffle + window via
+    // unionAsOfMulti, even across DIFFERENT sources: the N-feature
+    // build costs one exchange instead of N, and those features skip
+    // the rowid re-join at assembly. RowNumber / Segmented strategies
+    // keep the per-unit path (they have no multi variant).
+    val multiEligible = options.strategy match {
+      case AsOfJoin.Strategy.Auto | AsOfJoin.Strategy.UnionAsOf => true
+      case _                                                    => false
+    }
+    val unitBatches: Seq[Seq[JoinUnit]] =
+      if (!multiEligible) units.map(Seq(_))
+      else units.groupBy(u =>
+        (u.f0.embargo, u.f0.maxStaleness,
+          u.rightKeys.map(k => u.df.schema(k).dataType),
+          u.df.schema(u.timeCol).dataType)).values.toSeq
+    // Under UnionAsOf, EVERY batch takes the multi path — a batch of
+    // one is just unionAsOf that additionally threads the label
+    // columns through its shuffle, which lets the head batch skip the
+    // assembly join (and a single-batch build skip the spine cache).
+    val (multiBatches, singleUnits) =
+      if (multiEligible) (unitBatches.sortBy(-_.size), Seq.empty[JoinUnit])
+      else (Seq.empty[Seq[JoinUnit]], unitBatches.flatten)
+
+    // spine branch count: the first multi batch reads the full spine;
+    // every other batch/unit reads spineNarrow (one branch each)
+    val spineBranches =
+      (if (multiBatches.nonEmpty) 1 else 0) +
+        (multiBatches.drop(1).size + singleUnits.size)
+    val spineConsumedOnce = multiBatches.nonEmpty && spineBranches == 1
+    val spine = if (spineConsumedOnce) spineBase else spineBase.cache()
+    val spineNarrow = spine
+      .select((RowId +: labels.keys :+ labels.labelTime).map(col): _*)
+
+    def joinSingle(u: JoinUnit): DataFrame = {
+      val spec = baseSpec(u.f0, u.rightKeys, u.timeCol, u.nsValueCols)
+        .copy(rightTimeOut = "__unit_ft")
+      val j = AsOfJoin.join(spineNarrow, u.df, spec, options.strategy)
+      j.select(
+        col(RowId) +: (u.timeOuts.map(o => col("__unit_ft").as(o)) ++
+          u.nsValueCols.map(col)): _*)
+    }
+    def joinMulti(us: Seq[JoinUnit], labelFrame: DataFrame): DataFrame = {
+      val spec = baseSpec(us.head.f0, us.head.rightKeys, us.head.timeCol, Nil)
+      AsOfJoin.unionAsOfMulti(labelFrame,
+        us.map(u => AsOfJoin.MultiRight(
+          u.df, u.rightKeys, u.timeCol, u.nsValueCols, u.timeOuts)),
+        spec)
+    }
+
+    // ---- assembly (J4) ---------------------------------------------
+    // The LARGEST multi batch carries the FULL spine through its union
+    // (label columns ride along the one shuffle), so its features need
+    // no rowid re-join at all; every other batch/unit left-joins on
+    // the rowid as before.
+    val assembled = multiBatches match {
+      case head +: tail =>
+        val first = joinMulti(head, spine)
+        (tail.map(us => joinMulti(us, spineNarrow)
+          .select(col(RowId) +:
+            us.flatMap(u => u.timeOuts.map(col) ++ u.nsValueCols.map(col)): _*)) ++
+          singleUnits.map(joinSingle))
+          .foldLeft(first) { case (acc, ns) => acc.join(ns, Seq(RowId), "left") }
+      case _ =>
+        singleUnits.map(joinSingle).foldLeft(spine) { case (acc, ns) =>
+          acc.join(ns, Seq(RowId), "left")
+        }
     }
 
     val nsValueCols: Seq[String] = features.flatMap(f =>
@@ -518,8 +584,19 @@ object Build {
           "os" -> s"${sys.props.getOrElse("os.name", "?")} ${sys.props.getOrElse("os.arch", "")}"))))
     }
 
-    spine.unpersist()
-    BuildResult(result, total, result.columns.toSeq, stats, passed, warnings,
+    // When an output was written, the returned frame is the RE-READ
+    // parquet (the reference's BuildResult points at the written output
+    // the same way): lineage-free, so the assembled cache can be
+    // dropped instead of leaking one InMemoryRelation per build.
+    // Without an output the cache must stay resident — the returned
+    // df's rowid-aligned lineage reads it (a recompute would re-derive
+    // monotonically_increasing_id per branch).
+    val finalDf = options.output match {
+      case Some(out) => cached.unpersist(); spark.read.parquet(out)
+      case None      => result
+    }
+    if (!spineConsumedOnce) spine.unpersist()
+    BuildResult(finalDf, total, result.columns.toSeq, stats, passed, warnings,
       (System.nanoTime() - startedAt) / 1000000L)
   }
 

@@ -256,6 +256,107 @@ object AsOfJoin {
     finishCarry(carried, parts, spec, "__c")
   }
 
+  /** One feature frame participating in [[unionAsOfMulti]]. Value
+    * columns are already output-named (the caller namespaces them);
+    * `rightTimeOuts` lists the carried-time aliases to emit (several
+    * when merged same-source features share one carry). */
+  final case class MultiRight(
+      df: DataFrame,
+      rightKeys: Seq[String],
+      rightTime: String,
+      valueCols: Seq[String],
+      rightTimeOuts: Seq[String])
+
+  /** N as-of joins that share (leftKeys, leftTime, inclusive, embargo,
+    * maxLookback, maxStaleness) — but may come from N DIFFERENT
+    * sources — executed in ONE shuffle + ONE window pass.
+    *
+    * Union all feature frames with the labels; each feature carries
+    * its own struct slot (null on every other frame's rows), and the
+    * single sorted window computes one `last(_, ignoreNulls)` per
+    * feature — Spark evaluates all N carries in one Window operator
+    * over one sort. Compared to N separate [[unionAsOf]] calls this
+    * removes N-1 shuffles AND the N-way rowid re-join at assembly
+    * (every carried value lands on the label row directly): the
+    * dominant cost of a many-feature build at any scale.
+    *
+    * Equivalent to running [[unionAsOf]] per feature (test-pinned);
+    * per-feature rows interleave in the sort but only ever write
+    * their own struct slot, so carries cannot cross-contaminate.
+    */
+  def unionAsOfMulti(labels: DataFrame, rights: Seq[MultiRight], spec: Spec): DataFrame = {
+    require(rights.nonEmpty, "unionAsOfMulti needs at least one right side")
+    require(spec.tieBreakers.isEmpty,
+      "tieBreakers are per-feature; use unionAsOf for tie-broken joins")
+    val clash = labels.columns.filter(c =>
+      ReservedCols.contains(c) || c.startsWith("__jk") || c.startsWith("__fr") ||
+        c.startsWith("__mc"))
+    require(clash.isEmpty,
+      s"label columns collide with as-of internals: ${clash.mkString(", ")}")
+
+    val joinKeys = spec.leftKeys.indices.map(i => s"__jk$i")
+    val (labelTagV, featTagV) = if (spec.inclusive) (1, 0) else (0, 1)
+    val labelCols = labels.columns.toSeq
+    import org.apache.spark.sql.types.{StructField, StructType}
+    def structTypeOf(r: MultiRight): StructType = StructType(
+      StructField("ft", r.df.schema(r.rightTime).dataType) +:
+        r.valueCols.zipWithIndex.map { case (c, vi) =>
+          StructField(s"v$vi", r.df.schema(c).dataType)
+        })
+
+    val lhs = labels.select(
+      spec.leftKeys.zip(joinKeys).map { case (k, a) => col(k).as(a) } ++
+        Seq(
+          minusInterval(col(spec.leftTime), spec.embargo).as(SortTime),
+          lit(labelTagV).as(TagCol)) ++
+        labelCols.map(col) ++
+        rights.zipWithIndex.map { case (r, i) =>
+          lit(null).cast(structTypeOf(r)).as(s"__fr$i")
+        }: _*)
+    val rhs = rights.zipWithIndex.map { case (r, i) =>
+      r.df.filter(col(r.rightTime).isNotNull).select(
+        r.rightKeys.zip(joinKeys).map { case (k, a) => col(k).as(a) } ++
+          Seq(
+            col(r.rightTime).as(SortTime),
+            lit(featTagV).as(TagCol)) ++
+          labelCols.map(c => lit(null).cast(labels.schema(c).dataType).as(c)) ++
+          rights.zipWithIndex.map { case (r2, j) =>
+            if (j == i)
+              struct(col(r.rightTime).as("ft") +:
+                r.valueCols.zipWithIndex.map { case (c, vi) => col(c).as(s"v$vi") }: _*)
+                .as(s"__fr$j")
+            else lit(null).cast(structTypeOf(r2)).as(s"__fr$j")
+          }: _*)
+    }
+    val unioned = (lhs +: rhs).reduce(_.unionByName(_))
+
+    val w = Window
+      .partitionBy(joinKeys.map(col): _*)
+      .orderBy(col(SortTime).asc_nulls_first, col(TagCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rights.indices.foldLeft(unioned) { (acc, i) =>
+      acc.withColumn(s"__mc$i", last(col(s"__fr$i"), ignoreNulls = true).over(w))
+    }
+
+    val lt = col(spec.leftTime)
+    carried
+      .filter(col(TagCol) === labelTagV)
+      .select(
+        labelCols.map(col) ++ rights.zipWithIndex.flatMap { case (r, i) =>
+          val c = col(s"__mc$i")
+          val cft = c.getField("ft")
+          val floorOk = Seq(
+            spec.maxLookback.map(d => cft >= minusInterval(lt, d)),
+            spec.maxStaleness.map(d => cft >= minusInterval(lt, d))
+          ).flatten.reduceOption(_ && _).getOrElse(lit(true))
+          val valid = c.isNotNull && floorOk
+          r.rightTimeOuts.map(o => when(valid, cft).as(o)) ++
+            r.valueCols.zipWithIndex.map { case (vc, vi) =>
+              when(valid, c.getField(s"v$vi")).as(vc)
+            }
+        }: _*)
+  }
+
   /** Skew-resistant variant of [[unionAsOf]]: the per-key window is
     * segmented into fixed time buckets so a hot entity key (one user
     * with 100M events) spreads over many tasks instead of serializing

@@ -90,6 +90,38 @@ class BuildSpec extends SparkFunSuite {
     assert(matched2 < matched1)
   }
 
+  test("multi-source single-shuffle carry equals per-feature RowNumber") {
+    // three DIFFERENT sources with identical join params take the
+    // unionAsOfMulti path under Auto; RowNumber joins each separately —
+    // results must match exactly (including null masking)
+    val srcs = (0 until 3).map { k =>
+      val df = spark.range(1, 501).select(
+        (col("id") % 60 + 1).as("user_id"),
+        // unique timestamp per row: minutes derive from the global id
+        (lit(ts("2023-06-01 00:00:00")) +
+          make_dt_interval(col("id") * (k + 3) % 200, col("id") % 24,
+            (col("id") / 100).cast("int") % 60, lit(0))).as("t"),
+        (col("id") * (k + 1)).cast("double").as(s"v$k"))
+      Feature(s"f$k", Source.frame(s"s$k", df, Seq("user_id"), "t"),
+        ColumnsMode(Map(s"v$k" -> s"v$k")))
+    }
+    val multi = Build(spark, labels, srcs,
+      BuildOptions(strategy = AsOfJoin.Strategy.Auto))
+    val perFeature = Build(spark, labels, srcs,
+      BuildOptions(strategy = AsOfJoin.Strategy.RowNumber))
+    assert(multi.columns == perFeature.columns)
+    assert(multi.df.exceptAll(perFeature.df).isEmpty &&
+      perFeature.df.exceptAll(multi.df).isEmpty)
+    assert(multi.features.map(s => (s.name, s.matched, s.violations)) ==
+      perFeature.features.map(s => (s.name, s.matched, s.violations)))
+    // mixed params split correctly: one feature with embargo leaves the
+    // group and still matches the per-feature result
+    val mixed = srcs.updated(1, srcs(1).copy(embargo = java.time.Duration.ofDays(2)))
+    val m2 = Build(spark, labels, mixed, BuildOptions(strategy = AsOfJoin.Strategy.Auto))
+    val p2 = Build(spark, labels, mixed, BuildOptions(strategy = AsOfJoin.Strategy.RowNumber))
+    assert(m2.df.exceptAll(p2.df).isEmpty && p2.df.exceptAll(m2.df).isEmpty)
+  }
+
   test("rowid stability: order-unstable labels frame still aligns features") {
     // Labels downstream of a shuffle have no deterministic row order, so
     // a rowid recomputed per-consumer could renumber between the join
