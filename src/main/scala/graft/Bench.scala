@@ -198,15 +198,31 @@ object Bench {
       "audit_10m_x1" -> (() => { auditScenario(10000000, 1)(spark); () })
     )
 
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
     // BASELINE-comparable engine scenarios run FIRST: the dedup /
     // similarity operator queries cache aggressively and leave the heap
     // fragmented, which round-1 measurements showed taxing whatever runs
-    // after them by many x (13.5s vs 0.48s isolated for audit_1m_x1)
+    // after them by many x (13.5s vs 0.48s isolated for audit_1m_x1).
+    // Methodology matches the reference (BASELINE.md): 1 warmup + 3
+    // timed runs, median reported — a single timed run is exposed to
+    // transient machine load (round 2 recorded one 40.9s outlier that
+    // re-measured at 5.9s). A 60s per-entry budget keeps the 10M-row
+    // headroom scenarios from tripling the wall clock.
     val results = (scenarios ++ operatorQueries).map { case (name, body) =>
       try {
         body() // warmup: codegen + shuffle-file + listing amortization
-        val t = timed(body())
-        name -> t
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var budget = 60.0
+        while (times.size < 3 && budget > 0) {
+          val t = timed(body())
+          times += t
+          budget -= t
+        }
+        name -> median(times.toSeq)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -224,9 +240,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout goes through sbt's logger when forked (the [info] prefix
-    // broke the driver's parse in round 1) — always ALSO write the JSON
-    // to a plain file the driver can read back.
+    // Belt and braces for machine consumers: build.sbt routes forked
+    // stdout RAW (StdoutOutput — sbt's default logger [info]-prefixed
+    // this line and broke the driver's parse in rounds 1-2), and the
+    // JSON is ALSO written to a plain file the driver can read back.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }

@@ -75,7 +75,7 @@ object BenchOne {
         Seq("user_id"), Seq("user_id"), "label_time", "updated_at", Seq("val_0"))
       println("  rows=" + graft.operators.AsOfJoin.unionAsOf(spine, feat, spec).count())
     }
-    (1 to 2).foreach { i =>
+    (1 to 5).foreach { i =>
       timed(s"full build run$i") {
         val r = Build(spark, labels, features, BuildOptions(
           checkDuplicates = false, sortResult = false,

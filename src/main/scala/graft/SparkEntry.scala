@@ -295,13 +295,12 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     // Embedding-cosine near-duplicate pairs. The DuckDB oracle computes
-    // the complete pair set, so this query opts into the exact all-pairs
-    // path explicitly; production default is bucketed LSH (see
-    // Similarity.cosineNearDupPairs).
+    // the complete pair set, so this query uses the exact all-pairs
+    // entry point; production scale path is cosineNearDupPairsLsh.
     "q_embed_neardup" -> ((s, dir) =>
-      graft.ops.Similarity.cosineNearDupPairs(
+      graft.ops.Similarity.cosineNearDupPairsExact(
         t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4, dim = 64, allPairs = true)
+        threshold = 0.4, dim = 64)
         .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
         .orderBy("a", "b")),
 

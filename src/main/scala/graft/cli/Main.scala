@@ -310,14 +310,14 @@ object Main {
     val builds = store.listManifests()
     if (builds.isEmpty) { println("no builds"); return 0 }
     builds.foreach { b =>
-      val m = store.loadManifest(b).getOrElse("")
-      def field(k: String): String =
-        (s""""$k":"([^"]*)"""".r.findFirstMatchIn(m).map(_.group(1)) orElse
-          s""""$k":(-?[\\d.]+|true|false)""".r.findFirstMatchIn(m).map(_.group(1)))
-          .getOrElse("?")
+      val m = store.loadManifest(b)
+        .flatMap(graft.util.Jsons.parseObject)
+        .getOrElse(Map.empty[String, Any])
+      def field(path: String*): String =
+        graft.util.Jsons.at(m, path: _*).map(_.toString).getOrElse("?")
       println(s"$b  created=${field("created_at")}  rows=${field("rows")}  " +
-        s"columns=${field("column_count")}  audit_passed=${field("audit_passed")}  " +
-        s"output=${field("output_path")}")
+        s"columns=${field("output", "column_count")}  audit_passed=${field("audit_passed")}  " +
+        s"output=${field("output", "output_path")}")
     }
     0
   }

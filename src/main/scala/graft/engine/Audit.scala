@@ -119,11 +119,42 @@ object Audit {
     * `{f}__leaky_rows`, `{f}__max_leak_us`, `{f}__median_leak_us`,
     * `{f}__null_rows`.
     */
-  /** Normalize TIMESTAMP_NTZ to TIMESTAMP (session tz is pinned to
-    * UTC, so values are unchanged) — `unix_micros` only accepts the
-    * tz-aware type, and audited datasets written by other engines
-    * (e.g. DuckDB) often carry naive timestamps. */
+  /** Normalize TIMESTAMP_NTZ to TIMESTAMP — `unix_micros` only accepts
+    * the tz-aware type, and audited datasets written by other engines
+    * (e.g. DuckDB) often carry naive timestamps. The cast interprets
+    * naive values in the SESSION time zone, so it is value-preserving
+    * only under UTC; [[requireConsistentTimestamps]] guards the one
+    * case where a non-UTC session would silently skew leak detection
+    * (a dataset MIXING aware and naive time columns — all-aware and
+    * all-naive datasets shift both comparison sides equally). */
   private def tsNorm(c: Column): Column = c.cast("timestamp")
+
+  private def isUtcSession(spark: SparkSession): Boolean =
+    try {
+      val rules = java.time.ZoneId
+        .of(spark.conf.get("spark.sql.session.timeZone")).normalized().getRules
+      rules.isFixedOffset &&
+        rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+    } catch { case _: Exception => false }
+
+  /** Mixing TIMESTAMP and TIMESTAMP_NTZ time columns is only
+    * well-defined under a UTC session (the naive side would otherwise
+    * be shifted by the session offset during normalization) — fail
+    * loudly, exactly like Build.checkTimezone does at build time. */
+  private def requireConsistentTimestamps(data: DataFrame, labelTime: String,
+      featureTimeColumns: Map[String, String]): Unit = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val types = (labelTime +: featureTimeColumns.values.toSeq)
+      .filter(c => data.columns.contains(c))
+      .map(c => data.schema(c).dataType).toSet
+    if (types.contains(TimestampType) && types.contains(TimestampNTZType) &&
+        !isUtcSession(data.sparkSession))
+      throw new graft.errors.TimezoneMismatchError(
+        "Audit dataset mixes tz-aware (TIMESTAMP) and naive (TIMESTAMP_NTZ) time " +
+          "columns in a non-UTC session — the naive side would be shifted by the " +
+          "session offset.\n  Fix: set spark.sql.session.timeZone=UTC, or make all " +
+          "audited time columns the same timestamp type.")
+  }
 
   def temporalStats(
       data: DataFrame,
@@ -131,6 +162,7 @@ object Audit {
       featureTimeColumns: Map[String, String],
       approxMedian: Boolean = false
   ): DataFrame = {
+    requireConsistentTimestamps(data, labelTime, featureTimeColumns)
     val lt = tsNorm(col(labelTime))
     val feats = featureTimeColumns.toSeq.sortBy(_._1)
     val aggs: Seq[Column] = feats.flatMap { case (name, ftCol) =>

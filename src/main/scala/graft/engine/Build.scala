@@ -119,8 +119,9 @@ final case class BuildResult(
   * Spark-first lifecycle (vs the reference's temp-table pipeline,
   * SURVEY §3.1): steps 1-2 are driver-only validation; the label spine
   * and per-feature joins build ONE lazy DataFrame DAG; all per-feature
-  * stats and invariant checks collapse into a single aggregation job
-  * over the assembled frame (the reference runs 3 queries per feature).
+  * stats and invariant checks collapse into a single aggregation — an
+  * Observation riding the output write when one is requested, so the
+  * whole build is ONE job (the reference runs 3 queries per feature).
   */
 object Build {
 
@@ -180,7 +181,11 @@ object Build {
     for {
       st <- options.store
       key <- cacheKey
-      manifest <- st.loadManifest(s"build_$key")
+      manifestText <- st.loadManifest(s"build_$key")
+      // real JSON parse, not regex plucking: a path containing a
+      // quote/backslash is escaped on write and must be UNescaped to
+      // compare, and "rows" must not accidentally match "matched_rows"
+      manifest <- graft.util.Jsons.parseObject(manifestText)
       out <- options.output
       if java.nio.file.Files.exists(java.nio.file.Paths.get(out))
       // the manifest must describe THIS output: same path, and the
@@ -189,18 +194,17 @@ object Build {
       // the probe would return a foreign dataset stamped with this
       // manifest's audit_passed. On any mismatch, fall through to a
       // fresh build.
-      manifestOut <- """"output_path":"([^"]+)"""".r
-        .findFirstMatchIn(manifest).map(_.group(1))
+      manifestOut <- graft.util.Jsons.at(manifest, "output", "output_path")
+        .collect { case s: String => s }
       if manifestOut == out
-      manifestHash <- """"output_content_hash":"([a-f0-9]+)"""".r
-        .findFirstMatchIn(manifest).map(_.group(1))
+      manifestHash <- graft.util.Jsons.at(manifest, "output", "output_content_hash")
+        .collect { case s: String => s }
       if manifestHash == st.contentHash(out)
     } {
       val df = spark.read.parquet(out)
-      def extract(field: String): Option[Long] =
-        s""""$field":(-?\\d+)""".r.findFirstMatchIn(manifest).map(_.group(1).toLong)
-      val rows = extract("rows").getOrElse(df.count())
-      val passed = manifest.contains("\"audit_passed\":true")
+      val rows = graft.util.Jsons.at(manifest, "rows")
+        .collect { case n: Long => n }.getOrElse(df.count())
+      val passed = graft.util.Jsons.at(manifest, "audit_passed").contains(true)
       return BuildResult(df, rows, df.columns.toSeq,
         features.map(f => FeatureStats(f.name, -1, -1, if (passed) 0 else -1)), passed)
     }
@@ -439,10 +443,9 @@ object Build {
         assembled.na.drop("any", nsValueCols)
       else assembled
 
-    val cached = skipped.cache()
-
     // ---- single-pass stats + invariant verification ----------------
     val lt = col(labels.labelTime)
+    val needStats = options.collectStats || options.verify || options.splits.nonEmpty
     val statAggs: Seq[Column] = features.flatMap { f =>
       val ft = col(Names.featureTimeCol(f.name))
       val upperRef =
@@ -456,48 +459,100 @@ object Build {
           .as(s"__x_${f.safeName}")
       )
     }
-    val (total, stats, labelRange) =
-      if (options.collectStats || options.verify || options.splits.nonEmpty) {
-        val row = cached
-          .agg(count(lit(1)), statAggs ++ Seq(min(lt), max(lt)): _*).head()
-        def lng(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
-        val n = lng(0)
-        val st = features.zipWithIndex.map { case (f, i) =>
-          val matched = lng(1 + 2 * i)
-          val viol = lng(2 + 2 * i)
-          FeatureStats(f.name, matched, n - matched, viol)
-        }
-        val mmBase = 1 + 2 * features.size
-        val range =
-          if (row.isNullAt(mmBase)) None
-          else Some((row.getTimestamp(mmBase), row.getTimestamp(mmBase + 1)))
-        (n, st, range)
-      } else (cached.count(), features.map(f => FeatureStats(f.name, -1, -1, 0)), None)
-
-    // split gap / coverage warnings (engine.py:654-673)
-    val warnings = splitWarnings(options.splits, labelRange)
+    val aggCols: Seq[Column] = count(lit(1)).as("__n") +:
+      (if (needStats) statAggs ++ Seq(min(lt).as("__lo"), max(lt).as("__hi"))
+       else Seq.empty[Column])
+    def toTs(v: Any): java.sql.Timestamp = v match {
+      case t: java.sql.Timestamp  => t
+      case i: java.time.Instant   => java.sql.Timestamp.from(i)
+      case d: java.time.LocalDateTime => java.sql.Timestamp.valueOf(d)
+      case other => java.sql.Timestamp.valueOf(other.toString.replace("T", " "))
+    }
+    def decodeStats(m: Map[String, Any])
+        : (Long, Seq[FeatureStats], Option[(java.sql.Timestamp, java.sql.Timestamp)]) = {
+      def lng(k: String): Long =
+        m.get(k).flatMap(Option(_)).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+      val n = lng("__n")
+      val st =
+        if (needStats) features.map { f =>
+          val matched = lng(s"__m_${f.safeName}")
+          FeatureStats(f.name, matched, n - matched, lng(s"__x_${f.safeName}"))
+        } else features.map(f => FeatureStats(f.name, -1, -1, 0))
+      val range = for {
+        lo <- m.get("__lo").flatMap(Option(_))
+        hi <- m.get("__hi").flatMap(Option(_))
+      } yield (toTs(lo), toTs(hi))
+      (n, st, range)
+    }
 
     // ---- final projection ------------------------------------------
     val outCols = labels.keys ++ Seq(labels.labelTime) ++ labels.target ++ nsValueCols
-    val projected = cached.select(outCols.map(col): _*)
-    val sorted =
-      if (options.sortResult)
-        projected.orderBy((labels.keys :+ labels.labelTime).map(col): _*)
-      else projected
-    val result =
+    def finishFrame(base: DataFrame): DataFrame = {
+      val projected = base.select(outCols.map(col): _*)
+      val sorted =
+        if (options.sortResult)
+          projected.orderBy((labels.keys :+ labels.labelTime).map(col): _*)
+        else projected
       if (options.flattenColumns) flatten(sorted, nsValueCols, outCols.dropRight(nsValueCols.size))
       else sorted
+    }
 
-    // ---- write + splits --------------------------------------------
-    options.output.foreach { out =>
-      result.write.mode("overwrite").parquet(out)
+    // ---- write + stats in ONE pass ---------------------------------
+    // With an unsorted output, the stats/invariant aggregation rides
+    // the write job as an Observation (CollectMetrics): the assembled
+    // frame is computed exactly once, never cached, and the reference's
+    // "3 queries per feature" collapse to zero extra jobs. Splits then
+    // filter the WRITTEN parquet (label_time predicate pushdown) rather
+    // than recomputing the join per split.
+    //
+    // A SORTED output cannot take this path: a global orderBy samples
+    // its child to build range boundaries, so the observed subtree
+    // executes twice per action and CollectMetrics double-counts.
+    // There the frame is cached (the sampling pass then reads the
+    // cache instead of recomputing every join) and aggregated
+    // separately — as is the no-output path, whose returned df's
+    // lineage must read the materialized rowids anyway.
+    def aggViaCache(frame: DataFrame)
+        : (Long, Seq[FeatureStats], Option[(java.sql.Timestamp, java.sql.Timestamp)]) = {
+      val row = frame.agg(aggCols.head, aggCols.tail: _*).head()
+      val m = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+        f -> (if (row.isNullAt(i)) null else row.get(i))
+      }.toMap[String, Any]
+      decodeStats(m)
+    }
+    def writeSplits(out: String): Unit = {
+      val written = spark.read.parquet(out)
       options.splits.foreach { s =>
-        val part = result.filter(
+        val part = written.filter(
           lt >= lit(s.start).cast("timestamp") && lt < lit(s.end).cast("timestamp"))
         val stem = out.stripSuffix(".parquet")
         part.write.mode("overwrite").parquet(s"${stem}_${s.name}.parquet")
       }
     }
+    val (result, total, stats, labelRange) = options.output match {
+      case Some(out) if !options.sortResult =>
+        val obs = org.apache.spark.sql.Observation()
+        val fused = finishFrame(skipped.observe(obs, aggCols.head, aggCols.tail: _*))
+        fused.write.mode("overwrite").parquet(out)
+        val (n, st, range) = decodeStats(obs.get)
+        writeSplits(out)
+        (fused, n, st, range)
+      case Some(out) =>
+        val cached = skipped.cache()
+        val (n, st, range) = aggViaCache(cached)
+        val sorted = finishFrame(cached)
+        sorted.write.mode("overwrite").parquet(out)
+        writeSplits(out)
+        cached.unpersist()
+        (sorted, n, st, range)
+      case None =>
+        val cached = skipped.cache()
+        val (n, st, range) = aggViaCache(cached)
+        (finishFrame(cached), n, st, range)
+    }
+
+    // split gap / coverage warnings (engine.py:654-673)
+    val warnings = splitWarnings(options.splits, labelRange)
 
     val passed = stats.forall(_.violations == 0)
     warnings.foreach(w => log.warn(w))
@@ -586,13 +641,12 @@ object Build {
 
     // When an output was written, the returned frame is the RE-READ
     // parquet (the reference's BuildResult points at the written output
-    // the same way): lineage-free, so the assembled cache can be
-    // dropped instead of leaking one InMemoryRelation per build.
-    // Without an output the cache must stay resident — the returned
-    // df's rowid-aligned lineage reads it (a recompute would re-derive
+    // the same way): lineage-free, nothing was ever cached. Without an
+    // output the cache must stay resident — the returned df's
+    // rowid-aligned lineage reads it (a recompute would re-derive
     // monotonically_increasing_id per branch).
     val finalDf = options.output match {
-      case Some(out) => cached.unpersist(); spark.read.parquet(out)
+      case Some(out) => spark.read.parquet(out)
       case None      => result
     }
     if (!spineConsumedOnce) spine.unpersist()

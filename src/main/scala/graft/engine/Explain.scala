@@ -81,12 +81,17 @@ object Explain {
       val exampleSql = f.mode match {
         case ColumnsMode(cols) =>
           val ts = f.source.timestamp
-          val keyCol = f.keyMapping.getOrElse(labels.keys.head, labels.keys.head)
+          // one equality predicate per label key, each mapped through
+          // the feature's keyMapping — a composite-key feature's
+          // example must show the full lookup, like the actual join
+          val keyCols = labels.keys.map(k => f.keyMapping.getOrElse(k, k))
+          val keyPreds = keyCols.zipWithIndex
+            .map { case (k, i) => s"$k = {K${i + 1}}" }.mkString(" AND ")
           val embargoClause =
             if (f.embargo.isZero) "" else s" - INTERVAL '$embargoStr'"
-          s"""SELECT $keyCol, $ts AS feature_time, ${cols.values.toSeq.sorted.mkString(", ")}
+          s"""SELECT ${keyCols.mkString(", ")}, $ts AS feature_time, ${cols.values.toSeq.sorted.mkString(", ")}
              |FROM '$sourceRef'
-             |WHERE $keyCol = {K}
+             |WHERE $keyPreds
              |  AND $ts $cmpOp {T}$embargoClause
              |  AND $ts >= {T} - INTERVAL '$lookbackStr'
              |ORDER BY $ts DESC

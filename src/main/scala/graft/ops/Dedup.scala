@@ -256,10 +256,12 @@ object Dedup {
     * Returns (id, component) for every node appearing in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // cache the pair frame BEFORE the symmetric union: both union
-    // branches read it, so without this the (expensive) pair-producing
-    // plan executes twice just to build the edge list
-    val p = pairs.cache()
+    // cache a DEFENSIVE projection of the pair frame BEFORE the
+    // symmetric union: both union branches read it, so without this the
+    // (expensive) pair-producing plan executes twice just to build the
+    // edge list. Projecting first means the caller's own frame is never
+    // mutated into a cached state behind their back.
+    val p = pairs.select(col("a"), col("b")).cache()
     val edges = p.select(col("a").as("x"), col("b").as("y"))
       .union(p.select(col("b").as("x"), col("a").as("y")))
       .cache()
@@ -305,9 +307,12 @@ object Dedup {
       labels = nextMat.select("id", "comp")
       iter += 1
     }
-    // p/edges stay cached like the other op-internal caches (LRU
-    // eviction is the design; long-running sessions clearCache) — a
-    // repeated run over the same pairs skips the pair recompute.
+    // release the internal scaffolding: the returned labels frame is
+    // physically backed by the final round's cache/checkpoint and never
+    // needs p/edges again — leaving them resident would accumulate one
+    // InMemoryRelation per call in a long session
+    edges.unpersist()
+    p.unpersist()
     labels
   }
 

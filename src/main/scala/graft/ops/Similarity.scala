@@ -173,23 +173,44 @@ object Similarity {
     transform(dv, x => x / n)
   }
 
-  /** Embedding-cosine near-duplicate pairs: (a < b) pairs with
-    * cosine >= threshold.
-    *
-    * DEFAULT is the bucketed scale path: `tables` independent
-    * hyperplane-LSH tables (different seeds), candidates = same bucket
-    * in ANY table, exact cosine re-scored on candidates only. Multiple
-    * tables recover the recall a single signature loses; per-pair work
-    * stays one native vec_dot. The exact all-pairs O(n²) variant —
-    * a scale-killer on a real corpus — now requires an explicit
-    * `allPairs = true` (used by the oracle query, which needs the
-    * complete pair set for the DuckDB comparison).
-    * Casts and norms are hoisted per ROW; the per-PAIR cost is one
-    * native vec_dot + a divide, arithmetically identical to `cosine()`
-    * (same left-to-right double accumulation). */
+  /** Embedding-cosine near-duplicate pairs, APPROXIMATE scale path:
+    * `tables` independent hyperplane-LSH tables (different seeds),
+    * candidates = same bucket in ANY table, exact cosine re-scored on
+    * candidates only — so reported `sim` values are exact but the pair
+    * SET has recall < 1. Multiple tables recover the recall a single
+    * signature loses; per-pair work stays one native vec_dot. */
+  def cosineNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, planes: Int = 8, tables: Int = 4,
+      seed: Long = 42L): DataFrame =
+    nearDupPairsImpl(df, idCol, vecCol, threshold, dim, planes, tables, seed,
+      allPairs = false)
+
+  /** Embedding-cosine near-duplicate pairs, EXACT all-pairs variant:
+    * complete pair set, O(n²) — a scale-killer on a real corpus. For
+    * bounded corpora and cross-engine verification (the DuckDB oracle
+    * query compares the complete pair set). */
+  def cosineNearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int): DataFrame =
+    nearDupPairsImpl(df, idCol, vecCol, threshold, dim, planes = 0, tables = 0,
+      seed = 0L, allPairs = true)
+
+  /** @deprecated The default here silently became approximate (LSH)
+    * in 0.2 after shipping as exact in 0.1 — callers must now say
+    * which semantics they want. Kept only as a migration shim. */
+  @deprecated("call cosineNearDupPairsLsh (approximate, scale default) or " +
+    "cosineNearDupPairsExact (complete O(n^2) pair set) explicitly", "0.2.0")
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, planes: Int = 8, tables: Int = 4,
-      seed: Long = 42L, allPairs: Boolean = false): DataFrame = {
+      seed: Long = 42L, allPairs: Boolean = false): DataFrame =
+    nearDupPairsImpl(df, idCol, vecCol, threshold, dim, planes, tables, seed, allPairs)
+
+  /** Shared candidate-generation + exact re-score. Casts and norms are
+    * hoisted per ROW; the per-PAIR cost is one native vec_dot + a
+    * divide, arithmetically identical to `cosine()` (same
+    * left-to-right double accumulation). */
+  private def nearDupPairsImpl(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, planes: Int, tables: Int,
+      seed: Long, allPairs: Boolean): DataFrame = {
     val base = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", sqrt(VecOps.vecDot(col("__v"), col("__v"))))
     val withBucket =

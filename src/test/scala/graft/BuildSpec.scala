@@ -331,6 +331,25 @@ class BuildSpec extends SparkFunSuite {
     assert(merged.auditPassed)
   }
 
+  test("observe-fused unsorted write matches the sorted cache path") {
+    // regression: the Observation that fuses stats into the write job
+    // must count rows exactly once — a global orderBy re-executes its
+    // child for range sampling, which double-counted when the observe
+    // sat below the sort (hence sorted outputs take the cache path)
+    val dir = java.nio.file.Files.createTempDirectory("graft_obs")
+    val fused = Build(spark, labels, Seq(userCountry),
+      BuildOptions(output = Some(s"$dir/fused.parquet"), sortResult = false,
+        maxLookback = java.time.Duration.ofDays(3650)))
+    val sortedR = Build(spark, labels, Seq(userCountry),
+      BuildOptions(output = Some(s"$dir/sorted.parquet"), sortResult = true,
+        maxLookback = java.time.Duration.ofDays(3650)))
+    assert(fused.rows == 50 && sortedR.rows == 50)
+    assert(fused.features.map(f => (f.name, f.matched, f.missing, f.violations)) ==
+      sortedR.features.map(f => (f.name, f.matched, f.missing, f.violations)))
+    assert(fused.df.exceptAll(sortedR.df).isEmpty &&
+      sortedR.df.exceptAll(fused.df).isEmpty)
+  }
+
   test("store: feature + build caches populate and hit; content change invalidates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cache")
     labelsDf.write.parquet(s"$dir/labels.parquet")

@@ -53,6 +53,36 @@ class CliSpec extends SparkFunSuite {
     assert(Names.quoteIdent("a\"b") == "\"a\"\"b\"")
   }
 
+  test("Jsons reader round-trips writer output incl. escaped values") {
+    import graft.util.Jsons
+    // a path with a quote and backslash: the exact shape the regex
+    // manifest probe silently failed on (ADVICE round 2)
+    val weird = "/data/out\"dir\\x.parquet"
+    val doc = Jsons.obj(
+      "rows" -> 42L,
+      "audit_passed" -> true,
+      "nested_rows" -> 7L, // must not shadow "rows" during lookup
+      "output" -> Jsons.Raw(Jsons.obj(
+        "output_path" -> weird,
+        "file_size_bytes" -> 1234L,
+        "ratio" -> 0.25,
+        "none" -> None)),
+      "cols" -> Seq("a", "b\nc"))
+    val m = Jsons.parseObject(doc).getOrElse(fail(s"unparseable: $doc"))
+    assert(Jsons.at(m, "rows").contains(42L))
+    assert(Jsons.at(m, "audit_passed").contains(true))
+    assert(Jsons.at(m, "output", "output_path").contains(weird))
+    assert(Jsons.at(m, "output", "ratio").contains(0.25))
+    assert(Jsons.at(m, "output", "none").isEmpty) // null filtered
+    assert(Jsons.at(m, "cols").contains(Vector("a", "b\nc")))
+    assert(Jsons.at(m, "missing", "key").isEmpty)
+    // malformed inputs are None, never throw
+    for (bad <- Seq("", "{", "{\"a\":}", "[1,", "{\"a\":1}trailing"))
+      assert(Jsons.parse(bad).isEmpty, s"parsed: $bad")
+    // unicode escapes
+    assert(Jsons.parse("\"\\u0041\\t\"").contains("A\t"))
+  }
+
   test("config-driven build end-to-end") {
     val dir = Files.createTempDirectory("graft_cli")
     val users = spark.range(1, 20).select(

@@ -188,7 +188,7 @@ class OpsSpec extends SparkFunSuite {
   }
 
   test("near-dup pairs via cosine threshold") {
-    val pairs = Similarity.cosineNearDupPairs(embeddings, "vec_id", "embedding",
+    val pairs = Similarity.cosineNearDupPairsLsh(embeddings, "vec_id", "embedding",
       threshold = 0.4, dim = 64)
     pairs.collect().foreach { r =>
       assert(r.getAs[Double]("sim") >= 0.4)
@@ -197,11 +197,11 @@ class OpsSpec extends SparkFunSuite {
   }
 
   test("near-dup bucketed default: subset of exact, usable recall") {
-    val exact = Similarity.cosineNearDupPairs(embeddings, "vec_id", "embedding",
-      threshold = 0.4, dim = 64, allPairs = true)
+    val exact = Similarity.cosineNearDupPairsExact(embeddings, "vec_id", "embedding",
+      threshold = 0.4, dim = 64)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty)
-    val bucketed = Similarity.cosineNearDupPairs(embeddings, "vec_id", "embedding",
+    val bucketed = Similarity.cosineNearDupPairsLsh(embeddings, "vec_id", "embedding",
       threshold = 0.4, dim = 64, planes = 4, tables = 8)
       .select("a", "b").as[(Long, Long)].collect().toSet
     // candidates only shrink the pair set, never add to it

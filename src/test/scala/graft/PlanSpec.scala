@@ -89,7 +89,7 @@ class PlanSpec extends SparkFunSuite {
 
   test("bucketed near-dup default joins on LSH buckets, not all pairs") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
-    val plan = planOf(Similarity.cosineNearDupPairs(
+    val plan = planOf(Similarity.cosineNearDupPairsLsh(
       e, "vec_id", "embedding", threshold = 0.4, dim = 64))
     // the default must join on the exploded bucket keys — an all-pairs
     // plan would show a cartesian/bnl join on a constant key
