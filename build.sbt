@@ -29,8 +29,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 scalacOptions += "-deprecation"
+// Heap: local[32] runs the whole "cluster" in one JVM — 32 executor
+// threads' worth of shuffle + cache share a single heap, and the 8g
+// default left the bench GC-thrashing once the cache-heavy operator
+// queries had fragmented it (round-3 recorded 90s for a build that
+// measures 7s in a fresh JVM). The box has 128 GiB; give the forked
+// JVM a production-executor-sized slice.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

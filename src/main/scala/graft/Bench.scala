@@ -213,9 +213,9 @@ object Bench {
     // re-measured at 5.9s). A 60s per-entry budget keeps the 10M-row
     // headroom scenarios from tripling the wall clock.
     val results = (scenarios ++ operatorQueries).map { case (name, body) =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       try {
         body() // warmup: codegen + shuffle-file + listing amortization
-        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
         var budget = 60.0
         while (times.size < 3 && budget > 0) {
           val t = timed(body())
@@ -226,7 +226,9 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+          // keep measurements already collected: a run that dies on the
+          // 2nd or 3rd rep still produced valid timings
+          name -> (if (times.nonEmpty) median(times.toSeq) else -1.0)
       } finally {
         // drop caches accumulated inside operators so later queries
         // aren't taxed by this one's memory, and give the JVM a chance

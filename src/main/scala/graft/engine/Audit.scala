@@ -129,13 +129,21 @@ object Audit {
     * all-naive datasets shift both comparison sides equally). */
   private def tsNorm(c: Column): Column = c.cast("timestamp")
 
+  private def sessionZoneRules(spark: SparkSession): Option[java.time.zone.ZoneRules] =
+    try Some(java.time.ZoneId
+      .of(spark.conf.get("spark.sql.session.timeZone")).normalized().getRules)
+    catch { case _: Exception => None }
+
   private def isUtcSession(spark: SparkSession): Boolean =
-    try {
-      val rules = java.time.ZoneId
-        .of(spark.conf.get("spark.sql.session.timeZone")).normalized().getRules
-      rules.isFixedOffset &&
-        rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
-    } catch { case _: Exception => false }
+    sessionZoneRules(spark).exists(r =>
+      r.isFixedOffset && r.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0)
+
+  /** A fixed-offset session zone (UTC, +02:00, …) shifts every NTZ cast
+    * by the same constant, so leak DURATIONS are preserved; a DST zone
+    * shifts by transition-dependent offsets and can skew durations or
+    * flip sub-hour comparisons across a transition. */
+  private def isFixedOffsetSession(spark: SparkSession): Boolean =
+    sessionZoneRules(spark).exists(_.isFixedOffset)
 
   /** Mixing TIMESTAMP and TIMESTAMP_NTZ time columns is only
     * well-defined under a UTC session (the naive side would otherwise
@@ -154,6 +162,18 @@ object Audit {
           "columns in a non-UTC session — the naive side would be shifted by the " +
           "session offset.\n  Fix: set spark.sql.session.timeZone=UTC, or make all " +
           "audited time columns the same timestamp type.")
+    // All-NTZ is safe only under a FIXED-offset session zone: tsNorm's
+    // cast shifts both comparison sides equally there, but a DST zone
+    // shifts values by transition-dependent offsets — label/feature
+    // times straddling a transition would shift unequally, skewing leak
+    // durations by up to the DST delta.
+    if (types == Set[org.apache.spark.sql.types.DataType](TimestampNTZType) &&
+        !isFixedOffsetSession(data.sparkSession))
+      throw new graft.errors.TimezoneMismatchError(
+        "Audit dataset uses naive (TIMESTAMP_NTZ) time columns in a session zone " +
+          "with DST transitions — values straddling a transition would shift " +
+          "unequally during normalization.\n  Fix: set " +
+          "spark.sql.session.timeZone to a fixed offset (e.g. UTC).")
   }
 
   def temporalStats(

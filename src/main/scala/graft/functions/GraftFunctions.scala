@@ -23,6 +23,11 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"simhash64 takes 1 argument, got ${args.length}")
     },
+    "simhash60md5" -> {
+      case Seq(c) => SimHashMd5Expr(c)
+      case args => throw new IllegalArgumentException(
+        s"simhash60md5 takes 1 argument, got ${args.length}")
+    },
     "vec_dot" -> {
       case Seq(a, b) => VecDotExpr(a, b)
       case args => throw new IllegalArgumentException(

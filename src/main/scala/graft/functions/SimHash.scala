@@ -64,6 +64,55 @@ object SimHash {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
   }
+
+  // MessageDigest is stateful and not thread-safe; one instance per
+  // executor thread, reset per token
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit md5 kernel — the portable twin of [[compute]]. Per token
+    * the hash is the first 15 hex chars of md5 parsed as an integer
+    * (= the top 60 bits of the digest's first 8 big-endian bytes),
+    * exactly what DuckDB's `('0x'||substr(md5(t),1,15))::BIGINT`
+    * yields, so fingerprints replay bit-for-bit in the oracle. Also
+    * called from generated code. */
+  def computeMd5(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](60)
+    val md = md5Local.get()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val digest = md.digest(arr.getUTF8String(i).getBytes)
+        var be = 0L
+        var k = 0
+        while (k < 8) { be = (be << 8) | (digest(k) & 0xffL); k += 1 }
+        val h = be >>> 4 // drop the 16th nibble: 15 hex chars = 60 bits
+        var j = 0
+        while (j < 60) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** Column API: 60-bit md5 simhash of an array<string> of tokens. */
+  def simhash60md5(tokens: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(SimHashMd5Expr(ColumnBridge.expression(tokens)))
+  }
 }
 
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
@@ -90,4 +139,34 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "simhash64"
+}
+
+/** 60-bit md5-portable SimHash (see [[SimHash.computeMd5]]). One
+  * codegen'd pass over the token array — replaces the 60 interpreted
+  * `aggregate()` higher-order-function passes the portable pipeline
+  * previously needed (HOF lambdas never enter whole-stage codegen). */
+case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash60md5 needs array<string>, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash.computeMd5(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.computeMd5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5Expr =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash60md5"
 }

@@ -206,11 +206,11 @@ object Dedup {
     * variant exists for cross-engine verification and engine
     * migration checks.
     *
-    * Structure mirrors the expression-tree lesson from the minhash
-    * operators: the token-hash array is projected ONCE (`__h`), the 60
-    * per-bit vote aggregates reference that column — inlining the
-    * hash `transform` into each vote would clone it 60 times and blow
-    * up Catalyst/codegen time.
+    * The fingerprint is one codegen'd pass over the token array
+    * ([[graft.functions.SimHashMd5Expr]]) — the earlier formulation
+    * (60 per-bit `aggregate()` higher-order functions over a projected
+    * hash array) stayed interpreted and re-walked the array 60 times,
+    * measured 5-10x slower at sf0.1.
     */
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 100000): DataFrame = {
@@ -218,16 +218,8 @@ object Dedup {
     require(totalBits % bands == 0, "bands must divide 60")
     val width = totalBits / bands
     val mask = (1L << width) - 1
-    val hashed = df.select(col(idCol).as("__id"),
-      transform(split(trim(col(textCol)), "\\s+"),
-        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("__h"))
-    val votes = hashed.select(col("__id") +: (0 until totalBits).map(j =>
-      aggregate(col("__h"), lit(0), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        .as(s"__v$j")): _*)
-    val sigs = votes.select(col("__id"),
-      (0 until totalBits).map(j =>
-        when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("sig"))
+    val sigs = df.select(col(idCol).as("__id"),
+      graft.functions.SimHash.simhash60md5(split(trim(col(textCol)), "\\s+")).as("sig"))
     val banded = sigs.select(col("__id"), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -310,7 +302,12 @@ object Dedup {
     // release the internal scaffolding: the returned labels frame is
     // physically backed by the final round's cache/checkpoint and never
     // needs p/edges again — leaving them resident would accumulate one
-    // InMemoryRelation per call in a long session
+    // InMemoryRelation per call in a long session. The in-loop count()
+    // materialized every round's cache; if the loop never ran
+    // (maxIter <= 0) force-materialize the seed frame first, else the
+    // caller's first action would recompute the pair-producing plan
+    // twice through the symmetric union.
+    if (iter == 0) labels.count()
     edges.unpersist()
     p.unpersist()
     labels

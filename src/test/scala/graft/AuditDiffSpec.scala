@@ -54,6 +54,25 @@ class AuditDiffSpec extends SparkFunSuite {
     assert(r.leakySample.get.count() == 2)
   }
 
+  test("temporal audit rejects all-NTZ columns under a DST session zone") {
+    // a non-fixed-offset zone shifts NTZ casts by transition-dependent
+    // offsets — label/feature times straddling a DST boundary would
+    // shift unequally and skew leak durations
+    val ntz = leaky
+      .withColumn("label_time", col("label_time").cast("timestamp_ntz"))
+      .withColumn("f__feature_time", col("f__feature_time").cast("timestamp_ntz"))
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assertThrows[graft.errors.TimezoneMismatchError](
+        Audit.temporal(ntz, "label_time", Map("f" -> "f__feature_time")))
+      // a fixed non-UTC offset is fine: both sides shift equally
+      spark.conf.set("spark.sql.session.timeZone", "+02:00")
+      val r = Audit.temporal(ntz, "label_time", Map("f" -> "f__feature_time"))
+      assert(r.details.head.leakyRows == 2)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("severity boundaries") {
     // tiny pct + small leak => LOW
     val n = 1000

@@ -37,6 +37,25 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(r.length == 2)
   }
 
+  test("simhash60md5 kernel matches the SQL md5 formulation bit-for-bit") {
+    // the portable pipeline's oracle replays ('0x'||substr(md5(t),1,15))
+    // in DuckDB — the codegen'd kernel must produce the identical
+    // fingerprint the old 60x aggregate() SQL formulation did
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    val viaKernel = docs
+      .select(col("doc_id"), SimHash.simhash60md5(col("toks")).as("sig"))
+    val hashed = docs.select(col("doc_id"),
+      transform(col("toks"),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("__h"))
+    val viaSql = hashed.select(col("doc_id"),
+      (0 until 60).map(j =>
+        when(aggregate(col("__h"), lit(0), (acc, h) =>
+          acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)) > 0,
+          lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("sig"))
+    assert(viaKernel.except(viaSql).isEmpty && viaSql.except(viaKernel).isEmpty)
+  }
+
   test("simhashPairs finds planted near-dups") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val near = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
