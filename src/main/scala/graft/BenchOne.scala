@@ -28,10 +28,29 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // job/stage/task counters: fixed scheduling overhead is the main
+    // suspect at the 100K scale, so surface how many jobs a build runs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(s.stageInfo.numTasks)
+        println(s"[benchone]   stage ${s.stageInfo.stageId} " +
+          s"(${s.stageInfo.numTasks}t): ${s.stageInfo.name.take(100)}")
+      }
+    })
+
     def timed[A](label: String)(body: => A): A = {
+      val (j0, s0, t0c) = (jobs.get(), stages.get(), tasks.get())
       val t0 = System.nanoTime()
       val r = body
-      println(f"[benchone] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      println(f"[benchone] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+        s"jobs=${jobs.get() - j0} stages=${stages.get() - s0} tasks=${tasks.get() - t0c}")
       r
     }
 

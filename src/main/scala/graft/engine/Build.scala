@@ -521,7 +521,9 @@ object Build {
       decodeStats(m)
     }
     def writeSplits(out: String): Unit = {
-      val written = spark.read.parquet(out)
+      if (options.splits.isEmpty) return
+      // schema recorded at write time — re-open without an inference job
+      val written = graft.sources.SchemaCache.parquet(spark, out)
       options.splits.foreach { s =>
         val part = written.filter(
           lt >= lit(s.start).cast("timestamp") && lt < lit(s.end).cast("timestamp"))
@@ -534,6 +536,7 @@ object Build {
         val obs = org.apache.spark.sql.Observation()
         val fused = finishFrame(skipped.observe(obs, aggCols.head, aggCols.tail: _*))
         fused.write.mode("overwrite").parquet(out)
+        graft.sources.SchemaCache.put(out, fused.schema)
         val (n, st, range) = decodeStats(obs.get)
         writeSplits(out)
         (fused, n, st, range)
@@ -542,6 +545,7 @@ object Build {
         val (n, st, range) = aggViaCache(cached)
         val sorted = finishFrame(cached)
         sorted.write.mode("overwrite").parquet(out)
+        graft.sources.SchemaCache.put(out, sorted.schema)
         writeSplits(out)
         cached.unpersist()
         (sorted, n, st, range)
@@ -646,7 +650,7 @@ object Build {
     // rowid-aligned lineage reads it (a recompute would re-derive
     // monotonically_increasing_id per branch).
     val finalDf = options.output match {
-      case Some(out) => spark.read.parquet(out)
+      case Some(out) => graft.sources.SchemaCache.parquet(spark, out)
       case None      => result
     }
     if (!spineConsumedOnce) spine.unpersist()

@@ -70,7 +70,9 @@ final case class Source(
 
   override def resolve(spark: SparkSession): DataFrame = df.getOrElse {
     resolvedFormat match {
-      case SourceFormat.Parquet => spark.read.parquet(path.get)
+      // SchemaCache skips the per-open schema-inference job for
+      // unchanged paths (stat-fingerprint keyed)
+      case SourceFormat.Parquet => graft.sources.SchemaCache.parquet(spark, path.get)
       case SourceFormat.Csv =>
         spark.read
           .option("header", "true")
@@ -219,7 +221,7 @@ final case class Labels(
     )
 
   def resolve(spark: SparkSession): DataFrame =
-    df.getOrElse(spark.read.parquet(path.get))
+    df.getOrElse(graft.sources.SchemaCache.parquet(spark, path.get))
 }
 
 object Labels {

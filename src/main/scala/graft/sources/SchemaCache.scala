@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Process-level parquet schema cache, keyed on a cheap stat
+  * fingerprint (every file's relative path, size and mtime — no
+  * content reads).
+  *
+  * Why: `spark.read.parquet(path)` runs schema inference as a
+  * distributed footer-reading job — one extra Spark job (~0.1s of
+  * pure scheduling at local[32]) per open, every time, even for a
+  * table opened moments ago. A metastore would amortize this; for
+  * path-addressed tables this cache is that metastore: the first open
+  * pays inference, repeat opens of an UNCHANGED path reuse the schema
+  * via `spark.read.schema(...)`, which skips the job entirely. Any
+  * file change (size/mtime/set of files) changes the fingerprint and
+  * re-infers.
+  *
+  * The reference engine gets this for free — DuckDB reads footers
+  * driver-side per query with no scheduling cost — so matching its
+  * small-build latency requires not paying per-open job overhead.
+  */
+object SchemaCache {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), StructType]()
+
+  /** Stat fingerprint of a file or directory: hash of every regular
+    * file's (relative path, size, mtime_ns). Directory walk only —
+    * no file contents are read. Returns None when the path does not
+    * exist (caller falls through to plain inference and its error). */
+  private def fingerprint(path: String): Option[Long] =
+    try {
+      val root = Paths.get(path)
+      if (!Files.exists(root)) None
+      else {
+        var h = 1125899906842597L // large prime seed
+        def mix(v: Long): Unit = { h = h * 31 + v }
+        def mixStr(s: String): Unit = mix(s.hashCode.toLong)
+        def walk(p: Path): Unit = {
+          if (Files.isDirectory(p)) {
+            // sorted for a deterministic fingerprint across walks
+            val children = Files.list(p).iterator().asScala.toArray.sortBy(_.toString)
+            children.foreach(walk)
+          } else {
+            mixStr(root.relativize(p).toString)
+            mix(Files.size(p))
+            mix(Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS))
+          }
+        }
+        walk(root)
+        Some(h)
+      }
+    } catch { case _: Exception => None }
+
+  /** Open a parquet path, reusing the cached schema when the path's
+    * stat fingerprint is unchanged since the last open. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    fingerprint(path) match {
+      case Some(fp) =>
+        val key = (path, fp)
+        val known = cache.get(key)
+        if (known != null) spark.read.schema(known).parquet(path)
+        else {
+          val df = spark.read.parquet(path)
+          cache.put(key, df.schema)
+          df
+        }
+      case None => spark.read.parquet(path)
+    }
+
+  /** Record a schema we already hold (e.g. just wrote the files) so
+    * the next open of `path` skips inference without ever running it. */
+  def put(path: String, schema: StructType): Unit = {
+    // parquet read-back reports every field nullable; match that so a
+    // cached-schema open is indistinguishable from an inferred one
+    val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
+    fingerprint(path).foreach(fp => cache.put((path, fp), nullable))
+  }
+
+  /** Test hook. */
+  private[graft] def invalidateAll(): Unit = cache.clear()
+}
