@@ -39,4 +39,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Whole-stage codegen emits a fresh class per query; the JVM default
+  // 240MB code cache fills after a few dozen queries, JIT compilation
+  // stops/churns, and identical stages then burn 10-25x the CPU
+  // interpreted (measured: same 10M-row build stage 48 CPU-s vs
+  // 1275 CPU-s within one session). Size it so a long benchmark /
+  // notebook session never hits the cliff.
+  "-XX:ReservedCodeCacheSize=1g",
 )

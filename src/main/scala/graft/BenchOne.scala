@@ -25,6 +25,8 @@ object BenchOne {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-shuffle"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -40,17 +42,30 @@ object BenchOne {
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks)
-        println(s"[benchone]   stage ${s.stageInfo.stageId} " +
-          s"(${s.stageInfo.numTasks}t): ${s.stageInfo.name.take(100)}")
+        val dur = for {
+          a <- s.stageInfo.submissionTime; b <- s.stageInfo.completionTime
+        } yield (b - a) / 1000.0
+        val cpu = s.stageInfo.taskMetrics.executorCpuTime / 1e9
+        val rt = s.stageInfo.taskMetrics.executorRunTime / 1e3
+        println(f"[benchone]   stage ${s.stageInfo.stageId} " +
+          f"(${s.stageInfo.numTasks}t): wall=${dur.getOrElse(-1.0)}%.1fs " +
+          f"taskRun=$rt%.1fs taskCpu=$cpu%.1fs ${s.stageInfo.name.take(60)}")
       }
     })
 
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
     def timed[A](label: String)(body: => A): A = {
       val (j0, s0, t0c) = (jobs.get(), stages.get(), tasks.get())
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       val r = body
       println(f"[benchone] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs " +
-        s"jobs=${jobs.get() - j0} stages=${stages.get() - s0} tasks=${tasks.get() - t0c}")
+        s"jobs=${jobs.get() - j0} stages=${stages.get() - s0} " +
+        s"tasks=${tasks.get() - t0c} gc=${gcMillis() - g0}ms")
       r
     }
 
@@ -94,7 +109,11 @@ object BenchOne {
         Seq("user_id"), Seq("user_id"), "label_time", "updated_at", Seq("val_0"))
       println("  rows=" + graft.operators.AsOfJoin.unionAsOf(spine, feat, spec).count())
     }
+    def syncFs(): Unit =
+      try { new ProcessBuilder("sync").start().waitFor(); () }
+      catch { case _: Exception => () }
     (1 to 5).foreach { i =>
+      syncFs()
       timed(s"full build run$i") {
         val r = Build(spark, labels, features, BuildOptions(
           checkDuplicates = false, sortResult = false,
