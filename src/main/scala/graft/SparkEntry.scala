@@ -367,7 +367,29 @@ object SparkEntry {
     "q_text_analyze" -> ((s, dir) =>
       graft.ops.TextAnalysis.analyze(t(s, dir, "documents"))
         .select("doc_id", "n_tokens", "n_tokens_bpe", "lang_id", "quality", "fingerprint")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // Deterministic Bernoulli sample — pure scan-side filter, decision
+    // is a function of (seed, id) so it replays identically in DuckDB
+    "q_sample_hash" -> ((s, dir) =>
+      graft.ops.Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.25)
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // Per-language sampling rates (training-mix curation)
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), default = 0.05, seed = 7)
+        .select("doc_id", "lang").orderBy("doc_id")),
+    // Deterministic train/valid/test assignment by hash interval
+    "q_sample_split" -> ((s, dir) =>
+      graft.ops.Sampling.assignSplits(t(s, dir, "documents"), "doc_id",
+        Seq("test" -> 0.1, "valid" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")),
+    // Corpus mixing: per-language epoch weights with deterministic
+    // fractional oversampling (2.5 epochs of en, 0.4 of de, 1.0 rest)
+    "q_corpus_mix" -> ((s, dir) =>
+      graft.ops.Sampling.mixByWeight(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 2.5, "de" -> 0.4), default = 1.0)
+        .select(col("doc_id"), col("lang"), col("rep_idx").cast("long").as("rep_idx"))
+        .orderBy("doc_id", "rep_idx"))
   )
 
   /** The exact hyperplane constants `Similarity.hyperplaneSignature`
@@ -786,6 +808,49 @@ object SparkEntry {
         |       ELSE 'de' END AS lang_id,
         |  ROUND(len_score * 0.3 + punct_score * 0.3 + stop_score * 0.2 + wordlen_score * 0.2, 6) AS quality,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
-        |FROM q ORDER BY doc_id""".stripMargin
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    // Sampling family: the unit hash is the top 60 bits of
+    // md5('<seed>:' || id) in BOTH engines; thresholds are inlined as
+    // exact Long literals computed by Sampling.rateThreshold, so the
+    // comparison is integer-exact at the boundary.
+    "q_sample_hash" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |        < ${graft.ops.Sampling.rateThreshold(0.25)}
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |        < CASE lang
+         |            WHEN 'en' THEN ${graft.ops.Sampling.rateThreshold(0.5)}
+         |            WHEN 'de' THEN ${graft.ops.Sampling.rateThreshold(0.25)}
+         |            WHEN 'zh' THEN ${graft.ops.Sampling.rateThreshold(0.1)}
+         |            ELSE ${graft.ops.Sampling.rateThreshold(0.05)} END
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |            < ${graft.ops.Sampling.rateThreshold(0.1)} THEN 'test'
+         |       WHEN ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |            < ${graft.ops.Sampling.rateThreshold(0.2)} THEN 'valid'
+         |       ELSE 'train' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_mix" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |    CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 0 ELSE 1 END
+         |    + CASE WHEN ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |                < CASE lang
+         |                    WHEN 'en' THEN ${graft.ops.Sampling.rateThreshold(0.5)}
+         |                    WHEN 'de' THEN ${graft.ops.Sampling.rateThreshold(0.4)}
+         |                    ELSE 0 END
+         |           THEN 1 ELSE 0 END AS reps
+         |  FROM documents)
+         |SELECT doc_id, lang, unnest(range(CAST(reps AS BIGINT))) AS rep_idx
+         |FROM r WHERE reps > 0 ORDER BY doc_id, rep_idx""".stripMargin
   )
 }

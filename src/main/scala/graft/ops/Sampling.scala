@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and corpus mixing for training-data
+  * pipelines. Every decision is a pure function of (seed, id), so a
+  * sample is reproducible across runs, engines and cluster layouts —
+  * the property `df.sample()` (partition-RNG-based) cannot give you —
+  * and re-running a 100 TB curation job yields the identical corpus.
+  *
+  * All operators here are scan-side filters/projections: no shuffle,
+  * no state, trivially parallel at any scale. The unit hash is the
+  * top 60 bits of md5 (same construction as
+  * [[graft.ops.Dedup.simhashPairsPortable]]), which DuckDB reproduces
+  * via `('0x'||substr(md5(x),1,15))::BIGINT`, so every sampling
+  * decision replays bit-for-bit in the cross-engine oracle.
+  */
+object Sampling {
+
+  /** 2^60 — the unit-hash range. Thresholds are precomputed to Long
+    * so both engines compare integers (no float rounding at the
+    * boundary). */
+  val UnitRange: Long = 1L << 60
+
+  /** Uniform hash of (seed, id) into [0, 2^60). */
+  def unitHash(id: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Threshold for `rate` as an exact Long — inline the SAME literal
+    * in oracle SQL. */
+  def rateThreshold(rate: Double): Long =
+    math.min(UnitRange, math.max(0L, (rate * UnitRange).toLong))
+
+  /** Deterministic Bernoulli sample: keep a row iff
+    * hash(seed, id) < rate * 2^60. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double, seed: Int = 42): DataFrame =
+    df.filter(unitHash(col(idCol), seed) < lit(rateThreshold(rate)))
+
+  /** Per-stratum Bernoulli rates (e.g. per language / per source),
+    * `default` for strata not in the map. The rate lookup is an
+    * inlined CASE chain — strata counts are small (languages,
+    * sources), and a literal expression keeps this a pure scan-side
+    * filter with no broadcast join. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], default: Double = 0.0, seed: Int = 42): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (stratum, rate)) =>
+        acc.when(col(stratumCol) === stratum, lit(rateThreshold(rate)))
+      }
+      .otherwise(lit(rateThreshold(default)))
+    df.filter(unitHash(col(idCol), seed) < threshold)
+  }
+
+  /** Deterministic train/validation/test assignment: `fractions` maps
+    * split name -> fraction; rows falling past the summed fractions
+    * get `defaultSplit`. Returns the frame with a `split` column.
+    * Assignment is by half-open hash intervals, so splits are disjoint
+    * and exhaustive, and growing one fraction only MOVES the boundary
+    * (ids keep their relative position — stable assignment under
+    * re-configuration). */
+  def assignSplits(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], defaultSplit: String = "train",
+      seed: Int = 42): DataFrame = {
+    val h = unitHash(col(idCol), seed)
+    val (expr0, _) = fractions.foldLeft((when(lit(false), lit("")), 0.0)) {
+      case ((acc, cum), (name, frac)) =>
+        val hi = cum + frac
+        (acc.when(h < lit(rateThreshold(hi)), lit(name)), hi)
+    }
+    df.withColumn("split", expr0.otherwise(lit(defaultSplit)))
+  }
+
+  /** Corpus mixing by per-stratum weight: weight 2.5 repeats every
+    * row of the stratum twice plus a deterministic 50% chance of a
+    * third copy (fractional part resolved by the unit hash — exactly
+    * the oversampling a training-mix spec like "2.5 epochs of
+    * wikipedia" asks for). Weight 0.4 keeps 40% of rows once.
+    * Output gains `rep_idx` (0-based copy index), making each copy a
+    * distinct row downstream shufflers/writers can address.
+    *
+    * Scan-side: repeats = integer column, copies via posexplode of a
+    * repeated-unit array. No shuffle; output size = sum of weights x
+    * stratum sizes, produced streaming per input partition. */
+  def mixByWeight(df: DataFrame, idCol: String, stratumCol: String,
+      weights: Map[String, Double], default: Double = 1.0,
+      seed: Int = 42): DataFrame = {
+    def wholeOf(w: Double): Long = math.floor(w).toLong
+    def fracThresholdOf(w: Double): Long = rateThreshold(w - math.floor(w))
+    val whole = weights.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (stratum, w)) =>
+        acc.when(col(stratumCol) === stratum, lit(wholeOf(w)))
+      }.otherwise(lit(wholeOf(default)))
+    val fracThreshold = weights.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (stratum, w)) =>
+        acc.when(col(stratumCol) === stratum, lit(fracThresholdOf(w)))
+      }.otherwise(lit(fracThresholdOf(default)))
+    val reps = (whole +
+      when(unitHash(col(idCol), seed) < fracThreshold, 1L).otherwise(0L))
+      .cast("int")
+    df.withColumn("__reps", reps)
+      .filter(col("__reps") > 0)
+      .select(col("*"), posexplode(array_repeat(lit(1), col("__reps"))))
+      .withColumnRenamed("pos", "rep_idx")
+      .drop("col", "__reps")
+  }
+}

@@ -212,4 +212,72 @@ class OpsSpec extends SparkFunSuite {
     val recall = exact.count(bucketed.contains).toDouble / exact.size
     assert(recall >= 0.3, s"recall $recall")
   }
+
+  // ---- deterministic sampling / corpus mixing -----------------------
+
+  test("hashSample: deterministic, order-independent, ~rate proportion") {
+    import graft.ops.Sampling
+    val a = Sampling.hashSample(docs, "doc_id", 0.25).select("doc_id")
+      .as[Long].collect().toSet
+    val b = Sampling.hashSample(docs.orderBy(rand(1)), "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b) // decision depends on id only, not layout
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.25) < 0.1, s"got ${a.size / n}")
+    // different seed -> different (but still deterministic) sample
+    val c = Sampling.hashSample(docs, "doc_id", 0.25, seed = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(c != a)
+  }
+
+  test("stratifiedSample: per-stratum rates honored") {
+    import graft.ops.Sampling
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 0.0), default = 0.5)
+    val byLang = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val inputByLang = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en") == inputByLang("en")) // rate 1.0 keeps all
+    assert(!byLang.contains("de")) // rate 0.0 drops all
+    val keptOther = (byLang.keySet - "en").map(byLang).sum.toDouble
+    val totalOther = (inputByLang.keySet - "en" - "de").map(inputByLang).sum.toDouble
+    assert(math.abs(keptOther / totalOther - 0.5) < 0.2)
+  }
+
+  test("assignSplits: disjoint, exhaustive, stable under fraction growth") {
+    import graft.ops.Sampling
+    val s1 = Sampling.assignSplits(docs, "doc_id", Seq("test" -> 0.1, "valid" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1.size == docs.count()) // every row exactly one split
+    assert(s1.values.toSet.subsetOf(Set("test", "valid", "train")))
+    // growing the test fraction only MOVES rows train/valid -> test,
+    // never reshuffles existing test rows out
+    val s2 = Sampling.assignSplits(docs, "doc_id", Seq("test" -> 0.2, "valid" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val testIds1 = s1.collect { case (id, "test") => id }.toSet
+    val testIds2 = s2.collect { case (id, "test") => id }.toSet
+    assert(testIds1.subsetOf(testIds2))
+  }
+
+  test("mixByWeight: whole repeats + deterministic fractional copy") {
+    import graft.ops.Sampling
+    val mixed = Sampling.mixByWeight(docs, "doc_id", "lang",
+      Map("en" -> 2.5, "de" -> 0.4), default = 1.0)
+    val reps = mixed.groupBy("doc_id", "lang").count().as[(Long, String, Long)].collect()
+    reps.foreach {
+      case (_, "en", n) => assert(n == 2 || n == 3)
+      case (_, "de", n) => assert(n == 1) // frac-only: present rows appear once
+      case (_, _, n)    => assert(n == 1)
+    }
+    val enInput = docs.filter(col("lang") === "en").count().toDouble
+    val enOut = mixed.filter(col("lang") === "en").count().toDouble
+    assert(math.abs(enOut / enInput - 2.5) < 0.3, s"en epochs ${enOut / enInput}")
+    val deInput = docs.filter(col("lang") === "de").count().toDouble
+    val deOut = mixed.filter(col("lang") === "de").count().toDouble
+    assert(math.abs(deOut / deInput - 0.4) < 0.25, s"de rate ${deOut / deInput}")
+    // rep_idx is a dense 0-based copy index
+    val maxIdx = mixed.filter(col("lang") === "en")
+      .groupBy("doc_id").agg(max("rep_idx").as("m"), count(lit(1)).as("n"))
+      .filter(col("m") =!= col("n") - 1).count()
+    assert(maxIdx == 0)
+  }
 }

@@ -119,4 +119,16 @@ class PlanSpec extends SparkFunSuite {
       s"fell out of codegen:\n$plan")
     assert(!plan.contains("Exchange"))
   }
+
+  test("sampling and corpus mixing are scan-side: no exchange, no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sampled = planOf(graft.ops.Sampling.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 0.5), default = 0.1))
+    assert(!sampled.contains("Exchange") && !sampled.contains("Join"),
+      s"stratified sample should be a pure filter:\n$sampled")
+    val mixed = planOf(graft.ops.Sampling.mixByWeight(
+      docs, "doc_id", "lang", Map("en" -> 2.5), default = 1.0))
+    assert(!mixed.contains("Exchange") && !mixed.contains("Join"),
+      s"mix should be generate-over-scan, no shuffle:\n$mixed")
+  }
 }
