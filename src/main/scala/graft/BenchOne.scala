@@ -117,6 +117,7 @@ object BenchOne {
       timed(s"full build run$i") {
         val r = Build(spark, labels, features, BuildOptions(
           checkDuplicates = false, sortResult = false,
+          maxCarryColumns = sys.env.getOrElse("SPARK_GRAFT_CARRY_COLS", "12").toInt,
           output = Some(s"$dir/out.parquet")))
         println("  rows=" + r.rows)
       }

@@ -35,7 +35,14 @@ final case class BuildOptions(
     /** Optional build store: enables feature-level parquet caches for
       * path-backed sources and a build-level cache keyed on content
       * hashes + parameters (reference store.py:113-161). */
-    store: Option[graft.store.Store] = None
+    store: Option[graft.store.Store] = None,
+    /** Max value columns per union-as-of carry batch. The unioned
+      * frame pads every shuffled row to the batch's full column set
+      * and the carry window runs one aggregate per column over every
+      * row, so batch width multiplies both shuffle bytes and window
+      * CPU; this cap bounds that while keeping few-shuffle batching
+      * for typical feature counts. */
+    maxCarryColumns: Int = 12
 ) {
   if (join != "strict" && join != "inclusive")
     throw Errors.config(s"Invalid join '$join'.", "Use 'strict' or 'inclusive'.")
@@ -376,12 +383,37 @@ object Build {
       case AsOfJoin.Strategy.Auto | AsOfJoin.Strategy.UnionAsOf => true
       case _                                                    => false
     }
+    // Width cap: the unioned frame pads every row to the batch's FULL
+    // value-column set (UnsafeRow spends 8 bytes per slot, null or
+    // not), and the carry window runs one aggregate per column over
+    // every unioned row — so shuffle bytes and window CPU both grow as
+    // rows x batch-width. Unbounded batching made a 1M x 50-feature
+    // build ~20x slower than 1M x 10 (measured 70-280s vs 4s): 101M
+    // rows x 50 padded slots. Greedily packing units into batches of
+    // at most maxCarryColumns value columns keeps each shuffle narrow
+    // while preserving the few-shuffles win at small feature counts.
+    // A single unit wider than the cap (merged same-source group,
+    // which pads nothing) stays intact.
+    def packByWidth(us: Seq[JoinUnit]): Seq[Seq[JoinUnit]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[JoinUnit]]
+      var cur = Seq.empty[JoinUnit]
+      var width = 0
+      us.foreach { u =>
+        val w = u.nsValueCols.size
+        if (cur.nonEmpty && width + w > options.maxCarryColumns) {
+          out += cur; cur = Seq(u); width = w
+        } else { cur = cur :+ u; width += w }
+      }
+      if (cur.nonEmpty) out += cur
+      out.toSeq
+    }
     val unitBatches: Seq[Seq[JoinUnit]] =
       if (!multiEligible) units.map(Seq(_))
       else units.groupBy(u =>
         (u.f0.embargo, u.f0.maxStaleness,
           u.rightKeys.map(k => u.df.schema(k).dataType),
           u.df.schema(u.timeCol).dataType)).values.toSeq
+        .flatMap(packByWidth)
     // Under UnionAsOf, EVERY batch takes the multi path — a batch of
     // one is just unionAsOf that additionally threads the label
     // columns through its shuffle, which lets the head batch skip the

@@ -120,6 +120,12 @@ class BuildSpec extends SparkFunSuite {
     val m2 = Build(spark, labels, mixed, BuildOptions(strategy = AsOfJoin.Strategy.Auto))
     val p2 = Build(spark, labels, mixed, BuildOptions(strategy = AsOfJoin.Strategy.RowNumber))
     assert(m2.df.exceptAll(p2.df).isEmpty && p2.df.exceptAll(m2.df).isEmpty)
+    // width-capped batching (here: forced 2 batches of at most 2 value
+    // columns) must produce the identical frame to one unbounded batch
+    val capped = Build(spark, labels, srcs,
+      BuildOptions(strategy = AsOfJoin.Strategy.Auto, maxCarryColumns = 2))
+    assert(capped.df.exceptAll(multi.df).isEmpty &&
+      multi.df.exceptAll(capped.df).isEmpty)
   }
 
   test("rowid stability: order-unstable labels frame still aligns features") {
