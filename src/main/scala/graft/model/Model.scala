@@ -74,11 +74,9 @@ final case class Source(
       // unchanged paths (stat-fingerprint keyed)
       case SourceFormat.Parquet => graft.sources.SchemaCache.parquet(spark, path.get)
       case SourceFormat.Csv =>
-        spark.read
-          .option("header", "true")
-          .option("inferSchema", "true")
-          .option("delimiter", delimiter)
-          .csv(path.get)
+        // cached-schema open: CSV inference scans the whole file, so a
+        // repeat open of an unchanged csv would pay a full extra read
+        graft.sources.SchemaCache.csv(spark, path.get, delimiter)
     }
   }
 }

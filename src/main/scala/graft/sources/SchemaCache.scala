@@ -74,6 +74,34 @@ object SchemaCache {
       case None => spark.read.parquet(path)
     }
 
+  /** Open a header CSV with inferred schema, reusing the cached
+    * schema when the file is unchanged. Worth far more than the
+    * parquet variant: CSV inference SCANS THE WHOLE FILE (no footer),
+    * so a repeat open of an N-GB csv pays a full extra read. The
+    * delimiter participates in the key — the same file parsed with a
+    * different delimiter yields a different schema. */
+  def csv(spark: SparkSession, path: String, delimiter: String): DataFrame = {
+    def open(schema: Option[StructType]): DataFrame = {
+      val r = spark.read.option("header", "true").option("delimiter", delimiter)
+      schema match {
+        case Some(s) => r.schema(s).csv(path)
+        case None    => r.option("inferSchema", "true").csv(path)
+      }
+    }
+    fingerprint(path) match {
+      case Some(fp) =>
+        val key = (s"csv:$delimiter:$path", fp)
+        val known = cache.get(key)
+        if (known != null) open(Some(known))
+        else {
+          val df = open(None)
+          cache.put(key, df.schema)
+          df
+        }
+      case None => open(None)
+    }
+  }
+
   /** Record a schema we already hold (e.g. just wrote the files) so
     * the next open of `path` skips inference without ever running it. */
   def put(path: String, schema: StructType): Unit = {

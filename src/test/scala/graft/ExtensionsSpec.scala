@@ -193,6 +193,36 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(out.toSeq == Seq(1L, 3L))
   }
 
+  test("streaming sampling: stateless scan-side ops compose with readStream") {
+    // hashSample/stratifiedSample/mixByWeight are pure projections and
+    // filters, so the same operators curate a live firehose with zero
+    // state — decisions stay deterministic per id, so a replayed
+    // stream (re-run from the source) samples identically
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "lang")
+    val q = graft.ops.Sampling.mixByWeight(
+      graft.ops.Sampling.hashSample(df, "doc_id", 0.5, seed = 3),
+      "doc_id", "lang", Map("en" -> 2.0), default = 1.0)
+      .writeStream.outputMode("append").format("memory").queryName("ssample").start()
+    input.addData((1L, "en"), (2L, "en"), (3L, "de"), (4L, "de"), (5L, "en"))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT doc_id, lang, rep_idx FROM ssample").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    q.stop()
+    // batch path on the same rows must agree exactly
+    import spark.implicits._
+    val batch = graft.ops.Sampling.mixByWeight(
+      graft.ops.Sampling.hashSample(
+        Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "de"), (5L, "en"))
+          .toDF("doc_id", "lang"), "doc_id", 0.5, seed = 3),
+      "doc_id", "lang", Map("en" -> 2.0), default = 1.0)
+      .select("doc_id", "lang", "rep_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(out == batch && out.nonEmpty)
+  }
+
   test("streaming as-of: label with no eligible feature emits nulls") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -25,6 +25,23 @@ class SchemaCacheSpec extends SparkFunSuite {
     assert(changed.count() == 1)
   }
 
+  test("csv: cached schema reused; delimiter is part of the key; change re-infers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_schemacache_csv").toString
+    val p = s"$dir/t.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p), "id,v\n1,2.5\n2,3.5\n")
+    val first = SchemaCache.csv(spark, p, ",")
+    assert(first.schema("id").dataType.typeName == "integer")
+    assert(SchemaCache.csv(spark, p, ",").count() == 2)
+    // same file, different delimiter -> different parse, not the cached one
+    val pipe = SchemaCache.csv(spark, p, "|")
+    assert(pipe.schema.fields.length == 1)
+    // file change -> re-infer
+    Thread.sleep(5) // ensure mtime tick even on coarse filesystems
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p), "id,v,w\n1,2.5,x\n")
+    val changed = SchemaCache.csv(spark, p, ",")
+    assert(changed.schema.fieldNames.toSeq == Seq("id", "v", "w"))
+  }
+
   test("put-after-write makes the next open job-free and correct") {
     val dir = java.nio.file.Files.createTempDirectory("graft_schemacache2").toString
     val p = s"$dir/w.parquet"
