@@ -111,4 +111,24 @@ class PropertySpec extends AnyFunSuite {
       r.auditPassed && r.rows == lbls.size
     }, 20)
   }
+
+  test("hash sampling is nested and boundary-exact for arbitrary rates") {
+    // threshold sampling's defining property: for r1 <= r2 the r1
+    // sample is a SUBSET of the r2 sample (growing a sampling rate
+    // only adds rows — critical for reproducible corpus scaling).
+    // rate 0 keeps nothing, rate 1 keeps everything.
+    val ids = (1L to 400L).toDF("id")
+    check(Prop.forAll(
+      Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0),
+      Gen.chooseNum(Int.MinValue, Int.MaxValue)) { (a, b, seed) =>
+      val (r1, r2) = (math.min(a, b), math.max(a, b))
+      val s1 = graft.ops.Sampling.hashSample(ids, "id", r1, seed)
+        .as[Long].collect().toSet
+      val s2 = graft.ops.Sampling.hashSample(ids, "id", r2, seed)
+        .as[Long].collect().toSet
+      s1.subsetOf(s2)
+    }, 15)
+    assert(graft.ops.Sampling.hashSample(ids, "id", 0.0).count() == 0L)
+    assert(graft.ops.Sampling.hashSample(ids, "id", 1.0).count() == 400L)
+  }
 }
