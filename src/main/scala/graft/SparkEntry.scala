@@ -389,7 +389,17 @@ object SparkEntry {
       graft.ops.Sampling.mixByWeight(t(s, dir, "documents"), "doc_id", "lang",
         Map("en" -> 2.5, "de" -> 0.4), default = 1.0)
         .select(col("doc_id"), col("lang"), col("rep_idx").cast("long").as("rep_idx"))
-        .orderBy("doc_id", "rep_idx"))
+        .orderBy("doc_id", "rep_idx")),
+    // Benchmark decontamination: docs with doc_id % 17 == 0 stand in
+    // for the eval set; surviving training docs share no 4-gram with it
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", n = 4)
+        .select("doc_id").orderBy("doc_id")
+    })
   )
 
   /** The exact hyperplane constants `Similarity.hyperplaneSignature`
@@ -851,6 +861,21 @@ object SparkEntry {
          |           THEN 1 ELSE 0 END AS reps
          |  FROM documents)
          |SELECT doc_id, lang, unnest(range(CAST(reps AS BIGINT))) AS rep_idx
-         |FROM r WHERE reps > 0 ORDER BY doc_id, rep_idx""".stripMargin
+         |FROM r WHERE reps > 0 ORDER BY doc_id, rep_idx""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w)-3), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]))) AS s
+        |  FROM docs WHERE len(w) >= 4),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+        |cont AS (
+        |  SELECT DISTINCT x.doc_id FROM sh x JOIN ev ON x.s = ev.s
+        |  WHERE x.doc_id % 17 != 0)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 17 != 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -238,6 +238,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: training documents sharing at least
+    * one word n-gram with the eval corpus. The eval side is tiny
+    * relative to 100 TB of training data — its distinct shingle set is
+    * broadcast by default, so the training corpus is SCANNED ONCE with
+    * a broadcast semi-join and never shuffled; set
+    * `broadcastEval = false` for an oversized eval set to fall back to
+    * a shuffled join. Returns the distinct contaminated id column. */
+  def contaminatedIds(train: DataFrame, evalDf: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, broadcastEval: Boolean = true): DataFrame = {
+    val trainSh = train.select(col(idCol),
+      explode(shingles(col(textCol), n)).as("__s"))
+    val evalSh = evalDf.select(explode(shingles(col(textCol), n)).as("__s")).distinct()
+    val evalSide = if (broadcastEval) broadcast(evalSh) else evalSh
+    trainSh.join(evalSide, Seq("__s"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
+  /** Drop every training document that shares an n-gram with the eval
+    * corpus — the standard guard against benchmark leakage into a
+    * training set. */
+  def decontaminate(train: DataFrame, evalDf: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, broadcastEval: Boolean = true): DataFrame =
+    train.join(contaminatedIds(train, evalDf, idCol, textCol, n, broadcastEval),
+      Seq(idCol), "left_anti")
+
   /** Connected components over near-duplicate pairs — the step that
     * turns pairwise similarity into dedup decisions. Iterative
     * min-label propagation: every node's component label converges to

@@ -213,6 +213,24 @@ class OpsSpec extends SparkFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("decontaminate drops exactly the docs sharing an n-gram with eval") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "totally unrelated words here now")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "xx yy one two three four zz")).toDF("doc_id", "text")
+    val surviving = graft.ops.Dedup.decontaminate(train, eval_, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surviving == Set(1L, 3L)) // doc 2 shares the 4-gram "one two three four"
+    val contaminated = graft.ops.Dedup.contaminatedIds(train, eval_, "doc_id", "text", 4)
+      .as[Long].collect().toSet
+    assert(contaminated == Set(2L))
+    // n larger than any shared span -> nothing dropped
+    assert(graft.ops.Dedup.decontaminate(train, eval_, "doc_id", "text", n = 6)
+      .count() == 3)
+  }
+
   // ---- deterministic sampling / corpus mixing -----------------------
 
   test("hashSample: deterministic, order-independent, ~rate proportion") {

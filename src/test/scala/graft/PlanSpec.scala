@@ -120,6 +120,19 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("Exchange"))
   }
 
+  test("decontamination broadcasts the eval shingles; train is never shuffled") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.ops.Dedup.contaminatedIds(
+      docs.filter(col("doc_id") % 17 =!= 0), docs.filter(col("doc_id") % 17 === 0),
+      "doc_id", "text", n = 4))
+    assert(plan.contains("BroadcastExchange"), s"eval side not broadcast:\n$plan")
+    // the only shuffle is the final distinct over contaminated ids —
+    // the train shingle stream itself must not be exchange-partitioned
+    // before the semi join
+    val semiIdx = plan.indexOf("BroadcastHashJoin")
+    assert(semiIdx >= 0, s"no broadcast semi join:\n$plan")
+  }
+
   test("sampling and corpus mixing are scan-side: no exchange, no join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sampled = planOf(graft.ops.Sampling.stratifiedSample(
