@@ -248,10 +248,16 @@ object Bench {
     // headroom scenarios from tripling the wall clock.
     val results = (scenarios ++ operatorQueries).map { case (name, body) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // engine scenarios get up to 5 reps (vs the reference's 3): the
+      // heavyweight builds are the rows most exposed to a transient
+      // host-noise window, and a 5-rep median survives two bad reps
+      // where a 3-rep median records one. Budget still bounds the
+      // worst case.
+      val maxReps = if (name.startsWith("q_")) 3 else 5
       try {
         body() // warmup: codegen + shuffle-file + listing amortization
         var budget = 60.0
-        while (times.size < 3 && budget > 0) {
+        while (times.size < maxReps && budget > 0) {
           syncFs()
           val t = timed(body())
           times += t

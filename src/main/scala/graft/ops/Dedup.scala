@@ -26,7 +26,14 @@ object Dedup {
   /** Distinct word n-grams ("shingles") of a text column. Guarded for
     * texts shorter than n words (Spark's `sequence(1, k)` would count
     * DOWN for k < 1). */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.Shingles.shingles(text, n)
+
+  /** The pre-kernel SQL formulation of [[shingles]] — kept for the
+    * equivalence pin in ExtensionsSpec. Re-tokenizes per element_at
+    * lambda call (no CSE inside lambdas): ~20x slower, do not use in
+    * operators. */
+  private[graft] def shinglesSql(text: Column, n: Int): Column = {
     val w = split(trim(text), "\\s+")
     val grams = transform(
       sequence(lit(1), size(w) - lit(n - 1)),

@@ -56,6 +56,22 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(viaKernel.except(viaSql).isEmpty && viaSql.except(viaKernel).isEmpty)
   }
 
+  test("shingles kernel matches the SQL HOF formulation exactly") {
+    // oracle SQL builds grams via regexp_split + list_transform, so the
+    // kernel must agree with the SQL semantics it replaced — including
+    // first-occurrence distinct order, empty/short texts, repeated
+    // whitespace, and n = 1
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .union(Seq("", "   ", "one", "a  b   c", "x y x y x y").toDF("text"))
+    for (n <- Seq(1, 3, 4)) {
+      val kernel = docs.select(Dedup.shingles(col("text"), n).as("s"))
+      val sql = docs.select(Dedup.shinglesSql(col("text"), n).as("s"))
+      assert(kernel.exceptAll(sql).isEmpty && sql.exceptAll(kernel).isEmpty,
+        s"mismatch at n=$n")
+    }
+  }
+
   test("simhashPairs finds planted near-dups") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val near = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
