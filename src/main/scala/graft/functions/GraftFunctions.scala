@@ -32,6 +32,20 @@ object GraftFunctions {
       case Seq(a, b) => VecDotExpr(a, b)
       case args => throw new IllegalArgumentException(
         s"vec_dot takes 2 arguments, got ${args.length}")
+    },
+    "shingles" -> {
+      case Seq(text, n) =>
+        val size = n match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other if other.foldable &&
+              other.dataType == org.apache.spark.sql.types.IntegerType =>
+            other.eval().asInstanceOf[Int]
+          case _ => throw new IllegalArgumentException(
+            "shingles(text, n): n must be an integer literal")
+        }
+        ShinglesExpr(text, size)
+      case args => throw new IllegalArgumentException(
+        s"shingles takes 2 arguments (text, n), got ${args.length}")
     }
   )
 

@@ -95,6 +95,14 @@ class ExtensionsSpec extends SparkFunSuite {
     val viaApi = Seq(Seq("a", "b", "c")).toDF("toks")
       .select(SimHash.simhash64(col("toks"))).as[Long].head()
     assert(r.getLong(0) == viaApi)
+    // shingles with a literal n
+    val sh = spark.sql("SELECT shingles('a b c d', 2) AS s").head().getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c d"))
+    // non-literal n is rejected with a clear error
+    val err = intercept[Exception](
+      spark.sql("SELECT shingles('a b', CAST(rand() * 3 AS INT))").head())
+    assert(err.getMessage.contains("integer literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("integer literal")))
   }
 
   test("curation pipeline composes filters + dedup with drop accounting") {
