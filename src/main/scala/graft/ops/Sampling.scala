@@ -86,6 +86,8 @@ object Sampling {
   def mixByWeight(df: DataFrame, idCol: String, stratumCol: String,
       weights: Map[String, Double], default: Double = 1.0,
       seed: Int = 42): DataFrame = {
+    require((weights.values ++ Seq(default)).forall(_ >= 0.0),
+      "mix weights must be non-negative (0 drops the stratum)")
     def wholeOf(w: Double): Long = math.floor(w).toLong
     def fracThresholdOf(w: Double): Long = rateThreshold(w - math.floor(w))
     val whole = weights.toSeq.sortBy(_._1)

@@ -44,8 +44,13 @@ object SchemaCache {
         def mixStr(s: String): Unit = mix(s.hashCode.toLong)
         def walk(p: Path): Unit = {
           if (Files.isDirectory(p)) {
-            // sorted for a deterministic fingerprint across walks
-            val children = Files.list(p).iterator().asScala.toArray.sortBy(_.toString)
+            // sorted for a deterministic fingerprint across walks; the
+            // stream MUST be closed or every fingerprint leaks a
+            // directory fd until GC
+            val listing = Files.list(p)
+            val children =
+              try listing.iterator().asScala.toArray.sortBy(_.toString)
+              finally listing.close()
             children.foreach(walk)
           } else {
             mixStr(root.relativize(p).toString)
