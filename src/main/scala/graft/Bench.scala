@@ -173,7 +173,10 @@ object Bench {
       // shuffle scratch on RAM-backed storage (production: NVMe local
       // disks) — same rationale as benchDir above
       .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-shuffle"))
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+          if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+            "/dev/shm/graft-shuffle"
+          else System.getProperty("java.io.tmpdir") + "/graft-shuffle"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -253,7 +256,7 @@ object Bench {
       // host-noise window, and a 5-rep median survives two bad reps
       // where a 3-rep median records one. Budget still bounds the
       // worst case.
-      val maxReps = if (name.startsWith("q_")) 3 else 5
+      val maxReps = if (operatorQueries.exists(_._1 == name)) 3 else 5
       try {
         body() // warmup: codegen + shuffle-file + listing amortization
         var budget = 60.0

@@ -26,7 +26,10 @@ object BenchOne {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-shuffle"))
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+          if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+            "/dev/shm/graft-shuffle"
+          else System.getProperty("java.io.tmpdir") + "/graft-shuffle"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -826,13 +826,13 @@ object SparkEntry {
     // comparison is integer-exact at the boundary.
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
-         |WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |WHERE ('0x' || substr(md5('sample:42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
          |        < ${graft.ops.Sampling.rateThreshold(0.25)}
          |ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
-         |WHERE ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |WHERE ('0x' || substr(md5('sample:7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
          |        < CASE lang
          |            WHEN 'en' THEN ${graft.ops.Sampling.rateThreshold(0.5)}
          |            WHEN 'de' THEN ${graft.ops.Sampling.rateThreshold(0.25)}
@@ -842,9 +842,9 @@ object SparkEntry {
 
     "q_sample_split" ->
       s"""SELECT doc_id,
-         |  CASE WHEN ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |  CASE WHEN ('0x' || substr(md5('split:42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
          |            < ${graft.ops.Sampling.rateThreshold(0.1)} THEN 'test'
-         |       WHEN ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |       WHEN ('0x' || substr(md5('split:42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
          |            < ${graft.ops.Sampling.rateThreshold(0.2)} THEN 'valid'
          |       ELSE 'train' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
@@ -853,7 +853,7 @@ object SparkEntry {
       s"""WITH r AS (
          |  SELECT doc_id, lang,
          |    CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 0 ELSE 1 END
-         |    + CASE WHEN ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |    + CASE WHEN ('0x' || substr(md5('mix:42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
          |                < CASE lang
          |                    WHEN 'en' THEN ${graft.ops.Sampling.rateThreshold(0.5)}
          |                    WHEN 'de' THEN ${graft.ops.Sampling.rateThreshold(0.4)}

@@ -35,11 +35,17 @@ object GraftFunctions {
     },
     "shingles" -> {
       case Seq(text, n) =>
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
         val size = n match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other if other.foldable &&
-              other.dataType == org.apache.spark.sql.types.IntegerType =>
-            other.eval().asInstanceOf[Int]
+              Seq(ByteType, ShortType, IntegerType, LongType).contains(other.dataType) =>
+            other.eval() match {
+              case v: Number if v.longValue() == v.intValue() => v.intValue()
+              case null => throw new IllegalArgumentException(
+                "shingles(text, n): n must not be NULL")
+              case v => throw new IllegalArgumentException(
+                s"shingles(text, n): n=$v out of Int range")
+            }
           case _ => throw new IllegalArgumentException(
             "shingles(text, n): n must be an integer literal")
         }

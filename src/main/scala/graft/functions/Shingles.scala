@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{coalesce, typedLit}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -53,10 +54,16 @@ object Shingles {
     }
   }
 
-  /** Column API: distinct word n-grams of `text`. */
+  /** Column API: distinct word n-grams of `text`. NULL text yields an
+    * EMPTY array — matching the `when(size(w) >= n, ...).otherwise([])`
+    * SQL formulation this kernel replaced (`size(NULL)` is -1, so the
+    * otherwise-branch fired), so `size(shingles(c)) === 0` keeps
+    * finding shingle-less docs. The bare expression keeps standard
+    * null-in-null-out SQL semantics. */
   def shingles(text: Column, n: Int): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
-    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(text), n))
+    val expr = ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(text), n))
+    coalesce(expr, typedLit(Seq.empty[String]))
   }
 }
 

@@ -96,6 +96,13 @@ object SimHash {
           if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
           j += 1
         }
+      } else {
+        // a NULL token votes -1 on every bit, matching the SQL
+        // formulation this kernel replaced (`when(bit(NULL)===1, 1)
+        // .otherwise(-1)` takes the otherwise branch) and DuckDB's
+        // `CASE WHEN (NULL >> j) & 1 = 1 THEN 1 ELSE -1 END`
+        var j = 0
+        while (j < 60) { votes(j) -= 1; j += 1 }
       }
       i += 1
     }

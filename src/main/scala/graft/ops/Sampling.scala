@@ -23,9 +23,14 @@ object Sampling {
     * boundary). */
   val UnitRange: Long = 1L << 60
 
-  /** Uniform hash of (seed, id) into [0, 2^60). */
-  def unitHash(id: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), id.cast("string"))), 1, 15), 16, 10)
+  /** Uniform hash of (salt, seed, id) into [0, 2^60). The operator
+    * salt decorrelates decisions ACROSS operators sharing a seed: a
+    * 10% `hashSample` must not select exactly the 10% `assignSplits`
+    * marked as test (eval leakage), so each operator hashes under its
+    * own prefix; within one operator the hash is shared so nested-rate
+    * and moving-boundary properties hold. */
+  def unitHash(id: Column, seed: Int, salt: String): Column =
+    conv(substring(md5(concat(lit(s"$salt:$seed:"), id.cast("string"))), 1, 15), 16, 10)
       .cast("long")
 
   /** Threshold for `rate` as an exact Long — inline the SAME literal
@@ -36,7 +41,7 @@ object Sampling {
   /** Deterministic Bernoulli sample: keep a row iff
     * hash(seed, id) < rate * 2^60. */
   def hashSample(df: DataFrame, idCol: String, rate: Double, seed: Int = 42): DataFrame =
-    df.filter(unitHash(col(idCol), seed) < lit(rateThreshold(rate)))
+    df.filter(unitHash(col(idCol), seed, "sample") < lit(rateThreshold(rate)))
 
   /** Per-stratum Bernoulli rates (e.g. per language / per source),
     * `default` for strata not in the map. The rate lookup is an
@@ -50,7 +55,7 @@ object Sampling {
         acc.when(col(stratumCol) === stratum, lit(rateThreshold(rate)))
       }
       .otherwise(lit(rateThreshold(default)))
-    df.filter(unitHash(col(idCol), seed) < threshold)
+    df.filter(unitHash(col(idCol), seed, "sample") < threshold)
   }
 
   /** Deterministic train/validation/test assignment: `fractions` maps
@@ -63,7 +68,12 @@ object Sampling {
   def assignSplits(df: DataFrame, idCol: String,
       fractions: Seq[(String, Double)], defaultSplit: String = "train",
       seed: Int = 42): DataFrame = {
-    val h = unitHash(col(idCol), seed)
+    require(fractions.forall(_._2 >= 0.0),
+      "split fractions must be non-negative")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions sum to ${fractions.map(_._2).sum} > 1 — the " +
+        s"'$defaultSplit' default would silently receive no rows")
+    val h = unitHash(col(idCol), seed, "split")
     val (expr0, _) = fractions.foldLeft((when(lit(false), lit("")), 0.0)) {
       case ((acc, cum), (name, frac)) =>
         val hi = cum + frac
@@ -98,13 +108,18 @@ object Sampling {
       .foldLeft(when(lit(false), lit(0L))) { case (acc, (stratum, w)) =>
         acc.when(col(stratumCol) === stratum, lit(fracThresholdOf(w)))
       }.otherwise(lit(fracThresholdOf(default)))
+    require(!df.columns.contains("rep_idx"),
+      "mixByWeight adds a rep_idx column; rename the existing one first")
     val reps = (whole +
-      when(unitHash(col(idCol), seed) < fracThreshold, 1L).otherwise(0L))
+      when(unitHash(col(idCol), seed, "mix") < fracThreshold, 1L).otherwise(0L))
       .cast("int")
-    df.withColumn("__reps", reps)
+    // posexplode's outputs are aliased explicitly — its default names
+    // (pos, col) would silently collide with user columns of the same
+    // name (drop("col") would remove the user's data column)
+    val exploded = df.withColumn("__reps", reps)
       .filter(col("__reps") > 0)
-      .select(col("*"), posexplode(array_repeat(lit(1), col("__reps"))))
-      .withColumnRenamed("pos", "rep_idx")
-      .drop("col", "__reps")
+      .select(col("*"),
+        posexplode(array_repeat(lit(1), col("__reps"))).as(Seq("rep_idx", "__one")))
+    exploded.drop("__one", "__reps")
   }
 }

@@ -27,8 +27,11 @@ import org.apache.spark.sql.types.StructType
   */
 object SchemaCache {
 
+  // one entry PER PATH (value carries the fingerprint it was recorded
+  // under): a long-running driver rewriting the same output path every
+  // build must not accumulate one stale entry per write
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), StructType]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, StructType)]()
 
   /** Stat fingerprint of a file or directory: hash of every regular
     * file's (relative path, size, mtime_ns). Directory walk only —
@@ -68,13 +71,12 @@ object SchemaCache {
   def parquet(spark: SparkSession, path: String): DataFrame =
     fingerprint(path) match {
       case Some(fp) =>
-        val key = (path, fp)
-        val known = cache.get(key)
-        if (known != null) spark.read.schema(known).parquet(path)
-        else {
-          val df = spark.read.parquet(path)
-          cache.put(key, df.schema)
-          df
+        cache.get(path) match {
+          case (`fp`, known) => spark.read.schema(known).parquet(path)
+          case _ =>
+            val df = spark.read.parquet(path)
+            cache.put(path, (fp, df.schema))
+            df
         }
       case None => spark.read.parquet(path)
     }
@@ -95,13 +97,13 @@ object SchemaCache {
     }
     fingerprint(path) match {
       case Some(fp) =>
-        val key = (s"csv:$delimiter:$path", fp)
-        val known = cache.get(key)
-        if (known != null) open(Some(known))
-        else {
-          val df = open(None)
-          cache.put(key, df.schema)
-          df
+        val key = s"csv:$delimiter:$path"
+        cache.get(key) match {
+          case (`fp`, known) => open(Some(known))
+          case _ =>
+            val df = open(None)
+            cache.put(key, (fp, df.schema))
+            df
         }
       case None => open(None)
     }
@@ -113,7 +115,7 @@ object SchemaCache {
     // parquet read-back reports every field nullable; match that so a
     // cached-schema open is indistinguishable from an inferred one
     val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
-    fingerprint(path).foreach(fp => cache.put((path, fp), nullable))
+    fingerprint(path).foreach(fp => cache.put(path, (fp, nullable)))
   }
 
   /** Test hook. */

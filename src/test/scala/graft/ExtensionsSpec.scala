@@ -64,6 +64,8 @@ class ExtensionsSpec extends SparkFunSuite {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("text"))
       .union(Seq("", "   ", "one", "a  b   c", "x y x y x y").toDF("text"))
+      .union(Seq.empty[String].toDF("text")
+        .union(spark.sql("SELECT CAST(NULL AS STRING) AS text")))
     for (n <- Seq(1, 3, 4)) {
       val kernel = docs.select(Dedup.shingles(col("text"), n).as("s"))
       val sql = docs.select(Dedup.shinglesSql(col("text"), n).as("s"))

@@ -261,6 +261,23 @@ class OpsSpec extends SparkFunSuite {
     assert(math.abs(keptOther / totalOther - 0.5) < 0.2)
   }
 
+  test("operators are decorrelated: a 10% sample is not the 10% test split") {
+    import graft.ops.Sampling
+    // same seed, same rate — but per-operator salts mean a user taking
+    // a "random 10% sample" does not silently get their held-out split
+    val sample = Sampling.hashSample(docs, "doc_id", 0.1, seed = 42)
+      .select("doc_id").as[Long].collect().toSet
+    val test10 = Sampling.assignSplits(docs, "doc_id", Seq("test" -> 0.1), seed = 42)
+      .filter(col("split") === "test").select("doc_id").as[Long].collect().toSet
+    assert(sample != test10)
+    val mixExtra = Sampling.mixByWeight(docs, "doc_id", "lang",
+      Map.empty, default = 1.1, seed = 42)
+      .groupBy("doc_id").count().filter(col("count") === 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(mixExtra != Sampling.hashSample(docs, "doc_id", 0.1, seed = 42)
+      .select("doc_id").as[Long].collect().toSet)
+  }
+
   test("assignSplits: disjoint, exhaustive, stable under fraction growth") {
     import graft.ops.Sampling
     val s1 = Sampling.assignSplits(docs, "doc_id", Seq("test" -> 0.1, "valid" -> 0.1))
