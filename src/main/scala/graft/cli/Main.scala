@@ -77,6 +77,12 @@ object Main {
     s
   }
 
+  /** A required flag, as a friendly config error instead of the raw
+    * NoSuchElementException + stack trace a bare map lookup produces. */
+  private def req(f: Map[String, String], name: String, hint: String): String =
+    f.getOrElse(name, throw graft.errors.Errors.config(
+      s"missing required --$name.", hint))
+
   private def flags(args: Array[String]): (Map[String, String], List[String]) = {
     val m = scala.collection.mutable.Map.empty[String, String]
     val pos = scala.collection.mutable.ListBuffer.empty[String]
@@ -139,6 +145,8 @@ object Main {
                 delimiter = str(f, "delimiter").getOrElse(","))
             else Source.parquet(name + "_src", srcPath, keys, tsCol)
           val mode: FeatureMode = (str(f, "sql"), strList(f, "columns")) match {
+            case (Some(_), cols) if cols.nonEmpty => throw graft.errors.Errors.config(
+              s"feature '$name' sets BOTH sql and columns.", "Set exactly one mode.")
             case (Some(sqlText), _) => SqlMode(sqlText)
             case (None, cols) if cols.nonEmpty => ColumnsMode(cols.map(c => c -> c).toMap)
             case _ => throw graft.errors.Errors.config(
@@ -167,7 +175,10 @@ object Main {
           Split(
             str(s, "name").getOrElse(throw graft.errors.Errors.config(
               "split missing name.", "Every split needs name/start/end")),
-            str(s, "start").getOrElse(""), str(s, "end").getOrElse(""))
+            str(s, "start").getOrElse(throw graft.errors.Errors.config(
+              "split missing start.", "Every split needs name/start/end")),
+            str(s, "end").getOrElse(throw graft.errors.Errors.config(
+              "split missing end.", "Every split needs name/start/end")))
         case other => throw graft.errors.Errors.config(
           s"bad split entry: $other.", "splits must be a list of {name,start,end}")
       }
@@ -247,11 +258,15 @@ object Main {
   private def cmdAudit(args: Array[String]): Int = {
     val (f, _) = flags(args)
     val spark = session()
-    val data = spark.read.parquet(f("data"))
+    val data = spark.read.parquet(req(f, "data", "audit needs --data PATH"))
     val r = f.get("feature-time-cols") match {
       case Some(spec) =>
         val mapping = spec.split(",").map { kv =>
-          val Array(k, v) = kv.split("=", 2); k -> v
+          kv.split("=", 2) match {
+            case Array(k, v) => k -> v
+            case _ => throw graft.errors.Errors.config(
+              s"bad --feature-time-cols item '$kv'.", "Use name=column[,name=column]")
+          }
         }.toMap
         Audit.temporal(data, f.getOrElse("label-time", "label_time"), mapping)
       case None =>
@@ -262,7 +277,7 @@ object Main {
     println(r.toJson)
     // --json PATH / --html PATH file exports (cli.py:344-345)
     f.get("json").filter(_ != "true").foreach(r.toJson)
-    f.get("html").foreach(r.toHtml)
+    f.get("html").filter(_ != "true").foreach(r.toHtml)
     if (!r.passed && f.contains("strict")) 1 else 0
   }
 
@@ -270,9 +285,9 @@ object Main {
     val (f, _) = flags(args)
     val spark = session()
     val r = Diff(
-      spark.read.parquet(f("old")),
-      spark.read.parquet(f("new")),
-      f("keys").split(",").toSeq,
+      spark.read.parquet(req(f, "old", "diff needs --old PATH")),
+      spark.read.parquet(req(f, "new", "diff needs --new PATH")),
+      req(f, "keys", "diff needs --keys a[,b]").split(",").toSeq,
       f.getOrElse("label-time", "label_time"))
     println(s"old_rows=${r.oldRows} new_rows=${r.newRows} common=${r.commonRows}")
     if (r.addedColumns.nonEmpty) println(s"added: ${r.addedColumns.mkString(", ")}")
@@ -287,9 +302,11 @@ object Main {
   private def cmdInspect(args: Array[String]): Int = {
     val (_, pos) = flags(args)
     val spark = session()
-    val df = spark.read.parquet(pos.head)
+    val path = pos.headOption.getOrElse(throw graft.errors.Errors.config(
+      "inspect needs a path argument.", "Usage: graft inspect PATH"))
+    val df = spark.read.parquet(path)
     val n = df.count()
-    println(s"${pos.head}: $n rows, ${df.columns.length} columns")
+    println(s"$path: $n rows, ${df.columns.length} columns")
     val distincts = df.select(df.columns.map(c =>
       countDistinct(col(c)).as(c)).toSeq: _*).head()
     df.schema.fields.zipWithIndex.foreach { case (fld, i) =>
@@ -390,8 +407,13 @@ object Main {
       if (conflicts.isEmpty) "no column name conflicts between features"
       else s"column name conflicts: ${conflicts.mkString(", ")}")
 
+    // Spark-backed checks: the label-schema probe needs the labels
+    // file, but the per-source checks must run EITHER WAY — a labels
+    // path typo should not hide real source problems the user would
+    // otherwise fix in the same pass (reference doctor checks sources
+    // independently, cli.py:922-1090)
+    lazy val spark = session()
     if (labelsExist) {
-      val spark = session()
       attempt("label schema check") {
         val cols = spark.read.parquet(cfg.labels.path.get).columns.toSet
         val missing = (cfg.labels.keys :+ cfg.labels.labelTime).filterNot(cols)
@@ -399,6 +421,8 @@ object Main {
           check("FAIL", s"label file missing columns: ${missing.mkString(", ")}")
         else check("OK", "label file schema matches keys and label_time")
       }
+    }
+    locally {
       // duplicate (key, timestamp) rows per distinct path-backed source
       val seen = scala.collection.mutable.Set.empty[String]
       cfg.features.foreach { ft =>

@@ -143,7 +143,22 @@ object Build {
       case SqlMode(sql)      => s"sql:$sql"
       case TransformMode(_, v) => s"transform:v$v"
     }
-    s"${f.name}|$mode|${f.embargo.getSeconds}|${f.keyMapping.toSeq.sorted.mkString(",")}|" +
+    // The SOURCE SPEC must participate: editing `timestamp:` (or keys /
+    // delimiter / the SQL query) in the config changes the computed
+    // feature without changing the source file's content hash — without
+    // these fields a store would silently serve a stale cached feature
+    // computed under the old, point-in-time-DIFFERENT semantics.
+    val src = f.source match {
+      case s: Source =>
+        s"src:${s.name}|k:${s.keys.mkString(",")}|t:${s.timestamp}|" +
+          s"fmt:${s.path.map(_ => s.resolvedFormat.toString).getOrElse("df")}|" +
+          s"d:${s.delimiter}"
+      case q: SqlSource =>
+        s"sqlsrc:${q.name}|k:${q.keys.mkString(",")}|t:${q.timestamp}|q:${q.query}"
+      case other => s"othersrc:${other.name}|k:${other.keys.mkString(",")}|t:${other.timestamp}"
+    }
+    s"${f.name}|$mode|$src|${f.embargo.getSeconds}|" +
+      s"${f.keyMapping.toSeq.sorted.mkString(",")}|" +
       s"${f.maxStaleness.map(_.getSeconds).getOrElse(-1L)}"
   }
 

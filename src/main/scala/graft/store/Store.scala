@@ -19,7 +19,10 @@ final class Store(val root: String = ".graft") {
 
   private val buildsDir = Paths.get(root, "builds")
   private val cacheDir = Paths.get(root, "cache", "features")
-  private val memo = mutable.Map.empty[(String, Long, Long), String]
+  // keyed PER PATH (stat signature in the value): rewriting the same
+  // path repeatedly must not accumulate one unreachable entry per
+  // (size, mtime) ever seen
+  private val memo = mutable.Map.empty[String, (Long, Long, String)]
 
   def init(): this.type = {
     Files.createDirectories(buildsDir)
@@ -65,16 +68,20 @@ final class Store(val root: String = ".graft") {
     // nanosecond mtime (reference memoizes on mtime_ns): a same-size
     // sub-millisecond rewrite must not serve a stale hash
     val mtime = Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS)
-    memo.getOrElseUpdate((p.toString, size, mtime), {
-      val md = MessageDigest.getInstance("SHA-256")
-      val in = Files.newInputStream(p)
-      try {
-        val buf = new Array[Byte](1 << 20)
-        var n = in.read(buf)
-        while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
-      } finally in.close()
-      md.digest().map("%02x".format(_)).mkString.take(16)
-    })
+    memo.get(p.toString) match {
+      case Some((`size`, `mtime`, hash)) => hash
+      case _ =>
+        val md = MessageDigest.getInstance("SHA-256")
+        val in = Files.newInputStream(p)
+        try {
+          val buf = new Array[Byte](1 << 20)
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        val hash = md.digest().map("%02x".format(_)).mkString.take(16)
+        memo(p.toString) = (size, mtime, hash)
+        hash
+    }
   }
 
   // ---- feature cache ------------------------------------------------
@@ -115,6 +122,10 @@ final class Store(val root: String = ".graft") {
 
   def listManifests(): Seq[String] =
     if (!Files.isDirectory(buildsDir)) Nil
-    else Files.list(buildsDir).iterator().asScala
-      .map(_.getFileName.toString.stripSuffix(".json")).toSeq.sorted
+    else {
+      val stream = Files.list(buildsDir)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString.stripSuffix(".json")).toSeq.sorted
+      finally stream.close()
+    }
 }

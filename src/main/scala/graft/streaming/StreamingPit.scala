@@ -62,12 +62,18 @@ object StreamingPit {
       textCol: String,
       eventTimeCol: String,
       watermark: String = "1 hour"
-  ): DataFrame =
-    docs
+  ): DataFrame = {
+    val fp = docs
       .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(eventTimeCol, watermark)
-      .dropDuplicatesWithinWatermark("__fp")
+    // NULL-text rows have a NULL fingerprint, and dropDuplicates*
+    // treats NULL keys as EQUAL — without the split, 100 distinct
+    // image-only docs in a mixed corpus would collapse to one. They
+    // carry no content to dedup on, so they pass through unchanged.
+    fp.filter(col("__fp").isNotNull).dropDuplicatesWithinWatermark("__fp")
+      .union(fp.filter(col("__fp").isNull))
       .drop("__fp")
+  }
 
   final case class Event(
       key: Long,
@@ -86,11 +92,23 @@ object StreamingPit {
   object StreamingAsOf {
 
     /** Fold one key group's new events (sorted by time) into state,
-      * emitting one enriched row per label event. */
+      * emitting one enriched row per label event. A key whose newest
+      * event falls `retention` behind the watermark has its state
+      * evicted by an EVENT-TIME timer — without this, state grows
+      * monotonically with every key EVER seen (the per-event retention
+      * prune only runs when that key receives another feature event,
+      * which a dead key never does). Event-time (not processing-time)
+      * timers: they fire as the watermark advances with the data, so
+      * replays evict identically and an idle query schedules no
+      * busy-loop batches. */
     def processGroup(embargoMs: Long, retentionMs: Long)(
         key: Long,
         events: Iterator[Event],
         state: GroupState[FeatureState]): Iterator[Enriched] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
       var st = state.getOption.getOrElse(FeatureState(Nil, Nil))
       val out = scala.collection.mutable.ArrayBuffer.empty[Enriched]
       val sorted = events.toArray.sortBy(e => (e.eventTime.getTime, e.isLabel))
@@ -115,21 +133,44 @@ object StreamingPit {
         }
       }
       state.update(st)
+      // evict once the watermark passes the newest event this key has
+      // seen plus the retention window — by then nothing in this state
+      // could still match a label. Event-time (not processing-time)
+      // timers: they fire as the watermark advances with the data, so
+      // replays evict identically and an idle query schedules no
+      // busy-loop batches (a processing-time timer keeps the query
+      // triggering and processAllAvailable never quiesces).
+      val newest = (st.times.headOption.toList ++
+        sorted.map(_.eventTime.getTime)).maxOption
+      newest.foreach { t =>
+        // a timeout at-or-before the current watermark is rejected by
+        // Spark — clamp forward one ms (the timer then fires on the
+        // next batch, which is the right eviction moment anyway)
+        val target = math.max(t + retentionMs, state.getCurrentWatermarkMs() + 1)
+        state.setTimeoutTimestamp(target)
+      }
       out.iterator
     }
 
     /** Streaming as-of enrichment. `stream` is a Dataset[Event] mixing
-      * feature rows (isLabel=false) and label rows (isLabel=true). */
+      * feature rows (isLabel=false) and label rows (isLabel=true).
+      * `watermarkDelay` is the allowed event lateness; a key's state is
+      * evicted when the watermark passes its newest event plus
+      * `retention` (a later label for it then joins as no-match — the
+      * same answer the retention window gives), so state is bounded by
+      * keys ACTIVE within the retention horizon, not keys ever seen. */
     def enrich(
         spark: SparkSession,
         stream: Dataset[Event],
         embargo: Duration = Duration.ZERO,
-        retention: Duration = Duration.ofDays(365)
+        retention: Duration = Duration.ofDays(365),
+        watermarkDelay: Duration = Duration.ofHours(1)
     ): Dataset[Enriched] = {
       import spark.implicits._
       stream
+        .withWatermark("eventTime", s"${watermarkDelay.getSeconds} seconds")
         .groupByKey(_.key)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
           processGroup(embargo.toMillis, retention.toMillis))
     }
   }
