@@ -384,6 +384,18 @@ class BuildSpec extends SparkFunSuite {
     users.limit(10).write.mode("overwrite").parquet(s"$dir/users.parquet")
     val r3 = Build(spark, lbl, Seq(feat), opts)
     assert(r3.features.head.matched >= 0) // freshly computed
+
+    // changing the SOURCE SPEC — not the file — must also invalidate:
+    // a different timestamp column changes which rows are point-in-time
+    // eligible while the content hash stays identical; serving the old
+    // cache here would be a silent-correctness bug
+    val retimed = feat.copy(source =
+      Source.parquet("users", s"$dir/users.parquet", Seq("user_id"), "signup_date"))
+    assert(Build.featureDefinition(retimed) != Build.featureDefinition(
+      feat.copy(source = Source.parquet(
+        "users", s"$dir/users.parquet", Seq("user_id"), "updated_at"))))
+    val r4 = Build(spark, lbl, Seq(retimed), opts)
+    assert(r4.features.head.matched >= 0) // not served from the old cache
   }
 
   test("store: probe validates output on disk; splits/sort participate in the key") {
