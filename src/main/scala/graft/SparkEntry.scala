@@ -802,7 +802,7 @@ object SparkEntry {
         |  SELECT doc_id, text, n_tokens, h_en, h_de, h_fr, h_es,
         |    len(regexp_extract_all(text, '[A-Za-z0-9]+'))
         |      + (length(regexp_replace(text, '[A-Za-z0-9]', '', 'g'))
-        |         - (length(text) - length(replace(text, ' ', '')))) AS n_tokens_bpe,
+        |         - (length(text) - length(regexp_replace(text, '\s', '', 'g')))) AS n_tokens_bpe,
         |    least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) AS len_score,
         |    1.0 - least(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
         |                / length(text) * 5.0, 1.0) AS punct_score,

@@ -298,7 +298,13 @@ object Audit {
     }
 
     val cmp = compared.cache()
-    val lt = col(labelTime)
+    // same normalization + guard temporal mode applies: a DuckDB-written
+    // dataset carries TIMESTAMP_NTZ label times, which unix_micros
+    // rejects raw; and mixed/NTZ columns under a non-UTC (or DST)
+    // session must fail loudly, not silently skew leak durations
+    requireConsistentTimestamps(cmp, labelTime,
+      detailsB.map { case (f, _) => f.name -> Names.featureTimeCol(f.name) }.toMap)
+    val lt = tsNorm(col(labelTime))
     // Stored column matching: namespaced `{f}__{col}` preferred, bare
     // `{col}` fallback (engine.py:1757-1771).
     val dataCols = data.columns.toSet
@@ -309,7 +315,7 @@ object Audit {
     // engine.py:1800-1815)
     val offending = scala.collection.mutable.ArrayBuffer.empty[Column]
     detailsB.foreach { case (f, valueCols) =>
-      val ft = col(Names.featureTimeCol(f.name))
+      val ft = tsNorm(col(Names.featureTimeCol(f.name)))
       val leaky = ft.isNotNull && ft >= lt
       offending += leaky
       val leakUs = when(leaky, unix_micros(ft) - unix_micros(lt))
@@ -366,7 +372,14 @@ object Audit {
       if (offending.nonEmpty &&
           details.exists(d => d.leakyRows > 0 || d.mismatches.values.exists(_ > 0)))
         Some(cmp.filter(offending.reduce(_ || _)).limit(sampleLimit))
-      else None
+      else {
+        // no sample will ever read cmp again — release it now, or every
+        // clean rebuild-audit in a long-lived session leaks one
+        // InMemoryRelation (the sample path keeps it: the returned
+        // frame's lineage reads the cache)
+        cmp.unpersist()
+        None
+      }
     numbered.unpersist()
     AuditReport(total, details, sample)
   }

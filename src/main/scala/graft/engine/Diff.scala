@@ -30,7 +30,11 @@ object Diff {
       columns: Seq[ColumnDiff]
   ) {
     def identical: Boolean =
-      oldRows == newRows && addedColumns.isEmpty && removedColumns.isEmpty &&
+      // commonRows must equal BOTH sides: equal counts with different
+      // key sets (a row replaced by another) is not identical — the
+      // per-column counters only see the inner join and would all be 0
+      oldRows == newRows && commonRows == oldRows &&
+        addedColumns.isEmpty && removedColumns.isEmpty &&
         columns.forall(c => c.changed == 0 && c.nullTransitions == 0)
   }
 

@@ -51,11 +51,28 @@ case class VecDotExpr(left: Expression, right: Expression) extends BinaryExpress
           s"vec_dot needs two array<double>, got ${l.catalogString}, ${r.catalogString}")
     }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // NULL on length mismatch, like the zip_with formulation this
+  // replaced (zip_with pads the shorter side with nulls -> null sum):
+  // a malformed 8-dim embedding against 16-dim queries must drop out
+  // of top-k / threshold filters, not contribute a plausible-looking
+  // partial dot product.
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else VecOps.dot(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VecOps.dot($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDotExpr =

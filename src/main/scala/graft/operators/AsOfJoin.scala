@@ -100,6 +100,14 @@ object AsOfJoin {
     * Output: all label columns + carried `rightTimeOut` + valueCols.
     */
   def rowNumber(labels: DataFrame, features: DataFrame, spec: Spec): DataFrame = {
+    // same loud clash guard the union strategies apply: a label column
+    // named like an internal would otherwise be silently overwritten by
+    // withColumn("__rn", ...) and then dropped — silent data loss
+    val clash = labels.columns.filter(c =>
+      c == "__rn" || c == "__ft" || c.startsWith("__rk") ||
+        c.startsWith("__v_") || c.startsWith("__tb"))
+    require(clash.isEmpty,
+      s"label columns collide with as-of internals: ${clash.mkString(", ")} — rename them")
     // Rename the right side up-front so self-joins (labels and features
     // derived from the same frame) never hit ambiguous references.
     val keyAliases = spec.rightKeys.zipWithIndex.map { case (k, i) => (k, s"__rk$i") }
@@ -377,7 +385,13 @@ object AsOfJoin {
     */
   def unionAsOfSegmented(labels: DataFrame, features: DataFrame, spec: Spec,
       bucket: Duration): DataFrame = {
-    require(!bucket.isZero && !bucket.isNegative, "bucket must be positive")
+    // whole milliseconds required: toMillis truncates, so a positive
+    // sub-ms bucket would pass a zero/negative check yet divide by 0
+    // (ANSI mode throws; legacy mode nulls every bucket and collapses
+    // each key into ONE partition — the exact skew this variant exists
+    // to avoid), and 1.5ms would silently become 1ms
+    require(bucket.toMillis >= 1 && bucket.toNanos % 1000000L == 0,
+      s"bucket must be a positive whole number of milliseconds, got $bucket")
     val parts = buildUnion(labels, features, spec)
     val bucketCol = "__bkt"
     val withBucket = parts.unioned.withColumn(bucketCol,

@@ -157,7 +157,13 @@ object Dedup {
       .filter(col("__df") <= maxDf)
       .drop("__df")
       .cache()
-    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("n"))
+    // sizes from the SAME bounded frame as the intersection: mixing the
+    // unfiltered sizes with a bounded intersection would systematically
+    // underestimate jaccard whenever maxDf actually cuts (pairs sharing
+    // mostly-common shingles would silently score below threshold) —
+    // with the cut active this is consistent "bounded jaccard" over the
+    // surviving shingle sets
+    val sizes = bounded.groupBy("__id").agg(count(lit(1)).as("n"))
     val inter = bounded.as("x")
       .join(bounded.as("y"), col("x.s") === col("y.s") && col("x.__id") < col("y.__id"))
       .groupBy(col("x.__id").as("a"), col("y.__id").as("b"))
@@ -362,13 +368,17 @@ object Dedup {
     * signatures, no second pass over the corpus. */
   def minhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, n: Int = 3, threshold: Double = 0.5,
-      hasher: (Column, Int) => Column = md5Hash): DataFrame = {
+      hasher: (Column, Int) => Column = md5Hash,
+      maxBucket: Int = 1000): DataFrame = {
     // signatures computed ONCE, cached, and shared by the bucketing
-    // pass and both sides of the estimation join
+    // pass and both sides of the estimation join. maxBucket guards the
+    // degenerate-bucket blowup like every other LSH entry point: e.g.
+    // shingle-less docs all share the [null]*k signature, land in ONE
+    // bucket per band, and would expand to |bucket|^2 candidate pairs.
     val sigs = signatures(df, idCol, textCol, k, n, hasher)
       .withColumnRenamed(idCol, "__id").cache()
     val cands = candidatesFromSigs(sigs.withColumnRenamed("__id", idCol),
-      idCol, k, bands, maxBucket = 1000000)
+      idCol, k, bands, maxBucket = maxBucket)
     cands
       .join(sigs.select(col("__id").as("a"), col("sig").as("siga")), "a")
       .join(sigs.select(col("__id").as("b"), col("sig").as("sigb")), "b")

@@ -152,14 +152,30 @@ object Similarity {
     * 100 TB of vectors that is the difference between fitting the ANN
     * working set in cluster memory or not. Returns a struct
     * (scale: double, q: array<tinyint>). */
+  /** Bind a per-vector scalar ONCE for use inside a transform lambda.
+    * Referencing the scalar's expression directly in the lambda body
+    * re-evaluates the whole O(d) reduction PER ELEMENT (no CSE inside
+    * lambda bodies — the same blowup Shingles.scala documents),
+    * turning an O(d) map into O(d²). Wrapping (scalar, vector) in a
+    * one-element array and transforming over it evaluates the scalar
+    * once; the lambda then reads it as a cheap field access. */
+  private def withScalar(scalar: Column, dv: Column)(
+      body: (Column, Column) => Column): Column =
+    element_at(
+      transform(array(struct(scalar.as("s"), dv.as("v"))),
+        e => body(e.getField("s"), e.getField("v"))),
+      1)
+
   def quantizeInt8(v: Column): Column = {
     val dv = asDouble(v)
-    val scale = aggregate(dv, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0
-    struct(
-      scale.as("scale"),
-      transform(dv, x =>
-        when(lit(true) && scale === 0.0, lit(0))
-          .otherwise(round(x / scale, 0).cast("int")).cast("byte")).as("q"))
+    val maxAbs = aggregate(dv, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    withScalar(maxAbs / 127.0, dv) { (scale, vec) =>
+      struct(
+        scale.as("scale"),
+        transform(vec, x =>
+          when(scale === 0.0, lit(0))
+            .otherwise(round(x / scale, 0).cast("int")).cast("byte")).as("q"))
+    }
   }
 
   /** Inverse of [[quantizeInt8]]: array<double> approximation. */
@@ -170,7 +186,7 @@ object Similarity {
   def normalize(v: Column): Column = {
     val dv = asDouble(v)
     val n = sqrt(aggregate(dv, lit(0.0), (acc, x) => acc + x * x))
-    transform(dv, x => x / n)
+    withScalar(n, dv)((norm, vec) => transform(vec, x => x / norm))
   }
 
   /** Embedding-cosine near-duplicate pairs, APPROXIMATE scale path:

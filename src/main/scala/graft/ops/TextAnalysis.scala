@@ -28,8 +28,11 @@ object TextAnalysis {
     * byte-pair pre-tokenizer would (letters+digits runs, single
     * punctuation marks). */
   def bpeTokenCount(text: Column): Column =
+    // any whitespace char is a separator, never a token — filtering
+    // only the literal " " would count tabs/newlines as tokens (a
+    // 1000-line doc would gain ~1000 phantom tokens)
     size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => length(t) > 0 && t =!= " "))
+      t => length(t) > 0 && !t.rlike("^\\s+$")))
 
   def charCount(text: Column): Column = length(text)
 
