@@ -184,7 +184,11 @@ object Build {
           // adds splits must NOT hit the cache of one that didn't (the
           // split files were never written)
           s"${options.splits.map(s => s"${s.name}:${s.start}:${s.end}").mkString(";")}|" +
-          s"${options.sortResult}")
+          // verify participates: an unverified build's manifest records
+          // audit_passed from fabricated zero-violation stats — a later
+          // build WITH verify=true must not cache-hit it and report
+          // auditPassed without any check having run
+          s"${options.sortResult}|${options.verify}")
     }
   }
 
@@ -222,8 +226,12 @@ object Build {
       manifestHash <- graft.util.Jsons.at(manifest, "output", "output_content_hash")
         .collect { case s: String => s }
       if manifestHash == st.contentHash(out)
+      // every split output must still exist too — a deleted split file
+      // would otherwise "succeed" without being regenerated
+      if options.splits.forall(s => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"${out.stripSuffix(".parquet")}_${s.name}.parquet")))
     } {
-      val df = spark.read.parquet(out)
+      val df = graft.sources.SchemaCache.parquet(spark, out)
       val rows = graft.util.Jsons.at(manifest, "rows")
         .collect { case n: Long => n }.getOrElse(df.count())
       val passed = graft.util.Jsons.at(manifest, "audit_passed").contains(true)
@@ -281,7 +289,9 @@ object Build {
             case None =>
               val computed = computeFeature(spark, f, labels, sourceCache)
               st.saveFeatureCache(computed.df, key)
-              ComputedFeature(spark.read.parquet(st.featureCachePath(key)), computed.timeCol)
+              ComputedFeature(
+                graft.sources.SchemaCache.parquet(spark, st.featureCachePath(key)),
+                computed.timeCol)
           }
         case None => computeFeature(spark, f, labels, sourceCache)
       }
@@ -368,6 +378,11 @@ object Build {
             f.source.keys ++ (f.source.timestamp +: sortedCols(f).map(_._2)))
           valueColsOf(f.name) = sortedCols(f).map(_._1)
         }
+        // the keyMapping-translated keys must exist BEFORE the select
+        // resolves them, or a mapping typo surfaces as a raw Spark
+        // AnalysisException instead of the SchemaError + suggestion the
+        // single-feature path produces
+        requireColumns(s"Source '${f0.source.name}' (via key_mapping)", src, rightKeys)
         // one combined frame: keys + feature_time + every feature's
         // columns already namespaced (names are unique across features)
         val combined = src.select(
@@ -540,7 +555,7 @@ object Build {
         if (options.sortResult)
           projected.orderBy((labels.keys :+ labels.labelTime).map(col): _*)
         else projected
-      if (options.flattenColumns) flatten(sorted, nsValueCols, outCols.dropRight(nsValueCols.size))
+      if (options.flattenColumns) flatten(sorted)
       else sorted
     }
 
@@ -655,6 +670,9 @@ object Build {
         "build_key" -> key,
         "rows" -> total,
         "audit_passed" -> passed,
+        // audit_passed above is only meaningful when the verification
+        // pass actually ran — record which it was
+        "verified" -> options.verify,
         "labels" -> Raw(Jsons.obj(
           "path" -> labels.path,
           "content_hash" -> labels.path.map(st.contentHash),
@@ -750,6 +768,15 @@ object Build {
       case ColumnsMode(cols) =>
         requireColumns(s"Source '${f.source.name}'", src,
           f.source.keys ++ (f.source.timestamp +: cols.values.toSeq))
+        // an output name equal to a key or the time column would
+        // project two same-named columns and every later reference
+        // would die with an ambiguous-reference AnalysisException
+        val reserved = f.source.keys.toSet + "feature_time"
+        cols.keys.filter(reserved).foreach(c =>
+          throw Errors.config(
+            s"Feature '${f.name}' output column '$c' collides with a join key " +
+              "or 'feature_time'.",
+            "Rename the output column in the columns mapping."))
         val proj = src.select(
           f.source.keys.map(col) ++
             Seq(col(f.source.timestamp).as("feature_time")) ++
@@ -804,6 +831,15 @@ object Build {
   }
 
   def validateSplits(splits: Seq[Split]): Unit = {
+    // names become file paths (<stem>_<name>.parquet): duplicates would
+    // silently overwrite each other, separators would nest directories
+    val dupNames = splits.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
+    if (dupNames.nonEmpty)
+      throw Errors.config(s"Duplicate split names: ${dupNames.mkString(", ")}.",
+        "Give every split a unique name.")
+    splits.filterNot(_.name.matches("[A-Za-z0-9_.-]+")).foreach(s =>
+      throw Errors.config(s"Split name '${s.name}' is not filename-safe.",
+        "Use letters, digits, '_', '-', '.'"))
     val parsed = splits.map(s => (s, java.sql.Timestamp.valueOf(normalizeTs(s.start)),
       java.sql.Timestamp.valueOf(normalizeTs(s.end))))
     parsed.foreach { case (s, a, b) =>
@@ -888,11 +924,15 @@ object Build {
   /** Strip `{feature}__` prefixes when the short names are globally
     * unique (engine.py:1281-1304); keep namespaced otherwise.
     */
-  def flatten(df: DataFrame, nsCols: Seq[String], passthrough: Seq[String]): DataFrame = {
-    val shortNames = nsCols.map(c => c.split("__", 2).last)
-    val all = passthrough ++ shortNames
-    val unique = all.size == all.distinct.size
-    if (!unique) df
-    else df.toDF(passthrough ++ shortNames: _*)
+  def flatten(df: DataFrame): DataFrame = {
+    // EVERY output column is shortened at its first "__", exactly like
+    // the reference (engine.py:1282-1304) — including label/passthrough
+    // columns that happen to contain "__" — and one conflict anywhere
+    // disables flattening entirely
+    def short(c: String): String =
+      if (c.contains("__")) c.split("__", 2)(1) else c
+    val all = df.columns.map(short).toSeq
+    if (all.size != all.distinct.size) df
+    else df.toDF(all: _*)
   }
 }

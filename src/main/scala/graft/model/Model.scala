@@ -53,7 +53,8 @@ final case class Source(
     format: Option[SourceFormat.Value] = None,
     delimiter: String = ","
 ) extends SourceLike {
-  require(name.nonEmpty, "Source name must be non-empty")
+  if (name.isEmpty)
+    throw Errors.config("Source name must be non-empty.", "Give the source a name.")
   if (keys.isEmpty)
     throw Errors.config(
       s"Source '$name' has no keys.",
@@ -101,6 +102,8 @@ final case class SqlSource(
     keys: Seq[String],
     timestamp: String
 ) extends SourceLike {
+  if (name.isEmpty)
+    throw Errors.config("SQLSource name must be non-empty.", "Give the source a name.")
   if (keys.isEmpty)
     throw Errors.config(
       s"SQLSource '$name' has no keys.",
@@ -151,7 +154,8 @@ final case class Feature(
     onDuplicate: OnDuplicate.Value = OnDuplicate.Error,
     maxStaleness: Option[Duration] = None
 ) {
-  require(name.nonEmpty, "Feature name must be non-empty")
+  if (name.isEmpty)
+    throw Errors.config("Feature name must be non-empty.", "Give the feature a name.")
   mode match {
     case ColumnsMode(cols) if cols.isEmpty =>
       throw Errors.config(

@@ -28,14 +28,21 @@ object MiniYaml {
   }
 
   private def stripComment(l: String): String = {
-    // naive: drop from an unquoted '#'
+    // drop from an unquoted '#'. A quote only OPENS a string when it
+    // starts a token (line start, or after whitespace/':'/'-'/',') —
+    // otherwise an apostrophe inside a bare scalar ("don't") would flip
+    // the state and a trailing '# comment' would survive into the value.
     var inS = false; var inD = false
+    var prev = ' '
     val sb = new StringBuilder
+    def atTokenStart: Boolean =
+      prev == ' ' || prev == '\t' || prev == ':' || prev == '-' || prev == ','
     for (c <- l) {
-      if (c == '\'' && !inD) inS = !inS
-      else if (c == '"' && !inS) inD = !inD
+      if (c == '\'' && !inD && (inS || atTokenStart)) inS = !inS
+      else if (c == '"' && !inS && (inD || atTokenStart)) inD = !inD
       if (c == '#' && !inS && !inD) return sb.toString
       sb.append(c)
+      prev = c
     }
     sb.toString
   }
@@ -87,9 +94,16 @@ object MiniYaml {
       if (ind < indent || !line.trim.startsWith("-")) return (out.toList, i)
       require(ind == indent, s"Bad list indentation at line ${lineNo + 1}")
       val body = line.trim.stripPrefix("-").trim
-      if (body.contains(":")) {
+      // a list item is a MAP only when the colon ends the line or is
+      // followed by a space (YAML's own rule) — `- a:b` and
+      // `- s3://bucket/x` are scalar strings, not Map("a" -> "b")
+      val mapColon = body.indexOf(": ") match {
+        case -1 => if (body.endsWith(":")) body.length - 1 else -1
+        case i  => i
+      }
+      if (mapColon >= 0) {
         // list item is a map: first pair inline, following pairs at indent+2
-        val colon = body.indexOf(':')
+        val colon = mapColon
         val k = body.substring(0, colon).trim
         val v = body.substring(colon + 1).trim
         val itemIndent = ind + 2
