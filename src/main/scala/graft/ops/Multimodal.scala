@@ -9,13 +9,19 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side machinery — schema, partition sizing, batched
   * iteration shape (the Scala analog of `mapInPandas` batches), typed
-  * Datasets — is real and tested. The DECODERS are deterministic
-  * STUBS (clearly marked below): this container has no image/audio
-  * codec libraries, so the stub derives stable pseudo-features from
-  * the bytes; swapping in a real codec changes only the function body,
-  * not the pipeline.
+  * Datasets — is real and tested. IMAGE decode is REAL (JDK
+  * `javax.imageio`: PNG/JPEG/BMP/GIF, zero external deps) — dimensions
+  * plus a downsampled-luminance grid embedding. Audio/video decoders
+  * remain deterministic STUBS (clearly marked below): the JDK ships no
+  * audio/video codec; swapping in a real one (ffmpeg bindings) changes
+  * only the function body, not the pipeline.
   */
 object Multimodal {
+
+  // ImageIO's default decode path spools through a disk-backed
+  // ImageInputStream cache — per-row temp-file churn on executors.
+  // Payloads are already in memory; keep decode in memory too.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** A media row: opaque payload + typed metadata. */
   final case class MediaRow(
@@ -44,13 +50,58 @@ object Multimodal {
     * exactly like `mapInPandas` batch size does. */
   val BatchSize = 64
 
-  // ==== STUB DECODERS ===============================================
-  // A real deployment replaces these bodies with an actual codec
-  // (e.g. javax.imageio / ffmpeg bindings). Everything else — schema,
-  // batching, partitioning — stays as-is.
+  // ==== IMAGE DECODE (real, JDK javax.imageio) ======================
 
-  /** STUB image decode: dimensions + embedding derived from a rolling
-    * hash of the payload. Deterministic in content. */
+  /** Decode an image payload (PNG/JPEG/BMP/GIF — whatever the JVM's
+    * registered ImageReaders cover) into (width, height, embedding).
+    * The embedding is a g×g mean-luminance grid (g = ceil(sqrt(dim)),
+    * first `dim` cells, ITU-R BT.601 luma, normalized to [0,1]) — the
+    * cheap classical stand-in for a model embedding; a real deployment
+    * swaps the grid for a model forward pass at the same batch
+    * boundary. Returns None when the bytes are not a decodable image.
+    */
+  def decodeImage(content: Array[Byte], dim: Int = 16): Option[(Int, Int, Array[Float])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+      val sums = new Array[Double](g * g)
+      val counts = new Array[Long](g * g)
+      var y = 0
+      while (y < h) {
+        val cy = y * g / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          val c = cy * g + (x * g / w)
+          sums(c) += luma / 255.0
+          counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val emb = Array.tabulate(dim) { j =>
+        if (j < g * g && counts(j) > 0) (sums(j) / counts(j)).toFloat else 0f
+      }
+      Some((w, h, emb))
+    }
+  }
+
+  // ==== STUB DECODERS (audio/video; image fallback) =================
+  // The JDK ships no audio/video codec; a real deployment replaces
+  // these bodies with one (e.g. ffmpeg bindings). Everything else —
+  // schema, batching, partitioning — stays as-is.
+
+  /** STUB image decode — retained as the deterministic fallback for
+    * payloads [[decodeImage]] cannot parse (corrupt files, formats
+    * without a registered reader): dimensions + embedding derived from
+    * a rolling hash of the payload. Deterministic in content. */
   def decodeImageStub(content: Array[Byte], dim: Int = 16): (Int, Int, Array[Float]) = {
     var h = 1125899906842597L
     var i = 0
@@ -89,7 +140,8 @@ object Multimodal {
         // batch boundary = the amortization point for a real decoder
         // (model session init, JNI handle, GPU transfer, ...)
         batch.iterator.map { m =>
-          val (w, h, emb) = decodeImageStub(m.content, dim)
+          val (w, h, emb) = decodeImage(m.content, dim)
+            .getOrElse(decodeImageStub(m.content, dim))
           ImageFeatures(m.media_id, w, h, emb)
         }
       }
@@ -125,12 +177,37 @@ object Multimodal {
         col("length"),
         col("content"))
 
-  /** Synthesize a deterministic media frame for tests/benches. */
+  /** Deterministic tiny PNG: (8 + (seed%9)) × (8 + (seed/3%7)) pixels,
+    * gradient + seed-hashed pattern. Real, ImageIO-decodable bytes. */
+  def syntheticPng(seed: Long): Array[Byte] = {
+    val w = 8 + (math.abs(seed) % 9).toInt
+    val h = 8 + (math.abs(seed) / 3 % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (seed * 131 + y.toLong * w + x) * 2654435761L
+        img.setRGB(x, y, (((v >>> 16) & 0xffffffL) | (x * 255 / w) << 16).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize a deterministic media frame for tests/benches. Even
+    * ids carry REAL tiny PNGs (exercise the ImageIO path); odd ids
+    * carry opaque pseudo-audio payloads (exercise the stub fallback). */
   def syntheticMedia(spark: SparkSession, n: Int, payload: Int = 256): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
-      val bytes = Array.tabulate(payload)(j => ((i * 131 + j * 31) % 251).toByte)
-      MediaRow(i, if (i % 2 == 0) "image/png" else "audio/wav", bytes)
+      if (i % 2 == 0) MediaRow(i, "image/png", syntheticPng(i))
+      else MediaRow(i, "audio/wav",
+        Array.tabulate(payload)(j => ((i * 131 + j * 31) % 251).toByte))
     }
   }
 }

@@ -129,6 +129,46 @@ class ExtensionsSpec extends SparkFunSuite {
 
   // ---- Multimodal ---------------------------------------------------
 
+  test("multimodal real ImageIO decode: exact dims + luminance embedding") {
+    // syntheticPng dims are pinned by construction: (8 + seed%9) x (8 + seed/3%7)
+    val png = Multimodal.syntheticPng(4L)
+    // PNG magic bytes — these are real encoded files, not fakes
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val Some((w, h, emb)) = Multimodal.decodeImage(png, dim = 16)
+    assert(w == 12 && h == 9) // 8 + 4%9 = 12, 8 + 4/3%7 = 9
+    assert(emb.length == 16 && emb.forall(v => v >= 0f && v <= 1f))
+    assert(emb.distinct.length > 1) // a real luminance grid, not a constant
+    // a solid-white image must decode to an all-ones grid
+    val white = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) white.setRGB(x, y, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(white, "png", bos)
+    val Some((ww, wh, wemb)) = Multimodal.decodeImage(bos.toByteArray, dim = 4)
+    assert(ww == 8 && wh == 8)
+    wemb.foreach(v => assert(math.abs(v - 1f) < 1e-3f))
+    // non-image bytes are not decodable -> None (imageFeatures falls back)
+    assert(Multimodal.decodeImage(Array.tabulate(64)(_.toByte)).isEmpty)
+  }
+
+  test("multimodal imageFeatures: real path for PNGs, fallback for opaque") {
+    val media = Multimodal.syntheticMedia(spark, 20)
+    val feats = Multimodal.imageFeatures(media, dim = 16).collect()
+      .map(f => f.media_id -> f).toMap
+    // even ids are real PNGs: dimensions match syntheticPng's construction
+    (0 until 20 by 2).foreach { i =>
+      val f = feats(i.toLong)
+      assert(f.width == 8 + i % 9, s"media $i width")
+      assert(f.height == 8 + i / 3 % 7, s"media $i height")
+    }
+    // odd ids are opaque payloads: deterministic stub fallback applies
+    (1 until 20 by 2).foreach { i =>
+      val bytes = Array.tabulate(256)(j => ((i.toLong * 131 + j * 31) % 251).toByte)
+      val (sw, sh, semb) = Multimodal.decodeImageStub(bytes, 16)
+      val f = feats(i.toLong)
+      assert(f.width == sw && f.height == sh && f.embedding.toSeq == semb.toSeq)
+    }
+  }
+
   test("multimodal plumbing: schema, determinism, batch independence") {
     val media = Multimodal.syntheticMedia(spark, 200)
     val feats = Multimodal.imageFeatures(media, dim = 8)
