@@ -325,10 +325,15 @@ object SparkEntry {
     // md5 hasher so the full pipeline (signatures -> banding ->
     // candidates -> agreement fraction) replays in DuckDB; production
     // swaps in Dedup.xxHash for the numeric fast path.
+    // maxBucket raised to match the DuckDB oracle, which computes the
+    // COMPLETE candidate set: the production default (1000) silently
+    // drops pairs in degenerate band buckets, and the oracle would
+    // diverge the day the corpus grows one such bucket (same contract
+    // as q_minhash_lsh above).
     "q_dedup_minhash_est" -> ((s, dir) =>
       graft.ops.Dedup.minhashJaccardPairs(
         t(s, dir, "documents"), "doc_id", "text",
-        k = 16, bands = 8, threshold = 0.3)
+        k = 16, bands = 8, threshold = 0.3, maxBucket = 1000000)
         .orderBy("a", "b")),
     // Hyperplane-LSH approximate top-k (the oracle inlines the same
     // seeded plane constants, so the bucketing replays exactly)

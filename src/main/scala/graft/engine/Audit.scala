@@ -302,8 +302,18 @@ object Audit {
     // dataset carries TIMESTAMP_NTZ label times, which unix_micros
     // rejects raw; and mixed/NTZ columns under a non-UTC (or DST)
     // session must fail loudly, not silently skew leak durations
-    requireConsistentTimestamps(cmp, labelTime,
-      detailsB.map { case (f, _) => f.name -> Names.featureTimeCol(f.name) }.toMap)
+    try {
+      requireConsistentTimestamps(cmp, labelTime,
+        detailsB.map { case (f, _) => f.name -> Names.featureTimeCol(f.name) }.toMap)
+    } catch {
+      case t: Throwable =>
+        // the fail-loud path must not leak this call's cached frames
+        // into a long-lived session (driver notebooks audit many
+        // datasets per SparkSession)
+        cmp.unpersist()
+        numbered.unpersist()
+        throw t
+    }
     val lt = tsNorm(col(labelTime))
     // Stored column matching: namespaced `{f}__{col}` preferred, bare
     // `{col}` fallback (engine.py:1757-1771).

@@ -134,6 +134,13 @@ object Build {
 
   val RowId: String = AsOfJoin.RowIdCol
 
+  /** True when `path` has no URI scheme and can be served by the
+    * local-filesystem [[graft.store.Store]] (java.nio). Any scheme —
+    * s3://, hdfs://, even file:// — makes the cached-build probe a
+    * no-op (see the probe below): scheme-d URIs are Hadoop FS
+    * territory, which the local store deliberately does not speak. */
+  private[graft] def isLocalPath(path: String): Boolean = !path.contains("://")
+
   /** Stable definition string participating in cache keys. Transform
     * features contribute their explicit `version` (the JVM has no
     * inspect.getsource — SURVEY §7.3). */
@@ -213,6 +220,13 @@ object Build {
       // compare, and "rows" must not accidentally match "matched_rows"
       manifest <- graft.util.Jsons.parseObject(manifestText)
       out <- options.output
+      // The build cache is a LOCAL store by design (Store hashes with
+      // java.nio and manifests live under .graft/): for a remote
+      // output URI (s3://, hdfs://) the probe is SKIPPED and the build
+      // recomputes — correct, just not memoized. A remote-capable
+      // store would swap Hadoop FileSystem listing + etag hashing in
+      // Store; the probe here inherits whatever Store can verify.
+      if isLocalPath(out)
       if java.nio.file.Files.exists(java.nio.file.Paths.get(out))
       // the manifest must describe THIS output: same path, and the
       // parquet currently on disk must hash to what the build wrote —

@@ -55,9 +55,31 @@ object AsOfJoin {
       * histories make RowNumber's candidate set explode — each label
       * joins every in-window feature row before ranking), with
       * identical results (cross-strategy equivalence is test-pinned).
-      * The gap widens with history density, i.e. with scale. */
+      * The gap widens with history density, i.e. with scale. On a
+      * large feature side, Auto additionally probes a sampled key
+      * histogram and escapes to [[unionAsOfSegmented]] when one hot
+      * key would serialize a task's sort (see [[autoStrategy]]). */
     case object Auto extends Strategy
   }
+
+  /** Tuning for [[Strategy.Auto]]'s skew probe. Defaults are sized so
+    * the probe never runs on inputs too small for any key to serialize
+    * a task — there it costs zero extra jobs. */
+  final case class AutoConfig(
+      /** Feature-side optimized-plan size estimate below which Auto
+        * skips the probe and uses the plain union carry: a side this
+        * small sorts in one task comfortably even fully skewed. */
+      probeMinBytes: Long = 2L << 30, // 2 GiB
+      /** Sampling fraction for the key-histogram probe job (one
+        * map-side-combined aggregation over the sample). */
+      probeFraction: Double = 0.01,
+      /** Estimated rows-per-key past which one task's per-key sort is
+        * the job's serialization point and the segmented carry wins. */
+      skewRowsPerKey: Long = 2000000L,
+      /** Bucket duration is chosen so the hottest key spreads to
+        * ~this many rows per (key, bucket) task. */
+      targetRowsPerBucket: Long = 250000L,
+      probeSeed: Long = 42L)
 
   final case class Spec(
       leftKeys: Seq[String],
@@ -87,12 +109,63 @@ object AsOfJoin {
   val RowIdCol = "__label_rowid"
 
   def join(labels: DataFrame, features: DataFrame, spec: Spec,
-      strategy: Strategy = Strategy.Auto): DataFrame =
+      strategy: Strategy = Strategy.Auto,
+      auto: AutoConfig = AutoConfig()): DataFrame =
     strategy match {
       case Strategy.RowNumber                  => rowNumber(labels, features, spec)
       case Strategy.UnionAsOfSegmented(bucket) => unionAsOfSegmented(labels, features, spec, bucket)
-      case _                                   => unionAsOf(labels, features, spec)
+      case Strategy.UnionAsOf                  => unionAsOf(labels, features, spec)
+      case Strategy.Auto =>
+        join(labels, features, spec, autoStrategy(features, spec, auto), auto)
     }
+
+  /** Resolve [[Strategy.Auto]] to a concrete strategy.
+    *
+    * Small feature side (optimized-plan estimate < `probeMinBytes`):
+    * plain [[unionAsOf]], no probe, no extra job. Large side: run ONE
+    * sampled map-side-combined aggregation for the hottest key's
+    * estimated row count and time span; past `skewRowsPerKey` the
+    * per-key sort would serialize a task (the 100 TB hot-entity
+    * failure mode), so escape to the segmented carry with bucket =
+    * hot-key span / (est rows / targetRowsPerBucket). A hot key whose
+    * rows share one timestamp cannot be spread by time bucketing, so
+    * it stays on the plain carry. */
+  def autoStrategy(features: DataFrame, spec: Spec,
+      cfg: AutoConfig = AutoConfig()): Strategy = {
+    val sizeEst = features.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sizeEst < BigInt(cfg.probeMinBytes)) Strategy.UnionAsOf
+    else {
+      val hot = features
+        .select(spec.rightKeys.map(col) :+ col(spec.rightTime).as("__pt"): _*)
+        .filter(col("__pt").isNotNull)
+        .sample(withReplacement = false, cfg.probeFraction, cfg.probeSeed)
+        .groupBy(spec.rightKeys.map(col): _*)
+        .agg(count(lit(1)).as("__pn"), min("__pt").as("__plo"), max("__pt").as("__phi"))
+        .orderBy(col("__pn").desc)
+        .limit(1)
+        .collect()
+      if (hot.isEmpty) Strategy.UnionAsOf
+      else {
+        val row = hot(0)
+        val n = row.getLong(row.fieldIndex("__pn"))
+        val estRows = (n / math.max(cfg.probeFraction, 1e-9)).toLong
+        def ms(v: Any): Long = v match {
+          case t: java.sql.Timestamp     => t.getTime
+          case i: java.time.Instant      => i.toEpochMilli
+          case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          case other => throw new IllegalArgumentException(
+            s"unsupported time type for skew probe: ${other.getClass}")
+        }
+        val spanMs = ms(row.get(row.fieldIndex("__phi"))) - ms(row.get(row.fieldIndex("__plo")))
+        if (estRows <= cfg.skewRowsPerKey || spanMs <= 0) Strategy.UnionAsOf
+        else {
+          val nBuckets = math.max(1L, estRows / math.max(1L, cfg.targetRowsPerBucket))
+          Strategy.UnionAsOfSegmented(
+            Duration.ofMillis(math.max(1L, spanMs / nBuckets)))
+        }
+      }
+    }
+  }
 
   /** LEFT join + per-label-row rank. `labels` must already carry a
     * unique [[RowIdCol]] (the engine assigns it once per build so every

@@ -39,7 +39,16 @@ object Sampling {
     math.min(UnitRange, math.max(0L, (rate * UnitRange).toLong))
 
   /** Deterministic Bernoulli sample: keep a row iff
-    * hash(seed, id) < rate * 2^60. */
+    * hash(seed, id) < rate * 2^60.
+    *
+    * DELIBERATELY shares the "sample" salt with [[stratifiedSample]]:
+    * they are two rate policies over ONE sampling decision, so a
+    * stratified sample with every stratum at rate r selects exactly
+    * `hashSample(r)`, and tightening per-stratum rates always yields a
+    * subset — the nested-rate property users rely on when downsampling
+    * an already-sampled corpus. Decorrelation (each operator under its
+    * own prefix) applies across DIFFERENT decisions: sample vs split
+    * vs mix, which use distinct salts (test-pinned). */
   def hashSample(df: DataFrame, idCol: String, rate: Double, seed: Int = 42): DataFrame =
     df.filter(unitHash(col(idCol), seed, "sample") < lit(rateThreshold(rate)))
 

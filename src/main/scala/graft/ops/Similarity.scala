@@ -67,11 +67,18 @@ object Similarity {
 
   /** Random-hyperplane signature: bit b = sign of dot(vec, plane_b).
     * Planes are deterministic (seeded) so signatures are reproducible
-    * across runs and engines. */
+    * across runs and engines.
+    *
+    * Each plane is ONE `typedLit(Seq[Double])` array literal — a
+    * single Catalyst node — not `array(lit, lit, ...)`: the per-element
+    * form is O(dim × planes) expression nodes, which at production
+    * shapes (1024–4096 dims × 8–32 planes) is tens of thousands of
+    * nodes and minutes of analysis/codegen before any data moves. Plan
+    * size here is O(planes). */
   def hyperplaneSignature(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
     val planeCols = (0 until planes).map { _ =>
-      val plane = array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
+      val plane = typedLit((0 until dim).map(_ => rnd.nextGaussian()))
       when(dot(vec, plane) >= 0, lit(1)).otherwise(lit(0))
     }
     concat_ws("", planeCols: _*)

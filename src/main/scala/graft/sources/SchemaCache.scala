@@ -112,10 +112,26 @@ object SchemaCache {
   /** Record a schema we already hold (e.g. just wrote the files) so
     * the next open of `path` skips inference without ever running it. */
   def put(path: String, schema: StructType): Unit = {
-    // parquet read-back reports every field nullable; match that so a
-    // cached-schema open is indistinguishable from an inferred one
-    val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
-    fingerprint(path).foreach(fp => cache.put(path, (fp, nullable)))
+    // parquet read-back reports every field nullable AT EVERY NESTING
+    // LEVEL; match that recursively so a cached-schema open is
+    // indistinguishable from an inferred one even for struct/array/map
+    // columns (a top-level-only pass would leave nested fields
+    // non-nullable and make put-seeded and inferred entries diverge)
+    fingerprint(path).foreach(fp =>
+      cache.put(path, (fp, asNullable(schema).asInstanceOf[StructType])))
+  }
+
+  private def asNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = asNullable(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = asNullable(m.keyType),
+        valueType = asNullable(m.valueType), valueContainsNull = true)
+    case other => other
   }
 
   /** Test hook. */

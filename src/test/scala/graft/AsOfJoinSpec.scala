@@ -160,6 +160,44 @@ class AsOfJoinSpec extends SparkFunSuite {
     }
   }
 
+  test("Auto probes the key histogram and escapes a hot key to segmented") {
+    // 1 key = 90% of rows, spread over ~20000s; cold keys take the rest
+    val feats = spark.range(20000).select(
+      when(col("id") < 18000, lit(7L)).otherwise(col("id") % 50 + 100).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L).as("ft"),
+      (col("id") % 101).cast("double").as("value"))
+    val lbls = spark.range(300).select(
+      col("id").as(AsOfJoin.RowIdCol),
+      when(col("id") % 2 === 0, lit(7L)).otherwise(col("id") % 50 + 100).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 67L * 1000000L).as("lt"))
+    val s = spec(staleness = Some(Duration.ofDays(7)))
+    val probing = AsOfJoin.AutoConfig(probeMinBytes = 0L, probeFraction = 1.0,
+      skewRowsPerKey = 5000L, targetRowsPerBucket = 1000L)
+
+    // decision: hot key (18000 rows > 5000) -> segmented, bucket sized
+    // from the hot key's span so ~targetRowsPerBucket rows per bucket
+    AsOfJoin.autoStrategy(feats, s, probing) match {
+      case Strategy.UnionAsOfSegmented(b) =>
+        assert(b.toMillis >= 500000L && b.toMillis <= 2000000L,
+          s"bucket $b not sized from the 17999s hot-key span / 18 buckets")
+      case other => fail(s"expected segmented for the hot key, got $other")
+    }
+    // a uniform key histogram stays on the plain carry
+    val uniform = feats.withColumn("user_id", col("value").cast("long") * 7919)
+    assert(AsOfJoin.autoStrategy(uniform, s, probing) == Strategy.UnionAsOf)
+    // default config skips the probe entirely for a small side
+    assert(AsOfJoin.autoStrategy(feats, s) == Strategy.UnionAsOf)
+
+    // end-to-end: Auto output is identical to the plain union carry
+    val auto = AsOfJoin.join(lbls, feats, s, Strategy.Auto, probing)
+      .select(AsOfJoin.RowIdCol, "feature_time", "value")
+    val plain = AsOfJoin.unionAsOf(lbls, feats, s)
+      .select(AsOfJoin.RowIdCol, "feature_time", "value")
+    assert(auto.count() == 300)
+    assert(plain.exceptAll(auto).isEmpty && auto.exceptAll(plain).isEmpty,
+      "Auto (segmented) diverged from unionAsOf")
+  }
+
   test("all-null feature values are carried as null (not skipped back)") {
     val f2 = Seq(
       (1L, "2024-01-01 00:00:00", Some(7.0)),

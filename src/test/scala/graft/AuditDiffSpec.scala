@@ -94,6 +94,35 @@ class AuditDiffSpec extends SparkFunSuite {
     assert(j.contains("\"passed\":false"))
   }
 
+  test("rebuild audit unpersists its caches when the timezone guard throws") {
+    val users = spark.range(1, 10).select(
+      col("id").as("user_id"),
+      (lit(ts("2023-06-01 00:00:00")) + make_dt_interval(col("id"))).as("updated_at"),
+      (col("id") * 2.0).as("score"))
+    val labelsDf = spark.range(1, 10).select(
+      col("id").as("user_id"),
+      (lit(ts("2023-07-01 00:00:00")) + make_dt_interval(col("id"))).as("label_time"),
+      (col("id") % 2 === 0).as("y"))
+    val feature = Feature("score",
+      Source.frame("users", users, Seq("user_id"), "updated_at"),
+      ColumnsMode(Map("score" -> "score")))
+    val built = Build(spark,
+      Labels.frame(labelsDf, Seq("user_id"), "label_time", Seq("y")),
+      Seq(feature)).df
+      // NTZ label vs the rebuilt (tz-aware) feature time under a DST
+      // session zone = the guard's mixed-timestamp fail-loud case
+      .withColumn("label_time", col("label_time").cast("timestamp_ntz"))
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assertThrows[graft.errors.TimezoneMismatchError](
+        Audit.rebuild(spark, built, Seq(feature), Seq("user_id"), "label_time"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      "rebuild audit leaked cached frames on the fail-loud path")
+  }
+
   test("audit report file + html output (reference to_json/to_html)") {
     val r = Audit.temporal(leaky, "label_time", Map("f" -> "f__feature_time"))
     val dir = java.nio.file.Files.createTempDirectory("graft_report")

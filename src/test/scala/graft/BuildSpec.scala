@@ -440,6 +440,16 @@ class BuildSpec extends SparkFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/out_train.parquet")))
   }
 
+  test("cached-build probe is local-only: remote URIs skip it cleanly") {
+    // the probe path feeds java.nio — a scheme-d URI must short-circuit
+    // BEFORE touching it (documented decision: Store is a local store)
+    assert(Build.isLocalPath("/tmp/out.parquet"))
+    assert(Build.isLocalPath("relative/out.parquet"))
+    assert(!Build.isLocalPath("s3://bucket/out.parquet"))
+    assert(!Build.isLocalPath("hdfs://nn:8020/out.parquet"))
+    assert(!Build.isLocalPath("file:///tmp/out.parquet"))
+  }
+
   test("tz-aware labels vs naive features raise") {
     val naiveUsers = users.withColumn("updated_at",
       col("updated_at").cast("timestamp_ntz"))

@@ -98,6 +98,22 @@ class PlanSpec extends SparkFunSuite {
     assert(plan.contains("Generate explode"), s"no bucket explode:\n$plan")
   }
 
+  test("hyperplane signature plan is O(planes) nodes at production dims") {
+    // dim=1024 x planes=16: the per-element lit() form would be >16k
+    // Literal nodes before analysis even starts; typedLit keeps each
+    // plane ONE array literal.
+    val df = spark.range(8).withColumn("emb",
+      transform(sequence(lit(0), lit(1023)), j => (j * 37 % 101).cast("double")))
+    val sig = df.select(col("id"),
+      Similarity.hyperplaneSignature(col("emb"), dim = 1024, planes = 16).as("sig"))
+    val nodes = sig.queryExecution.analyzed.expressions
+      .map(e => e.collect { case x => x }.size).sum
+    assert(nodes < 2000, s"expression node count $nodes — plan-size blowup regressed")
+    val rows = sig.collect()
+    assert(rows.length == 8)
+    rows.foreach(r => assert(r.getString(1).matches("[01]{16}")))
+  }
+
   test("minhash estimation reuses the cached signature frame") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(Dedup.minhashJaccardPairs(docs, "doc_id", "text",

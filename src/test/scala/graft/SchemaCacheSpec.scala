@@ -53,4 +53,28 @@ class SchemaCacheSpec extends SparkFunSuite {
     assert(back.schema.fields.forall(_.nullable))
     assert(back.select("id", "s").head() == org.apache.spark.sql.Row(1L, "a"))
   }
+
+  test("put nullability is recursive: nested structs/arrays match inference") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_schemacache3").toString
+    val p = s"$dir/nested.parquet"
+    val df = Seq((1L, (2L, "x"), Seq(1.0, 2.0)))
+      .toDF("id", "pair", "xs")
+    df.write.parquet(p)
+    // the written frame's schema has non-nullable nested fields; a
+    // put-seeded entry must still match what inference would report
+    SchemaCache.put(p, df.schema)
+    val seeded = SchemaCache.parquet(spark, p).schema
+    SchemaCache.invalidateAll()
+    val inferred = SchemaCache.parquet(spark, p).schema
+    assert(seeded == inferred,
+      s"put-seeded $seeded diverges from inferred $inferred")
+    def allNullable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => f.nullable && allNullable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.containsNull && allNullable(a.elementType)
+      case _ => true
+    }
+    assert(allNullable(seeded))
+  }
 }
