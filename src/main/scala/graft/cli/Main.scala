@@ -57,7 +57,7 @@ object Main {
       |          [--strict] [--json PATH] [--html PATH]
       |  explain --config graft.yaml
       |  diff    --old PATH --new PATH --keys a[,b] --label-time COL
-      |  inspect PATH
+      |  inspect PATH [--approx]   (--approx: HLL sketches for cluster-scale datasets)
       |  catalog [--store DIR]
       |  doctor  --config graft.yaml [--json]
       |  init    [DIR]
@@ -299,16 +299,25 @@ object Main {
     if (r.identical) 0 else 1
   }
 
-  private def cmdInspect(args: Array[String]): Int = {
-    val (_, pos) = flags(args)
+  private[graft] def cmdInspect(args: Array[String]): Int = {
+    val (f, pos) = flags(args)
     val spark = session()
     val path = pos.headOption.getOrElse(throw graft.errors.Errors.config(
-      "inspect needs a path argument.", "Usage: graft inspect PATH"))
+      "inspect needs a path argument.", "Usage: graft inspect PATH [--approx]"))
     val df = spark.read.parquet(path)
     val n = df.count()
     println(s"$path: $n rows, ${df.columns.length} columns")
+    // --approx: HLL++ sketches (2% default rsd) merge map-side — one
+    // narrow shuffle of fixed-size sketches instead of per-column
+    // exact-distinct state. The key/timestamp HINTS only need distinct
+    // ratios, so at cluster scale approx is the right default mode for
+    // wide datasets; exact stays the small-data default (bit-stable
+    // output the quickstart and tests pin).
+    val distinctOf: String => org.apache.spark.sql.Column =
+      if (f.contains("approx")) c => approx_count_distinct(col(c), 0.02)
+      else c => countDistinct(col(c))
     val distincts = df.select(df.columns.map(c =>
-      countDistinct(col(c)).as(c)).toSeq: _*).head()
+      distinctOf(c).as(c)).toSeq: _*).head()
     df.schema.fields.zipWithIndex.foreach { case (fld, i) =>
       val d = distincts.getLong(i)
       val pct = if (n == 0) 0.0 else d.toDouble / n

@@ -78,26 +78,40 @@ object Explain {
         case s: Source => s.path.getOrElse(s.name)
         case s         => s.name
       }
+      val ts = f.source.timestamp
+      // one equality predicate per label key, each mapped through
+      // the feature's keyMapping — a composite-key feature's
+      // example must show the full lookup, like the actual join
+      val keyCols = labels.keys.map(k => f.keyMapping.getOrElse(k, k))
+      val keyPreds = keyCols.zipWithIndex
+        .map { case (k, i) => s"$k = {K${i + 1}}" }.mkString(" AND ")
+      val embargoClause =
+        if (f.embargo.isZero) "" else s" - INTERVAL '$embargoStr'"
+      def lookupTail(tsCol: String) =
+        s"""WHERE $keyPreds
+           |  AND $tsCol $cmpOp {T}$embargoClause
+           |  AND $tsCol >= {T} - INTERVAL '$lookbackStr'
+           |ORDER BY $tsCol DESC
+           |LIMIT 1""".stripMargin
       val exampleSql = f.mode match {
         case ColumnsMode(cols) =>
-          val ts = f.source.timestamp
-          // one equality predicate per label key, each mapped through
-          // the feature's keyMapping — a composite-key feature's
-          // example must show the full lookup, like the actual join
-          val keyCols = labels.keys.map(k => f.keyMapping.getOrElse(k, k))
-          val keyPreds = keyCols.zipWithIndex
-            .map { case (k, i) => s"$k = {K${i + 1}}" }.mkString(" AND ")
-          val embargoClause =
-            if (f.embargo.isZero) "" else s" - INTERVAL '$embargoStr'"
           s"""SELECT ${keyCols.mkString(", ")}, $ts AS feature_time, ${cols.values.toSeq.sorted.mkString(", ")}
              |FROM '$sourceRef'
-             |WHERE $keyPreds
-             |  AND $ts $cmpOp {T}$embargoClause
-             |  AND $ts >= {T} - INTERVAL '$lookbackStr'
-             |ORDER BY $ts DESC
-             |LIMIT 1""".stripMargin
+             |${lookupTail(ts)}""".stripMargin
         case SqlMode(sql) =>
-          s"WITH feature AS (\n  ${sql.trim}\n)\nSELECT * FROM feature\n..."
+          // FULL example: the user's query verbatim (multi-line body
+          // indented), {source} resolved to the actual source the build
+          // substitutes (engine.py:744), and the same parameterized
+          // per-label lookup columns mode shows — not an elided "...".
+          // sql-mode queries emit their own feature_time column.
+          val body = sql.trim.replace("{source}", s"'$sourceRef'")
+            .linesIterator.mkString("\n  ")
+          s"""WITH feature AS (
+             |  $body
+             |)
+             |SELECT *
+             |FROM feature
+             |${lookupTail("feature_time")}""".stripMargin
         case TransformMode(_, v) =>
           s"-- DataFrame transform (cache version $v)"
       }

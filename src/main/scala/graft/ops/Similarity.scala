@@ -116,14 +116,44 @@ object Similarity {
     * (DuckDB oracle); TakeOrdered keeps it distributed — no global
     * sort materializes. Corpus partitioned into `nlist` inverted
     * lists by nearest centroid; queries probe the `nprobe` nearest
-    * lists only. */
+    * lists only. `refineIters` (default 0 = oracle-replayable seeds)
+    * runs that many Lloyd iterations to move the seeds to density
+    * centers — improves recall on clustered corpora (test-pinned) at
+    * one corpus scan + one bounded shuffle per iteration. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       qidCol: String, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = corpus
+      nlist: Int = 16, nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
+    val seeded = corpus
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
       .limit(nlist)
-      .select(col(idCol).as("list_id"), col(vecCol).as("__centroid"))
+      .select(col(idCol).as("list_id"), asDouble(col(vecCol)).as("__centroid"))
+    // Optional Lloyd refinement (refineIters > 0): assign every corpus
+    // vector to its nearest centroid (broadcast, same plan shape as the
+    // probe below), replace each centroid with the element-wise mean of
+    // its cluster, keep the seed vector for an emptied cluster. 2-3
+    // iterations move hash-sampled seeds to genuine density centers —
+    // a recall fix, not a scale change: per iteration one corpus scan +
+    // one (list_id, pos)-keyed partial-aggregated shuffle, and
+    // localCheckpoint truncates the growing lineage so the final
+    // centroid frame stays a small broadcastable relation.
+    val centroids = (0 until refineIters).foldLeft(seeded) { (cents, _) =>
+      val assigned = corpus
+        .select(asDouble(col(vecCol)).as("__av"), col(idCol).as("__aid"))
+        .crossJoin(broadcast(cents))
+        .withColumn("__d", cosine(col("__av"), col("__centroid")))
+      val wBest = Window.partitionBy(col("__aid")).orderBy(col("__d").desc, col("list_id"))
+      val means = assigned
+        .withColumn("__r", row_number().over(wBest)).filter(col("__r") === 1)
+        .select(col("list_id"), posexplode(col("__av")).as(Seq("__pos", "__val")))
+        .groupBy("list_id", "__pos").agg(avg("__val").as("__m"))
+        .groupBy("list_id")
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          s => s.getField("__m")).as("__cnew"))
+      cents.join(means, Seq("list_id"), "left")
+        .select(col("list_id"),
+          coalesce(col("__cnew"), col("__centroid")).as("__centroid"))
+        .localCheckpoint(true)
+    }
     val cb = broadcast(centroids)
 
     def nearestLists(frame: DataFrame, keyCol: String, vc: String, n: Int): DataFrame = {

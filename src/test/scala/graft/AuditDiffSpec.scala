@@ -217,6 +217,31 @@ class AuditDiffSpec extends SparkFunSuite {
     assert(r.render.contains("LIMIT 1"))
   }
 
+  test("explain renders sql-mode features in full: body + per-label lookup") {
+    val labelsDf = Seq((1L, ts("2024-01-01 00:00:00"), true))
+      .toDF("user_id", "label_time", "y")
+    val userSql =
+      """SELECT user_id, t AS feature_time,
+        |       sum(v) OVER (PARTITION BY user_id ORDER BY t) AS v_sum
+        |FROM {source}""".stripMargin
+    val f = Feature("agg",
+      Source.frame("s", Seq((1L, ts("2023-01-01 00:00:00"), 1.0)).toDF("user_id", "t", "v"),
+        Seq("user_id"), "t"),
+      SqlMode(userSql))
+    val r = Explain(spark, Labels.frame(labelsDf, Seq("user_id"), "label_time", Seq("y")), Seq(f))
+    val sql = r.plans.head.exampleSql
+    // the user's FULL query text, not an elided preview
+    assert(sql.contains("sum(v) OVER (PARTITION BY user_id ORDER BY t) AS v_sum"))
+    assert(!sql.contains("..."))
+    // {source} resolved to the actual source the build substitutes
+    assert(!sql.contains("{source}") && sql.contains("'s'"))
+    // and the same parameterized lookup columns mode renders
+    assert(sql.contains("WHERE user_id = {K1}"))
+    assert(sql.contains("AND feature_time < {T}"))
+    assert(sql.contains("ORDER BY feature_time DESC") && sql.endsWith("LIMIT 1"))
+    assert(r.render.contains("WITH feature AS ("))
+  }
+
   test("build result render/explain/html") {
     val labelsDf = Seq((1L, ts("2024-01-01 00:00:00"), true))
       .toDF("user_id", "label_time", "y")

@@ -196,4 +196,31 @@ class CliSpec extends SparkFunSuite {
     // flattened: short name, no user_country__ prefix
     assert(r.columns.contains("country"))
   }
+
+  test("inspect: exact and --approx modes both report usable distincts") {
+    val dir = Files.createTempDirectory("graft_cli_inspect")
+    val p = s"$dir/t.parquet"
+    spark.range(1000).select(
+      col("id"),
+      (col("id") % 7).as("bucket"),
+      (lit(ts("2024-01-01 00:00:00")) + make_dt_interval(lit(0), col("id"))).as("t"))
+      .write.parquet(p)
+    def captured(args: Array[String]): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        assert(graft.cli.Main.cmdInspect(args) == 0)
+      }
+      out.toString
+    }
+    val exact = captured(Array(p))
+    assert(exact.contains("1000 rows"))
+    assert(exact.contains("distinct=1000") && exact.contains("distinct=7"))
+    assert(exact.contains("<- key?") && exact.contains("<- timestamp?"))
+    // approx: HLL estimates land within rsd bounds; hints still fire
+    val approx = captured(Array(p, "--approx"))
+    val estId = "distinct=(\\d+)".r.findAllMatchIn(approx).map(_.group(1).toLong).toSeq
+    assert(estId.nonEmpty)
+    assert(approx.contains("distinct=7")) // tiny cardinalities are exact in HLL++
+    assert(estId.max >= 900 && estId.max <= 1100, s"HLL estimate off: $approx")
+  }
 }

@@ -201,6 +201,33 @@ class OpsSpec extends SparkFunSuite {
     assert(r.groupBy("query_id").count().agg(max("count")).head().getLong(0) <= 3)
   }
 
+  test("ivf Lloyd refinement improves recall on a clustered corpus") {
+    // 4 well-separated direction clusters in dim 8, noisy enough that
+    // hash-sampled seed centroids sit off-center; Lloyd means recenter
+    val dim = 8
+    val clustered = spark.range(400).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)), j => {
+        val cl = col("id") % 4
+        val base = when(j === cl * 2, 10.0).otherwise(0.0)
+        val noise = (pmod(hash(col("id"), j), lit(1000)).cast("double") / 250.0) - 2.0
+        (base + noise).cast("float")
+      }).as("embedding"))
+    val q = clustered.filter(col("id") % 20 === 0)
+    val exact = Similarity.bruteForceTopK(q, clustered, "id", "id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(iters: Int): Double = {
+      val approx = Similarity.ivfTopK(q, clustered, "id", "id", "embedding",
+        k = 5, nlist = 4, nprobe = 1, refineIters = iters)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      exact.count(approx.contains).toDouble / exact.size
+    }
+    val seedRecall = recallAt(0)
+    val refined = recallAt(3)
+    assert(refined >= seedRecall,
+      s"refinement must never hurt here: seed=$seedRecall refined=$refined")
+    assert(refined >= 0.85, s"refined recall $refined (seed was $seedRecall)")
+  }
+
   test("near-dup pairs via cosine threshold") {
     val pairs = Similarity.cosineNearDupPairsLsh(embeddings, "vec_id", "embedding",
       threshold = 0.4, dim = 64)
