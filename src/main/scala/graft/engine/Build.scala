@@ -42,7 +42,11 @@ final case class BuildOptions(
       * row, so batch width multiplies both shuffle bytes and window
       * CPU; this cap bounds that while keeping few-shuffle batching
       * for typical feature counts. */
-    maxCarryColumns: Int = 12
+    maxCarryColumns: Int = 12,
+    /** Tuning for Strategy.Auto's hot-key skew probe (see
+      * [[AsOfJoin.autoStrategy]]); defaults skip the probe entirely on
+      * small feature sides. */
+    autoConfig: AsOfJoin.AutoConfig = AsOfJoin.AutoConfig()
 ) {
   if (join != "strict" && join != "inclusive")
     throw Errors.config(s"Invalid join '$join'.", "Use 'strict' or 'inclusive'.")
@@ -421,11 +425,12 @@ object Build {
     // unionable key/time column types — share ONE shuffle + window via
     // unionAsOfMulti, even across DIFFERENT sources: the N-feature
     // build costs one exchange instead of N, and those features skip
-    // the rowid re-join at assembly. RowNumber / Segmented strategies
-    // keep the per-unit path (they have no multi variant).
+    // the rowid re-join at assembly. Segmented keeps the batching too
+    // (unionAsOfMultiSegmented); only RowNumber stays per-unit.
     val multiEligible = options.strategy match {
-      case AsOfJoin.Strategy.Auto | AsOfJoin.Strategy.UnionAsOf => true
-      case _                                                    => false
+      case AsOfJoin.Strategy.Auto | AsOfJoin.Strategy.UnionAsOf |
+          AsOfJoin.Strategy.UnionAsOfSegmented(_) => true
+      case _                                      => false
     }
     // Width cap: the unioned frame pads every row to the batch's FULL
     // value-column set (UnsafeRow spends 8 bytes per slot, null or
@@ -479,17 +484,31 @@ object Build {
     def joinSingle(u: JoinUnit): DataFrame = {
       val spec = baseSpec(u.f0, u.rightKeys, u.timeCol, u.nsValueCols)
         .copy(rightTimeOut = "__unit_ft")
-      val j = AsOfJoin.join(spineNarrow, u.df, spec, options.strategy)
+      val j = AsOfJoin.join(spineNarrow, u.df, spec, options.strategy, options.autoConfig)
       j.select(
         col(RowId) +: (u.timeOuts.map(o => col("__unit_ft").as(o)) ++
           u.nsValueCols.map(col)): _*)
     }
     def joinMulti(us: Seq[JoinUnit], labelFrame: DataFrame): DataFrame = {
       val spec = baseSpec(us.head.f0, us.head.rightKeys, us.head.timeCol, Nil)
-      AsOfJoin.unionAsOfMulti(labelFrame,
-        us.map(u => AsOfJoin.MultiRight(
-          u.df, u.rightKeys, u.timeCol, u.nsValueCols, u.timeOuts)),
-        spec)
+      val rights = us.map(u => AsOfJoin.MultiRight(
+        u.df, u.rightKeys, u.timeCol, u.nsValueCols, u.timeOuts))
+      // hot-key escape on the fused path: explicit Segmented keeps its
+      // bucket; Auto probes the batch's unioned key histogram (size-
+      // gated — small batches skip the probe and pay nothing)
+      val segBucket = options.strategy match {
+        case AsOfJoin.Strategy.UnionAsOfSegmented(b) => Some(b)
+        case AsOfJoin.Strategy.Auto =>
+          AsOfJoin.autoStrategyMulti(rights, options.autoConfig) match {
+            case AsOfJoin.Strategy.UnionAsOfSegmented(b) => Some(b)
+            case _                                       => None
+          }
+        case _ => None
+      }
+      segBucket match {
+        case Some(b) => AsOfJoin.unionAsOfMultiSegmented(labelFrame, rights, spec, b)
+        case None    => AsOfJoin.unionAsOfMulti(labelFrame, rights, spec)
+      }
     }
 
     // ---- assembly (J4) ---------------------------------------------

@@ -134,35 +134,59 @@ object AsOfJoin {
       cfg: AutoConfig = AutoConfig()): Strategy = {
     val sizeEst = features.queryExecution.optimizedPlan.stats.sizeInBytes
     if (sizeEst < BigInt(cfg.probeMinBytes)) Strategy.UnionAsOf
+    else probeKeyed(
+      features.select(spec.rightKeys.map(col) :+ col(spec.rightTime).as("__pt"): _*),
+      spec.rightKeys, cfg)
+  }
+
+  /** [[autoStrategy]] for a fused [[unionAsOfMulti]] batch: the carry
+    * window partitions by key over the UNION of all right sides, so
+    * the histogram probe runs over their unioned (key, time) columns.
+    * Same size gate, summed across frames. */
+  def autoStrategyMulti(rights: Seq[MultiRight],
+      cfg: AutoConfig = AutoConfig()): Strategy = {
+    val sizeEst = rights.map(_.df.queryExecution.optimizedPlan.stats.sizeInBytes).sum
+    if (rights.isEmpty || sizeEst < BigInt(cfg.probeMinBytes)) Strategy.UnionAsOf
     else {
-      val hot = features
-        .select(spec.rightKeys.map(col) :+ col(spec.rightTime).as("__pt"): _*)
-        .filter(col("__pt").isNotNull)
-        .sample(withReplacement = false, cfg.probeFraction, cfg.probeSeed)
-        .groupBy(spec.rightKeys.map(col): _*)
-        .agg(count(lit(1)).as("__pn"), min("__pt").as("__plo"), max("__pt").as("__phi"))
-        .orderBy(col("__pn").desc)
-        .limit(1)
-        .collect()
-      if (hot.isEmpty) Strategy.UnionAsOf
+      val keyCols = rights.head.rightKeys.indices.map(i => s"__pk$i")
+      val keyed = rights.map { r =>
+        r.df.select(r.rightKeys.zip(keyCols).map { case (k, a) => col(k).as(a) } :+
+          col(r.rightTime).as("__pt"): _*)
+      }.reduce(_.unionByName(_))
+      probeKeyed(keyed, keyCols, cfg)
+    }
+  }
+
+  /** Shared probe: sampled per-key histogram of `keyed` (key columns +
+    * a `__pt` time column), decision per [[AutoConfig]]. */
+  private def probeKeyed(keyed: DataFrame, keyCols: Seq[String],
+      cfg: AutoConfig): Strategy = {
+    val hot = keyed
+      .filter(col("__pt").isNotNull)
+      .sample(withReplacement = false, cfg.probeFraction, cfg.probeSeed)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__pn"), min("__pt").as("__plo"), max("__pt").as("__phi"))
+      .orderBy(col("__pn").desc)
+      .limit(1)
+      .collect()
+    if (hot.isEmpty) Strategy.UnionAsOf
+    else {
+      val row = hot(0)
+      val n = row.getLong(row.fieldIndex("__pn"))
+      val estRows = (n / math.max(cfg.probeFraction, 1e-9)).toLong
+      def ms(v: Any): Long = v match {
+        case t: java.sql.Timestamp      => t.getTime
+        case i: java.time.Instant       => i.toEpochMilli
+        case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        case other => throw new IllegalArgumentException(
+          s"unsupported time type for skew probe: ${other.getClass}")
+      }
+      val spanMs = ms(row.get(row.fieldIndex("__phi"))) - ms(row.get(row.fieldIndex("__plo")))
+      if (estRows <= cfg.skewRowsPerKey || spanMs <= 0) Strategy.UnionAsOf
       else {
-        val row = hot(0)
-        val n = row.getLong(row.fieldIndex("__pn"))
-        val estRows = (n / math.max(cfg.probeFraction, 1e-9)).toLong
-        def ms(v: Any): Long = v match {
-          case t: java.sql.Timestamp     => t.getTime
-          case i: java.time.Instant      => i.toEpochMilli
-          case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-          case other => throw new IllegalArgumentException(
-            s"unsupported time type for skew probe: ${other.getClass}")
-        }
-        val spanMs = ms(row.get(row.fieldIndex("__phi"))) - ms(row.get(row.fieldIndex("__plo")))
-        if (estRows <= cfg.skewRowsPerKey || spanMs <= 0) Strategy.UnionAsOf
-        else {
-          val nBuckets = math.max(1L, estRows / math.max(1L, cfg.targetRowsPerBucket))
-          Strategy.UnionAsOfSegmented(
-            Duration.ofMillis(math.max(1L, spanMs / nBuckets)))
-        }
+        val nBuckets = math.max(1L, estRows / math.max(1L, cfg.targetRowsPerBucket))
+        Strategy.UnionAsOfSegmented(
+          Duration.ofMillis(math.max(1L, spanMs / nBuckets)))
       }
     }
   }
@@ -365,13 +389,21 @@ object AsOfJoin {
     * per-feature rows interleave in the sort but only ever write
     * their own struct slot, so carries cannot cross-contaminate.
     */
-  def unionAsOfMulti(labels: DataFrame, rights: Seq[MultiRight], spec: Spec): DataFrame = {
+  private final case class MultiParts(
+      unioned: DataFrame,
+      joinKeys: Seq[String],
+      labelTagV: Int,
+      featTagV: Int,
+      labelCols: Seq[String])
+
+  private def buildMultiUnion(labels: DataFrame, rights: Seq[MultiRight],
+      spec: Spec): MultiParts = {
     require(rights.nonEmpty, "unionAsOfMulti needs at least one right side")
     require(spec.tieBreakers.isEmpty,
       "tieBreakers are per-feature; use unionAsOf for tie-broken joins")
     val clash = labels.columns.filter(c =>
       ReservedCols.contains(c) || c.startsWith("__jk") || c.startsWith("__fr") ||
-        c.startsWith("__mc"))
+        c.startsWith("__mc") || c.startsWith("__pv") || c.startsWith("__bl"))
     require(clash.isEmpty,
       s"label columns collide with as-of internals: ${clash.mkString(", ")}")
 
@@ -409,21 +441,19 @@ object AsOfJoin {
             else lit(null).cast(structTypeOf(r2)).as(s"__fr$j")
           }: _*)
     }
-    val unioned = (lhs +: rhs).reduce(_.unionByName(_))
+    MultiParts((lhs +: rhs).reduce(_.unionByName(_)),
+      joinKeys, labelTagV, featTagV, labelCols)
+  }
 
-    val w = Window
-      .partitionBy(joinKeys.map(col): _*)
-      .orderBy(col(SortTime).asc_nulls_first, col(TagCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rights.indices.foldLeft(unioned) { (acc, i) =>
-      acc.withColumn(s"__mc$i", last(col(s"__fr$i"), ignoreNulls = true).over(w))
-    }
-
+  /** Final multi projection: keep label rows, per-slot validity mask,
+    * emit each right's carried time aliases + value columns. */
+  private def finishMulti(carried: DataFrame, parts: MultiParts,
+      rights: Seq[MultiRight], spec: Spec): DataFrame = {
     val lt = col(spec.leftTime)
     carried
-      .filter(col(TagCol) === labelTagV)
+      .filter(col(TagCol) === parts.labelTagV)
       .select(
-        labelCols.map(col) ++ rights.zipWithIndex.flatMap { case (r, i) =>
+        parts.labelCols.map(col) ++ rights.zipWithIndex.flatMap { case (r, i) =>
           val c = col(s"__mc$i")
           val cft = c.getField("ft")
           val floorOk = Seq(
@@ -436,6 +466,71 @@ object AsOfJoin {
               when(valid, c.getField(s"v$vi")).as(vc)
             }
         }: _*)
+  }
+
+  def unionAsOfMulti(labels: DataFrame, rights: Seq[MultiRight], spec: Spec): DataFrame = {
+    val parts = buildMultiUnion(labels, rights, spec)
+    val w = Window
+      .partitionBy(parts.joinKeys.map(col): _*)
+      .orderBy(col(SortTime).asc_nulls_first, col(TagCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rights.indices.foldLeft(parts.unioned) { (acc, i) =>
+      acc.withColumn(s"__mc$i", last(col(s"__fr$i"), ignoreNulls = true).over(w))
+    }
+    finishMulti(carried, parts, rights, spec)
+  }
+
+  /** Skew-resistant [[unionAsOfMulti]]: the same three-stage segmented
+    * carry as [[unionAsOfSegmented]], run once per feature slot over
+    * ONE (key, bucket)-partitioned window — a fused batch keeps its
+    * single shuffle AND no entity key serializes a task. Equivalence
+    * with the plain multi carry is test-pinned (hot-key fuzz); ties on
+    * feature_time resolve arbitrarily in both (reference behavior). */
+  def unionAsOfMultiSegmented(labels: DataFrame, rights: Seq[MultiRight],
+      spec: Spec, bucket: Duration): DataFrame = {
+    require(bucket.toMillis >= 1 && bucket.toNanos % 1000000L == 0,
+      s"bucket must be a positive whole number of milliseconds, got $bucket")
+    val parts = buildMultiUnion(labels, rights, spec)
+    val bucketCol = "__bkt"
+    val withBucket = parts.unioned.withColumn(bucketCol,
+      floor(unix_micros(col(SortTime)) / lit(bucket.toMillis * 1000L)))
+
+    // stage 1: in-bucket carry, one window pass computing every slot
+    val wLocal = Window
+      .partitionBy((parts.joinKeys :+ bucketCol).map(col): _*)
+      .orderBy(col(SortTime).asc_nulls_first, col(TagCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localCarried = rights.indices.foldLeft(withBucket) { (acc, i) =>
+      acc.withColumn(s"__mcl$i", last(col(s"__fr$i"), ignoreNulls = true).over(wLocal))
+    }
+
+    // stage 2: per (key, bucket) the LAST feature row of each slot
+    // (map-side combined aggregation), then a tiny per-key window over
+    // buckets carries the latest previous-bucket row forward per slot
+    val bucketLast = withBucket
+      .groupBy((parts.joinKeys :+ bucketCol).map(col): _*)
+      .agg(
+        max(when(col("__fr0").isNotNull, struct(col(SortTime).as("t"), col("__fr0").as("frow"))))
+          .as("__bl0"),
+        rights.indices.drop(1).map(i =>
+          max(when(col(s"__fr$i").isNotNull,
+            struct(col(SortTime).as("t"), col(s"__fr$i").as("frow")))).as(s"__bl$i")): _*)
+    val wBuckets = Window
+      .partitionBy(parts.joinKeys.map(col): _*)
+      .orderBy(col(bucketCol).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevByBucket = rights.indices.foldLeft(bucketLast) { (acc, i) =>
+      acc.withColumn(s"__pv$i",
+        last(col(s"__bl$i").getField("frow"), ignoreNulls = true).over(wBuckets))
+    }.select((parts.joinKeys :+ bucketCol).map(col) ++
+      rights.indices.map(i => col(s"__pv$i")): _*)
+
+    // stage 3: combine per slot
+    val joined = localCarried.join(prevByBucket, parts.joinKeys :+ bucketCol, "left")
+    val carried = rights.indices.foldLeft(joined) { (acc, i) =>
+      acc.withColumn(s"__mc$i", coalesce(col(s"__mcl$i"), col(s"__pv$i")))
+    }
+    finishMulti(carried, parts, rights, spec)
   }
 
   /** Skew-resistant variant of [[unionAsOf]]: the per-key window is

@@ -160,6 +160,44 @@ class AsOfJoinSpec extends SparkFunSuite {
     }
   }
 
+  test("segmented multi carry equals plain multi carry, including a hot key") {
+    // two right sides with distinct value types; one hot key in each
+    val f1 = spark.range(4000).select(
+      when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id") % 37 + 2).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 977L * 1000000L).as("t1"),
+      (col("id") % 101).cast("double").as("v1"))
+    val f2 = spark.range(2500).select(
+      when(col("id") % 8 =!= 0, lit(1L)).otherwise(col("id") % 29 + 2).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 1381L * 1000000L).as("t2"),
+      concat(lit("s"), (col("id") % 13).cast("string")).as("v2"))
+    val lbls = spark.range(400).select(
+      col("id").as(AsOfJoin.RowIdCol),
+      when(col("id") % 5 =!= 0, lit(1L)).otherwise(col("id") % 41 + 2).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 13441L * 1000000L).as("lt"))
+    val s = spec(embargo = Duration.ofHours(3), staleness = Some(Duration.ofDays(7)))
+      .copy(valueCols = Nil)
+    val rights = Seq(
+      AsOfJoin.MultiRight(f1, Seq("user_id"), "t1", Seq("v1"), Seq("ft1")),
+      AsOfJoin.MultiRight(f2, Seq("user_id"), "t2", Seq("v2"), Seq("ft2")))
+    val plain = AsOfJoin.unionAsOfMulti(lbls, rights, s)
+    for (bucketHours <- Seq(1L, 24L, 24L * 365)) {
+      val seg = AsOfJoin.unionAsOfMultiSegmented(lbls, rights, s,
+        Duration.ofHours(bucketHours))
+      assert(seg.count() == 400)
+      assert(plain.exceptAll(seg).isEmpty && seg.exceptAll(plain).isEmpty,
+        s"bucket=${bucketHours}h diverged from plain multi carry")
+    }
+    // the multi probe sees the hot key across the unioned sides
+    val probing = AsOfJoin.AutoConfig(probeMinBytes = 0L, probeFraction = 1.0,
+      skewRowsPerKey = 2000L, targetRowsPerBucket = 500L)
+    AsOfJoin.autoStrategyMulti(rights, probing) match {
+      case Strategy.UnionAsOfSegmented(_) => // expected
+      case other => fail(s"expected segmented from the multi probe, got $other")
+    }
+    // default config: size gate skips the probe for small batches
+    assert(AsOfJoin.autoStrategyMulti(rights) == Strategy.UnionAsOf)
+  }
+
   test("Auto probes the key histogram and escapes a hot key to segmented") {
     // 1 key = 90% of rows, spread over ~20000s; cold keys take the rest
     val feats = spark.range(20000).select(

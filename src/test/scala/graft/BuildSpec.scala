@@ -315,6 +315,15 @@ class BuildSpec extends SparkFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("Segmented strategy build equals UnionAsOf build (fused multi path)") {
+    val b = Build(spark, labels, Seq(userCountry, rollingSpend),
+      BuildOptions(strategy = AsOfJoin.Strategy.UnionAsOf)).df
+    val c = Build(spark, labels, Seq(userCountry, rollingSpend),
+      BuildOptions(strategy =
+        AsOfJoin.Strategy.UnionAsOfSegmented(java.time.Duration.ofDays(30)))).df
+    assert(b.exceptAll(c).isEmpty && c.exceptAll(b).isEmpty)
+  }
+
   test("same-source ColumnsMode features merge into one carry pass with identical results") {
     val wide = users.withColumn("tier", concat(lit("T"), col("user_id") % 4))
     def feats(srcName: String => String) = Seq(
