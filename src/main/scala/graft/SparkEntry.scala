@@ -267,6 +267,20 @@ object SparkEntry {
         col("doc_id"),
         graft.ops.TextAnalysis.fingerprint(col("text")).as("fp")
       ).orderBy("doc_id")),
+    // Repetition metrics (Gopher-style boilerplate/loop signals)
+    "q_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(graft.ops.TextAnalysis.dupLineRatio(col("text")), 6).as("dup_line_ratio"),
+        round(graft.ops.TextAnalysis.dupWordRatio(col("text")), 6).as("dup_word_ratio")
+      ).orderBy("doc_id")),
+    // PII scrubbing: emails + IPv4 replaced scan-side, hit counts kept
+    "q_pii_scrub" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.piiCount(col("text")).as("pii_hits"),
+        graft.ops.TextAnalysis.scrubPii(col("text")).as("scrubbed")
+      ).orderBy("doc_id")),
     // Exact n-gram Jaccard near-dup pairs
     "q_ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccardPairs(
@@ -565,6 +579,31 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |    length(trim(text)) AS lt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(lines) = 0 THEN 0.0
+        |    ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) END, 6)
+        |    AS dup_line_ratio,
+        |  round(CASE WHEN lt = 0 THEN 0.0
+        |    ELSE CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6)
+        |    AS dup_word_ratio
+        |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii_hits,
+        |  regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<PII>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->

@@ -109,6 +109,45 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Fraction of non-blank lines that duplicate an earlier line — the
+    * Gopher/RefinedWeb-style repetition signal (boilerplate, scraped
+    * nav menus, log spam). Pure scan-side list algebra; replays in
+    * DuckDB as `list_filter(string_split(text, chr(10)), ...)` +
+    * `list_distinct`. */
+  def dupLineRatio(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    when(size(lines) === 0, 0.0).otherwise(
+      (size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
+  }
+
+  /** Fraction of tokens that duplicate an earlier token (lowercased).
+    * High values flag keyword-stuffed or looping generations. */
+  def dupWordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(tokenCount(text) === 0, 0.0).otherwise(
+      (size(toks) - size(array_distinct(toks))).cast("double") / size(toks))
+  }
+
+  // PII patterns kept to constructs with IDENTICAL semantics in Java
+  // regex and RE2 (DuckDB): char classes, bounded quantifiers, \d, \b.
+  // No lookarounds, no backrefs — those diverge across engines.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Count of PII-looking spans (emails + IPv4 literals). */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0)))
+
+  /** Replace PII-looking spans with a placeholder token. Emails are
+    * scrubbed FIRST so an address like a@1.2.3.4 cannot leave a bare
+    * IP behind. Scan-side, codegen'd — the shape of every
+    * redact-before-training pass at corpus scale. */
+  def scrubPii(text: Column, replacement: String = "<PII>"): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, replacement),
+      Ipv4Pattern, replacement)
+
   /** Corpus document-frequency table: one row per distinct token with
     * the number of documents containing it. One map-side-combined
     * aggregation over exploded distinct-per-doc tokens — the input for

@@ -37,6 +37,42 @@ class OpsSpec extends SparkFunSuite {
     assert(q("good") > q("junk"))
   }
 
+  test("repetition metrics flag duplicated lines and words") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "unique one\nunique two\nunique three"),
+      (2L, "same line\nsame line\nsame line\nother"),
+      (3L, "loop loop loop loop go"),
+      (4L, ""),
+      (5L, "one\n\n  \none") // blank lines excluded from the line count
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+      TextAnalysis.dupLineRatio(col("text")).as("dl"),
+      TextAnalysis.dupWordRatio(col("text")).as("dw"))
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(1L)._1 == 0.0)
+    assert(math.abs(r(2L)._1 - 0.5) < 1e-9) // 4 lines, 2 distinct
+    assert(math.abs(r(3L)._2 - 0.6) < 1e-9) // 5 words, 2 distinct
+    assert(r(4L) == ((0.0, 0.0)))
+    assert(math.abs(r(5L)._1 - 0.5) < 1e-9) // 2 non-blank lines, 1 distinct
+  }
+
+  test("pii scrub replaces emails and IPv4, counts match") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "contact alice@example.com or 10.0.0.1 today"),
+      (2L, "no pii here"),
+      (3L, "bob@a.co and carol@b.org and 192.168.1.255")
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+      TextAnalysis.piiCount(col("text")).as("n"),
+      TextAnalysis.scrubPii(col("text")).as("s"))
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getString(2))).toMap
+    assert(r(1L) == ((2, "contact <PII> or <PII> today")))
+    assert(r(2L) == ((0, "no pii here")))
+    assert(r(3L) == ((3, "<PII> and <PII> and <PII>")))
+  }
+
   test("shingles: guarded for short texts, distinct") {
     val r = Seq("a b c d", "x y", "p p p p")
       .toDF("text")
