@@ -264,133 +264,136 @@ object Audit {
     // One rowid assigned ONCE on the loaded dataset; both the spine
     // and the stored-value comparison frame derive from this.
     val numbered = data.withColumn(Build.RowId, monotonically_increasing_id()).cache()
-    val spine = numbered.select((Build.RowId +: keys :+ labelTime).map(col): _*)
-
-    // Rebuild each feature joined to the spine.
-    val sourceCacheM = scala.collection.mutable.Map.empty[String, DataFrame]
-    val lbl = Labels.frame(
-      spine.withColumn("__dummy_target", lit(1)),
-      keys, labelTime, Seq("__dummy_target"))
-
-    var compared = numbered
-    val detailsB = features.map { f =>
-      val feat = Build.computeFeature(spark, f, lbl, sourceCacheM)
-      val rightKeys = keys.map(k => f.keyMapping.getOrElse(k, k))
-      val valueCols = feat.df.columns.filterNot(c =>
-        rightKeys.contains(c) || c == feat.timeCol).toSeq
-      val spec = graft.operators.AsOfJoin.Spec(
-        leftKeys = keys,
-        rightKeys = rightKeys,
-        leftTime = labelTime,
-        rightTime = feat.timeCol,
-        valueCols = valueCols,
-        inclusive = options.join == "inclusive",
-        embargo = f.embargo,
-        maxLookback = Some(options.maxLookback),
-        maxStaleness = f.maxStaleness,
-        rightTimeOut = Names.featureTimeCol(f.name))
-      val rebuilt = graft.operators.AsOfJoin
-        .join(spine, feat.df, spec, options.strategy)
-        .select(col(Build.RowId) +: col(Names.featureTimeCol(f.name)) +:
-          valueCols.map(c => col(c).as(s"__rb__${Names.namespaced(f.name, c)}")): _*)
-      compared = compared.join(rebuilt, Seq(Build.RowId), "left")
-      f -> valueCols
-    }
-
-    val cmp = compared.cache()
-    // same normalization + guard temporal mode applies: a DuckDB-written
-    // dataset carries TIMESTAMP_NTZ label times, which unix_micros
-    // rejects raw; and mixed/NTZ columns under a non-UTC (or DST)
-    // session must fail loudly, not silently skew leak durations
+    var cmpCached: Option[DataFrame] = None
+    // ANY failure past the cache() above — feature resolution, the
+    // timezone guard, the aggregation action itself — must unpersist
+    // this call's caches: a long-lived session audits many datasets
+    // and leaked InMemoryRelations accumulate.
     try {
+      val spine = numbered.select((Build.RowId +: keys :+ labelTime).map(col): _*)
+
+      // Rebuild each feature joined to the spine.
+      val sourceCacheM = scala.collection.mutable.Map.empty[String, DataFrame]
+      val lbl = Labels.frame(
+        spine.withColumn("__dummy_target", lit(1)),
+        keys, labelTime, Seq("__dummy_target"))
+
+      var compared = numbered
+      val detailsB = features.map { f =>
+        val feat = Build.computeFeature(spark, f, lbl, sourceCacheM)
+        val rightKeys = keys.map(k => f.keyMapping.getOrElse(k, k))
+        val valueCols = feat.df.columns.filterNot(c =>
+          rightKeys.contains(c) || c == feat.timeCol).toSeq
+        val spec = graft.operators.AsOfJoin.Spec(
+          leftKeys = keys,
+          rightKeys = rightKeys,
+          leftTime = labelTime,
+          rightTime = feat.timeCol,
+          valueCols = valueCols,
+          inclusive = options.join == "inclusive",
+          embargo = f.embargo,
+          maxLookback = Some(options.maxLookback),
+          maxStaleness = f.maxStaleness,
+          rightTimeOut = Names.featureTimeCol(f.name))
+        val rebuilt = graft.operators.AsOfJoin
+          .join(spine, feat.df, spec, options.strategy)
+          .select(col(Build.RowId) +: col(Names.featureTimeCol(f.name)) +:
+            valueCols.map(c => col(c).as(s"__rb__${Names.namespaced(f.name, c)}")): _*)
+        compared = compared.join(rebuilt, Seq(Build.RowId), "left")
+        f -> valueCols
+      }
+
+      val cmp = compared.cache()
+      cmpCached = Some(cmp)
+      // same normalization + guard temporal mode applies: a DuckDB-written
+      // dataset carries TIMESTAMP_NTZ label times, which unix_micros
+      // rejects raw; and mixed/NTZ columns under a non-UTC (or DST)
+      // session must fail loudly, not silently skew leak durations
       requireConsistentTimestamps(cmp, labelTime,
         detailsB.map { case (f, _) => f.name -> Names.featureTimeCol(f.name) }.toMap)
+      val lt = tsNorm(col(labelTime))
+      // Stored column matching: namespaced `{f}__{col}` preferred, bare
+      // `{col}` fallback (engine.py:1757-1771).
+      val dataCols = data.columns.toSet
+      val aggs = scala.collection.mutable.ArrayBuffer.empty[Column]
+      val aggMeta = scala.collection.mutable.ArrayBuffer.empty[(String, String)] // feature, kind
+      // predicates collected for the capped offending-row sample
+      // (reference captures <=1000 mismatching rows in rebuild mode too,
+      // engine.py:1800-1815)
+      val offending = scala.collection.mutable.ArrayBuffer.empty[Column]
+      detailsB.foreach { case (f, valueCols) =>
+        val ft = tsNorm(col(Names.featureTimeCol(f.name)))
+        val leaky = ft.isNotNull && ft >= lt
+        offending += leaky
+        val leakUs = when(leaky, unix_micros(ft) - unix_micros(lt))
+        aggs += sum(when(leaky, 1L).otherwise(0L)); aggMeta += ((f.name, "leaky"))
+        aggs += max(leakUs); aggMeta += ((f.name, "max"))
+        aggs += percentile(leakUs, lit(0.5)); aggMeta += ((f.name, "med"))
+        aggs += sum(when(ft.isNull, 1L).otherwise(0L)); aggMeta += ((f.name, "null"))
+        valueCols.foreach { c =>
+          val storedName =
+            if (dataCols.contains(Names.namespaced(f.name, c))) Some(Names.namespaced(f.name, c))
+            else if (dataCols.contains(c)) Some(c)
+            else None
+          storedName.foreach { sn =>
+            val stored = col(sn)
+            val rb = col(s"__rb__${Names.namespaced(f.name, c)}")
+            val numeric = cmp.schema(sn).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+            val differs =
+              if (numeric)
+                abs(stored.cast("double") - rb.cast("double")) >
+                  lit(atol) + lit(rtol) * abs(rb.cast("double"))
+              else stored.cast("string") =!= rb.cast("string")
+            val mismatch = (stored.isNull =!= rb.isNull) || (stored.isNotNull && rb.isNotNull && differs)
+            offending += mismatch
+            aggs += sum(when(mismatch, 1L).otherwise(0L)); aggMeta += ((f.name, s"mm:$sn"))
+          }
+        }
+      }
+      val row = cmp.agg(count(lit(1)), aggs.toSeq: _*).head()
+      val total = row.getLong(0)
+      def lngAt(i: Int): Long = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
+      val byFeature = aggMeta.zipWithIndex.groupBy(_._1._1)
+      val details = detailsB.map { case (f, _) =>
+        val entries = byFeature(f.name)
+        var leaky = 0L; var maxL: Option[Duration] = None; var nulls = 0L
+        var medL: Option[Duration] = None
+        val mms = scala.collection.mutable.Map.empty[String, Long]
+        entries.foreach { case ((_, kind), i) =>
+          kind match {
+            case "leaky" => leaky = lngAt(i)
+            case "max" =>
+              if (!row.isNullAt(i + 1)) maxL = Some(Duration.ofSeconds(row.getLong(i + 1) / 1000000L))
+            case "med" =>
+              if (!row.isNullAt(i + 1))
+                medL = Some(Duration.ofSeconds((anyToDouble(row.get(i + 1)) / 1e6).toLong))
+            case "null" => nulls = lngAt(i)
+            case mm if mm.startsWith("mm:") => mms(mm.drop(3)) = lngAt(i)
+          }
+        }
+        FeatureAuditDetail(f.name, leaky, total, maxL, medL, nulls, mms.toMap)
+      }
+      // capped sample of offending rows (leaks OR value mismatches); reads
+      // the already-materialized `cmp` cache, so it costs one cache scan
+      val sample =
+        if (offending.nonEmpty &&
+            details.exists(d => d.leakyRows > 0 || d.mismatches.values.exists(_ > 0)))
+          Some(cmp.filter(offending.reduce(_ || _)).limit(sampleLimit))
+        else {
+          // no sample will ever read cmp again — release it now, or every
+          // clean rebuild-audit in a long-lived session leaks one
+          // InMemoryRelation (the sample path keeps it: the returned
+          // frame's lineage reads the cache)
+          cmp.unpersist()
+          None
+        }
+      numbered.unpersist()
+      AuditReport(total, details, sample)
     } catch {
       case t: Throwable =>
-        // the fail-loud path must not leak this call's cached frames
-        // into a long-lived session (driver notebooks audit many
-        // datasets per SparkSession)
-        cmp.unpersist()
+        cmpCached.foreach(_.unpersist())
         numbered.unpersist()
         throw t
     }
-    val lt = tsNorm(col(labelTime))
-    // Stored column matching: namespaced `{f}__{col}` preferred, bare
-    // `{col}` fallback (engine.py:1757-1771).
-    val dataCols = data.columns.toSet
-    val aggs = scala.collection.mutable.ArrayBuffer.empty[Column]
-    val aggMeta = scala.collection.mutable.ArrayBuffer.empty[(String, String)] // feature, kind
-    // predicates collected for the capped offending-row sample
-    // (reference captures <=1000 mismatching rows in rebuild mode too,
-    // engine.py:1800-1815)
-    val offending = scala.collection.mutable.ArrayBuffer.empty[Column]
-    detailsB.foreach { case (f, valueCols) =>
-      val ft = tsNorm(col(Names.featureTimeCol(f.name)))
-      val leaky = ft.isNotNull && ft >= lt
-      offending += leaky
-      val leakUs = when(leaky, unix_micros(ft) - unix_micros(lt))
-      aggs += sum(when(leaky, 1L).otherwise(0L)); aggMeta += ((f.name, "leaky"))
-      aggs += max(leakUs); aggMeta += ((f.name, "max"))
-      aggs += percentile(leakUs, lit(0.5)); aggMeta += ((f.name, "med"))
-      aggs += sum(when(ft.isNull, 1L).otherwise(0L)); aggMeta += ((f.name, "null"))
-      valueCols.foreach { c =>
-        val storedName =
-          if (dataCols.contains(Names.namespaced(f.name, c))) Some(Names.namespaced(f.name, c))
-          else if (dataCols.contains(c)) Some(c)
-          else None
-        storedName.foreach { sn =>
-          val stored = col(sn)
-          val rb = col(s"__rb__${Names.namespaced(f.name, c)}")
-          val numeric = cmp.schema(sn).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-          val differs =
-            if (numeric)
-              abs(stored.cast("double") - rb.cast("double")) >
-                lit(atol) + lit(rtol) * abs(rb.cast("double"))
-            else stored.cast("string") =!= rb.cast("string")
-          val mismatch = (stored.isNull =!= rb.isNull) || (stored.isNotNull && rb.isNotNull && differs)
-          offending += mismatch
-          aggs += sum(when(mismatch, 1L).otherwise(0L)); aggMeta += ((f.name, s"mm:$sn"))
-        }
-      }
-    }
-    val row = cmp.agg(count(lit(1)), aggs.toSeq: _*).head()
-    val total = row.getLong(0)
-    def lngAt(i: Int): Long = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
-    val byFeature = aggMeta.zipWithIndex.groupBy(_._1._1)
-    val details = detailsB.map { case (f, _) =>
-      val entries = byFeature(f.name)
-      var leaky = 0L; var maxL: Option[Duration] = None; var nulls = 0L
-      var medL: Option[Duration] = None
-      val mms = scala.collection.mutable.Map.empty[String, Long]
-      entries.foreach { case ((_, kind), i) =>
-        kind match {
-          case "leaky" => leaky = lngAt(i)
-          case "max" =>
-            if (!row.isNullAt(i + 1)) maxL = Some(Duration.ofSeconds(row.getLong(i + 1) / 1000000L))
-          case "med" =>
-            if (!row.isNullAt(i + 1))
-              medL = Some(Duration.ofSeconds((anyToDouble(row.get(i + 1)) / 1e6).toLong))
-          case "null" => nulls = lngAt(i)
-          case mm if mm.startsWith("mm:") => mms(mm.drop(3)) = lngAt(i)
-        }
-      }
-      FeatureAuditDetail(f.name, leaky, total, maxL, medL, nulls, mms.toMap)
-    }
-    // capped sample of offending rows (leaks OR value mismatches); reads
-    // the already-materialized `cmp` cache, so it costs one cache scan
-    val sample =
-      if (offending.nonEmpty &&
-          details.exists(d => d.leakyRows > 0 || d.mismatches.values.exists(_ > 0)))
-        Some(cmp.filter(offending.reduce(_ || _)).limit(sampleLimit))
-      else {
-        // no sample will ever read cmp again — release it now, or every
-        // clean rebuild-audit in a long-lived session leaks one
-        // InMemoryRelation (the sample path keeps it: the returned
-        // frame's lineage reads the cache)
-        cmp.unpersist()
-        None
-      }
-    numbered.unpersist()
-    AuditReport(total, details, sample)
   }
 }

@@ -161,6 +161,16 @@ object AsOfJoin {
     * a `__pt` time column), decision per [[AutoConfig]]. */
   private def probeKeyed(keyed: DataFrame, keyCols: Seq[String],
       cfg: AutoConfig): Strategy = {
+    // The segmented escape buckets via unix_micros, which only exists
+    // for timestamp types; for anything else (DATE snapshots, numeric
+    // epochs) Auto must stay on the plain carry — and can skip the
+    // probe job entirely.
+    val timeBucketable = keyed.schema("__pt").dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    if (!timeBucketable) return Strategy.UnionAsOf
     val hot = keyed
       .filter(col("__pt").isNotNull)
       .sample(withReplacement = false, cfg.probeFraction, cfg.probeSeed)
@@ -174,19 +184,24 @@ object AsOfJoin {
       val row = hot(0)
       val n = row.getLong(row.fieldIndex("__pn"))
       val estRows = (n / math.max(cfg.probeFraction, 1e-9)).toLong
-      def ms(v: Any): Long = v match {
-        case t: java.sql.Timestamp      => t.getTime
-        case i: java.time.Instant       => i.toEpochMilli
-        case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-        case other => throw new IllegalArgumentException(
-          s"unsupported time type for skew probe: ${other.getClass}")
+      // A value class the probe can't span-measure must NOT crash the
+      // default strategy — fall back to the plain carry (None below).
+      // Both java-time APIs of the two timestamp types are covered.
+      def ms(v: Any): Option[Long] = v match {
+        case t: java.sql.Timestamp      => Some(t.getTime)
+        case i: java.time.Instant       => Some(i.toEpochMilli)
+        case d: java.time.LocalDateTime => Some(d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+        case _                          => None
       }
-      val spanMs = ms(row.get(row.fieldIndex("__phi"))) - ms(row.get(row.fieldIndex("__plo")))
-      if (estRows <= cfg.skewRowsPerKey || spanMs <= 0) Strategy.UnionAsOf
-      else {
-        val nBuckets = math.max(1L, estRows / math.max(1L, cfg.targetRowsPerBucket))
-        Strategy.UnionAsOfSegmented(
-          Duration.ofMillis(math.max(1L, spanMs / nBuckets)))
+      val spanMs = for {
+        hi <- ms(row.get(row.fieldIndex("__phi")))
+        lo <- ms(row.get(row.fieldIndex("__plo")))
+      } yield hi - lo
+      spanMs match {
+        case Some(span) if estRows > cfg.skewRowsPerKey && span > 0 =>
+          val nBuckets = math.max(1L, estRows / math.max(1L, cfg.targetRowsPerBucket))
+          Strategy.UnionAsOfSegmented(Duration.ofMillis(math.max(1L, span / nBuckets)))
+        case _ => Strategy.UnionAsOf
       }
     }
   }
@@ -293,6 +308,11 @@ object AsOfJoin {
     )
     val rhs = features
       .filter(col(spec.rightTime).isNotNull)
+      // null keys never match an equi-join (RowNumber strategy,
+      // reference SQL): drop them here so the carry partitioning
+      // cannot invent a null==null match the other strategies (and
+      // the segmented stage-3 join) would not produce
+      .filter(spec.rightKeys.map(col(_).isNotNull).reduce(_ && _))
       .select(
         spec.rightKeys.zip(joinKeys).map { case (k, a) => col(k).as(a) } ++
           Seq(
@@ -427,7 +447,10 @@ object AsOfJoin {
           lit(null).cast(structTypeOf(r)).as(s"__fr$i")
         }: _*)
     val rhs = rights.zipWithIndex.map { case (r, i) =>
-      r.df.filter(col(r.rightTime).isNotNull).select(
+      r.df.filter(col(r.rightTime).isNotNull)
+        // same null-key equi-join semantics as buildUnion above
+        .filter(r.rightKeys.map(col(_).isNotNull).reduce(_ && _))
+        .select(
         r.rightKeys.zip(joinKeys).map { case (k, a) => col(k).as(a) } ++
           Seq(
             col(r.rightTime).as(SortTime),
@@ -505,23 +528,24 @@ object AsOfJoin {
     }
 
     // stage 2: per (key, bucket) the LAST feature row of each slot
-    // (map-side combined aggregation), then a tiny per-key window over
-    // buckets carries the latest previous-bucket row forward per slot
+    // (map-side combined aggregation; max_by so the carried struct
+    // never needs to be orderable — map-typed values work), then a
+    // tiny per-key window over buckets carries the latest
+    // previous-bucket row forward per slot
+    def slotOrd(i: Int) = when(col(s"__fr$i").isNotNull, col(SortTime))
     val bucketLast = withBucket
       .groupBy((parts.joinKeys :+ bucketCol).map(col): _*)
       .agg(
-        max(when(col("__fr0").isNotNull, struct(col(SortTime).as("t"), col("__fr0").as("frow"))))
-          .as("__bl0"),
+        max_by(col("__fr0"), slotOrd(0)).as("__bl0"),
         rights.indices.drop(1).map(i =>
-          max(when(col(s"__fr$i").isNotNull,
-            struct(col(SortTime).as("t"), col(s"__fr$i").as("frow")))).as(s"__bl$i")): _*)
+          max_by(col(s"__fr$i"), slotOrd(i)).as(s"__bl$i")): _*)
     val wBuckets = Window
       .partitionBy(parts.joinKeys.map(col): _*)
       .orderBy(col(bucketCol).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, -1)
     val prevByBucket = rights.indices.foldLeft(bucketLast) { (acc, i) =>
       acc.withColumn(s"__pv$i",
-        last(col(s"__bl$i").getField("frow"), ignoreNulls = true).over(wBuckets))
+        last(col(s"__bl$i"), ignoreNulls = true).over(wBuckets))
     }.select((parts.joinKeys :+ bucketCol).map(col) ++
       rights.indices.map(i => col(s"__pv$i")): _*)
 
@@ -573,20 +597,23 @@ object AsOfJoin {
     val localCarried = withBucket
       .withColumn("__c_local", last(col("__frow"), ignoreNulls = true).over(wLocal))
 
-    // stage 2: last feature per (key, bucket) — max of an orderable
-    // struct over feature rows only — then carry across buckets
-    val ordStruct = struct(
-      (col(SortTime) +: parts.tieAliases.map { case (_, a) => col(a) }) :+
-        col("__frow").as("frow"): _*)
+    // stage 2: last feature per (key, bucket) — max_by keeps the whole
+    // feature-row struct WITHOUT requiring it to be orderable (map-
+    // typed value columns work; max(struct(...)) would fail analysis),
+    // ordered by (time, tiebreakers) over feature rows only (label
+    // rows have a null ordering key and are skipped) — then carry
+    // across buckets
+    val ordKey = when(col(TagCol) === parts.featTagV,
+      struct(col(SortTime) +: parts.tieAliases.map { case (_, a) => col(a) }: _*))
     val bucketLast = withBucket
       .groupBy((parts.joinKeys :+ bucketCol).map(col): _*)
-      .agg(max(when(col(TagCol) === parts.featTagV, ordStruct)).as("__blast"))
+      .agg(max_by(col("__frow"), ordKey).as("__blast"))
     val wBuckets = Window
       .partitionBy(parts.joinKeys.map(col): _*)
       .orderBy(col(bucketCol).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, -1)
     val prevByBucket = bucketLast
-      .withColumn("__prev", last(col("__blast").getField("frow"), ignoreNulls = true).over(wBuckets))
+      .withColumn("__prev", last(col("__blast"), ignoreNulls = true).over(wBuckets))
       .select((parts.joinKeys :+ bucketCol).map(col) :+ col("__prev"): _*)
 
     // stage 3: combine

@@ -128,12 +128,10 @@ object Similarity {
       .limit(nlist)
       .select(col(idCol).as("list_id"), asDouble(col(vecCol)).as("__centroid"))
     // Optional Lloyd refinement (refineIters > 0): assign every corpus
-    // vector to its nearest centroid (broadcast, same plan shape as the
-    // probe below), replace each centroid with the element-wise mean of
-    // its cluster, keep the seed vector for an emptied cluster. 2-3
-    // iterations move hash-sampled seeds to genuine density centers —
-    // a recall fix, not a scale change: per iteration one corpus scan +
-    // one (list_id, pos)-keyed partial-aggregated shuffle, and
+    // vector to its nearest centroid (broadcast), replace each centroid
+    // with the element-wise mean of its cluster, keep the seed vector
+    // for an emptied cluster. 2-3 iterations move hash-sampled seeds to
+    // genuine density centers — a recall fix, not a scale change — and
     // localCheckpoint truncates the growing lineage so the final
     // centroid frame stays a small broadcastable relation.
     val centroids = (0 until refineIters).foldLeft(seeded) { (cents, _) =>
@@ -141,9 +139,18 @@ object Similarity {
         .select(asDouble(col(vecCol)).as("__av"), col(idCol).as("__aid"))
         .crossJoin(broadcast(cents))
         .withColumn("__d", cosine(col("__av"), col("__centroid")))
-      val wBest = Window.partitionBy(col("__aid")).orderBy(col("__d").desc, col("list_id"))
-      val means = assigned
-        .withColumn("__r", row_number().over(wBest)).filter(col("__r") === 1)
+      // argmax centroid per vector as ONE map-side-combined
+      // aggregation: a vector's nlist candidate rows collapse inside
+      // their mapper partition, so the shuffle carries |corpus| rows
+      // (not |corpus| x nlist) and nothing sorts. Only the ordering
+      // struct (d, list_id) must be orderable; ties deterministically
+      // pick the larger list_id.
+      val best = assigned
+        .groupBy(col("__aid"))
+        .agg(
+          max(struct(col("__d"), col("list_id"))).getField("list_id").as("list_id"),
+          any_value(col("__av")).as("__av")) // constant within the group
+      val means = best
         .select(col("list_id"), posexplode(col("__av")).as(Seq("__pos", "__val")))
         .groupBy("list_id", "__pos").agg(avg("__val").as("__m"))
         .groupBy("list_id")
