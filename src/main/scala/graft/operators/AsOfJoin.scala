@@ -105,6 +105,17 @@ object AsOfJoin {
   private def minusInterval(c: Column, d: Duration): Column =
     if (d.isZero) c else c - expr(Durations.toSqlInterval(d))
 
+  /** Bucket key for the segmented carries. `unix_micros` only accepts
+    * the tz-aware TIMESTAMP type, so naive (TIMESTAMP_NTZ — e.g.
+    * DuckDB-written parquet) and DATE sort columns go through a cast
+    * first. The cast interprets naive values in the session zone; the
+    * local→instant mapping is monotone non-decreasing under EVERY zone
+    * (DST-gap locals map forward, overlap locals take one fixed
+    * offset), and bucket boundaries only steer partitioning — results
+    * are identical for any bucketing — so the cast is safe here even
+    * where value-preserving audits (Audit.tsNorm) must guard DST. */
+  private def bucketMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
   /** Internal rowid column identifying label rows across the join. */
   val RowIdCol = "__label_rowid"
 
@@ -161,10 +172,10 @@ object AsOfJoin {
     * a `__pt` time column), decision per [[AutoConfig]]. */
   private def probeKeyed(keyed: DataFrame, keyCols: Seq[String],
       cfg: AutoConfig): Strategy = {
-    // The segmented escape buckets via unix_micros, which only exists
-    // for timestamp types; for anything else (DATE snapshots, numeric
-    // epochs) Auto must stay on the plain carry — and can skip the
-    // probe job entirely.
+    // The segmented escape buckets via bucketMicros, which normalizes
+    // both timestamp types (aware and NTZ); for anything else (DATE
+    // snapshots, numeric epochs) Auto must stay on the plain carry —
+    // and can skip the probe job entirely.
     val timeBucketable = keyed.schema("__pt").dataType match {
       case org.apache.spark.sql.types.TimestampType |
           org.apache.spark.sql.types.TimestampNTZType => true
@@ -516,7 +527,7 @@ object AsOfJoin {
     val parts = buildMultiUnion(labels, rights, spec)
     val bucketCol = "__bkt"
     val withBucket = parts.unioned.withColumn(bucketCol,
-      floor(unix_micros(col(SortTime)) / lit(bucket.toMillis * 1000L)))
+      floor(bucketMicros(col(SortTime)) / lit(bucket.toMillis * 1000L)))
 
     // stage 1: in-bucket carry, one window pass computing every slot
     val wLocal = Window
@@ -587,7 +598,7 @@ object AsOfJoin {
     val parts = buildUnion(labels, features, spec)
     val bucketCol = "__bkt"
     val withBucket = parts.unioned.withColumn(bucketCol,
-      floor(unix_micros(col(SortTime)) / lit(bucket.toMillis * 1000L)))
+      floor(bucketMicros(col(SortTime)) / lit(bucket.toMillis * 1000L)))
 
     // stage 1: in-bucket carry
     val wLocal = Window

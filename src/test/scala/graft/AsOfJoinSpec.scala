@@ -236,6 +236,40 @@ class AsOfJoinSpec extends SparkFunSuite {
       "Auto (segmented) diverged from unionAsOf")
   }
 
+  test("Auto hot-key escape works on TIMESTAMP_NTZ sort columns") {
+    // NTZ is a first-class input (DuckDB-written parquet); the probe
+    // marks it bucketable, so the segmented carry it escapes to must
+    // bucket it without crashing (unix_micros alone rejects NTZ —
+    // bucketMicros casts first). Regression: pre-fix this threw
+    // DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE from the DEFAULT strategy.
+    val feats = spark.range(20000).select(
+      when(col("id") < 18000, lit(7L)).otherwise(col("id") % 50 + 100).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L)
+        .cast("timestamp_ntz").as("ft"),
+      (col("id") % 101).cast("double").as("value"))
+    val lbls = spark.range(300).select(
+      col("id").as(AsOfJoin.RowIdCol),
+      when(col("id") % 2 === 0, lit(7L)).otherwise(col("id") % 50 + 100).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 67L * 1000000L)
+        .cast("timestamp_ntz").as("lt"))
+    val s = spec(staleness = Some(Duration.ofDays(7)))
+    val probing = AsOfJoin.AutoConfig(probeMinBytes = 0L, probeFraction = 1.0,
+      skewRowsPerKey = 5000L, targetRowsPerBucket = 1000L)
+    // the probe still sees the hot key through NTZ values
+    AsOfJoin.autoStrategy(feats, s, probing) match {
+      case Strategy.UnionAsOfSegmented(_) => // expected
+      case other => fail(s"expected segmented for the NTZ hot key, got $other")
+    }
+    // end-to-end: Auto (segmented, NTZ-bucketed) equals the plain carry
+    val auto = AsOfJoin.join(lbls, feats, s, Strategy.Auto, probing)
+      .select(AsOfJoin.RowIdCol, "feature_time", "value")
+    val plain = AsOfJoin.unionAsOf(lbls, feats, s)
+      .select(AsOfJoin.RowIdCol, "feature_time", "value")
+    assert(auto.count() == 300)
+    assert(plain.exceptAll(auto).isEmpty && auto.exceptAll(plain).isEmpty,
+      "Auto (segmented over NTZ) diverged from unionAsOf")
+  }
+
   test("all-null feature values are carried as null (not skipped back)") {
     val f2 = Seq(
       (1L, "2024-01-01 00:00:00", Some(7.0)),
