@@ -9,12 +9,16 @@ import graft.model._
 /** Dev tool: run ONE build scenario with per-phase timing to locate
   * where the wall-clock goes.
   * `sbt "runMain graft.BenchOne <nLabels> <nFeatures> [dir]"`
+  * Audit-scenario isolation (the Bench audit_* rows, 5 reps + job
+  * counts): `sbt "runMain graft.BenchOne audit <nLabels> <nFeatures>"`.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val nLabels = args.headOption.map(_.toInt).getOrElse(1000000)
-    val nFeatures = args.lift(1).map(_.toInt).getOrElse(10)
-    val dir = args.lift(2).getOrElse(
+    val auditMode = args.headOption.contains("audit")
+    val posArgs = if (auditMode) args.drop(1) else args
+    val nLabels = posArgs.headOption.map(_.toInt).getOrElse(1000000)
+    val nFeatures = posArgs.lift(1).map(_.toInt).getOrElse(10)
+    val dir = posArgs.lift(2).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_benchone").toString)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -73,6 +77,42 @@ object BenchOne {
     }
 
     val nEntities = math.max(1000, nLabels / 5)
+
+    if (auditMode) {
+      // exactly Bench.auditScenario's shape: a flat parquet dataset with
+      // nFeatures (feature_time, value) column pairs, Audit.temporal over it
+      val path = s"$dir/audit_${nLabels}_$nFeatures.parquet"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        timed("datagen") {
+          spark.range(nLabels.toLong).select(
+            col("id") +:
+              (col("id") % nEntities).as("user_id") +:
+              timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L).as("label_time") +:
+              (0 until nFeatures).flatMap(k => Seq(
+                timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L
+                  - lit(3600000000L) + ((col("id") + k) % 100) * 72000000L)
+                  .as(s"f${k}__feature_time"),
+                ((col("id") + k) % 7).cast("double").as(s"f${k}__v"))): _*)
+            .drop("id")
+            .write.mode("overwrite").parquet(path)
+        }
+      }
+      def syncA(): Unit =
+        try { new ProcessBuilder("sync").start().waitFor(); () }
+        catch { case _: Exception => () }
+      (1 to 5).foreach { i =>
+        syncA()
+        timed(s"audit run$i") {
+          val r = graft.engine.Audit.temporal(spark.read.parquet(path), "label_time",
+            (0 until nFeatures).map(k => s"f$k" -> s"f${k}__feature_time").toMap,
+            approxMedian = true)
+          println("  rows=" + r.totalRows)
+        }
+      }
+      spark.stop()
+      return
+    }
+
     val lp = s"$dir/labels.parquet"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(lp))) {
       timed("datagen") {

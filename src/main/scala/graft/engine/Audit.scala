@@ -296,7 +296,7 @@ object Audit {
           maxStaleness = f.maxStaleness,
           rightTimeOut = Names.featureTimeCol(f.name))
         val rebuilt = graft.operators.AsOfJoin
-          .join(spine, feat.df, spec, options.strategy)
+          .join(spine, feat.df, spec, options.strategy, options.autoConfig)
           .select(col(Build.RowId) +: col(Names.featureTimeCol(f.name)) +:
             valueCols.map(c => col(c).as(s"__rb__${Names.namespaced(f.name, c)}")): _*)
         compared = compared.join(rebuilt, Seq(Build.RowId), "left")

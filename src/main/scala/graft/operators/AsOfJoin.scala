@@ -140,7 +140,12 @@ object AsOfJoin {
     * failure mode), so escape to the segmented carry with bucket =
     * hot-key span / (est rows / targetRowsPerBucket). A hot key whose
     * rows share one timestamp cannot be spread by time bucketing, so
-    * it stays on the plain carry. */
+    * it stays on the plain carry.
+    *
+    * The decision is memoized per canonicalized feature plan (see
+    * [[probeMemo]]): a caller looping single Auto joins over one large
+    * frame — or an audit rebuilding N features from one source — pays
+    * ONE sample job per distinct plan per session, not one per call. */
   def autoStrategy(features: DataFrame, spec: Spec,
       cfg: AutoConfig = AutoConfig()): Strategy = {
     val sizeEst = features.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -168,9 +173,33 @@ object AsOfJoin {
     }
   }
 
+  /** Probe-decision memo, keyed on the canonicalized analyzed plan of
+    * the probe's (key, time) projection plus the AutoConfig. Bounded
+    * (a long-lived session touching thousands of distinct frames must
+    * not grow it unboundedly); cleared wholesale past the cap — the
+    * memo is a pure performance cache, and a stale/missing entry only
+    * re-runs the one-job probe. A 32-bit semanticHash collision at
+    * worst picks the other (equivalence-pinned) strategy: results are
+    * identical either way, so correctness never depends on this map. */
+  private val probeMemoMax = 4096
+  private val probeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, AutoConfig), Strategy]()
+
   /** Shared probe: sampled per-key histogram of `keyed` (key columns +
-    * a `__pt` time column), decision per [[AutoConfig]]. */
+    * a `__pt` time column), decision per [[AutoConfig]]. Memoized per
+    * (canonicalized plan, config). */
   private def probeKeyed(keyed: DataFrame, keyCols: Seq[String],
+      cfg: AutoConfig): Strategy = {
+    val memoKey = (keyed.queryExecution.analyzed.semanticHash(), cfg)
+    val hit = probeMemo.get(memoKey)
+    if (hit != null) return hit
+    val decision = probeKeyedUncached(keyed, keyCols, cfg)
+    if (probeMemo.size >= probeMemoMax) probeMemo.clear()
+    probeMemo.put(memoKey, decision)
+    decision
+  }
+
+  private def probeKeyedUncached(keyed: DataFrame, keyCols: Seq[String],
       cfg: AutoConfig): Strategy = {
     // The segmented escape buckets via bucketMicros, which normalizes
     // both timestamp types (aware and NTZ); for anything else (DATE

@@ -236,6 +236,48 @@ class AsOfJoinSpec extends SparkFunSuite {
       "Auto (segmented) diverged from unionAsOf")
   }
 
+  test("Auto probe decision is memoized: repeated joins of one frame run one probe") {
+    // a caller looping single Auto joins over one large frame (or an
+    // audit rebuilding N features from one source) must pay ONE sampled
+    // histogram job per distinct plan, not one per call
+    val feats = spark.range(30000).select(
+      when(col("id") < 27000, lit(7L)).otherwise(col("id") % 50 + 100).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 990000L).as("ft"),
+      (col("id") % 101).cast("double").as("value"))
+    val s = spec(staleness = Some(Duration.ofDays(7)))
+    // distinct config (seed) so earlier suites' memo entries can't alias
+    val probing = AsOfJoin.AutoConfig(probeMinBytes = 0L, probeFraction = 1.0,
+      skewRowsPerKey = 5000L, targetRowsPerBucket = 1000L, probeSeed = 0xC0FFEE)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // the listener bus delivers asynchronously (and is private[spark]):
+    // poll the counter until it holds still before reading it
+    def settled(): Int = {
+      var last = -1
+      var same = 0
+      var waited = 0
+      while (same < 3 && waited < 10000) {
+        Thread.sleep(100); waited += 100
+        val v = jobs.get()
+        if (v == last) same += 1 else { same = 0; last = v }
+      }
+      last
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val first = AsOfJoin.autoStrategy(feats, s, probing)
+      val afterFirst = settled()
+      assert(afterFirst > 0, "probing config on a hot frame must run the probe job")
+      val repeats = (1 to 3).map(_ => AsOfJoin.autoStrategy(feats, s, probing))
+      assert(settled() == afterFirst,
+        s"repeated Auto resolution re-ran the probe: ${jobs.get()} jobs vs $afterFirst")
+      assert(repeats.forall(_ == first), "memoized decision diverged")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("Auto hot-key escape works on TIMESTAMP_NTZ sort columns") {
     // NTZ is a first-class input (DuckDB-written parquet); the probe
     // marks it bucketable, so the segmented carry it escapes to must
