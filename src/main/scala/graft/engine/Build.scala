@@ -138,13 +138,6 @@ object Build {
 
   val RowId: String = AsOfJoin.RowIdCol
 
-  /** True when `path` has no URI scheme and can be served by the
-    * local-filesystem [[graft.store.Store]] (java.nio). Any scheme —
-    * s3://, hdfs://, even file:// — makes the cached-build probe a
-    * no-op (see the probe below): scheme-d URIs are Hadoop FS
-    * territory, which the local store deliberately does not speak. */
-  private[graft] def isLocalPath(path: String): Boolean = !path.contains("://")
-
   /** Stable definition string participating in cache keys. Transform
     * features contribute their explicit `version` (the JVM has no
     * inspect.getsource — SURVEY §7.3). */
@@ -224,14 +217,14 @@ object Build {
       // compare, and "rows" must not accidentally match "matched_rows"
       manifest <- graft.util.Jsons.parseObject(manifestText)
       out <- options.output
-      // The build cache is a LOCAL store by design (Store hashes with
-      // java.nio and manifests live under .graft/): for a remote
-      // output URI (s3://, hdfs://) the probe is SKIPPED and the build
-      // recomputes — correct, just not memoized. A remote-capable
-      // store would swap Hadoop FileSystem listing + etag hashing in
-      // Store; the probe here inherits whatever Store can verify.
-      if isLocalPath(out)
-      if java.nio.file.Files.exists(java.nio.file.Paths.get(out))
+      // Store manifests live under a local .graft/ root, but the
+      // DATA paths the probe verifies may be remote: Store.exists /
+      // Store.contentHash speak scheme-d URIs via the Hadoop
+      // FileSystem API (stat fingerprint — length + modificationTime
+      // per file, the reference's own memo signature), so a build
+      // whose labels/sources/output live on s3a/hdfs/abfs is cached
+      // exactly like a local one.
+      if st.exists(out)
       // the manifest must describe THIS output: same path, and the
       // parquet currently on disk must hash to what the build wrote —
       // otherwise (path reused by a different build, file overwritten)
@@ -246,8 +239,8 @@ object Build {
       if manifestHash == st.contentHash(out)
       // every split output must still exist too — a deleted split file
       // would otherwise "succeed" without being regenerated
-      if options.splits.forall(s => java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"${out.stripSuffix(".parquet")}_${s.name}.parquet")))
+      if options.splits.forall(s =>
+        st.exists(s"${out.stripSuffix(".parquet")}_${s.name}.parquet"))
     } {
       val df = graft.sources.SchemaCache.parquet(spark, out)
       val rows = graft.util.Jsons.at(manifest, "rows")
@@ -666,6 +659,12 @@ object Build {
         .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
         .format(java.time.Instant.ofEpochMilli(nowMs))
       def pathSize(dir: String): Long = {
+        if (dir.contains("://"))
+          return try {
+            val hp = new org.apache.hadoop.fs.Path(dir)
+            hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .getContentSummary(hp).getLength
+          } catch { case _: Exception => -1L }
         val p = java.nio.file.Paths.get(dir)
         if (!java.nio.file.Files.exists(p)) -1L
         else {

@@ -38,12 +38,47 @@ final class Store(val root: String = ".graft") {
 
   def hashString(s: String): String = sha256Hex(s.getBytes("UTF-8")).take(16)
 
+  /** True for scheme-d URIs (s3a://, hdfs://, file://, …) that java.nio
+    * cannot stat — those route through the Hadoop FileSystem API. */
+  private def hasScheme(path: String): Boolean = path.contains("://")
+
+  /** Hadoop configuration for remote stats: the active session's (so
+    * s3a/abfs credentials configured on the session apply), else a
+    * vanilla one. */
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Existence check that speaks both local paths and scheme-d URIs. */
+  def exists(pathStr: String): Boolean =
+    if (hasScheme(pathStr))
+      try {
+        val p = new org.apache.hadoop.fs.Path(pathStr)
+        p.getFileSystem(hadoopConf).exists(p)
+      } catch { case _: Exception => false }
+    else Files.exists(Paths.get(pathStr))
+
   /** Content hash of a file or parquet directory, memoized on
     * (path, size, mtime_ns). Directory hash = hash of sorted
     * (relative-path, per-file hash) pairs, walked RECURSIVELY so
     * partitioned datasets (key=…/part-*.parquet) hash correctly.
+    *
+    * Scheme-d URIs (s3a://, hdfs://, file://) are fingerprinted from
+    * one Hadoop `FileSystem.getFileStatus`/`listFiles` pass — every
+    * file's (relative path, length, modificationTime) — with no
+    * content reads. That is the same signature the reference memoizes
+    * content hashes on (`store.py:89-107`, `(path, size, mtime_ns)`):
+    * an in-place rewrite preserving both length and mtime would serve
+    * a stale cache entry there exactly as here. Object stores bump
+    * mtime on every PUT, so the fingerprint is robust where remote
+    * data actually lives — and full content hashing would re-read
+    * terabytes over the network per build, which is the reason the
+    * probe used to skip remote URIs entirely.
     */
   def contentHash(pathStr: String): String = {
+    if (hasScheme(pathStr)) return remoteFingerprint(pathStr)
     val p = Paths.get(pathStr)
     if (Files.isDirectory(p)) {
       val stream = Files.walk(p)
@@ -61,6 +96,31 @@ final class Store(val root: String = ".graft") {
         } finally stream.close()
       hashString(parts.mkString("\n"))
     } else fileHash(p)
+  }
+
+  /** Stat fingerprint for scheme-d URIs, hashed into the same 16-hex
+    * space as content hashes. Prefixed so a remote fingerprint can
+    * never collide with a local content hash of the same bytes. */
+  private def remoteFingerprint(pathStr: String): String = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(hadoopConf)
+    val status = fs.getFileStatus(p)
+    if (status.isDirectory) {
+      val baseUri = status.getPath.toUri
+      val it = fs.listFiles(p, true)
+      val parts = mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = baseUri.relativize(f.getPath.toUri).getPath
+        // same hidden-file policy as the local walk: _SUCCESS,
+        // _metadata, .crc sidecars don't participate
+        if (!rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+          parts += ((rel, s"${f.getLen}:${f.getModificationTime}"))
+      }
+      hashString(
+        "hfs\n" + parts.sortBy(_._1).map { case (r, s) => s"$r:$s" }.mkString("\n"))
+    } else
+      hashString(s"hfs:${status.getLen}:${status.getModificationTime}")
   }
 
   private def fileHash(p: Path): String = {

@@ -449,14 +449,43 @@ class BuildSpec extends SparkFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/out_train.parquet")))
   }
 
-  test("cached-build probe is local-only: remote URIs skip it cleanly") {
-    // the probe path feeds java.nio — a scheme-d URI must short-circuit
-    // BEFORE touching it (documented decision: Store is a local store)
-    assert(Build.isLocalPath("/tmp/out.parquet"))
-    assert(Build.isLocalPath("relative/out.parquet"))
-    assert(!Build.isLocalPath("s3://bucket/out.parquet"))
-    assert(!Build.isLocalPath("hdfs://nn:8020/out.parquet"))
-    assert(!Build.isLocalPath("file:///tmp/out.parquet"))
+  test("store: cache works through scheme-d URIs (Hadoop FS stat fingerprint)") {
+    // labels, source AND output all behind file:// — every probe stat
+    // (exists, contentHash) exercises the Hadoop FileSystem path the
+    // way s3a/hdfs/abfs URIs would
+    val dir = java.nio.file.Files.createTempDirectory("graft_cache3")
+    labelsDf.write.parquet(s"$dir/labels.parquet")
+    users.write.parquet(s"$dir/users.parquet")
+    val store = new graft.store.Store(s"$dir/.graft").init()
+    val lbl = Labels.parquet(s"file://$dir/labels.parquet",
+      Seq("user_id"), "label_time", Seq("churned"))
+    val feat = Feature("user_country",
+      Source.parquet("users", s"file://$dir/users.parquet", Seq("user_id"), "updated_at"),
+      ColumnsMode(Map("country" -> "country")))
+    val out = s"file://$dir/out.parquet"
+    val opts = BuildOptions(output = Some(out), store = Some(store))
+
+    val r1 = Build(spark, lbl, Seq(feat), opts)
+    assert(r1.rows == 50)
+    // second build is served from the manifest: features report the
+    // cache-hit sentinel and the output parquet is re-read as-is
+    val r2 = Build(spark, lbl, Seq(feat), opts)
+    assert(r2.features.head.matched == -1)
+    assert(r2.rows == 50)
+
+    // a FOREIGN dataset overwriting the remote output must still be
+    // detected (the Hadoop stat fingerprint changes) -> fresh build
+    users.write.mode("overwrite").parquet(out)
+    val r3 = Build(spark, lbl, Seq(feat), opts)
+    assert(r3.features.head.matched >= 0)
+    assert(r3.df.columns.contains("user_country__country"))
+
+    // fingerprints are scheme-aware but content-stat based: the same
+    // directory addressed locally and via file:// may legitimately
+    // differ (content hash vs stat fingerprint) — both must be stable
+    // call-over-call though
+    assert(store.contentHash(out) == store.contentHash(out))
+    assert(store.exists(out) && !store.exists(s"file://$dir/nope.parquet"))
   }
 
   test("tz-aware labels vs naive features raise") {
