@@ -371,14 +371,18 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("query_id", "rank")
     }),
-    // Multimodal: batched stub decode over binary media columns — the
-    // ONE remaining rows-only query (synthetic media is generated
-    // in-session, not parquet-backed, so there is nothing for the
-    // DuckDB oracle to read; the decode plumbing is pinned by
-    // ExtensionsSpec/OpsSpec instead)
+    // Multimodal: batched image decode over binary media columns. The
+    // input stays MIXED (even ids real PNGs, odd ids opaque audio
+    // payloads) so the batch pass exercises both the ImageIO path and
+    // the stub fallback; the ORACLE-CHECKED output is the real-decoded
+    // rows, whose dimensions ImageIO must recover exactly as
+    // syntheticPng encoded them — the DuckDB oracle recomputes that
+    // generator formula in pure SQL (no table needed), turning the old
+    // rows-only row into a full rows+schema+hash check of the decode.
     "q_multimodal_features" -> ((s, dir) => {
       val media = graft.ops.Multimodal.syntheticMedia(s, 2000)
       graft.ops.Multimodal.imageFeatures(media, dim = 16).toDF()
+        .filter(col("media_id") % 2 === 0) // PNG rows: really decoded
         .select(col("media_id"), col("width"), col("height"))
         .orderBy("media_id")
     }),
@@ -668,6 +672,19 @@ object SparkEntry {
         |FROM band x JOIN band y
         |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
         |ORDER BY a, b""".stripMargin,
+
+    // Decoded image dimensions must equal what syntheticPng encoded:
+    // w = 8 + (seed % 9), h = 8 + ((seed / 3) % 7) for the even-id PNG
+    // rows (Multimodal.syntheticPng). The oracle replays that generator
+    // contract in pure SQL — it checks the real javax.imageio round
+    // trip, since the Spark side reports ImageIO-DECODED dims, not the
+    // generator's.
+    "q_multimodal_features" ->
+      """SELECT i AS media_id,
+        |       CAST(8 + (i % 9) AS INT) AS width,
+        |       CAST(8 + ((i // 3) % 7) AS INT) AS height
+        |FROM range(0, 2000, 2) t(i)
+        |ORDER BY media_id""".stripMargin,
 
     "q_embed_topk" ->
       """WITH q AS (
