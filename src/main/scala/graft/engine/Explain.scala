@@ -103,15 +103,46 @@ object Explain {
           // indented), {source} resolved to the actual source the build
           // substitutes (engine.py:744), and the same parameterized
           // per-label lookup columns mode shows — not an elided "...".
-          // sql-mode queries emit their own feature_time column.
+          //
+          // The lookup tail references 'feature_time' and the
+          // keyMapping-resolved label keys, which a sql-mode query must
+          // emit itself — VERIFY that against the query's resolved
+          // schema (analysis only, no job: explain stays a dry run)
+          // rather than render an example that would not execute.
           val body = sql.trim.replace("{source}", s"'$sourceRef'")
             .linesIterator.mkString("\n  ")
-          s"""WITH feature AS (
-             |  $body
-             |)
-             |SELECT *
-             |FROM feature
-             |${lookupTail("feature_time")}""".stripMargin
+          val needed = "feature_time" +: keyCols
+          // None = the query/source could not be analyzed here (e.g.
+          // files missing at explain time); Some(missing) = resolved
+          val missingCols: Option[Seq[String]] =
+            try {
+              val view = s"__explain_src_${f.safeName}"
+              f.source.resolve(spark).createOrReplaceTempView(view)
+              try {
+                val out = spark.sql(sql.replace("{source}", view)).columns.toSet
+                Some(needed.filterNot(out))
+              } finally { spark.catalog.dropTempView(view); () }
+            } catch { case _: Exception => None }
+          val head =
+            s"""WITH feature AS (
+               |  $body
+               |)
+               |SELECT *
+               |FROM feature""".stripMargin
+          missingCols match {
+            case Some(Seq()) => s"$head\n${lookupTail("feature_time")}"
+            case Some(missing) =>
+              // the build would fail on the same contract — say so
+              // instead of rendering a non-executable lookup
+              s"""$head
+                 |-- per-label lookup omitted: the query's output is missing
+                 |-- column(s): ${missing.mkString(", ")} (required by the
+                 |-- point-in-time lookup; the build enforces the same contract)""".stripMargin
+            case None =>
+              s"""$head
+                 |-- assumes the query emits: ${needed.mkString(", ")}
+                 |${lookupTail("feature_time")}""".stripMargin
+          }
         case TransformMode(_, v) =>
           s"-- DataFrame transform (cache version $v)"
       }

@@ -242,6 +242,26 @@ class AuditDiffSpec extends SparkFunSuite {
     assert(r.render.contains("WITH feature AS ("))
   }
 
+  test("explain sql-mode omits the lookup tail when the contract doesn't hold") {
+    val labelsDf = Seq((1L, ts("2024-01-01 00:00:00"), true))
+      .toDF("user_id", "label_time", "y")
+    // emits neither feature_time nor user_id — the parameterized lookup
+    // would not execute against this query's output
+    val userSql = "SELECT t AS when_seen, v * 2 AS v2 FROM {source}"
+    val f = Feature("agg",
+      Source.frame("s", Seq((1L, ts("2023-01-01 00:00:00"), 1.0)).toDF("user_id", "t", "v"),
+        Seq("user_id"), "t"),
+      SqlMode(userSql))
+    val r = Explain(spark, Labels.frame(labelsDf, Seq("user_id"), "label_time", Seq("y")), Seq(f))
+    val sql = r.plans.head.exampleSql
+    // full user query still rendered...
+    assert(sql.contains("v * 2 AS v2"))
+    // ...but no non-executable WHERE/ORDER tail; a diagnostic names the
+    // missing contract columns instead
+    assert(!sql.contains("{K1}") && !sql.contains("LIMIT 1"))
+    assert(sql.contains("missing") && sql.contains("feature_time") && sql.contains("user_id"))
+  }
+
   test("build result render/explain/html") {
     val labelsDf = Seq((1L, ts("2024-01-01 00:00:00"), true))
       .toDF("user_id", "label_time", "y")
