@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Audit, Build, BuildOptions, Split}
 import graft.model._
+import graft.operators.AsOfJoin
 
 /** Benchmark main — prints ONE JSON line with per-query seconds.
   *
@@ -136,6 +137,55 @@ object Bench {
         output = Some(s"$dir/out.parquet"))).rows
   }
 
+  /** Hot-key skew scenario: ONE entity owns 70% of a 20M-row feature
+    * side (the bot-user shape every web-scale event log grows). With
+    * `auto = true`, Strategy.Auto probes the sampled key histogram and
+    * escapes to the segmented carry (`probeMinBytes = 0` because the
+    * point of the row is the probe + escape, not the 2 GiB production
+    * size gate); `auto = false` forces the plain union carry, whose
+    * hot key sorts 14M rows in ONE task while the other cores idle.
+    * The pair records the skew escape's end-to-end win round-over-round
+    * (isolated: ~4.9s auto vs ~12.4s plain, 2.5x; the ratio's lever is
+    * the hot fraction — the serialized task scales with the hot key's
+    * share while the segmented path scales with total/cores) —
+    * equivalence of the two plans is pinned in AsOfJoinSpec and
+    * PropertySpec. */
+  private[graft] def skewScenario(auto: Boolean)(spark: SparkSession): Long = {
+    val nLabels = 200000
+    val nFeat = sys.env.get("SPARK_GRAFT_SKEW_NFEAT").map(_.toLong).getOrElse(20000000L)
+    val hotPct = sys.env.get("SPARK_GRAFT_SKEW_HOTPCT").map(_.toInt).getOrElse(70)
+    val nEntities = 40000
+    val dir = s"$benchDir/skew_${nFeat}_$hotPct"
+    val lp = s"$dir/labels.parquet"
+    val fp = s"$dir/feature.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(lp))) {
+      val labelStepUs = 86400000000L / nLabels
+      spark.range(nLabels.toLong).select(
+        (col("id") % nEntities).as("user_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * labelStepUs).as("label_time"),
+        (col("id") % 5 === 0).as("churned"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(lp)
+      val featStepUs = 31536000000000L / nFeat
+      spark.range(nFeat).select(
+        when(col("id") % 100 < hotPct, lit(0L))
+          .otherwise(col("id") % (nEntities - 1) + 1).as("user_id"),
+        timestamp_micros(lit(1672531200000000L) + col("id") * featStepUs).as("updated_at"),
+        ((col("id") * 17) % 1000 / 10.0).as("val_0"))
+        .coalesce(5)
+        .write.mode("overwrite").parquet(fp)
+    }
+    val labels = Labels.parquet(lp, Seq("user_id"), "label_time", Seq("churned"))
+    val feature = Feature("f0",
+      Source.parquet("src0", fp, Seq("user_id"), "updated_at"),
+      ColumnsMode(Map("val_0" -> "val_0")))
+    Build(spark, labels, Seq(feature), BuildOptions(
+      checkDuplicates = false, sortResult = false,
+      strategy = if (auto) AsOfJoin.Strategy.Auto else AsOfJoin.Strategy.UnionAsOf,
+      autoConfig = AsOfJoin.AutoConfig(probeMinBytes = 0L),
+      output = Some(s"$dir/out_${if (auto) "auto" else "plain"}.parquet"))).rows
+  }
+
   /** Temporal audit over an nLabels-row PARQUET dataset with nFeatures
     * feature_time columns (the reference's audit bench shapes —
     * BASELINE.md rows 100K×{1,10} and 1M×{1,10} audit the built
@@ -233,7 +283,11 @@ object Bench {
       // its extended matrix but never published numbers — BASELINE.md):
       // shows the same plans hold an order of magnitude up
       "build_10m_x1" -> (() => { buildScenario(10000000, 1)(spark); () }),
-      "audit_10m_x1" -> (() => { auditScenario(10000000, 1)(spark); () })
+      "audit_10m_x1" -> (() => { auditScenario(10000000, 1)(spark); () }),
+      // hot-key skew pair: same shape, auto-escape vs forced plain
+      // carry — the delta IS the segmented carry's end-to-end win
+      "build_20m_skew_auto" -> (() => { skewScenario(auto = true)(spark); () }),
+      "build_20m_skew_plain" -> (() => { skewScenario(auto = false)(spark); () })
     )
 
     def median(xs: Seq[Double]): Double = {

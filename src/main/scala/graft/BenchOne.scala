@@ -11,11 +11,14 @@ import graft.model._
   * `sbt "runMain graft.BenchOne <nLabels> <nFeatures> [dir]"`
   * Audit-scenario isolation (the Bench audit_* rows, 5 reps + job
   * counts): `sbt "runMain graft.BenchOne audit <nLabels> <nFeatures>"`.
+  * Hot-key pair isolation (the build_20m_skew_* rows, 3 reps each):
+  * `sbt "runMain graft.BenchOne skew"`.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val auditMode = args.headOption.contains("audit")
-    val posArgs = if (auditMode) args.drop(1) else args
+    val skewMode = args.headOption.contains("skew")
+    val posArgs = if (auditMode || skewMode) args.drop(1) else args
     val nLabels = posArgs.headOption.map(_.toInt).getOrElse(1000000)
     val nFeatures = posArgs.lift(1).map(_.toInt).getOrElse(10)
     val dir = posArgs.lift(2).getOrElse(
@@ -77,6 +80,24 @@ object BenchOne {
     }
 
     val nEntities = math.max(1000, nLabels / 5)
+
+    if (skewMode) {
+      // isolate Bench's build_20m_skew_{auto,plain} pair (hot-key escape
+      // vs forced plain carry on the same 20M-row 70%-hot feature side)
+      def syncS(): Unit =
+        try { new ProcessBuilder("sync").start().waitFor(); () }
+        catch { case _: Exception => () }
+      Seq(true, false).foreach { auto =>
+        (1 to 3).foreach { i =>
+          syncS()
+          timed(s"skew ${if (auto) "auto" else "plain"} run$i") {
+            println("  rows=" + Bench.skewScenario(auto)(spark))
+          }
+        }
+      }
+      spark.stop()
+      return
+    }
 
     if (auditMode) {
       // exactly Bench.auditScenario's shape: a flat parquet dataset with
