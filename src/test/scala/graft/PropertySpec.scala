@@ -112,6 +112,57 @@ class PropertySpec extends AnyFunSuite {
     }, 20)
   }
 
+  private val genMultiCase = for {
+    nRights <- Gen.choose(1, 3)
+    rights <- Gen.listOfN(nRights, for {
+      n <- Gen.choose(1, 40)
+      offs <- Gen.listOfN(n, Gen.choose(0L, 400L))
+      // biased toward one hot key: the segmented carry exists for skew
+      keys <- Gen.listOfN(n, Gen.frequency(7 -> Gen.const(1), 3 -> Gen.choose(2, 5)))
+    } yield offs.zip(keys))
+    nLbl <- Gen.choose(1, 30)
+    lblOffs <- Gen.listOfN(nLbl, Gen.choose(60L, 460L))
+    lblKeys <- Gen.listOfN(nLbl, Gen.frequency(6 -> Gen.const(1), 4 -> Gen.choose(2, 6)))
+    embargoH <- Gen.choose(0, 72)
+    inclusive <- Gen.oneOf(true, false)
+    staleDays <- Gen.oneOf(Option.empty[Long], Some(2L), Some(7L))
+    bucketH <- Gen.oneOf(1L, 12L, 48L, 24L * 365)
+  } yield (rights, lblOffs.zip(lblKeys), embargoH, inclusive, staleDays, bucketH)
+
+  test("segmented fused multi carry is equivalent to the plain multi carry") {
+    // the three-stage segmented carry + per-slot max_by is the subtlest
+    // code in the repo: fuzz it against the plain single-window carry
+    // across right-side counts, skewed keys, bounds, and bucket widths.
+    // Values are a pure function of (key, time, slot) so feature_time
+    // ties — whose winner is deliberately arbitrary in BOTH paths —
+    // carry indistinguishable payloads and cannot flake the comparison.
+    check(Prop.forAllNoShrink(genMultiCase) {
+      case (rightRows, lbls, embargoH, inclusive, staleDays, bucketH) =>
+        val rights = rightRows.zipWithIndex.map { case (rows, ri) =>
+          val df = rows.map { case (off, k) =>
+            (k.toLong, new Timestamp(base + off * 3600 * 1000),
+              (k * 1000 + off).toDouble + ri)
+          }.toDF("user_id", s"t$ri", s"v$ri")
+          AsOfJoin.MultiRight(df, Seq("user_id"), s"t$ri", Seq(s"v$ri"), Seq(s"ft$ri"))
+        }
+        val lblDf = lbls.zipWithIndex.map { case ((off, k), i) =>
+          (i.toLong, k.toLong, new Timestamp(base + off * 3600 * 1000))
+        }.toDF(AsOfJoin.RowIdCol, "user_id", "lt")
+        val spec = AsOfJoin.Spec(
+          Seq("user_id"), Seq("user_id"), "lt", "ft", valueCols = Nil,
+          inclusive = inclusive,
+          embargo = Duration.ofHours(embargoH.toLong),
+          maxLookback = Some(Duration.ofDays(365)),
+          maxStaleness = staleDays.map(Duration.ofDays))
+        val plain = AsOfJoin.unionAsOfMulti(lblDf, rights, spec)
+          .collect().map(_.toString).sorted.toSeq
+        val seg = AsOfJoin.unionAsOfMultiSegmented(lblDf, rights, spec,
+          Duration.ofHours(bucketH))
+          .collect().map(_.toString).sorted.toSeq
+        plain.length == lbls.size && plain == seg
+    }, 15)
+  }
+
   test("hash sampling is nested and boundary-exact for arbitrary rates") {
     // threshold sampling's defining property: for r1 <= r2 the r1
     // sample is a SUBSET of the r2 sample (growing a sampling rate
