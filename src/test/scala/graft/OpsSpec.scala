@@ -107,6 +107,44 @@ class OpsSpec extends SparkFunSuite {
     assert(recall >= 0.9, s"recall $recall over ${exact.size} true pairs")
   }
 
+  test("re-deriving an identical dedup plan reuses the cache silently") {
+    // q_ngram_jaccard and q_dedup_components derive the SAME shingle
+    // plan; the second derivation must reuse the first's
+    // InMemoryRelation without re-issuing cache() (which logs
+    // `CacheManager: Asked to cache already cached data`)
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LogEvent
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    // session creation RECONFIGURES log4j (Spark installs its default
+    // config), which would silently drop an appender attached earlier —
+    // touch the session (and the input frame) first
+    docs.count()
+    val warned = new java.util.concurrent.CopyOnWriteArrayList[String]
+    val probe = new AbstractAppender("cache-warn-probe", null, null, false, Array.empty) {
+      override def append(e: LogEvent): Unit =
+        warned.add(e.getMessage.getFormattedMessage)
+    }
+    probe.start()
+    val lg = LogManager.getLogger("org.apache.spark.sql.execution.CacheManager")
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    lg.addAppender(probe)
+    try {
+      // the exact q_dedup_components derivation, twice — covers both
+      // the shingle-plan caches inside ngramJaccardPairs AND the final
+      // component round's cache, which backs the RETURNED frame and so
+      // stays resident into the second derivation (the bench-rep shape)
+      def derive(): Array[org.apache.spark.sql.Row] =
+        Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)).collect()
+      val first = derive()
+      val second = derive()
+      assert(first.length == second.length)
+      import scala.jdk.CollectionConverters._
+      assert(!warned.asScala.exists(_.contains("already cached")),
+        s"re-cache warning fired: ${warned.asScala.mkString("; ")}")
+    } finally { lg.removeAppender(probe); probe.stop() }
+  }
+
   test("minhash estimated jaccard approximates exact") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
       .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
