@@ -372,18 +372,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     // Multimodal: batched image decode over binary media columns. The
-    // input stays MIXED (even ids real PNGs, odd ids opaque audio
-    // payloads) so the batch pass exercises both the ImageIO path and
-    // the stub fallback; the ORACLE-CHECKED output is the real-decoded
-    // rows, whose dimensions ImageIO must recover exactly as
-    // syntheticPng encoded them — the DuckDB oracle recomputes that
-    // generator formula in pure SQL (no table needed), turning the old
+    // input stays MIXED (even ids real PNGs, odd ids real WAVs) so the
+    // batch pass exercises both the ImageIO path and the non-image
+    // fallback; the ORACLE-CHECKED output is the real-decoded rows,
+    // whose dimensions ImageIO must recover exactly as syntheticPng
+    // encoded them — the DuckDB oracle recomputes that generator
+    // formula in pure SQL (no table needed), turning the old
     // rows-only row into a full rows+schema+hash check of the decode.
     "q_multimodal_features" -> ((s, dir) => {
       val media = graft.ops.Multimodal.syntheticMedia(s, 2000)
       graft.ops.Multimodal.imageFeatures(media, dim = 16).toDF()
         .filter(col("media_id") % 2 === 0) // PNG rows: really decoded
         .select(col("media_id"), col("width"), col("height"))
+        .orderBy("media_id")
+    }),
+    // Multimodal audio: batched REAL WAV decode (javax.sound.sampled)
+    // over the odd (audio) rows of the same mixed media frame; the
+    // oracle replays syntheticWav's header contract (8 kHz, 800 +
+    // seed%1600 frames) in pure SQL, checking the real decode round
+    // trip the same way q_multimodal_features checks ImageIO.
+    "q_multimodal_audio" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 2000)
+      graft.ops.Multimodal.audioFeatures(media).toDF()
+        .filter(col("media_id") % 2 === 1) // WAV rows: really decoded
+        .select(col("media_id"),
+          col("sampleRate").as("sample_rate"),
+          col("durationMs").as("duration_ms"))
         .orderBy("media_id")
     }),
     // Full one-pass text enrichment
@@ -684,6 +698,18 @@ object SparkEntry {
         |       CAST(8 + (i % 9) AS INT) AS width,
         |       CAST(8 + ((i // 3) % 7) AS INT) AS height
         |FROM range(0, 2000, 2) t(i)
+        |ORDER BY media_id""".stripMargin,
+
+    // Decoded WAV headers must equal what syntheticWav encoded:
+    // 8 kHz mono PCM16, frames = 800 + (seed % 1600), duration =
+    // round(frames / 8) ms, for the odd-id audio rows
+    // (Multimodal.syntheticWav). Checks the real javax.sound round
+    // trip — the Spark side reports DECODED header values.
+    "q_multimodal_audio" ->
+      """SELECT i AS media_id,
+        |       CAST(8000 AS INT) AS sample_rate,
+        |       CAST(ROUND((800 + (i % 1600)) * 1000.0 / 8000.0) AS BIGINT) AS duration_ms
+        |FROM range(1, 2000, 2) t(i)
         |ORDER BY media_id""".stripMargin,
 
     "q_embed_topk" ->

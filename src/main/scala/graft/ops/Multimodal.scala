@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * iteration shape (the Scala analog of `mapInPandas` batches), typed
   * Datasets — is real and tested. IMAGE decode is REAL (JDK
   * `javax.imageio`: PNG/JPEG/BMP/GIF, zero external deps) — dimensions
-  * plus a downsampled-luminance grid embedding. Audio/video decoders
-  * remain deterministic STUBS (clearly marked below): the JDK ships no
-  * audio/video codec; swapping in a real one (ffmpeg bindings) changes
-  * only the function body, not the pipeline.
+  * plus a downsampled-luminance grid embedding. AUDIO decode is REAL
+  * (JDK `javax.sound.sampled`: WAV/AIFF/AU PCM containers, µ-law/a-law
+  * via the JDK transcoder) — sample rate, duration, and a classical
+  * mel-filterbank MFCC over Hann-windowed FFT frames. The VIDEO frame
+  * sampler remains a deterministic STUB (clearly marked below): the
+  * JDK ships no video codec; swapping in a real one (ffmpeg bindings)
+  * changes only the function body, not the pipeline.
   */
 object Multimodal {
 
@@ -93,9 +96,188 @@ object Multimodal {
     }
   }
 
-  // ==== STUB DECODERS (audio/video; image fallback) =================
-  // The JDK ships no audio/video codec; a real deployment replaces
-  // these bodies with one (e.g. ffmpeg bindings). Everything else —
+  // ==== AUDIO DECODE (real, JDK javax.sound.sampled) ================
+
+  /** FFT frame length for MFCC analysis (power of two). */
+  private val FftSize = 1024
+  private val HopSize = FftSize / 2
+  /** Triangular mel filters in the MFCC filterbank. */
+  private val NMelFilters = 26
+  /** Mono samples analyzed per clip — bounds per-row CPU/memory no
+    * matter how long the payload claims to be (duration still comes
+    * from the container header, not from this capped read). */
+  private val MaxAnalysisSamples = 65536
+
+  /** Decode an audio payload (WAV/AIFF/AU — whatever the JVM's
+    * registered AudioFileReaders cover; µ-law/a-law and 8-bit PCM are
+    * transcoded to 16-bit signed via the JDK converter) into
+    * (sampleRate, durationMs, mfcc). The mfcc is a REAL classical
+    * MFCC: Hann-windowed [[FftSize]]-point FFT frames (hop
+    * [[HopSize]]) over the first [[MaxAnalysisSamples]] channel-mixed
+    * mono samples, power spectra averaged across frames,
+    * [[NMelFilters]] triangular mel filters, log energies, DCT-II,
+    * first `coeffs` coefficients — the cheap classical stand-in for a
+    * model embedding; a real deployment swaps the filterbank for a
+    * model forward pass at the same batch boundary. Returns None when
+    * the bytes are not decodable audio.
+    */
+  def decodeAudio(content: Array[Byte], coeffs: Int = 13): Option[(Int, Long, Array[Float])] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = ais.getFormat
+        val sr = math.round(fmt.getSampleRate)
+        val durationMs =
+          if (ais.getFrameLength >= 0 && fmt.getFrameRate > 0)
+            math.round(ais.getFrameLength * 1000.0 / fmt.getFrameRate)
+          else 0L
+        // normalize to signed 16-bit little-endian PCM; the JDK
+        // converter handles encodings, NOT channel mixing, so keep the
+        // channel count and mix to mono ourselves below
+        val pcm =
+          if (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian) ais
+          else AudioSystem.getAudioInputStream(
+            new AudioFormat(fmt.getSampleRate, 16, fmt.getChannels, true, false), ais)
+        val ch = pcm.getFormat.getChannels
+        val frameBytes = 2 * ch
+        val mono = new Array[Double](MaxAnalysisSamples)
+        val buf = new Array[Byte](frameBytes * 1024)
+        var n = 0
+        var read = pcm.read(buf)
+        while (read > 0 && n < MaxAnalysisSamples) {
+          var off = 0
+          while (off + frameBytes <= read && n < MaxAnalysisSamples) {
+            var s = 0.0
+            var c = 0
+            while (c < ch) {
+              // little-endian signed 16-bit: high byte carries the sign
+              s += ((buf(off + 2 * c + 1).toInt << 8) | (buf(off + 2 * c) & 0xff)) / 32768.0
+              c += 1
+            }
+            mono(n) = s / ch
+            n += 1
+            off += frameBytes
+          }
+          read = if (n < MaxAnalysisSamples) pcm.read(buf) else -1
+        }
+        Some((sr, durationMs, melCepstrum(mono, n, sr, coeffs)))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** MFCC of `samples(0 until n)`: averaged FFT power spectrum → mel
+    * filterbank → log → DCT-II → first `coeffs` coefficients. */
+  private def melCepstrum(samples: Array[Double], n: Int, sampleRate: Int,
+      coeffs: Int): Array[Float] = {
+    val nBins = FftSize / 2 + 1
+    val hann = Array.tabulate(FftSize)(i =>
+      0.5 - 0.5 * math.cos(2 * math.Pi * i / (FftSize - 1)))
+    val power = new Array[Double](nBins)
+    val re = new Array[Double](FftSize)
+    val im = new Array[Double](FftSize)
+    var frames = 0
+    var start = 0
+    // at least one (zero-padded) frame even for clips shorter than a
+    // window; thereafter only full windows
+    while (frames == 0 || start + FftSize <= n) {
+      var i = 0
+      while (i < FftSize) {
+        re(i) = if (start + i < n) samples(start + i) * hann(i) else 0.0
+        im(i) = 0.0
+        i += 1
+      }
+      fft(re, im)
+      i = 0
+      while (i < nBins) {
+        power(i) += (re(i) * re(i) + im(i) * im(i)) / FftSize
+        i += 1
+      }
+      frames += 1
+      start += HopSize
+    }
+    def mel(f: Double) = 2595.0 * math.log10(1.0 + f / 700.0)
+    def imel(m: Double) = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+    val melMax = mel(sampleRate / 2.0)
+    // filter m spans bin(m)..bin(m+2), triangular peak at bin(m+1)
+    val binOf = Array.tabulate(NMelFilters + 2)(i =>
+      math.min(nBins - 1,
+        math.round(imel(melMax * i / (NMelFilters + 1)) * FftSize / sampleRate).toInt))
+    val logE = new Array[Double](NMelFilters)
+    var m = 0
+    while (m < NMelFilters) {
+      val lo = binOf(m); val cm = binOf(m + 1); val hi = binOf(m + 2)
+      var e = 0.0
+      var b = lo
+      while (b <= hi) {
+        val w =
+          if (b < cm) { if (cm > lo) (b - lo).toDouble / (cm - lo) else 1.0 }
+          else { if (hi > cm) (hi - b).toDouble / (hi - cm) else 1.0 }
+        e += w * power(b)
+        b += 1
+      }
+      logE(m) = math.log(math.max(e / math.max(frames, 1), 1e-12))
+      m += 1
+    }
+    Array.tabulate(coeffs) { j =>
+      var s = 0.0
+      var k = 0
+      while (k < NMelFilters) {
+        s += logE(k) * math.cos(math.Pi * j * (k + 0.5) / NMelFilters)
+        k += 1
+      }
+      s.toFloat
+    }
+  }
+
+  /** In-place iterative radix-2 FFT (lengths must be a power of two —
+    * only ever called with [[FftSize]]). */
+  private def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var s = 0
+      while (s < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        val half = len >> 1
+        while (k < half) {
+          val ur = re(s + k); val ui = im(s + k)
+          val xr = re(s + k + half); val xi = im(s + k + half)
+          val vr = xr * cr - xi * ci
+          val vi = xr * ci + xi * cr
+          re(s + k) = ur + vr; im(s + k) = ui + vi
+          re(s + k + half) = ur - vr; im(s + k + half) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        s += len
+      }
+      len <<= 1
+    }
+  }
+
+  // ==== STUB DECODERS (video; image/audio fallbacks) ================
+  // The JDK ships no video codec; a real deployment replaces the frame
+  // hash body with one (e.g. ffmpeg bindings). Everything else —
   // schema, batching, partitioning — stays as-is.
 
   /** STUB image decode — retained as the deterministic fallback for
@@ -115,7 +297,9 @@ object Multimodal {
     (w, ht, emb)
   }
 
-  /** STUB audio decode. */
+  /** STUB audio decode — retained as the deterministic fallback for
+    * payloads [[decodeAudio]] cannot parse (corrupt files, compressed
+    * codecs without a registered reader). Deterministic in content. */
   def decodeAudioStub(content: Array[Byte], coeffs: Int = 13): (Int, Long, Array[Float]) = {
     val h = content.foldLeft(17L)((a, b) => a * 31 + b)
     (44100, math.abs(h % 300000), Array.tabulate(coeffs)(j => ((h >> j) % 97).toFloat / 97f))
@@ -148,10 +332,15 @@ object Multimodal {
     }
   }
 
+  /** Decode + feature-extract audio in batched partition passes: real
+    * JDK decode ([[decodeAudio]]) with the deterministic stub as the
+    * fallback for undecodable payloads — the same real-first shape as
+    * [[imageFeatures]]. */
   def audioFeatures(ds: Dataset[MediaRow], coeffs: Int = 13): Dataset[AudioFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.map { m =>
-      val (sr, dur, mfcc) = decodeAudioStub(m.content, coeffs)
+      val (sr, dur, mfcc) = decodeAudio(m.content, coeffs)
+        .getOrElse(decodeAudioStub(m.content, coeffs))
       AudioFeatures(m.media_id, sr, dur, mfcc)
     }))
   }
@@ -199,15 +388,38 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic tiny WAV: 16-bit PCM mono at 8 kHz, a pure sine at
+    * 200 + (seed % 1800) Hz lasting 800 + (seed % 1600) frames
+    * (100–300 ms). Real, AudioSystem-decodable bytes. */
+  def syntheticWav(seed: Long): Array[Byte] = {
+    val sr = 8000
+    val freq = 200 + (math.abs(seed) % 1800).toInt
+    val frames = 800 + (math.abs(seed) % 1600).toInt
+    val pcmBytes = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val v = (math.sin(2 * math.Pi * freq * i / sr) * 12000).toInt
+      pcmBytes(2 * i) = (v & 0xff).toByte
+      pcmBytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcmBytes), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Synthesize a deterministic media frame for tests/benches. Even
     * ids carry REAL tiny PNGs (exercise the ImageIO path); odd ids
-    * carry opaque pseudo-audio payloads (exercise the stub fallback). */
-  def syntheticMedia(spark: SparkSession, n: Int, payload: Int = 256): Dataset[MediaRow] = {
+    * carry REAL tiny WAVs (exercise the javax.sound path). */
+  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
       if (i % 2 == 0) MediaRow(i, "image/png", syntheticPng(i))
-      else MediaRow(i, "audio/wav",
-        Array.tabulate(payload)(j => ((i * 131 + j * 31) % 251).toByte))
+      else MediaRow(i, "audio/wav", syntheticWav(i))
     }
   }
 }

@@ -160,10 +160,10 @@ class ExtensionsSpec extends SparkFunSuite {
       assert(f.width == 8 + i % 9, s"media $i width")
       assert(f.height == 8 + i / 3 % 7, s"media $i height")
     }
-    // odd ids are opaque payloads: deterministic stub fallback applies
+    // odd ids are WAVs — not images, so the deterministic image-stub
+    // fallback applies to their bytes
     (1 until 20 by 2).foreach { i =>
-      val bytes = Array.tabulate(256)(j => ((i.toLong * 131 + j * 31) % 251).toByte)
-      val (sw, sh, semb) = Multimodal.decodeImageStub(bytes, 16)
+      val (sw, sh, semb) = Multimodal.decodeImageStub(Multimodal.syntheticWav(i), 16)
       val f = feats(i.toLong)
       assert(f.width == sw && f.height == sh && f.embedding.toSeq == semb.toSeq)
     }
@@ -183,10 +183,60 @@ class ExtensionsSpec extends SparkFunSuite {
     rows.foreach(f => assert(repart(f.media_id) == f.embedding.toSeq))
   }
 
+  test("audio decode is real: WAV metadata, MFCC frequency sensitivity") {
+    // metadata contract: javax.sound must recover exactly what
+    // syntheticWav encoded (8 kHz, 800 + seed%1600 frames)
+    (1 until 20 by 2).foreach { i =>
+      val Some((sr, durMs, mfcc)) = Multimodal.decodeAudio(Multimodal.syntheticWav(i))
+      assert(sr == 8000, s"seed $i sample rate")
+      assert(durMs == math.round((800 + i % 1600) * 1000.0 / 8000.0), s"seed $i duration")
+      assert(mfcc.length == 13)
+    }
+    // determinism
+    val a1 = Multimodal.decodeAudio(Multimodal.syntheticWav(7)).get._3.toSeq
+    val a2 = Multimodal.decodeAudio(Multimodal.syntheticWav(7)).get._3.toSeq
+    assert(a1 == a2)
+    // the MFCC is a real spectral feature: two pure tones an octave
+    // apart must land far apart; identical tones must coincide
+    def toneMfcc(freq: Int): Array[Float] = {
+      val sr = 8000
+      val pcm = new Array[Byte](sr * 2) // 1 second
+      (0 until sr).foreach { i =>
+        val v = (math.sin(2 * math.Pi * freq * i / sr) * 12000).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, sr.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      Multimodal.decodeAudio(bos.toByteArray).get._3
+    }
+    def dist(x: Array[Float], y: Array[Float]): Double =
+      math.sqrt(x.zip(y).map { case (a, b) => (a - b).toDouble * (a - b) }.sum)
+    assert(dist(toneMfcc(440), toneMfcc(880)) > 1.0,
+      "octave-apart tones must separate in MFCC space")
+    assert(dist(toneMfcc(440), toneMfcc(440)) == 0.0)
+    // non-audio bytes are not decodable -> None (audioFeatures falls back)
+    assert(Multimodal.decodeAudio(Array.tabulate(64)(_.toByte)).isEmpty)
+  }
+
   test("audio features + frame sampling") {
     val media = Multimodal.syntheticMedia(spark, 10)
     val audio = Multimodal.audioFeatures(media).collect()
     assert(audio.forall(_.mfcc.length == 13))
+    // odd ids really decode: the stub's 44100 constant must NOT appear
+    audio.filter(_.media_id % 2 == 1).foreach { a =>
+      assert(a.sampleRate == 8000, s"media ${a.media_id} should hit the real WAV path")
+      assert(a.durationMs == math.round((800 + a.media_id % 1600) * 1000.0 / 8000.0))
+    }
+    // even ids are PNGs: not audio, deterministic stub fallback applies
+    audio.filter(_.media_id % 2 == 0).foreach { a =>
+      val (sr, dur, mfcc) = Multimodal.decodeAudioStub(Multimodal.syntheticPng(a.media_id))
+      assert(a.sampleRate == sr && a.durationMs == dur && a.mfcc.toSeq == mfcc.toSeq)
+    }
     val frames = Multimodal.sampleFrames(media, frames = 30, stride = 10).collect()
     assert(frames.length == 10 * 3)
     assert(frames.map(f => (f.media_id, f.frameIndex)).distinct.length == 30)
