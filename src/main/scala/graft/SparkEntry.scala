@@ -400,6 +400,20 @@ object SparkEntry {
           col("durationMs").as("duration_ms"))
         .orderBy("media_id")
     }),
+    // Multimodal video: REAL MJPEG-in-AVI frame extraction (RIFF
+    // container parse + per-frame ImageIO JPEG decode) over synthetic
+    // AVIs, every 3rd frame; the oracle replays syntheticMjpegAvi's
+    // frame-count and dimension contract in pure SQL — frame indices
+    // exist only if the container really parsed, dims only if the JPEG
+    // really decoded.
+    "q_multimodal_video" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.syntheticVideos(s, 200)
+      graft.ops.Multimodal.videoFrameFeatures(media, stride = 3).toDF()
+        .select(col("media_id"),
+          col("frameIndex").as("frame_index"),
+          col("width"), col("height"))
+        .orderBy("media_id", "frame_index")
+    }),
     // Full one-pass text enrichment
     "q_text_analyze" -> ((s, dir) =>
       graft.ops.TextAnalysis.analyze(t(s, dir, "documents"))
@@ -711,6 +725,22 @@ object SparkEntry {
         |       CAST(ROUND((800 + (i % 1600)) * 1000.0 / 8000.0) AS BIGINT) AS duration_ms
         |FROM range(1, 2000, 2) t(i)
         |ORDER BY media_id""".stripMargin,
+
+    // Extracted frames must match what syntheticMjpegAvi encoded:
+    // 4 + (seed % 5) frames of (16 + (seed%7)*2) x (12 + ((seed//5)%5)*2)
+    // pixels, sampled at stride 3. The oracle replays that generator
+    // contract — the Spark side reports indices from the real RIFF
+    // parse and dims from the real JPEG decode.
+    "q_multimodal_video" ->
+      """WITH v AS (
+        |  SELECT i, 4 + (i % 5) AS nf,
+        |         CAST(16 + (i % 7) * 2 AS INT) AS width,
+        |         CAST(12 + ((i // 5) % 5) * 2 AS INT) AS height
+        |  FROM range(0, 200) t(i))
+        |SELECT i AS media_id,
+        |       CAST(unnest(range(0, nf, 3)) AS INT) AS frame_index,
+        |       width, height
+        |FROM v ORDER BY media_id, frame_index""".stripMargin,
 
     "q_embed_topk" ->
       """WITH q AS (

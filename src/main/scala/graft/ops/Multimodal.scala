@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * plus a downsampled-luminance grid embedding. AUDIO decode is REAL
   * (JDK `javax.sound.sampled`: WAV/AIFF/AU PCM containers, µ-law/a-law
   * via the JDK transcoder) — sample rate, duration, and a classical
-  * mel-filterbank MFCC over Hann-windowed FFT frames. The VIDEO frame
-  * sampler remains a deterministic STUB (clearly marked below): the
-  * JDK ships no video codec; swapping in a real one (ffmpeg bindings)
-  * changes only the function body, not the pipeline.
+  * mel-filterbank MFCC over Hann-windowed FFT frames. VIDEO frame
+  * extraction is REAL for MJPEG-in-AVI (a hand-rolled RIFF container
+  * parse + per-frame `javax.imageio` JPEG decode — the one mainstream
+  * video format expressible in the pure JDK); other codecs fall back
+  * to a deterministic STUB (clearly marked below): swapping in ffmpeg
+  * bindings changes only the function body, not the pipeline.
   */
 object Multimodal {
 
@@ -275,10 +277,87 @@ object Multimodal {
     }
   }
 
-  // ==== STUB DECODERS (video; image/audio fallbacks) ================
-  // The JDK ships no video codec; a real deployment replaces the frame
-  // hash body with one (e.g. ffmpeg bindings). Everything else —
-  // schema, batching, partitioning — stays as-is.
+  // ==== VIDEO DECODE (real for MJPEG-in-AVI, pure JDK) ==============
+
+  /** Per-frame features of a really-decoded video frame. */
+  final case class VideoFrameFeatures(
+      media_id: Long,
+      frameIndex: Int,
+      width: Int,
+      height: Int,
+      embedding: Array[Float])
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    if (off + 4 <= b.length)
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    else ""
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Parse an AVI (RIFF) container and return the (offset, length) of
+    * each video frame chunk payload — `##dc`/`##db` chunks inside the
+    * `movi` LIST (including nested `rec ` LISTs) — WITHOUT decoding
+    * them. None when the bytes are not an AVI. For MJPEG files each
+    * slice is a standalone JPEG that [[decodeImage]] can decode. */
+  private[graft] def aviFrameChunks(content: Array[Byte]): Option[Vector[(Int, Int)]] = {
+    if (content.length < 12 || fourcc(content, 0) != "RIFF" ||
+      fourcc(content, 8) != "AVI ") return None
+    val frames = Vector.newBuilder[(Int, Int)]
+    def isFrameId(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("db") || id.endsWith("dc"))
+    // walk a chunk run in [from, until); collect frames when inside the
+    // movi LIST (frame chunks only ever live there or in its rec  sublists)
+    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var p = from
+      while (p + 8 <= until) {
+        val id = fourcc(content, p)
+        val size = le32(content, p + 4)
+        if (size < 0 || size > until - p - 8) return // corrupt size: stop
+        val sz = size.toInt
+        if (id == "LIST" && sz >= 4) {
+          val listType = fourcc(content, p + 8)
+          walk(p + 12, p + 8 + sz,
+            inMovi || listType == "movi" || listType == "rec ")
+        } else if (inMovi && isFrameId(id) && sz > 0) {
+          frames += ((p + 8, sz))
+        }
+        p += 8 + sz + (sz & 1) // chunks are padded to even offsets
+      }
+    }
+    walk(12, content.length, inMovi = false)
+    Some(frames.result())
+  }
+
+  /** Decode + feature-extract every `stride`-th video frame in batched
+    * partition passes: REAL for MJPEG-in-AVI payloads (RIFF parse +
+    * ImageIO JPEG decode per sampled frame — undecodable or missing
+    * frames are skipped, never fabricated); non-AVI payloads emit
+    * nothing. Frame features are the same luminance-grid embedding as
+    * [[imageFeatures]], so image and video frames land in one
+    * comparable feature space (the classical precursor to a shared
+    * multimodal model embedding). */
+  def videoFrameFeatures(ds: Dataset[MediaRow], stride: Int = 1,
+      maxFrames: Int = Int.MaxValue, dim: Int = 16): Dataset[VideoFrameFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.flatMap { m =>
+      aviFrameChunks(m.content).toSeq.flatMap { chunks =>
+        (0 until chunks.length by math.max(1, stride)).take(maxFrames).flatMap { i =>
+          val (off, len) = chunks(i)
+          decodeImage(java.util.Arrays.copyOfRange(m.content, off, off + len), dim)
+            .map { case (w, h, emb) =>
+              VideoFrameFeatures(m.media_id, i, w, h, emb) }
+        }
+      }
+    }))
+  }
+
+  // ==== STUB DECODERS (image/audio/video fallbacks) =================
+  // For payloads in codecs the JDK cannot decode, a real deployment
+  // swaps these bodies for ffmpeg bindings. Everything else — schema,
+  // batching, partitioning — stays as-is.
 
   /** STUB image decode — retained as the deterministic fallback for
     * payloads [[decodeImage]] cannot parse (corrupt files, formats
@@ -345,11 +424,48 @@ object Multimodal {
     }))
   }
 
-  /** Sample every `stride`-th frame (stub: hash per sampled index). */
+  /** Sample every `stride`-th frame as a compact dedup hash: REAL for
+    * MJPEG-in-AVI payloads (frame hash = xxhash-style hash of the
+    * DECODED pixel data, so re-encoded byte-identical frames collide
+    * exactly); the deterministic stub applies to payloads the JDK
+    * cannot parse. [[videoFrameFeatures]] is the full-feature variant. */
   def sampleFrames(ds: Dataset[MediaRow], frames: Int, stride: Int): Dataset[VideoFrameSample] = {
     import ds.sparkSession.implicits._
     ds.flatMap { m =>
-      (0 until frames by stride).map(i => VideoFrameSample(m.media_id, i, frameHashStub(m.content, i)))
+      aviFrameChunks(m.content) match {
+        case Some(chunks) =>
+          (0 until math.min(frames, chunks.length) by stride).flatMap { i =>
+            val (off, len) = chunks(i)
+            decodedPixelHash(java.util.Arrays.copyOfRange(m.content, off, off + len))
+              .map(h => VideoFrameSample(m.media_id, i, h))
+          }
+        case None =>
+          (0 until frames by stride).map(i =>
+            VideoFrameSample(m.media_id, i, frameHashStub(m.content, i)))
+      }
+    }
+  }
+
+  /** FNV-style hash over a frame's decoded ARGB pixels (row-major) —
+    * a content hash of what the codec produced, not of the container
+    * bytes. None when the bytes are not a decodable image. */
+  private def decodedPixelHash(imageBytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(imageBytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      var h = 1469598103934665603L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          h = (h ^ img.getRGB(x, y)) * 1099511628211L
+          x += 1
+        }
+        y += 1
+      }
+      Some(h)
     }
   }
 
@@ -410,6 +526,63 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** Deterministic tiny MJPEG AVI: 4 + (seed % 5) ImageIO-encoded
+    * JPEG frames of (16 + (seed % 7)·2) × (12 + ((seed / 5) % 5)·2)
+    * pixels in a REAL hand-assembled RIFF container (hdrl with honest
+    * avih/strh/strf headers + movi with `00dc` chunks) — parseable by
+    * [[aviFrameChunks]] or any AVI reader. Frame pixel content repeats
+    * with period 3 (frame 0 == frame 3 byte-for-byte), so decoded-
+    * pixel-hash dedup has planted collisions to find. */
+  def syntheticMjpegAvi(seed: Long): Array[Byte] = {
+    val nFrames = 4 + (math.abs(seed) % 5).toInt
+    val w = 16 + (math.abs(seed) % 7).toInt * 2
+    val h = 12 + (math.abs(seed) / 5 % 5).toInt * 2
+    val jpegs = Array.tabulate(nFrames) { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            (x * 255 / w) << 16 | (y * 255 / h) << 8 | ((f % 3) * 80 + (seed % 96)).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def le(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      cc(id) ++ le(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    def list(typ: String, data: Array[Byte]): Array[Byte] = chunk("LIST", cc(typ) ++ data)
+    val avih = le(100000) ++ le(0) ++ le(0) ++ le(0x10) ++ le(nFrames) ++
+      le(0) ++ le(1) ++ le(0) ++ le(w) ++ le(h) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
+    val strh = cc("vids") ++ cc("MJPG") ++ le(0) ++ le(0) ++ le(0) ++
+      le(1) ++ le(10) ++ le(0) ++ le(nFrames) ++ le(0) ++ le(10000) ++ le(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le(40) ++ le(w) ++ le(h) ++ le16(1) ++ le16(24) ++ cc("MJPG") ++
+      le(w * h * 3) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le(body.length) ++ body
+  }
+
+  /** Synthesize deterministic MJPEG AVI videos for tests/benches. */
+  def syntheticVideos(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map(i => MediaRow(i, "video/avi", syntheticMjpegAvi(i)))
   }
 
   /** Synthesize a deterministic media frame for tests/benches. Even

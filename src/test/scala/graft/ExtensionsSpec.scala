@@ -223,6 +223,45 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(Multimodal.decodeAudio(Array.tabulate(64)(_.toByte)).isEmpty)
   }
 
+  test("video decode is real: RIFF parse, JPEG dims, pixel-hash dedup") {
+    // container contract: the RIFF walk must find exactly the frames
+    // syntheticMjpegAvi wrote, and ImageIO must recover their dims
+    (0 until 12).foreach { i =>
+      val avi = Multimodal.syntheticMjpegAvi(i)
+      val chunks = Multimodal.aviFrameChunks(avi)
+      assert(chunks.isDefined, s"seed $i should parse as AVI")
+      assert(chunks.get.length == 4 + i % 5, s"seed $i frame count")
+    }
+    val media = Multimodal.syntheticVideos(spark, 12)
+    val feats = Multimodal.videoFrameFeatures(media, stride = 1).collect()
+    assert(feats.length == (0 until 12).map(i => 4 + i % 5).sum)
+    feats.foreach { f =>
+      val i = f.media_id
+      assert(f.width == 16 + (i % 7) * 2 && f.height == 12 + (i / 5 % 5) * 2,
+        s"media $i frame ${f.frameIndex} dims")
+      assert(f.embedding.length == 16)
+    }
+    // stride + maxFrames are honored
+    val strided = Multimodal.videoFrameFeatures(media, stride = 3, maxFrames = 1).collect()
+    assert(strided.length == 12 && strided.forall(_.frameIndex == 0))
+    // frame content repeats with period 3 — the DECODED-pixel hash
+    // must collide exactly there and nowhere else within a period
+    val hashes = Multimodal.sampleFrames(media, frames = 100, stride = 1).collect()
+      .groupBy(_.media_id).map { case (id, fs) =>
+        id -> fs.sortBy(_.frameIndex).map(_.frameHash).toSeq }
+    hashes.foreach { case (id, hs) =>
+      assert(hs.length == 4 + id % 5, s"media $id real frame count")
+      assert(hs(0) == hs(3), s"media $id frames 0/3 are byte-identical input")
+      assert(hs(0) != hs(1) && hs(1) != hs(2) && hs(0) != hs(2),
+        s"media $id distinct frames must not collide")
+    }
+    // non-AVI bytes are not a container -> no fabricated frames
+    val junk = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, "video/mp4", Array.tabulate(128)(_.toByte))))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    assert(Multimodal.videoFrameFeatures(junk).collect().isEmpty)
+  }
+
   test("audio features + frame sampling") {
     val media = Multimodal.syntheticMedia(spark, 10)
     val audio = Multimodal.audioFeatures(media).collect()
