@@ -163,6 +163,43 @@ class PropertySpec extends AnyFunSuite {
     }, 15)
   }
 
+  test("media decoders never throw on arbitrary bytes") {
+    // a decoder that crashes on a malformed payload kills the whole
+    // task (and its retry) at 100 TB scale — every byte-level parser
+    // must degrade to None/fallback, never throw. Includes
+    // adversarial prefixes that enter the real parse paths.
+    val genBytes = Gen.oneOf(
+      Gen.choose(0, 512).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127))),
+      Gen.choose(0, 512).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127)))
+        .map(t => "RIFF".getBytes.toList.map(_.toInt) ::: t),
+      Gen.choose(0, 512).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127)))
+        .map(t => ("RIFF    AVI LIST".getBytes.toList.map(_.toInt) ::: t))
+    ).map(_.map(_.toByte).toArray)
+    check(Prop.forAllNoShrink(genBytes) { bytes =>
+      val inBounds = graft.ops.Multimodal.aviFrameChunks(bytes).forall(_.forall {
+        case (off, len) => off >= 0 && len > 0 && off + len <= bytes.length })
+      graft.ops.Multimodal.decodeImage(bytes)
+      graft.ops.Multimodal.decodeAudio(bytes)
+      inBounds
+    }, 300)
+    // truncation fuzz over REAL media: every prefix of a valid
+    // container must still parse-or-None, and any frame slices
+    // returned must stay in bounds
+    val avi = graft.ops.Multimodal.syntheticMjpegAvi(3)
+    val wav = graft.ops.Multimodal.syntheticWav(3)
+    val png = graft.ops.Multimodal.syntheticPng(3)
+    check(Prop.forAllNoShrink(Gen.choose(0, avi.length)) { cut =>
+      val t = avi.take(cut)
+      graft.ops.Multimodal.aviFrameChunks(t).forall(_.forall {
+        case (off, len) => off >= 0 && len > 0 && off + len <= t.length })
+    }, 200)
+    check(Prop.forAllNoShrink(Gen.choose(0, math.max(wav.length, png.length))) { cut =>
+      graft.ops.Multimodal.decodeAudio(wav.take(math.min(cut, wav.length)))
+      graft.ops.Multimodal.decodeImage(png.take(math.min(cut, png.length)))
+      true
+    }, 200)
+  }
+
   test("hash sampling is nested and boundary-exact for arbitrary rates") {
     // threshold sampling's defining property: for r1 <= r2 the r1
     // sample is a SUBSET of the r2 sample (growing a sampling rate
