@@ -23,14 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Cache `df` unless an identical (canonicalized) plan is already
-    * resident — `Dataset.storageLevel` consults the session
-    * CacheManager, so a second query over the same corpus with the
-    * same parameters reuses the first query's InMemoryRelation instead
-    * of re-issuing `cache()` (a no-op that logs
-    * `CacheManager: Asked to cache already cached data`). */
-  private[ops] def cacheOnce(df: DataFrame): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache() else df
+  /** See [[graft.util.Caching.cacheOnce]]: a second query over the
+    * same corpus with the same parameters reuses the first query's
+    * InMemoryRelation instead of re-issuing `cache()`. */
+  private[ops] def cacheOnce(df: DataFrame): DataFrame = graft.util.Caching.cacheOnce(df)
 
   /** Distinct word n-grams ("shingles") of a text column. Guarded for
     * texts shorter than n words (Spark's `sequence(1, k)` would count
