@@ -340,9 +340,11 @@ object Multimodal {
     * comparable feature space (the classical precursor to a shared
     * multimodal model embedding). */
   def videoFrameFeatures(ds: Dataset[MediaRow], stride: Int = 1,
-      maxFrames: Int = Int.MaxValue, dim: Int = 16): Dataset[VideoFrameFeatures] = {
+      maxFrames: Int = Int.MaxValue, dim: Int = 16,
+      repartitionTo: Option[Int] = None): Dataset[VideoFrameFeatures] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.flatMap { m =>
+    val base = repartitionTo.map(ds.repartition(_)).getOrElse(ds)
+    base.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.flatMap { m =>
       aviFrameChunks(m.content).toSeq.flatMap { chunks =>
         (0 until chunks.length by math.max(1, stride)).take(maxFrames).flatMap { i =>
           val (off, len) = chunks(i)
@@ -415,9 +417,11 @@ object Multimodal {
     * JDK decode ([[decodeAudio]]) with the deterministic stub as the
     * fallback for undecodable payloads — the same real-first shape as
     * [[imageFeatures]]. */
-  def audioFeatures(ds: Dataset[MediaRow], coeffs: Int = 13): Dataset[AudioFeatures] = {
+  def audioFeatures(ds: Dataset[MediaRow], coeffs: Int = 13,
+      repartitionTo: Option[Int] = None): Dataset[AudioFeatures] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.map { m =>
+    val base = repartitionTo.map(ds.repartition(_)).getOrElse(ds)
+    base.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.map { m =>
       val (sr, dur, mfcc) = decodeAudio(m.content, coeffs)
         .getOrElse(decodeAudioStub(m.content, coeffs))
       AudioFeatures(m.media_id, sr, dur, mfcc)

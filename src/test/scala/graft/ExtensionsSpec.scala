@@ -181,6 +181,17 @@ class ExtensionsSpec extends SparkFunSuite {
     val repart = Multimodal.imageFeatures(media, dim = 8, repartitionTo = Some(7))
       .collect().map(f => f.media_id -> f.embedding.toSeq).toMap
     rows.foreach(f => assert(repart(f.media_id) == f.embedding.toSeq))
+    // same knob, same independence on the audio and video paths
+    val audio = Multimodal.audioFeatures(media).collect()
+      .map(a => a.media_id -> a.mfcc.toSeq).toMap
+    Multimodal.audioFeatures(media, repartitionTo = Some(5)).collect()
+      .foreach(a => assert(audio(a.media_id) == a.mfcc.toSeq))
+    val vids = Multimodal.syntheticVideos(spark, 20)
+    val vf = Multimodal.videoFrameFeatures(vids).collect()
+      .map(f => (f.media_id, f.frameIndex) -> f.embedding.toSeq).toMap
+    val vfr = Multimodal.videoFrameFeatures(vids, repartitionTo = Some(5)).collect()
+    assert(vfr.length == vf.size)
+    vfr.foreach(f => assert(vf((f.media_id, f.frameIndex)) == f.embedding.toSeq))
   }
 
   test("audio decode is real: WAV metadata, MFCC frequency sensitivity") {
