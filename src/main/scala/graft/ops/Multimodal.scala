@@ -486,6 +486,22 @@ object Multimodal {
         col("length"),
         col("content"))
 
+  /** Bridge a [[readBinaryDir]] frame into typed [[MediaRow]]s — the
+    * mime is derived from the file extension scan-side (no UDF), so
+    * `readBinaryDir |> asMediaRows |> *Features` is the whole
+    * files-on-disk ingestion pipeline. */
+  def asMediaRows(df: DataFrame): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    val e = lower(col("ext"))
+    df.select(
+      col("media_id"),
+      when(e.isin("png", "jpg", "jpeg", "bmp", "gif"), concat(lit("image/"), e))
+        .when(e.isin("wav", "aiff", "au"), concat(lit("audio/"), e))
+        .when(e === "avi", lit("video/avi"))
+        .otherwise(concat(lit("application/"), e)).as("mime"),
+      col("content")).as[MediaRow]
+  }
+
   /** Deterministic tiny PNG: (8 + (seed%9)) × (8 + (seed/3%7)) pixels,
     * gradient + seed-hashed pattern. Real, ImageIO-decodable bytes. */
   def syntheticPng(seed: Long): Array[Byte] = {

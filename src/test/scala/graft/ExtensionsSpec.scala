@@ -273,6 +273,37 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(Multimodal.videoFrameFeatures(junk).collect().isEmpty)
   }
 
+  test("binaryFile ingestion end-to-end: files on disk -> typed features") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile
+    dir.deleteOnExit()
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
+    put("a.png", Multimodal.syntheticPng(4))
+    put("b.wav", Multimodal.syntheticWav(9))
+    put("c.avi", Multimodal.syntheticMjpegAvi(6))
+    val media = Multimodal.asMediaRows(
+      Multimodal.readBinaryDir(spark, dir.getAbsolutePath))
+    val rows = media.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.mime).sorted.toSeq ==
+      Seq("audio/wav", "image/png", "video/avi"))
+    // each decoder really decodes its file (ids are path hashes, so
+    // identify rows by mime)
+    val byMime = rows.map(r => r.mime -> r.media_id).toMap
+    val img = Multimodal.imageFeatures(media).collect()
+      .filter(_.media_id == byMime("image/png"))
+    assert(img.map(f => (f.width, f.height)).toSeq == Seq((8 + 4 % 9, 8 + 4 / 3 % 7)))
+    val aud = Multimodal.audioFeatures(media).collect()
+      .filter(_.media_id == byMime("audio/wav"))
+    assert(aud.map(_.sampleRate).toSeq == Seq(8000))
+    assert(aud.map(_.durationMs).toSeq == Seq(math.round((800 + 9 % 1600) * 1000.0 / 8000.0)))
+    val vid = Multimodal.videoFrameFeatures(media).collect()
+    assert(vid.forall(_.media_id == byMime("video/avi")))
+    assert(vid.length == 4 + 6 % 5)
+    // pathGlobFilter prunes at listing time
+    assert(Multimodal.readBinaryDir(spark, dir.getAbsolutePath, "*.png").count() == 1)
+  }
+
   test("audio features + frame sampling") {
     val media = Multimodal.syntheticMedia(spark, 10)
     val audio = Multimodal.audioFeatures(media).collect()
