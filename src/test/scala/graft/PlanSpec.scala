@@ -149,6 +149,24 @@ class PlanSpec extends SparkFunSuite {
     assert(semiIdx >= 0, s"no broadcast semi join:\n$plan")
   }
 
+  test("multimodal decode is a single partition pass: no exchange by default") {
+    // decode + feature-extract must stream through mapPartitions with
+    // no shuffle — at 100 TB of media an accidental exchange of the
+    // binary payload column is the scale-killer. The only exchange
+    // allowed is the EXPLICIT repartitionTo sizing knob.
+    val media = graft.ops.Multimodal.syntheticMedia(spark, 50)
+    val img = planOf(graft.ops.Multimodal.imageFeatures(media).toDF())
+    assert(!img.contains("Exchange"), s"image decode should not shuffle:\n$img")
+    val aud = planOf(graft.ops.Multimodal.audioFeatures(media).toDF())
+    assert(!aud.contains("Exchange"), s"audio decode should not shuffle:\n$aud")
+    val vid = planOf(graft.ops.Multimodal.videoFrameFeatures(
+      graft.ops.Multimodal.syntheticVideos(spark, 10)).toDF())
+    assert(!vid.contains("Exchange"), s"video decode should not shuffle:\n$vid")
+    val sized = planOf(graft.ops.Multimodal.imageFeatures(
+      media, repartitionTo = Some(7)).toDF())
+    assert(sized.contains("Exchange"), "repartitionTo must actually repartition")
+  }
+
   test("sampling and corpus mixing are scan-side: no exchange, no join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sampled = planOf(graft.ops.Sampling.stratifiedSample(
