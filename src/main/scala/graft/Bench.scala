@@ -158,14 +158,10 @@ object Bench {
     val dir = s"$benchDir/skew_${nFeat}_$hotPct"
     val lp = s"$dir/labels.parquet"
     val fp = s"$dir/feature.parquet"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(lp))) {
-      val labelStepUs = 86400000000L / nLabels
-      spark.range(nLabels.toLong).select(
-        (col("id") % nEntities).as("user_id"),
-        timestamp_micros(lit(1704067200000000L) + col("id") * labelStepUs).as("label_time"),
-        (col("id") % 5 === 0).as("churned"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(lp)
+    // guard on BOTH outputs, labels written LAST: a crash mid-datagen
+    // must not leave a half-generated dir that every later run trusts
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(lp)) ||
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(fp))) {
       val featStepUs = 31536000000000L / nFeat
       spark.range(nFeat).select(
         when(col("id") % 100 < hotPct, lit(0L))
@@ -174,6 +170,13 @@ object Bench {
         ((col("id") * 17) % 1000 / 10.0).as("val_0"))
         .coalesce(5)
         .write.mode("overwrite").parquet(fp)
+      val labelStepUs = 86400000000L / nLabels
+      spark.range(nLabels.toLong).select(
+        (col("id") % nEntities).as("user_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * labelStepUs).as("label_time"),
+        (col("id") % 5 === 0).as("churned"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(lp)
     }
     val labels = Labels.parquet(lp, Seq("user_id"), "label_time", Seq("churned"))
     val feature = Feature("f0",

@@ -81,15 +81,20 @@ object BenchOne {
 
     val nEntities = math.max(1000, nLabels / 5)
 
+    def syncFs(): Unit =
+      try { new ProcessBuilder("sync").start().waitFor(); () }
+      catch { case _: Exception => () }
+
     if (skewMode) {
       // isolate Bench's build_20m_skew_{auto,plain} pair (hot-key escape
-      // vs forced plain carry on the same 20M-row 70%-hot feature side)
-      def syncS(): Unit =
-        try { new ProcessBuilder("sync").start().waitFor(); () }
-        catch { case _: Exception => () }
+      // vs forced plain carry on the same 20M-row 70%-hot feature side).
+      // The first call generates the 20M-row dataset on a clean
+      // benchDir — keep that out of the timed reps (Bench's own warmup
+      // absorbs it there) or run1 misreports ~10x steady state
+      timed("skew datagen + warmup")(Bench.skewScenario(auto = true)(spark))
       Seq(true, false).foreach { auto =>
         (1 to 3).foreach { i =>
-          syncS()
+          syncFs()
           timed(s"skew ${if (auto) "auto" else "plain"} run$i") {
             println("  rows=" + Bench.skewScenario(auto)(spark))
           }
@@ -118,11 +123,8 @@ object BenchOne {
             .write.mode("overwrite").parquet(path)
         }
       }
-      def syncA(): Unit =
-        try { new ProcessBuilder("sync").start().waitFor(); () }
-        catch { case _: Exception => () }
       (1 to 5).foreach { i =>
-        syncA()
+        syncFs()
         timed(s"audit run$i") {
           val r = graft.engine.Audit.temporal(spark.read.parquet(path), "label_time",
             (0 until nFeatures).map(k => s"f$k" -> s"f${k}__feature_time").toMap,
@@ -173,9 +175,6 @@ object BenchOne {
         Seq("user_id"), Seq("user_id"), "label_time", "updated_at", Seq("val_0"))
       println("  rows=" + graft.operators.AsOfJoin.unionAsOf(spine, feat, spec).count())
     }
-    def syncFs(): Unit =
-      try { new ProcessBuilder("sync").start().waitFor(); () }
-      catch { case _: Exception => () }
     (1 to 5).foreach { i =>
       syncFs()
       timed(s"full build run$i") {

@@ -236,7 +236,11 @@ object Build {
       if manifestOut == out
       manifestHash <- graft.util.Jsons.at(manifest, "output", "output_content_hash")
         .collect { case s: String => s }
-      if manifestHash == st.contentHash(out)
+      // guarded: the probe is a pure optimization, so a hash failure
+      // (path deleted between exists() and here, transient remote-FS
+      // error) must fall through to a fresh build, never crash it
+      if (try manifestHash == st.contentHash(out)
+          catch { case _: Exception => false })
       // every split output must still exist too — a deleted split file
       // would otherwise "succeed" without being regenerated
       if options.splits.forall(s =>

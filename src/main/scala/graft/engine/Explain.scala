@@ -119,8 +119,23 @@ object Explain {
               val view = s"__explain_src_${f.safeName}"
               f.source.resolve(spark).createOrReplaceTempView(view)
               try {
-                val out = spark.sql(sql.replace("{source}", view)).columns.toSet
-                Some(needed.filterNot(out))
+                val q = sql.replace("{source}", view)
+                // spark.sql EXECUTES command statements eagerly — a
+                // user-supplied INSERT/DROP/SET here would mutate state
+                // at explain time. Parse first and refuse to analyze
+                // anything that is not a query; explain stays a dry run.
+                val parsed = spark.sessionState.sqlParser.parsePlan(q)
+                import org.apache.spark.sql.catalyst.plans.logical.{Command, ParsedStatement}
+                if (parsed.isInstanceOf[Command] || parsed.isInstanceOf[ParsedStatement]) None
+                else {
+                  // resolution is case-insensitive unless
+                  // spark.sql.caseSensitive: the contract check must
+                  // match the build's actual resolution rules
+                  val cs = spark.sessionState.conf.caseSensitiveAnalysis
+                  def norm(c: String) = if (cs) c else c.toLowerCase
+                  val out = spark.sql(q).columns.map(norm).toSet
+                  Some(needed.filterNot(c => out(norm(c))))
+                }
               } finally { spark.catalog.dropTempView(view); () }
             } catch { case _: Exception => None }
           val head =

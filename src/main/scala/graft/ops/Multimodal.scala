@@ -65,9 +65,15 @@ object Multimodal {
     * swaps the grid for a model forward pass at the same batch
     * boundary. Returns None when the bytes are not a decodable image.
     */
-  def decodeImage(content: Array[Byte], dim: Int = 16): Option[(Int, Int, Array[Float])] = {
+  def decodeImage(content: Array[Byte], dim: Int = 16): Option[(Int, Int, Array[Float])] =
+    decodeImage(content, 0, content.length, dim)
+
+  /** Slice variant — decodes `content(off until off+len)` without
+    * copying (frame payloads inside a video container). */
+  private[graft] def decodeImage(content: Array[Byte], off: Int, len: Int,
+      dim: Int): Option[(Int, Int, Array[Float])] = {
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content, off, len))
       catch { case _: Exception => null }
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
     else {
@@ -144,13 +150,20 @@ object Multimodal {
             new AudioFormat(fmt.getSampleRate, 16, fmt.getChannels, true, false), ais)
         val ch = pcm.getFormat.getChannels
         val frameBytes = 2 * ch
-        val mono = new Array[Double](MaxAnalysisSamples)
+        // size the sample buffer from the container's frame count (PCM
+        // transcoding preserves it) — a fixed 64Ki doubles would waste
+        // 512KB of garbage per 100ms clip in the batched partition pass
+        val cap = {
+          val fl = ais.getFrameLength
+          if (fl >= 0 && fl < MaxAnalysisSamples) fl.toInt else MaxAnalysisSamples
+        }
+        val mono = new Array[Double](cap)
         val buf = new Array[Byte](frameBytes * 1024)
         var n = 0
         var read = pcm.read(buf)
-        while (read > 0 && n < MaxAnalysisSamples) {
+        while (read > 0 && n < cap) {
           var off = 0
-          while (off + frameBytes <= read && n < MaxAnalysisSamples) {
+          while (off + frameBytes <= read && n < cap) {
             var s = 0.0
             var c = 0
             while (c < ch) {
@@ -162,7 +175,7 @@ object Multimodal {
             n += 1
             off += frameBytes
           }
-          read = if (n < MaxAnalysisSamples) pcm.read(buf) else -1
+          read = if (n < cap) pcm.read(buf) else -1
         }
         Some((sr, durationMs, melCepstrum(mono, n, sr, coeffs)))
       } finally ais.close()
@@ -308,26 +321,34 @@ object Multimodal {
     def isFrameId(id: String): Boolean =
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
         (id.endsWith("db") || id.endsWith("dc"))
-    // walk a chunk run in [from, until); collect frames when inside the
-    // movi LIST (frame chunks only ever live there or in its rec  sublists)
-    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
-      var p = from
-      while (p + 8 <= until) {
+    // walk chunk runs with an EXPLICIT stack, collecting frames inside
+    // the movi LIST (frame chunks only ever live there or in its rec
+    // sublists). Explicit because recursion depth would otherwise be
+    // attacker-controlled: a payload of nested 12-byte LIST headers
+    // drives a recursive walk thousands of frames deep, and the
+    // resulting StackOverflowError is an Error no decoder-contract
+    // caller catches. (pos, until, inMovi) per pending run.
+    var stack = List((12, content.length, false))
+    while (stack.nonEmpty) {
+      val (p, until, inMovi) = stack.head
+      stack = stack.tail
+      if (p + 8 <= until) {
         val id = fourcc(content, p)
         val size = le32(content, p + 4)
-        if (size < 0 || size > until - p - 8) return // corrupt size: stop
-        val sz = size.toInt
-        if (id == "LIST" && sz >= 4) {
-          val listType = fourcc(content, p + 8)
-          walk(p + 12, p + 8 + sz,
-            inMovi || listType == "movi" || listType == "rec ")
-        } else if (inMovi && isFrameId(id) && sz > 0) {
-          frames += ((p + 8, sz))
+        if (size >= 0 && size <= until - p - 8) { // corrupt size: drop run
+          val sz = size.toInt
+          // rest of this run resumes after the current chunk
+          stack = (p + 8 + sz + (sz & 1), until, inMovi) :: stack
+          if (id == "LIST" && sz >= 4) {
+            val listType = fourcc(content, p + 8)
+            stack = (p + 12, p + 8 + sz,
+              inMovi || listType == "movi" || listType == "rec ") :: stack
+          } else if (inMovi && isFrameId(id) && sz > 0) {
+            frames += ((p + 8, sz))
+          }
         }
-        p += 8 + sz + (sz & 1) // chunks are padded to even offsets
       }
     }
-    walk(12, content.length, inMovi = false)
     Some(frames.result())
   }
 
@@ -348,9 +369,8 @@ object Multimodal {
       aviFrameChunks(m.content).toSeq.flatMap { chunks =>
         (0 until chunks.length by math.max(1, stride)).take(maxFrames).flatMap { i =>
           val (off, len) = chunks(i)
-          decodeImage(java.util.Arrays.copyOfRange(m.content, off, off + len), dim)
-            .map { case (w, h, emb) =>
-              VideoFrameFeatures(m.media_id, i, w, h, emb) }
+          decodeImage(m.content, off, len, dim).map { case (w, h, emb) =>
+            VideoFrameFeatures(m.media_id, i, w, h, emb) }
         }
       }
     }))
@@ -440,7 +460,7 @@ object Multimodal {
         case Some(chunks) =>
           (0 until math.min(frames, chunks.length) by stride).flatMap { i =>
             val (off, len) = chunks(i)
-            decodedPixelHash(java.util.Arrays.copyOfRange(m.content, off, off + len))
+            decodedPixelHash(m.content, off, len)
               .map(h => VideoFrameSample(m.media_id, i, h))
           }
         case None =>
@@ -453,9 +473,9 @@ object Multimodal {
   /** FNV-style hash over a frame's decoded ARGB pixels (row-major) —
     * a content hash of what the codec produced, not of the container
     * bytes. None when the bytes are not a decodable image. */
-  private def decodedPixelHash(imageBytes: Array[Byte]): Option[Long] = {
+  private def decodedPixelHash(imageBytes: Array[Byte], off: Int, len: Int): Option[Long] = {
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(imageBytes))
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(imageBytes, off, len))
       catch { case _: Exception => null }
     if (img == null) None
     else {

@@ -262,6 +262,46 @@ class AuditDiffSpec extends SparkFunSuite {
     assert(sql.contains("missing") && sql.contains("feature_time") && sql.contains("user_id"))
   }
 
+  test("explain sql-mode contract check is case-insensitive like the build") {
+    val labelsDf = Seq((1L, ts("2024-01-01 00:00:00"), true))
+      .toDF("user_id", "label_time", "y")
+    // FEATURE_TIME/USER_ID resolve case-insensitively at build time
+    // (spark.sql.caseSensitive=false default) — the contract check must
+    // agree and render the full lookup tail, not a false 'missing'
+    val userSql = "SELECT user_id AS USER_ID, t AS FEATURE_TIME, v * 2 AS v2 FROM {source}"
+    val f = Feature("agg",
+      Source.frame("s", Seq((1L, ts("2023-01-01 00:00:00"), 1.0)).toDF("user_id", "t", "v"),
+        Seq("user_id"), "t"),
+      SqlMode(userSql))
+    val r = Explain(spark, Labels.frame(labelsDf, Seq("user_id"), "label_time", Seq("y")), Seq(f))
+    val sql = r.plans.head.exampleSql
+    assert(sql.contains("{K1}") && sql.endsWith("LIMIT 1"), sql)
+    assert(!sql.contains("missing"), sql)
+  }
+
+  test("explain never executes a command statement in sql mode") {
+    val labelsDf = Seq((1L, ts("2024-01-01 00:00:00"), true))
+      .toDF("user_id", "label_time", "y")
+    val src = Seq((1L, ts("2023-01-01 00:00:00"), 1.0)).toDF("user_id", "t", "v")
+    spark.sql("DROP TABLE IF EXISTS explain_probe_sink")
+    spark.sql("CREATE TABLE explain_probe_sink(user_id BIGINT) USING parquet")
+    try {
+      // invalid as a feature, but user-supplied SQL reaches explain
+      // verbatim — a dry run must not mutate state
+      val f = Feature("agg",
+        Source.frame("s", src, Seq("user_id"), "t"),
+        SqlMode("INSERT INTO explain_probe_sink SELECT user_id FROM {source}"))
+      val r = Explain(spark,
+        Labels.frame(labelsDf, Seq("user_id"), "label_time", Seq("y")), Seq(f))
+      // renders (un-analyzed: the 'assumes' diagnostic path)...
+      assert(r.plans.head.exampleSql.contains("INSERT INTO"))
+      // ...but did NOT run the insert
+      assert(spark.table("explain_probe_sink").count() == 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS explain_probe_sink"); ()
+    }
+  }
+
   test("build result render/explain/html") {
     val labelsDf = Seq((1L, ts("2024-01-01 00:00:00"), true))
       .toDF("user_id", "label_time", "y")

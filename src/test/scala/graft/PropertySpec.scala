@@ -182,6 +182,25 @@ class PropertySpec extends AnyFunSuite {
       graft.ops.Multimodal.decodeAudio(bytes)
       inBounds
     }, 300)
+    // attacker-controlled LIST nesting must not overflow the stack:
+    // 100k nested 12-byte LIST headers would drive a recursive walk
+    // 100k frames deep (StackOverflowError is not an Exception — no
+    // decoder-contract caller catches it)
+    locally {
+      val depth = 100000
+      val buf = new Array[Byte](12 + 12 * depth)
+      def put4(off: Int, s: String): Unit = { s.getBytes.copyToArray(buf, off); () }
+      def putLe(off: Int, v: Int): Unit = {
+        buf(off) = (v & 0xff).toByte; buf(off + 1) = ((v >> 8) & 0xff).toByte
+        buf(off + 2) = ((v >> 16) & 0xff).toByte; buf(off + 3) = ((v >>> 24) & 0xff).toByte
+      }
+      put4(0, "RIFF"); putLe(4, 4 + 12 * depth); put4(8, "AVI ")
+      (0 until depth).foreach { i =>
+        val off = 12 + 12 * i
+        put4(off, "LIST"); putLe(off + 4, 4 + 12 * (depth - 1 - i)); put4(off + 8, "movi")
+      }
+      assert(graft.ops.Multimodal.aviFrameChunks(buf).exists(_.isEmpty))
+    }
     // truncation fuzz over REAL media: every prefix of a valid
     // container must still parse-or-None, and any frame slices
     // returned must stay in bounds
