@@ -371,6 +371,24 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // PERSISTED-index variant of the same IVF search: build the index
+    // over the corpus, save it partitionBy(list_id), load it back, and
+    // probe through the partition-pruned layout — bit-identical to the
+    // inline path by construction, so it shares q_embed_ivf_topk's
+    // oracle. The save/load/prune roundtrip is what the row proves.
+    "q_embed_ivf_indexed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = graft.ops.Similarity.buildIvfIndex(e, "vec_id", "embedding", nlist = 8)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      graft.ops.Similarity.saveIvfIndex(idx, path)
+      graft.ops.Similarity.ivfTopKIndexed(
+        e.filter(col("vec_id") % 50 === 0),
+        graft.ops.Similarity.loadIvfIndex(s, path),
+        "vec_id", "embedding", k = 5, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // Multimodal: batched image decode over binary media columns. The
     // input stays MIXED (even ids real PNGs, odd ids real WAVs) so the
     // batch pass exercises both the ImageIO path and the non-image
@@ -864,6 +882,43 @@ object SparkEntry {
     // (the Spark pick is the same portable hash), corpus assigned to
     // its nearest centroid, queries probe the 3 nearest lists.
     "q_embed_ivf_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS list_id, v AS cv
+        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |assign AS (
+        |  SELECT neighbor_id, v, list_id FROM (
+        |    SELECT x.vec_id AS neighbor_id, x.v, c.list_id,
+        |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        |             ORDER BY list_dot_product(x.v, c.cv)
+        |               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |               c.list_id) AS r
+        |    FROM e x CROSS JOIN cent c) t WHERE r = 1),
+        |probe AS (
+        |  SELECT query_id, qv, list_id FROM (
+        |    SELECT x.vec_id AS query_id, x.v AS qv, c.list_id,
+        |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        |             ORDER BY list_dot_product(x.v, c.cv)
+        |               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |               c.list_id) AS r
+        |    FROM e x CROSS JOIN cent c WHERE x.vec_id % 50 = 0) t WHERE r <= 3),
+        |s AS (
+        |  SELECT DISTINCT p.query_id, a.neighbor_id,
+        |         list_dot_product(p.qv, a.v)
+        |           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS sim
+        |  FROM assign a JOIN probe p USING (list_id)
+        |  WHERE p.query_id <> a.neighbor_id),
+        |r2 AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+        |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // identical semantics through the persisted index — same oracle
+    "q_embed_ivf_indexed" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (

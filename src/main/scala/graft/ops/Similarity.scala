@@ -123,6 +123,30 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       qidCol: String, idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, refineIters)
+    val cb = broadcast(centroids)
+
+    def nearestLists(frame: DataFrame, keyCol: String, vc: String, n: Int): DataFrame = {
+      val scored = frame.crossJoin(cb)
+        .withColumn("__d", cosine(col(vc), col("__centroid")))
+      val ww = Window.partitionBy(col(keyCol)).orderBy(col("__d").desc, col("list_id"))
+      scored.withColumn("__r", row_number().over(ww)).filter(col("__r") <= n)
+        .drop("__centroid", "__d", "__r")
+    }
+
+    val c = nearestLists(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "neighbor_id", "__cv", 1)
+    val q = nearestLists(
+      queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv")),
+      "query_id", "__qv", nprobe)
+    probeLists(c, q, k)
+  }
+
+  /** Centroid selection shared by [[ivfTopK]] and [[buildIvfIndex]]:
+    * `nlist` hash-sampled seed vectors, optionally Lloyd-refined. */
+  private def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, refineIters: Int): DataFrame = {
     val seeded = corpus
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
       .limit(nlist)
@@ -161,23 +185,13 @@ object Similarity {
           coalesce(col("__cnew"), col("__centroid")).as("__centroid"))
         .localCheckpoint(true)
     }
-    val cb = broadcast(centroids)
+    centroids
+  }
 
-    def nearestLists(frame: DataFrame, keyCol: String, vc: String, n: Int): DataFrame = {
-      val scored = frame.crossJoin(cb)
-        .withColumn("__d", cosine(col(vc), col("__centroid")))
-      val ww = Window.partitionBy(col(keyCol)).orderBy(col("__d").desc, col("list_id"))
-      scored.withColumn("__r", row_number().over(ww)).filter(col("__r") <= n)
-        .drop("__centroid", "__d", "__r")
-    }
-
-    val c = nearestLists(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      "neighbor_id", "__cv", 1)
-    val q = nearestLists(
-      queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv")),
-      "query_id", "__qv", nprobe)
-
+  /** Inverted-list probe shared by the inline and indexed paths.
+    * `c`: (list_id, neighbor_id, __cv); `q`: (list_id, query_id, __qv)
+    * with one row per probed list. */
+  private def probeLists(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val joined = c.join(broadcast(q), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
     val wr = Window.partitionBy("query_id")
@@ -188,6 +202,71 @@ object Similarity {
       .distinct()
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)
+  }
+
+  /** A persisted IVF index: broadcastable centroids + the corpus
+    * partitioned into inverted lists. Build ONCE over the corpus, save,
+    * query many times — re-clustering 100 TB of embeddings per query
+    * batch is the scale anti-pattern the inline [[ivfTopK]] commits.
+    * On disk the lists are `partitionBy(list_id)` parquet, so a probe
+    * of `nprobe` lists reads ONLY those directories: the probe joins
+    * the (broadcast) query-to-list frame against the partition column
+    * and Spark's dynamic partition pruning skips every unprobed list
+    * at scan time. */
+  final case class IvfIndex(centroids: DataFrame, lists: DataFrame)
+
+  /** Cluster the corpus into `nlist` inverted lists (same centroid
+    * selection as [[ivfTopK]]: hash-sampled seeds, optional Lloyd
+    * refinement). The returned lists keep the ORIGINAL vector values
+    * (storage stays float-sized; math casts to double at query time,
+    * so indexed results are bit-identical to the inline path). */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, refineIters: Int = 0): IvfIndex = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, refineIters)
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__d", cosine(col("__cv"), col("__centroid")))
+    val w = Window.partitionBy("neighbor_id").orderBy(col("__d").desc, col("list_id"))
+    val lists = assigned.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("list_id"), col("neighbor_id"), col("__cv").as("vec"))
+    IvfIndex(centroids, lists)
+  }
+
+  /** Persist an index: centroids as one small parquet, lists
+    * partitioned by list_id (the physical layout that makes probe-time
+    * partition pruning possible). */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.centroids
+      .select(col("list_id"), col("__centroid").as("centroid"))
+      .write.mode("overwrite").parquet(s"$path/centroids.parquet")
+    index.lists.write.mode("overwrite")
+      .partitionBy("list_id").parquet(s"$path/lists.parquet")
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$path/centroids.parquet")
+        .select(col("list_id"), col("centroid").as("__centroid")),
+      spark.read.parquet(s"$path/lists.parquet"))
+
+  /** Approximate top-k against a prebuilt [[IvfIndex]] — bit-identical
+    * to [[ivfTopK]] at the same parameters, without touching the
+    * corpus: queries rank the broadcast centroids, probe `nprobe`
+    * lists, and (for a loaded index) scan only those list partitions. */
+  def ivfTopKIndexed(queries: DataFrame, index: IvfIndex,
+      qidCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val cb = broadcast(index.centroids)
+    val scored = queries
+      .select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(cb)
+      .withColumn("__d", cosine(col("__qv"), col("__centroid")))
+    val ww = Window.partitionBy("query_id").orderBy(col("__d").desc, col("list_id"))
+    val q = scored.withColumn("__r", row_number().over(ww)).filter(col("__r") <= nprobe)
+      .drop("__centroid", "__d", "__r")
+    probeLists(index.lists.select(col("list_id"), col("neighbor_id"),
+      col("vec").as("__cv")), q, k)
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector

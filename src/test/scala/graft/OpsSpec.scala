@@ -275,6 +275,31 @@ class OpsSpec extends SparkFunSuite {
     assert(r.groupBy("query_id").count().agg(max("count")).head().getLong(0) <= 3)
   }
 
+  test("persisted ivf index: save/load roundtrip matches the inline path") {
+    val q = embeddings.filter(col("vec_id") % 25 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 9).as("sim"), col("rank"))
+        .collect().map(_.toString).sorted.toSeq
+    val inline = rows(Similarity.ivfTopK(q, embeddings,
+      "vec_id", "vec_id", "embedding", k = 3, nlist = 4, nprobe = 2))
+    // build -> query without persistence
+    val built = Similarity.buildIvfIndex(embeddings, "vec_id", "embedding", nlist = 4)
+    assert(rows(Similarity.ivfTopKIndexed(q, built, "vec_id", "embedding",
+      k = 3, nprobe = 2)) == inline)
+    // save -> load -> query: same results through the partitioned layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.saveIvfIndex(built, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(rows(Similarity.ivfTopKIndexed(q, loaded, "vec_id", "embedding",
+      k = 3, nprobe = 2)) == inline)
+    // the on-disk layout IS partitioned by list (what makes probe-time
+    // partition pruning possible at scale)
+    val listDirs = new java.io.File(s"$dir/lists.parquet").listFiles()
+      .filter(_.getName.startsWith("list_id="))
+    assert(listDirs.length == built.centroids.count())
+  }
+
   test("ivf Lloyd refinement improves recall on a clustered corpus") {
     // 4 well-separated direction clusters in dim 8, noisy enough that
     // hash-sampled seed centroids sit off-center; Lloyd means recenter

@@ -149,6 +149,23 @@ class PlanSpec extends SparkFunSuite {
     assert(semiIdx >= 0, s"no broadcast semi join:\n$plan")
   }
 
+  test("loaded ivf index probes prune list partitions dynamically") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = graft.ops.Similarity.buildIvfIndex(e, "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_dpp").toString
+    graft.ops.Similarity.saveIvfIndex(idx, dir)
+    val loaded = graft.ops.Similarity.loadIvfIndex(spark, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val plan = planOf(graft.ops.Similarity.ivfTopKIndexed(
+      q, loaded, "vec_id", "embedding", k = 3, nprobe = 2))
+    // the probe joins the broadcast query-to-list frame against the
+    // partition column of the partitionBy(list_id) layout — Spark must
+    // plan a dynamic partition pruning filter on the lists scan, so a
+    // 100 TB index reads only the probed lists' directories
+    assert(plan.contains("dynamicpruning"),
+      s"lists scan should carry a dynamic pruning filter:\n$plan")
+  }
+
   test("multimodal decode is a single partition pass: no exchange by default") {
     // decode + feature-extract must stream through mapPartitions with
     // no shuffle — at 100 TB of media an accidental exchange of the
