@@ -110,6 +110,34 @@ object Dedup {
     df.select(col(idCol), shingles(col(textCol), n).as("__sh"))
       .select(col(idCol), minhashSignatureFromShingles(col("__sh"), k, hasher).as("sig"))
 
+  /** Pick (k, bands) for a target Jaccard threshold: among signature
+    * sizes up to `maxK` and their divisors, minimize the S-curve's
+    * miss+false-positive mass around `threshold` — the integral of
+    * 1 - P(collide | j) for j above the threshold (misses) plus
+    * P(collide | j) below it (false candidates), where
+    * P(collide | j) = 1 - (1 - j^rows)^bands. This is the standard
+    * banding calibration (Mining of Massive Datasets §3.4); callers
+    * who hand-pick stay on the explicit-parameter overloads. */
+  def lshParamsFor(threshold: Double, maxK: Int = 64): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    val steps = 200
+    def cost(k: Int, bands: Int): Double = {
+      val rows = k / bands
+      (1 to steps).map { i =>
+        val j = i.toDouble / (steps + 1)
+        val p = 1.0 - math.pow(1.0 - math.pow(j, rows.toDouble), bands.toDouble)
+        if (j >= threshold) (1.0 - p) else p
+      }.sum / steps
+    }
+    val cands = for {
+      k <- 4 to maxK
+      bands <- 1 to k if k % bands == 0
+    } yield (k, bands)
+    // ties (same cost) break toward the SMALLEST signature: k is the
+    // per-shingle hash bill, the dominant cost of the whole pipeline
+    cands.minBy { case (k, b) => (cost(k, b), k, b) }
+  }
+
   def lshBucketsFromSigs(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val rows = k / bands

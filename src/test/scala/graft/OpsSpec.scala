@@ -145,6 +145,34 @@ class OpsSpec extends SparkFunSuite {
     } finally { lg.removeAppender(probe); probe.stop() }
   }
 
+  test("lshParamsFor calibrates banding to the target threshold") {
+    // the S-curve's 50% collision point (1/b)^(1/r) must land near the
+    // requested threshold, and more selective thresholds must yield
+    // more rows per band (steeper curves)
+    Seq(0.3, 0.5, 0.7, 0.9).foreach { t =>
+      val (k, bands) = Dedup.lshParamsFor(t)
+      assert(k % bands == 0 && k >= 4 && k <= 64)
+      val rows = k / bands
+      val inflection = math.pow(1.0 / bands, 1.0 / rows)
+      assert(math.abs(inflection - t) < 0.15,
+        s"threshold $t -> (k=$k, bands=$bands), inflection $inflection")
+    }
+    val loose = Dedup.lshParamsFor(0.3)
+    val strict = Dedup.lshParamsFor(0.9)
+    assert(strict._1 / strict._2 > loose._1 / loose._2,
+      s"stricter threshold should use more rows per band: $loose vs $strict")
+    // chosen parameters drive the real pipeline: candidates at the
+    // tuned parameters still catch the planted near-dups
+    val (k, bands) = Dedup.lshParamsFor(0.5, maxK = 24)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+      k = k, bands = bands, n = 3, maxBucket = 100000)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val recall = exact.count(cands.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"tuned (k=$k, bands=$bands) recall $recall")
+  }
+
   test("minhash estimated jaccard approximates exact") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
       .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
