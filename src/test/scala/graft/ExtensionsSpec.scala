@@ -234,6 +234,95 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(Multimodal.decodeAudio(Array.tabulate(64)(_.toByte)).isEmpty)
   }
 
+  test("audio decode transcodes stereo and 8-bit inputs to the same features") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val sr = 8000
+    val n = 2000
+    def sine(i: Int) = (math.sin(2 * math.Pi * 440 * i / sr) * 12000).toInt
+    def wav(fmt: AudioFormat, pcm: Array[Byte], frames: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // mono 16-bit reference
+    val mono = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val v = sine(i); mono(2 * i) = (v & 0xff).toByte; mono(2 * i + 1) = (v >> 8).toByte
+    }
+    val ref = Multimodal.decodeAudio(
+      wav(new AudioFormat(sr.toFloat, 16, 1, true, false), mono, n)).get
+    // stereo with L = R = the same sine: channel mixing must reproduce
+    // the mono signal exactly -> identical rate, duration, AND mfcc
+    val stereo = new Array[Byte](n * 4)
+    (0 until n).foreach { i =>
+      val v = sine(i)
+      stereo(4 * i) = (v & 0xff).toByte; stereo(4 * i + 1) = (v >> 8).toByte
+      stereo(4 * i + 2) = (v & 0xff).toByte; stereo(4 * i + 3) = (v >> 8).toByte
+    }
+    val st = Multimodal.decodeAudio(
+      wav(new AudioFormat(sr.toFloat, 16, 2, true, false), stereo, n)).get
+    assert(st._1 == ref._1 && st._2 == ref._2)
+    assert(st._3.toSeq == ref._3.toSeq, "L=R stereo must decode identically to mono")
+    // 8-bit unsigned PCM goes through the JDK transcoder. Quantization
+    // noise lifts the log floor of the tone's SILENT mel bands, so
+    // absolute MFCC distance to the 16-bit original is large by
+    // construction — the property consumers rely on is RELATIVE: the
+    // 8-bit clip must still sit nearer its own tone than another tone.
+    val eight = new Array[Byte](n)
+    (0 until n).foreach(i => eight(i) = ((sine(i) >> 8) + 128).toByte)
+    val e8 = Multimodal.decodeAudio(
+      wav(new AudioFormat(sr.toFloat, 8, 1, false, false), eight, n)).get
+    assert(e8._1 == sr && e8._2 == ref._2)
+    val other = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val v = (math.sin(2 * math.Pi * 1800 * i / sr) * 12000).toInt
+      other(2 * i) = (v & 0xff).toByte; other(2 * i + 1) = (v >> 8).toByte
+    }
+    val ref1800 = Multimodal.decodeAudio(
+      wav(new AudioFormat(sr.toFloat, 16, 1, true, false), other, n)).get
+    def dist(x: Array[Float], y: Array[Float]): Double =
+      math.sqrt(x.zip(y).map { case (a, b) => (a - b).toDouble * (a - b) }.sum)
+    assert(dist(e8._3, ref._3) < dist(e8._3, ref1800._3),
+      "8-bit 440Hz must stay nearer 16-bit 440Hz than 16-bit 1800Hz")
+  }
+
+  test("mfcc features compose with the similarity operators") {
+    // media similarity search = audioFeatures |> bruteForceTopK on the
+    // mfcc column: clips of the same tone must rank each other first,
+    // ahead of a different tone
+    import spark.implicits._
+    def toneWav(freq: Int, phase: Int): Array[Byte] = {
+      val sr = 8000; val n = 1600
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val v = (math.sin(2 * math.Pi * freq * (i + phase) / sr) * 12000).toInt
+        pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = (v >> 8).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // ids 0,1: 440 Hz (different phases); ids 2,3: 1800 Hz
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, "audio/wav", toneWav(440, 0)),
+      Multimodal.MediaRow(1L, "audio/wav", toneWav(440, 3)),
+      Multimodal.MediaRow(2L, "audio/wav", toneWav(1800, 0)),
+      Multimodal.MediaRow(3L, "audio/wav", toneWav(1800, 5))))
+    val feats = Multimodal.audioFeatures(media).toDF()
+      .select(col("media_id"), col("mfcc"))
+    val top1 = graft.ops.Similarity.bruteForceTopK(feats, feats,
+      "media_id", "media_id", "mfcc", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top1(0L) == 1L && top1(1L) == 0L, s"same-tone clips must pair: $top1")
+    assert(top1(2L) == 3L && top1(3L) == 2L, s"same-tone clips must pair: $top1")
+  }
+
   test("video decode is real: RIFF parse, JPEG dims, pixel-hash dedup") {
     // container contract: the RIFF walk must find exactly the frames
     // syntheticMjpegAvi wrote, and ImageIO must recover their dims
