@@ -30,6 +30,20 @@ object Curation {
 
   final case class CurationResult(df: DataFrame, stats: CurationStats)
 
+  /** Near-dup pair generation strategy for the final stage. */
+  sealed trait NearDup
+  object NearDup {
+    /** Exact n-gram Jaccard over the (maxDf-bounded) shingle self-join:
+      * the complete >=threshold pair set. Right up to mid-size corpora;
+      * the self-join's shuffle grows with corpus x shingle volume. */
+    case object NgramExact extends NearDup
+    /** MinHash signatures + LSH banding calibrated to the threshold via
+      * [[Dedup.lshParamsFor]], pairs kept by estimated Jaccard — the
+      * 100 TB path: per-doc work is k hashes, candidate generation
+      * touches only same-bucket pairs, recall < 1 by construction. */
+    case object MinhashLsh extends NearDup
+  }
+
   def curate(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -37,7 +51,8 @@ object Curation {
       minQuality: Double = 0.3,
       languages: Seq[String] = Seq("en"),
       nearDupThreshold: Double = 0.8,
-      shingleSize: Int = 3
+      shingleSize: Int = 3,
+      nearDup: NearDup = NearDup.NgramExact
   ): CurationResult = {
     val input = docs.count()
 
@@ -62,8 +77,15 @@ object Curation {
     val exactKept = Dedup.cacheOnce(Dedup.exactDedup(langKept, textCol, idCol))
     val afterExact = exactKept.count()
 
-    val pairs = Dedup.ngramJaccardPairs(exactKept, idCol, textCol,
-      shingleSize, nearDupThreshold)
+    val pairs = nearDup match {
+      case NearDup.NgramExact =>
+        Dedup.ngramJaccardPairs(exactKept, idCol, textCol,
+          shingleSize, nearDupThreshold)
+      case NearDup.MinhashLsh =>
+        val (k, bands) = Dedup.lshParamsFor(nearDupThreshold)
+        Dedup.minhashJaccardPairs(exactKept, idCol, textCol,
+          k = k, bands = bands, n = shingleSize, threshold = nearDupThreshold)
+    }
     val curated = Dedup.dedupByPairs(exactKept, idCol, pairs)
     val afterNearDup = curated.count()
 

@@ -125,6 +125,14 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(r.stats.dropped("exact_dup") == 1) // doc 2
     assert(r.stats.dropped("near_dup") == 1) // doc 3
     assert(kept == Seq(1L, 6L))
+    // the MinhashLsh scale path finds the same planted near-dup here
+    // (tiny corpus, calibrated banding): identical decisions, and the
+    // LSH path can only ever keep MORE docs than exact (recall < 1)
+    val rl = graft.ops.Curation.curate(docs, minQuality = 0.3,
+      languages = Seq("en"), nearDupThreshold = 0.5,
+      nearDup = graft.ops.Curation.NearDup.MinhashLsh)
+    assert(rl.df.select("doc_id").as[Long].collect().sorted.toSeq == kept)
+    assert(rl.stats.afterNearDup >= r.stats.afterNearDup)
   }
 
   // ---- Multimodal ---------------------------------------------------
