@@ -158,10 +158,12 @@ object Bench {
     val dir = s"$benchDir/skew_${nFeat}_$hotPct"
     val lp = s"$dir/labels.parquet"
     val fp = s"$dir/feature.parquet"
-    // guard on BOTH outputs, labels written LAST: a crash mid-datagen
+    // guard on BOTH outputs' _SUCCESS markers (a bare dir can be a
+    // crashed half-commit), labels written LAST: a crash mid-datagen
     // must not leave a half-generated dir that every later run trusts
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(lp)) ||
-      !java.nio.file.Files.exists(java.nio.file.Paths.get(fp))) {
+    def committed(p: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+    if (!committed(lp) || !committed(fp)) {
       val featStepUs = 31536000000000L / nFeat
       spark.range(nFeat).select(
         when(col("id") % 100 < hotPct, lit(0L))

@@ -379,7 +379,12 @@ object SparkEntry {
     "q_embed_ivf_indexed" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val idx = graft.ops.Similarity.buildIvfIndex(e, "vec_id", "embedding", nlist = 8)
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      // one reused (overwritten) scratch dir per sfDir, not a fresh
+      // createTempDirectory per call: bench/verify re-derive this query
+      // many times per session and would otherwise leak a full index
+      // copy under /tmp each rep
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${
+        java.lang.Integer.toHexString(dir.hashCode)}"
       graft.ops.Similarity.saveIvfIndex(idx, path)
       graft.ops.Similarity.ivfTopKIndexed(
         e.filter(col("vec_id") % 50 === 0),

@@ -122,20 +122,22 @@ object Explain {
                 val q = sql.replace("{source}", view)
                 // spark.sql EXECUTES command statements eagerly — a
                 // user-supplied INSERT/DROP/SET here would mutate state
-                // at explain time. Parse first and refuse to analyze
-                // anything that is not a query; explain stays a dry run.
-                val parsed = spark.sessionState.sqlParser.parsePlan(q)
-                import org.apache.spark.sql.catalyst.plans.logical.{Command, ParsedStatement}
-                if (parsed.isInstanceOf[Command] || parsed.isInstanceOf[ParsedStatement]) None
-                else {
-                  // resolution is case-insensitive unless
-                  // spark.sql.caseSensitive: the contract check must
-                  // match the build's actual resolution rules
-                  val cs = spark.sessionState.conf.caseSensitiveAnalysis
-                  def norm(c: String) = if (cs) c else c.toLowerCase
-                  val out = spark.sql(q).columns.map(norm).toSet
-                  Some(needed.filterNot(c => out(norm(c))))
-                }
+                // at explain time (and type-denylisting the parsed plan
+                // misses mutators that parse to plain LogicalPlans,
+                // e.g. INSERT OVERWRITE DIRECTORY). Run ONLY the
+                // analyzer: QueryExecution.analyzed resolves the plan
+                // without touching commandExecuted, so nothing runs for
+                // any statement type; explain stays a dry run.
+                val analyzed = spark.sessionState
+                  .executePlan(spark.sessionState.sqlParser.parsePlan(q)).analyzed
+                // resolution is case-insensitive unless
+                // spark.sql.caseSensitive: the contract check must
+                // match the build's actual resolution rules
+                val cs = spark.sessionState.conf.caseSensitiveAnalysis
+                def norm(c: String) =
+                  if (cs) c else c.toLowerCase(java.util.Locale.ROOT)
+                val out = analyzed.output.map(a => norm(a.name)).toSet
+                Some(needed.filterNot(c => out(norm(c))))
               } finally { spark.catalog.dropTempView(view); () }
             } catch { case _: Exception => None }
           val head =

@@ -245,11 +245,24 @@ object Similarity {
       .partitionBy("list_id").parquet(s"$path/lists.parquet")
   }
 
-  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
-    IvfIndex(
-      spark.read.parquet(s"$path/centroids.parquet")
-        .select(col("list_id"), col("centroid").as("__centroid")),
-      spark.read.parquet(s"$path/lists.parquet"))
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids.parquet")
+      .select(col("list_id"), col("centroid").as("__centroid"))
+    // pin the partition column's type to the centroids' list_id type
+    // instead of letting directory-name inference guess it: with
+    // string ids, inference would parse "list_id=01" and "list_id=1"
+    // both as integer 1 and merge two distinct lists (breaking the
+    // bit-identical-to-inline contract). A user-supplied schema keeps
+    // the raw directory value at the saved type — and list_id stays
+    // the partition column, so probe-time pruning is unaffected.
+    val listsPath = s"$path/lists.parquet"
+    val dataFields = spark.read.parquet(listsPath).schema.fields
+      .filter(_.name != "list_id")
+    val pinned = org.apache.spark.sql.types.StructType(
+      dataFields :+ org.apache.spark.sql.types.StructField(
+        "list_id", centroids.schema("list_id").dataType))
+    IvfIndex(centroids, spark.read.schema(pinned).parquet(listsPath))
+  }
 
   /** Approximate top-k against a prebuilt [[IvfIndex]] — bit-identical
     * to [[ivfTopK]] at the same parameters, without touching the

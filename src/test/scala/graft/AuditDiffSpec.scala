@@ -293,7 +293,8 @@ class AuditDiffSpec extends SparkFunSuite {
         SqlMode("INSERT INTO explain_probe_sink SELECT user_id FROM {source}"))
       val r = Explain(spark,
         Labels.frame(labelsDf, Seq("user_id"), "label_time", Seq("y")), Seq(f))
-      // renders (un-analyzed: the 'assumes' diagnostic path)...
+      // renders (analysis-only: a command has no query output columns,
+      // so the missing-contract diagnostic path applies)...
       assert(r.plans.head.exampleSql.contains("INSERT INTO"))
       // ...but did NOT run the insert
       assert(spark.table("explain_probe_sink").count() == 0)

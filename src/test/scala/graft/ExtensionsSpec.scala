@@ -125,14 +125,15 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(r.stats.dropped("exact_dup") == 1) // doc 2
     assert(r.stats.dropped("near_dup") == 1) // doc 3
     assert(kept == Seq(1L, 6L))
-    // the MinhashLsh scale path finds the same planted near-dup here
-    // (tiny corpus, calibrated banding): identical decisions, and the
-    // LSH path can only ever keep MORE docs than exact (recall < 1)
+    // the MinhashLsh scale path makes the same decisions on this
+    // deterministic planted corpus (calibrated banding; md5 hashing is
+    // fixed). In general LSH keeps a DIFFERENT set — misses drop fewer
+    // docs, estimation false-positives can drop more — so only the
+    // concrete outcome is pinned, not an ordering between the paths.
     val rl = graft.ops.Curation.curate(docs, minQuality = 0.3,
       languages = Seq("en"), nearDupThreshold = 0.5,
       nearDup = graft.ops.Curation.NearDup.MinhashLsh)
     assert(rl.df.select("doc_id").as[Long].collect().sorted.toSeq == kept)
-    assert(rl.stats.afterNearDup >= r.stats.afterNearDup)
   }
 
   // ---- Multimodal ---------------------------------------------------

@@ -328,6 +328,34 @@ class OpsSpec extends SparkFunSuite {
     assert(listDirs.length == built.centroids.count())
   }
 
+  test("persisted ivf index keeps string list ids distinct on reload") {
+    // partition-dir type inference would parse list_id=01 and
+    // list_id=1 both as integer 1 and merge two distinct lists; the
+    // loader pins the saved type instead. Ids chosen so both numeric
+    // lookalikes are picked as centroids (nlist = corpus size).
+    val c = embeddings.limit(8).select(
+      format_string("%02d", col("vec_id")).as("sid"), col("embedding"))
+      .union(embeddings.limit(8).select(
+        format_string("%d", col("vec_id") + 1).as("sid"), col("embedding")))
+    val built = Similarity.buildIvfIndex(c, "sid", "embedding", nlist = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_str").toString
+    Similarity.saveIvfIndex(built, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.lists.schema("list_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(loaded.lists.select("list_id").distinct().count() ==
+      built.lists.select("list_id").distinct().count())
+    val q = c.limit(3)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 9).as("sim"), col("rank"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(Similarity.ivfTopKIndexed(q, loaded, "sid", "embedding",
+      k = 2, nprobe = 2)) ==
+      rows(Similarity.ivfTopKIndexed(q, built, "sid", "embedding",
+        k = 2, nprobe = 2)))
+  }
+
   test("ivf Lloyd refinement improves recall on a clustered corpus") {
     // 4 well-separated direction clusters in dim 8, noisy enough that
     // hash-sampled seed centroids sit off-center; Lloyd means recenter
