@@ -47,12 +47,20 @@ object Bench {
       java.nio.file.Paths.get(root), "graft_bench").toString
   }
 
+  /** A parquet dir counts as generated only when its write COMMITTED
+    * (_SUCCESS marker): a bare directory can be a crashed half-commit,
+    * and trusting it would wedge every later bench run on the same
+    * scratch dir. */
+  private[graft] def committed(p: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+
   private def parquetScenario(spark: SparkSession, nLabels: Int, nFeatures: Int)
       : (Labels, Seq[Feature]) = {
     val dir = s"$benchDir/sc_${nLabels}_$nFeatures"
     val lp = s"$dir/labels.parquet"
     val nEntities = math.max(1000, nLabels / 5)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(lp))) {
+    if (!committed(lp) ||
+      (0 until nFeatures).exists(k => !committed(s"$dir/feature_$k.parquet"))) {
       // precomputed per-row microsecond steps keep id*step within Long
       val labelStepUs = 86400000000L / nLabels // 1 day spread
       val featStepUs = 31536000000000L / (2L * nLabels) // 1 year spread
@@ -112,7 +120,7 @@ object Bench {
     val wp = s"$dir/wide.parquet"
     val lp = s"$dir/labels.parquet"
     val nEntities = math.max(1000, nLabels / 5)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(wp))) {
+    if (!committed(wp) || !committed(lp)) {
       val featStepUs = 31536000000000L / (2L * nLabels)
       spark.range(2L * nLabels).select(
         (col("id") % nEntities).as("user_id") +:
@@ -158,11 +166,9 @@ object Bench {
     val dir = s"$benchDir/skew_${nFeat}_$hotPct"
     val lp = s"$dir/labels.parquet"
     val fp = s"$dir/feature.parquet"
-    // guard on BOTH outputs' _SUCCESS markers (a bare dir can be a
-    // crashed half-commit), labels written LAST: a crash mid-datagen
-    // must not leave a half-generated dir that every later run trusts
-    def committed(p: String) =
-      java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+    // guard on BOTH outputs' _SUCCESS markers, labels written LAST: a
+    // crash mid-datagen must not leave a half-generated dir that every
+    // later run trusts
     if (!committed(lp) || !committed(fp)) {
       val featStepUs = 31536000000000L / nFeat
       spark.range(nFeat).select(
@@ -198,7 +204,7 @@ object Bench {
     * outside the timed run). */
   private def auditScenario(nLabels: Int, nFeatures: Int = 1)(spark: SparkSession): Long = {
     val path = s"$benchDir/audit_${nLabels}_$nFeatures.parquet"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+    if (!committed(path)) {
       val nEntities = math.max(1000, nLabels / 5)
       spark.range(nLabels.toLong).select(
         col("id") +:

@@ -108,7 +108,7 @@ object BenchOne {
       // exactly Bench.auditScenario's shape: a flat parquet dataset with
       // nFeatures (feature_time, value) column pairs, Audit.temporal over it
       val path = s"$dir/audit_${nLabels}_$nFeatures.parquet"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      if (!Bench.committed(path)) {
         timed("datagen") {
           spark.range(nLabels.toLong).select(
             col("id") +:
@@ -137,7 +137,8 @@ object BenchOne {
     }
 
     val lp = s"$dir/labels.parquet"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(lp))) {
+    if (!Bench.committed(lp) ||
+      (0 until nFeatures).exists(k => !Bench.committed(s"$dir/feature_$k.parquet"))) {
       timed("datagen") {
         val labelStepUs = 86400000000L / nLabels
         val featStepUs = 31536000000000L / (2L * nLabels)
