@@ -216,24 +216,38 @@ object Dedup {
     * (band, band-bits); the Hamming check is `bit_count(a^b)`, pure
     * codegen. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 100000): DataFrame =
+    hammingPairs64(
+      df.select(col(idCol).as("__id"),
+        graft.functions.SimHash.simhash64(split(trim(col(textCol)), "\\s+")).as("sig")),
+      "__id", "sig", maxHamming, bands, maxBucket)
+
+  /** Near-dup pairs among PRECOMPUTED 64-bit fingerprints — text
+    * simhash, image dHash ([[Multimodal.imageDHashes]]), any 64-bit
+    * locality key. Pigeonhole banding: a pair within `maxHamming <
+    * bands` differs in at most maxHamming bands, so it MUST agree on
+    * at least one — candidate generation is recall-complete, then the
+    * exact popcount filter keeps true pairs. `maxBucket` bounds the
+    * degenerate-bucket blowup (e.g. the all-zero fingerprint of blank
+    * inputs). Returns (a, b, hamming). */
+  def hammingPairs64(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 100000): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands,
+      s"pigeonhole completeness needs maxHamming < bands (got $maxHamming >= $bands)")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sigs = df
-      .select(col(idCol).as("__id"),
-        graft.functions.SimHash.simhash64(split(trim(col(textCol)), "\\s+")).as("sig"))
-    val banded = sigs.select(col("__id"), col("sig"),
+    val banded = sigs.select(col(idCol).as("__id"), col(sigCol).as("__sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask)).as("bits"))): _*))
+          shiftrightunsigned(col(sigCol), b * width).bitwiseAND(lit(mask)).as("bits"))): _*))
         .as("bb"))
-      .select(col("__id"), col("sig"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+      .select(col("__id"), col("__sig"), col("bb.band").as("band"), col("bb.bits").as("bits"))
     val bounded = banded
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bits")))
       .filter(col("__n") <= maxBucket).drop("__n")
-    val a = bounded.select(col("band"), col("bits"), col("__id").as("a"), col("sig").as("__sa"))
-    val b = bounded.select(col("band"), col("bits"), col("__id").as("b"), col("sig").as("__sb"))
+    val a = bounded.select(col("band"), col("bits"), col("__id").as("a"), col("__sig").as("__sa"))
+    val b = bounded.select(col("band"), col("bits"), col("__id").as("b"), col("__sig").as("__sb"))
     a.join(b, Seq("band", "bits")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))

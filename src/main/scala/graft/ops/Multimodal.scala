@@ -104,6 +104,68 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash) of an image payload: decode,
+    * area-average the luma into a 9×8 grid, set bit (y·8 + x) when the
+    * right-hand neighbor cell is brighter. The classic perceptual
+    * near-dup key for image corpora — stable across re-encoding
+    * (PNG↔JPEG), mild compression, and uniform rescaling, because the
+    * grid averages away everything but the coarse gradient structure.
+    * Pair it with [[Dedup.hammingPairs64]] for corpus-scale image
+    * dedup. None when the bytes are not a decodable image. */
+  def dHash64(content: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val gw = 9
+      val gh = 8
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Double](gw * gh)
+      val counts = new Array[Long](gw * gh)
+      var y = 0
+      while (y < h) {
+        val cy = y * gh / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          val c = cy * gw + (x * gw / w)
+          sums(c) += luma
+          counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val g = Array.tabulate(gw * gh)(i =>
+        if (counts(i) > 0) sums(i) / counts(i) else 0.0)
+      var hash = 0L
+      var yy = 0
+      while (yy < gh) {
+        var xx = 0
+        while (xx < gw - 1) {
+          if (g(yy * gw + xx + 1) > g(yy * gw + xx)) hash |= 1L << (yy * 8 + xx)
+          xx += 1
+        }
+        yy += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** Perceptual hashes for a media frame's decodable images, in the
+    * same batched partition pass as the other extractors: (media_id,
+    * dhash). Non-image payloads emit nothing — a fabricated hash would
+    * pollute the near-dup graph downstream. */
+  def imageDHashes(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.flatMap(m =>
+      dHash64(m.content).map(h => (m.media_id, h)))))
+      .toDF("media_id", "dhash")
+  }
+
   // ==== AUDIO DECODE (real, JDK javax.sound.sampled) ================
 
   /** FFT frame length for MFCC analysis (power of two). */

@@ -371,6 +371,56 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(Multimodal.videoFrameFeatures(junk).collect().isEmpty)
   }
 
+  test("image dHash: perceptual stability across encode/scale, discrimination") {
+    import java.awt.image.BufferedImage
+    def render(seed: Int, scale: Int): BufferedImage = {
+      val w = 64 * scale; val h = 48 * scale
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          // smooth seed-dependent gradient: perceptual structure that
+          // survives JPEG and rescaling
+          val v = ((math.sin(seed + 3.0 * x / w) + math.cos(seed * 2 + 2.0 * y / h))
+            * 60 + 128).toInt.max(0).min(255)
+          img.setRGB(x, y, v << 16 | v << 8 | v)
+        }
+      }
+      img
+    }
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val png = Multimodal.dHash64(enc(render(1, 1), "png")).get
+    // same pixels through lossy JPEG: perceptually identical
+    assert(ham(png, Multimodal.dHash64(enc(render(1, 1), "jpg")).get) <= 3)
+    // same content at 2x resolution: the area-averaged grid is scale-stable
+    assert(ham(png, Multimodal.dHash64(enc(render(1, 2), "png")).get) <= 3)
+    // different content separates clearly beyond the near-dup band
+    // (these are both smooth gradients — structurally the hardest
+    // negatives — so the margin is 2x the band, not the ~32 bits
+    // independent images average)
+    assert(ham(png, Multimodal.dHash64(enc(render(7, 1), "png")).get) > 6)
+    // non-images produce no hash
+    assert(Multimodal.dHash64(Array.tabulate(64)(_.toByte)).isEmpty)
+
+    // corpus-scale pipeline: imageDHashes |> hammingPairs64 finds the
+    // planted re-encoded pair and nothing else
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, "image/png", enc(render(1, 1), "png")),
+      Multimodal.MediaRow(1L, "image/jpeg", enc(render(1, 1), "jpg")),
+      Multimodal.MediaRow(2L, "image/png", enc(render(7, 1), "png")),
+      Multimodal.MediaRow(3L, "audio/wav", Multimodal.syntheticWav(3))))
+    val hashes = Multimodal.imageDHashes(media)
+    assert(hashes.count() == 3) // the WAV emits nothing
+    val pairs = graft.ops.Dedup.hammingPairs64(hashes, "media_id", "dhash",
+      maxHamming = 3, bands = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), s"got $pairs")
+  }
+
   test("binaryFile ingestion end-to-end: files on disk -> typed features") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile
     dir.deleteOnExit()
