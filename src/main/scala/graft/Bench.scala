@@ -48,9 +48,11 @@ object Bench {
   }
 
   /** A parquet dir counts as generated only when its write COMMITTED
-    * (_SUCCESS marker): a bare directory can be a crashed half-commit,
-    * and trusting it would wedge every later bench run on the same
-    * scratch dir. */
+    * (_SUCCESS marker): a bare directory can be a crashed half-commit.
+    * Bench's own benchDir is a fresh temp dir per process, so this
+    * guards retries WITHIN a run there — the cross-run case it guards
+    * is BenchOne's user-supplied persistent dir (and any explicit
+    * SPARK_GRAFT_BENCH_DIR reuse). */
   private[graft] def committed(p: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
 

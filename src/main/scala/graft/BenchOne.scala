@@ -136,9 +136,14 @@ object BenchOne {
       return
     }
 
-    val lp = s"$dir/labels.parquet"
+    // scale-keyed subdir: a persistent user-supplied dir reused at a
+    // DIFFERENT nLabels/nFeatures must regenerate, not silently
+    // benchmark stale data at the old scale (the audit path keys its
+    // file name the same way)
+    val scDir = s"$dir/bo_${nLabels}_$nFeatures"
+    val lp = s"$scDir/labels.parquet"
     if (!Bench.committed(lp) ||
-      (0 until nFeatures).exists(k => !Bench.committed(s"$dir/feature_$k.parquet"))) {
+      (0 until nFeatures).exists(k => !Bench.committed(s"$scDir/feature_$k.parquet"))) {
       timed("datagen") {
         val labelStepUs = 86400000000L / nLabels
         val featStepUs = 31536000000000L / (2L * nLabels)
@@ -155,14 +160,14 @@ object BenchOne {
             timestamp_micros(lit(1672531200000000L) + col("id") * math.max(1L, featStepUs)).as("updated_at"),
             ((col("id") * (k + 17)) % 1000 / 10.0).as(s"val_$k"))
             .coalesce(files(2L * nLabels))
-            .write.mode("overwrite").parquet(s"$dir/feature_$k.parquet")
+            .write.mode("overwrite").parquet(s"$scDir/feature_$k.parquet")
         }
       }
     }
     val labels = Labels.parquet(lp, Seq("user_id"), "label_time", Seq("churned"))
     val features = (0 until nFeatures).map { k =>
       Feature(s"f$k",
-        Source.parquet(s"src$k", s"$dir/feature_$k.parquet", Seq("user_id"), "updated_at"),
+        Source.parquet(s"src$k", s"$scDir/feature_$k.parquet", Seq("user_id"), "updated_at"),
         ColumnsMode(Map(s"val_$k" -> s"val_$k")))
     }
 
@@ -171,7 +176,7 @@ object BenchOne {
       val spine = spark.read.parquet(lp)
         .withColumn(Build.RowId, monotonically_increasing_id())
         .select(Build.RowId, "user_id", "label_time")
-      val feat = spark.read.parquet(s"$dir/feature_0.parquet")
+      val feat = spark.read.parquet(s"$scDir/feature_0.parquet")
       val spec = graft.operators.AsOfJoin.Spec(
         Seq("user_id"), Seq("user_id"), "label_time", "updated_at", Seq("val_0"))
       println("  rows=" + graft.operators.AsOfJoin.unionAsOf(spine, feat, spec).count())

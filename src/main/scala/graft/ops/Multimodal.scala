@@ -77,31 +77,46 @@ object Multimodal {
       catch { case _: Exception => null }
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
     else {
-      val w = img.getWidth
-      val h = img.getHeight
       val g = math.ceil(math.sqrt(dim.toDouble)).toInt
-      val sums = new Array[Double](g * g)
-      val counts = new Array[Long](g * g)
-      var y = 0
-      while (y < h) {
-        val cy = y * g / h
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val luma = 0.299 * ((rgb >> 16) & 0xff) +
-            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-          val c = cy * g + (x * g / w)
-          sums(c) += luma / 255.0
-          counts(c) += 1
-          x += 1
-        }
-        y += 1
-      }
+      val grid = lumaGrid(img, g, g)
       val emb = Array.tabulate(dim) { j =>
-        if (j < g * g && counts(j) > 0) (sums(j) / counts(j)).toFloat else 0f
+        if (j < g * g) (grid(j) / 255.0).toFloat else 0f
       }
-      Some((w, h, emb))
+      Some((img.getWidth, img.getHeight, emb))
     }
+  }
+
+  /** Area-averaged BT.601 luma grid (gw×gh cells, values 0..255) of a
+    * decoded image — the shared pixel pass behind [[decodeImage]]'s
+    * embedding and [[dHash64]]. Reads pixels one BULK row at a time
+    * (`getRGB(0, y, w, 1, ...)`): per-pixel getRGB pays a ColorModel
+    * conversion call per pixel, ~an order of magnitude slower on
+    * megapixel corpus images, while a full-frame buffer would cost
+    * w×h×4 bytes; one row bounds memory at O(w). Cells no pixel maps
+    * to (images narrower than the grid) stay 0. */
+  private def lumaGrid(img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](gw * gh)
+    val counts = new Array[Long](gw * gh)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      val cy = y * gh / h
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        val luma = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        val c = cy * gw + (x * gw / w)
+        sums(c) += luma
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(gw * gh)(i => if (counts(i) > 0) sums(i) / counts(i) else 0.0)
   }
 
   /** 64-bit difference hash (dHash) of an image payload: decode,
@@ -120,27 +135,7 @@ object Multimodal {
     else {
       val gw = 9
       val gh = 8
-      val w = img.getWidth
-      val h = img.getHeight
-      val sums = new Array[Double](gw * gh)
-      val counts = new Array[Long](gw * gh)
-      var y = 0
-      while (y < h) {
-        val cy = y * gh / h
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val luma = 0.299 * ((rgb >> 16) & 0xff) +
-            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-          val c = cy * gw + (x * gw / w)
-          sums(c) += luma
-          counts(c) += 1
-          x += 1
-        }
-        y += 1
-      }
-      val g = Array.tabulate(gw * gh)(i =>
-        if (counts(i) > 0) sums(i) / counts(i) else 0.0)
+      val g = lumaGrid(img, gw, gh)
       var hash = 0L
       var yy = 0
       while (yy < gh) {
@@ -159,9 +154,11 @@ object Multimodal {
     * same batched partition pass as the other extractors: (media_id,
     * dhash). Non-image payloads emit nothing — a fabricated hash would
     * pollute the near-dup graph downstream. */
-  def imageDHashes(ds: Dataset[MediaRow]): DataFrame = {
+  def imageDHashes(ds: Dataset[MediaRow],
+      repartitionTo: Option[Int] = None): DataFrame = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.flatMap(m =>
+    val base = repartitionTo.map(ds.repartition(_)).getOrElse(ds)
+    base.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.flatMap(m =>
       dHash64(m.content).map(h => (m.media_id, h)))))
       .toDF("media_id", "dhash")
   }
