@@ -219,6 +219,45 @@ class PropertySpec extends AnyFunSuite {
     }, 200)
   }
 
+  test("lossless encodings are feature-invariant: png and bmp agree exactly") {
+    // decodeImage and dHash64 must be functions of the DECODED PIXELS,
+    // not the container bytes: the same random image encoded through
+    // two lossless formats has to produce identical dims, embedding,
+    // and perceptual hash. Catches any accidental dependence on
+    // payload bytes (e.g. a fallback-stub path silently engaging).
+    val genImg = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (((seed + y.toLong * w + x) * 2654435761L) >>> 16).toInt & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    check(Prop.forAllNoShrink(genImg) { img =>
+      val png = enc(img, "png")
+      val bmp = enc(img, "bmp")
+      val dp = graft.ops.Multimodal.decodeImage(png, dim = 16).get
+      val db = graft.ops.Multimodal.decodeImage(bmp, dim = 16).get
+      dp._1 == db._1 && dp._2 == db._2 && dp._3.toSeq == db._3.toSeq &&
+        graft.ops.Multimodal.dHash64(png) == graft.ops.Multimodal.dHash64(bmp)
+    }, 100)
+  }
+
   test("hash sampling is nested and boundary-exact for arbitrary rates") {
     // threshold sampling's defining property: for r1 <= r2 the r1
     // sample is a SUBSET of the r2 sample (growing a sampling rate
