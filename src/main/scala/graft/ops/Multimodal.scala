@@ -163,6 +163,87 @@ object Multimodal {
       .toDF("media_id", "dhash")
   }
 
+  /** Deterministic area-average resize of an image payload to
+    * `outW`×`outH`, re-encoded as PNG (lossless, so chained transforms
+    * don't compound codec error). Pure pixel math per RGB channel —
+    * NOT Graphics2D interpolation, whose rendering-pipeline output is
+    * not pinned across JVM versions — so the same input produces
+    * bit-identical output on every executor. None when the bytes are
+    * not a decodable image. */
+  def resizeImage(content: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    require(outW > 0 && outH > 0, "target dimensions must be positive")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val n = outW * outH
+      val rs = new Array[Double](n)
+      val gs = new Array[Double](n)
+      val bs = new Array[Double](n)
+      val counts = new Array[Long](n)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        val cy = y * outH / h
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val c = cy * outW + (x * outW / w)
+          rs(c) += (rgb >> 16) & 0xff
+          gs(c) += (rgb >> 8) & 0xff
+          bs(c) += rgb & 0xff
+          counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.awt.image.BufferedImage(
+        outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < n) {
+        // upscales leave cells no source pixel maps to: fill from the
+        // nearest source pixel (same integer cell mapping, inverted)
+        val (r, g, b) =
+          if (counts(i) > 0)
+            (math.round(rs(i) / counts(i)).toInt,
+              math.round(gs(i) / counts(i)).toInt,
+              math.round(bs(i) / counts(i)).toInt)
+          else {
+            val sx = math.min(w - 1, (i % outW) * w / outW)
+            val sy = math.min(h - 1, (i / outW) * h / outH)
+            val rgb = img.getRGB(sx, sy)
+            ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          }
+        out.setRGB(i % outW, i / outW, r << 16 | g << 8 | b)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  /** Resize every decodable image in a media frame to `w`×`h` in the
+    * standard batched partition pass — the preprocessing step a
+    * vision-model training pipeline runs before feature extraction.
+    * Non-image payloads (audio, video, corrupt bytes) pass through
+    * UNCHANGED: a resize stage must not drop or fabricate media. */
+  def resizeImages(ds: Dataset[MediaRow], w: Int, h: Int,
+      repartitionTo: Option[Int] = None): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    val base = repartitionTo.map(ds.repartition(_)).getOrElse(ds)
+    base.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.map { m =>
+      resizeImage(m.content, w, h) match {
+        case Some(resized) => m.copy(mime = "image/png", content = resized)
+        case None          => m
+      }
+    }))
+  }
+
   // ==== AUDIO DECODE (real, JDK javax.sound.sampled) ================
 
   /** FFT frame length for MFCC analysis (power of two). */

@@ -371,6 +371,65 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(Multimodal.videoFrameFeatures(junk).collect().isEmpty)
   }
 
+  test("image resize: exact target dims, deterministic, content-preserving") {
+    // dims contract over every synthetic shape
+    (0 until 10).foreach { i =>
+      val out = Multimodal.resizeImage(Multimodal.syntheticPng(i), 32, 24).get
+      val Some((w, h, _)) = Multimodal.decodeImage(out)
+      assert(w == 32 && h == 24, s"seed $i resized dims")
+    }
+    // deterministic: same input -> byte-identical output
+    assert(Multimodal.resizeImage(Multimodal.syntheticPng(5), 16, 16).get.toSeq ==
+      Multimodal.resizeImage(Multimodal.syntheticPng(5), 16, 16).get.toSeq)
+    // content-preserving: on an image with coarse structure (smooth
+    // gradient — what perceptual hashing is FOR; pixel noise has no
+    // scale-stable structure by definition) a resize is a perceptual
+    // no-op, so the dHash stays within the near-dup band
+    val grad = {
+      val img = new java.awt.image.BufferedImage(
+        60, 45, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 45).foreach { y =>
+        (0 until 60).foreach { x =>
+          val v = ((math.sin(3.0 * x / 60) + math.cos(2.0 * y / 45)) * 60 + 128).toInt
+          img.setRGB(x, y, v << 16 | v << 8 | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val up = Multimodal.resizeImage(grad, 120, 90).get
+    val down = Multimodal.resizeImage(grad, 30, 22).get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(Multimodal.dHash64(grad).get, Multimodal.dHash64(up).get) <= 3)
+    assert(ham(Multimodal.dHash64(grad).get, Multimodal.dHash64(down).get) <= 3)
+    // uniform image stays exactly uniform through up AND down scaling
+    val white = new java.awt.image.BufferedImage(
+      10, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 10).foreach(y => (0 until 10).foreach(x => white.setRGB(x, y, 0xffffff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(white, "png", bos)
+    Seq((25, 7), (4, 4)).foreach { case (w, h) =>
+      val r = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.resizeImage(bos.toByteArray, w, h).get))
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        assert((r.getRGB(x, y) & 0xffffff) == 0xffffff)))
+    }
+    // pipeline pass: images resized, non-images pass through unchanged
+    val media = Multimodal.syntheticMedia(spark, 10)
+    val resized = Multimodal.resizeImages(media, 20, 20).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(resized.size == 10)
+    (0 until 10 by 2).foreach { i =>
+      val Some((w, h, _)) = Multimodal.decodeImage(resized(i.toLong).content)
+      assert(w == 20 && h == 20)
+    }
+    (1 until 10 by 2).foreach { i =>
+      assert(resized(i.toLong).content.toSeq == Multimodal.syntheticWav(i).toSeq,
+        s"non-image payload $i must pass through untouched")
+    }
+  }
+
   test("image dHash: perceptual stability across encode/scale, discrimination") {
     import java.awt.image.BufferedImage
     def render(seed: Int, scale: Int): BufferedImage = {
