@@ -245,6 +245,18 @@ object SparkEntry {
       graft.ops.Dedup.exactGroups(d, "text", "doc_id").orderBy("keep_id")
     }),
     // Token counting + quality signals, pure codegen'd expressions
+    // Unicode NFC normalization (custom codegen'd expression — Spark
+    // ships no builtin). The corpus is ASCII (normalization-invariant),
+    // so the query APPENDS a decomposed suffix (e + combining acute)
+    // per row: the oracle's nfc_normalize must compose it to é exactly
+    // like java.text.Normalizer — a real differential check of the two
+    // UAX #15 implementations, not an identity pass.
+    "q_text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.Normalize.unicodeNormalize(
+          concat(col("text"), lit(" cafe\u0301")), "NFC").as("norm"))
+        .orderBy("doc_id")),
     "q_text_stats" -> ((s, dir) => {
       val txt = col("text")
       t(s, dir, "documents").select(
@@ -592,6 +604,14 @@ object SparkEntry {
         |LEFT JOIN (SELECT event_id, value FROM f1 WHERE rn = 1) f1 USING (event_id)
         |LEFT JOIN (SELECT event_id, event_type FROM f2 WHERE rn = 1) f2 USING (event_id)
         |ORDER BY user_id, label_time""".stripMargin,
+
+    // NFC composition differential: DuckDB's nfc_normalize and
+    // java.text.Normalizer must agree byte-for-byte on the composed
+    // output (both implement UAX #15)
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |       nfc_normalize(text || ' cafe' || chr(769)) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH d AS (

@@ -33,6 +33,20 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"vec_dot takes 2 arguments, got ${args.length}")
     },
+    "unicode_normalize" -> {
+      case Seq(text, form) =>
+        val f = form match {
+          case other if other.foldable && other.dataType == org.apache.spark.sql.types.StringType =>
+            Option(other.eval()).map(_.toString).getOrElse(throw new IllegalArgumentException(
+              "unicode_normalize(text, form): form must not be NULL"))
+          case _ => throw new IllegalArgumentException(
+            "unicode_normalize(text, form): form must be a string literal (NFC/NFD/NFKC/NFKD)")
+        }
+        NormalizeExpr(text, f)
+      case Seq(text) => NormalizeExpr(text, "NFKC")
+      case args => throw new IllegalArgumentException(
+        s"unicode_normalize takes 1-2 arguments (text[, form]), got ${args.length}")
+    },
     "shingles" -> {
       case Seq(text, n) =>
         import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}

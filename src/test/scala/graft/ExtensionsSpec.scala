@@ -31,6 +31,48 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(again == texts("a"))
   }
 
+  test("unicode_normalize: composition, compatibility folding, cleanText") {
+    import graft.functions.Normalize
+    // explicit escapes: composed vs decomposed must be unambiguous in
+    // the test source itself (an editor can silently re-normalize)
+    val decomposed = "cafe\u0301"  // e + combining acute
+    val composed = "caf\u00e9"     // precomposed e-acute
+    val ligature = "\ufb01le"      // fi ligature
+    val fullwidth = "\uff21BC"     // fullwidth A
+    assert(decomposed != composed, "sanity: spellings differ pre-normalization")
+    val df = Seq(decomposed, composed, ligature, fullwidth, null).toDF("t")
+    val nfc = df.select(Normalize.unicodeNormalize(col("t"), "NFC").as("n"))
+      .as[String].collect().toSeq
+    assert(nfc(0) == composed && nfc(1) == composed,
+      "both spellings must compose to the same bytes")
+    assert(nfc(2) == ligature, "NFC must NOT fold compatibility forms")
+    assert(nfc(4) == null, "null in, null out")
+    val nfkc = df.select(Normalize.unicodeNormalize(col("t"), "NFKC").as("n"))
+      .as[String].collect().toSeq
+    assert(nfkc(2) == "file" && nfkc(3) == "ABC",
+      "NFKC folds ligatures and fullwidth forms")
+    // the expression participates in whole-stage codegen (checked over
+    // a file scan — a local Seq relation constant-folds to
+    // LocalTableScan and shows no codegen stage at all)
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Normalize.unicodeNormalize(col("text")))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks a WholeStageCodegen stage in this render
+    assert(plan.contains("*(1) Project [unicode_normalize"), plan)
+    // cleanText: the full dedup-prep composition in one pass
+    val cleaned = Seq("  \uff21\t\tMessy  CAF\u00c9  text ").toDF("t")
+      .select(Normalize.cleanText(col("t"))).as[String].head()
+    assert(cleaned == s"a messy $composed text", s"got '$cleaned'")
+    // SQL registration (both arities)
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql(s"SELECT unicode_normalize('$decomposed', 'NFC')")
+      .as[String].head() == composed)
+    assert(spark.sql(s"SELECT unicode_normalize('$ligature')")
+      .as[String].head() == "file")
+    // invalid form fails at construction, not per-row on executors
+    intercept[Exception](Normalize.unicodeNormalize(col("t"), "NFX"))
+  }
+
   test("simhash64 works under codegen and with nulls in the array") {
     val r = Seq(Seq("a", null, "b"), Seq.empty[String])
       .toDF("toks").select(SimHash.simhash64(col("toks"))).as[Long].collect()
