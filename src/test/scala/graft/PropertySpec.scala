@@ -258,6 +258,29 @@ class PropertySpec extends AnyFunSuite {
     }, 100)
   }
 
+  test("normalization kernel is total and idempotent on arbitrary unicode") {
+    // corpus text is untrusted bytes: the kernel must never throw
+    // (including on lone surrogates and unassigned code points) and
+    // normalization must be a projection — applying it twice equals
+    // once (UAX #15 guarantees it; this pins our wrapper preserves it)
+    import org.apache.spark.unsafe.types.UTF8String
+    val genStr = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      2 -> Gen.choose(0x00c0.toChar, 0x024f.toChar),   // latin w/ diacritics
+      1 -> Gen.choose(0x0300.toChar, 0x036f.toChar),   // combining marks
+      1 -> Gen.choose(0xfb00.toChar, 0xfb06.toChar),   // ligatures
+      1 -> Gen.choose(0xff00.toChar, 0xffef.toChar),   // full/half width
+      1 -> Gen.choose(0xd800.toChar, 0xdfff.toChar)    // raw surrogates
+    )).map(_.mkString)
+    Seq("NFC", "NFKC").foreach { form =>
+      check(Prop.forAllNoShrink(genStr) { s =>
+        val n1 = graft.functions.Normalize.compute(UTF8String.fromString(s), form)
+        val n2 = graft.functions.Normalize.compute(n1, form)
+        n1.equals(n2)
+      }, 500)
+    }
+  }
+
   test("hash sampling is nested and boundary-exact for arbitrary rates") {
     // threshold sampling's defining property: for r1 <= r2 the r1
     // sample is a SUBSET of the r2 sample (growing a sampling rate
