@@ -244,7 +244,6 @@ object SparkEntry {
       val d = docs.union(docs.withColumn("doc_id", col("doc_id") + 100000))
       graft.ops.Dedup.exactGroups(d, "text", "doc_id").orderBy("keep_id")
     }),
-    // Token counting + quality signals, pure codegen'd expressions
     // Unicode NFC normalization (custom codegen'd expression — Spark
     // ships no builtin). The corpus is ASCII (normalization-invariant),
     // so the query APPENDS a decomposed suffix (e + combining acute)
@@ -257,6 +256,7 @@ object SparkEntry {
         graft.functions.Normalize.unicodeNormalize(
           concat(col("text"), lit(" cafe\u0301")), "NFC").as("norm"))
         .orderBy("doc_id")),
+    // Token counting + quality signals, pure codegen'd expressions
     "q_text_stats" -> ((s, dir) => {
       val txt = col("text")
       t(s, dir, "documents").select(

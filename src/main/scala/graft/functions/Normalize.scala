@@ -22,15 +22,22 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Normalize {
 
-  /** The kernel — also called from generated code. `form` is validated
-    * at expression construction; valueOf here is a enum-map lookup. */
-  def compute(s: UTF8String, form: String): UTF8String = {
-    val str = s.toString
-    // fast path: Normalizer.isNormalized is a cheap scan and ~all
-    // real-corpus ASCII text is already normalized in every form
-    val f = java.text.Normalizer.Form.valueOf(form)
-    if (java.text.Normalizer.isNormalized(str, f)) s
-    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  /** The kernel — also called from generated code (which references
+    * the Form enum constant directly, so nothing string-resolves per
+    * row). Invalid UTF-8 is sanitized (U+FFFD) on EVERY path: the
+    * fast path may only hand back the original bytes when they are
+    * valid, else two canonically-equivalent inputs sharing an invalid
+    * byte tail would normalize to different byte strings (the
+    * original on the already-normalized path, a sanitized re-encoding
+    * on the other) — and different bytes mean different fingerprints,
+    * the exact dedup miss this function exists to prevent. */
+  def compute(s: UTF8String, f: java.text.Normalizer.Form): UTF8String = {
+    val str = s.toString // replaces malformed sequences with U+FFFD
+    // fast path: isNormalized is a cheap scan and ~all real-corpus
+    // ASCII text is already normalized in every form
+    if (java.text.Normalizer.isNormalized(str, f)) {
+      if (s.isValid) s else UTF8String.fromString(str)
+    } else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
   }
 
   /** Column API: Unicode-normalize `text` to `form` (NFC, NFD, NFKC,
@@ -41,19 +48,28 @@ object Normalize {
   }
 
   /** The standard dedup-prep composition: NFKC-normalize, lowercase,
-    * replace control characters with spaces, collapse whitespace runs,
-    * trim. Everything after the normalization is builtin (codegen'd)
-    * Spark SQL, so the whole expression stays in one generated stage. */
+    * DELETE format characters (Cf: zero-width spaces/joiners, soft
+    * hyphens — the invisible junk web text is full of, which NFKC
+    * deliberately preserves; deleted rather than spaced so soft-
+    * hyphenated words rejoin), replace control characters with spaces,
+    * collapse whitespace runs, trim. Everything after the
+    * normalization is builtin (codegen'd) Spark SQL, so the whole
+    * expression stays in one generated stage. */
   def cleanText(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(unicodeNormalize(text, "NFKC")), "\\p{Cntrl}", " "),
+      regexp_replace(
+        regexp_replace(lower(unicodeNormalize(text, "NFKC")), "\\p{Cf}", ""),
+        "\\p{Cntrl}", " "),
       "\\s+", " "))
 }
 
 case class NormalizeExpr(child: Expression, form: String) extends UnaryExpression {
 
-  // fail at construction, not per-row inside an executor
+  // fail at construction, not per-row inside an executor; the resolved
+  // enum is re-derived lazily after deserialization so the per-row
+  // path never string-resolves the form
   java.text.Normalizer.Form.valueOf(form)
+  @transient private lazy val resolvedForm = java.text.Normalizer.Form.valueOf(form)
 
   override def dataType: DataType = StringType
 
@@ -68,10 +84,11 @@ case class NormalizeExpr(child: Expression, form: String) extends UnaryExpressio
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    Normalize.compute(input.asInstanceOf[UTF8String], form)
+    Normalize.compute(input.asInstanceOf[UTF8String], resolvedForm)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"""graft.functions.Normalize.compute($c, "$form")""")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Normalize.compute($c, java.text.Normalizer.Form.$form)")
 
   override protected def withNewChildInternal(newChild: Expression): NormalizeExpr =
     copy(child = newChild)

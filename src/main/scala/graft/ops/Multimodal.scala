@@ -172,6 +172,12 @@ object Multimodal {
     * not a decodable image. */
   def resizeImage(content: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
     require(outW > 0 && outH > 0, "target dimensions must be positive")
+    // fail fast on the driver: outW*outH cells must index an Int array
+    // (and the per-axis bound keeps every x*outW / i*w product inside
+    // Long trivially; 2^26 cells = a 64-megapixel target, far beyond
+    // any model input resolution)
+    require(outW.toLong * outH <= (1L << 26),
+      s"target $outW x $outH exceeds the 2^26-pixel resize bound")
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       catch { case _: Exception => null }
@@ -188,11 +194,13 @@ object Multimodal {
       var y = 0
       while (y < h) {
         img.getRGB(0, y, w, 1, row, 0, w)
-        val cy = y * outH / h
+        // long intermediates: y*outH and x*outW overflow Int for
+        // megapixel sources at large targets
+        val cy = (y.toLong * outH / h).toInt
         var x = 0
         while (x < w) {
           val rgb = row(x)
-          val c = cy * outW + (x * outW / w)
+          val c = cy * outW + (x.toLong * outW / w).toInt
           rs(c) += (rgb >> 16) & 0xff
           gs(c) += (rgb >> 8) & 0xff
           bs(c) += rgb & 0xff
@@ -213,8 +221,8 @@ object Multimodal {
               math.round(gs(i) / counts(i)).toInt,
               math.round(bs(i) / counts(i)).toInt)
           else {
-            val sx = math.min(w - 1, (i % outW) * w / outW)
-            val sy = math.min(h - 1, (i / outW) * h / outH)
+            val sx = math.min(w - 1, ((i % outW).toLong * w / outW).toInt)
+            val sy = math.min(h - 1, ((i / outW).toLong * h / outH).toInt)
             val rgb = img.getRGB(sx, sy)
             ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
           }

@@ -264,21 +264,41 @@ class PropertySpec extends AnyFunSuite {
     // normalization must be a projection — applying it twice equals
     // once (UAX #15 guarantees it; this pins our wrapper preserves it)
     import org.apache.spark.unsafe.types.UTF8String
+    import java.text.Normalizer.Form
     val genStr = Gen.listOf(Gen.frequency(
       5 -> Gen.alphaNumChar,
       2 -> Gen.choose(0x00c0.toChar, 0x024f.toChar),   // latin w/ diacritics
       1 -> Gen.choose(0x0300.toChar, 0x036f.toChar),   // combining marks
       1 -> Gen.choose(0xfb00.toChar, 0xfb06.toChar),   // ligatures
-      1 -> Gen.choose(0xff00.toChar, 0xffef.toChar),   // full/half width
-      1 -> Gen.choose(0xd800.toChar, 0xdfff.toChar)    // raw surrogates
+      1 -> Gen.choose(0xff00.toChar, 0xffef.toChar)    // full/half width
     )).map(_.mkString)
-    Seq("NFC", "NFKC").foreach { form =>
+    Seq(Form.NFC, Form.NFKC).foreach { form =>
       check(Prop.forAllNoShrink(genStr) { s =>
         val n1 = graft.functions.Normalize.compute(UTF8String.fromString(s), form)
         val n2 = graft.functions.Normalize.compute(n1, form)
         n1.equals(n2)
       }, 500)
     }
+    // RAW malformed UTF-8 must reach the kernel (String-level surrogate
+    // generators get sanitized by fromString before compute ever runs):
+    // arbitrary byte sequences — truncated multibyte heads, stray
+    // continuation bytes, overlong forms — must not throw, must be
+    // idempotent, and canonically-equivalent text sharing an invalid
+    // byte tail must normalize to IDENTICAL bytes on both the fast
+    // (already-normalized) and slow path
+    val genBytes = Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-128, 127))).map(_.map(_.toByte).toArray)
+    check(Prop.forAllNoShrink(genBytes) { bytes =>
+      val composed = "caf\u00e9".getBytes("UTF-8") ++ bytes
+      val decomposed = "cafe\u0301".getBytes("UTF-8") ++ bytes
+      val n1 = graft.functions.Normalize.compute(
+        UTF8String.fromBytes(bytes), Form.NFKC)
+      val n2 = graft.functions.Normalize.compute(n1, Form.NFKC)
+      n1.equals(n2) &&
+        graft.functions.Normalize.compute(UTF8String.fromBytes(composed), Form.NFC)
+          .equals(graft.functions.Normalize.compute(
+            UTF8String.fromBytes(decomposed), Form.NFC))
+    }, 500)
   }
 
   test("hash sampling is nested and boundary-exact for arbitrary rates") {
