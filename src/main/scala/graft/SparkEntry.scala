@@ -391,12 +391,16 @@ object SparkEntry {
     "q_embed_ivf_indexed" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val idx = graft.ops.Similarity.buildIvfIndex(e, "vec_id", "embedding", nlist = 8)
-      // one reused (overwritten) scratch dir per sfDir, not a fresh
-      // createTempDirectory per call: bench/verify re-derive this query
-      // many times per session and would otherwise leak a full index
-      // copy under /tmp each rep
+      // one reused (overwritten) scratch dir per (canonical sfDir,
+      // process), not a fresh createTempDirectory per call: bench/
+      // verify re-derive this query many times per session and would
+      // otherwise leak a full index copy under /tmp each rep. The pid
+      // keeps two concurrent JVMs on the same sfDir from overwriting
+      // each other's lists mid-probe; the canonical path keeps
+      // relative/absolute spellings of one sfDir on one scratch dir.
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${
-        java.lang.Integer.toHexString(dir.hashCode)}"
+        java.lang.Integer.toHexString(new java.io.File(dir).getAbsolutePath.hashCode)}_${
+        ProcessHandle.current().pid()}"
       graft.ops.Similarity.saveIvfIndex(idx, path)
       graft.ops.Similarity.ivfTopKIndexed(
         e.filter(col("vec_id") % 50 === 0),

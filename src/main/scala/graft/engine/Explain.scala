@@ -116,7 +116,11 @@ object Explain {
           // files missing at explain time); Some(missing) = resolved
           val missingCols: Option[Seq[String]] =
             try {
-              val view = s"__explain_src_${f.safeName}"
+              // unique suffix: createOrReplaceTempView on a fixed name
+              // would silently destroy a pre-existing user view of the
+              // same name — a dry run must not mutate catalog state
+              val view = s"__explain_src_${f.safeName}_${
+                java.util.UUID.randomUUID().toString.take(8)}"
               f.source.resolve(spark).createOrReplaceTempView(view)
               try {
                 val q = sql.replace("{source}", view)

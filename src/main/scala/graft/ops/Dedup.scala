@@ -214,7 +214,12 @@ object Dedup {
     * least one band when h < bands (pigeonhole), so banding is
     * recall-complete for maxHamming < bands. One shuffle keyed on
     * (band, band-bits); the Hamming check is `bit_count(a^b)`, pure
-    * codegen. */
+    * codegen.
+    *
+    * BEHAVIOR CHANGE (0.3): maxHamming >= bands is now rejected at
+    * call time instead of silently returning incomplete recall —
+    * callers who want a lossy sweep must widen bands or lower
+    * maxHamming explicitly. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 100000): DataFrame =
     hammingPairs64(

@@ -242,6 +242,12 @@ object Multimodal {
     * UNCHANGED: a resize stage must not drop or fabricate media. */
   def resizeImages(ds: Dataset[MediaRow], w: Int, h: Int,
       repartitionTo: Option[Int] = None): Dataset[MediaRow] = {
+    // validate on the DRIVER at call time: inside the lazy partition
+    // pass the same requires would fire per-task after upstream stages
+    // already ran
+    require(w > 0 && h > 0, "target dimensions must be positive")
+    require(w.toLong * h <= (1L << 26),
+      s"target $w x $h exceeds the 2^26-pixel resize bound")
     import ds.sparkSession.implicits._
     val base = repartitionTo.map(ds.repartition(_)).getOrElse(ds)
     base.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.map { m =>
@@ -627,12 +633,17 @@ object Multimodal {
       catch { case _: Exception => null }
     if (img == null) None
     else {
+      val w = img.getWidth
+      // bulk row reads, like lumaGrid: per-pixel getRGB pays a
+      // ColorModel conversion call per pixel
+      val row = new Array[Int](w)
       var h = 1469598103934665603L
       var y = 0
       while (y < img.getHeight) {
+        img.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
-        while (x < img.getWidth) {
-          h = (h ^ img.getRGB(x, y)) * 1099511628211L
+        while (x < w) {
+          h = (h ^ row(x)) * 1099511628211L
           x += 1
         }
         y += 1

@@ -124,23 +124,27 @@ object Similarity {
       qidCol: String, idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
     val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, refineIters)
-    val cb = broadcast(centroids)
-
-    def nearestLists(frame: DataFrame, keyCol: String, vc: String, n: Int): DataFrame = {
-      val scored = frame.crossJoin(cb)
-        .withColumn("__d", cosine(col(vc), col("__centroid")))
-      val ww = Window.partitionBy(col(keyCol)).orderBy(col("__d").desc, col("list_id"))
-      scored.withColumn("__r", row_number().over(ww)).filter(col("__r") <= n)
-        .drop("__centroid", "__d", "__r")
-    }
-
     val c = nearestLists(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      "neighbor_id", "__cv", 1)
+      "neighbor_id", "__cv", centroids, 1)
     val q = nearestLists(
       queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv")),
-      "query_id", "__qv", nprobe)
+      "query_id", "__qv", centroids, nprobe)
     probeLists(c, q, k)
+  }
+
+  /** Rank the broadcast centroids per row and keep the `n` nearest
+    * lists — the ONE place the assignment/probe tie-break order
+    * (cosine desc, then list_id) lives: the documented bit-identical
+    * contract between the inline and indexed paths depends on every
+    * ranking site sharing it. */
+  private def nearestLists(frame: DataFrame, keyCol: String, vc: String,
+      centroids: DataFrame, n: Int): DataFrame = {
+    val scored = frame.crossJoin(broadcast(centroids))
+      .withColumn("__d", cosine(col(vc), col("__centroid")))
+    val ww = Window.partitionBy(col(keyCol)).orderBy(col("__d").desc, col("list_id"))
+    scored.withColumn("__r", row_number().over(ww)).filter(col("__r") <= n)
+      .drop("__centroid", "__d", "__r")
   }
 
   /** Centroid selection shared by [[ivfTopK]] and [[buildIvfIndex]]:
@@ -223,13 +227,9 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, refineIters: Int = 0): IvfIndex = {
     val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, refineIters)
-    val assigned = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__d", cosine(col("__cv"), col("__centroid")))
-    val w = Window.partitionBy("neighbor_id").orderBy(col("__d").desc, col("list_id"))
-    val lists = assigned.withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
+    val lists = nearestLists(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "neighbor_id", "__cv", centroids, 1)
       .select(col("list_id"), col("neighbor_id"), col("__cv").as("vec"))
     IvfIndex(centroids, lists)
   }
@@ -270,14 +270,9 @@ object Similarity {
     * lists, and (for a loaded index) scan only those list partitions. */
   def ivfTopKIndexed(queries: DataFrame, index: IvfIndex,
       qidCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
-    val cb = broadcast(index.centroids)
-    val scored = queries
-      .select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
-      .crossJoin(cb)
-      .withColumn("__d", cosine(col("__qv"), col("__centroid")))
-    val ww = Window.partitionBy("query_id").orderBy(col("__d").desc, col("list_id"))
-    val q = scored.withColumn("__r", row_number().over(ww)).filter(col("__r") <= nprobe)
-      .drop("__centroid", "__d", "__r")
+    val q = nearestLists(
+      queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv")),
+      "query_id", "__qv", index.centroids, nprobe)
     probeLists(index.lists.select(col("list_id"), col("neighbor_id"),
       col("vec").as("__cv")), q, k)
   }
