@@ -185,6 +185,14 @@ object AsOfJoin {
   private val probeMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, AutoConfig), Strategy]()
 
+  /** Drop all memoized probe decisions. The memo keys on the plan, not
+    * the data, so a long-lived session that overwrites a source path
+    * and re-reads it gets the OLD skew decision until eviction — still
+    * correct (both strategies are equivalence-pinned), but possibly
+    * the slower plan for the new distribution. Call this after
+    * rewriting a frequently-joined source to force fresh probes. */
+  def clearProbeMemo(): Unit = probeMemo.clear()
+
   /** Shared probe: sampled per-key histogram of `keyed` (key columns +
     * a `__pt` time column), decision per [[AutoConfig]]. Memoized per
     * (canonicalized plan, config). */

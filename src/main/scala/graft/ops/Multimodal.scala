@@ -270,6 +270,14 @@ object Multimodal {
     * from the container header, not from this capped read). */
   private val MaxAnalysisSamples = 65536
 
+  /** Upper bound on the channel count accepted from an audio header.
+    * The read buffer is sized from this field, so an unclamped value
+    * lets a crafted 44-byte WAV claiming 65535 channels allocate
+    * ~134 MB per row — and the resulting OutOfMemoryError is an Error,
+    * which the decoders' `catch Exception => None` contract does not
+    * cover. Real multichannel masters top out well under this. */
+  private val MaxAudioChannels = 64
+
   /** Decode an audio payload (WAV/AIFF/AU — whatever the JVM's
     * registered AudioFileReaders cover; µ-law/a-law and 8-bit PCM are
     * transcoded to 16-bit signed via the JDK converter) into
@@ -303,35 +311,40 @@ object Multimodal {
           else AudioSystem.getAudioInputStream(
             new AudioFormat(fmt.getSampleRate, 16, fmt.getChannels, true, false), ais)
         val ch = pcm.getFormat.getChannels
-        val frameBytes = 2 * ch
-        // size the sample buffer from the container's frame count (PCM
-        // transcoding preserves it) — a fixed 64Ki doubles would waste
-        // 512KB of garbage per 100ms clip in the batched partition pass
-        val cap = {
-          val fl = ais.getFrameLength
-          if (fl >= 0 && fl < MaxAnalysisSamples) fl.toInt else MaxAnalysisSamples
-        }
-        val mono = new Array[Double](cap)
-        val buf = new Array[Byte](frameBytes * 1024)
-        var n = 0
-        var read = pcm.read(buf)
-        while (read > 0 && n < cap) {
-          var off = 0
-          while (off + frameBytes <= read && n < cap) {
-            var s = 0.0
-            var c = 0
-            while (c < ch) {
-              // little-endian signed 16-bit: high byte carries the sign
-              s += ((buf(off + 2 * c + 1).toInt << 8) | (buf(off + 2 * c) & 0xff)) / 32768.0
-              c += 1
-            }
-            mono(n) = s / ch
-            n += 1
-            off += frameBytes
+        // the read buffer is sized from the header-claimed channel
+        // count — reject implausible claims before allocating
+        if (ch < 1 || ch > MaxAudioChannels) None
+        else {
+          val frameBytes = 2 * ch
+          // size the sample buffer from the container's frame count (PCM
+          // transcoding preserves it) — a fixed 64Ki doubles would waste
+          // 512KB of garbage per 100ms clip in the batched partition pass
+          val cap = {
+            val fl = ais.getFrameLength
+            if (fl >= 0 && fl < MaxAnalysisSamples) fl.toInt else MaxAnalysisSamples
           }
-          read = if (n < cap) pcm.read(buf) else -1
+          val mono = new Array[Double](cap)
+          val buf = new Array[Byte](frameBytes * 1024)
+          var n = 0
+          var read = pcm.read(buf)
+          while (read > 0 && n < cap) {
+            var off = 0
+            while (off + frameBytes <= read && n < cap) {
+              var s = 0.0
+              var c = 0
+              while (c < ch) {
+                // little-endian signed 16-bit: high byte carries the sign
+                s += ((buf(off + 2 * c + 1).toInt << 8) | (buf(off + 2 * c) & 0xff)) / 32768.0
+                c += 1
+              }
+              mono(n) = s / ch
+              n += 1
+              off += frameBytes
+            }
+            read = if (n < cap) pcm.read(buf) else -1
+          }
+          Some((sr, durationMs, melCepstrum(mono, n, sr, coeffs)))
         }
-        Some((sr, durationMs, melCepstrum(mono, n, sr, coeffs)))
       } finally ais.close()
     } catch { case _: Exception => None }
 

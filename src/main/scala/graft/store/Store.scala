@@ -100,7 +100,16 @@ final class Store(val root: String = ".graft") {
 
   /** Stat fingerprint for scheme-d URIs, hashed into the same 16-hex
     * space as content hashes. Prefixed so a remote fingerprint can
-    * never collide with a local content hash of the same bytes. */
+    * never collide with a local content hash of the same bytes.
+    *
+    * Where the filesystem exposes one, a per-file content discriminator
+    * (`FileSystem.getFileChecksum`: MD5-of-CRC on HDFS, etag-backed on
+    * s3a when `fs.s3a.etag.checksum.enabled` is set) is folded in, so a
+    * same-length overwrite landing in the same millisecond still
+    * invalidates the cache. Filesystems that return null (the default
+    * on most object stores) fall back to the pure (length, mtime_ms)
+    * signature — the residual staleness window for that case is
+    * documented in COVERAGE.md §2.11. */
   private def remoteFingerprint(pathStr: String): String = {
     val p = new org.apache.hadoop.fs.Path(pathStr)
     val fs = p.getFileSystem(hadoopConf)
@@ -115,13 +124,25 @@ final class Store(val root: String = ".graft") {
         // same hidden-file policy as the local walk: _SUCCESS,
         // _metadata, .crc sidecars don't participate
         if (!rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
-          parts += ((rel, s"${f.getLen}:${f.getModificationTime}"))
+          parts += ((rel,
+            s"${f.getLen}:${f.getModificationTime}${checksumPart(fs, f.getPath)}"))
       }
       hashString(
         "hfs\n" + parts.sortBy(_._1).map { case (r, s) => s"$r:$s" }.mkString("\n"))
     } else
-      hashString(s"hfs:${status.getLen}:${status.getModificationTime}")
+      hashString(
+        s"hfs:${status.getLen}:${status.getModificationTime}${checksumPart(fs, p)}")
   }
+
+  /** Best-effort content discriminator for one remote file: empty when
+    * the store exposes no checksum (null) or the call fails — never
+    * blocks fingerprinting. */
+  private def checksumPart(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String =
+    try {
+      val c = fs.getFileChecksum(p)
+      if (c == null) "" else ":" + c.toString
+    } catch { case _: Exception => "" }
 
   private def fileHash(p: Path): String = {
     val size = Files.size(p)

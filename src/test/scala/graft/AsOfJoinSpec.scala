@@ -275,6 +275,12 @@ class AsOfJoinSpec extends SparkFunSuite {
       assert(settled() == afterFirst,
         s"repeated Auto resolution re-ran the probe: ${jobs.get()} jobs vs $afterFirst")
       assert(repeats.forall(_ == first), "memoized decision diverged")
+      // clearProbeMemo drops the decision: the next resolution re-probes
+      // (the escape hatch for sessions that rewrite a joined source)
+      AsOfJoin.clearProbeMemo()
+      assert(AsOfJoin.autoStrategy(feats, s, probing) == first)
+      assert(settled() > afterFirst,
+        "clearProbeMemo must force a fresh probe job on the next resolution")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

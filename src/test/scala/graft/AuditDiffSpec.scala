@@ -335,6 +335,43 @@ class AuditDiffSpec extends SparkFunSuite {
     assert(s.listManifests() == Seq("b1"))
   }
 
+  test("store: remote fingerprint folds in a checksum where the FS has one") {
+    // On a store exposing getFileChecksum (HDFS MD5-of-CRC, s3a etag),
+    // a same-length overwrite whose mtime is pinned back to the
+    // original must STILL change the fingerprint — the stat pair alone
+    // could not tell them apart. file:// returns a null checksum, so
+    // pin the fold through a registered test FS (chk://) that serves
+    // an MD5 checksum over RawLocalFileSystem.
+    spark.sparkContext.hadoopConfiguration.setClass("fs.chk.impl",
+      classOf[ChecksummedLocalFs], classOf[org.apache.hadoop.fs.FileSystem])
+    val s = new graft.store.Store(
+      java.nio.file.Files.createTempDirectory("graft_store3").toString).init()
+    val dir = java.nio.file.Files.createTempDirectory("graft_remote")
+    val uri = s"chk://$dir/data.bin"
+    val hp = new org.apache.hadoop.fs.Path(uri)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.isInstanceOf[ChecksummedLocalFs])
+    def put(bytes: String): Unit = {
+      val out = fs.create(hp, true)
+      try out.write(bytes.getBytes("US-ASCII")) finally out.close()
+    }
+    put("aaaa")
+    val st1 = fs.getFileStatus(hp)
+    val h1 = s.contentHash(uri)
+    put("bbbb") // same length
+    fs.setTimes(hp, st1.getModificationTime, -1) // same mtime
+    val st2 = fs.getFileStatus(hp)
+    assert(st2.getLen == st1.getLen &&
+      st2.getModificationTime == st1.getModificationTime)
+    assert(s.contentHash(uri) != h1,
+      "checksum discriminator must catch a same-length same-mtime overwrite")
+    // and the null-checksum case (plain file://) still fingerprints
+    val plain = s"file://$dir/data.bin"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/data.bin"),
+      "cccc".getBytes("US-ASCII"))
+    assert(s.contentHash(plain) == s.contentHash(plain))
+  }
+
   test("store: contentHash recurses into partitioned directories") {
     val s = new graft.store.Store(
       java.nio.file.Files.createTempDirectory("graft_store2").toString).init()
@@ -349,5 +386,31 @@ class AuditDiffSpec extends SparkFunSuite {
     java.nio.file.Files.setLastModifiedTime(sub.resolve("part-0.parquet"),
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
     assert(s.contentHash(dir.toString) != h1)
+  }
+}
+
+/** Local filesystem that serves a real content checksum, standing in
+  * for HDFS (MD5-of-CRC) / s3a (etag) in store fingerprint tests.
+  * Registered under the `chk://` scheme via `fs.chk.impl`. */
+class ChecksummedLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "chk"
+  override def getUri: java.net.URI = java.net.URI.create("chk:///")
+  override def getFileChecksum(f: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileChecksum = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = open(f)
+    try {
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    val digest = md.digest()
+    new org.apache.hadoop.fs.FileChecksum {
+      override def getAlgorithmName: String = "TESTMD5"
+      override def getLength: Int = digest.length
+      override def getBytes: Array[Byte] = digest
+      override def write(out: java.io.DataOutput): Unit = out.write(digest)
+      override def readFields(in: java.io.DataInput): Unit = ()
+    }
   }
 }

@@ -285,6 +285,25 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(Multimodal.decodeAudio(Array.tabulate(64)(_.toByte)).isEmpty)
   }
 
+  test("audio decode rejects a header claiming an implausible channel count") {
+    // a crafted 44-byte WAV claiming 65535 channels would size the
+    // read buffer at frameBytes*1024 ≈ 134 MB before any data is read,
+    // and the OutOfMemoryError is outside the decoders' Exception
+    // contract — the clamp must return None without allocating
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def wavWithChannels(ch: Int): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le32(36) ++ "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(ch) ++
+        le32(8000) ++ le32(8000 * ch * 2) ++ le16(ch * 2) ++ le16(16) ++
+        "data".getBytes("US-ASCII") ++ le32(0)
+    assert(Multimodal.decodeAudio(wavWithChannels(65535)).isEmpty)
+    assert(Multimodal.decodeAudio(wavWithChannels(0)).isEmpty)
+    // a plausible multichannel header within the clamp still decodes
+    assert(Multimodal.decodeAudio(wavWithChannels(2)).isDefined)
+  }
+
   test("audio decode transcodes stereo and 8-bit inputs to the same features") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val sr = 8000
