@@ -293,6 +293,63 @@ object SparkEntry {
         graft.ops.TextAnalysis.piiCount(col("text")).as("pii_hits"),
         graft.ops.TextAnalysis.scrubPii(col("text")).as("scrubbed")
       ).orderBy("doc_id")),
+    // Gopher-style document-quality rules (word-count bounds, mean
+    // word length, symbol/bullet/ellipsis ratios, alpha-word ratio,
+    // stopword presence). minStopwordKinds=1 because the synthetic
+    // vocabulary carries only 'the' of the Gopher stop list — with the
+    // paper default of 2 the flag would be constant-false here.
+    "q_quality_gopher" -> ((s, dir) =>
+      graft.ops.QualityFilters.gopherSignals(
+        t(s, dir, "documents"), "text",
+        graft.ops.QualityFilters.GopherConfig(minStopwordKinds = 1))
+        .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+          "bullet_ratio", "ellipsis_ratio", "alpha_word_ratio",
+          "stopword_kinds", "gopher_keep")
+        .orderBy("doc_id")),
+    // C4-style line filtering. The corpus has no newlines or
+    // punctuation, so the query synthesizes a deterministic multi-line
+    // page per doc (same expression in the oracle) — the signals then
+    // exercise every branch: terminal-punct lines, short lines, lorem
+    // ipsum pages, curly-brace pages, multi-sentence lines.
+    "q_c4_filter" -> ((s, dir) => {
+      val id = col("doc_id")
+      val synth = concat_ws("\n",
+        concat(lit("The quick brown fox jumps over the lazy dog"),
+          when(id % 4 === 0, ".").otherwise("")),
+        concat(substring(col("text"), 1, 40), lit(".")),
+        lit("Short line"),
+        when(id % 17 === 0, "lorem ipsum dolor sit amet here.").otherwise(""),
+        when(id % 13 === 0, "code block { x = 1; } end.").otherwise(""),
+        when(id % 5 === 0, "Is this a question? Yes it is!").otherwise(""))
+      graft.ops.QualityFilters.c4Signals(
+        t(s, dir, "documents").withColumn("text", synth), "text")
+        .select("doc_id", "n_lines", "n_kept_lines", "n_sentences",
+          "has_lorem", "has_brace", "c4_keep")
+        .orderBy("doc_id")
+    }),
+    // URL canonicalization + dedup: urls synthesized deterministically
+    // per doc (case variants, www, default port, utm params, trailing
+    // slash, fragment), canonicalized, grouped — the exactGroups shape
+    // keyed on canonical URL.
+    "q_url_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, "https://").otherwise("HTTPS://"),
+        when(id % 4 < 2, "WWW.").otherwise(""),
+        lit("Site"), (id % 7).cast("string"), lit(".Example.COM"),
+        when(id % 3 === 0, ":443").otherwise(""),
+        lit("/Path/"), (id % 5).cast("string"),
+        when(id % 2 === 1, "/").otherwise(""),
+        when(id % 3 === 1,
+          concat(lit("?utm_source=feed&ref="), (id % 2).cast("string")))
+          .otherwise(when(id % 3 === 2,
+            concat(lit("?ref="), (id % 2).cast("string"), lit("&utm_campaign=x")))
+            .otherwise("")),
+        when(id % 5 === 0, "#frag").otherwise(""))
+      graft.ops.QualityFilters.dedupByUrl(
+        t(s, dir, "documents").withColumn("url", url), "url", "doc_id")
+        .orderBy("canonical_url")
+    }),
     // Exact n-gram Jaccard near-dup pairs
     "q_ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccardPairs(
@@ -684,6 +741,110 @@ object SparkEntry {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<PII>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_gopher" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS w,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS wl,
+        |    list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, len(w) AS n_words,
+        |    CASE WHEN len(w) = 0 THEN 0.0
+        |      ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / len(w) END AS mwl,
+        |    CASE WHEN len(w) = 0 THEN 0.0
+        |      ELSE CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / len(w) END AS symr,
+        |    CASE WHEN len(lines) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lines) END AS bullr,
+        |    CASE WHEN len(lines) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE) / len(lines) END AS ellr,
+        |    CASE WHEN len(w) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w) END AS awr,
+        |    (CASE WHEN list_contains(wl, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(wl, 'be') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(wl, 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(wl, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(wl, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(wl, 'that') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(wl, 'have') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(wl, 'with') THEN 1 ELSE 0 END) AS swk
+        |  FROM base)
+        |SELECT doc_id, n_words,
+        |  round(mwl, 6) AS mean_word_len,
+        |  round(symr, 6) AS symbol_ratio,
+        |  round(bullr, 6) AS bullet_ratio,
+        |  round(ellr, 6) AS ellipsis_ratio,
+        |  round(awr, 6) AS alpha_word_ratio,
+        |  swk AS stopword_kinds,
+        |  (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        |   AND symr < 0.1 AND bullr < 0.9 AND ellr < 0.3
+        |   AND awr >= 0.8 AND swk >= 1) AS gopher_keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q_c4_filter" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      'The quick brown fox jumps over the lazy dog'
+        |        || CASE WHEN doc_id % 4 = 0 THEN '.' ELSE '' END,
+        |      substr(text, 1, 40) || '.',
+        |      'Short line',
+        |      CASE WHEN doc_id % 17 = 0 THEN 'lorem ipsum dolor sit amet here.' ELSE '' END,
+        |      CASE WHEN doc_id % 13 = 0 THEN 'code block { x = 1; } end.' ELSE '' END,
+        |      CASE WHEN doc_id % 5 = 0 THEN 'Is this a question? Yes it is!' ELSE '' END) AS text
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines
+        |  FROM synth),
+        |kept AS (
+        |  SELECT doc_id, text, lines,
+        |    list_filter(lines, l -> regexp_matches(trim(l), '[.!?"]$')
+        |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 5) AS keptl
+        |  FROM base)
+        |SELECT doc_id,
+        |  len(lines) AS n_lines,
+        |  len(keptl) AS n_kept_lines,
+        |  len(regexp_extract_all(array_to_string(keptl, chr(10)), '[.!?]')) AS n_sentences,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_brace,
+        |  (len(regexp_extract_all(array_to_string(keptl, chr(10)), '[.!?]')) >= 3
+        |   AND NOT contains(lower(text), 'lorem ipsum')
+        |   AND NOT contains(text, '{')) AS c4_keep
+        |FROM kept ORDER BY doc_id""".stripMargin,
+
+    "q_url_dedup" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END)
+        |    || (CASE WHEN doc_id % 4 < 2 THEN 'WWW.' ELSE '' END)
+        |    || 'Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+        |    || '/Path/' || CAST(doc_id % 5 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed&ref=' || CAST(doc_id % 2 AS VARCHAR)
+        |             WHEN doc_id % 3 = 2 THEN '?ref=' || CAST(doc_id % 2 AS VARCHAR) || '&utm_campaign=x'
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |nofrag AS (
+        |  SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS u FROM urls),
+        |lowered AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+        |      || substr(u, length(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1) AS u
+        |  FROM nofrag),
+        |canon AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(u, '^([a-z][a-z0-9+.-]*://[^/:?#]+):(80|443)(/|\?|$)', '\1\3'),
+        |      '[?&]utm_[A-Za-z_]+=[^&]*', '', 'g'),
+        |      '^([^?]*?)&', '\1?'),
+        |      '[?&]+$', ''), '/+$', '') AS canonical_url
+        |  FROM lowered)
+        |SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH docs AS (

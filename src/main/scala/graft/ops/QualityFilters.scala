@@ -1,0 +1,204 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality filters for large-scale training-data pipelines:
+  * Gopher-style document rules (Rae et al. 2021, appendix A1.1),
+  * C4-style line filtering (Raffel et al. 2020, §2.2) and URL
+  * canonicalization / dedup — the standard pre-training hygiene passes.
+  *
+  * Like [[TextAnalysis]], everything here is a pure Column expression
+  * over built-in functions: embarrassingly parallel, zero shuffle
+  * (except the final dedup groupBy, which is map-side combined), full
+  * column pruning. At 100 TB these run at parquet-scan speed. Every
+  * regex sticks to constructs with identical semantics in Java regex
+  * and RE2 (char classes, alternation, bounded repeats — no
+  * lookarounds, no backrefs) so the DuckDB oracles replay bit-exactly.
+  */
+object QualityFilters {
+
+  import TextAnalysis.{tokenCount, tokens, meanWordLength}
+
+  // ---- Gopher document-quality rules ---------------------------------
+
+  /** Thresholds from the Gopher paper's quality pipeline; every bound
+    * is overridable because each corpus tunes them. */
+  final case class GopherConfig(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3,
+      minAlphaWordRatio: Double = 0.8,
+      minStopwordKinds: Int = 2)
+
+  /** The Gopher stop list: a document must contain at least
+    * `minStopwordKinds` distinct words of this set to pass. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Fraction of whitespace tokens containing at least one ASCII
+    * letter. Prose sits near 1; tables, code dumps and non-Latin
+    * scripts fall off. */
+  def alphaWordRatio(text: Column): Column =
+    when(tokenCount(text) === 0, 0.0).otherwise(
+      size(filter(tokens(text), t => t.rlike("[A-Za-z]"))).cast("double")
+        / tokenCount(text))
+
+  /** Hash marks and ellipses per word — the Gopher "symbol ratio". */
+  def symbolWordRatio(text: Column): Column =
+    when(tokenCount(text) === 0, 0.0).otherwise(
+      size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0))).cast("double")
+        / tokenCount(text))
+
+  private def nonBlankLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  /** Fraction of non-blank lines starting with a bullet marker. */
+  def bulletLineRatio(text: Column): Column = {
+    val lines = nonBlankLines(text)
+    when(size(lines) === 0, 0.0).otherwise(
+      size(filter(lines, l => trim(l).rlike("^[-*•]")))
+        .cast("double") / size(lines))
+  }
+
+  /** Fraction of non-blank lines ending in an ellipsis. */
+  def ellipsisLineRatio(text: Column): Column = {
+    val lines = nonBlankLines(text)
+    when(size(lines) === 0, 0.0).otherwise(
+      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast("double") / size(lines))
+  }
+
+  /** Number of DISTINCT [[GopherStopwords]] present as (lowercased)
+    * tokens — sum of membership tests, so it stays in codegen. */
+  def stopwordKinds(text: Column): Column = {
+    val toks = tokens(lower(text))
+    GopherStopwords
+      .map(w => when(array_contains(toks, w), 1).otherwise(0))
+      .reduce(_ + _)
+  }
+
+  /** The full Gopher keep decision over one text column. */
+  def gopherKeep(text: Column, cfg: GopherConfig = GopherConfig()): Column =
+    tokenCount(text).between(cfg.minWords, cfg.maxWords) &&
+      meanWordLength(text).between(cfg.minMeanWordLen, cfg.maxMeanWordLen) &&
+      symbolWordRatio(text) < cfg.maxSymbolRatio &&
+      bulletLineRatio(text) < cfg.maxBulletRatio &&
+      ellipsisLineRatio(text) < cfg.maxEllipsisRatio &&
+      alphaWordRatio(text) >= cfg.minAlphaWordRatio &&
+      stopwordKinds(text) >= cfg.minStopwordKinds
+
+  /** One-pass enrichment: every signal plus the keep flag. */
+  def gopherSignals(df: DataFrame, textCol: String = "text",
+      cfg: GopherConfig = GopherConfig()): DataFrame = {
+    val t = col(textCol)
+    df.withColumns(Map(
+      "n_words" -> tokenCount(t),
+      "mean_word_len" -> round(meanWordLength(t), 6),
+      "symbol_ratio" -> round(symbolWordRatio(t), 6),
+      "bullet_ratio" -> round(bulletLineRatio(t), 6),
+      "ellipsis_ratio" -> round(ellipsisLineRatio(t), 6),
+      "alpha_word_ratio" -> round(alphaWordRatio(t), 6),
+      "stopword_kinds" -> stopwordKinds(t),
+      "gopher_keep" -> gopherKeep(t, cfg)
+    ))
+  }
+
+  /** Drop documents failing the Gopher rules. */
+  def gopherFilter(df: DataFrame, textCol: String = "text",
+      cfg: GopherConfig = GopherConfig()): DataFrame =
+    df.filter(gopherKeep(col(textCol), cfg))
+
+  // ---- C4 line filtering ---------------------------------------------
+
+  /** C4 keeps a line iff it ends in terminal punctuation AND has at
+    * least `minWordsPerLine` words. */
+  def c4KeptLines(text: Column, minWordsPerLine: Int = 5): Column =
+    filter(nonBlankLines(text), l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minWordsPerLine)
+
+  /** The document text after C4 line filtering, lines rejoined. */
+  def c4Text(text: Column, minWordsPerLine: Int = 5): Column =
+    array_join(c4KeptLines(text, minWordsPerLine), "\n")
+
+  /** Terminal-punctuation marks in the kept text — C4's sentence
+    * proxy (it requires at least 3). */
+  def c4SentenceCount(text: Column, minWordsPerLine: Int = 5): Column =
+    size(regexp_extract_all(c4Text(text, minWordsPerLine), lit("[.!?]"), lit(0)))
+
+  def hasLoremIpsum(text: Column): Column = lower(text).contains("lorem ipsum")
+
+  /** C4 drops any page containing a curly brace (code marker). */
+  def hasCurlyBrace(text: Column): Column = text.contains("{")
+
+  /** The C4 page-level keep decision. */
+  def c4Keep(text: Column, minSentences: Int = 3,
+      minWordsPerLine: Int = 5): Column =
+    c4SentenceCount(text, minWordsPerLine) >= minSentences &&
+      !hasLoremIpsum(text) && !hasCurlyBrace(text)
+
+  /** One-pass enrichment: line/sentence counts, flags, keep. */
+  def c4Signals(df: DataFrame, textCol: String = "text",
+      minSentences: Int = 3, minWordsPerLine: Int = 5): DataFrame = {
+    val t = col(textCol)
+    df.withColumns(Map(
+      "n_lines" -> size(nonBlankLines(t)),
+      "n_kept_lines" -> size(c4KeptLines(t, minWordsPerLine)),
+      "n_sentences" -> c4SentenceCount(t, minWordsPerLine),
+      "has_lorem" -> hasLoremIpsum(t),
+      "has_brace" -> hasCurlyBrace(t),
+      "c4_keep" -> c4Keep(t, minSentences, minWordsPerLine)
+    ))
+  }
+
+  /** C4 cleaning: drop rejected pages, replace text with kept lines. */
+  def c4Clean(df: DataFrame, textCol: String = "text",
+      minSentences: Int = 3, minWordsPerLine: Int = 5): DataFrame =
+    df.filter(c4Keep(col(textCol), minSentences, minWordsPerLine))
+      .withColumn(textCol, c4Text(col(textCol), minWordsPerLine))
+
+  // ---- URL canonicalization + dedup ----------------------------------
+
+  /** Canonical URL form for dedup keys:
+    *   1. trim; drop the `#fragment`;
+    *   2. lowercase the scheme://authority head (path and query keep
+    *      their case — they are case-significant per RFC 3986);
+    *   3. drop an explicit default port (`:80`, `:443`);
+    *   4. drop `utm_*` tracking params, repairing the `?`/`&`
+    *      delimiters the removal leaves behind;
+    *   5. strip trailing `?`, `&` and `/`.
+    * Pure regexp chain, no lookarounds — replays in DuckDB with `\1`
+    * group syntax in place of Java's `$1`. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*", "")
+    // lowercase scheme://host[:port] only
+    val head = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val lowered = concat(lower(head), noFrag.substr(length(head) + lit(1), length(noFrag)))
+    val noPort = regexp_replace(lowered, "^([a-z][a-z0-9+.-]*://[^/:?#]+):(80|443)(/|\\?|$)", "$1$3")
+    val noUtm = regexp_replace(noPort, "[?&]utm_[A-Za-z_]+=[^&]*", "")
+    // if the first surviving param lost its '?', restore it
+    val fixedQ = regexp_replace(noUtm, "^([^?]*?)&", "$1?")
+    regexp_replace(regexp_replace(fixedQ, "[?&]+$", ""), "/+$", "")
+  }
+
+  /** Registrable-host extraction from a CANONICAL url: the authority
+    * minus port and a leading `www.`. */
+  def urlDomain(canonicalUrl: Column): Column =
+    regexp_replace(
+      regexp_extract(canonicalUrl, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1),
+      "^www\\.", "")
+
+  /** URL-level exact dedup: one group per canonical URL with the
+    * lowest id as the keeper — the same (map-side-combined, single
+    * shuffle) shape as [[Dedup.exactGroups]], keyed on the canonical
+    * form instead of a content hash. */
+  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.select(canonicalizeUrl(col(urlCol)).as("canonical_url"), col(idCol))
+      .groupBy("canonical_url")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+}

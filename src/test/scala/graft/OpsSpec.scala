@@ -524,4 +524,118 @@ class OpsSpec extends SparkFunSuite {
       .filter(col("m") =!= col("n") - 1).count()
     assert(maxIdx == 0)
   }
+
+  test("gopher rules: each signal fires on its designed failure mode") {
+    import graft.ops.QualityFilters
+    val prose = ("the data pipeline reads and writes with care " * 8).trim // 64 words, has 4 stopword kinds
+    val cases = Seq(
+      ("good", prose),
+      ("too_short", "the cat sat with a hat"),
+      ("symbols", prose + " " + ("### ... " * 12).trim),
+      ("bullets", (1 to 20).map(i => s"- item $i of the list with care").mkString("\n")),
+      ("ellipses", (1 to 10).map(i => s"the line $i trails off and then some...").mkString("\n")),
+      ("non_alpha", ("42 17 99 3.14 " * 16).trim + " the and"),
+      ("no_stopwords", ("lorem dolor amet consectetur adipiscing elit sed " * 8).trim)
+    ).toDF("k", "text")
+    val r = QualityFilters.gopherSignals(cases, "text",
+      QualityFilters.GopherConfig(minWords = 30))
+      .collect().map(row => row.getString(0) -> row).toMap
+    def keep(k: String) = r(k).getAs[Boolean]("gopher_keep")
+    assert(keep("good"), r("good").toString)
+    assert(!keep("too_short"))
+    assert(!keep("symbols") && r("symbols").getAs[Double]("symbol_ratio") > 0.1)
+    assert(!keep("bullets") && r("bullets").getAs[Double]("bullet_ratio") >= 0.9)
+    assert(!keep("ellipses") && r("ellipses").getAs[Double]("ellipsis_ratio") >= 0.3)
+    assert(!keep("non_alpha") && r("non_alpha").getAs[Double]("alpha_word_ratio") < 0.8)
+    assert(!keep("no_stopwords") && r("no_stopwords").getAs[Int]("stopword_kinds") == 0)
+    // the '…' single-char ellipsis counts like '...'
+    assert(QualityFilters.gopherSignals(
+      Seq(("u", prose + " " + ("… " * 12).trim)).toDF("k", "text"), "text")
+      .collect()(0).getAs[Double]("symbol_ratio") > 0.1)
+  }
+
+  test("c4 filter: line keeping, sentence floor, lorem/brace rejection") {
+    import graft.ops.QualityFilters
+    val page =
+      """This is a proper first sentence of the page.
+        |short one.
+        |A second full sentence appears right here!
+        |Is this a question with enough words? It is indeed.
+        |a line with many words but no terminal punctuation at all
+        |""".stripMargin
+    val cases = Seq(
+      ("good", page),
+      ("few_sentences", "Only one proper sentence lives here today.\nnothing else."),
+      ("lorem", page + "\nLorem Ipsum dolor sit amet filler text."),
+      ("brace", page + "\nvar config = { a: 1 }; // code here.")
+    ).toDF("k", "text")
+    val r = QualityFilters.c4Signals(cases, "text")
+      .collect().map(row => row.getString(0) -> row).toMap
+    assert(r("good").getAs[Boolean]("c4_keep"), r("good").toString)
+    // kept lines: sentences 1, 3, 4 (line 2 has <5 words; line 5 no punct)
+    assert(r("good").getAs[Int]("n_kept_lines") == 3)
+    assert(r("good").getAs[Int]("n_sentences") == 4) // line 4 carries 2 marks
+    assert(!r("few_sentences").getAs[Boolean]("c4_keep"))
+    assert(!r("lorem").getAs[Boolean]("c4_keep") &&
+      r("lorem").getAs[Boolean]("has_lorem"))
+    assert(!r("brace").getAs[Boolean]("c4_keep") &&
+      r("brace").getAs[Boolean]("has_brace"))
+    // c4Clean drops rejected pages and reassembles kept lines
+    val cleaned = QualityFilters.c4Clean(cases, "text")
+      .collect().map(row => row.getString(0) -> row.getString(1)).toMap
+    assert(cleaned.keySet == Set("good"))
+    assert(cleaned("good").split("\n").length == 3)
+    assert(!cleaned("good").contains("short one"))
+  }
+
+  test("url canonicalization: case, port, utm, fragment, trailing slash") {
+    import graft.ops.QualityFilters
+    val cases = Seq(
+      ("case", "HTTPS://WWW.Example.COM/Path/One"),
+      ("port443", "https://example.com:443/a"),
+      ("port80", "http://example.com:80/a?x=1"),
+      ("port8080", "https://example.com:8080/a"), // non-default: kept
+      ("utm_first", "https://example.com/p?utm_source=feed&ref=1"),
+      ("utm_last", "https://example.com/p?ref=1&utm_campaign=x"),
+      ("utm_only", "https://example.com/p?utm_source=a&utm_medium=b"),
+      ("frag", "https://example.com/p?a=1#section-2"),
+      ("slash", "https://example.com/p/"),
+      ("pathcase", "https://example.com/CaseSensitive") // path case preserved
+    ).toDF("k", "url")
+      .select(col("k"), QualityFilters.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cases("case") == "https://www.example.com/Path/One")
+    assert(cases("port443") == "https://example.com/a")
+    assert(cases("port80") == "http://example.com/a?x=1")
+    assert(cases("port8080") == "https://example.com:8080/a")
+    assert(cases("utm_first") == "https://example.com/p?ref=1")
+    assert(cases("utm_last") == "https://example.com/p?ref=1")
+    assert(cases("utm_only") == "https://example.com/p")
+    assert(cases("frag") == "https://example.com/p?a=1")
+    assert(cases("slash") == "https://example.com/p")
+    assert(cases("pathcase") == "https://example.com/CaseSensitive")
+    // domain: strips port and www, never the path
+    val dom = Seq(("d", "HTTPS://WWW.Sub.Example.COM:8443/x"))
+      .toDF("k", "url")
+      .select(QualityFilters.urlDomain(
+        QualityFilters.canonicalizeUrl(col("url"))).as("d"))
+      .collect()(0).getString(0)
+    assert(dom == "sub.example.com")
+  }
+
+  test("dedupByUrl groups case/tracking variants under one keeper") {
+    import graft.ops.QualityFilters
+    val urls = Seq(
+      (1L, "https://example.com/a"),
+      (2L, "HTTPS://EXAMPLE.COM/a"),
+      (3L, "https://example.com/a?utm_source=x"),
+      (4L, "https://example.com/a#frag"),
+      (5L, "https://example.com/b")
+    ).toDF("id", "url")
+    val byUrl = QualityFilters.dedupByUrl(urls, "url", "id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byUrl("https://example.com/a") == ((1L, 4L)))
+    assert(byUrl("https://example.com/b") == ((5L, 1L)))
+    assert(byUrl.size == 2)
+  }
 }

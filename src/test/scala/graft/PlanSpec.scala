@@ -77,6 +77,22 @@ class PlanSpec extends SparkFunSuite {
     // pass is still one projection over the columnar scan
   }
 
+  test("quality filters are scan-side; url dedup partially aggregates") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // gopher + c4 signals: pure projections, zero exchange — at 100 TB
+    // these must run at parquet-scan speed like TextAnalysis.analyze
+    val gopher = planOf(graft.ops.QualityFilters.gopherSignals(docs))
+    assert(!gopher.contains("Exchange"), s"gopher signals should not shuffle:\n$gopher")
+    val c4 = planOf(graft.ops.QualityFilters.c4Signals(docs))
+    assert(!c4.contains("Exchange"), s"c4 signals should not shuffle:\n$c4")
+    // dedupByUrl: one map-side-combined shuffle, same shape as exactGroups
+    val withUrl = docs.withColumn("url",
+      concat(lit("https://example.com/"), col("doc_id") % 50))
+    val dedup = planOf(graft.ops.QualityFilters.dedupByUrl(withUrl, "url", "doc_id"))
+    assert(dedup.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      s"url dedup missing partial aggregation:\n$dedup")
+  }
+
   test("ivf topk broadcasts centroids; no cartesian product") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val plan = planOf(Similarity.ivfTopK(
