@@ -350,6 +350,19 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("url", url), "url", "doc_id")
         .orderBy("canonical_url")
     }),
+    // CCNet-style statistical quality: unigram LM estimated from the
+    // corpus itself, per-doc mean token log-prob, exact tertile
+    // bucketing (rounded before ranking so float noise can't flip a
+    // cross-engine tie).
+    "q_unigram_quality" -> ((s, dir) => {
+      val scored = graft.ops.QualityFilters.unigramLogProbs(
+        t(s, dir, "documents"))
+      graft.ops.QualityFilters.qualityBuckets(scored)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("mean_log_prob"), 6).as("mean_log_prob"),
+          col("quality_bucket"))
+        .orderBy("doc_id")
+    }),
     // Exact n-gram Jaccard near-dup pairs
     "q_ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccardPairs(
@@ -845,6 +858,21 @@ object SparkEntry {
         |  FROM lowered)
         |SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+
+    "q_unigram_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        |total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    avg(ln(CAST(cnt AS DOUBLE) / n)) AS mlp
+        |  FROM toks JOIN counts USING (token) CROSS JOIN total
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, round(mlp, 6) AS mean_log_prob,
+        |  ntile(3) OVER (ORDER BY round(mlp, 6) DESC, doc_id) AS quality_bucket
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH docs AS (

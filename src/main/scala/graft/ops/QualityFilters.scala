@@ -201,4 +201,74 @@ object QualityFilters {
     df.select(canonicalizeUrl(col(urlCol)).as("canonical_url"), col(idCol))
       .groupBy("canonical_url")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  // ---- statistical (CCNet-style) quality scoring -----------------------
+
+  /** Unigram language model estimated from a reference corpus: one row
+    * per distinct (lowercased) token with its count — the cheap LM of
+    * the CCNet recipe (Wenzek et al. 2020), which scores web pages by
+    * LM perplexity and keeps the best tertiles. One map-side-combined
+    * aggregation; at 100 TB the model frame is ~vocabulary-sized
+    * (tens of millions of rows), far smaller than the corpus. */
+  def unigramModel(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Mean token log-probability of each document under `model`
+    * (defaults to a model estimated from the corpus itself — the
+    * self-scoring variant that flags statistical outliers:
+    * gibberish, boilerplate, wrong-language contamination).
+    *
+    * Plan shape: explode → hash join on token (both sides shuffle on
+    * the token key; the model side is vocabulary-sized) → one
+    * map-side-combined per-doc aggregation. No global sort, no
+    * broadcast of anything document-scaled. Tokens absent from the
+    * model (impossible when self-scoring) contribute `ln(1/total)`
+    * via the coalesce floor, an add-nothing smoothing choice that
+    * keeps the score total. */
+  def unigramLogProbs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", model: Option[DataFrame] = None): DataFrame = {
+    val m = model.getOrElse(unigramModel(df, textCol))
+    val total = m.agg(sum("cnt").cast("double").as("__total"))
+    val toks = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+    toks
+      .join(m, Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        avg(log(coalesce(col("cnt").cast("double"), lit(1.0)) / col("__total")))
+          .as("mean_log_prob"))
+  }
+
+  /** CCNet-style quality buckets: ntile over the (rounded) score,
+    * best scores in bucket 1. EXACT global ranking — a single-node
+    * sort of one row per document, fine up to ~1e9 docs on a driver
+    * plan but a deliberate bottleneck; the 100 TB path is
+    * [[qualityBucketsApprox]]. Scores are rounded before ranking so
+    * last-ulp float noise cannot flip a tie across engines/runs. */
+  def qualityBuckets(scored: DataFrame, idCol: String = "doc_id",
+      scoreCol: String = "mean_log_prob", buckets: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(round(col(scoreCol), 6).desc, col(idCol).asc)
+    scored.withColumn("quality_bucket", ntile(buckets).over(w))
+  }
+
+  /** Scale path for bucketing: approximate score cutoffs from
+    * `approxQuantile` (one pass, fixed-size sketch), then a scan-side
+    * comparison — no global sort, no single-partition window. Bucket
+    * boundaries are approximate by `relErr`; bucket 1 is best. */
+  def qualityBucketsApprox(scored: DataFrame, scoreCol: String = "mean_log_prob",
+      buckets: Int = 3, relErr: Double = 0.001): DataFrame = {
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    // descending score order: the (1 - q) quantile closes bucket q·n
+    val cuts = scored.stat.approxQuantile(scoreCol, qs.map(1.0 - _).toArray, relErr)
+    // test the highest cutoff first: the chain is built inside-out, so
+    // reverse before folding
+    val bucket = cuts.zipWithIndex.reverse.foldLeft(lit(buckets): Column) {
+      case (acc, (cut, i)) => when(col(scoreCol) >= cut, i + 1).otherwise(acc)
+    }
+    scored.withColumn("quality_bucket", bucket)
+  }
 }
