@@ -760,20 +760,24 @@ object SparkEntry {
         |  SELECT doc_id, text,
         |    regexp_split_to_array(trim(text), '\s+') AS w,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS wl,
+        |    -- splitting an empty string yields [''] (one empty token);
+        |    -- Spark's tokenCount returns 0 there — guard to match
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nw,
         |    list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines
         |  FROM documents),
         |sig AS (
-        |  SELECT doc_id, len(w) AS n_words,
-        |    CASE WHEN len(w) = 0 THEN 0.0
-        |      ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / len(w) END AS mwl,
-        |    CASE WHEN len(w) = 0 THEN 0.0
-        |      ELSE CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / len(w) END AS symr,
+        |  SELECT doc_id, nw AS n_words,
+        |    CASE WHEN nw = 0 THEN 0.0
+        |      ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / nw END AS mwl,
+        |    CASE WHEN nw = 0 THEN 0.0
+        |      ELSE CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / nw END AS symr,
         |    CASE WHEN len(lines) = 0 THEN 0.0
         |      ELSE CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lines) END AS bullr,
         |    CASE WHEN len(lines) = 0 THEN 0.0
         |      ELSE CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE) / len(lines) END AS ellr,
-        |    CASE WHEN len(w) = 0 THEN 0.0
-        |      ELSE CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w) END AS awr,
+        |    CASE WHEN nw = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / nw END AS awr,
         |    (CASE WHEN list_contains(wl, 'the') THEN 1 ELSE 0 END
         |     + CASE WHEN list_contains(wl, 'be') THEN 1 ELSE 0 END
         |     + CASE WHEN list_contains(wl, 'to') THEN 1 ELSE 0 END
@@ -851,9 +855,11 @@ object SparkEntry {
         |canon AS (
         |  SELECT doc_id,
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(u, '^([a-z][a-z0-9+.-]*://[^/:?#]+):(80|443)(/|\?|$)', '\1\3'),
+        |      regexp_replace(regexp_replace(u,
+        |        '^(http://[^/:?#]+):80(/|\?|$)', '\1\2'),
+        |        '^(https://[^/:?#]+):443(/|\?|$)', '\1\2'),
+        |      '\?(utm_[A-Za-z_]+=[^&]*&)+', '?'),
         |      '[?&]utm_[A-Za-z_]+=[^&]*', '', 'g'),
-        |      '^([^?]*?)&', '\1?'),
         |      '[?&]+$', ''), '/+$', '') AS canonical_url
         |  FROM lowered)
         |SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -861,8 +867,10 @@ object SparkEntry {
 
     "q_unigram_quality" ->
       """WITH toks AS (
+        |  -- empty docs yield no exploded rows on the Spark side; the
+        |  -- WHERE mirrors that (unnest would emit one '' token)
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
-        |  FROM documents),
+        |  FROM documents WHERE length(trim(text)) > 0),
         |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
         |total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
         |scored AS (

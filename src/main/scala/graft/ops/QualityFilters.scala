@@ -168,9 +168,14 @@ object QualityFilters {
     *   1. trim; drop the `#fragment`;
     *   2. lowercase the scheme://authority head (path and query keep
     *      their case — they are case-significant per RFC 3986);
-    *   3. drop an explicit default port (`:80`, `:443`);
-    *   4. drop `utm_*` tracking params, repairing the `?`/`&`
-    *      delimiters the removal leaves behind;
+    *   3. drop an explicit default port for its OWN scheme only
+    *      (`http://…:80`, `https://…:443` — `https://host:80` is a
+    *      genuinely different origin and stays distinct);
+    *   4. drop `utm_*` tracking params: a run of them at the head of
+    *      the query hands its `?` to whatever param follows, the rest
+    *      drop whole. The repair is bound to an actual utm removal so
+    *      a literal `&` in a path (legal sub-delim, e.g. `/q&a`) is
+    *      never promoted to `?`;
     *   5. strip trailing `?`, `&` and `/`.
     * Pure regexp chain, no lookarounds — replays in DuckDB with `\1`
     * group syntax in place of Java's `$1`. */
@@ -179,11 +184,12 @@ object QualityFilters {
     // lowercase scheme://host[:port] only
     val head = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
     val lowered = concat(lower(head), noFrag.substr(length(head) + lit(1), length(noFrag)))
-    val noPort = regexp_replace(lowered, "^([a-z][a-z0-9+.-]*://[^/:?#]+):(80|443)(/|\\?|$)", "$1$3")
-    val noUtm = regexp_replace(noPort, "[?&]utm_[A-Za-z_]+=[^&]*", "")
-    // if the first surviving param lost its '?', restore it
-    val fixedQ = regexp_replace(noUtm, "^([^?]*?)&", "$1?")
-    regexp_replace(regexp_replace(fixedQ, "[?&]+$", ""), "/+$", "")
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/:?#]+):80(/|\\?|$)", "$1$2"),
+      "^(https://[^/:?#]+):443(/|\\?|$)", "$1$2")
+    val leadUtm = regexp_replace(noPort, "\\?(utm_[A-Za-z_]+=[^&]*&)+", "?")
+    val noUtm = regexp_replace(leadUtm, "[?&]utm_[A-Za-z_]+=[^&]*", "")
+    regexp_replace(regexp_replace(noUtm, "[?&]+$", ""), "/+$", "")
   }
 
   /** Registrable-host extraction from a CANONICAL url: the authority

@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `CACHE_KEY_LENGTH`). The content-hash memo is keyed on
   * `(path, size, mtime_ns)` so unchanged files skip re-hashing.
   */
-final class Store(val root: String = ".graft") {
+final class Store(val root: String = ".graft",
+    val maxChecksumFiles: Int = Store.DefaultMaxChecksumFiles) {
 
   private val buildsDir = Paths.get(root, "builds")
   private val cacheDir = Paths.get(root, "cache", "features")
@@ -23,6 +24,10 @@ final class Store(val root: String = ".graft") {
   // path repeatedly must not accumulate one unreachable entry per
   // (size, mtime) ever seen
   private val memo = mutable.Map.empty[String, (Long, Long, String)]
+  // remote checksum RPCs are the expensive half of a fingerprint probe
+  // (datanode MD5-of-CRC on HDFS, HEAD on s3a) — memoized on the same
+  // (path, size, mtime) signature as content hashes
+  private val checksumMemo = mutable.Map.empty[String, (Long, Long, String)]
 
   def init(): this.type = {
     Files.createDirectories(buildsDir)
@@ -109,7 +114,16 @@ final class Store(val root: String = ".graft") {
     * invalidates the cache. Filesystems that return null (the default
     * on most object stores) fall back to the pure (length, mtime_ms)
     * signature — the residual staleness window for that case is
-    * documented in COVERAGE.md §2.11. */
+    * documented in COVERAGE.md §2.11.
+    *
+    * Checksum RPC cost is bounded two ways: single files and small
+    * directories fold checksums, but a directory with more than
+    * [[maxChecksumFiles]] data files (a heavily partitioned dataset)
+    * skips the fold entirely — one listing pass, zero per-file RPCs,
+    * preserving the "one pass, no content reads" probe cost — and each
+    * checksum is memoized on (path, length, mtime) so repeat probes of
+    * an unchanged file never re-issue the RPC. Set `maxChecksumFiles`
+    * to 0 to disable the fold everywhere. */
   private def remoteFingerprint(pathStr: String): String = {
     val p = new org.apache.hadoop.fs.Path(pathStr)
     val fs = p.getFileSystem(hadoopConf)
@@ -117,32 +131,58 @@ final class Store(val root: String = ".graft") {
     if (status.isDirectory) {
       val baseUri = status.getPath.toUri
       val it = fs.listFiles(p, true)
-      val parts = mutable.ArrayBuffer.empty[(String, String)]
+      val files = mutable.ArrayBuffer.empty[(String, org.apache.hadoop.fs.FileStatus)]
       while (it.hasNext) {
         val f = it.next()
         val rel = baseUri.relativize(f.getPath.toUri).getPath
         // same hidden-file policy as the local walk: _SUCCESS,
         // _metadata, .crc sidecars don't participate
         if (!rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
-          parts += ((rel,
-            s"${f.getLen}:${f.getModificationTime}${checksumPart(fs, f.getPath)}"))
+          files += ((rel, f))
       }
+      val foldChecksums = files.size <= maxChecksumFiles
+      val parts = files.map { case (rel, f) =>
+        val ck = if (foldChecksums) checksumPart(fs, f) else ""
+        s"$rel:${f.getLen}:${f.getModificationTime}$ck"
+      }
+      hashString("hfs\n" + parts.sorted.mkString("\n"))
+    } else if (maxChecksumFiles > 0)
       hashString(
-        "hfs\n" + parts.sortBy(_._1).map { case (r, s) => s"$r:$s" }.mkString("\n"))
-    } else
-      hashString(
-        s"hfs:${status.getLen}:${status.getModificationTime}${checksumPart(fs, p)}")
+        s"hfs:${status.getLen}:${status.getModificationTime}${checksumPart(fs, status)}")
+    else
+      hashString(s"hfs:${status.getLen}:${status.getModificationTime}")
   }
 
   /** Best-effort content discriminator for one remote file: empty when
     * the store exposes no checksum (null) or the call fails — never
-    * blocks fingerprinting. */
+    * blocks fingerprinting. Encoded deterministically as
+    * `algorithm:hex(bytes)` (the base `FileChecksum.toString` is not
+    * overridden by every implementation and would degrade to an
+    * identity hash). Memoized on (path, length, mtime): within one
+    * Store instance a same-length mtime-pinned overwrite serves the
+    * cached checksum — the same residual window the reference accepts
+    * for its content-hash memo (`store.py:89-107`); cold probes (new
+    * process) still re-read the checksum and catch it. */
   private def checksumPart(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): String =
-    try {
-      val c = fs.getFileChecksum(p)
-      if (c == null) "" else ":" + c.toString
-    } catch { case _: Exception => "" }
+      st: org.apache.hadoop.fs.FileStatus): String = {
+    val key = st.getPath.toString
+    val (len, mtime) = (st.getLen, st.getModificationTime)
+    checksumMemo.get(key) match {
+      case Some((`len`, `mtime`, part)) => part
+      case _ =>
+        val part =
+          try {
+            val c = fs.getFileChecksum(st.getPath)
+            if (c == null) ""
+            else {
+              val bytes = Option(c.getBytes).getOrElse(Array.emptyByteArray)
+              ":" + c.getAlgorithmName + ":" + bytes.map("%02x".format(_)).mkString
+            }
+          } catch { case _: Exception => "" }
+        checksumMemo(key) = (len, mtime, part)
+        part
+    }
+  }
 
   private def fileHash(p: Path): String = {
     val size = Files.size(p)
@@ -209,4 +249,14 @@ final class Store(val root: String = ".graft") {
         .map(_.getFileName.toString.stripSuffix(".json")).toSeq.sorted
       finally stream.close()
     }
+}
+
+object Store {
+  /** Directory checksum-fold cap: above this many data files the
+    * fingerprint skips per-file checksum RPCs (N remote round-trips on
+    * HDFS/s3a) and relies on the (length, mtime) listing alone, which a
+    * single batched `listFiles` pass already produced. Partitioned
+    * datasets routinely hold thousands of part files; the cap keeps the
+    * cache probe at one RPC regardless. */
+  val DefaultMaxChecksumFiles: Int = 64
 }

@@ -363,13 +363,45 @@ class AuditDiffSpec extends SparkFunSuite {
     val st2 = fs.getFileStatus(hp)
     assert(st2.getLen == st1.getLen &&
       st2.getModificationTime == st1.getModificationTime)
-    assert(s.contentHash(uri) != h1,
+    // probe from a FRESH store: within one instance the checksum memo
+    // (keyed on path/len/mtime, like the reference's content-hash memo)
+    // deliberately cannot see a same-length mtime-pinned overwrite —
+    // the discriminator guarantee is for new processes / cold probes
+    val sFresh = new graft.store.Store(s.root).init()
+    assert(sFresh.contentHash(uri) != h1,
       "checksum discriminator must catch a same-length same-mtime overwrite")
     // and the null-checksum case (plain file://) still fingerprints
     val plain = s"file://$dir/data.bin"
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/data.bin"),
       "cccc".getBytes("US-ASCII"))
     assert(s.contentHash(plain) == s.contentHash(plain))
+  }
+
+  test("store: checksum RPCs are memoized and capped") {
+    spark.sparkContext.hadoopConfiguration.setClass("fs.chk.impl",
+      classOf[ChecksummedLocalFs], classOf[org.apache.hadoop.fs.FileSystem])
+    val s = new graft.store.Store(
+      java.nio.file.Files.createTempDirectory("graft_store4").toString).init()
+    val dir = java.nio.file.Files.createTempDirectory("graft_remote2")
+    java.nio.file.Files.write(dir.resolve("a.bin"), "aaaa".getBytes("US-ASCII"))
+    java.nio.file.Files.write(dir.resolve("b.bin"), "bbbb".getBytes("US-ASCII"))
+    val uri = s"chk://$dir"
+    ChecksummedLocalFs.calls.set(0)
+    val h1 = s.contentHash(uri)
+    assert(ChecksummedLocalFs.calls.get() == 2, "one RPC per data file")
+    // repeat probe of unchanged files: zero new RPCs, same hash
+    assert(s.contentHash(uri) == h1)
+    assert(ChecksummedLocalFs.calls.get() == 2,
+      "unchanged (path, len, mtime) must serve the memoized checksum")
+    // above the cap the fold is skipped entirely: zero RPCs, and a
+    // same-length same-mtime overwrite is (documentedly) invisible
+    val capped = new graft.store.Store(s.root, maxChecksumFiles = 1)
+    ChecksummedLocalFs.calls.set(0)
+    val hc = capped.contentHash(uri)
+    assert(ChecksummedLocalFs.calls.get() == 0,
+      "directories above maxChecksumFiles must not issue checksum RPCs")
+    assert(hc != h1, "folded and unfolded fingerprints live in distinct spaces")
+    assert(capped.contentHash(uri) == hc)
   }
 
   test("store: contentHash recurses into partitioned directories") {
@@ -392,11 +424,24 @@ class AuditDiffSpec extends SparkFunSuite {
 /** Local filesystem that serves a real content checksum, standing in
   * for HDFS (MD5-of-CRC) / s3a (etag) in store fingerprint tests.
   * Registered under the `chk://` scheme via `fs.chk.impl`. */
+object ChecksummedLocalFs {
+  /** getFileChecksum RPC counter — pins the store's memoization. */
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class ChecksummedLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "chk"
   override def getUri: java.net.URI = java.net.URI.create("chk:///")
+  // plain FileStatus (not Deprecated­RawLocalFileStatus, whose lazy
+  // permission load chokes on the chk:// scheme inside listFiles)
+  override def listStatus(f: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(f).map(st =>
+      new org.apache.hadoop.fs.FileStatus(st.getLen, st.isDirectory,
+        st.getReplication, st.getBlockSize, st.getModificationTime, st.getPath))
   override def getFileChecksum(f: org.apache.hadoop.fs.Path)
       : org.apache.hadoop.fs.FileChecksum = {
+    ChecksummedLocalFs.calls.incrementAndGet()
     val md = java.security.MessageDigest.getInstance("MD5")
     val in = open(f)
     try {

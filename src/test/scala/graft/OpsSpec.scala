@@ -600,7 +600,17 @@ class OpsSpec extends SparkFunSuite {
       ("utm_only", "https://example.com/p?utm_source=a&utm_medium=b"),
       ("frag", "https://example.com/p?a=1#section-2"),
       ("slash", "https://example.com/p/"),
-      ("pathcase", "https://example.com/CaseSensitive") // path case preserved
+      ("pathcase", "https://example.com/CaseSensitive"), // path case preserved
+      // ':80 on https' / ':443 on http' are NON-default — real distinct
+      // origins that must not merge with the portless form
+      ("xport1", "https://example.com:80/x"),
+      ("xport2", "http://example.com:443/x"),
+      // literal '&' in a path (RFC 3986 sub-delim): no query, no utm —
+      // must never be promoted to '?'
+      ("amp_path", "https://example.com/q&a"),
+      ("amp_path_utm", "https://example.com/q&a?utm_source=x"),
+      // a RUN of leading utm params hands one '?' to the survivor
+      ("utm_run", "https://example.com/p?utm_a=1&utm_b=2&x=3")
     ).toDF("k", "url")
       .select(col("k"), QualityFilters.canonicalizeUrl(col("url")).as("c"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -614,6 +624,11 @@ class OpsSpec extends SparkFunSuite {
     assert(cases("frag") == "https://example.com/p?a=1")
     assert(cases("slash") == "https://example.com/p")
     assert(cases("pathcase") == "https://example.com/CaseSensitive")
+    assert(cases("xport1") == "https://example.com:80/x")
+    assert(cases("xport2") == "http://example.com:443/x")
+    assert(cases("amp_path") == "https://example.com/q&a")
+    assert(cases("amp_path_utm") == "https://example.com/q&a")
+    assert(cases("utm_run") == "https://example.com/p?x=3")
     // domain: strips port and www, never the path
     val dom = Seq(("d", "HTTPS://WWW.Sub.Example.COM:8443/x"))
       .toDF("k", "url")
