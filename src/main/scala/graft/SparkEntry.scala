@@ -363,6 +363,23 @@ object SparkEntry {
           col("quality_bucket"))
         .orderBy("doc_id")
     }),
+    // The 100 TB bucketing path: approxQuantile cutoffs + scan-side
+    // comparison, no global sort. At sf0.01 the sketch is EXACT
+    // (relErr·n << 1), and approxQuantile(q) returns the element at
+    // ascending rank ceil(q·n) — the oracle replays that rank pick
+    // verbatim, so the comparison is bit-exact, not approximate.
+    // Scores are rounded to 6dp BEFORE the cutoff/compare so both
+    // engines rank identical values.
+    "q_unigram_quality_approx" -> ((s, dir) => {
+      val scored = graft.ops.QualityFilters.unigramLogProbs(
+        t(s, dir, "documents"))
+        .withColumn("score6", round(col("mean_log_prob"), 6))
+      graft.ops.QualityFilters.qualityBucketsApprox(
+        scored, "score6", buckets = 3, relErr = 0.0001)
+        .select(col("doc_id"), col("n_tokens"),
+          col("score6").as("mean_log_prob"), col("quality_bucket"))
+        .orderBy("doc_id")
+    }),
     // Exact n-gram Jaccard near-dup pairs
     "q_ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccardPairs(
@@ -881,6 +898,34 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, round(mlp, 6) AS mean_log_prob,
         |  ntile(3) OVER (ORDER BY round(mlp, 6) DESC, doc_id) AS quality_bucket
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // Replays qualityBucketsApprox exactly: at this SF the sketch is
+    // exact and approxQuantile(q) = element at ascending rank
+    // ceil(q*n); cutoffs c1 (q=2/3) and c2 (q=1/3) then bucket by the
+    // same >= chain the Column fold builds.
+    "q_unigram_quality_approx" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        |total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    round(avg(ln(CAST(cnt AS DOUBLE) / n)), 6) AS score6
+        |  FROM toks JOIN counts USING (token) CROSS JOIN total
+        |  GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT score6, row_number() OVER (ORDER BY score6) AS rnk,
+        |    count(*) OVER () AS nn
+        |  FROM scored),
+        |cuts AS (
+        |  SELECT
+        |    max(CASE WHEN rnk = CAST(ceil(nn * 2.0 / 3.0) AS BIGINT) THEN score6 END) AS c1,
+        |    max(CASE WHEN rnk = CAST(ceil(nn * 1.0 / 3.0) AS BIGINT) THEN score6 END) AS c2
+        |  FROM ranked)
+        |SELECT doc_id, n_tokens, score6 AS mean_log_prob,
+        |  CASE WHEN score6 >= c1 THEN 1 WHEN score6 >= c2 THEN 2 ELSE 3 END AS quality_bucket
+        |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH docs AS (

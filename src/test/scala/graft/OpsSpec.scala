@@ -638,6 +638,53 @@ class OpsSpec extends SparkFunSuite {
     assert(dom == "sub.example.com")
   }
 
+  test("unigramLogProbs scores by mean token log-probability") {
+    import graft.ops.QualityFilters
+    val docs = Seq((1L, "a a a b"), (2L, "b")).toDF("doc_id", "text")
+    val got = QualityFilters.unigramLogProbs(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // counts: a=3, b=2, total=5
+    val (pa, pb) = (3.0 / 5.0, 2.0 / 5.0)
+    assert(got(1L)._1 == 4L)
+    assert(math.abs(got(1L)._2 - (3 * math.log(pa) + math.log(pb)) / 4) < 1e-12)
+    assert(got(2L)._1 == 1L)
+    assert(math.abs(got(2L)._2 - math.log(pb)) < 1e-12)
+    // scoring a corpus under an EXTERNAL model: unseen tokens take the
+    // ln(1/total) floor
+    val model = Seq(("a", 9L), ("b", 1L)).toDF("token", "cnt")
+    val ext = QualityFilters.unigramLogProbs(
+      Seq((1L, "a z")).toDF("doc_id", "text"), model = Some(model))
+      .collect()(0)
+    assert(math.abs(ext.getDouble(2) - (math.log(0.9) + math.log(0.1)) / 2) < 1e-12)
+  }
+
+  test("qualityBucketsApprox matches exact buckets up to the boundary rows") {
+    import graft.ops.QualityFilters
+    // 300 DISTINCT scores: every bucket boundary is unambiguous, so
+    // with relErr exact at this n the two paths may differ only at the
+    // cutoff element itself (>= includes the quantile element; ntile
+    // counts rows) — at most one row per boundary.
+    val scored = spark.range(1, 301)
+      .selectExpr("id AS doc_id", "CAST(id AS DOUBLE) / 7.0 AS mean_log_prob")
+    val exact = QualityFilters.qualityBuckets(scored)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val approx = QualityFilters.qualityBucketsApprox(scored, relErr = 0.0001)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(approx.keySet == exact.keySet)
+    val mismatches = exact.keys.filter(k => exact(k) != approx(k))
+    assert(mismatches.size <= 2, // buckets - 1 boundaries
+      s"approx may only disagree at cutoff elements, got: $mismatches")
+    // bucket sizes within one row of n/buckets
+    val sizes = approx.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(1, 2, 3))
+    assert(sizes.values.forall(s => s >= 99 && s <= 101), s"sizes: $sizes")
+    // monotone partition: every bucket-i score strictly above bucket-i+1
+    val byBucket = approx.groupBy(_._2).view
+      .mapValues(_.keys.map(_.toDouble / 7.0)).toMap
+    assert(byBucket(1).min > byBucket(2).max)
+    assert(byBucket(2).min > byBucket(3).max)
+  }
+
   test("dedupByUrl groups case/tracking variants under one keeper") {
     import graft.ops.QualityFilters
     val urls = Seq(

@@ -93,6 +93,21 @@ class PlanSpec extends SparkFunSuite {
       s"url dedup missing partial aggregation:\n$dedup")
   }
 
+  test("approx quality bucketing plans no single-partition window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = graft.ops.QualityFilters.unigramLogProbs(docs)
+    // exact path: documented deliberate bottleneck — a global ntile
+    // window with no partition spec (single partition past ~1e9 docs)
+    val exact = planOf(graft.ops.QualityFilters.qualityBuckets(scored))
+    assert(exact.contains("Window"), s"exact path should rank via window:\n$exact")
+    // scale path: approxQuantile sketch + scan-side comparison — the
+    // bucket assignment must contain NO window at all (the only
+    // acceptable plan at 100 TB)
+    val approx = planOf(graft.ops.QualityFilters.qualityBucketsApprox(scored))
+    assert(!approx.contains("Window"),
+      s"approx bucketing must not plan a window:\n$approx")
+  }
+
   test("ivf topk broadcasts centroids; no cartesian product") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val plan = planOf(Similarity.ivfTopK(
