@@ -128,6 +128,63 @@ object TextAnalysis {
       (size(toks) - size(array_distinct(toks))).cast("double") / size(toks))
   }
 
+  /** Sliding word n-grams of the token array, joined by single spaces.
+    * Caller guards `size(toks) >= n` (an unguarded
+    * `sequence(1, len-n+1)` would run DESCENDING when len < n). */
+  private def wordNgrams(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => array_join(slice(toks, i, n), " "))
+
+  /** Occurrences of n-gram `g` in the (non-distinct) gram list. */
+  private def gramCount(grams: Column, g: Column): Column =
+    size(filter(grams, x => x === g))
+
+  /** Denominator for the repetition fractions: characters of the
+    * whitespace-normalized lowercased text — the same normal form the
+    * n-grams are built from, so a fully-repeated doc scores exactly 1. */
+  private def normCharCount(toks: Column): Column =
+    length(array_join(toks, " "))
+
+  /** Gopher A1.1 repetition signal: fraction of characters contained
+    * in the occurrences of the MOST FREQUENT word n-gram (n = 2, 3, 4
+    * in the paper; thresholds 0.20 / 0.18 / 0.16). Ties on count break
+    * toward the longer gram, which maximizes the fraction and keeps
+    * the value engine-independent without a string tie-break.
+    * Occurrence characters may overlap ("a a a" at n=2), so the
+    * fraction is capped at 1. Pure scan-side list algebra, O(distinct
+    * grams × grams) per document — no shuffle, no UDF. */
+  def topNgramCharFraction(text: Column, n: Int): Column = {
+    require(n >= 2, s"topNgramCharFraction wants n >= 2, got $n")
+    val toks = tokens(lower(text))
+    val grams = wordNgrams(toks, n)
+    val uniq = array_distinct(grams)
+    val maxCnt = array_max(transform(uniq, g => gramCount(grams, g)))
+    val bestLen = array_max(transform(
+      filter(uniq, g => gramCount(grams, g) === maxCnt), g => length(g)))
+    when(tokenCount(text) < n || normCharCount(toks) === 0, 0.0).otherwise(
+      least(lit(1.0),
+        (maxCnt * bestLen).cast("double") / normCharCount(toks)))
+  }
+
+  /** Gopher A1.1 repetition signal: fraction of characters contained
+    * in word n-grams that occur MORE THAN ONCE (n = 5..10 in the
+    * paper; thresholds 0.15 down to 0.10). Like the open
+    * reimplementations (RedPajama, Dolma) this sums `count × length`
+    * over duplicated grams without overlap accounting, capped at 1 —
+    * the paper's "not counting characters twice" refinement needs
+    * per-position bookkeeping that buys little at these thresholds. */
+  def dupNgramCharFraction(text: Column, n: Int): Column = {
+    require(n >= 2, s"dupNgramCharFraction wants n >= 2, got $n")
+    val toks = tokens(lower(text))
+    val grams = wordNgrams(toks, n)
+    val dupChars = aggregate(array_distinct(grams), lit(0), (acc, g) => {
+      val c = gramCount(grams, g)
+      acc + when(c > 1, c * length(g)).otherwise(0)
+    })
+    when(tokenCount(text) < n || normCharCount(toks) === 0, 0.0).otherwise(
+      least(lit(1.0), dupChars.cast("double") / normCharCount(toks)))
+  }
+
   // PII patterns kept to constructs with IDENTICAL semantics in Java
   // regex and RE2 (DuckDB): char classes, bounded quantifiers, \d, \b.
   // No lookarounds, no backrefs — those diverge across engines.
