@@ -286,6 +286,14 @@ object SparkEntry {
         round(graft.ops.TextAnalysis.dupLineRatio(col("text")), 6).as("dup_line_ratio"),
         round(graft.ops.TextAnalysis.dupWordRatio(col("text")), 6).as("dup_word_ratio")
       ).orderBy("doc_id")),
+    // Gopher A1.1 n-gram repetition: top-bigram + duplicated-5-gram
+    // character fractions (the sorted-run fold vs the oracle's group-by)
+    "q_ngram_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(graft.ops.TextAnalysis.topNgramCharFraction(col("text"), 2), 6).as("top2_frac"),
+        round(graft.ops.TextAnalysis.dupNgramCharFraction(col("text"), 5), 6).as("dup5_frac")
+      ).orderBy("doc_id")),
     // PII scrubbing: emails + IPv4 replaced scan-side, hit counts kept
     "q_pii_scrub" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -762,6 +770,41 @@ object SparkEntry {
         |    ELSE CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6)
         |    AS dup_word_ratio
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, t, len(t) AS ntok,
+        |    length(array_to_string(t, ' ')) AS nchar
+        |  FROM base),
+        |u2 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, ntok),
+        |    i -> array_to_string(t[i:i+1], ' '))) AS g
+        |  FROM b),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM u2 GROUP BY doc_id, g),
+        |t2 AS (SELECT doc_id, c * length(g) AS prod,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY c DESC, length(g) DESC) AS rn
+        |       FROM c2),
+        |u5 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, ntok - 3),
+        |    i -> array_to_string(t[i:i+4], ' '))) AS g
+        |  FROM b),
+        |c5 AS (SELECT doc_id, g, count(*) AS c FROM u5 GROUP BY doc_id, g),
+        |d5 AS (SELECT doc_id, sum(c * length(g)) AS dupchars
+        |       FROM c5 WHERE c > 1 GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  round(CASE WHEN b.ntok < 2 OR b.nchar = 0 THEN 0.0
+        |    ELSE least(1.0, CAST(tp.prod AS DOUBLE) / b.nchar) END, 6) AS top2_frac,
+        |  round(CASE WHEN b.ntok < 5 OR b.nchar = 0 THEN 0.0
+        |    ELSE least(1.0, CAST(coalesce(dp.dupchars, 0) AS DOUBLE) / b.nchar) END, 6)
+        |    AS dup5_frac
+        |FROM b
+        |LEFT JOIN (SELECT doc_id, prod FROM t2 WHERE rn = 1) tp USING (doc_id)
+        |LEFT JOIN d5 dp USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       """SELECT doc_id,

@@ -113,6 +113,51 @@ object QualityFilters {
       cfg: GopherConfig = GopherConfig()): DataFrame =
     df.filter(gopherKeep(col(textCol), cfg))
 
+  // ---- Gopher repetition rules (A1.1, second table) ------------------
+
+  /** Thresholds from Gopher appendix A1.1: duplicate line fraction,
+    * top n-gram character fraction (n = 2..4) and duplicated n-gram
+    * character fraction (n = 5..10). Empty maps disable a family. */
+  final case class RepetitionConfig(
+      maxDupLineRatio: Double = 0.30,
+      maxTopNgramFrac: Map[Int, Double] =
+        Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+      maxDupNgramFrac: Map[Int, Double] =
+        Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10))
+
+  /** The full Gopher repetition keep decision: one sorted-run fold per
+    * configured n (9 by default) in a single projection over the scan —
+    * still shuffle-free; each fold is O(G log G) per document. */
+  def repetitionKeep(text: Column,
+      cfg: RepetitionConfig = RepetitionConfig()): Column = {
+    import TextAnalysis.{dupLineRatio, topNgramCharFraction, dupNgramCharFraction}
+    val lineOk = dupLineRatio(text) <= cfg.maxDupLineRatio
+    val topOk = cfg.maxTopNgramFrac.toSeq.sortBy(_._1).map { case (n, th) =>
+      topNgramCharFraction(text, n) <= th }
+    val dupOk = cfg.maxDupNgramFrac.toSeq.sortBy(_._1).map { case (n, th) =>
+      dupNgramCharFraction(text, n) <= th }
+    (lineOk +: (topOk ++ dupOk)).reduce(_ && _)
+  }
+
+  /** One-pass enrichment: every repetition signal plus the keep flag. */
+  def repetitionSignals(df: DataFrame, textCol: String = "text",
+      cfg: RepetitionConfig = RepetitionConfig()): DataFrame = {
+    import TextAnalysis.{dupLineRatio, topNgramCharFraction, dupNgramCharFraction}
+    val t = col(textCol)
+    val tops = cfg.maxTopNgramFrac.keys.toSeq.sorted.map(n =>
+      s"top_${n}gram_frac" -> round(topNgramCharFraction(t, n), 6))
+    val dups = cfg.maxDupNgramFrac.keys.toSeq.sorted.map(n =>
+      s"dup_${n}gram_frac" -> round(dupNgramCharFraction(t, n), 6))
+    val all = Seq("dup_line_ratio" -> round(dupLineRatio(t), 6)) ++
+      tops ++ dups :+ ("repetition_keep" -> repetitionKeep(t, cfg))
+    df.withColumns(all.toMap)
+  }
+
+  /** Drop documents failing the Gopher repetition rules. */
+  def repetitionFilter(df: DataFrame, textCol: String = "text",
+      cfg: RepetitionConfig = RepetitionConfig()): DataFrame =
+    df.filter(repetitionKeep(col(textCol), cfg))
+
   // ---- C4 line filtering ---------------------------------------------
 
   /** C4 keeps a line iff it ends in terminal punctuation AND has at

@@ -133,11 +133,7 @@ object TextAnalysis {
     * `sequence(1, len-n+1)` would run DESCENDING when len < n). */
   private def wordNgrams(toks: Column, n: Int): Column =
     transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => array_join(slice(toks, i, n), " "))
-
-  /** Occurrences of n-gram `g` in the (non-distinct) gram list. */
-  private def gramCount(grams: Column, g: Column): Column =
-    size(filter(grams, x => x === g))
+      i => array_join(slice(toks, i, lit(n)), " "))
 
   /** Denominator for the repetition fractions: characters of the
     * whitespace-normalized lowercased text — the same normal form the
@@ -145,25 +141,61 @@ object TextAnalysis {
   private def normCharCount(toks: Column): Column =
     length(array_join(toks, " "))
 
+  // The two Gopher repetition signals below both need per-gram
+  // frequencies. Naive count-each-distinct-gram is O(distinct × total)
+  // per document — billions of comparisons for 100k-token docs. Instead:
+  // sort the gram list once (O(G log G)) and fold a single pass over it,
+  // counting adjacent-equal runs with a struct accumulator (O(G)). All
+  // arithmetic is 64-bit so count×length can't wrap on huge documents.
+
+  /** One sorted pass → struct(bestCnt, bestLen): the highest run count
+    * and, among tied runs, the longest gram (ties on count break toward
+    * the longer gram — maximizes the fraction and stays
+    * engine-independent without a string tie-break). */
+  private def topRunStats(grams: Column): Column = {
+    val zero = struct(
+      lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("bestCnt"), lit(0L).as("bestLen"))
+    def close(acc: Column): (Column, Column) = {
+      val better = acc.getField("run") > acc.getField("bestCnt") ||
+        (acc.getField("run") === acc.getField("bestCnt") &&
+          length(acc.getField("prev")).cast("long") > acc.getField("bestLen"))
+      (when(better, acc.getField("run")).otherwise(acc.getField("bestCnt")),
+        when(better, length(acc.getField("prev")).cast("long"))
+          .otherwise(acc.getField("bestLen")))
+    }
+    aggregate(array_sort(grams), zero,
+      (acc, g) => {
+        val (cnt, len) = close(acc)
+        when(acc.getField("run") > 0 && g === acc.getField("prev"),
+          struct(acc.getField("prev").as("prev"),
+            (acc.getField("run") + 1L).as("run"),
+            acc.getField("bestCnt").as("bestCnt"),
+            acc.getField("bestLen").as("bestLen")))
+        .otherwise(
+          struct(g.as("prev"), lit(1L).as("run"),
+            cnt.as("bestCnt"), len.as("bestLen")))
+      },
+      acc => {
+        val (cnt, len) = close(acc)
+        struct(cnt.as("bestCnt"), len.as("bestLen"))
+      })
+  }
+
   /** Gopher A1.1 repetition signal: fraction of characters contained
     * in the occurrences of the MOST FREQUENT word n-gram (n = 2, 3, 4
-    * in the paper; thresholds 0.20 / 0.18 / 0.16). Ties on count break
-    * toward the longer gram, which maximizes the fraction and keeps
-    * the value engine-independent without a string tie-break.
-    * Occurrence characters may overlap ("a a a" at n=2), so the
-    * fraction is capped at 1. Pure scan-side list algebra, O(distinct
-    * grams × grams) per document — no shuffle, no UDF. */
+    * in the paper; thresholds 0.20 / 0.18 / 0.16). Occurrence
+    * characters may overlap ("a a a" at n=2), so the fraction is
+    * capped at 1. One array_sort + one fold per document — O(G log G),
+    * no shuffle, no UDF. */
   def topNgramCharFraction(text: Column, n: Int): Column = {
     require(n >= 2, s"topNgramCharFraction wants n >= 2, got $n")
     val toks = tokens(lower(text))
-    val grams = wordNgrams(toks, n)
-    val uniq = array_distinct(grams)
-    val maxCnt = array_max(transform(uniq, g => gramCount(grams, g)))
-    val bestLen = array_max(transform(
-      filter(uniq, g => gramCount(grams, g) === maxCnt), g => length(g)))
+    val best = topRunStats(wordNgrams(toks, n))
     when(tokenCount(text) < n || normCharCount(toks) === 0, 0.0).otherwise(
       least(lit(1.0),
-        (maxCnt * bestLen).cast("double") / normCharCount(toks)))
+        (best.getField("bestCnt") * best.getField("bestLen")).cast("double")
+          / normCharCount(toks)))
   }
 
   /** Gopher A1.1 repetition signal: fraction of characters contained
@@ -172,15 +204,26 @@ object TextAnalysis {
     * reimplementations (RedPajama, Dolma) this sums `count × length`
     * over duplicated grams without overlap accounting, capped at 1 —
     * the paper's "not counting characters twice" refinement needs
-    * per-position bookkeeping that buys little at these thresholds. */
+    * per-position bookkeeping that buys little at these thresholds.
+    * Same sorted-run fold as [[topNgramCharFraction]]: O(G log G),
+    * 64-bit accumulation. */
   def dupNgramCharFraction(text: Column, n: Int): Column = {
     require(n >= 2, s"dupNgramCharFraction wants n >= 2, got $n")
     val toks = tokens(lower(text))
-    val grams = wordNgrams(toks, n)
-    val dupChars = aggregate(array_distinct(grams), lit(0), (acc, g) => {
-      val c = gramCount(grams, g)
-      acc + when(c > 1, c * length(g)).otherwise(0)
-    })
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dup"))
+    def closed(acc: Column): Column =
+      acc.getField("dup") + when(acc.getField("run") > 1,
+        acc.getField("run") * length(acc.getField("prev")).cast("long"))
+        .otherwise(0L)
+    val dupChars = aggregate(array_sort(wordNgrams(toks, n)), zero,
+      (acc, g) =>
+        when(acc.getField("run") > 0 && g === acc.getField("prev"),
+          struct(acc.getField("prev").as("prev"),
+            (acc.getField("run") + 1L).as("run"),
+            acc.getField("dup").as("dup")))
+        .otherwise(
+          struct(g.as("prev"), lit(1L).as("run"), closed(acc).as("dup"))),
+      acc => closed(acc))
     when(tokenCount(text) < n || normCharCount(toks) === 0, 0.0).otherwise(
       least(lit(1.0), dupChars.cast("double") / normCharCount(toks)))
   }

@@ -57,6 +57,34 @@ class OpsSpec extends SparkFunSuite {
     assert(math.abs(r(5L)._1 - 0.5) < 1e-9) // 2 non-blank lines, 1 distinct
   }
 
+  test("gopher n-gram repetition fractions: short, repeated, ties, overlap cap") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "one"),                       // tokenCount < n → 0
+      (2L, "go go go go"),               // fully repeated; overlap would push past 1
+      (3L, "aa bb aa bb zz aa bb"),      // top bigram "aa bb" ×3
+      (4L, "x y x y longword q longword q z"), // tie 2×: longer gram wins
+      (5L, ""),                          // empty → 0
+      (6L, "a b c d e f g h")            // all grams unique → dup = 0
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+      TextAnalysis.topNgramCharFraction(col("text"), 2).as("top2"),
+      TextAnalysis.dupNgramCharFraction(col("text"), 2).as("dup2"))
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(1L) == ((0.0, 0.0)))
+    // "go go go go": grams = ["go go"×3]; 3×5=15 chars > 11 norm chars → capped at 1
+    assert(r(2L)._1 == 1.0 && r(2L)._2 == 1.0)
+    // norm "aa bb aa bb zz aa bb" = 20 chars; top gram "aa bb" (5) ×3 = 15/20
+    assert(math.abs(r(3L)._1 - 0.75) < 1e-9)
+    // tie at count 2: "x y" (3 chars) vs "longword q" (10) → longer wins.
+    // norm = 31 chars → 2×10/31
+    assert(math.abs(r(4L)._1 - 20.0 / 31.0) < 1e-9)
+    assert(r(5L) == ((0.0, 0.0)))
+    assert(r(6L)._2 == 0.0)
+    // dup fraction ≥ top fraction whenever the top gram repeats
+    assert(r(3L)._2 >= r(3L)._1 - 1e-9)
+  }
+
   test("pii scrub replaces emails and IPv4, counts match") {
     import graft.ops.TextAnalysis
     val df = Seq(
@@ -552,6 +580,27 @@ class OpsSpec extends SparkFunSuite {
     assert(QualityFilters.gopherSignals(
       Seq(("u", prose + " " + ("… " * 12).trim)).toDF("k", "text"), "text")
       .collect()(0).getAs[Double]("symbol_ratio") > 0.1)
+  }
+
+  test("gopher repetition rules: keep clean prose, drop loops and boilerplate") {
+    import graft.ops.QualityFilters
+    // every bigram contains a numbered token, so no n-gram repeats —
+    // a templated "Sentence number $i ..." corpus would (correctly)
+    // trip the top-2-gram rule at 30 repetitions
+    val clean = (1 to 30).map(i =>
+      s"topic$i covers subject$i with detail$i plus nuance$i here$i.").mkString("\n")
+    val dupLines = (Seq.fill(6)("same navigation menu line here") ++
+      Seq("one real line of content")).mkString("\n")
+    val loop2 = Seq.fill(40)("buy now").mkString(" ") + " and a tiny tail of text"
+    val df = Seq((1L, clean), (2L, dupLines), (3L, loop2)).toDF("doc_id", "text")
+    val r = QualityFilters.repetitionSignals(df)
+      .select("doc_id", "dup_line_ratio", "top_2gram_frac", "repetition_keep")
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2), x.getBoolean(3))))
+      .toMap
+    assert(r(1L)._3, s"clean doc should pass: ${r(1L)}")
+    assert(r(2L)._1 > 0.30 && !r(2L)._3)
+    assert(r(3L)._2 > 0.20 && !r(3L)._3)
+    assert(QualityFilters.repetitionFilter(df).count() == 1)
   }
 
   test("c4 filter: line keeping, sentence floor, lorem/brace rejection") {
