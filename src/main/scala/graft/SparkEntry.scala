@@ -335,6 +335,29 @@ object SparkEntry {
           "has_lorem", "has_brace", "c4_keep")
         .orderBy("doc_id")
     }),
+    // C4 cross-document span dedup: each doc carries a 3-sentence block
+    // shared by its (doc_id % 7) pool; %11 docs carry it twice
+    // (within-doc dup + wrap-around span collisions); %19 docs are
+    // single-sentence. First occurrence (min id, start) keeps the
+    // block; every other occurrence is cut and the doc reassembled.
+    "q_c4_span_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val g = (id % 7).cast("string")
+      val blk = concat_ws(" ",
+        concat(lit("Shared alpha "), g, lit(" one.")),
+        concat(lit("Shared beta "), g, lit(" two.")),
+        concat(lit("Shared gamma "), g, lit(" three.")))
+      val synth = when(id % 19 === 0,
+          concat(lit("Only sentence "), id.cast("string"), lit(".")))
+        .otherwise(concat_ws(" ",
+          concat(lit("Unique head "), id.cast("string"), lit(".")),
+          blk,
+          when(id % 11 === 0, blk).otherwise(lit("")),
+          concat(lit("Unique tail "), id.cast("string"), lit("."))))
+      graft.ops.Dedup.spanDedup(
+          t(s, dir, "documents").withColumn("text", synth), "doc_id", "text")
+        .select("doc_id", "text").orderBy("doc_id")
+    }),
     // URL canonicalization + dedup: urls synthesized deterministically
     // per doc (case variants, www, default port, utm params, trailing
     // slash, fragment), canonicalized, grouped — the exactGroups shape
@@ -890,6 +913,57 @@ object SparkEntry {
         |   AND NOT contains(lower(text), 'lorem ipsum')
         |   AND NOT contains(text, '{')) AS c4_keep
         |FROM kept ORDER BY doc_id""".stripMargin,
+
+    "q_c4_span_dedup" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 19 = 0 THEN 'Only sentence ' || doc_id || '.'
+        |    ELSE concat_ws(' ',
+        |      'Unique head ' || doc_id || '.',
+        |      concat_ws(' ',
+        |        'Shared alpha ' || (doc_id % 7) || ' one.',
+        |        'Shared beta ' || (doc_id % 7) || ' two.',
+        |        'Shared gamma ' || (doc_id % 7) || ' three.'),
+        |      CASE WHEN doc_id % 11 = 0 THEN concat_ws(' ',
+        |        'Shared alpha ' || (doc_id % 7) || ' one.',
+        |        'Shared beta ' || (doc_id % 7) || ' two.',
+        |        'Shared gamma ' || (doc_id % 7) || ' three.') ELSE '' END,
+        |      'Unique tail ' || doc_id || '.')
+        |    END AS text
+        |  FROM documents),
+        |sents AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]'),
+        |      s -> trim(s)), s -> length(s) > 0) AS sents
+        |  FROM synth),
+        |spans AS (
+        |  SELECT doc_id, i - 1 AS start,
+        |    md5(lower(regexp_replace(array_to_string(sents[i:i+2], ' '),
+        |      '\s+', ' ', 'g'))) AS h
+        |  FROM (SELECT doc_id, sents, unnest(range(1, len(sents) - 1)) AS i
+        |        FROM sents WHERE len(sents) >= 3) q),
+        |ranked AS (
+        |  SELECT doc_id, start, h,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+        |  FROM spans),
+        |removed AS (
+        |  SELECT DISTINCT doc_id, idx FROM (
+        |    SELECT doc_id, start + unnest([0, 1, 2]) AS idx
+        |    FROM ranked WHERE rn > 1) q),
+        |sent_rows AS (
+        |  SELECT doc_id, unnest(range(1, len(sents) + 1)) AS i, sents
+        |  FROM sents),
+        |kept AS (
+        |  SELECT sr.doc_id, sr.i, sr.sents[sr.i] AS sent
+        |  FROM sent_rows sr LEFT JOIN removed r
+        |    ON r.doc_id = sr.doc_id AND r.idx = sr.i - 1
+        |  WHERE r.doc_id IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(sent, ' ' ORDER BY i) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, coalesce(r.text, '') AS text
+        |FROM sents s LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q_url_dedup" ->
       """WITH urls AS (

@@ -62,6 +62,67 @@ object Dedup {
       exactGroups(df, textCol, idCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Sentence segmentation for [[spanDedup]]: maximal runs ending in
+    * terminal punctuation, trimmed, empties dropped. Deliberately
+    * lookaround-free so the DuckDB oracle replays it with the same
+    * regex. Trailing text without a terminator is not a sentence (C4's
+    * "end in terminal punctuation" rule, Raffel et al. 2020 §2.2). */
+  def spanSentences(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit("[^.!?]+[.!?]"), lit(0)),
+        s => trim(s)),
+      s => length(s) > 0)
+
+  /** C4's corpus-wide span rule (Raffel et al. 2020 §2.2): any run of
+    * `span` consecutive sentences occurring more than once in the
+    * corpus survives only at its first occurrence — min (id, start),
+    * matching C4's keep-one semantics deterministically — and every
+    * other occurrence has those sentences deleted; documents are then
+    * reassembled from the surviving sentences (single-space joined,
+    * which also normalizes inter-sentence whitespace for untouched
+    * docs).
+    *
+    * Scale shape: span hashes are md5 over the whitespace-normalized
+    * lowercased span, so the wide text column never shuffles — only
+    * (id, start, hash) rows do. The winner aggregation is the
+    * [[exactGroups]] shape (one map-side-combined shuffle on the
+    * hash); hashes seen once are dropped BEFORE the probe join, so at
+    * corpus scale the join's build side holds only actually-duplicated
+    * spans; removed-index sets ride a second narrow aggregation keyed
+    * on id. No all-pairs path exists at any size. */
+  def spanDedup(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", span: Int = 3): DataFrame = {
+    require(span >= 1, s"spanDedup wants span >= 1, got $span")
+    val sents = col("__sents")
+    val withSents = df.withColumn("__sents", spanSentences(col(textCol)))
+    val spanHashes = withSents.select(col(idCol),
+      posexplode(
+        when(size(sents) >= span,
+          transform(sequence(lit(0), size(sents) - span),
+            i => md5(lower(regexp_replace(
+              array_join(slice(sents, i + 1, lit(span)), " "),
+              "\\s+", " ")))))
+        .otherwise(array().cast("array<string>")))
+        .as(Seq("__start", "__h")))
+    val winners = spanHashes.groupBy("__h")
+      .agg(min(struct(col(idCol), col("__start"))).as("__w"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select("__h", "__w")
+    val removed = spanHashes.join(winners, "__h")
+      .filter(struct(col(idCol), col("__start")) =!= col("__w"))
+      .select(col(idCol),
+        explode(sequence(col("__start"), col("__start") + (span - 1)))
+          .as("__ridx"))
+      .groupBy(idCol).agg(collect_set("__ridx").as("__removed"))
+    withSents.join(removed, Seq(idCol), "left")
+      .withColumn(textCol, array_join(
+        filter(sents, (s, i) => !array_contains(
+          coalesce(col("__removed"), array().cast("array<int>")), i)),
+        " "))
+      .drop("__sents", "__removed")
+  }
+
   /** Portable per-shingle hash: lexicographic min over
     * `md5(seed:shingle)` strings. Identical in DuckDB — used by the
     * oracle-checked queries. */

@@ -111,6 +111,37 @@ class OpsSpec extends SparkFunSuite {
     assert(r(2) == Seq("p p p")) // distinct
   }
 
+  test("c4 span dedup: first occurrence wins, losers lose exactly the span") {
+    import graft.ops.Dedup
+    val blk = "Alpha one. Beta two. Gamma three."
+    val df = Seq(
+      (1L, s"Head one. $blk Tail one."),          // winner: keeps the block
+      (2L, s"Head two. $blk Tail two."),          // loser: block removed
+      (3L, s"$blk"),                              // loser: everything removed
+      (4L, "No shared content here. Second thought. Third idea. Fourth point."),
+      (5L, "Too short."),                         // <3 sentences: untouched
+      (6L, "no terminal punctuation at all")      // 0 sentences: emptied
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(df).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == s"Head one. $blk Tail one.")
+    assert(r(2L) == "Head two. Tail two.")
+    assert(r(3L) == "")
+    assert(r(4L) == "No shared content here. Second thought. Third idea. Fourth point.")
+    assert(r(5L) == "Too short.")
+    assert(r(6L) == "")
+  }
+
+  test("c4 span dedup: within-doc repeats collapse to the first block") {
+    import graft.ops.Dedup
+    val blk = "Alpha one. Beta two. Gamma three."
+    val df = Seq((1L, s"$blk $blk $blk")).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(df).collect().head.getString(1)
+    // 9 sentences; span (0,1,2) wins its hash, every later duplicated
+    // span occurrence (including wrap-arounds) is cut
+    assert(r == blk, s"got: $r")
+  }
+
   test("exact dedup keeps min id per duplicate group") {
     val d = Seq((1L, "same text here"), (2L, "same text here"), (3L, "other"))
       .toDF("doc_id", "text")

@@ -54,6 +54,19 @@ class PlanSpec extends SparkFunSuite {
       s"missing partial aggregation:\n$plan")
   }
 
+  test("span dedup: hash-keyed joins only, winner agg partially aggregates") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(Dedup.spanDedup(docs))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must join on span hash / id, never all pairs:\n$plan")
+    // the winner groupBy(__h) must map-side combine: only
+    // (hash, min-struct, count) rows cross the wire, not raw spans
+    assert(plan.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2 ||
+      plan.contains("ObjectHashAggregate"),
+      s"missing partial aggregation in span winner agg:\n$plan")
+  }
+
   test("union as-of join plans one shuffle per side into the window, no join explosion") {
     val ev = SparkEntry.events(spark, sf)
     val spine = ev.filter(col("event_id") % 20 === 0).select(
