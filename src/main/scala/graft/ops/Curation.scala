@@ -1,31 +1,43 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the composition a 100 TB training-data
-  * pipeline actually runs — analyze → quality/language filter → exact
-  * dedup → near-dup dedup — with per-stage drop accounting so nothing
-  * is silently lost.
+  * pipeline actually runs — C4 line cleaning → Gopher document rules →
+  * repetition rules → quality/language filter → URL dedup → exact
+  * dedup → CCNet unigram bucketing → near-dup dedup — with per-stage
+  * drop accounting so nothing is silently lost.
   *
-  * Stage order is deliberate: the cheap scan-side filters (quality,
-  * language) run FIRST and shrink the corpus before any shuffle; exact
-  * dedup (one aggregation) runs before the pair-generating near-dup
-  * stage, which is the most expensive.
+  * Stage order is deliberate: the cheap scan-side filters (C4, Gopher,
+  * repetition, quality, language) run FIRST and shrink the corpus
+  * before any shuffle; their survivor counts are all computed in ONE
+  * aggregation pass over the scan (progressive conjunction), so the
+  * whole scan-side ledger costs a single corpus read. The shuffle
+  * stages follow cheapest-first: URL dedup and exact dedup are one
+  * map-side-combined aggregation each, unigram scoring is one
+  * token-keyed join, and the pair-generating near-dup stage — the most
+  * expensive — runs last over the smallest surviving frame.
   */
 object Curation {
 
-  final case class CurationStats(
-      input: Long,
-      afterQuality: Long,
-      afterLanguage: Long,
-      afterExact: Long,
-      afterNearDup: Long) {
-    def dropped: Map[String, Long] = Map(
-      "quality" -> (input - afterQuality),
-      "language" -> (afterQuality - afterLanguage),
-      "exact_dup" -> (afterLanguage - afterExact),
-      "near_dup" -> (afterExact - afterNearDup))
+  /** Ordered per-stage survivor counts. `stages` holds (name, rows
+    * surviving through that stage) in execution order; only stages
+    * that actually ran appear. */
+  final case class CurationStats(input: Long, stages: Vector[(String, Long)]) {
+    /** Rows surviving through stage `name`. */
+    def after(name: String): Long =
+      stages.collectFirst { case (`name`, n) => n }.getOrElse(
+        throw new NoSuchElementException(
+          s"no curation stage '$name' ran; stages: ${stages.map(_._1).mkString(", ")}"))
+
+    /** Rows each stage dropped, keyed by stage name. */
+    def dropped: Map[String, Long] = {
+      val before = input +: stages.map(_._2)
+      stages.zip(before).map { case ((n, after), b) => n -> (b - after) }.toMap
+    }
+
+    def output: Long = stages.lastOption.map(_._2).getOrElse(input)
   }
 
   final case class CurationResult(df: DataFrame, stats: CurationStats)
@@ -44,6 +56,33 @@ object Curation {
     case object MinhashLsh extends NearDup
   }
 
+  /** C4 page-cleaning stage parameters (Raffel et al. 2020 §2.2). */
+  final case class C4Config(minSentences: Int = 3, minWordsPerLine: Int = 5)
+
+  /** CCNet-style unigram bucketing stage (Wenzek et al. 2020): score
+    * every surviving document under `model` (self-estimated when
+    * None), bucket with the approxQuantile scale path, keep the best
+    * `keepBuckets` of `buckets`. Runs AFTER dedup like the CCNet
+    * recipe, so duplicate pages cannot skew the LM toward themselves. */
+  final case class UnigramConfig(
+      buckets: Int = 3,
+      keepBuckets: Int = 2,
+      model: Option[DataFrame] = None,
+      relErr: Double = 0.001)
+
+  /** Optional corpus-hygiene stages around the core quality → language
+    * → dedup spine. Everything defaults OFF; enabling a stage adds its
+    * (name, survivors) entry to the ledger. `urlCol` names a column of
+    * raw page URLs; when set, canonical-URL dedup runs before content
+    * dedup (cheaper key, catches mirror fetches exact dedup misses
+    * only after the heavier text hash). */
+  final case class HygieneConfig(
+      c4: Option[C4Config] = None,
+      gopher: Option[QualityFilters.GopherConfig] = None,
+      repetition: Option[QualityFilters.RepetitionConfig] = None,
+      urlCol: Option[String] = None,
+      unigram: Option[UnigramConfig] = None)
+
   def curate(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -52,45 +91,96 @@ object Curation {
       languages: Seq[String] = Seq("en"),
       nearDupThreshold: Double = 0.8,
       shingleSize: Int = 3,
-      nearDup: NearDup = NearDup.NgramExact
+      nearDup: NearDup = NearDup.NgramExact,
+      hygiene: HygieneConfig = HygieneConfig()
   ): CurationResult = {
-    val input = docs.count()
+    val t = col(textCol)
+    // C4 rewrites the text (line filtering); every later scan-side rule
+    // evaluates the CLEANED text, exactly like the recipe's own order.
+    val cleanText = hygiene.c4.map(c => QualityFilters.c4Text(t, c.minWordsPerLine))
+      .getOrElse(t)
 
-    val scored = docs
-      .withColumn("__q", TextAnalysis.qualityScore(col(textCol)))
-      .withColumn("__lang", TextAnalysis.langId(col(textCol)))
+    // ---- scan-side stages: one pass computes the whole ledger --------
+    val scanPreds: Seq[(String, Column)] =
+      hygiene.c4.map(c =>
+        "c4" -> QualityFilters.c4Keep(t, c.minSentences, c.minWordsPerLine)).toSeq ++
+      hygiene.gopher.map(g =>
+        "gopher" -> QualityFilters.gopherKeep(cleanText, g)).toSeq ++
+      hygiene.repetition.map(r =>
+        "repetition" -> QualityFilters.repetitionKeep(cleanText, r)).toSeq ++
+      Seq("quality" -> (TextAnalysis.qualityScore(cleanText) >= minQuality)) ++
+      Seq("language" ->
+        (if (languages.isEmpty) lit(true)
+         else TextAnalysis.langId(cleanText).isin(languages: _*)))
 
-    val qualityKept = scored.filter(col("__q") >= minQuality)
-    val afterQuality = qualityKept.count()
+    // progressive conjunction: survivors through stage i = rows passing
+    // p1 && ... && pi. One aggregation materializes input + every
+    // scan-stage count; && short-circuits in codegen and repeated
+    // subtrees share work via subexpression elimination.
+    val conj = scanPreds.map(_._2).scanLeft(lit(true))(_ && _).tail
+    val ledgerRow = docs.agg(
+      count(lit(1)).as("__input"),
+      conj.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"__s$i") }: _*).head()
+    val input = ledgerRow.getLong(0)
+    val scanCounts = scanPreds.indices.map(i =>
+      scanPreds(i)._1 -> (if (ledgerRow.isNullAt(i + 1)) 0L else ledgerRow.getLong(i + 1)))
 
-    val langKept =
-      (if (languages.isEmpty) qualityKept
-       else qualityKept.filter(col("__lang").isin(languages: _*)))
-        .drop("__q", "__lang")
-        .cache()
-    val afterLanguage = langKept.count()
+    // cacheOnce: the scan-filtered frame feeds the URL-dedup self-join
+    // AND the downstream dedup chain — cache it once here so a repeated
+    // identical curate call (bench reps) reuses the live entry instead
+    // of re-issuing cache() against the same plan.
+    val scanKept = Dedup.cacheOnce(
+      docs.filter(scanPreds.map(_._2).reduce(_ && _)).withColumn(textCol, cleanText))
 
-    // cacheOnce: this cache backs the returned curated frame and stays
-    // resident after curate() returns, so a repeated identical curate
-    // call (bench reps) re-derives this exact plan — reuse the live
-    // entry instead of re-issuing cache() against it
-    val exactKept = Dedup.cacheOnce(Dedup.exactDedup(langKept, textCol, idCol))
+    var ledger = Vector.newBuilder[(String, Long)]
+    ledger ++= scanCounts
+
+    // ---- URL dedup: one map-side-combined group + a semi join --------
+    val urlKept = hygiene.urlCol match {
+      case Some(u) =>
+        val keepers = QualityFilters.dedupByUrl(scanKept, u, idCol)
+          .select(col("keep_id").as(idCol))
+        val kept = scanKept.join(keepers, Seq(idCol), "left_semi")
+        ledger += ("url_dup" -> kept.count())
+        kept
+      case None => scanKept
+    }
+
+    // ---- exact content dedup -----------------------------------------
+    val exactKept = Dedup.cacheOnce(Dedup.exactDedup(urlKept, textCol, idCol))
     val afterExact = exactKept.count()
+    ledger += ("exact_dup" -> afterExact)
 
+    // ---- CCNet unigram bucketing (post-dedup, approx scale path) -----
+    val uniKept = hygiene.unigram match {
+      case Some(u) =>
+        val scored = QualityFilters.unigramLogProbs(exactKept, idCol, textCol, u.model)
+        val bucketed = QualityFilters.qualityBucketsApprox(
+          scored, buckets = u.buckets, relErr = u.relErr)
+        val keepIds = bucketed.filter(col("quality_bucket") <= u.keepBuckets)
+          .select(col(idCol))
+        val kept = Dedup.cacheOnce(exactKept.join(keepIds, Seq(idCol), "left_semi"))
+        ledger += ("unigram" -> kept.count())
+        kept
+      case None => exactKept
+    }
+
+    // ---- near-dup dedup: the expensive stage runs over the smallest
+    // surviving frame ---------------------------------------------------
     val pairs = nearDup match {
       case NearDup.NgramExact =>
-        Dedup.ngramJaccardPairs(exactKept, idCol, textCol,
+        Dedup.ngramJaccardPairs(uniKept, idCol, textCol,
           shingleSize, nearDupThreshold)
       case NearDup.MinhashLsh =>
         val (k, bands) = Dedup.lshParamsFor(nearDupThreshold)
-        Dedup.minhashJaccardPairs(exactKept, idCol, textCol,
+        Dedup.minhashJaccardPairs(uniKept, idCol, textCol,
           k = k, bands = bands, n = shingleSize, threshold = nearDupThreshold)
     }
-    val curated = Dedup.dedupByPairs(exactKept, idCol, pairs)
-    val afterNearDup = curated.count()
+    val curated = Dedup.dedupByPairs(uniKept, idCol, pairs)
+    ledger += ("near_dup" -> curated.count())
 
-    langKept.unpersist()
-    CurationResult(curated,
-      CurationStats(input, afterQuality, afterLanguage, afterExact, afterNearDup))
+    scanKept.unpersist()
+    CurationResult(curated, CurationStats(input, ledger.result()))
   }
 }

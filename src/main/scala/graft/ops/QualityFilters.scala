@@ -293,6 +293,28 @@ object QualityFilters {
           .as("mean_log_prob"))
   }
 
+  /** Persist a [[unigramModel]] frame as parquet so a reference-corpus
+    * LM can score a DIFFERENT corpus — the actual CCNet setup (Wenzek
+    * et al. 2020 score Common Crawl under a Wikipedia-trained LM).
+    * Types are normalized on write so any engine reads it back
+    * unambiguously. */
+  def saveUnigramModel(model: DataFrame, path: String): Unit =
+    model.select(col("token").cast("string").as("token"),
+        col("cnt").cast("long").as("cnt"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted unigram model, validating the (token, cnt)
+    * contract before anything joins against it. */
+  def loadUnigramModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(Set("token", "cnt").subsetOf(df.columns.toSet),
+      s"unigram model at $path must have (token, cnt) columns, " +
+        s"found: ${df.columns.mkString(", ")}")
+    df.select(col("token").cast("string").as("token"),
+      col("cnt").cast("long").as("cnt"))
+  }
+
   /** CCNet-style quality buckets: ntile over the (rounded) score,
     * best scores in bucket 1. EXACT global ranking — a single-node
     * sort of one row per document, fine up to ~1e9 docs on a driver

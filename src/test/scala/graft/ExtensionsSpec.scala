@@ -149,6 +149,149 @@ class ExtensionsSpec extends SparkFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("integer literal")))
   }
 
+  test("curation full-hygiene pipeline: one planted failure per stage") {
+    import graft.ops.{Curation, QualityFilters}
+    val good1 = Seq(
+      "the quick brown fox jumps over the lazy sleeping dog.",
+      "a gentle rain of morning light settles over the valley.",
+      "we walked to the old market and bought fresh bread.",
+      "that evening the children played in the garden for hours.",
+      "it is a long road that has no turning at all.",
+      "people have gathered near the river to watch the boats.").mkString("\n")
+    val good2 = Seq(
+      "the mountain path winds upward through tall pines and cold air.",
+      "a small cabin stands at the edge of the frozen lake.",
+      "we carried wood inside and lit the stove before dark.",
+      "that night the wind pushed hard against the wooden door.",
+      "it is quiet here in ways the city never allows.",
+      "people have come to this valley for rest and calm.").mkString("\n")
+    val good3 = Seq(
+      "the harbor fills with fishing boats at the first light.",
+      "a line of gulls follows the nets back to shore.",
+      "we sold the morning catch and counted out the coins.",
+      "that market noise carried far across the narrow stone streets.",
+      "it is honest work that feeds the whole town well.",
+      "people have lived from this sea for many long years.").mkString("\n")
+    // passes c4 (3 clean sentences) but 18 words < gopher minWords
+    val gopherFail = Seq(
+      "we saw three small birds today.",
+      "they sang from the tall tree.",
+      "then they flew away at dusk.").mkString("\n")
+    // passes gopher (132 words, stopwords) but dup-line ratio 11/12
+    val repFail = Seq.fill(12)(
+      "the cat and the dog have walked to the old bridge.").mkString("\n")
+    // passes gopher (2 stopword kinds, clean ratios) but comma-soup
+    // punctuation + near-zero stopword ratio sinks qualityScore
+    val qualFail = Seq(
+      "red,, green,, blue,, yellow,, purple,, the orange,, pink,, brown,, black,, white,, ink.",
+      "crimson,, olive,, navy,, gold,, silver,, and maroon,, teal,, coral,, ivory,, jade,, tint.",
+      "amber,, azure,, beige,, bronze,, copper,, cyan,, indigo,, lilac,, mint,, ochre,, peach.",
+      "pearl,, plum,, rose,, ruby,, rust,, sage,, sand,, sepia,, slate,, tan,, topaz.",
+      "umber,, violet,, wheat,, salmon,, scarlet,, smoke,, snow,, steel,, straw,, taupe,, thistle.")
+      .mkString("\n")
+    // passes everything scan-side except language: german stopwords
+    // dominate, with just enough english gopher-stopwords to pass gopher
+    val langFail = Seq(
+      "der hund und die katze laufen durch den garten and the morgen.",
+      "die sonne ist warm und das wasser ist nicht kalt heute.",
+      "der alte mann ist mit dem fahrrad zu dem markt gefahren.",
+      "das kind und der vogel singen auf dem hohen baum zusammen.",
+      "die frauen und der baecker backen das frische brot am morgen.").mkString("\n")
+    val docs = Seq(
+      (1L, "https://Example.com/articles/1?utm_source=feed", good1),
+      (2L, "https://example.com/code", "function main() { return 0; }"),
+      (3L, "https://example.com/birds", gopherFail),
+      (4L, "https://example.com/bridge", repFail),
+      (5L, "https://example.com/colors", qualFail),
+      (6L, "https://example.com/hund", langFail),
+      (7L, "https://example.com/articles/1", good2), // url-dup of doc 1
+      (8L, "https://example.com/copy", good1), // exact dup of doc 1
+      (9L, "https://example.com/near",
+        good1.replace("watch the boats", "watch the ships")), // near dup
+      (10L, "https://example.com/harbor", good3)
+    ).toDF("doc_id", "url", "text")
+
+    val r = Curation.curate(docs, minQuality = 0.6, languages = Seq("en"),
+      nearDupThreshold = 0.5, nearDup = Curation.NearDup.MinhashLsh,
+      hygiene = Curation.HygieneConfig(
+        c4 = Some(Curation.C4Config()),
+        gopher = Some(QualityFilters.GopherConfig()),
+        repetition = Some(QualityFilters.RepetitionConfig()),
+        urlCol = Some("url")))
+    assert(r.stats.input == 10)
+    assert(r.stats.stages.map(_._1) == Vector("c4", "gopher", "repetition",
+      "quality", "language", "url_dup", "exact_dup", "near_dup"))
+    assert(r.stats.dropped == Map(
+      "c4" -> 1L, "gopher" -> 1L, "repetition" -> 1L, "quality" -> 1L,
+      "language" -> 1L, "url_dup" -> 1L, "exact_dup" -> 1L, "near_dup" -> 1L))
+    assert(r.stats.output == 2)
+    assert(r.df.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 10L))
+    // ledger arithmetic: consecutive survivor counts are monotone
+    val counts = r.stats.input +: r.stats.stages.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (b, a) => a <= b })
+  }
+
+  test("curation unigram stage drops the statistical-outlier bucket") {
+    import graft.ops.Curation
+    val common = Seq(
+      "the river runs past the mill and the old bridge",
+      "the miller walks to the bridge over the river daily",
+      "the bridge spans the river near the busy old mill",
+      "the water turns the wheel of the river mill slowly",
+      "the old bridge and the mill share the river bank",
+      "the daily walk crosses the bridge to the river mill",
+      "the mill wheel and the bridge frame the river view",
+      "the river bank holds the mill and the old bridge")
+    val gibberish = "zyxqv wvutk qponm lkjih gfedc bazyr qwopt mnbvc xswed plokm"
+    val docs = (common.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) } :+
+      (99L, gibberish)).toDF("doc_id", "text")
+    val r = Curation.curate(docs, minQuality = 0.0, languages = Nil,
+      nearDupThreshold = 0.9,
+      hygiene = Curation.HygieneConfig(
+        unigram = Some(Curation.UnigramConfig(buckets = 3, keepBuckets = 2))))
+    assert(r.stats.stages.map(_._1).contains("unigram"))
+    assert(r.stats.dropped("unigram") >= 1)
+    assert(r.stats.after("unigram") ==
+      r.stats.after("exact_dup") - r.stats.dropped("unigram"))
+    // the gibberish doc's tokens appear nowhere else: lowest mean log
+    // prob, bottom bucket, dropped
+    assert(!r.df.select("doc_id").as[Long].collect().contains(99L))
+  }
+
+  test("unigram model round-trips through parquet and scores cross-corpus") {
+    import graft.ops.QualityFilters
+    val ref = Seq(
+      (1L, "the river runs past the mill"),
+      (2L, "the mill stands by the river"),
+      (3L, "the river and the mill again")).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "the river mill"),          // all tokens frequent in ref
+      (11L, "quantum flux capacitor")). // none present in ref
+      toDF("doc_id", "text")
+    val model = QualityFilters.unigramModel(ref)
+    val dir = java.nio.file.Files.createTempDirectory("unigram_model").toString
+    try {
+      QualityFilters.saveUnigramModel(model, s"$dir/m.parquet")
+      val loaded = QualityFilters.loadUnigramModel(spark, s"$dir/m.parquet")
+      // loaded model produces bit-identical scores to the in-memory one
+      def scores(m: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+        QualityFilters.unigramLogProbs(target, model = Some(m))
+          .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val a = scores(model)
+      val b = scores(loaded)
+      assert(a == b)
+      // cross-corpus semantics: in-vocabulary doc scores strictly higher
+      assert(a(10L) > a(11L))
+      // contract validation: wrong schema is rejected up front
+      Seq((1, 2)).toDF("x", "y").write.mode("overwrite").parquet(s"$dir/bad.parquet")
+      val e = intercept[IllegalArgumentException](
+        QualityFilters.loadUnigramModel(spark, s"$dir/bad.parquet"))
+      assert(e.getMessage.contains("token"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("curation pipeline composes filters + dedup with drop accounting") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs far away today"),
