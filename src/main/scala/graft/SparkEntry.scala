@@ -287,13 +287,19 @@ object SparkEntry {
         round(graft.ops.TextAnalysis.dupWordRatio(col("text")), 6).as("dup_word_ratio")
       ).orderBy("doc_id")),
     // Gopher A1.1 n-gram repetition: top-bigram + duplicated-5-gram
-    // character fractions (the sorted-run fold vs the oracle's group-by)
-    "q_ngram_repetition" -> ((s, dir) =>
+    // character fractions. Runs the one-pass codegen'd kernel (the
+    // 100 TB path) against the oracle's group-by replay — the same
+    // oracle also pins the Column-algebra reference via the OpsSpec
+    // kernel-equivalence test.
+    "q_ngram_repetition" -> ((s, dir) => {
+      val stats = graft.functions.NgramRepetition
+        .ngramRepetitionStats(col("text"), topNs = Seq(2), dupNs = Seq(5))
       t(s, dir, "documents").select(
         col("doc_id"),
-        round(graft.ops.TextAnalysis.topNgramCharFraction(col("text"), 2), 6).as("top2_frac"),
-        round(graft.ops.TextAnalysis.dupNgramCharFraction(col("text"), 5), 6).as("dup5_frac")
-      ).orderBy("doc_id")),
+        round(stats.getField("top_2gram_frac"), 6).as("top2_frac"),
+        round(stats.getField("dup_5gram_frac"), 6).as("dup5_frac")
+      ).orderBy("doc_id")
+    }),
     // PII scrubbing: emails + IPv4 replaced scan-side, hit counts kept
     "q_pii_scrub" -> ((s, dir) =>
       t(s, dir, "documents").select(

@@ -125,30 +125,41 @@ object QualityFilters {
       maxDupNgramFrac: Map[Int, Double] =
         Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10))
 
-  /** The full Gopher repetition keep decision: one sorted-run fold per
-    * configured n (9 by default) in a single projection over the scan —
-    * still shuffle-free; each fold is O(G log G) per document. */
+  /** All configured n-gram fractions in ONE codegen'd pass (see
+    * [[graft.functions.NgramRepetition]] — one tokenization per
+    * document instead of one interpreted sorted fold per n). */
+  private def ngramStats(text: Column, cfg: RepetitionConfig): Column =
+    graft.functions.NgramRepetition.ngramRepetitionStats(text,
+      topNs = cfg.maxTopNgramFrac.keys.toSeq.sorted,
+      dupNs = cfg.maxDupNgramFrac.keys.toSeq.sorted)
+
+  /** The full Gopher repetition keep decision in a single projection
+    * over the scan — shuffle-free; the nine n-gram fractions come from
+    * the one-pass kernel, whose semantics are pinned to the
+    * Column-algebra reference ([[TextAnalysis.topNgramCharFraction]])
+    * by OpsSpec and the q_ngram_repetition DuckDB oracle. */
   def repetitionKeep(text: Column,
       cfg: RepetitionConfig = RepetitionConfig()): Column = {
-    import TextAnalysis.{dupLineRatio, topNgramCharFraction, dupNgramCharFraction}
-    val lineOk = dupLineRatio(text) <= cfg.maxDupLineRatio
+    val stats = ngramStats(text, cfg)
+    val lineOk = graft.functions.NgramRepetition.dupLineRatioFast(text) <= cfg.maxDupLineRatio
     val topOk = cfg.maxTopNgramFrac.toSeq.sortBy(_._1).map { case (n, th) =>
-      topNgramCharFraction(text, n) <= th }
+      stats.getField(s"top_${n}gram_frac") <= th }
     val dupOk = cfg.maxDupNgramFrac.toSeq.sortBy(_._1).map { case (n, th) =>
-      dupNgramCharFraction(text, n) <= th }
+      stats.getField(s"dup_${n}gram_frac") <= th }
     (lineOk +: (topOk ++ dupOk)).reduce(_ && _)
   }
 
   /** One-pass enrichment: every repetition signal plus the keep flag. */
   def repetitionSignals(df: DataFrame, textCol: String = "text",
       cfg: RepetitionConfig = RepetitionConfig()): DataFrame = {
-    import TextAnalysis.{dupLineRatio, topNgramCharFraction, dupNgramCharFraction}
     val t = col(textCol)
+    val stats = ngramStats(t, cfg)
     val tops = cfg.maxTopNgramFrac.keys.toSeq.sorted.map(n =>
-      s"top_${n}gram_frac" -> round(topNgramCharFraction(t, n), 6))
+      s"top_${n}gram_frac" -> round(stats.getField(s"top_${n}gram_frac"), 6))
     val dups = cfg.maxDupNgramFrac.keys.toSeq.sorted.map(n =>
-      s"dup_${n}gram_frac" -> round(dupNgramCharFraction(t, n), 6))
-    val all = Seq("dup_line_ratio" -> round(dupLineRatio(t), 6)) ++
+      s"dup_${n}gram_frac" -> round(stats.getField(s"dup_${n}gram_frac"), 6))
+    val all = Seq("dup_line_ratio" ->
+      round(graft.functions.NgramRepetition.dupLineRatioFast(t), 6)) ++
       tops ++ dups :+ ("repetition_keep" -> repetitionKeep(t, cfg))
     df.withColumns(all.toMap)
   }

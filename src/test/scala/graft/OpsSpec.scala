@@ -85,6 +85,44 @@ class OpsSpec extends SparkFunSuite {
     assert(r(3L)._2 >= r(3L)._1 - 1e-9)
   }
 
+  test("one-pass ngram repetition kernel matches the Column-algebra reference") {
+    import graft.functions.NgramRepetition
+    // edge cases the kernel must replicate bit-for-bit, including the
+    // trim-strips-spaces-only quirk (leading tab → leading empty token)
+    val edge = Seq(
+      (1L, "one"), (2L, "go go go go"), (3L, "aa bb aa bb zz aa bb"),
+      (4L, "x y x y longword q longword q z"), (5L, ""), (6L, "   "),
+      (7L, "\tleading tab stays then splits"), (8L, "trailing newline\n"),
+      (9L, "Ünïcode ünïcode ÜNÏCODE mixed çase çase"),
+      (10L, "a b c d e f g h i j k l m n o p q r s t"),
+      (11L, "x\n\ny  z\t\tz y x"), (12L, "🦊 emoji 🦊 emoji astral astral")
+    ).toDF("doc_id", "text")
+    val corpus = docs.select(col("doc_id") + 1000000L as "doc_id", col("text"))
+    for (src <- Seq(edge, corpus)) {
+      val ns = Seq(2, 3, 4, 5, 6, 7, 8, 9, 10)
+      val stats = NgramRepetition.ngramRepetitionStats(
+        col("text"), topNs = ns, dupNs = ns)
+      val cols = col("doc_id") +:
+        (ns.map(n => stats.getField(s"top_${n}gram_frac").as(s"ft$n")) ++
+          ns.map(n => TextAnalysis.topNgramCharFraction(col("text"), n).as(s"rt$n")) ++
+          ns.map(n => stats.getField(s"dup_${n}gram_frac").as(s"fd$n")) ++
+          ns.map(n => TextAnalysis.dupNgramCharFraction(col("text"), n).as(s"rd$n")) ++
+          Seq(NgramRepetition.dupLineRatioFast(col("text")).as("fl"),
+            TextAnalysis.dupLineRatio(col("text")).as("rl")))
+      src.select(cols: _*).collect().foreach { r =>
+        val id = r.getLong(0)
+        ns.indices.foreach { i =>
+          val (ft, rt) = (r.getDouble(1 + i), r.getDouble(1 + ns.length + i))
+          val (fd, rd) = (r.getDouble(1 + 2 * ns.length + i), r.getDouble(1 + 3 * ns.length + i))
+          assert(ft == rt, s"top n=${ns(i)} doc=$id: kernel $ft vs reference $rt")
+          assert(fd == rd, s"dup n=${ns(i)} doc=$id: kernel $fd vs reference $rd")
+        }
+        val (fl, rl) = (r.getDouble(1 + 4 * ns.length), r.getDouble(2 + 4 * ns.length))
+        assert(fl == rl, s"dup_line doc=$id: kernel $fl vs reference $rl")
+      }
+    }
+  }
+
   test("pii scrub replaces emails and IPv4, counts match") {
     import graft.ops.TextAnalysis
     val df = Seq(

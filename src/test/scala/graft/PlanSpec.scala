@@ -180,6 +180,19 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("Exchange"))
   }
 
+  test("ngram repetition kernel stays in whole-stage codegen, one expr for all ns") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ops.QualityFilters.repetitionSignals(docs.select("doc_id", "text"))
+    val plan = planOf(df)
+    assert(plan.contains("*(1) Project") && plan.contains("ngram_repetition"),
+      s"fell out of codegen:\n$plan")
+    assert(!plan.contains("Exchange"))
+    // the one-pass kernel: a single ngram_repetition call site feeds all
+    // nine fraction columns (subexpression elimination applies in the
+    // generated stage; the analyzed plan must not fan out per n)
+    assert(!plan.contains("array_sort"), s"interpreted sorted folds leaked back:\n$plan")
+  }
+
   test("decontamination broadcasts the eval shingles; train is never shuffled") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.ops.Dedup.contaminatedIds(
