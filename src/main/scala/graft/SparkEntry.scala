@@ -244,6 +244,19 @@ object SparkEntry {
       val d = docs.union(docs.withColumn("doc_id", col("doc_id") + 100000))
       graft.ops.Dedup.exactGroups(d, "text", "doc_id").orderBy("keep_id")
     }),
+    // Incremental dedup: a recurring refresh drops batch docs whose
+    // fingerprint is already in the store (here: every doc_id % 3 == 0
+    // doc plays the prior corpus) and keeps min-id winners within the
+    // batch. The corpus has genuine cross-id duplicates, so both legs
+    // (store hit, intra-batch dup) are exercised.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val store = graft.ops.Dedup.fingerprintStore(
+        docs.filter(col("doc_id") % 3 === 0))
+      graft.ops.Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 3 =!= 0), store)
+        .select("doc_id").orderBy("doc_id")
+    }),
     // Unicode NFC normalization (custom codegen'd expression — Spark
     // ships no builtin). The corpus is ASCII (normalization-invariant),
     // so the query APPENDS a decomposed suffix (e + combining acute)
@@ -417,6 +430,16 @@ object SparkEntry {
           col("score6").as("mean_log_prob"), col("quality_bucket"))
         .orderBy("doc_id")
     }),
+    // CCNet's actual scoring model, one n up: self-trained bigram LM
+    // with add-alpha smoothing over the UNK-closed vocabulary. The
+    // oracle replays train (vocab -> unk-mapped bigram counts ->
+    // context totals) and score end-to-end; perplexity itself is
+    // exp(-mlp), derived, so the oracle pins mean_log_prob.
+    "q_bigram_quality" -> ((s, dir) =>
+      graft.ops.QualityFilters.bigramLogProbs(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("mean_log_prob"), 6).as("mean_log_prob"))
+        .orderBy("doc_id")),
     // Exact n-gram Jaccard near-dup pairs
     "q_ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccardPairs(
@@ -749,6 +772,18 @@ object SparkEntry {
         |       min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM d GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
+    "q_dedup_incremental" ->
+      """WITH store AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |batch AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |winners AS (SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY 1)
+        |SELECT w.doc_id FROM winners w
+        |WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = w.fp)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_text_stats" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
@@ -1049,6 +1084,41 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, score6 AS mean_log_prob,
         |  CASE WHEN score6 >= c1 THEN 1 WHEN score6 >= c2 THEN 2 ELSE 3 END AS quality_bucket
         |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
+
+    // End-to-end bigram LM replay: vocab (count >= 2) -> UNK-mapped
+    // bigram counts -> context totals -> add-0.4 smoothed scoring
+    // with V = |vocab| + 1. Same ln/avg/round-6 discipline as the
+    // unigram oracle.
+    "q_bigram_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |uni AS (SELECT unnest(t) AS token FROM toks),
+        |vocab AS (SELECT token FROM (SELECT token, count(*) AS c FROM uni GROUP BY 1)
+        |          WHERE c >= 2),
+        |vs AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS v FROM vocab),
+        |rawp AS (
+        |  SELECT doc_id, g.prev AS prev, g.tok AS tok FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |      i -> struct_pack(prev := t[i], tok := t[i+1]))) AS g
+        |    FROM toks WHERE len(t) >= 2)),
+        |mapped AS (
+        |  SELECT doc_id,
+        |    CASE WHEN pv.token IS NULL THEN '<unk>' ELSE rawp.prev END AS prev,
+        |    CASE WHEN tv.token IS NULL THEN '<unk>' ELSE rawp.tok END AS tok
+        |  FROM rawp
+        |  LEFT JOIN vocab pv ON rawp.prev = pv.token
+        |  LEFT JOIN vocab tv ON rawp.tok = tv.token),
+        |big AS (SELECT prev, tok, count(*) AS cnt FROM mapped GROUP BY 1, 2),
+        |pt AS (SELECT prev, sum(cnt) AS prev_cnt FROM big GROUP BY 1)
+        |SELECT m.doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln((coalesce(b.cnt, 0) + 0.4)
+        |    / (coalesce(pt.prev_cnt, 0) + 0.4 * vs.v))), 6) AS mean_log_prob
+        |FROM mapped m
+        |LEFT JOIN big b ON m.prev = b.prev AND m.tok = b.tok
+        |LEFT JOIN pt ON m.prev = pt.prev
+        |CROSS JOIN vs
+        |GROUP BY m.doc_id ORDER BY m.doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH docs AS (

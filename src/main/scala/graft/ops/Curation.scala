@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** End-to-end corpus curation: the composition a 100 TB training-data
   * pipeline actually runs — C4 line cleaning → Gopher document rules →
   * repetition rules → quality/language filter → URL dedup → exact
-  * dedup → CCNet unigram bucketing → near-dup dedup — with per-stage
-  * drop accounting so nothing is silently lost.
+  * dedup → CCNet unigram/bigram LM bucketing → near-dup dedup — with
+  * per-stage drop accounting so nothing is silently lost.
   *
   * Stage order is deliberate: the cheap scan-side filters (C4, Gopher,
   * repetition, quality, language) run FIRST and shrink the corpus
@@ -70,6 +70,23 @@ object Curation {
       model: Option[DataFrame] = None,
       relErr: Double = 0.001)
 
+  /** CCNet-with-the-real-LM stage: score every surviving document's
+    * mean bigram log-probability under `model` (self-trained when
+    * None — but prefer a clean-reference model, see the
+    * [[QualityFilters.bigramLogProbs]] UNK caveat), bucket with the
+    * approxQuantile scale path, keep the best `keepBuckets`. Like
+    * [[UnigramConfig]] it runs post-dedup. Note that documents with
+    * fewer than two tokens have no bigrams, score nothing, and are
+    * dropped by this stage — run it only on corpora where
+    * sub-two-token pages are junk by definition (web text). */
+  final case class BigramConfig(
+      buckets: Int = 3,
+      keepBuckets: Int = 2,
+      model: Option[QualityFilters.BigramLm] = None,
+      alpha: Double = 0.4,
+      minCount: Long = 2,
+      relErr: Double = 0.001)
+
   /** Optional corpus-hygiene stages around the core quality → language
     * → dedup spine. Everything defaults OFF; enabling a stage adds its
     * (name, survivors) entry to the ledger. `urlCol` names a column of
@@ -81,7 +98,8 @@ object Curation {
       gopher: Option[QualityFilters.GopherConfig] = None,
       repetition: Option[QualityFilters.RepetitionConfig] = None,
       urlCol: Option[String] = None,
-      unigram: Option[UnigramConfig] = None)
+      unigram: Option[UnigramConfig] = None,
+      bigram: Option[BigramConfig] = None)
 
   def curate(
       docs: DataFrame,
@@ -166,18 +184,36 @@ object Curation {
       case None => exactKept
     }
 
+    // ---- bigram LM perplexity bucketing (the CCNet scoring model
+    // proper; also post-dedup) ------------------------------------------
+    val lmKept = hygiene.bigram match {
+      case Some(b) =>
+        val model = b.model.getOrElse(
+          QualityFilters.bigramModel(uniKept, textCol, b.minCount))
+        val scored = QualityFilters.bigramLogProbs(
+          uniKept, idCol, textCol, Some(model), b.alpha)
+        val bucketed = QualityFilters.qualityBucketsApprox(
+          scored, buckets = b.buckets, relErr = b.relErr)
+        val keepIds = bucketed.filter(col("quality_bucket") <= b.keepBuckets)
+          .select(col(idCol))
+        val kept = Dedup.cacheOnce(uniKept.join(keepIds, Seq(idCol), "left_semi"))
+        ledger += ("bigram" -> kept.count())
+        kept
+      case None => uniKept
+    }
+
     // ---- near-dup dedup: the expensive stage runs over the smallest
     // surviving frame ---------------------------------------------------
     val pairs = nearDup match {
       case NearDup.NgramExact =>
-        Dedup.ngramJaccardPairs(uniKept, idCol, textCol,
+        Dedup.ngramJaccardPairs(lmKept, idCol, textCol,
           shingleSize, nearDupThreshold)
       case NearDup.MinhashLsh =>
         val (k, bands) = Dedup.lshParamsFor(nearDupThreshold)
-        Dedup.minhashJaccardPairs(uniKept, idCol, textCol,
+        Dedup.minhashJaccardPairs(lmKept, idCol, textCol,
           k = k, bands = bands, n = shingleSize, threshold = nearDupThreshold)
     }
-    val curated = Dedup.dedupByPairs(uniKept, idCol, pairs)
+    val curated = Dedup.dedupByPairs(lmKept, idCol, pairs)
     ledger += ("near_dup" -> curated.count())
 
     scanKept.unpersist()

@@ -62,6 +62,36 @@ object Dedup {
       exactGroups(df, textCol, idCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Incremental exact dedup for a recurring corpus refresh: drop new
+    * documents whose fingerprint already exists in `store` (the
+    * fingerprint set of everything ingested in previous batches) and
+    * keep one winner (min id) per fingerprint WITHIN the new batch.
+    * Returns the surviving rows of `df` with their original columns.
+    *
+    * Plan shape: batch winners are one map-side-combined shuffle;
+    * the store is anti-joined on the fingerprint key and deliberately
+    * NOT broadcast-hinted — at 100 TB of history the store is itself
+    * large, and the join keys are hashes, so both sides hash-partition
+    * evenly (persist the store bucketed by `fingerprint` to make the
+    * refresh exchange-free on the store side). The final semi-join
+    * carries ids only, never document payloads. */
+  def incrementalDedup(df: DataFrame, store: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      storeFpCol: String = "fingerprint"): DataFrame = {
+    val winners = df
+      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+    val fresh = winners
+      .join(store.select(col(storeFpCol).as("__fp")), Seq("__fp"), "left_anti")
+    df.join(fresh.select(idCol), Seq(idCol), "left_semi")
+  }
+
+  /** The store delta for [[incrementalDedup]]: distinct fingerprints
+    * of a (surviving) batch, to append to the store for the next
+    * refresh. */
+  def fingerprintStore(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint")).distinct()
+
   /** Sentence segmentation for [[spanDedup]]: maximal runs ending in
     * terminal punctuation, trimmed, empties dropped. Deliberately
     * lookaround-free so the DuckDB oracle replays it with the same

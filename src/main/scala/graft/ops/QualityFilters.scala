@@ -355,4 +355,129 @@ object QualityFilters {
     }
     scored.withColumn("quality_bucket", bucket)
   }
+
+  // ---- bigram LM perplexity (CCNet's actual scoring model) -------------
+
+  /** Out-of-vocabulary token sentinel for the bigram LM. */
+  val UnkToken = "<unk>"
+
+  /** A trained bigram language model: `vocab` (one `token` column,
+    * tokens seen at least `minCount` times) and `bigrams`
+    * (`prev`, `tok`, `cnt` counts over UNK-mapped token pairs).
+    * Context totals and the smoothing vocabulary size are derived
+    * lazily at scoring time — both are model-sized aggregations. */
+  final case class BigramLm(vocab: DataFrame, bigrams: DataFrame)
+
+  /** Consecutive (prev, tok) token pairs of each document, built
+    * scan-side from the token array (two slices zipped — no
+    * posexplode/window, no shuffle). Documents with fewer than two
+    * tokens contribute nothing. */
+  private def bigramPairs(df: DataFrame, textCol: String,
+      keep: Seq[Column]): DataFrame = {
+    val t = tokens(lower(col(textCol)))
+    val pair = explode(arrays_zip(
+      slice(t, lit(1), size(t) - 1).as("prev"),
+      slice(t, lit(2), size(t) - 1).as("tok"))).as("__p")
+    df.filter(size(t) >= 2)
+      .select(keep :+ pair: _*)
+      .select(keep :+ col("__p.prev").as("prev") :+ col("__p.tok").as("tok"): _*)
+  }
+
+  /** Map a raw token column to itself-or-[[UnkToken]] by a broadcast
+    * membership join against `vocab`. */
+  private def unkMap(df: DataFrame, vocab: DataFrame, tokCol: String,
+      broadcastVocab: Boolean): DataFrame = {
+    val marked = vocab.select(col("token").as(tokCol), lit(1).as(s"__in_$tokCol"))
+    val side = if (broadcastVocab) broadcast(marked) else marked
+    df.join(side, Seq(tokCol), "left")
+      .withColumn(tokCol,
+        when(col(s"__in_$tokCol") === 1, col(tokCol)).otherwise(lit(UnkToken)))
+      .drop(s"__in_$tokCol")
+  }
+
+  /** Train a bigram LM (Wenzek et al. 2020 score pages under a KenLM
+    * n-gram model; this is the n=2 member of that family, expressed
+    * as three map-side-combined aggregations). Vocabulary = tokens
+    * with unigram count >= `minCount`; everything rarer becomes
+    * [[UnkToken]] BEFORE bigram counting, so the sentinel has real
+    * statistics. At 100 TB the model frames are vocabulary-sized,
+    * orders of magnitude smaller than the corpus. */
+  def bigramModel(train: DataFrame, textCol: String = "text",
+      minCount: Long = 2, broadcastVocab: Boolean = true): BigramLm = {
+    val vocab = unigramModel(train, textCol)
+      .filter(col("cnt") >= minCount).select("token")
+    val raw = bigramPairs(train, textCol, Seq.empty)
+    val mapped = unkMap(unkMap(raw, vocab, "prev", broadcastVocab),
+      vocab, "tok", broadcastVocab)
+    BigramLm(vocab, mapped.groupBy("prev", "tok").agg(count(lit(1)).as("cnt")))
+  }
+
+  /** Mean bigram log-probability (and perplexity) of each document
+    * under `model` (defaults to a model trained on the corpus itself;
+    * pass a model trained on a clean reference corpus for the real
+    * CCNet setup). Prefer the reference model when hunting gibberish:
+    * under a self-trained model, rare tokens collapse into the single
+    * [[UnkToken]] state, so an all-rare-token document is scored
+    * against its own aggregated UNK mass and can look fluent. Add-alpha
+    * smoothing over the UNK-closed vocabulary:
+    *
+    *   P(t|p) = (c(p,t) + alpha) / (c(p) + alpha * V)
+    *
+    * with V = |vocab| + 1 (the UNK row). Documents with fewer than two
+    * tokens are absent from the result.
+    *
+    * Plan shape: the corpus stream is scan-side pairs → four broadcast
+    * hash joins against model-sized frames → ONE map-side-combined
+    * per-document aggregation. The corpus is never shuffled before the
+    * partial agg; with `broadcastModel=false` the joins fall back to
+    * shuffle joins for vocabulary sizes past broadcast limits. */
+  def bigramLogProbs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", model: Option[BigramLm] = None,
+      alpha: Double = 0.4, broadcastModel: Boolean = true): DataFrame = {
+    require(alpha > 0.0, s"bigram smoothing wants alpha > 0, got $alpha")
+    val m = model.getOrElse(bigramModel(df, textCol, broadcastVocab = broadcastModel))
+    def side(d: DataFrame) = if (broadcastModel) broadcast(d) else d
+    val vsize = m.vocab.agg((count(lit(1)) + 1L).cast("double").as("__v"))
+    val prevTotals = m.bigrams.groupBy("prev").agg(sum("cnt").as("prev_cnt"))
+    val raw = bigramPairs(df, textCol, Seq(col(idCol)))
+    val mapped = unkMap(unkMap(raw, m.vocab, "prev", broadcastModel),
+      m.vocab, "tok", broadcastModel)
+    val logp = log(
+      (coalesce(col("cnt"), lit(0L)).cast("double") + lit(alpha)) /
+        (coalesce(col("prev_cnt"), lit(0L)).cast("double") + lit(alpha) * col("__v")))
+    mapped
+      .join(side(m.bigrams), Seq("prev", "tok"), "left")
+      .join(side(prevTotals), Seq("prev"), "left")
+      .crossJoin(broadcast(vsize))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), avg(logp).as("mean_log_prob"))
+      .withColumn("perplexity", exp(-col("mean_log_prob")))
+  }
+
+  /** Persist a [[BigramLm]] (vocab + bigrams parquet side by side),
+    * types normalized on write like [[saveUnigramModel]]. */
+  def saveBigramModel(model: BigramLm, path: String): Unit = {
+    model.vocab.select(col("token").cast("string").as("token"))
+      .write.mode("overwrite").parquet(s"$path/vocab")
+    model.bigrams.select(col("prev").cast("string").as("prev"),
+        col("tok").cast("string").as("tok"), col("cnt").cast("long").as("cnt"))
+      .write.mode("overwrite").parquet(s"$path/bigrams")
+  }
+
+  /** Load a persisted bigram model, validating both frame contracts. */
+  def loadBigramModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): BigramLm = {
+    val vocab = spark.read.parquet(s"$path/vocab")
+    val bigrams = spark.read.parquet(s"$path/bigrams")
+    require(vocab.columns.contains("token"),
+      s"bigram model vocab at $path/vocab must have a token column, " +
+        s"found: ${vocab.columns.mkString(", ")}")
+    require(Set("prev", "tok", "cnt").subsetOf(bigrams.columns.toSet),
+      s"bigram model at $path/bigrams must have (prev, tok, cnt) columns, " +
+        s"found: ${bigrams.columns.mkString(", ")}")
+    BigramLm(
+      vocab.select(col("token").cast("string").as("token")),
+      bigrams.select(col("prev").cast("string").as("prev"),
+        col("tok").cast("string").as("tok"), col("cnt").cast("long").as("cnt")))
+  }
 }

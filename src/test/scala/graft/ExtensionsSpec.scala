@@ -256,6 +256,22 @@ class ExtensionsSpec extends SparkFunSuite {
     // the gibberish doc's tokens appear nowhere else: lowest mean log
     // prob, bottom bucket, dropped
     assert(!r.df.select("doc_id").as[Long].collect().contains(99L))
+
+    // the bigram LM stage composes the same way. The model is trained
+    // on the CLEAN docs (the real CCNet setup): under a self-trained
+    // model a gibberish doc's all-(unk,unk) bigrams would score ITS OWN
+    // aggregated UNK mass — rare tokens collapse into one well-observed
+    // state — which is exactly why CCNet trains on a reference corpus.
+    val refModel = graft.ops.QualityFilters.bigramModel(
+      docs.filter($"doc_id" =!= 99L), minCount = 1)
+    val rb = Curation.curate(docs, minQuality = 0.0, languages = Nil,
+      nearDupThreshold = 0.9,
+      hygiene = Curation.HygieneConfig(
+        bigram = Some(Curation.BigramConfig(
+          buckets = 3, keepBuckets = 2, model = Some(refModel)))))
+    assert(rb.stats.stages.map(_._1).contains("bigram"))
+    assert(rb.stats.dropped("bigram") >= 1)
+    assert(!rb.df.select("doc_id").as[Long].collect().contains(99L))
   }
 
   test("unigram model round-trips through parquet and scores cross-corpus") {

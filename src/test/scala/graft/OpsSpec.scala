@@ -123,6 +123,58 @@ class OpsSpec extends SparkFunSuite {
     }
   }
 
+  test("incremental dedup: store hits dropped, intra-batch dups keep min id") {
+    import graft.ops.Dedup
+    val prior = Seq((100L, "alpha"), (101L, "beta")).toDF("doc_id", "text")
+    val store = Dedup.fingerprintStore(prior)
+    val batch = Seq(
+      (1L, "alpha"),                // already in the store -> dropped
+      (2L, "gamma"), (3L, "gamma"), // intra-batch dup -> min id 2 survives
+      (4L, "ALPHA  "),              // normalized fingerprint hits the store
+      (5L, "delta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, store)
+    assert(out.columns.toSeq == Seq("doc_id", "text"), "original columns survive")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 5L))
+    val delta = Dedup.fingerprintStore(out)
+    assert(delta.count() == 2)
+    assert(delta.columns.toSeq == Seq("fingerprint"))
+  }
+
+  test("bigram LM: hand-computed smoothing, unk mapping, save/load roundtrip") {
+    import graft.ops.QualityFilters
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z")).toDF("doc_id", "text")
+    val r = QualityFilters.bigramLogProbs(corpus).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    // unigrams: a=3, b=3, c=1, z=1 -> vocab {a,b}, V = 3
+    // mapped bigrams: doc1 (a,b)x2 (b,a); doc2 (a,b) (b,<unk>)
+    // counts: (a,b)=3 (b,a)=1 (b,<unk>)=1; context totals: a=3, b=2
+    val pAB = math.log((3 + 0.4) / (3 + 0.4 * 3))
+    val pBA = math.log((1 + 0.4) / (2 + 0.4 * 3))
+    assert(r(1L)._1 == 3L)
+    assert(math.abs(r(1L)._2 - (2 * pAB + pBA) / 3) < 1e-9)
+    assert(r(2L)._1 == 2L)
+    assert(math.abs(r(2L)._2 - (pAB + pBA) / 2) < 1e-9) // P(unk|b) = P(a|b)
+    assert(!r.contains(3L), "single-token doc must contribute no bigrams")
+    assert(math.abs(r(1L)._3 - math.exp(-r(1L)._2)) < 1e-9)
+
+    // cross-corpus scoring: fully unseen context floors at ln(1/V)
+    val model = QualityFilters.bigramModel(corpus)
+    val r9 = QualityFilters.bigramLogProbs(
+      Seq((9L, "q q")).toDF("doc_id", "text"), model = Some(model)).collect().head
+    assert(math.abs(r9.getDouble(2) - math.log(0.4 / (0.4 * 3))) < 1e-9)
+
+    // save/load roundtrip scores identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigram").toString
+    QualityFilters.saveBigramModel(model, dir)
+    val loaded = QualityFilters.loadBigramModel(spark, dir)
+    val a = QualityFilters.bigramLogProbs(corpus, model = Some(model))
+      .orderBy("doc_id").collect()
+    val b = QualityFilters.bigramLogProbs(corpus, model = Some(loaded))
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("pii scrub replaces emails and IPv4, counts match") {
     import graft.ops.TextAnalysis
     val df = Seq(

@@ -193,6 +193,22 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("array_sort"), s"interpreted sorted folds leaked back:\n$plan")
   }
 
+  test("bigram LM scoring broadcasts the model; corpus aggregates map-side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val model = graft.ops.QualityFilters.bigramModel(docs)
+    val plan = planOf(graft.ops.QualityFilters.bigramLogProbs(
+      docs, model = Some(model)))
+    // every model-sized frame (vocab x2, bigram counts, context totals,
+    // 1-row V) reaches the corpus stream via broadcast
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 4,
+      s"model frames not broadcast:\n$plan")
+    // the corpus stream itself: scan -> pairs -> joins -> partial agg;
+    // its only shuffle is the final per-doc aggregation exchange
+    val partial = plan.indexOf("HashAggregate(keys=[doc_id")
+    assert(partial >= 0, s"no per-doc hash aggregate:\n$plan")
+    assert(plan.contains("partial_count"), s"per-doc agg not map-side combined:\n$plan")
+  }
+
   test("decontamination broadcasts the eval shingles; train is never shuffled") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.ops.Dedup.contaminatedIds(
