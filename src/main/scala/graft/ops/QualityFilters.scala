@@ -42,10 +42,12 @@ object QualityFilters {
 
   /** Fraction of whitespace tokens containing at least one ASCII
     * letter. Prose sits near 1; tables, code dumps and non-Latin
-    * scripts fall off. */
+    * scripts fall off. Counted by the codegen kernel
+    * ([[graft.functions.TextStats.alphaWordCount]]) so the projection
+    * stays in whole-stage codegen. */
   def alphaWordRatio(text: Column): Column =
     when(tokenCount(text) === 0, 0.0).otherwise(
-      size(filter(tokens(text), t => t.rlike("[A-Za-z]"))).cast("double")
+      graft.functions.TextStats.alphaWordCountOf(text).cast("double")
         / tokenCount(text))
 
   /** Hash marks and ellipses per word — the Gopher "symbol ratio". */
@@ -54,23 +56,26 @@ object QualityFilters {
       size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0))).cast("double")
         / tokenCount(text))
 
-  private def nonBlankLines(text: Column): Column =
+  /** Reference (HOF) formulation of the non-blank-line list — kept for
+    * [[c4KeptLines]]; the production ratios below use the one-pass
+    * codegen kernel ([[graft.functions.TextStats.lineStats]]) instead,
+    * because a HOF lambda evicts the whole projection from whole-stage
+    * codegen. */
+  private[graft] def nonBlankLines(text: Column): Column =
     filter(split(text, "\n"), l => length(trim(l)) > 0)
 
   /** Fraction of non-blank lines starting with a bullet marker. */
   def bulletLineRatio(text: Column): Column = {
-    val lines = nonBlankLines(text)
-    when(size(lines) === 0, 0.0).otherwise(
-      size(filter(lines, l => trim(l).rlike("^[-*•]")))
-        .cast("double") / size(lines))
+    val ls = graft.functions.TextStats.lineStatsOf(text)
+    when(ls.getField("non_blank") === 0, 0.0).otherwise(
+      ls.getField("bullet").cast("double") / ls.getField("non_blank"))
   }
 
   /** Fraction of non-blank lines ending in an ellipsis. */
   def ellipsisLineRatio(text: Column): Column = {
-    val lines = nonBlankLines(text)
-    when(size(lines) === 0, 0.0).otherwise(
-      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
-        .cast("double") / size(lines))
+    val ls = graft.functions.TextStats.lineStatsOf(text)
+    when(ls.getField("non_blank") === 0, 0.0).otherwise(
+      ls.getField("ellipsis").cast("double") / ls.getField("non_blank"))
   }
 
   /** Number of DISTINCT [[GopherStopwords]] present as (lowercased)
@@ -172,20 +177,27 @@ object QualityFilters {
   // ---- C4 line filtering ---------------------------------------------
 
   /** C4 keeps a line iff it ends in terminal punctuation AND has at
-    * least `minWordsPerLine` words. */
-  def c4KeptLines(text: Column, minWordsPerLine: Int = 5): Column =
+    * least `minWordsPerLine` words. Reference (HOF) formulation — kept
+    * as the kernel equivalence pin; production paths below use
+    * [[graft.functions.TextStats.c4LineFilter]]. */
+  private[graft] def c4KeptLines(text: Column, minWordsPerLine: Int = 5): Column =
     filter(nonBlankLines(text), l =>
       trim(l).rlike("[.!?\"]$") &&
         size(split(trim(l), "\\s+")) >= minWordsPerLine)
 
+  /** Kept text + kept-line count + sentence proxy in ONE codegen'd
+    * pass over the lines. */
+  private def c4Stats(text: Column, minWordsPerLine: Int): Column =
+    graft.functions.TextStats.c4LineFilterOf(text, minWordsPerLine)
+
   /** The document text after C4 line filtering, lines rejoined. */
   def c4Text(text: Column, minWordsPerLine: Int = 5): Column =
-    array_join(c4KeptLines(text, minWordsPerLine), "\n")
+    c4Stats(text, minWordsPerLine).getField("kept_text")
 
   /** Terminal-punctuation marks in the kept text — C4's sentence
     * proxy (it requires at least 3). */
   def c4SentenceCount(text: Column, minWordsPerLine: Int = 5): Column =
-    size(regexp_extract_all(c4Text(text, minWordsPerLine), lit("[.!?]"), lit(0)))
+    c4Stats(text, minWordsPerLine).getField("n_sentences")
 
   def hasLoremIpsum(text: Column): Column = lower(text).contains("lorem ipsum")
 
@@ -202,10 +214,11 @@ object QualityFilters {
   def c4Signals(df: DataFrame, textCol: String = "text",
       minSentences: Int = 3, minWordsPerLine: Int = 5): DataFrame = {
     val t = col(textCol)
+    val c4 = c4Stats(t, minWordsPerLine)
     df.withColumns(Map(
-      "n_lines" -> size(nonBlankLines(t)),
-      "n_kept_lines" -> size(c4KeptLines(t, minWordsPerLine)),
-      "n_sentences" -> c4SentenceCount(t, minWordsPerLine),
+      "n_lines" -> graft.functions.TextStats.lineStatsOf(t).getField("non_blank"),
+      "n_kept_lines" -> c4.getField("n_kept"),
+      "n_sentences" -> c4.getField("n_sentences"),
       "has_lorem" -> hasLoremIpsum(t),
       "has_brace" -> hasCurlyBrace(t),
       "c4_keep" -> c4Keep(t, minSentences, minWordsPerLine)

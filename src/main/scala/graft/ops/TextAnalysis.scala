@@ -26,13 +26,13 @@ object TextAnalysis {
 
   /** A BPE-flavored token estimate: words and punctuation split like a
     * byte-pair pre-tokenizer would (letters+digits runs, single
-    * punctuation marks). */
+    * punctuation marks). Any whitespace char is a separator, never a
+    * token. One codegen'd kernel pass
+    * ([[graft.functions.TextStats.bpeTokenCount]] — the HOF `filter`
+    * it replaces kept `analyze()`'s projection out of whole-stage
+    * codegen). */
   def bpeTokenCount(text: Column): Column =
-    // any whitespace char is a separator, never a token — filtering
-    // only the literal " " would count tabs/newlines as tokens (a
-    // 1000-line doc would gain ~1000 phantom tokens)
-    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => length(t) > 0 && !t.rlike("^\\s+$")))
+    graft.functions.TextStats.bpeTokenCountOf(text)
 
   def charCount(text: Column): Column = length(text)
 
@@ -64,22 +64,30 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "es", "que", "una", "por", "con", "para")
   )
 
-  private def stopwordHits(text: Column, words: Seq[String]): Column = {
-    val arr = array(words.map(lit): _*)
-    size(filter(tokens(lower(text)), t => array_contains(arr, t)))
-  }
+  /** Per-language stopword hit counts via the one-pass codegen kernel
+    * ([[graft.functions.TextStats.stopwordCounts]] — the HOF `filter`
+    * formulation this replaces evicted every containing projection
+    * from whole-stage codegen and re-tokenized per language). */
+  private def stopwordHits(text: Column, lang: String): Column =
+    graft.functions.TextStats
+      .stopwordCountsOf(text, Seq(lang -> StopwordLists(lang)))
+      .getField(lang)
 
   /** Fraction of tokens that are stopwords of the given language. */
   def stopwordRatio(text: Column, lang: String = "en"): Column =
     when(tokenCount(text) === 0, 0.0)
-      .otherwise(stopwordHits(text, StopwordLists(lang)).cast("double") / tokenCount(text))
+      .otherwise(stopwordHits(text, lang).cast("double") / tokenCount(text))
 
   /** Language ID: argmax of per-language stopword hit counts, 'und'
     * (undetermined) when nothing hits. Deterministic tie-break by
-    * language code order. */
+    * language code order. All languages are counted in ONE kernel pass
+    * (one tokenization instead of one interpreted filter per
+    * language). */
   def langId(text: Column): Column = {
-    val scored = StopwordLists.toSeq.sortBy(_._1).map { case (langCode, words) =>
-      struct(stopwordHits(text, words).as("hits"), lit(langCode).as("lang"))
+    val langs = StopwordLists.toSeq.sortBy(_._1)
+    val counts = graft.functions.TextStats.stopwordCountsOf(text, langs)
+    val scored = langs.map { case (langCode, _) =>
+      struct(counts.getField(langCode).as("hits"), lit(langCode).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))

@@ -123,6 +123,64 @@ class OpsSpec extends SparkFunSuite {
     }
   }
 
+  test("text-stats kernels match their HOF Column references bit-for-bit") {
+    import graft.functions.TextStats
+    val edge = Seq(
+      (1L, ""), (2L, "   "), (3L, "\t\n"),
+      (4L, "- bullet item here\n* another one\n• unicode bullet\nplain line"),
+      (5L, "ends with dots...\nan ellipsis line …\nno terminal here"),
+      (6L, "The cat and the dog sat.\nder und die das hier\nle la les et pour\nel y la con para"),
+      (7L, "\tleading tab\ntrailing space \n\n  \nmixed  spacing here"),
+      (8L, "words, punctuation! and-hyphens; \"quoted.\" (parens) 12ab3 été"),
+      (9L, "One sentence with enough words here.\nshort.\nAnother proper sentence follows right here!")
+    ).toDF("doc_id", "text")
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val t = col("text")
+    val stopLangs = TextAnalysis.StopwordLists.toSeq.sortBy(_._1)
+    for (src <- Seq(edge, corpus)) {
+      // the HOF formulations these kernels replaced, verbatim
+      val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+      val c4lines = filter(lines, l =>
+        trim(l).rlike("[.!?\"]$") && size(split(trim(l), "\\s+")) >= 5)
+      val c4text = array_join(c4lines, "\n")
+      val ls = TextStats.lineStatsOf(t)
+      val sc = TextStats.stopwordCountsOf(t, stopLangs)
+      val c4 = TextStats.c4LineFilterOf(t, 5)
+      val kernelCols = Seq(
+        ls.getField("non_blank"), ls.getField("bullet"), ls.getField("ellipsis"),
+        TextStats.alphaWordCountOf(t), TextStats.bpeTokenCountOf(t),
+        c4.getField("n_kept"), c4.getField("n_sentences"), c4.getField("kept_text")) ++
+        stopLangs.map { case (code, _) => sc.getField(code) }
+      val refCols = Seq(
+        size(lines),
+        size(filter(lines, l => trim(l).rlike("^[-*•]"))),
+        size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))),
+        size(filter(split(trim(t), "\\s+"), x => x.rlike("[A-Za-z]"))),
+        size(filter(split(t, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+          x => length(x) > 0 && !x.rlike("^\\s+$"))),
+        size(c4lines),
+        size(regexp_extract_all(c4text, lit("[.!?]"), lit(0))),
+        c4text) ++
+        stopLangs.map { case (_, words) =>
+          val arr = array(words.map(lit): _*)
+          size(filter(split(trim(lower(t)), "\\s+"), x => array_contains(arr, x)))
+        }
+      val n = kernelCols.length
+      val labels = Seq("non_blank", "bullet", "ellipsis", "alpha", "bpe",
+        "c4_kept", "c4_sent", "c4_text") ++ stopLangs.map("stop_" + _._1)
+      src.select(col("doc_id") +:
+          (kernelCols.zipWithIndex.map { case (c, i) => c.as(s"k$i") } ++
+            refCols.zipWithIndex.map { case (c, i) => c.as(s"r$i") }): _*)
+        .collect().foreach { row =>
+          val id = row.get(0)
+          (0 until n).foreach { i =>
+            assert(row.get(1 + i) == row.get(1 + n + i),
+              s"${labels(i)} doc=$id: kernel ${row.get(1 + i)} vs reference ${row.get(1 + n + i)}")
+          }
+        }
+    }
+  }
+
   test("incremental dedup: store hits dropped, intra-batch dups keep min id") {
     import graft.ops.Dedup
     val prior = Seq((100L, "alpha"), (101L, "beta")).toDF("doc_id", "text")

@@ -96,8 +96,14 @@ class PlanSpec extends SparkFunSuite {
     // these must run at parquet-scan speed like TextAnalysis.analyze
     val gopher = planOf(graft.ops.QualityFilters.gopherSignals(docs))
     assert(!gopher.contains("Exchange"), s"gopher signals should not shuffle:\n$gopher")
+    // since the TextStats kernels, the whole signal projection stays in
+    // whole-stage codegen (HOF lambdas would evict it)
+    assert(gopher.contains("*(1) Project"), s"gopher fell out of codegen:\n$gopher")
+    assert(!gopher.contains("lambdafunction"), s"HOF leaked back into gopher:\n$gopher")
     val c4 = planOf(graft.ops.QualityFilters.c4Signals(docs))
     assert(!c4.contains("Exchange"), s"c4 signals should not shuffle:\n$c4")
+    assert(c4.contains("*(1) Project"), s"c4 fell out of codegen:\n$c4")
+    assert(!c4.contains("lambdafunction"), s"HOF leaked back into c4:\n$c4")
     // dedupByUrl: one map-side-combined shuffle, same shape as exactGroups
     val withUrl = docs.withColumn("url",
       concat(lit("https://example.com/"), col("doc_id") % 50))
