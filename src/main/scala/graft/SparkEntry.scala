@@ -615,6 +615,26 @@ object SparkEntry {
       graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
         Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), default = 0.05, seed = 7)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // Exactly k docs per stratum: smallest unit hashes win, id ties
+    "q_sample_exactk" -> ((s, dir) =>
+      graft.ops.Sampling.exactKPerStratum(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+        k = 20, seed = 7)
+        .orderBy("doc_id")),
+    // C4 badword page rule: the corpus is clean, so blocked tokens are
+    // appended deterministically (same synthesis in the oracle) —
+    // exercises hit counting, case folding, and the keep decision
+    "q_blocklist" -> ((s, dir) => {
+      val words = Seq("forbiddenxyz", "alsobadword")
+      val txt = when(col("doc_id") % 7 === 0, concat(col("text"), lit(" forbiddenxyz")))
+        .when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" Alsobadword extra alsobadword")))
+        .otherwise(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.QualityFilters.blocklistHits(txt, words).cast("long").as("hits"),
+        graft.ops.QualityFilters.blocklistKeep(txt, words).as("keep"))
+        .orderBy("doc_id")
+    }),
     // Deterministic train/valid/test assignment by hash interval
     "q_sample_split" -> ((s, dir) =>
       graft.ops.Sampling.assignSplits(t(s, dir, "documents"), "doc_id",
@@ -1475,6 +1495,30 @@ object SparkEntry {
          |            WHEN 'zh' THEN ${graft.ops.Sampling.rateThreshold(0.1)}
          |            ELSE ${graft.ops.Sampling.rateThreshold(0.05)} END
          |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_exactk" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5('exactk:7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |             doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "q_blocklist" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' forbiddenxyz'
+        |         WHEN doc_id % 7 = 3 THEN text || ' Alsobadword extra alsobadword'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['forbiddenxyz', 'alsobadword'], t))) AS hits
+        |  FROM pages)
+        |SELECT doc_id, hits, hits = 0 AS keep
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q_sample_split" ->
       s"""SELECT doc_id,

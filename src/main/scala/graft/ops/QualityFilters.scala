@@ -231,6 +231,32 @@ object QualityFilters {
     df.filter(c4Keep(col(textCol), minSentences, minWordsPerLine))
       .withColumn(textCol, c4Text(col(textCol), minWordsPerLine))
 
+  // ---- blocklist ("bad words") page filter ---------------------------
+
+  /** Occurrences of blocklist words among the lowercased whitespace
+    * tokens — the C4 recipe's remaining page rule (Raffel et al. 2020
+    * §2.2 drops any page with a word from the "bad words" list; the
+    * canonical list is not embeddable, so corpora supply their own).
+    * One pass of the stopword-counts codegen kernel, zero shuffle.
+    * Matching is exact token equality on `tokens(lower(text))`; a
+    * blocked word with punctuation attached ("word,") does not match —
+    * pre-normalize the text (e.g. strip punctuation to spaces) before
+    * calling if the corpus needs that strictness. */
+  def blocklistHits(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "blocklistHits wants a non-empty word list")
+    graft.functions.TextStats
+      .stopwordCountsOf(text, Seq("hits" -> words)).getField("hits")
+  }
+
+  /** Keep decision: true iff no blocklist word appears. */
+  def blocklistKeep(text: Column, words: Seq[String]): Column =
+    blocklistHits(text, words) === 0
+
+  /** Drop pages containing any blocklist word. */
+  def blocklistFilter(df: DataFrame, words: Seq[String],
+      textCol: String = "text"): DataFrame =
+    df.filter(blocklistKeep(col(textCol), words))
+
   // ---- URL canonicalization + dedup ----------------------------------
 
   /** Canonical URL form for dedup keys:

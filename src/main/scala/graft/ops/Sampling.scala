@@ -131,4 +131,26 @@ object Sampling {
         posexplode(array_repeat(lit(1), col("__reps"))).as(Seq("rep_idx", "__one")))
     exploded.drop("__one", "__reps")
   }
+
+  /** Exactly k rows per stratum (eval-set construction): the k rows
+    * with the smallest unit hash in each stratum, ties broken by id —
+    * deterministic across runs/engines/layouts like everything here,
+    * under its own "exactk" salt. Unlike the rate-based samplers this
+    * is NOT grow-stable (a new doc can hash below an earlier pick and
+    * displace it) and it costs one shuffle on the stratum key plus a
+    * per-stratum window — fine for eval-sized k over bounded strata
+    * (languages, sources); for proportional subsets of web-scale
+    * strata use [[stratifiedSample]], which stays scan-side. */
+  def exactKPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int, seed: Int = 42): DataFrame = {
+    require(k >= 1, s"exactKPerStratum wants k >= 1, got $k")
+    require(!df.columns.contains("__rn"),
+      "exactKPerStratum uses a __rn working column; rename the existing one first")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(unitHash(col(idCol), seed, "exactk").asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

@@ -123,6 +123,55 @@ class OpsSpec extends SparkFunSuite {
     }
   }
 
+  test("exact-k per stratum: deterministic, capped at stratum size") {
+    import graft.ops.Sampling
+    val df = (1L to 50L).map(i => (i, if (i <= 40) "big" else "small"))
+      .toDF("doc_id", "lang")
+    val r = Sampling.exactKPerStratum(df, "doc_id", "lang", k = 15, seed = 42)
+    val byLang = r.collect().map(x => (x.getString(1), x.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byLang("big").size == 15)
+    assert(byLang("small").size == 10, "k past stratum size keeps the whole stratum")
+    // deterministic: identical picks on rerun, and exactly the k
+    // smallest unit hashes (tie-broken by id) per stratum
+    val again = Sampling.exactKPerStratum(df, "doc_id", "lang", k = 15, seed = 42)
+      .collect().map(x => (x.getString(1), x.getLong(0))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(byLang == again)
+    val hashes = df.select(col("doc_id"), col("lang"),
+        Sampling.unitHash(col("doc_id"), 42, "exactk").as("h"))
+      .collect().map(x => (x.getString(1), x.getLong(0), x.getLong(2)))
+    val expectBig = hashes.filter(_._1 == "big").sortBy(x => (x._3, x._2))
+      .take(15).map(_._2).toSet
+    assert(byLang("big") == expectBig)
+    // a different seed picks a different committee
+    val other = Sampling.exactKPerStratum(df, "doc_id", "lang", k = 15, seed = 43)
+      .filter(col("lang") === "big").collect().map(_.getLong(0)).toSet
+    assert(other != byLang("big"))
+  }
+
+  test("blocklist: token-equality hits, case folding, punctuation caveat") {
+    import graft.ops.QualityFilters
+    val words = Seq("blocked", "verboten")
+    val df = Seq(
+      (1L, "a perfectly clean document"),
+      (2L, "contains one blocked word"),
+      (3L, "BLOCKED and Verboten twice blocked"), // case-folds, counts all
+      (4L, "punctuation attached blocked, evades token equality"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+      QualityFilters.blocklistHits(col("text"), words).as("h"),
+      QualityFilters.blocklistKeep(col("text"), words).as("k"))
+      .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getBoolean(2)))).toMap
+    assert(r(1L) == ((0, true)))
+    assert(r(2L) == ((1, false)))
+    assert(r(3L) == ((3, false)))
+    assert(r(4L) == ((0, true)), "attached punctuation evades token equality (documented)")
+    assert(r(5L) == ((0, true)))
+    assert(QualityFilters.blocklistFilter(df, words).count() == 3)
+  }
+
   test("text-stats kernels match their HOF Column references bit-for-bit") {
     import graft.functions.TextStats
     val edge = Seq(
