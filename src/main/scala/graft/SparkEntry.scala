@@ -257,6 +257,23 @@ object SparkEntry {
           docs.filter(col("doc_id") % 3 =!= 0), store)
         .select("doc_id").orderBy("doc_id")
     }),
+    // Incremental NEAR-dup: per batch doc (doc_id % 3 != 0), the best
+    // MinHash-estimated Jaccard against the prior-corpus signature
+    // store (doc_id % 3 == 0), candidates via cross-corpus LSH
+    // banding. Pins the store-hit half of incrementalNearDedup; the
+    // intra-batch half reuses the already-pinned pair path.
+    "q_neardup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = graft.ops.Dedup.signatures(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 16, n = 3)
+      val batch = graft.ops.Dedup.signatures(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", k = 16, n = 3)
+      graft.ops.Dedup.nearDupStoreHits(batch, store, "doc_id",
+          k = 16, bands = 8, maxBucket = 1000000)
+        .select(col("doc_id"), col("best_est"),
+          (col("best_est") >= 0.5).as("dropped"))
+        .orderBy("doc_id")
+    }),
     // Unicode NFC normalization (custom codegen'd expression — Spark
     // ships no builtin). The corpus is ASCII (normalization-invariant),
     // so the query APPENDS a decomposed suffix (e + combining acute)
@@ -803,6 +820,41 @@ object SparkEntry {
         |SELECT w.doc_id FROM winners w
         |WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = w.fp)
         |ORDER BY doc_id""".stripMargin,
+
+    // Cross-corpus minhash replay: same signature/band CTEs as
+    // q_dedup_minhash_est, candidates joined batch-vs-store instead of
+    // a < b within one corpus, then max estimate per batch doc.
+    "q_neardup_incremental" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS s
+        |  FROM docs WHERE len(w) >= 3),
+        |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+        |sig AS (
+        |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS m
+        |  FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        |band AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |         md5(string_agg(m, '|' ORDER BY seed)) AS bucket
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM band x JOIN band y
+        |    ON x.band = y.band AND x.bucket = y.bucket
+        |  WHERE x.doc_id % 3 <> 0 AND y.doc_id % 3 = 0),
+        |est AS (
+        |  SELECT c.a, c.b,
+        |         CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 16
+        |           AS est_jaccard
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.a
+        |  JOIN sig sb ON sb.doc_id = c.b AND sb.seed = sa.seed
+        |  GROUP BY 1, 2)
+        |SELECT a AS doc_id, max(est_jaccard) AS best_est,
+        |       max(est_jaccard) >= 0.5 AS dropped
+        |FROM est GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,

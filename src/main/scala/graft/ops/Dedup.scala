@@ -92,6 +92,80 @@ object Dedup {
   def fingerprintStore(df: DataFrame, textCol: String = "text"): DataFrame =
     df.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint")).distinct()
 
+  /** Per-batch-document best MinHash-estimated Jaccard against a
+    * prior-corpus signature store — the candidate-generation half of
+    * [[incrementalNearDedup]]. LSH banding on BOTH sides means only
+    * same-bucket (batch, store) pairs are ever compared: the store is
+    * signature-sized (one row per historical doc), both sides shuffle
+    * on the (band, bucket) key, and `maxBucket` caps degenerate
+    * buckets on each side independently. Returns (idCol, best_est);
+    * batch docs with no bucket collision are absent (no evidence of
+    * near-duplication). */
+  def nearDupStoreHits(batchSigs: DataFrame, storeSigs: DataFrame,
+      idCol: String = "doc_id", k: Int = 16, bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    def bounded(sigs: DataFrame) =
+      lshBucketsFromSigs(sigs, idCol, k, bands)
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+        .filter(col("__n") <= maxBucket)
+        .drop("__n")
+    val cands = bounded(batchSigs)
+      .select(col("band"), col("bucket"), col(idCol).as("__ba"))
+      .join(bounded(storeSigs)
+        .select(col("band"), col("bucket"), col(idCol).as("__sb")),
+        Seq("band", "bucket"))
+      .select("__ba", "__sb").distinct()
+    cands
+      .join(batchSigs.select(col(idCol).as("__ba"), col("sig").as("__siga")), "__ba")
+      .join(storeSigs.select(col(idCol).as("__sb"), col("sig").as("__sigb")), "__sb")
+      .groupBy(col("__ba").as(idCol))
+      .agg(max(
+        size(filter(zip_with(col("__siga"), col("__sigb"), (x, y) => x === y), p => p))
+          .cast("double") / k).as("best_est"))
+  }
+
+  /** Incremental NEAR-dup dedup, the fuzzy sibling of
+    * [[incrementalDedup]]: drop batch documents whose estimated
+    * Jaccard against ANY prior-corpus document reaches `threshold`
+    * (via [[nearDupStoreHits]]), then near-dedup the survivors against
+    * each other with the standard LSH pair + connected-components
+    * path. The store is a persisted [[signatures]] frame
+    * ([[saveSignatureStore]] / [[loadSignatureStore]]); append the
+    * survivors' signatures after each refresh. Returns surviving batch
+    * rows with their original columns. */
+  def incrementalNearDedup(batch: DataFrame, storeSigs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 16, bands: Int = 4, n: Int = 3, threshold: Double = 0.5,
+      hasher: (Column, Int) => Column = md5Hash,
+      maxBucket: Int = 1000): DataFrame = {
+    val batchSigs = cacheOnce(signatures(batch, idCol, textCol, k, n, hasher))
+    val hits = nearDupStoreHits(batchSigs, storeSigs, idCol, k, bands, maxBucket)
+      .filter(col("best_est") >= threshold)
+      .select(idCol)
+    val fresh = batch.join(hits, Seq(idCol), "left_anti")
+    val pairs = minhashJaccardPairs(fresh, idCol, textCol, k, bands, n,
+      threshold, hasher, maxBucket)
+    dedupByPairs(fresh, idCol, pairs)
+  }
+
+  /** Persist a [[signatures]] frame as the near-dup store (types
+    * normalized on write, same discipline as the other stores). */
+  def saveSignatureStore(sigs: DataFrame, idCol: String, path: String): Unit =
+    sigs.select(col(idCol).cast("long").as(idCol),
+        col("sig").cast("array<string>").as("sig"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted signature store, validating the contract. */
+  def loadSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      idCol: String, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(Set(idCol, "sig").subsetOf(df.columns.toSet),
+      s"signature store at $path must have ($idCol, sig) columns, " +
+        s"found: ${df.columns.mkString(", ")}")
+    df.select(col(idCol).cast("long").as(idCol),
+      col("sig").cast("array<string>").as("sig"))
+  }
+
   /** Sentence segmentation for [[spanDedup]]: maximal runs ending in
     * terminal punctuation, trimmed, empties dropped. Deliberately
     * lookaround-free so the DuckDB oracle replays it with the same

@@ -248,6 +248,34 @@ class OpsSpec extends SparkFunSuite {
     assert(delta.columns.toSeq == Seq("fingerprint"))
   }
 
+  test("incremental near-dedup: store near-hits dropped, intra-batch collapses") {
+    import graft.ops.Dedup
+    val priorText = "the quick brown fox jumps over the lazy dog today"
+    val prior = Seq((100L, priorText)).toDF("doc_id", "text")
+    val store = Dedup.signatures(prior, "doc_id", "text", k = 16, n = 3)
+    val batch = Seq(
+      (1L, priorText), // exact copy of a store doc -> est 1.0, dropped
+      (2L, "completely different content about spark partitions and shuffles here"),
+      (3L, "completely different content about spark partitions and shuffles here"),
+      (4L, "unrelated third document with plenty of distinct words inside")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.nearDupStoreHits(
+      Dedup.signatures(batch, "doc_id", "text", k = 16, n = 3), store)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hits(1L) == 1.0)
+    assert(!hits.contains(4L), "no bucket collision -> no hit row")
+    val out = Dedup.incrementalNearDedup(batch, store, threshold = 0.5)
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(2L, 4L), "store hit 1 dropped; intra-batch dup keeps min id 2")
+    // store round-trips through parquet and scores identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstore").toString
+    Dedup.saveSignatureStore(store, "doc_id", dir)
+    val loaded = Dedup.loadSignatureStore(spark, "doc_id", dir)
+    val out2 = Dedup.incrementalNearDedup(batch, loaded, threshold = 0.5)
+    assert(out2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+  }
+
   test("bigram LM: hand-computed smoothing, unk mapping, save/load roundtrip") {
     import graft.ops.QualityFilters
     val corpus = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z")).toDF("doc_id", "text")
