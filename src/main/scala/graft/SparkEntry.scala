@@ -632,6 +632,14 @@ object SparkEntry {
       graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
         Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), default = 0.05, seed = 7)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // Deterministic sequence packing: hash-grouped running token sum
+    // opens a new pack every `tokenBudget` tokens
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.ops.Sampling.packSequences(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text",
+        tokenBudget = 2000, groups = 8, seed = 7)
+        .select("doc_id", "pack_group", "pack_id", "pack_offset")
+        .orderBy("doc_id")),
     // Exactly k docs per stratum: smallest unit hashes win, id ties
     "q_sample_exactk" -> ((s, dir) =>
       graft.ops.Sampling.exactKPerStratum(
@@ -1547,6 +1555,21 @@ object SparkEntry {
          |            WHEN 'zh' THEN ${graft.ops.Sampling.rateThreshold(0.1)}
          |            ELSE ${graft.ops.Sampling.rateThreshold(0.05)} END
          |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('pack:7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, CAST(h % 8 AS INT) AS pack_group,
+        |    sum(n) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - n AS st
+        |  FROM d)
+        |SELECT doc_id, pack_group, st // 2000 AS pack_id,
+        |       st - (st // 2000) * 2000 AS pack_offset
+        |FROM cum ORDER BY doc_id""".stripMargin,
 
     "q_sample_exactk" ->
       """SELECT doc_id, lang FROM (

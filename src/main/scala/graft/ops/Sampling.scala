@@ -153,4 +153,42 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Deterministic training-sequence packing: assign every document a
+    * (pack_group, pack_id, pack_offset) so documents of a pack are
+    * consecutive in hash order and their token counts fill roughly
+    * `tokenBudget` tokens per pack — the standard "concatenate docs up
+    * to the context length" step before tokenize-and-chunk. Greedy bin
+    * packing is inherently sequential, so the distributed form packs
+    * WITHIN `groups` hash-partitioned streams: a cumulative token sum
+    * over each group's (hash, id) order opens pack `b` where the
+    * document STARTS (`b = floor(start_tokens / budget)`), so a pack
+    * can overshoot the budget by less than one document — the
+    * approximation every distributed packer makes. `pack_offset` is
+    * the token position where the document starts within its pack.
+    *
+    * One shuffle on the group key + a per-group running-sum window;
+    * `groups` bounds the window partition size (set it ≈ cluster
+    * parallelism × a few). Deterministic across runs/engines under the
+    * "pack" salt — reshuffling the cluster cannot change any pack. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Long, groups: Int = 1024, seed: Int = 42): DataFrame = {
+    require(tokenBudget >= 1, s"packSequences wants tokenBudget >= 1, got $tokenBudget")
+    require(groups >= 1, s"packSequences wants groups >= 1, got $groups")
+    val h = unitHash(col(idCol), seed, "pack")
+    val n = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(h, lit(groups.toLong)))
+      .orderBy(h.asc, col(idCol).asc)
+    // the running sum is materialized ONCE: deriving pack_id and
+    // pack_offset from it in later projections (instead of repeating
+    // `sum().over(w)` per column) keeps the plan at a single Window
+    // operator over a single group-keyed exchange (PlanSpec-pinned)
+    df.withColumn("pack_group", pmod(h, lit(groups.toLong)).cast("int"))
+      .withColumn("__start", sum(n).over(w) - n) // tokens before this doc
+      .withColumn("pack_id", floor(col("__start") / tokenBudget))
+      .withColumn("pack_offset",
+        col("__start") - floor(col("__start") / tokenBudget) * tokenBudget)
+      .drop("__start")
+  }
 }

@@ -150,6 +150,36 @@ class OpsSpec extends SparkFunSuite {
     assert(other != byLang("big"))
   }
 
+  test("sequence packing: budget boundaries, offsets, determinism") {
+    import graft.ops.Sampling
+    val df = (1L to 60L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val budget = 10L
+    val groups = 4
+    val out = Sampling.packSequences(df, "doc_id", "text", budget, groups, seed = 9)
+      .select("doc_id", "pack_group", "pack_id", "pack_offset")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    // independent reimplementation from the raw hashes
+    val raw = df.select(col("doc_id"),
+        Sampling.unitHash(col("doc_id"), 9, "pack").as("h"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = raw.groupBy { case (_, h, _) => h % groups }.toSeq.flatMap {
+      case (g, docs) =>
+        var cum = 0L
+        docs.sortBy { case (id, h, _) => (h, id) }.toSeq.map { case (id, _, n) =>
+          val start = cum
+          cum += n
+          id -> ((g.toInt, start / budget, start - (start / budget) * budget))
+        }
+    }.toMap
+    assert(out == expected)
+    // invariants: offsets inside the budget, pack 0 starts at offset 0
+    out.values.foreach { case (_, _, off) => assert(off >= 0 && off < budget) }
+    val firsts = expected.groupBy { case (_, (g, p, _)) => (g, p) }
+    assert(firsts.nonEmpty && firsts.size > 4, "multiple packs exercised")
+  }
+
   test("blocklist: token-equality hits, case folding, punctuation caveat") {
     import graft.ops.QualityFilters
     val words = Seq("blocked", "verboten")

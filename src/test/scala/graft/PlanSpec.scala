@@ -263,6 +263,19 @@ class PlanSpec extends SparkFunSuite {
     assert(sized.contains("Exchange"), "repartitionTo must actually repartition")
   }
 
+  test("sequence packing: one group-keyed exchange, one window, no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val plan = planOf(graft.ops.Sampling.packSequences(
+      docs, "doc_id", "text", tokenBudget = 2000, groups = 8))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"packing must shuffle exactly once, on the group key:\n$plan")
+    assert("Window".r.findAllIn(plan).size >= 1 && !plan.contains("Join"),
+      s"packing is one windowed pass, no join:\n$plan")
+    // identical window expressions (running sum referenced thrice)
+    // collapse into ONE Window operator
+    assert("\\bWindow\\b".r.findAllIn(plan).size <= 2, s"window fan-out:\n$plan")
+  }
+
   test("sampling and corpus mixing are scan-side: no exchange, no join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sampled = planOf(graft.ops.Sampling.stratifiedSample(
