@@ -104,20 +104,26 @@ object Dedup {
   def nearDupStoreHits(batchSigs: DataFrame, storeSigs: DataFrame,
       idCol: String = "doc_id", k: Int = 16, bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
+    // both signature frames feed TWO consumers (bucketing + the
+    // estimation join) — cacheOnce them so the k-hashes-per-shingle
+    // signature pass runs once per side, not twice (measured 3x on
+    // the contract query at sf0.1)
+    val bSigs = cacheOnce(batchSigs)
+    val sSigs = cacheOnce(storeSigs)
     def bounded(sigs: DataFrame) =
       lshBucketsFromSigs(sigs, idCol, k, bands)
         .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
         .filter(col("__n") <= maxBucket)
         .drop("__n")
-    val cands = bounded(batchSigs)
+    val cands = bounded(bSigs)
       .select(col("band"), col("bucket"), col(idCol).as("__ba"))
-      .join(bounded(storeSigs)
+      .join(bounded(sSigs)
         .select(col("band"), col("bucket"), col(idCol).as("__sb")),
         Seq("band", "bucket"))
       .select("__ba", "__sb").distinct()
     cands
-      .join(batchSigs.select(col(idCol).as("__ba"), col("sig").as("__siga")), "__ba")
-      .join(storeSigs.select(col(idCol).as("__sb"), col("sig").as("__sigb")), "__sb")
+      .join(bSigs.select(col(idCol).as("__ba"), col("sig").as("__siga")), "__ba")
+      .join(sSigs.select(col(idCol).as("__sb"), col("sig").as("__sigb")), "__sb")
       .groupBy(col("__ba").as(idCol))
       .agg(max(
         size(filter(zip_with(col("__siga"), col("__sigb"), (x, y) => x === y), p => p))

@@ -799,6 +799,16 @@ class OpsSpec extends SparkFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(mixExtra != Sampling.hashSample(docs, "doc_id", 0.1, seed = 42)
       .select("doc_id").as[Long].collect().toSet)
+    // the newer salts ("exactk", "pack") are decorrelated the same way:
+    // the k smallest exactk-hashes are NOT the k smallest sample-hashes
+    val viaExactK = Sampling.exactKPerStratum(
+        docs.withColumn("__one", lit("all")), "doc_id", "__one", k = 50, seed = 42)
+      .select("doc_id").as[Long].collect().toSet
+    val smallestSampleHashes = docs.select(col("doc_id"),
+        Sampling.unitHash(col("doc_id"), 42, "sample").as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaExactK != smallestSampleHashes)
   }
 
   test("assignSplits: disjoint, exhaustive, stable under fraction growth") {
