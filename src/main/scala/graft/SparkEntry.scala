@@ -640,6 +640,16 @@ object SparkEntry {
         tokenBudget = 2000, groups = 8, seed = 7)
         .select("doc_id", "pack_group", "pack_id", "pack_offset")
         .orderBy("doc_id")),
+    // Pack materialization: concatenated sequences in pack order; the
+    // md5 of the assembled text pins the exact document order
+    "q_pack_materialize" -> ((s, dir) =>
+      graft.ops.Sampling.materializePacks(
+        graft.ops.Sampling.packSequences(
+          t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text",
+          tokenBudget = 2000, groups = 8, seed = 7))
+        .select(col("pack_group"), col("pack_id"), col("n_docs"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("pack_group", "pack_id")),
     // Exactly k docs per stratum: smallest unit hashes win, id ties
     "q_sample_exactk" -> ((s, dir) =>
       graft.ops.Sampling.exactKPerStratum(
@@ -1570,6 +1580,25 @@ object SparkEntry {
         |SELECT doc_id, pack_group, st // 2000 AS pack_id,
         |       st - (st // 2000) * 2000 AS pack_offset
         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "q_pack_materialize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5('pack:7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, text, CAST(h % 8 AS INT) AS pack_group,
+        |    sum(n) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - n AS st
+        |  FROM d),
+        |assigned AS (
+        |  SELECT doc_id, text, pack_group, st // 2000 AS pack_id,
+        |         st - (st // 2000) * 2000 AS pack_offset
+        |  FROM cum)
+        |SELECT pack_group, pack_id, count(*) AS n_docs,
+        |  md5(string_agg(text, ' ' ORDER BY pack_offset, doc_id)) AS text_md5
+        |FROM assigned GROUP BY 1, 2 ORDER BY pack_group, pack_id""".stripMargin,
 
     "q_sample_exactk" ->
       """SELECT doc_id, lang FROM (

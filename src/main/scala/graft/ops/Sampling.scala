@@ -191,4 +191,24 @@ object Sampling {
         col("__start") - floor(col("__start") / tokenBudget) * tokenBudget)
       .drop("__start")
   }
+
+  /** Materialize [[packSequences]] assignments into actual training
+    * sequences: one row per pack with its documents concatenated in
+    * pack order (pack_offset, then id for the zero-token ties). One
+    * map-side-combinable aggregation keyed on (pack_group, pack_id);
+    * collect_list is order-unstable under retries, so the struct array
+    * is sorted IN the aggregation row before joining — the output is
+    * bit-deterministic like the assignment itself. */
+  def materializePacks(assigned: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sep: String = " "): DataFrame =
+    assigned
+      .groupBy("pack_group", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("pack_offset"), col(idCol).as("__id"), col(textCol).as("__t")))),
+            x => x.getField("__t")),
+          sep).as(textCol))
 }

@@ -178,6 +178,20 @@ class OpsSpec extends SparkFunSuite {
     out.values.foreach { case (_, _, off) => assert(off >= 0 && off < budget) }
     val firsts = expected.groupBy { case (_, (g, p, _)) => (g, p) }
     assert(firsts.nonEmpty && firsts.size > 4, "multiple packs exercised")
+
+    // materialization concatenates each pack's docs in offset order
+    val texts = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mat = Sampling.materializePacks(
+        Sampling.packSequences(df, "doc_id", "text", budget, groups, seed = 9))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    val expectedPacks = expected.toSeq
+      .map { case (id, (g, p, off)) => ((g, p), (off, id)) }
+      .groupBy(_._1).view.mapValues { docs =>
+        val ordered = docs.map(_._2).sortBy(identity)
+        (ordered.size.toLong, ordered.map { case (_, id) => texts(id) }.mkString(" "))
+      }.toMap
+    assert(mat == expectedPacks)
   }
 
   test("blocklist: token-equality hits, case folding, punctuation caveat") {
