@@ -443,12 +443,18 @@ object QualityFilters {
     * orders of magnitude smaller than the corpus. */
   def bigramModel(train: DataFrame, textCol: String = "text",
       minCount: Long = 2, broadcastVocab: Boolean = true): BigramLm = {
-    val vocab = unigramModel(train, textCol)
-      .filter(col("cnt") >= minCount).select("token")
+    // both model frames are vocabulary-sized and fan out to several
+    // consumers (vocab: two UNK joins at train time, two more at
+    // scoring, plus the V count; bigrams: the scoring join and the
+    // context totals) — cacheOnce collapses what would otherwise be
+    // one full corpus aggregation per consumer
+    val vocab = Dedup.cacheOnce(unigramModel(train, textCol)
+      .filter(col("cnt") >= minCount).select("token"))
     val raw = bigramPairs(train, textCol, Seq.empty)
     val mapped = unkMap(unkMap(raw, vocab, "prev", broadcastVocab),
       vocab, "tok", broadcastVocab)
-    BigramLm(vocab, mapped.groupBy("prev", "tok").agg(count(lit(1)).as("cnt")))
+    BigramLm(vocab,
+      Dedup.cacheOnce(mapped.groupBy("prev", "tok").agg(count(lit(1)).as("cnt"))))
   }
 
   /** Mean bigram log-probability (and perplexity) of each document
