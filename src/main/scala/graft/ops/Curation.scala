@@ -157,9 +157,16 @@ object Curation {
     // ---- URL dedup: one map-side-combined group + a semi join --------
     val urlKept = hygiene.urlCol match {
       case Some(u) =>
-        val keepers = QualityFilters.dedupByUrl(scanKept, u, idCol)
+        // rows with no usable URL (null or empty after canonicalization)
+        // pass through untouched: grouping them would collapse every
+        // URL-less document into ONE group and silently delete all but
+        // one unrelated page under the url_dup label
+        val canon = QualityFilters.canonicalizeUrl(col(u))
+        val usable = col(u).isNotNull && length(canon) > 0
+        val keepers = QualityFilters.dedupByUrl(scanKept.filter(usable), u, idCol)
           .select(col("keep_id").as(idCol))
-        val kept = scanKept.join(keepers, Seq(idCol), "left_semi")
+        val kept = scanKept.filter(!usable)
+          .unionByName(scanKept.filter(usable).join(keepers, Seq(idCol), "left_semi"))
         ledger += ("url_dup" -> kept.count())
         kept
       case None => scanKept
@@ -173,7 +180,12 @@ object Curation {
     // ---- CCNet unigram bucketing (post-dedup, approx scale path) -----
     val uniKept = hygiene.unigram match {
       case Some(u) =>
-        val scored = QualityFilters.unigramLogProbs(exactKept, idCol, textCol, u.model)
+        // cached: qualityBucketsApprox's approxQuantile is an eager
+        // action over the scored frame, and the bucket filter below
+        // consumes it AGAIN — without the cache the corpus-scale LM
+        // scoring plan executes twice per stage
+        val scored = Dedup.cacheOnce(
+          QualityFilters.unigramLogProbs(exactKept, idCol, textCol, u.model))
         val bucketed = QualityFilters.qualityBucketsApprox(
           scored, buckets = u.buckets, relErr = u.relErr)
         val keepIds = bucketed.filter(col("quality_bucket") <= u.keepBuckets)
@@ -190,8 +202,9 @@ object Curation {
       case Some(b) =>
         val model = b.model.getOrElse(
           QualityFilters.bigramModel(uniKept, textCol, b.minCount))
-        val scored = QualityFilters.bigramLogProbs(
-          uniKept, idCol, textCol, Some(model), b.alpha)
+        // same double-execution guard as the unigram stage above
+        val scored = Dedup.cacheOnce(QualityFilters.bigramLogProbs(
+          uniKept, idCol, textCol, Some(model), b.alpha))
         val bucketed = QualityFilters.qualityBucketsApprox(
           scored, buckets = b.buckets, relErr = b.relErr)
         val keepIds = bucketed.filter(col("quality_bucket") <= b.keepBuckets)

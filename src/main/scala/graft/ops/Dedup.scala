@@ -110,14 +110,9 @@ object Dedup {
     // the contract query at sf0.1)
     val bSigs = cacheOnce(batchSigs)
     val sSigs = cacheOnce(storeSigs)
-    def bounded(sigs: DataFrame) =
-      lshBucketsFromSigs(sigs, idCol, k, bands)
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-        .filter(col("__n") <= maxBucket)
-        .drop("__n")
-    val cands = bounded(bSigs)
+    val cands = boundedBuckets(bSigs, idCol, k, bands, maxBucket)
       .select(col("band"), col("bucket"), col(idCol).as("__ba"))
-      .join(bounded(sSigs)
+      .join(boundedBuckets(sSigs, idCol, k, bands, maxBucket)
         .select(col("band"), col("bucket"), col(idCol).as("__sb")),
         Seq("band", "bucket"))
       .select("__ba", "__sb").distinct()
@@ -149,15 +144,22 @@ object Dedup {
       .filter(col("best_est") >= threshold)
       .select(idCol)
     val fresh = batch.join(hits, Seq(idCol), "left_anti")
-    val pairs = minhashJaccardPairs(fresh, idCol, textCol, k, bands, n,
-      threshold, hasher, maxBucket)
+    // intra-batch pairs reuse the CACHED batch signatures (semi-joined
+    // down to the survivors) — recomputing them from text would pay
+    // the k-hashes-per-shingle pass a second time for ~the whole batch
+    val freshSigs = batchSigs.join(fresh.select(idCol), Seq(idCol), "left_semi")
+    val pairs = minhashJaccardPairsFromSigs(freshSigs, idCol, k, bands,
+      threshold, maxBucket)
     dedupByPairs(fresh, idCol, pairs)
   }
 
-  /** Persist a [[signatures]] frame as the near-dup store (types
-    * normalized on write, same discipline as the other stores). */
+  /** Persist a [[signatures]] frame as the near-dup store. The sig
+    * column is normalized to array<string> like the other stores; the
+    * id column keeps ITS OWN type — casting it (say, to long) would
+    * silently null out string ids (UUIDs, URL hashes) and turn every
+    * later store join into a no-op. */
   def saveSignatureStore(sigs: DataFrame, idCol: String, path: String): Unit =
-    sigs.select(col(idCol).cast("long").as(idCol),
+    sigs.select(col(idCol),
         col("sig").cast("array<string>").as("sig"))
       .write.mode("overwrite").parquet(path)
 
@@ -168,8 +170,7 @@ object Dedup {
     require(Set(idCol, "sig").subsetOf(df.columns.toSet),
       s"signature store at $path must have ($idCol, sig) columns, " +
         s"found: ${df.columns.mkString(", ")}")
-    df.select(col(idCol).cast("long").as(idCol),
-      col("sig").cast("array<string>").as("sig"))
+    df.select(col(idCol), col("sig").cast("array<string>").as("sig"))
   }
 
   /** Sentence segmentation for [[spanDedup]]: maximal runs ending in
@@ -316,9 +317,26 @@ object Dedup {
       struct(lit(b).as("band"),
         md5(concat_ws("|", slice(col("sig"), b * rows + 1, rows))).as("bucket"))
     }
-    sigs.select(col(idCol), explode(array(banded: _*)).as("bb"))
+    // a shingle-less doc's signature is [null × k] (array_min of an
+    // empty transform is null for every seed — first element null iff
+    // ALL are); concat_ws skips nulls, so every such doc would land in
+    // the md5("") bucket of every band and generate up to maxBucket²
+    // spurious candidate pairs. No shingles = no similarity evidence:
+    // drop them from bucketing entirely (the DuckDB replays do the
+    // same via their `len(w) >= n` guard).
+    sigs.filter(element_at(col("sig"), 1).isNotNull)
+      .select(col(idCol), explode(array(banded: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
+
+  /** The shared degenerate-bucket guard: band buckets capped at
+    * `maxBucket` members per (band, bucket). */
+  private def boundedBuckets(sigs: DataFrame, idCol: String, k: Int,
+      bands: Int, maxBucket: Int): DataFrame =
+    lshBucketsFromSigs(sigs, idCol, k, bands)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
 
   /** Candidate near-dup pairs from LSH banding: distinct (a, b) doc-id
     * pairs sharing at least one band bucket. `maxBucket` bounds the
@@ -332,13 +350,9 @@ object Dedup {
 
   def candidatesFromSigs(sigs: DataFrame, idCol: String, k: Int, bands: Int,
       maxBucket: Int): DataFrame = {
-    val buckets = lshBucketsFromSigs(sigs, idCol, k, bands)
     // cached: both sides of the pair join consume this frame — without
     // it the k×|shingles| hash computation runs twice
-    val bounded = cacheOnce(buckets
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n"))
+    val bounded = cacheOnce(boundedBuckets(sigs, idCol, k, bands, maxBucket))
     val a = bounded.select(col("band"), col("bucket"), col(idCol).as("a"))
     val b = bounded.select(col("band"), col("bucket"), col(idCol).as("b"))
     a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
@@ -596,14 +610,20 @@ object Dedup {
   def minhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, n: Int = 3, threshold: Double = 0.5,
       hasher: (Column, Int) => Column = md5Hash,
+      maxBucket: Int = 1000): DataFrame =
+    minhashJaccardPairsFromSigs(signatures(df, idCol, textCol, k, n, hasher),
+      idCol, k, bands, threshold, maxBucket)
+
+  /** [[minhashJaccardPairs]] from an ALREADY-COMPUTED signature frame
+    * — callers who hold signatures (e.g. [[incrementalNearDedup]], a
+    * loaded store) skip the k-hashes-per-shingle pass entirely. */
+  def minhashJaccardPairsFromSigs(sigsIn: DataFrame, idCol: String,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
-    // signatures computed ONCE, cached, and shared by the bucketing
-    // pass and both sides of the estimation join. maxBucket guards the
-    // degenerate-bucket blowup like every other LSH entry point: e.g.
-    // shingle-less docs all share the [null]*k signature, land in ONE
-    // bucket per band, and would expand to |bucket|^2 candidate pairs.
-    val sigs = cacheOnce(signatures(df, idCol, textCol, k, n, hasher)
-      .withColumnRenamed(idCol, "__id"))
+    // signatures cached and shared by the bucketing pass and both
+    // sides of the estimation join. maxBucket guards the
+    // degenerate-bucket blowup like every other LSH entry point.
+    val sigs = cacheOnce(sigsIn.withColumnRenamed(idCol, "__id"))
     val cands = candidatesFromSigs(sigs.withColumnRenamed("__id", idCol),
       idCol, k, bands, maxBucket = maxBucket)
     cands

@@ -143,29 +143,41 @@ object QualityFilters {
     * the one-pass kernel, whose semantics are pinned to the
     * Column-algebra reference ([[TextAnalysis.topNgramCharFraction]])
     * by OpsSpec and the q_ngram_repetition DuckDB oracle. */
+  /** Both n-gram families disabled (documented contract: "Empty maps
+    * disable a family") → no kernel expression to build. */
+  private def ngramFamiliesOff(cfg: RepetitionConfig): Boolean =
+    cfg.maxTopNgramFrac.isEmpty && cfg.maxDupNgramFrac.isEmpty
+
   def repetitionKeep(text: Column,
       cfg: RepetitionConfig = RepetitionConfig()): Column = {
-    val stats = ngramStats(text, cfg)
     val lineOk = graft.functions.NgramRepetition.dupLineRatioFast(text) <= cfg.maxDupLineRatio
-    val topOk = cfg.maxTopNgramFrac.toSeq.sortBy(_._1).map { case (n, th) =>
-      stats.getField(s"top_${n}gram_frac") <= th }
-    val dupOk = cfg.maxDupNgramFrac.toSeq.sortBy(_._1).map { case (n, th) =>
-      stats.getField(s"dup_${n}gram_frac") <= th }
-    (lineOk +: (topOk ++ dupOk)).reduce(_ && _)
+    if (ngramFamiliesOff(cfg)) lineOk
+    else {
+      val stats = ngramStats(text, cfg)
+      val topOk = cfg.maxTopNgramFrac.toSeq.sortBy(_._1).map { case (n, th) =>
+        stats.getField(s"top_${n}gram_frac") <= th }
+      val dupOk = cfg.maxDupNgramFrac.toSeq.sortBy(_._1).map { case (n, th) =>
+        stats.getField(s"dup_${n}gram_frac") <= th }
+      (lineOk +: (topOk ++ dupOk)).reduce(_ && _)
+    }
   }
 
   /** One-pass enrichment: every repetition signal plus the keep flag. */
   def repetitionSignals(df: DataFrame, textCol: String = "text",
       cfg: RepetitionConfig = RepetitionConfig()): DataFrame = {
     val t = col(textCol)
-    val stats = ngramStats(t, cfg)
-    val tops = cfg.maxTopNgramFrac.keys.toSeq.sorted.map(n =>
-      s"top_${n}gram_frac" -> round(stats.getField(s"top_${n}gram_frac"), 6))
-    val dups = cfg.maxDupNgramFrac.keys.toSeq.sorted.map(n =>
-      s"dup_${n}gram_frac" -> round(stats.getField(s"dup_${n}gram_frac"), 6))
+    val ngramCols =
+      if (ngramFamiliesOff(cfg)) Seq.empty[(String, Column)]
+      else {
+        val stats = ngramStats(t, cfg)
+        cfg.maxTopNgramFrac.keys.toSeq.sorted.map(n =>
+          s"top_${n}gram_frac" -> round(stats.getField(s"top_${n}gram_frac"), 6)) ++
+          cfg.maxDupNgramFrac.keys.toSeq.sorted.map(n =>
+            s"dup_${n}gram_frac" -> round(stats.getField(s"dup_${n}gram_frac"), 6))
+      }
     val all = Seq("dup_line_ratio" ->
       round(graft.functions.NgramRepetition.dupLineRatioFast(t), 6)) ++
-      tops ++ dups :+ ("repetition_keep" -> repetitionKeep(t, cfg))
+      ngramCols :+ ("repetition_keep" -> repetitionKeep(t, cfg))
     df.withColumns(all.toMap)
   }
 

@@ -175,6 +175,10 @@ object Sampling {
       tokenBudget: Long, groups: Int = 1024, seed: Int = 42): DataFrame = {
     require(tokenBudget >= 1, s"packSequences wants tokenBudget >= 1, got $tokenBudget")
     require(groups >= 1, s"packSequences wants groups >= 1, got $groups")
+    val clobbered = Seq("pack_group", "pack_id", "pack_offset", "__start")
+      .filter(df.columns.contains)
+    require(clobbered.isEmpty,
+      s"packSequences writes ${clobbered.mkString(", ")}; rename the existing column(s) first")
     val h = unitHash(col(idCol), seed, "pack")
     val n = TextAnalysis.tokenCount(col(textCol)).cast("long")
     val w = org.apache.spark.sql.expressions.Window

@@ -229,6 +229,22 @@ class ExtensionsSpec extends SparkFunSuite {
     // ledger arithmetic: consecutive survivor counts are monotone
     val counts = r.stats.input +: r.stats.stages.map(_._2)
     assert(counts.zip(counts.tail).forall { case (b, a) => a <= b })
+
+    // URL-less rows pass the url_dup stage untouched: without the
+    // usable-URL guard every null/empty-URL doc would collapse into
+    // ONE canonical group and all but one would be silently deleted
+    val mixed = Seq(
+      (1L, "https://example.com/a", good1),
+      (2L, null.asInstanceOf[String], good2),
+      (3L, null.asInstanceOf[String], good3),
+      (4L, "", qualFail)
+    ).toDF("doc_id", "url", "text")
+    val r2 = Curation.curate(mixed, minQuality = 0.0, languages = Nil,
+      nearDupThreshold = 0.99,
+      hygiene = Curation.HygieneConfig(urlCol = Some("url")))
+    assert(r2.stats.dropped("url_dup") == 0L,
+      "null/empty URLs must not dedup against each other")
+    assert(r2.df.count() == 4)
   }
 
   test("curation unigram stage drops the statistical-outlier bucket") {

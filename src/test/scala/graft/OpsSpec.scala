@@ -292,6 +292,50 @@ class OpsSpec extends SparkFunSuite {
     assert(delta.columns.toSeq == Seq("fingerprint"))
   }
 
+  test("repetition rules: empty n-gram families leave only the line rule (documented)") {
+    import graft.ops.QualityFilters
+    val cfg = QualityFilters.RepetitionConfig(
+      maxTopNgramFrac = Map.empty, maxDupNgramFrac = Map.empty)
+    val df = Seq(
+      (1L, "same line\nsame line\nsame line\nother"), // dup-line 0.5 > 0.3 -> drop
+      (2L, "go go go go go go go go go go")           // extreme n-gram rep, but families off
+    ).toDF("doc_id", "text")
+    val kept = QualityFilters.repetitionFilter(df, cfg = cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+    val sig = QualityFilters.repetitionSignals(df, cfg = cfg)
+    assert(sig.columns.toSet ==
+      Set("doc_id", "text", "dup_line_ratio", "repetition_keep"))
+  }
+
+  test("signature store keeps non-numeric ids; shingle-less docs never bucket") {
+    import graft.ops.Dedup
+    // string ids survive the store round trip (a long cast would null them)
+    val prior = Seq(("u-alpha", "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val store = Dedup.signatures(prior, "doc_id", "text", k = 16, n = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstore_str").toString
+    Dedup.saveSignatureStore(store, "doc_id", dir)
+    val loaded = Dedup.loadSignatureStore(spark, "doc_id", dir)
+    assert(loaded.select("doc_id").collect().map(_.getString(0)).toSeq == Seq("u-alpha"))
+    val batch = Seq(
+      ("b-copy", "the quick brown fox jumps over the lazy dog today"),
+      ("b-short", "two words"),   // < n tokens: no shingles
+      ("b-other", "completely different content about spark partitions here")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.nearDupStoreHits(
+        Dedup.signatures(batch, "doc_id", "text", k = 16, n = 3), loaded)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(hits("b-copy") == 1.0)
+    assert(!hits.contains("b-short"),
+      "shingle-less docs share no evidence and must not collide via md5(\"\") buckets")
+    // and a shingle-less doc in the STORE doesn't blanket-hit the batch
+    val shortStore = Dedup.signatures(
+      Seq(("s-short", "one token")).toDF("doc_id", "text"), "doc_id", "text", k = 16, n = 3)
+    assert(Dedup.nearDupStoreHits(
+      Dedup.signatures(batch, "doc_id", "text", k = 16, n = 3), shortStore).count() == 0)
+  }
+
   test("incremental near-dedup: store near-hits dropped, intra-batch collapses") {
     import graft.ops.Dedup
     val priorText = "the quick brown fox jumps over the lazy dog today"
