@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Audit, Build, BuildOptions, Split}
@@ -199,6 +199,124 @@ object Bench {
       output = Some(s"$dir/out_${if (auto) "auto" else "plain"}.parquet"))).rows
   }
 
+  /** Deterministic synthetic web corpus for the curation rows: mostly
+    * clean English prose (sentence-per-line, stopword-rich, 5-7
+    * sentences so nearly everything clears the Gopher 50-word floor)
+    * with planted defects at fixed id residues — short pages
+    * (id%50==11), symbol spam (id%50==23), repeated-line boilerplate
+    * (id%50==37), exact copies (id%17==3 clones id-3), near-copies
+    * (id%13==2 appends one tail sentence to id-2's prose), mirror URLs
+    * (id%25==1 re-serves id-1's URL with tracking params) and null
+    * URLs (id%40==7). Everything is id arithmetic + murmur3, so the
+    * corpus is bit-identical round over round; written once per
+    * process to scratch parquet like every other scenario input. */
+  private def corpusScenario(spark: SparkSession, nDocs: Long): String = {
+    val dir = s"$benchDir/corpus_$nDocs"
+    val cp = s"$dir/docs.parquet"
+    if (!committed(cp)) {
+      val bank = Seq(
+        "the", "be", "to", "of", "and", "that", "have", "with", "from", "they",
+        "market", "signal", "feature", "table", "report", "window", "stream",
+        "batch", "metric", "quality", "filter", "sample", "cluster", "vector",
+        "token", "corpus", "model", "train", "data", "value", "record", "field",
+        "index", "shard", "merge", "scan", "group", "join", "order", "range",
+        "count", "total", "daily", "weekly", "early", "later", "about", "under",
+        "above", "between", "because", "system", "engine", "worker", "driver",
+        "memory", "disk", "network", "storage", "format", "schema", "column",
+        "row")
+      // 1024 deterministic sentences built driver-side (seeded LCG via
+      // java.util.Random — stable across JVMs): docs pick 5-7 of them
+      // by id hash, so generating a doc is a handful of element_at
+      // calls instead of ~80 interpreted HOF word lookups (the HOF
+      // formulation took ~18s per 1M docs of UNTIMED datagen; this
+      // takes ~2s)
+      val rnd = new java.util.Random(42)
+      val sentenceBank = array((0 until 1024).map { _ =>
+        val n = 11 + rnd.nextInt(5)
+        lit((0 until n).map(_ => bank(rnd.nextInt(bank.size))).mkString(" ") + ".")
+      }: _*)
+      // duplicate structure: exact copies and near-copies derive their
+      // prose from a BASE id, so the planted pairs agree byte-for-byte
+      val base = when(col("id") % 17 === 3, col("id") - 3)
+        .when(col("id") % 13 === 2, col("id") - 2)
+        .otherwise(col("id"))
+      def sentence(s: Int) =
+        element_at(sentenceBank, pmod(hash(base, lit(s)), lit(1024)) + 1)
+      val prose = concat_ws("\n",
+        (1 to 7).map(s =>
+          when(lit(s) <= lit(5) + pmod(base, lit(3)), sentence(s))): _*)
+      val repLine = "the spam offer runs again and again today."
+      val text = when(col("id") % 50 === 11, lit("too short page."))
+        .when(col("id") % 50 === 23,
+          lit(Seq.fill(40)("#").mkString(" ")))
+        .when(col("id") % 50 === 37,
+          lit(Seq.fill(12)(repLine).mkString("\n")))
+        .when(col("id") % 13 === 2, concat(prose,
+          lit("\nthis mirror copy adds one small tail sentence here.")))
+        .otherwise(prose)
+      def urlOf(i: Column) = concat(lit("https://www.example"),
+        pmod(i, lit(997)), lit(".com/a/"), floor(i / 13).cast("long"))
+      val url = when(col("id") % 40 === 7, lit(null).cast("string"))
+        .when(col("id") % 25 === 1, concat(urlOf(col("id") - 1),
+          lit("?utm_source=feed&utm_campaign=mirror")))
+        .otherwise(urlOf(col("id")))
+      spark.range(nDocs)
+        .select(col("id").as("doc_id"), url.as("url"), text.as("text"))
+        .write.mode("overwrite").parquet(cp)
+    }
+    cp
+  }
+
+  private[graft] def corpusForProbe(spark: SparkSession, nDocs: Long): String =
+    corpusScenario(spark, nDocs)
+
+  /** The composed corpus-hygiene pass (judge-tracked `curate_1m`):
+    * parquet in → C4 + Gopher + repetition + quality + language scan →
+    * URL dedup → exact dedup → CCNet unigram buckets → MinHash/LSH
+    * near-dup → parquet out, with the per-stage ledger counts included
+    * in the timed region (they are part of what the operator promises).
+    * Caches from earlier reps are cleared first so every rep measures
+    * the COLD composed pass, not a cache replay — this row exists to
+    * track the end-to-end pipeline cost round over round. xxhash64
+    * signatures are the production hasher (md5 is only for DuckDB
+    * oracle portability). */
+  private[graft] def curateScenario(nDocs: Long)(spark: SparkSession): Long = {
+    val cp = corpusScenario(spark, nDocs)
+    spark.catalog.clearCache()
+    val r = graft.ops.Curation.curate(spark.read.parquet(cp),
+      minQuality = 0.3, languages = Seq("en"),
+      nearDupThreshold = 0.8,
+      nearDup = graft.ops.Curation.NearDup.MinhashLsh,
+      hygiene = graft.ops.Curation.HygieneConfig(
+        c4 = Some(graft.ops.Curation.C4Config()),
+        gopher = Some(graft.ops.QualityFilters.GopherConfig()),
+        repetition = Some(graft.ops.QualityFilters.RepetitionConfig()),
+        urlCol = Some("url"),
+        unigram = Some(graft.ops.Curation.UnigramConfig())),
+      hasher = graft.ops.Dedup.xxHash)
+    r.df.write.mode("overwrite").parquet(s"$benchDir/curated_$nDocs.parquet")
+    r.stats.output
+  }
+
+  /** The scan-side quality rules alone at 10M docs (judge-tracked
+    * `gopher_c4_10m`): C4 keep + Gopher document rules + repetition
+    * rules over the cleaned text in ONE filter — the "runs at
+    * parquet-scan speed" claim (QualityFilters.scala header) recorded
+    * as a number instead of asserted. */
+  private[graft] def scanFilterScenario(nDocs: Long)(spark: SparkSession): Long = {
+    import graft.ops.QualityFilters
+    val cp = corpusScenario(spark, nDocs)
+    // the one-pass verdict kernel — the same production path
+    // Curation.curate's scan ledger runs (quality/language stages
+    // included, like the composed pass)
+    val verdict = QualityFilters.hygieneVerdict(col("text"),
+      c4 = Some((3, 5)),
+      gopher = Some(QualityFilters.GopherConfig()),
+      repetition = Some(QualityFilters.RepetitionConfig()),
+      minQuality = 0.3, languages = Seq("en"))
+    spark.read.parquet(cp).filter(verdict === 0).count()
+  }
+
   /** Temporal audit over an nLabels-row PARQUET dataset with nFeatures
     * feature_time columns (the reference's audit bench shapes —
     * BASELINE.md rows 100K×{1,10} and 1M×{1,10} audit the built
@@ -300,7 +418,10 @@ object Bench {
       // hot-key skew pair: same shape, auto-escape vs forced plain
       // carry — the delta IS the segmented carry's end-to-end win
       "build_20m_skew_auto" -> (() => { skewScenario(auto = true)(spark); () }),
-      "build_20m_skew_plain" -> (() => { skewScenario(auto = false)(spark); () })
+      "build_20m_skew_plain" -> (() => { skewScenario(auto = false)(spark); () }),
+      // composed corpus-hygiene pass + the scan-side rules in isolation
+      "curate_1m" -> (() => { curateScenario(1000000L)(spark); () }),
+      "gopher_c4_10m" -> (() => { scanFilterScenario(10000000L)(spark); () })
     )
 
     def median(xs: Seq[Double]): Double = {

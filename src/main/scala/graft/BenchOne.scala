@@ -18,7 +18,10 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val auditMode = args.headOption.contains("audit")
     val skewMode = args.headOption.contains("skew")
-    val posArgs = if (auditMode || skewMode) args.drop(1) else args
+    val curateMode = args.headOption.contains("curate")
+    val scanMode = args.headOption.contains("scanfilter")
+    val posArgs =
+      if (auditMode || skewMode || curateMode || scanMode) args.drop(1) else args
     val nLabels = posArgs.headOption.map(_.toInt).getOrElse(1000000)
     val nFeatures = posArgs.lift(1).map(_.toInt).getOrElse(10)
     val dir = posArgs.lift(2).getOrElse(
@@ -98,6 +101,28 @@ object BenchOne {
           timed(s"skew ${if (auto) "auto" else "plain"} run$i") {
             println("  rows=" + Bench.skewScenario(auto)(spark))
           }
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    if (curateMode || scanMode) {
+      // isolate Bench's curate_1m / gopher_c4_10m corpus rows; nLabels
+      // reads as the doc count (defaults still apply: 1M docs curate,
+      // use `scanfilter 10000000` for the 10M scan row)
+      val nDocs = nLabels.toLong
+      timed("corpus datagen + warmup") {
+        if (curateMode) Bench.curateScenario(nDocs)(spark)
+        else Bench.scanFilterScenario(nDocs)(spark)
+      }
+      (1 to 3).foreach { i =>
+        syncFs()
+        timed(s"${if (curateMode) "curate" else "scanfilter"} run$i") {
+          val rows =
+            if (curateMode) Bench.curateScenario(nDocs)(spark)
+            else Bench.scanFilterScenario(nDocs)(spark)
+          println("  rows=" + rows)
         }
       }
       spark.stop()

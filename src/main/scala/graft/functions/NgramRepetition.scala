@@ -73,29 +73,64 @@ object NgramRepetition {
     val normChars = pre(numToks) + (numToks - 1).toLong
     if (normChars == 0L) return new GenericInternalRow(out)
 
-    val counts = new java.util.HashMap[String, CountLen]()
-    val sb = new java.lang.StringBuilder()
+    // Intern tokens to dense int ids: gram equality then reduces to
+    // int-sequence equality (the single-space join of whitespace-free
+    // tokens is injective, so sequence equality IS joined-string
+    // equality) and the per-family counting needs no string building
+    // or string hashing at all.
+    val ids = new Array[Int](numToks)
+    val intern = new java.util.HashMap[String, Integer]()
+    i = 0
+    while (i < numToks) {
+      val t = toks(i)
+      val e = intern.get(t)
+      if (e == null) {
+        val id = intern.size()
+        intern.put(t, Integer.valueOf(id))
+        ids(i) = id
+      } else ids(i) = e.intValue()
+      i += 1
+    }
 
     var f = 0
     while (f < topNs.length + dupNs.length) {
       val isTop = f < topNs.length
       val n = if (isTop) topNs(f) else dupNs(f - topNs.length)
       if (numToks >= n) {
-        counts.clear()
+        val grams = numToks - n + 1
+        // open addressing on a rolling id hash, linear probing, exact
+        // verification by id-range compare on every hit (collisions
+        // cannot miscount)
+        var cap = 4
+        while (cap < grams * 2) cap <<= 1
+        val mask = cap - 1
+        val slotStart = new Array[Int](cap)
+        java.util.Arrays.fill(slotStart, -1)
+        val slotCount = new Array[Long](cap)
         var s = 0
-        val last = numToks - n
-        while (s <= last) {
-          sb.setLength(0)
+        while (s < grams) {
+          var h = -2128831035
           var k = s
-          while (k < s + n) {
-            if (k > s) sb.append(' ')
-            sb.append(toks(k))
-            k += 1
+          while (k < s + n) { h = h * 31 + ids(k); k += 1 }
+          var idx = (h ^ (h >>> 16)) & mask
+          var placed = false
+          while (!placed) {
+            val st = slotStart(idx)
+            if (st == -1) {
+              slotStart(idx) = s
+              slotCount(idx) = 1L
+              placed = true
+            } else {
+              var eq = true
+              var j = 0
+              while (eq && j < n) {
+                if (ids(st + j) != ids(s + j)) eq = false
+                j += 1
+              }
+              if (eq) { slotCount(idx) += 1L; placed = true }
+              else idx = (idx + 1) & mask
+            }
           }
-          val gram = sb.toString
-          val e = counts.get(gram)
-          if (e == null) counts.put(gram, new CountLen(1L, pre(s + n) - pre(s) + (n - 1)))
-          else e.count += 1L
           s += 1
         }
         var frac = 0.0
@@ -104,21 +139,28 @@ object NgramRepetition {
           // reference fold's (bestCnt, bestLen) pair.
           var bestCnt = 0L
           var bestLen = 0L
-          val it = counts.values().iterator()
-          while (it.hasNext) {
-            val e = it.next()
-            if (e.count > bestCnt || (e.count == bestCnt && e.len > bestLen)) {
-              bestCnt = e.count
-              bestLen = e.len
+          var c = 0
+          while (c < cap) {
+            val st = slotStart(c)
+            if (st != -1) {
+              val cnt = slotCount(c)
+              val len = pre(st + n) - pre(st) + (n - 1)
+              if (cnt > bestCnt || (cnt == bestCnt && len > bestLen)) {
+                bestCnt = cnt
+                bestLen = len
+              }
             }
+            c += 1
           }
           frac = math.min(1.0, (bestCnt * bestLen).toDouble / normChars)
         } else {
           var dupChars = 0L
-          val it = counts.values().iterator()
-          while (it.hasNext) {
-            val e = it.next()
-            if (e.count > 1L) dupChars += e.count * e.len
+          var c = 0
+          while (c < cap) {
+            val st = slotStart(c)
+            if (st != -1 && slotCount(c) > 1L)
+              dupChars += slotCount(c) * (pre(st + n) - pre(st) + (n - 1))
+            c += 1
           }
           frac = math.min(1.0, dupChars.toDouble / normChars)
         }
@@ -128,8 +170,6 @@ object NgramRepetition {
     }
     new GenericInternalRow(out)
   }
-
-  private final class CountLen(var count: Long, val len: Long)
 
   /** Column API: struct of all repetition fractions in one pass.
     * Field names: `top_<n>gram_frac`, `dup_<n>gram_frac`. */

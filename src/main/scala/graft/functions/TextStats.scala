@@ -24,8 +24,6 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextStats {
 
   private val Ws = java.util.regex.Pattern.compile("\\s+")
-  private val Bullet = java.util.regex.Pattern.compile("^[-*•]")
-  private val Ellipsis = java.util.regex.Pattern.compile("(\\.\\.\\.|…)$")
 
   /** Replicates `trim(s)`: leading/trailing 0x20 only. */
   private def trimSpaces(s: String): String = {
@@ -39,8 +37,10 @@ object TextStats {
   /** Line-family signals in one pass over `split(text, "\n")`:
     * (non-blank lines, bullet lines, ellipsis lines) where non-blank =
     * `length(trim(l)) > 0`, bullet = `trim(l) rlike "^[-*•]"`,
-    * ellipsis = `trim(l) rlike "(\\.\\.\\.|…)$"`. Also called from
-    * generated code. */
+    * ellipsis = `trim(l) rlike "(\\.\\.\\.|…)$"`. The two regexes are
+    * single anchored alternatives, replicated as first-char /
+    * suffix tests (lines contain no `\n`, so `^`/`$` are exactly the
+    * string ends). Also called from generated code. */
   def lineStats(text: UTF8String): InternalRow = {
     val lines = text.toString.split("\n", -1)
     var nonBlank = 0
@@ -51,8 +51,9 @@ object TextStats {
       val t = trimSpaces(lines(i))
       if (t.nonEmpty) {
         nonBlank += 1
-        if (Bullet.matcher(t).find()) bullet += 1
-        if (Ellipsis.matcher(t).find()) ellipsis += 1
+        val c0 = t.charAt(0)
+        if (c0 == '-' || c0 == '*' || c0 == '•') bullet += 1
+        if (t.charAt(t.length - 1) == '…' || t.endsWith("...")) ellipsis += 1
       }
       i += 1
     }
@@ -118,7 +119,6 @@ object TextStats {
     new GenericInternalRow(out)
   }
 
-  private val Terminal = java.util.regex.Pattern.compile("[.!?\"]$")
   private val BpeSplit =
     java.util.regex.Pattern.compile("(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])")
   private val AllWs = java.util.regex.Pattern.compile("^\\s+$")
@@ -151,6 +151,26 @@ object TextStats {
     * equals `regexp_extract_all` over the joined text because the join
     * separator contains none of them. Also called from generated
     * code. */
+  /** `\s` per Java regex (the split class the token counts replicate). */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Token count of one LINE exactly like `Ws.split(t, -1).length`
+    * (negative limit keeps leading AND trailing empty tokens, so the
+    * count is simply 1 + number of whitespace runs). Lines contain no
+    * `\n`; `t` is non-empty. */
+  private def lineWordCount(t: String): Int = {
+    var runs = 0
+    var inWs = false
+    var i = 0
+    while (i < t.length) {
+      if (isWs(t.charAt(i))) { if (!inWs) runs += 1; inWs = true }
+      else inWs = false
+      i += 1
+    }
+    runs + 1
+  }
+
   def c4LineFilter(text: UTF8String, minWords: Int): InternalRow = {
     val lines = text.toString.split("\n", -1)
     val sb = new java.lang.StringBuilder()
@@ -160,8 +180,12 @@ object TextStats {
     while (i < lines.length) {
       val raw = lines(i)
       val t = trimSpaces(raw)
-      if (t.nonEmpty && Terminal.matcher(t).find() &&
-        Ws.split(t, -1).length >= minWords) {
+      // Terminal = "[.!?\"]$": a single anchored char class — the last
+      // char test is exact (no \n inside a line)
+      if (t.nonEmpty && {
+          val lc = t.charAt(t.length - 1)
+          lc == '.' || lc == '!' || lc == '?' || lc == '"'
+        } && lineWordCount(t) >= minWords) {
         if (kept > 0) sb.append('\n')
         sb.append(raw)
         kept += 1

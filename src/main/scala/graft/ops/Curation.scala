@@ -110,7 +110,8 @@ object Curation {
       nearDupThreshold: Double = 0.8,
       shingleSize: Int = 3,
       nearDup: NearDup = NearDup.NgramExact,
-      hygiene: HygieneConfig = HygieneConfig()
+      hygiene: HygieneConfig = HygieneConfig(),
+      hasher: (Column, Int) => Column = Dedup.md5Hash
   ): CurationResult = {
     val t = col(textCol)
     // C4 rewrites the text (line filtering); every later scan-side rule
@@ -118,38 +119,60 @@ object Curation {
     val cleanText = hygiene.c4.map(c => QualityFilters.c4Text(t, c.minWordsPerLine))
       .getOrElse(t)
 
-    // ---- scan-side stages: one pass computes the whole ledger --------
-    val scanPreds: Seq[(String, Column)] =
-      hygiene.c4.map(c =>
-        "c4" -> QualityFilters.c4Keep(t, c.minSentences, c.minWordsPerLine)).toSeq ++
-      hygiene.gopher.map(g =>
-        "gopher" -> QualityFilters.gopherKeep(cleanText, g)).toSeq ++
-      hygiene.repetition.map(r =>
-        "repetition" -> QualityFilters.repetitionKeep(cleanText, r)).toSeq ++
-      Seq("quality" -> (TextAnalysis.qualityScore(cleanText) >= minQuality)) ++
-      Seq("language" ->
-        (if (languages.isEmpty) lit(true)
-         else TextAnalysis.langId(cleanText).isin(languages: _*)))
+    // ---- scan-side stages: ONE kernel call per row computes the whole
+    // verdict (first failing stage, canonical indices 1=c4..5=language;
+    // 0 = keep). The previous progressive-conjunction formulation
+    // re-evaluated the C4 line filter and re-tokenized once per signal
+    // — Spark's codegen eliminates common subexpressions inside
+    // projections but NOT across filter conjuncts or aggregate update
+    // expressions, and expression trees are trees (every signal holds
+    // its own c4Text copy) — measured 2.1 ms/doc at 1M docs. The
+    // verdict kernel cleans + tokenizes once and short-circuits, and
+    // grouping BY the verdict evaluates it once per row with a
+    // map-side-combined <=7-group aggregate.
+    val verdictRaw = QualityFilters.hygieneVerdict(t,
+      hygiene.c4.map(c => (c.minSentences, c.minWordsPerLine)),
+      hygiene.gopher, hygiene.repetition, minQuality, languages)
+    // null text never reaches the kernel (null-intolerant expression):
+    // it fails the FIRST enabled stage, like the old conjunction where
+    // a null predicate dropped the row at its first evaluation
+    val firstStage =
+      if (hygiene.c4.isDefined) graft.functions.Hygiene.C4Stage
+      else if (hygiene.gopher.isDefined) graft.functions.Hygiene.GopherStage
+      else if (hygiene.repetition.isDefined) graft.functions.Hygiene.RepetitionStage
+      else graft.functions.Hygiene.QualityStage
+    val verdict = coalesce(verdictRaw, lit(firstStage))
 
-    // progressive conjunction: survivors through stage i = rows passing
-    // p1 && ... && pi. One aggregation materializes input + every
-    // scan-stage count; && short-circuits in codegen and repeated
-    // subtrees share work via subexpression elimination.
-    val conj = scanPreds.map(_._2).scanLeft(lit(true))(_ && _).tail
-    val ledgerRow = docs.agg(
-      count(lit(1)).as("__input"),
-      conj.zipWithIndex.map { case (c, i) =>
-        sum(when(c, 1L).otherwise(0L)).as(s"__s$i") }: _*).head()
-    val input = ledgerRow.getLong(0)
-    val scanCounts = scanPreds.indices.map(i =>
-      scanPreds(i)._1 -> (if (ledgerRow.isNullAt(i + 1)) 0L else ledgerRow.getLong(i + 1)))
+    val sc = docs.sparkSession.sparkContext
+    def staged[A](name: String)(body: => A): A = {
+      sc.setJobDescription(s"graft curate: $name")
+      try body finally sc.setJobDescription(null)
+    }
+
+    val vCounts = staged("scan ledger")(docs.groupBy(verdict.as("__verdict"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    val input = vCounts.values.sum
+    // survivors through stage i = rows passing every enabled stage <= i
+    // = verdict == 0 (passed everything) or verdict > i (first failure
+    // comes later); disabled stages never appear as verdicts
+    val stageIdx: Seq[(String, Int)] =
+      hygiene.c4.map(_ => "c4" -> graft.functions.Hygiene.C4Stage).toSeq ++
+        hygiene.gopher.map(_ => "gopher" -> graft.functions.Hygiene.GopherStage).toSeq ++
+        hygiene.repetition.map(_ =>
+          "repetition" -> graft.functions.Hygiene.RepetitionStage).toSeq ++
+        Seq("quality" -> graft.functions.Hygiene.QualityStage,
+          "language" -> graft.functions.Hygiene.LanguageStage)
+    val scanCounts = stageIdx.map { case (name, idx) =>
+      name -> vCounts.collect { case (v, n) if v == 0 || v > idx => n }.sum }
 
     // cacheOnce: the scan-filtered frame feeds the URL-dedup self-join
     // AND the downstream dedup chain — cache it once here so a repeated
     // identical curate call (bench reps) reuses the live entry instead
     // of re-issuing cache() against the same plan.
     val scanKept = Dedup.cacheOnce(
-      docs.filter(scanPreds.map(_._2).reduce(_ && _)).withColumn(textCol, cleanText))
+      docs.filter(verdict === graft.functions.Hygiene.PassVerdict)
+        .withColumn(textCol, cleanText))
 
     var ledger = Vector.newBuilder[(String, Long)]
     ledger ++= scanCounts
@@ -165,16 +188,20 @@ object Curation {
         val usable = col(u).isNotNull && length(canon) > 0
         val keepers = QualityFilters.dedupByUrl(scanKept.filter(usable), u, idCol)
           .select(col("keep_id").as(idCol))
-        val kept = scanKept.filter(!usable)
-          .unionByName(scanKept.filter(usable).join(keepers, Seq(idCol), "left_semi"))
-        ledger += ("url_dup" -> kept.count())
+        // cached: the next stage (exactDedup) consumes its input TWICE
+        // (fingerprint groupBy + the keeper semi join), and this frame
+        // carries a union, a join and the URL-canonicalization regex
+        // chain — without the cache all of it executes twice
+        val kept = Dedup.cacheOnce(scanKept.filter(!usable)
+          .unionByName(scanKept.filter(usable).join(keepers, Seq(idCol), "left_semi")))
+        ledger += ("url_dup" -> staged("url dedup")(kept.count()))
         kept
       case None => scanKept
     }
 
     // ---- exact content dedup -----------------------------------------
     val exactKept = Dedup.cacheOnce(Dedup.exactDedup(urlKept, textCol, idCol))
-    val afterExact = exactKept.count()
+    val afterExact = staged("exact dedup")(exactKept.count())
     ledger += ("exact_dup" -> afterExact)
 
     // ---- CCNet unigram bucketing (post-dedup, approx scale path) -----
@@ -191,7 +218,7 @@ object Curation {
         val keepIds = bucketed.filter(col("quality_bucket") <= u.keepBuckets)
           .select(col(idCol))
         val kept = Dedup.cacheOnce(exactKept.join(keepIds, Seq(idCol), "left_semi"))
-        ledger += ("unigram" -> kept.count())
+        ledger += ("unigram" -> staged("unigram buckets")(kept.count()))
         kept
       case None => exactKept
     }
@@ -210,7 +237,7 @@ object Curation {
         val keepIds = bucketed.filter(col("quality_bucket") <= b.keepBuckets)
           .select(col(idCol))
         val kept = Dedup.cacheOnce(uniKept.join(keepIds, Seq(idCol), "left_semi"))
-        ledger += ("bigram" -> kept.count())
+        ledger += ("bigram" -> staged("bigram buckets")(kept.count()))
         kept
       case None => uniKept
     }
@@ -224,12 +251,20 @@ object Curation {
       case NearDup.MinhashLsh =>
         val (k, bands) = Dedup.lshParamsFor(nearDupThreshold)
         Dedup.minhashJaccardPairs(lmKept, idCol, textCol,
-          k = k, bands = bands, n = shingleSize, threshold = nearDupThreshold)
+          k = k, bands = bands, n = shingleSize, threshold = nearDupThreshold,
+          hasher = hasher)
     }
     val curated = Dedup.dedupByPairs(lmKept, idCol, pairs)
-    ledger += ("near_dup" -> curated.count())
+    ledger += ("near_dup" -> staged("near-dup dedup")(curated.count()))
 
-    scanKept.unpersist()
+    // scanKept deliberately stays resident: unpersisting it would make
+    // the CacheManager REBUILD every dependent entry (exactKept,
+    // uniKept, the scored frames — and through them the RETURNED
+    // frame's lineage), so the caller's first action over the result
+    // would re-execute the whole pipeline from the parquet scan.
+    // Caches are MEMORY_AND_DISK and LRU-evicted under pressure; a
+    // caller done with the session-wide entries uses
+    // spark.catalog.clearCache().
     CurationResult(curated, CurationStats(input, ledger.result()))
   }
 }

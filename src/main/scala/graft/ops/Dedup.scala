@@ -237,12 +237,14 @@ object Dedup {
   /** Portable per-shingle hash: lexicographic min over
     * `md5(seed:shingle)` strings. Identical in DuckDB — used by the
     * oracle-checked queries. */
-  def md5Hash(shingle: Column, seed: Int): Column =
-    md5(concat(lit(s"$seed:"), shingle))
+  val md5Hash: (Column, Int) => Column =
+    (shingle, seed) => md5(concat(lit(s"$seed:"), shingle))
 
-  /** Fast numeric variant for production scale. */
-  def xxHash(shingle: Column, seed: Int): Column =
-    xxhash64(lit(seed), shingle)
+  /** Fast numeric variant for production scale. Both built-in hashers
+    * are `val`s so [[minhashSignatureFromShingles]] can recognize them
+    * by reference and dispatch to the one-pass signature kernel. */
+  val xxHash: (Column, Int) => Column =
+    (shingle, seed) => xxhash64(lit(seed), shingle)
 
   /** MinHash signature from an ALREADY-PROJECTED shingle array column:
     * array of k per-seed minima. Computed entirely inside the row (no
@@ -251,7 +253,13 @@ object Dedup {
     * clone that subtree k times. */
   def minhashSignatureFromShingles(sh: Column, k: Int = 16,
       hasher: (Column, Int) => Column = md5Hash): Column =
-    array((0 until k).map(seed => array_min(transform(sh, s => hasher(s, seed)))): _*)
+    // the two built-in hashers run as ONE codegen'd kernel pass (the
+    // k-HOF Column formulation is interpreted per element and measured
+    // ~10x slower at k=60 — see functions/MinHashSig.scala); custom
+    // hashers keep the general formulation
+    if (hasher eq md5Hash) graft.functions.MinHashSig.md5SigOf(sh, k)
+    else if (hasher eq xxHash) graft.functions.MinHashSig.xxSigOf(sh, k)
+    else array((0 until k).map(seed => array_min(transform(sh, s => hasher(s, seed)))): _*)
 
   /** Convenience single-column form — only for ad-hoc use on narrow
     * data; the df-level operators project shingles first. */
@@ -536,13 +544,23 @@ object Dedup {
     // whole extra distinct-shuffle pass to reach this same state — and
     // near-dup graphs are star/clique-shaped, so this fused pass IS
     // most of the convergence.
-    // `materialized` tracks the physically-stored frame of each round so
-    // the previous round can be released; `labels` is its (id, comp) view.
-    var materialized = edges.groupBy(col("x"))
+    //
+    // Rounds are materialized as LOCAL CHECKPOINTS, not cache() entries.
+    // A cached round lives in the CacheManager keyed by its logical
+    // plan, and unpersisting ANY plan it depends on — the previous
+    // round, p, edges — makes the manager REBUILD the dependent entry,
+    // discarding its materialized data (Spark's non-cascading uncache
+    // recompiles dependents). The earlier cache()-based loop therefore
+    // re-executed the ENTIRE iteration chain on every post-loop action
+    // (measured ~60s per downstream count at 300k docs, vs ~1s
+    // checkpointed). RDD-backed checkpoints sit outside the
+    // CacheManager — nothing invalidates them — lineage is truncated
+    // every round instead of every 3rd, and dropped rounds are
+    // reclaimed by the ContextCleaner once unreferenced.
+    var labels = edges.groupBy(col("x"))
       .agg(min(col("y")).as("__m"))
       .select(col("x").as("id"), least(col("x"), col("__m")).as("comp"))
-      .cache()
-    var labels = materialized
+      .localCheckpoint(false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -552,37 +570,24 @@ object Dedup {
         .groupBy(col("x").as("id"))
         .agg(min(col("ncomp")).as("mincomp"))
       // keep the old label alongside the new one: the convergence check
-      // below is a scan of this cached frame, not a second join job.
-      // (A pointer-jumping variant — comp := comp(comp) per round — was
-      // measured SLOWER here: near-dup components are clique-shaped and
-      // converge in ~2 rounds, so the extra per-round join never pays
-      // for the iterations it would save on long chains.)
+      // below is a scan of this checkpointed frame, not a second join
+      // job. (A pointer-jumping variant — comp := comp(comp) per round —
+      // was measured SLOWER here: near-dup components are clique-shaped
+      // and converge in ~2 rounds, so the extra per-round join never
+      // pays for the iterations it would save on long chains.)
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
-      // every 3rd round cut the lineage: at billion-edge scale the
-      // accumulated iterative plan otherwise grows unboundedly and
-      // re-optimizes ever-larger trees (cache alone keeps full lineage)
-      // cacheOnce, not cache(): the FINAL round's cache backs the
-      // returned labels frame and deliberately stays resident, so a
-      // later identical call (same pairs, e.g. bench reps or a
-      // dedupByPairs after a standalone components query) re-derives
-      // this exact plan — reuse the live entry instead of re-issuing
-      // cache() against it
-      val nextMat =
-        if ((iter + 1) % 3 == 0) next.localCheckpoint(false)
-        else cacheOnce(next)
+      val nextMat = next.localCheckpoint(false)
       changed = nextMat.filter(col("comp") =!= col("__old")).count()
-      materialized.unpersist()
-      materialized = nextMat
       labels = nextMat.select("id", "comp")
       iter += 1
     }
     // release the internal scaffolding: the returned labels frame is
-    // physically backed by the final round's cache/checkpoint and never
-    // needs p/edges again — leaving them resident would accumulate one
-    // InMemoryRelation per call in a long session. The in-loop count()
-    // materialized every round's cache; if the loop never ran
+    // an RDD-backed checkpoint that never needs p/edges again, and
+    // being outside the CacheManager it is IMMUNE to the dependent-
+    // entry invalidation these unpersists trigger. The in-loop count()
+    // materialized every round's checkpoint; if the loop never ran
     // (maxIter <= 0) force-materialize the seed frame first, else the
     // caller's first action would recompute the pair-producing plan
     // twice through the symmetric union.

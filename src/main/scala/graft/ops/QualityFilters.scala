@@ -243,6 +243,72 @@ object QualityFilters {
     df.filter(c4Keep(col(textCol), minSentences, minWordsPerLine))
       .withColumn(textCol, c4Text(col(textCol), minWordsPerLine))
 
+  // ---- one-pass hygiene verdict (the curation scan's 100 TB path) ----
+
+  /** Assemble the flat parameter block for the one-pass verdict kernel
+    * from the stage configs. `c4` is (minSentences, minWordsPerLine);
+    * None disables a stage (it auto-passes). */
+  def hygieneSpec(
+      c4: Option[(Int, Int)],
+      gopher: Option[GopherConfig],
+      repetition: Option[RepetitionConfig],
+      minQuality: Double,
+      languages: Seq[String]): graft.functions.HygieneSpec = {
+    val g = gopher.getOrElse(GopherConfig())
+    val r = repetition.getOrElse(RepetitionConfig())
+    val topNs = r.maxTopNgramFrac.keys.toArray.sorted
+    val dupNs = r.maxDupNgramFrac.keys.toArray.sorted
+    val langs = TextAnalysis.StopwordLists.toSeq.sortBy(_._1)
+    graft.functions.HygieneSpec(
+      c4Enabled = c4.isDefined,
+      c4MinSentences = c4.map(_._1).getOrElse(3),
+      c4MinWordsPerLine = c4.map(_._2).getOrElse(5),
+      gopherEnabled = gopher.isDefined,
+      gMinWords = g.minWords,
+      gMaxWords = g.maxWords,
+      gMinMeanWordLen = g.minMeanWordLen,
+      gMaxMeanWordLen = g.maxMeanWordLen,
+      gMaxSymbolRatio = g.maxSymbolRatio,
+      gMaxBulletRatio = g.maxBulletRatio,
+      gMaxEllipsisRatio = g.maxEllipsisRatio,
+      gMinAlphaWordRatio = g.minAlphaWordRatio,
+      gMinStopwordKinds = g.minStopwordKinds,
+      gStopwords = GopherStopwords.toArray,
+      repEnabled = repetition.isDefined,
+      repMaxDupLineRatio = r.maxDupLineRatio,
+      repTopNs = topNs,
+      repTopThresholds = topNs.map(r.maxTopNgramFrac),
+      repDupNs = dupNs,
+      repDupThresholds = dupNs.map(r.maxDupNgramFrac),
+      minQuality = minQuality,
+      languages = languages.toArray,
+      langCodes = langs.map(_._1).toArray,
+      langWords = langs.map(_._2.toArray).toArray,
+      enStopwords = TextAnalysis.StopwordLists("en").toArray)
+  }
+
+  /** First-failing-stage verdict (0 = keep; 1=c4, 2=gopher,
+    * 3=repetition, 4=quality, 5=language — canonical indices, stable
+    * across configs) in ONE codegen'd kernel call per document.
+    * Semantically identical to evaluating `c4Keep(text)`,
+    * `gopherKeep(clean)`, `repetitionKeep(clean)`,
+    * `qualityScore(clean) >= minQuality`, `langId(clean) isin
+    * languages` in that order over `clean = c4Text(text)` — but where
+    * that conjunction re-evaluates the C4 line filter and re-tokenizes
+    * once PER SIGNAL (expression trees are trees, and Spark's codegen
+    * has no cross-conjunct subexpression elimination: measured
+    * 2.1 ms/doc), the kernel cleans and tokenizes once and shares the
+    * arrays across all stages (~30x). This is what
+    * [[graft.ops.Curation.curate]]'s scan pass runs at corpus scale. */
+  def hygieneVerdict(text: Column,
+      c4: Option[(Int, Int)],
+      gopher: Option[GopherConfig],
+      repetition: Option[RepetitionConfig],
+      minQuality: Double,
+      languages: Seq[String]): Column =
+    graft.functions.Hygiene.hygieneVerdictOf(text,
+      hygieneSpec(c4, gopher, repetition, minQuality, languages))
+
   // ---- blocklist ("bad words") page filter ---------------------------
 
   /** Occurrences of blocklist words among the lowercased whitespace

@@ -292,6 +292,117 @@ class OpsSpec extends SparkFunSuite {
     assert(delta.columns.toSeq == Seq("fingerprint"))
   }
 
+  test("minhash signature kernel matches the k-HOF Column formulation, both hashers") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog today",
+      "", " ", "\t", "one two", "one two three",
+      "répété café … unicode naïve tokens with accents here today",
+      "a a a a a a a a",
+      (1 to 200).map(i => s"w$i").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
+    for (k <- Seq(1, 16, 60)) {
+      // reference: the k-HOF formulation with the same hasher lambdas
+      def ref(hasher: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column) =
+        array((0 until k).map(s => array_min(transform(col("sh"), x => hasher(x, s)))): _*)
+      val rows = df.select(col("id"),
+        Dedup.minhashSignatureFromShingles(col("sh"), k, Dedup.md5Hash).as("k_md5"),
+        ref(Dedup.md5Hash).as("r_md5"),
+        Dedup.minhashSignatureFromShingles(col("sh"), k, Dedup.xxHash).as("k_xx"),
+        ref(Dedup.xxHash).as("r_xx")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2), s"md5 k=$k id=${r.getLong(0)}")
+        assert(r.getSeq[java.lang.Long](3) == r.getSeq[java.lang.Long](4),
+          s"xx64 k=$k id=${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("hygiene verdict kernel matches the composed Column stage predicates") {
+    import graft.ops.QualityFilters
+    val gcfg = QualityFilters.GopherConfig()
+    val rcfg = QualityFilters.RepetitionConfig()
+    val okSentence = "the quick brown fox jumps over one lazy dog in that field today."
+    val prose = Seq.fill(6)(okSentence).zipWithIndex
+      .map { case (s, i) => s"$i $s" }.mkString("\n")
+    val edge = Seq(
+      "", " ", "\t", "\n\n", ".", "   \n   ",
+      prose,                                              // clean pass
+      prose + "\nlorem ipsum dolor sit amet etc etc etc.", // c4 lorem
+      prose + "\nvar f = function() { return 1; }.",       // c4 brace
+      "one line only with five words.",                    // c4 < 3 sentences
+      "a b c.\nd e f.\ng h i.",                            // c4 short lines
+      Seq.fill(3)("short words go here fine.").mkString("\n"),       // gopher < 50 words
+      Seq.fill(6)("- " + okSentence).mkString("\n"),       // bullet lines
+      Seq.fill(6)(okSentence + "...").mkString("\n"),      // ellipsis ends + symbols
+      Seq.fill(6)("### " + okSentence.replace("the ", "# ")).mkString("\n"), // symbols
+      Seq.fill(6)("12345 67890 11111 22222 33333 44444 55555 66666 77777 88888.").mkString("\n"), // non-alpha
+      Seq.fill(12)(okSentence).mkString("\n"),             // dup lines
+      (Seq.fill(5)(okSentence) ++ Seq.fill(30)("go go go go go.")).mkString("\n"), // n-gram rep
+      Seq.fill(6)("der hund und die katze das haus ist nicht ein baum zu sehen mit auf.").mkString("\n"), // German
+      Seq.fill(6)("le chat est dans la maison et les oiseaux pour que pas une fois.").mkString("\n"),     // French
+      Seq.fill(6)("el perro y el gato es una casa que por con para los campos y.").mkString("\n"),        // Spanish
+      Seq.fill(6)("café naïve İstanbul résumé … over the lazy dog fine day here now.").mkString("\n"), // unicode + …
+      "the nbsp join stays one token of the and that have with day.\n" + prose, // NBSP not \s
+      " \t leading tab  " + prose
+    )
+    val rnd = new scala.util.Random(20260814)
+    val words = Seq("the", "and", "of", "to", "fox", "dog", "#", "...", "{",
+      "der", "und", "le", "la", "el", "lorem", "ipsum", "data", "value",
+      "supercalifragilisticexpialidocious", "a", "12", "-", "…")
+    val random = (1 to 250).map { _ =>
+      val n = rnd.nextInt(120)
+      (0 until n).map { _ =>
+        val w = words(rnd.nextInt(words.size))
+        val sep = rnd.nextInt(20) match {
+          case 0 => ".\n"
+          case 1 => "\n"
+          case 2 => ". "
+          case 3 => "  "
+          case _ => " "
+        }
+        w + sep
+      }.mkString
+    }
+    val df = (edge ++ random).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    def columnVerdict(c4: Option[(Int, Int)], gopher: Option[QualityFilters.GopherConfig],
+        rep: Option[QualityFilters.RepetitionConfig], minQ: Double,
+        langs: Seq[String]) = {
+      val t = col("text")
+      val clean = c4.map(c => QualityFilters.c4Text(t, c._2)).getOrElse(t)
+      val preds: Seq[(Int, org.apache.spark.sql.Column)] =
+        c4.map(c => 1 -> QualityFilters.c4Keep(t, c._1, c._2)).toSeq ++
+          gopher.map(g => 2 -> QualityFilters.gopherKeep(clean, g)).toSeq ++
+          rep.map(r => 3 -> QualityFilters.repetitionKeep(clean, r)).toSeq ++
+          Seq(4 -> (graft.ops.TextAnalysis.qualityScore(clean) >= minQ)) ++
+          (if (langs.isEmpty) Seq.empty
+           else Seq(5 -> graft.ops.TextAnalysis.langId(clean).isin(langs: _*)))
+      preds.foldRight(lit(0)) { case ((i, p), acc) => when(!p, i).otherwise(acc) }
+    }
+
+    val configs = Seq(
+      (Some((3, 5)), Some(gcfg), Some(rcfg), 0.3, Seq("en")),
+      (None, Some(gcfg.copy(minWords = 5, minStopwordKinds = 1)), None, 0.5,
+        Seq("en", "de", "fr")),
+      (Some((2, 3)), None, Some(rcfg.copy(maxDupLineRatio = 0.5,
+        maxTopNgramFrac = Map(2 -> 0.5), maxDupNgramFrac = Map.empty)), 0.0,
+        Seq.empty[String]))
+    configs.foreach { case (c4, gopher, rep, minQ, langs) =>
+      val rows = df.select(col("doc_id"),
+        QualityFilters.hygieneVerdict(col("text"), c4, gopher, rep, minQ, langs)
+          .as("kernel"),
+        columnVerdict(c4, gopher, rep, minQ, langs).as("ref"),
+        col("text")).collect()
+      rows.foreach { r =>
+        assert(r.getInt(1) == r.getInt(2),
+          s"config ($c4,$gopher,$rep,$minQ,$langs) doc ${r.getLong(0)}: kernel=" +
+            s"${r.getInt(1)} ref=${r.getInt(2)} text=<${r.getString(3).take(80)}>")
+      }
+    }
+  }
+
   test("repetition rules: empty n-gram families leave only the line rule (documented)") {
     import graft.ops.QualityFilters
     val cfg = QualityFilters.RepetitionConfig(
