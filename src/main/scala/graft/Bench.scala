@@ -211,7 +211,16 @@ object Bench {
     * corpus is bit-identical round over round; written once per
     * process to scratch parquet like every other scenario input. */
   private def corpusScenario(spark: SparkSession, nDocs: Long): String = {
-    val dir = s"$benchDir/corpus_$nDocs"
+    // FIXED scratch location, not the per-process temp benchDir: the
+    // corpus is bit-deterministic (id arithmetic + seeded bank), so
+    // re-generating ~5 GB per bench process would be pure waste — the
+    // _SUCCESS guard below makes reuse safe across processes
+    val root = sys.env.get("SPARK_GRAFT_CORPUS_DIR")
+      .orElse(Option("/dev/shm").filter(p =>
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+        .map(_ + "/graft-corpus"))
+      .getOrElse(System.getProperty("java.io.tmpdir") + "/graft-corpus")
+    val dir = s"$root/corpus_$nDocs"
     val cp = s"$dir/docs.parquet"
     if (!committed(cp)) {
       val bank = Seq(

@@ -19,6 +19,45 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  // ---- q_hygiene_verdict planted texts (shared by the Spark query
+  // and its DuckDB oracle via string interpolation, so both engines
+  // see byte-identical pages) ------------------------------------------
+  // base page: 4 steady sentences + a corpus-derived line; clears every
+  // stage (>= 50 words, 4 Gopher stopword kinds, English, no symbols)
+  private val HygieneL1 =
+    "The quick brown fox jumps over that lazy dog have with today."
+  private val HygieneTailSuffix = " and the tail goes here."
+  // L3-L5 deliberately share no 5-gram: the dup-ngram rule counts
+  // characters of EVERY repeated overlapping gram, so one template
+  // phrase reused across lines would fail the whole base page
+  private val HygieneL3 = "A second calm paragraph describes harbor lights at dusk."
+  private val HygieneL4 = "Some travelers whisper old stories while walking narrow streets."
+  private val HygieneL5 = "Every reader finds one quiet idea hiding between these lines."
+  private val HygieneTiny = "tiny page."                      // c4: no kept lines
+  private val HygieneSymbolLine =                             // gopher: symbol ratio
+    "# # # # # # # # # # # #."
+  private val HygieneRepLine =                                // repetition: dup lines
+    "the spam offer runs again and again with that today."
+  // quality: punct-heavy, zero quality-list stopwords, but Gopher-clean
+  // (48 DISTINCT comma-words so no repetition rule fires; be/have/with
+  // give 3 Gopher stopword kinds without any `en` quality stopword)
+  private val HygieneQualityText: String =
+    (0 until 4).map(r => (0 until 12).map(c =>
+      s"${('a' + r).toChar}${('a' + c).toChar}q,,,").mkString(" ") + ".")
+      .mkString("\n") + "\nbe have with markers used nicely here."
+  // language: German page with exactly the two Gopher stopword kinds
+  // needed to reach the language stage
+  private val HygieneGermanText: String = Seq(
+    "der hund und die katze laufen durch das haus heute.",
+    "die sonne ist nicht zu sehen mit den wolken oben.",
+    "das kind hat ein buch und der mann liest es.",
+    "der baum und die blume stehen auf dem feld dort.",
+    "the and markers der die das und ist ein zu.").mkString("\n")
+  /** The base page as DuckDB SQL (same bytes as the Spark side). */
+  private val HygieneBaseSql: String =
+    s"concat_ws(chr(10), '$HygieneL1', substr(text, 1, 160) || " +
+      s"'$HygieneTailSuffix', '$HygieneL3', '$HygieneL4', '$HygieneL5')"
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read nanos as long (legacy conf) and floor-convert
     * to microsecond timestamps (integral `div` — a double division
@@ -370,6 +409,37 @@ object SparkEntry {
         .select("doc_id", "n_lines", "n_kept_lines", "n_sentences",
           "has_lorem", "has_brace", "c4_keep")
         .orderBy("doc_id")
+    }),
+    // One-pass hygiene verdict kernel (the curation scan's 100 TB
+    // path): first-failing-stage index over a synthesized page that
+    // plants one failure mode per doc_id residue — c4 (tiny page),
+    // gopher (symbol spam), repetition (duplicated lines), quality
+    // (punct-heavy stopword-free page), language (German page). The
+    // oracle replays every stage rule in SQL over the same synthesized
+    // text and folds them into the same CASE.
+    "q_hygiene_verdict" -> ((s, dir) => {
+      val id = col("doc_id")
+      val base = concat_ws("\n",
+        lit(HygieneL1),
+        concat(substring(col("text"), 1, 160), lit(HygieneTailSuffix)),
+        lit(HygieneL3), lit(HygieneL4), lit(HygieneL5))
+      val synth = when(id % 11 === 0, lit(HygieneTiny))
+        .when(id % 11 === 1, concat(base, lit("\n" + HygieneSymbolLine)))
+        .when(id % 11 === 2, concat(base, lit(("\n" + HygieneRepLine) * 7)))
+        .when(id % 11 === 3, lit(HygieneQualityText))
+        .when(id % 11 === 4, lit(HygieneGermanText))
+        .otherwise(base)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ops.QualityFilters.hygieneVerdict(synth,
+          c4 = Some((3, 5)),
+          gopher = Some(graft.ops.QualityFilters.GopherConfig()),
+          repetition = Some(graft.ops.QualityFilters.RepetitionConfig(
+            maxDupLineRatio = 0.30,
+            maxTopNgramFrac = Map(2 -> 0.20),
+            maxDupNgramFrac = Map(5 -> 0.15))),
+          minQuality = 0.55, languages = Seq("en")).as("verdict")
+      ).orderBy("doc_id")
     }),
     // C4 cross-document span dedup: each doc carries a 3-sentence block
     // shared by its (doc_id % 7) pool; %11 docs carry it twice
@@ -1044,6 +1114,122 @@ object SparkEntry {
         |   AND NOT contains(lower(text), 'lorem ipsum')
         |   AND NOT contains(text, '{')) AS c4_keep
         |FROM kept ORDER BY doc_id""".stripMargin,
+
+    "q_hygiene_verdict" ->
+      s"""WITH synth AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN '$HygieneTiny'
+        |      WHEN doc_id % 11 = 1 THEN $HygieneBaseSql || chr(10) || '$HygieneSymbolLine'
+        |      WHEN doc_id % 11 = 2 THEN $HygieneBaseSql || repeat(chr(10) || '$HygieneRepLine', 7)
+        |      WHEN doc_id % 11 = 3 THEN '${HygieneQualityText.replace("\n", "' || chr(10) || '")}'
+        |      WHEN doc_id % 11 = 4 THEN '${HygieneGermanText.replace("\n", "' || chr(10) || '")}'
+        |      ELSE $HygieneBaseSql END AS text
+        |  FROM documents),
+        |c4k AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> length(trim(l)) > 0 AND regexp_matches(trim(l), '[.!?"]$$')
+        |        AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5) AS keptl
+        |  FROM synth),
+        |c4 AS (
+        |  -- coalesce: DuckDB's array_to_string([]) is NULL where
+        |  -- Spark's concat_ws over no kept lines is ''
+        |  SELECT doc_id, text, coalesce(array_to_string(keptl, chr(10)), '') AS clean,
+        |    (len(regexp_extract_all(coalesce(array_to_string(keptl, chr(10)), ''), '[.!?]')) >= 3
+        |     AND NOT contains(lower(text), 'lorem ipsum')
+        |     AND NOT contains(text, '{')) AS c4_ok
+        |  FROM c4k),
+        |tok AS (
+        |  SELECT doc_id, c4_ok, clean,
+        |    CASE WHEN length(trim(clean)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(clean), '\\s+')) END AS nw,
+        |    regexp_split_to_array(trim(clean), '\\s+') AS w,
+        |    regexp_split_to_array(trim(lower(clean)), '\\s+') AS wl,
+        |    list_filter(string_split(clean, chr(10)), l -> length(trim(l)) > 0) AS clines
+        |  FROM c4),
+        |g AS (
+        |  SELECT doc_id, c4_ok, clean, nw, w, wl, clines,
+        |    CASE WHEN nw = 0 THEN 0.0
+        |      ELSE CAST(length(regexp_replace(trim(clean), '\\s+', '', 'g')) AS DOUBLE) / nw END AS mwl,
+        |    CASE WHEN nw = 0 THEN 0.0
+        |      ELSE CAST(len(regexp_extract_all(clean, '#|\\.\\.\\.|…')) AS DOUBLE) / nw END AS symr,
+        |    CASE WHEN len(clines) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(clines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(clines) END AS bullr,
+        |    CASE WHEN len(clines) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(clines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE) / len(clines) END AS ellr,
+        |    CASE WHEN nw = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(w, t2 -> regexp_matches(t2, '[A-Za-z]'))) AS DOUBLE) / nw END AS awr,
+        |    (CASE WHEN list_contains(wl, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(wl, 'be') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(wl, 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(wl, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(wl, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(wl, 'that') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(wl, 'have') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(wl, 'with') THEN 1 ELSE 0 END) AS swk,
+        |    CASE WHEN len(clines) = 0 THEN 0.0
+        |      ELSE CAST(len(clines) - len(list_distinct(clines)) AS DOUBLE) / len(clines) END AS duplr,
+        |    length(array_to_string(wl, ' ')) AS nchar,
+        |    len(wl) AS ntokl
+        |  FROM tok),
+        |u2 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, ntokl),
+        |    i -> array_to_string(wl[i:i+1], ' '))) AS g2
+        |  FROM g),
+        |c2 AS (SELECT doc_id, g2, count(*) AS c FROM u2 GROUP BY doc_id, g2),
+        |t2 AS (SELECT doc_id, c * length(g2) AS prod,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY c DESC, length(g2) DESC) AS rn
+        |       FROM c2),
+        |u5 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, ntokl - 3),
+        |    i -> array_to_string(wl[i:i+4], ' '))) AS g5
+        |  FROM g),
+        |c5 AS (SELECT doc_id, g5, count(*) AS c FROM u5 GROUP BY doc_id, g5),
+        |d5 AS (SELECT doc_id, sum(c * length(g5)) AS dupchars
+        |       FROM c5 WHERE c > 1 GROUP BY doc_id),
+        |r AS (
+        |  SELECT g.doc_id,
+        |    (g.duplr <= 0.30
+        |     AND (CASE WHEN g.ntokl < 2 OR g.nchar = 0 THEN 0.0
+        |       ELSE least(1.0, CAST(coalesce(tp.prod, 0) AS DOUBLE) / g.nchar) END) <= 0.20
+        |     AND (CASE WHEN g.ntokl < 5 OR g.nchar = 0 THEN 0.0
+        |       ELSE least(1.0, CAST(coalesce(dp.dupchars, 0) AS DOUBLE) / g.nchar) END) <= 0.15)
+        |      AS rep_ok
+        |  FROM g
+        |  LEFT JOIN (SELECT doc_id, prod FROM t2 WHERE rn = 1) tp USING (doc_id)
+        |  LEFT JOIN d5 dp USING (doc_id)),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(CAST(nw AS DOUBLE) / 20.0, 1.0) * 0.3
+        |      + (1.0 - least((CASE WHEN length(clean) = 0 THEN 0.0
+        |          ELSE CAST(length(clean) - length(regexp_replace(clean, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |            / length(clean) END) * 5.0, 1.0)) * 0.3
+        |      + least((CASE WHEN nw = 0 THEN 0.0
+        |          ELSE CAST(len(list_filter(wl, t2 -> t2 IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |            / nw END) * 5.0, 1.0) * 0.2
+        |      + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6)
+        |      AS quality,
+        |    len(list_filter(wl, t2 -> t2 IN ('the','a','of','and','to','in','is','that','it','for'))) AS h_en,
+        |    len(list_filter(wl, t2 -> t2 IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS h_de,
+        |    len(list_filter(wl, t2 -> t2 IN ('le','la','les','et','est','une','que','pour','dans','pas'))) AS h_fr,
+        |    len(list_filter(wl, t2 -> t2 IN ('el','la','los','y','es','que','una','por','con','para'))) AS h_es
+        |  FROM g)
+        |SELECT g.doc_id,
+        |  CASE WHEN NOT g.c4_ok THEN 1
+        |    WHEN NOT (g.nw BETWEEN 50 AND 100000 AND g.mwl BETWEEN 3.0 AND 10.0
+        |      AND g.symr < 0.1 AND g.bullr < 0.9 AND g.ellr < 0.3
+        |      AND g.awr >= 0.8 AND g.swk >= 2) THEN 2
+        |    WHEN NOT r.rep_ok THEN 3
+        |    WHEN q.quality < 0.55 THEN 4
+        |    WHEN (CASE WHEN greatest(q.h_en, q.h_de, q.h_fr, q.h_es) = 0 THEN 'und'
+        |          WHEN q.h_fr = greatest(q.h_en, q.h_de, q.h_fr, q.h_es) THEN 'fr'
+        |          WHEN q.h_es = greatest(q.h_en, q.h_de, q.h_fr, q.h_es) THEN 'es'
+        |          WHEN q.h_en = greatest(q.h_en, q.h_de, q.h_fr, q.h_es) THEN 'en'
+        |          ELSE 'de' END) <> 'en' THEN 5
+        |    ELSE 0 END AS verdict
+        |FROM g JOIN r ON g.doc_id = r.doc_id JOIN q ON g.doc_id = q.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
 
     "q_c4_span_dedup" ->
       """WITH synth AS (

@@ -373,20 +373,22 @@ object Audit {
         }
         FeatureAuditDetail(f.name, leaky, total, maxL, medL, nulls, mms.toMap)
       }
-      // capped sample of offending rows (leaks OR value mismatches); reads
-      // the already-materialized `cmp` cache, so it costs one cache scan
+      // capped sample of offending rows (leaks OR value mismatches):
+      // EAGERLY materialized as a local checkpoint (<= sampleLimit rows)
+      // off the still-resident `cmp` cache. Handing out the lazy frame
+      // instead would break on the unpersists below — Spark's
+      // non-cascading uncache REBUILDS dependent cache entries, so the
+      // caller's first read of a lazy sample would re-execute the whole
+      // rebuild-compare from scratch.
       val sample =
         if (offending.nonEmpty &&
             details.exists(d => d.leakyRows > 0 || d.mismatches.values.exists(_ > 0)))
-          Some(cmp.filter(offending.reduce(_ || _)).limit(sampleLimit))
-        else {
-          // no sample will ever read cmp again — release it now, or every
-          // clean rebuild-audit in a long-lived session leaks one
-          // InMemoryRelation (the sample path keeps it: the returned
-          // frame's lineage reads the cache)
-          cmp.unpersist()
-          None
-        }
+          Some(cmp.filter(offending.reduce(_ || _)).limit(sampleLimit).localCheckpoint())
+        else None
+      // nothing reads cmp/numbered again (the sample is RDD-backed):
+      // release them, or every rebuild-audit in a long-lived session
+      // leaks one InMemoryRelation
+      cmp.unpersist()
       numbered.unpersist()
       AuditReport(total, details, sample)
     } catch {

@@ -474,7 +474,11 @@ object Build {
       (if (multiBatches.nonEmpty) 1 else 0) +
         (multiBatches.drop(1).size + singleUnits.size)
     val spineConsumedOnce = multiBatches.nonEmpty && spineBranches == 1
-    val spine = if (spineConsumedOnce) spineBase else spineBase.cache()
+    // cacheOnce: no-output builds leave this resident (see the release
+    // note at the bottom), so a repeated identical build must reuse the
+    // live entry instead of re-issuing cache() against the same plan
+    val spine = if (spineConsumedOnce) spineBase
+      else graft.util.Caching.cacheOnce(spineBase)
     val spineNarrow = spine
       .select((RowId +: labels.keys :+ labels.labelTime).map(col): _*)
 
@@ -758,7 +762,13 @@ object Build {
       case Some(out) => graft.sources.SchemaCache.parquet(spark, out)
       case None      => result
     }
-    if (!spineConsumedOnce) spine.unpersist()
+    // release the spine cache only when the returned frame is the
+    // lineage-free parquet re-read: in the no-output case the result's
+    // resident cache DEPENDS on the spine plan, and Spark's
+    // non-cascading uncache would rebuild that dependent entry —
+    // discarding its materialized data, so the caller's first action
+    // would re-run the whole build
+    if (!spineConsumedOnce && options.output.isDefined) spine.unpersist()
     BuildResult(finalDf, total, result.columns.toSeq, stats, passed, warnings,
       (System.nanoTime() - startedAt) / 1000000L)
   }
