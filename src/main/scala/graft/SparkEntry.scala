@@ -563,6 +563,17 @@ object SparkEntry {
         threshold = 0.4, dim = 64)
         .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
         .orderBy("a", "b")),
+    // SemDeDup (Abbas et al. 2023): cluster with the deterministic IVF
+    // centroid machinery, compare only within clusters, and per
+    // duplicate component keep the member FARTHEST from its centroid
+    // (lowest centroid cosine — the paper's diversity-preserving
+    // choice). The oracle replays clustering, within-cluster pairs,
+    // recursive connected components and the representative rank.
+    "q_semdedup" -> ((s, dir) =>
+      graft.ops.Similarity.semDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, nlist = 8)
+        .select("vec_id").orderBy("vec_id")),
 
     // SimHash near-dup pairs, production path: murmur3 SimHash64Expr
     // (codegen'd custom Catalyst expression). Murmur isn't replayable
@@ -1656,6 +1667,42 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
         |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_semdedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS list_id, v AS cv FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |assign AS (
+        |  SELECT id, v, list_id, sc FROM (
+        |    SELECT x.vec_id AS id, x.v, c.list_id,
+        |      list_dot_product(x.v, c.cv)
+        |        / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS sc,
+        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_dot_product(x.v, c.cv)
+        |          / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |          c.list_id) AS r
+        |    FROM e x CROSS JOIN cent c) t WHERE r = 1),
+        |good AS (
+        |  SELECT xa.id AS a, xb.id AS b
+        |  FROM assign xa JOIN assign xb
+        |    ON xa.list_id = xb.list_id AND xa.id < xb.id
+        |  WHERE list_dot_product(xa.v, xb.v)
+        |      / (sqrt(list_dot_product(xa.v, xa.v)) * sqrt(list_dot_product(xb.v, xb.v))) >= 0.4),
+        |edges AS (SELECT a AS x, b AS y FROM good UNION SELECT b, a FROM good),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e2.y FROM reach r JOIN edges e2 ON r.y = e2.x),
+        |comps AS (SELECT x AS id, least(x, min(y)) AS comp FROM reach GROUP BY x),
+        |ranked AS (
+        |  SELECT m.id, ROW_NUMBER() OVER (PARTITION BY m.comp
+        |    ORDER BY a.sc ASC, m.id) AS r
+        |  FROM comps m JOIN assign a ON a.id = m.id),
+        |losers AS (SELECT id FROM ranked WHERE r > 1)
+        |SELECT e.vec_id FROM e LEFT JOIN losers l ON l.id = e.vec_id
+        |WHERE l.id IS NULL ORDER BY e.vec_id""".stripMargin,
 
     // identical semantics through the persisted index — same oracle
     "q_embed_ivf_indexed" ->

@@ -608,6 +608,30 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupByPairs]] with an explicit representative choice: per
+    * duplicate component keep the member with the best `score`
+    * (highest by default; lowest with `ascending = true`), ties broken
+    * by minimum id. Min-id keeps whatever happened to be ingested
+    * first; real pipelines keep the best-quality page of a cluster
+    * (pass e.g. [[TextAnalysis.qualityScore]]) or — SemDeDup's choice
+    * — the member farthest from its cluster centroid. One extra
+    * component-keyed window over the (small) component membership;
+    * untouched documents never shuffle. */
+  def dedupByPairsBest(df: DataFrame, idCol: String, pairs: DataFrame,
+      score: Column, ascending: Boolean = false,
+      maxIter: Int = 10): DataFrame = {
+    val comps = connectedComponents(pairs, maxIter)
+    val members = df.select(col(idCol), score.as("__score"))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol))
+    val ord = if (ascending) col("__score").asc else col("__score").desc
+    val w = Window.partitionBy(col("comp")).orderBy(ord, col(idCol).asc)
+    val losers = members
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") > 1)
+      .select(col(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** MinHash-estimated Jaccard for candidate pairs (signature
     * agreement fraction), the scale path that skips exact set
     * intersection entirely: candidates from LSH, similarity from

@@ -384,4 +384,69 @@ object Similarity {
     // plain distinct dedupes without a re-join
     if (allPairs) scored else scored.distinct()
   }
+
+  // ---- SemDeDup: semantic deduplication (Abbas et al. 2023) ----------
+
+  /** Per-document cluster assignment + similarity to the assigned
+    * centroid, on the IVF centroid machinery (md5-hash-sampled seeds,
+    * optional Lloyd refinement — the same deterministic selection the
+    * ANN oracles replay). Returns (idCol, vecCol, list_id,
+    * centroid_sim). */
+  def semClusters(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, refineIters: Int = 0): DataFrame = {
+    val cents = ivfCentroids(df, idCol, vecCol, nlist, refineIters)
+    nearestLists(df.select(col(idCol), col(vecCol)), idCol, vecCol, cents, 1)
+      .join(broadcast(cents), Seq("list_id"))
+      .withColumn("centroid_sim", cosine(col(vecCol), col("__centroid")))
+      .drop("__centroid")
+  }
+
+  /** SemDeDup candidate pairs: vectors are compared ONLY within their
+    * cluster, so the quadratic pair cost is bounded per cluster
+    * (|cluster| ~ n/nlist), never corpus-wide — that bound is the
+    * paper's whole point. Returns (a, b, sim) with sim >= threshold;
+    * pairs ACROSS clusters are unseen by construction (recall < 1,
+    * like every clustered dedup). */
+  def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, refineIters: Int = 0): DataFrame =
+    semDedupPairsFromClusters(
+      semClusters(df, idCol, vecCol, nlist, refineIters), idCol, vecCol, threshold)
+
+  /** [[semDedupPairs]] from an ALREADY-COMPUTED [[semClusters]] frame —
+    * [[semDedup]] threads one clustering through both the pair join
+    * and the representative choice. */
+  def semDedupPairsFromClusters(clusters: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    // the assignment feeds both sides of the pair join — cache it so
+    // the centroid argmax runs once
+    val assigned = Dedup.cacheOnce(
+      clusters.select(col("list_id"), col(idCol), asDouble(col(vecCol)).as("__v"))
+        .withColumn("__n", sqrt(VecOps.vecDot(col("__v"), col("__v")))))
+    val a = assigned.select(col("list_id"), col(idCol).as("a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = assigned.select(col("list_id"), col(idCol).as("b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("list_id")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (VecOps.vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Full SemDeDup: drop semantic duplicates, keeping per duplicate
+    * group the member with the LOWEST similarity to its cluster
+    * centroid (the paper's diversity-preserving choice, §3) — or the
+    * minimum id with `keepFarthestFromCentroid = false` (cheaper: no
+    * centroid-sim join). Survivors keep their original columns. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, refineIters: Int = 0,
+      keepFarthestFromCentroid: Boolean = true): DataFrame = {
+    val clusters = Dedup.cacheOnce(
+      semClusters(df, idCol, vecCol, nlist, refineIters))
+    val pairs = semDedupPairsFromClusters(clusters, idCol, vecCol, threshold)
+    if (!keepFarthestFromCentroid) Dedup.dedupByPairs(df, idCol, pairs)
+    else Dedup.dedupByPairsBest(
+      df.join(clusters.select(col(idCol), col("centroid_sim")), Seq(idCol)),
+      idCol, pairs, score = col("centroid_sim"), ascending = true)
+      .drop("centroid_sim")
+  }
 }

@@ -292,6 +292,85 @@ class OpsSpec extends SparkFunSuite {
     assert(delta.columns.toSeq == Seq("fingerprint"))
   }
 
+  test("dedupByPairsBest keeps the best-scored member per component") {
+    val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7), (4L, 0.1))
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    def kept(asc: Boolean) = Dedup.dedupByPairsBest(
+      docs, "doc_id", pairs, col("q"), ascending = asc)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(asc = false) == Set(2L, 4L)) // highest quality wins
+    assert(kept(asc = true) == Set(1L, 4L))  // lowest score wins
+    // ties break toward the minimum id
+    val tied = Seq((7L, 1.0), (5L, 1.0), (6L, 1.0)).toDF("doc_id", "q")
+    val tp = Seq((5L, 6L), (6L, 7L)).toDF("a", "b")
+    assert(Dedup.dedupByPairsBest(tied, "doc_id", tp, col("q"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(5L))
+  }
+
+  test("semDedup matches an independent reimplementation of the recipe") {
+    import graft.ops.Similarity
+    // three tight semantic groups + a far singleton, 8 dims
+    def v(base: Array[Double], eps: Double): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => (x + (if (i == 7) eps else 0.0)).toFloat }
+    val gx = Array(1.0, 0.1, 0, 0, 0, 0, 0, 0)
+    val gy = Array(0, 0, 1.0, 0.2, 0, 0, 0, 0)
+    val gz = Array(0, 0, 0, 0, 1.0, 0.3, 0, 0)
+    val rows = Seq(
+      (1L, v(gx, 0.00)), (2L, v(gx, 0.01)), (3L, v(gx, 0.02)), (4L, v(gx, 0.03)),
+      (10L, v(gy, 0.00)), (11L, v(gy, 0.01)),
+      (20L, v(gz, 0.00)), (21L, v(gz, 0.01)), (22L, v(gz, 0.02)),
+      (30L, Array(0f, 1f, 0f, 0f, 0f, 0f, 1f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val nlist = 3
+    val threshold = 0.995
+
+    // independent reimplementation (plain Scala, no Spark)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val seeds = rows.sortBy(r => (md5hex(r._1.toString), r._1)).take(nlist)
+      .map(r => r._1 -> r._2) // (list_id, centroid)
+    def assign(vec: Array[Float]) =
+      seeds.map { case (lid, c) => (cos(vec, c), lid) }
+        .sortBy { case (d, lid) => (-d, lid) }.head
+    val assigned = rows.map { case (id, vec) =>
+      val (sim, lid) = assign(vec); (id, vec, lid, sim)
+    }
+    val dupPairs = for {
+      (ia, va, la, _) <- assigned; (ib, vb, lb, _) <- assigned
+      if ia < ib && la == lb && cos(va, vb) >= threshold
+    } yield (ia, ib)
+    // union-find
+    val parent = scala.collection.mutable.Map(assigned.map(a => a._1 -> a._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    dupPairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expected = assigned.groupBy(a => find(a._1)).values.flatMap { grp =>
+      if (grp.size == 1) grp.map(_._1)
+      else Seq(grp.minBy(a => (a._4, a._1))._1) // lowest centroid sim, then min id
+    }.toSet
+
+    val got = Similarity.semDedup(df, "vec_id", "embedding",
+      threshold = threshold, nlist = nlist)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"got $got expected $expected")
+    // the recipe must actually collapse something on this data
+    assert(got.size < rows.size)
+    // min-id variant agrees with dedupByPairs semantics
+    val gotMin = Similarity.semDedup(df, "vec_id", "embedding",
+      threshold = threshold, nlist = nlist, keepFarthestFromCentroid = false)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expectedMin = assigned.groupBy(a => find(a._1)).values.flatMap { grp =>
+      Seq(grp.map(_._1).min) }.toSet
+    assert(gotMin == expectedMin)
+  }
+
   test("minhash signature kernel matches the k-HOF Column formulation, both hashers") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog today",
