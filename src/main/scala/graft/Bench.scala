@@ -467,6 +467,20 @@ object Bench {
     // whose recorded value moves >1.5x round-over-round with NO
     // plausible code cause should be adjudicated exactly this way:
     // `git worktree add <prior-round-sha>` + BenchOne both sides.
+    //
+    // r9→r10 adjudication: build_100k_x10 recorded 1.17→2.24s and
+    // build_100k_x1 0.41→0.69s the round the curate_1m/gopher_c4_10m
+    // rows were added; isolated BenchOne on the SAME binary settles at
+    // 1.4-2.3s over 5 reps (pure JIT warm-in — Build's code paths did
+    // not change). The new rows compile a large volume of fresh
+    // codegen classes and reversed pass 2 runs them BEFORE the small
+    // build rows, so those rows now sample a colder JIT. Code-real
+    // change the same round: q_dedup_components 0.71→1.28s is the
+    // HONEST per-rep cost after the cache-invalidation fix — each rep
+    // now executes the loop exactly once with per-round RDD
+    // checkpoints, where the old number amortized a cache that every
+    // DOWNSTREAM consumer then paid to rebuild (60s per action at
+    // 300k docs; the composed curation pass got 5.6x faster).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     val prior: Map[String, Double] = try {
       val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(outPath))
