@@ -116,7 +116,13 @@ object QualityFilters {
   /** Drop documents failing the Gopher rules. */
   def gopherFilter(df: DataFrame, textCol: String = "text",
       cfg: GopherConfig = GopherConfig()): DataFrame =
-    df.filter(gopherKeep(col(textCol), cfg))
+    // the verdict kernel, gopher stage only: gopherKeep's conjunction
+    // re-tokenizes per conjunct inside a Filter (no cross-conjunct
+    // subexpression elimination in codegen) — the kernel is one pass.
+    // minQuality = 0 makes the always-on quality stage a constant pass.
+    df.filter(hygieneVerdict(col(textCol), c4 = None, gopher = Some(cfg),
+      repetition = None, minQuality = 0.0, languages = Nil)
+      === graft.functions.Hygiene.PassVerdict)
 
   // ---- Gopher repetition rules (A1.1, second table) ------------------
 
@@ -184,7 +190,13 @@ object QualityFilters {
   /** Drop documents failing the Gopher repetition rules. */
   def repetitionFilter(df: DataFrame, textCol: String = "text",
       cfg: RepetitionConfig = RepetitionConfig()): DataFrame =
-    df.filter(repetitionKeep(col(textCol), cfg))
+    // verdict kernel, repetition stage only: repetitionKeep reads one
+    // struct field per configured n, and each getField carries its own
+    // copy of the ngram-stats kernel inside a Filter — 9 kernel
+    // evaluations per row under the default config, one here
+    df.filter(hygieneVerdict(col(textCol), c4 = None, gopher = None,
+      repetition = Some(cfg), minQuality = 0.0, languages = Nil)
+      === graft.functions.Hygiene.PassVerdict)
 
   // ---- C4 line filtering ---------------------------------------------
 

@@ -112,6 +112,52 @@ class PlanSpec extends SparkFunSuite {
       s"url dedup missing partial aggregation:\n$dedup")
   }
 
+  test("hygiene verdict is ONE codegen'd kernel call: scan-side filter and tiny agg") {
+    import graft.ops.QualityFilters
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val verdict = QualityFilters.hygieneVerdict(col("text"),
+      c4 = Some((3, 5)), gopher = Some(QualityFilters.GopherConfig()),
+      repetition = Some(QualityFilters.RepetitionConfig()),
+      minQuality = 0.3, languages = Seq("en"))
+    val filtered = planOf(docs.filter(verdict === 0))
+    assert(!filtered.contains("Exchange"), s"verdict filter should not shuffle:\n$filtered")
+    assert(filtered.contains("*(1)"), s"verdict filter fell out of codegen:\n$filtered")
+    // ONE kernel expression in the Filter — the duplication this kernel
+    // exists to kill would reappear as repeated calls. (The FileScan
+    // node ECHOES the filter in its DataFilters description, so the
+    // plan string legitimately shows the name twice.)
+    assert(filtered.sliding("hygiene_verdict".length)
+      .count(_ == "hygiene_verdict") <= 2,
+      s"verdict kernel duplicated:\n$filtered")
+    // the curate ledger shape: groupBy(verdict).count partially
+    // aggregates map-side (the exchange carries <= 7 rows per task)
+    val ledger = planOf(docs.groupBy(verdict.as("__v")).count())
+    assert(ledger.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      s"verdict ledger missing partial aggregation:\n$ledger")
+  }
+
+  test("minhash signature kernel: one expression, no HOF, codegen survives") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sigs = planOf(Dedup.signatures(docs, "doc_id", "text", k = 60, n = 3,
+      hasher = Dedup.xxHash))
+    assert(!sigs.contains("lambdafunction"), s"HOF leaked into signatures:\n$sigs")
+    assert(sigs.contains("*(1)"), s"signature projection fell out of codegen:\n$sigs")
+    assert(sigs.sliding("minhash_sig".length).count(_ == "minhash_sig") == 1,
+      s"signature kernel duplicated:\n$sigs")
+  }
+
+  test("semdedup clusters broadcast the centroids and pair-join on list_id") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = planOf(Similarity.semDedupPairs(emb, "vec_id", "embedding",
+      threshold = 0.4, nlist = 8))
+    // centroid assignment: broadcast nested loop against the tiny
+    // centroid frame is fine; a non-broadcast cartesian is not
+    assert(plan.contains("Broadcast"), s"centroids not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian pair join:\n$plan")
+    // the quadratic compare is keyed on the cluster id
+    assert(plan.contains("list_id"), s"pair join not keyed on list_id:\n$plan")
+  }
+
   test("approx quality bucketing plans no single-partition window") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val scored = graft.ops.QualityFilters.unigramLogProbs(docs)
