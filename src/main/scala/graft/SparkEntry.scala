@@ -772,6 +772,32 @@ object SparkEntry {
         docs.filter(col("doc_id") % 17 === 0),
         "doc_id", "text", n = 4)
         .select("doc_id").orderBy("doc_id")
+    }),
+    // Graded contamination: per training doc, shared-ngram count and
+    // fraction against the eval shingle set (same split and n as
+    // q_decontaminate, whose boolean this report generalizes)
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.contaminationScores(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", n = 4)
+        .select(col("doc_id"), col("contaminated_ngrams"), col("total_ngrams"),
+          round(col("contamination_frac"), 6).as("contamination_frac"))
+        .orderBy("doc_id")
+    }),
+    // Temperature-scaled mixing weights (size^alpha renormalized to a
+    // max-weight cap): the data-dependent weight table itself is the
+    // contract — the repetition mechanics are q_corpus_mix's oracle.
+    // alpha = 0.5 so the only transcendental is pow(p, -0.5); weights
+    // rounded to 9 decimals put cross-engine pow ulp noise to bed.
+    "q_mix_temperature" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Sampling.temperatureWeights(
+          t(s, dir, "documents"), "lang", alpha = 0.5, maxWeight = 4.0)
+        .toSeq.sortBy(_._1).toDF("lang", "weight")
+        .select(col("lang"), round(col("weight"), 9).as("weight"))
+        .orderBy("lang")
     })
   )
 
@@ -1893,6 +1919,35 @@ object SparkEntry {
         |  WHERE x.doc_id % 17 != 0)
         |SELECT doc_id FROM documents
         |WHERE doc_id % 17 != 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w)-3), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]))) AS s
+        |  FROM docs WHERE len(w) >= 4),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+        |agg AS (
+        |  SELECT t.doc_id, count(*) AS total,
+        |    sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS cont
+        |  FROM (SELECT doc_id, s FROM sh WHERE doc_id % 17 != 0) t
+        |  LEFT JOIN ev ON t.s = ev.s GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.cont, 0) AS contaminated_ngrams,
+        |  coalesce(a.total, 0) AS total_ngrams,
+        |  round(CASE WHEN coalesce(a.total, 0) = 0 THEN 0.0
+        |    ELSE CAST(a.cont AS DOUBLE) / a.total END, 6) AS contamination_frac
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.doc_id % 17 != 0 ORDER BY d.doc_id""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT lang, n,
+        |        pow(CAST(n AS DOUBLE) / (SELECT sum(n) FROM c), -0.5) AS raw
+        |      FROM c)
+        |SELECT lang, round(raw * (4.0 / (SELECT max(raw) FROM t)), 9) AS weight
+        |FROM t ORDER BY lang""".stripMargin
   )
 }

@@ -519,6 +519,31 @@ object Dedup {
     train.join(contaminatedIds(train, evalDf, idCol, textCol, n, broadcastEval),
       Seq(idCol), "left_anti")
 
+  /** Graded contamination instead of the boolean: per training
+    * document, the NUMBER of distinct eval n-grams it shares and the
+    * FRACTION of its own distinct n-grams that are contaminated —
+    * the report a threshold policy (e.g. "drop above 5%, flag above
+    * 1%") reads, where [[decontaminate]] is the hard guard. Same plan
+    * shape: eval shingles broadcast, train scanned once, one
+    * map-side-combined aggregation; shingle-less documents score 0. */
+  def contaminationScores(train: DataFrame, evalDf: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, broadcastEval: Boolean = true): DataFrame = {
+    val trainSh = train.select(col(idCol),
+      explode_outer(shingles(col(textCol), n)).as("__s"))
+    val evalSh = evalDf.select(explode(shingles(col(textCol), n)).as("__s")).distinct()
+      .withColumn("__hit", lit(1))
+    val evalSide = if (broadcastEval) broadcast(evalSh) else evalSh
+    trainSh.join(evalSide, Seq("__s"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("contaminated_ngrams"),
+        sum(when(col("__s").isNotNull, 1L).otherwise(0L)).as("total_ngrams"))
+      .select(col(idCol), col("contaminated_ngrams"), col("total_ngrams"),
+        when(col("total_ngrams") === 0L, 0.0)
+          .otherwise(col("contaminated_ngrams").cast("double") / col("total_ngrams"))
+          .as("contamination_frac"))
+  }
+
   /** Connected components over near-duplicate pairs — the step that
     * turns pairwise similarity into dedup decisions. Iterative
     * min-label propagation: every node's component label converges to

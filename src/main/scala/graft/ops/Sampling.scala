@@ -132,6 +132,45 @@ object Sampling {
     exploded.drop("__one", "__reps")
   }
 
+  /** Temperature-scaled mixing (the multilingual/multi-source recipe
+    * of mBERT/XLM-R and data-mix papers): stratum sampling probability
+    * ∝ size^alpha, renormalized so the LARGEST resulting weight is
+    * `maxWeight` — alpha = 1 reproduces natural proportions, alpha → 0
+    * approaches uniform over strata (small strata get UP-sampled
+    * relative to their size). Weights are computed from one tiny
+    * per-stratum count aggregate (collected — strata are languages or
+    * sources, thousands at most) and applied with [[mixByWeight]]'s
+    * deterministic fractional oversampling. Returns the mixed frame;
+    * inspect the chosen weights with [[temperatureWeights]]. */
+  def mixByTemperature(df: DataFrame, idCol: String, stratumCol: String,
+      alpha: Double, maxWeight: Double = 4.0, seed: Int = 42): DataFrame =
+    mixByWeight(df, idCol, stratumCol,
+      temperatureWeights(df, stratumCol, alpha, maxWeight),
+      default = 0.0, seed = seed)
+
+  /** The per-stratum weights [[mixByTemperature]] applies: with
+    * stratum fractions p_i = n_i / N, the target mix is
+    * q_i ∝ p_i^alpha; the per-ROW repetition weight is then
+    * w_i = (q_i / p_i) scaled so max_i w_i = maxWeight — the smallest
+    * stratum always gets the cap and everything else is relative. */
+  def temperatureWeights(df: DataFrame, stratumCol: String,
+      alpha: Double, maxWeight: Double = 4.0): Map[String, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    require(maxWeight > 0.0, s"maxWeight > 0, got $maxWeight")
+    // null strata carry no name to weight — they fall to mixByWeight's
+    // default (0.0 here: an unnamed stratum is dropped, not guessed)
+    val counts = df.groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().flatMap(r =>
+        Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
+    require(counts.nonEmpty, "temperatureWeights needs at least one non-null stratum")
+    val total = counts.values.sum.toDouble
+    // w ∝ p^alpha / p = p^(alpha-1); normalize max to maxWeight
+    val raw = counts.map { case (s, n) => s -> math.pow(n / total, alpha - 1.0) }
+    val scale = maxWeight / raw.values.max
+    raw.map { case (s, w) => s -> w * scale }
+  }
+
   /** Exactly k rows per stratum (eval-set construction): the k rows
     * with the smallest unit hash in each stratum, ties broken by id —
     * deterministic across runs/engines/layouts like everything here,

@@ -292,6 +292,47 @@ class OpsSpec extends SparkFunSuite {
     assert(delta.columns.toSeq == Seq("fingerprint"))
   }
 
+  test("contamination scores grade overlap; decontaminate is its zero-tolerance cut") {
+    val evalDf = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta full copy here today"), // heavy overlap
+      (2L, "alpha beta gamma delta other words follow here right now"), // one shared 4-gram
+      (3L, "totally different content about spark executors and shuffles"),
+      (4L, "tiny doc")                                                  // no 4-grams
+    ).toDF("doc_id", "text")
+    val scores = Dedup.contaminationScores(train, evalDf, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(scores(1L)._1 == 3 && scores(1L)._2 == 7) // 3 of its 7 4-grams shared
+    assert(scores(2L)._1 == 1)
+    assert(scores(3L) == ((0L, 5L, 0.0))) // 8 words -> 5 distinct 4-grams
+    assert(scores(4L) == ((0L, 0L, 0.0)))
+    // the boolean guard drops exactly the docs with any overlap
+    val kept = Dedup.decontaminate(train, evalDf, "doc_id", "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == scores.filter(_._2._1 == 0).keySet)
+  }
+
+  test("temperature mixing upsamples small strata to the cap, alpha=1 is natural") {
+    import graft.ops.Sampling
+    val df = (1 to 90).map(i => (i.toLong, if (i <= 80) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val w = Sampling.temperatureWeights(df, "lang", alpha = 0.5, maxWeight = 4.0)
+    assert(math.abs(w("de") - 4.0) < 1e-12, s"smallest stratum gets the cap: $w")
+    // w_en / w_de = sqrt(n_de / n_en) = sqrt(1/8)
+    assert(math.abs(w("en") / w("de") - math.sqrt(10.0 / 80.0)) < 1e-12)
+    // alpha = 1: natural proportions — every stratum identical weight
+    val w1 = Sampling.temperatureWeights(df, "lang", alpha = 1.0, maxWeight = 4.0)
+    assert(w1.values.forall(v => math.abs(v - 4.0) < 1e-12))
+    // the mix materializes: per-row repetitions bounded by floor/ceil
+    val mixed = Sampling.mixByTemperature(df, "doc_id", "lang", alpha = 0.5)
+    val byLang = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 40) // integer weight 4.0 exactly quadruples
+    val en = byLang("en")
+    assert(en >= 80 * math.floor(w("en")) && en <= 80 * math.ceil(w("en")), s"en=$en w=$w")
+  }
+
   test("dedupByPairsBest keeps the best-scored member per component") {
     val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7), (4L, 0.1))
       .toDF("doc_id", "q")

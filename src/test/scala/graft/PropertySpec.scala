@@ -301,6 +301,54 @@ class PropertySpec extends AnyFunSuite {
     }, 500)
   }
 
+  test("hygiene verdict kernel equals the Column predicates on arbitrary text") {
+    // the kernel re-implements five stages' worth of Column semantics
+    // in one pass; this generative sweep hunts the edges the curated
+    // OpsSpec corpus misses (adversarial separators, unicode,
+    // stage-threshold boundaries). Batched: one Spark job per 120
+    // generated documents, not per document.
+    import graft.ops.QualityFilters
+    val word = Gen.frequency(
+      4 -> Gen.oneOf("the", "and", "of", "to", "that", "have", "with", "fox",
+        "dog", "der", "und", "ist", "le", "la", "el", "que", "data", "value"),
+      1 -> Gen.oneOf("lorem", "ipsum", "#", "...", "…", "{", "-item",
+        "supercalifragilisticexpialidocious", "café", "naïve",
+        "İstanbul", "12345", "a,,,", "zzz,,,"),
+      1 -> Gen.listOfN(3, Gen.alphaChar).map(_.mkString))
+    val sep = Gen.frequency(10 -> Gen.const(" "), 2 -> Gen.const(".\n"),
+      2 -> Gen.const(". "), 1 -> Gen.const("\n"), 1 -> Gen.const("  "),
+      1 -> Gen.const("\t"), 1 -> Gen.const("!\n"), 1 -> Gen.const(" "))
+    val text = for {
+      n <- Gen.choose(0, 150)
+      ws <- Gen.listOfN(n, Gen.zip(word, sep))
+    } yield ws.map { case (w, s) => w + s }.mkString
+    val c4 = Some((3, 5))
+    val gcfg = QualityFilters.GopherConfig()
+    val rcfg = QualityFilters.RepetitionConfig()
+    val clean = QualityFilters.c4Text(col("text"), 5)
+    val preds: Seq[(Int, org.apache.spark.sql.Column)] = Seq(
+      1 -> QualityFilters.c4Keep(col("text"), 3, 5),
+      2 -> QualityFilters.gopherKeep(clean, gcfg),
+      3 -> QualityFilters.repetitionKeep(clean, rcfg),
+      4 -> (graft.ops.TextAnalysis.qualityScore(clean) >= 0.3),
+      5 -> graft.ops.TextAnalysis.langId(clean).isin("en"))
+    val ref = preds.foldRight(lit(0)) { case ((i, p), acc) =>
+      when(!p, i).otherwise(acc)
+    }
+    val kernel = QualityFilters.hygieneVerdict(col("text"), c4, Some(gcfg),
+      Some(rcfg), 0.3, Seq("en"))
+    check(Prop.forAllNoShrink(Gen.listOfN(120, text)) { ts =>
+      val rows = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), kernel.as("k"), ref.as("r"), col("text"))
+        .collect()
+      val bad = rows.filter(r => r.getInt(1) != r.getInt(2))
+      if (bad.nonEmpty) println("[hygieneprop] mismatch: " + bad.take(3).map(r =>
+        s"(k=${r.getInt(1)} r=${r.getInt(2)} <${r.getString(3).take(100)}>)").mkString("; "))
+      bad.isEmpty
+    }, 4)
+  }
+
   test("hash sampling is nested and boundary-exact for arbitrary rates") {
     // threshold sampling's defining property: for r1 <= r2 the r1
     // sample is a SUBSET of the r2 sample (growing a sampling rate
