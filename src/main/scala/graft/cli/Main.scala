@@ -37,6 +37,7 @@ object Main {
           case "doctor"  => cmdDoctor(rest)
           case "init"    => cmdInit(rest)
           case "quickstart" => cmdQuickstart(rest)
+          case "curate"  => cmdCurate(rest)
           case "help" | "-h" | "--help" => println(usage); 0
           case other => System.err.println(s"Unknown command '$other'\n$usage"); 2
         }
@@ -62,6 +63,10 @@ object Main {
       |  doctor  --config graft.yaml [--json]
       |  init    [DIR]
       |  quickstart [DIR]   generate demo data, build, audit
+      |  curate  --input PATH --output PATH [--id-col doc_id] [--text-col text]
+      |          [--min-quality 0.3] [--languages en,de|none] [--c4] [--gopher]
+      |          [--repetition] [--url-col COL] [--unigram-buckets N [--unigram-keep K]]
+      |          [--near-dup minhash|ngram] [--near-dup-threshold 0.8] [--json PATH]
       |""".stripMargin
 
   private def session(): SparkSession = {
@@ -515,6 +520,69 @@ object Main {
     audit.details.foreach(d =>
       println(s"  ${d.feature}: leaky=${d.leakyRows} severity=${d.severity} mismatches=${d.mismatches.values.sum}"))
     if (r.auditPassed && audit.passed) 0 else 1
+  }
+
+  /** The corpus-hygiene pipeline from the command line: every stage
+    * of [[graft.ops.Curation.curate]] behind flags, the per-stage drop
+    * ledger on stdout (and as JSON with --json), the curated corpus
+    * written as parquet. Near-dup signatures use the xxhash64 kernel —
+    * the production hasher. */
+  private[graft] def cmdCurate(args: Array[String]): Int = {
+    val (f, _) = flags(args)
+    val spark = session()
+    import graft.ops.{Curation, Dedup, QualityFilters}
+    val input = req(f, "input", "curate needs --input PATH (a parquet corpus)")
+    val output = req(f, "output", "curate needs --output PATH")
+    val hygiene = Curation.HygieneConfig(
+      c4 = if (f.contains("c4")) Some(Curation.C4Config()) else None,
+      gopher = if (f.contains("gopher")) Some(QualityFilters.GopherConfig()) else None,
+      repetition =
+        if (f.contains("repetition")) Some(QualityFilters.RepetitionConfig()) else None,
+      urlCol = f.get("url-col"),
+      unigram = f.get("unigram-buckets").map { b =>
+        Curation.UnigramConfig(buckets = b.toInt,
+          keepBuckets = f.get("unigram-keep").map(_.toInt)
+            .getOrElse(math.max(1, b.toInt - 1)))
+      })
+    val nearDup = f.getOrElse("near-dup", "minhash") match {
+      case "minhash" => Curation.NearDup.MinhashLsh
+      case "ngram"   => Curation.NearDup.NgramExact
+      case other => throw graft.errors.Errors.config(
+        s"unknown --near-dup '$other'.",
+        "use minhash (LSH, the scale default) or ngram (exact Jaccard)")
+    }
+    val languages = f.get("languages") match {
+      case Some("none") => Nil
+      case Some(ls)     => ls.split(",").toSeq
+      case None         => Seq("en")
+    }
+    val r = Curation.curate(
+      spark.read.parquet(input),
+      idCol = f.getOrElse("id-col", "doc_id"),
+      textCol = f.getOrElse("text-col", "text"),
+      minQuality = f.getOrElse("min-quality", "0.3").toDouble,
+      languages = languages,
+      nearDupThreshold = f.getOrElse("near-dup-threshold", "0.8").toDouble,
+      nearDup = nearDup,
+      hygiene = hygiene,
+      hasher = Dedup.xxHash)
+    r.df.write.mode("overwrite").parquet(output)
+    println(s"input_rows=${r.stats.input}")
+    val dropped = r.stats.dropped
+    r.stats.stages.foreach { case (name, n) =>
+      println(f"  $name%-12s survivors=$n%-10d dropped=${dropped(name)}") }
+    println(s"curated_rows=${r.stats.output} written=$output")
+    f.get("json").foreach { jp =>
+      val stagesJson = r.stats.stages.map { case (name, n) =>
+        graft.util.Jsons.obj("stage" -> name, "survivors" -> n,
+          "dropped" -> dropped(name))
+      }.mkString("[", ",", "]")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(jp),
+        "{\"input_rows\":" + r.stats.input + ",\"curated_rows\":" + r.stats.output +
+          ",\"stages\":" + stagesJson + "}")
+      println(s"ledger_json=$jp")
+    }
+    0
   }
 
   private def cmdInit(args: Array[String]): Int = {

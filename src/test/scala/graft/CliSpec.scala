@@ -197,6 +197,53 @@ class CliSpec extends SparkFunSuite {
     assert(r.columns.contains("country"))
   }
 
+  test("curate command: flags drive the stages, ledger prints, json written") {
+    val dir = Files.createTempDirectory("graft_cli_curate")
+    val in = s"$dir/docs.parquet"
+    val out = s"$dir/curated.parquet"
+    val jp = s"$dir/ledger.json"
+    // varied sentences: a repeated template line would fail the
+    // dup-ngram repetition rule and empty the corpus at the scan
+    val page = Seq(
+      "the quick brown fox jumps over that lazy dog have with today.",
+      "a second calm paragraph describes harbor lights at dusk now.",
+      "some travelers whisper old stories while walking narrow streets.",
+      "every reader finds one quiet idea hiding between these lines.",
+      "the weather report shows rain of the kind nobody really minds.").mkString("\n")
+    Seq(
+      (1L, "https://example.com/a", page),
+      (2L, "https://example.com/a?utm_source=x", page),
+      (3L, "https://example.com/b", "tiny."),                    // c4 drop
+      (4L, "https://example.com/c", page +
+        "\nthis fourth page closes with several extra words about storage engines." +
+        "\nits second appended sentence talks about partition pruning instead."),
+      (5L, null.asInstanceOf[String], page +
+        "\nthe fifth page instead appends commentary about broadcast joins here." +
+        "\nanother appended sentence mentions shuffle partitions and task sizes.")
+    ).toDF("doc_id", "url", "text").write.parquet(in)
+    val outCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCap)) {
+      assert(graft.cli.Main.cmdCurate(Array(
+        "--input", in, "--output", out, "--c4", "--gopher", "--repetition",
+        "--url-col", "url", "--near-dup", "minhash",
+        "--near-dup-threshold", "0.9", "--json", jp)) == 0)
+    }
+    val printed = outCap.toString
+    assert(printed.contains("input_rows=5"))
+    Seq("c4", "gopher", "repetition", "quality", "language", "url_dup",
+      "exact_dup", "near_dup").foreach(stage =>
+      assert(printed.contains(stage), s"missing stage '$stage' in:\n$printed"))
+    // doc 3 dies at c4; doc 2 is a url mirror of doc 1; the rest survive
+    // (1/4/5 differ by a unique closing line — distinct exact hashes,
+    // near-dup est below 0.9 is corpus-dependent so just bound it)
+    val survivors = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!survivors.contains(3L) && !survivors.contains(2L), s"got $survivors")
+    assert(survivors.contains(5L), "null-url doc must pass the url stage")
+    val json = new String(Files.readAllBytes(java.nio.file.Paths.get(jp)))
+    assert(json.contains("\"input_rows\":5") && json.contains("\"stage\":\"near_dup\""))
+  }
+
   test("inspect: exact and --approx modes both report usable distincts") {
     val dir = Files.createTempDirectory("graft_cli_inspect")
     val p = s"$dir/t.parquet"
