@@ -833,6 +833,46 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(out.toSeq == Seq(1L, 3L))
   }
 
+  test("streaming hygiene: the verdict kernel filters a live stream statelessly") {
+    // the whole scan-side curation gate (C4 + Gopher + repetition +
+    // quality + language) is one stateless codegen'd expression, so it
+    // drops junk from a firehose with zero state and batch-identical
+    // decisions — the ingest-time half of the curation pipeline
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val goodPage = Seq(
+      "the quick brown fox jumps over that lazy dog have with today.",
+      "a second calm paragraph describes harbor lights at dusk now.",
+      "some travelers whisper old stories while walking narrow streets.",
+      "every reader finds one quiet idea hiding between these lines.",
+      "the weather report shows rain of the kind nobody really minds.").mkString("\n")
+    val verdict = graft.ops.QualityFilters.hygieneVerdict(col("text"),
+      c4 = Some((3, 5)),
+      gopher = Some(graft.ops.QualityFilters.GopherConfig()),
+      repetition = Some(graft.ops.QualityFilters.RepetitionConfig()),
+      minQuality = 0.3, languages = Seq("en"))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .filter(verdict === 0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("shygiene").start()
+    input.addData(
+      (1L, goodPage),
+      (2L, "tiny page."),                                  // c4
+      (3L, goodPage + "\n" + Seq.fill(12)("# # # # # spam marks here.").mkString("\n")))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT doc_id FROM shygiene")
+      .collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(out.toSeq == Seq(1L))
+    // the streaming decision equals the batch decision on the same rows
+    val batch = Seq((1L, goodPage), (2L, "tiny page."),
+      (3L, goodPage + "\n" + Seq.fill(12)("# # # # # spam marks here.").mkString("\n")))
+      .toDF("doc_id", "text").filter(verdict === 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(batch.toSeq == out.toSeq)
+  }
+
   test("streaming sampling: stateless scan-side ops compose with readStream") {
     // hashSample/stratifiedSample/mixByWeight are pure projections and
     // filters, so the same operators curate a live firehose with zero
