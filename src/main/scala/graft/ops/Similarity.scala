@@ -408,20 +408,35 @@ object Similarity {
     * pairs ACROSS clusters are unseen by construction (recall < 1,
     * like every clustered dedup). */
   def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nlist: Int = 16, refineIters: Int = 0): DataFrame =
+      threshold: Double, nlist: Int = 16, refineIters: Int = 0,
+      maxCluster: Int = 100000): DataFrame =
     semDedupPairsFromClusters(
-      semClusters(df, idCol, vecCol, nlist, refineIters), idCol, vecCol, threshold)
+      semClusters(df, idCol, vecCol, nlist, refineIters), idCol, vecCol,
+      threshold, maxCluster)
 
   /** [[semDedupPairs]] from an ALREADY-COMPUTED [[semClusters]] frame —
     * [[semDedup]] threads one clustering through both the pair join
-    * and the representative choice. */
+    * and the representative choice.
+    *
+    * `maxCluster` is the degenerate-cluster guard every other pair
+    * generator here carries (`maxBucket` in the LSH paths): with too
+    * few centroids — or a corpus that collapses onto one — a single
+    * cluster can hold most of the corpus and the within-cluster join
+    * silently goes O(n²). Clusters above the cap are EXCLUDED from
+    * pair generation (their members all survive dedup); raise the cap
+    * deliberately, or raise `nlist`, for corpora where that loss of
+    * recall matters. */
   def semDedupPairsFromClusters(clusters: DataFrame, idCol: String,
-      vecCol: String, threshold: Double): DataFrame = {
+      vecCol: String, threshold: Double,
+      maxCluster: Int = 100000): DataFrame = {
     // the assignment feeds both sides of the pair join — cache it so
     // the centroid argmax runs once
     val assigned = Dedup.cacheOnce(
       clusters.select(col("list_id"), col(idCol), asDouble(col(vecCol)).as("__v"))
-        .withColumn("__n", sqrt(VecOps.vecDot(col("__v"), col("__v")))))
+        .withColumn("__n", sqrt(VecOps.vecDot(col("__v"), col("__v"))))
+        .withColumn("__sz", count(lit(1)).over(Window.partitionBy("list_id")))
+        .filter(col("__sz") <= maxCluster)
+        .drop("__sz"))
     val a = assigned.select(col("list_id"), col(idCol).as("a"),
       col("__v").as("__va"), col("__n").as("__na"))
     val b = assigned.select(col("list_id"), col(idCol).as("b"),
@@ -439,10 +454,12 @@ object Similarity {
     * centroid-sim join). Survivors keep their original columns. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, refineIters: Int = 0,
-      keepFarthestFromCentroid: Boolean = true): DataFrame = {
+      keepFarthestFromCentroid: Boolean = true,
+      maxCluster: Int = 100000): DataFrame = {
     val clusters = Dedup.cacheOnce(
       semClusters(df, idCol, vecCol, nlist, refineIters))
-    val pairs = semDedupPairsFromClusters(clusters, idCol, vecCol, threshold)
+    val pairs = semDedupPairsFromClusters(clusters, idCol, vecCol, threshold,
+      maxCluster)
     if (!keepFarthestFromCentroid) Dedup.dedupByPairs(df, idCol, pairs)
     else Dedup.dedupByPairsBest(
       df.join(clusters.select(col(idCol), col("centroid_sim")), Seq(idCol)),

@@ -410,6 +410,28 @@ class OpsSpec extends SparkFunSuite {
     val expectedMin = assigned.groupBy(a => find(a._1)).values.flatMap { grp =>
       Seq(grp.map(_._1).min) }.toSet
     assert(gotMin == expectedMin)
+
+    // maxCluster guard: clusters above the cap generate NO pairs (all
+    // members survive) — the degenerate-cluster O(n²) escape hatch
+    val cap = 2
+    val sizes = assigned.groupBy(_._3).view.mapValues(_.size).toMap
+    val cappedPairs = for {
+      (ia, va, la, _) <- assigned; (ib, vb, lb, _) <- assigned
+      if ia < ib && la == lb && sizes(la) <= cap && cos(va, vb) >= threshold
+    } yield (ia, ib)
+    val parent2 = scala.collection.mutable.Map(assigned.map(a => a._1 -> a._1): _*)
+    def find2(x: Long): Long =
+      if (parent2(x) == x) x else { val r = find2(parent2(x)); parent2(x) = r; r }
+    cappedPairs.foreach { case (a, b) => parent2(find2(a)) = find2(b) }
+    val expectedCapped = assigned.groupBy(a => find2(a._1)).values.flatMap { grp =>
+      if (grp.size == 1) grp.map(_._1)
+      else Seq(grp.minBy(a => (a._4, a._1))._1)
+    }.toSet
+    val gotCapped = Similarity.semDedup(df, "vec_id", "embedding",
+      threshold = threshold, nlist = nlist, maxCluster = cap)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotCapped == expectedCapped, s"got $gotCapped expected $expectedCapped")
+    assert(gotCapped.size >= got.size, "capping clusters can only keep more docs")
   }
 
   test("minhash signature kernel matches the k-HOF Column formulation, both hashers") {
