@@ -210,6 +210,28 @@ object Bench {
     * URLs (id%40==7). Everything is id arithmetic + murmur3, so the
     * corpus is bit-identical round over round; written once per
     * process to scratch parquet like every other scenario input. */
+  private val corpusBank = Seq(
+    "the", "be", "to", "of", "and", "that", "have", "with", "from", "they",
+    "market", "signal", "feature", "table", "report", "window", "stream",
+    "batch", "metric", "quality", "filter", "sample", "cluster", "vector",
+    "token", "corpus", "model", "train", "data", "value", "record", "field",
+    "index", "shard", "merge", "scan", "group", "join", "order", "range",
+    "count", "total", "daily", "weekly", "early", "later", "about", "under",
+    "above", "between", "because", "system", "engine", "worker", "driver",
+    "memory", "disk", "network", "storage", "format", "schema", "column",
+    "row")
+
+  private val CorpusGenVersion = 2 // v2: defect-clean base ids for planted pairs
+
+  /** Fingerprint of everything the generator's output depends on. */
+  private lazy val corpusGenId: String = {
+    val desc = s"v$CorpusGenVersion|bank=${corpusBank.mkString(",")}" +
+      "|sent=1024,11-15w,seed42|doc=5-7s|defects=50:11,23,37|copy=17:3|near=13:2" +
+      "|url=25:1,40:7"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+  }
+
   private def corpusScenario(spark: SparkSession, nDocs: Long): String = {
     // FIXED scratch location, not the per-process temp benchDir: the
     // corpus is bit-deterministic (id arithmetic + seeded bank), so
@@ -220,19 +242,16 @@ object Bench {
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
         .map(_ + "/graft-corpus"))
       .getOrElse(System.getProperty("java.io.tmpdir") + "/graft-corpus")
-    val dir = s"$root/corpus_$nDocs"
+    // the cache path carries a GENERATOR fingerprint: a persistent
+    // cross-process cache keyed only by nDocs would silently serve a
+    // STALE corpus after any edit to the bank/defect residues — the
+    // exact round-over-round incomparability the bench noise-model
+    // discipline exists to prevent. Bump CorpusGenVersion on any
+    // generator change the fingerprinted values don't capture.
+    val dir = s"$root/corpus_${corpusGenId}_$nDocs"
     val cp = s"$dir/docs.parquet"
     if (!committed(cp)) {
-      val bank = Seq(
-        "the", "be", "to", "of", "and", "that", "have", "with", "from", "they",
-        "market", "signal", "feature", "table", "report", "window", "stream",
-        "batch", "metric", "quality", "filter", "sample", "cluster", "vector",
-        "token", "corpus", "model", "train", "data", "value", "record", "field",
-        "index", "shard", "merge", "scan", "group", "join", "order", "range",
-        "count", "total", "daily", "weekly", "early", "later", "about", "under",
-        "above", "between", "because", "system", "engine", "worker", "driver",
-        "memory", "disk", "network", "storage", "format", "schema", "column",
-        "row")
+      val bank = corpusBank
       // 1024 deterministic sentences built driver-side (seeded LCG via
       // java.util.Random — stable across JVMs): docs pick 5-7 of them
       // by id hash, so generating a doc is a handful of element_at
@@ -245,9 +264,17 @@ object Bench {
         lit((0 until n).map(_ => bank(rnd.nextInt(bank.size))).mkString(" ") + ".")
       }: _*)
       // duplicate structure: exact copies and near-copies derive their
-      // prose from a BASE id, so the planted pairs agree byte-for-byte
-      val base = when(col("id") % 17 === 3, col("id") - 3)
-        .when(col("id") % 13 === 2, col("id") - 2)
+      // prose from a BASE id, so the planted pairs agree byte-for-byte.
+      // A copy is planted ONLY when its partner is a CLEAN document:
+      // without the guard, a base id landing on a defect/copy residue
+      // makes the "copy" a unique document (the partner's own text went
+      // through its own when-chain), quietly shrinking the planted
+      // duplicate rate the ledger rows are documented to measure.
+      def cleanDoc(i: Column) =
+        (i % 50 =!= 11) && (i % 50 =!= 23) && (i % 50 =!= 37) &&
+          (i % 13 =!= 2) && (i % 17 =!= 3)
+      val base = when(col("id") % 17 === 3 && cleanDoc(col("id") - 3), col("id") - 3)
+        .when(col("id") % 13 === 2 && cleanDoc(col("id") - 2), col("id") - 2)
         .otherwise(col("id"))
       def sentence(s: Int) =
         element_at(sentenceBank, pmod(hash(base, lit(s)), lit(1024)) + 1)

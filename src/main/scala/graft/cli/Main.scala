@@ -567,6 +567,7 @@ object Main {
       hygiene = hygiene,
       hasher = Dedup.xxHash)
     r.df.write.mode("overwrite").parquet(output)
+    r.release() // output is on disk; drop the pipeline's internal caches
     println(s"input_rows=${r.stats.input}")
     val dropped = r.stats.dropped
     r.stats.stages.foreach { case (name, n) =>

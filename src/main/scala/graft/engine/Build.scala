@@ -476,7 +476,14 @@ object Build {
     val spineConsumedOnce = multiBatches.nonEmpty && spineBranches == 1
     // cacheOnce: no-output builds leave this resident (see the release
     // note at the bottom), so a repeated identical build must reuse the
-    // live entry instead of re-issuing cache() against the same plan
+    // live entry instead of re-issuing cache() against the same plan.
+    // OWNERSHIP: if the entry was already resident — a previous
+    // no-output build of the same config still backs ITS returned
+    // frame with it — this build must not unpersist it on the way out
+    // (Spark's non-cascading uncache would rebuild/discard the other
+    // result's dependent caches).
+    val spineWasResident = !spineConsumedOnce &&
+      spineBase.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val spine = if (spineConsumedOnce) spineBase
       else graft.util.Caching.cacheOnce(spineBase)
     val spineNarrow = spine
@@ -768,7 +775,8 @@ object Build {
     // non-cascading uncache would rebuild that dependent entry —
     // discarding its materialized data, so the caller's first action
     // would re-run the whole build
-    if (!spineConsumedOnce && options.output.isDefined) spine.unpersist()
+    if (!spineConsumedOnce && options.output.isDefined && !spineWasResident)
+      spine.unpersist()
     BuildResult(finalDf, total, result.columns.toSeq, stats, passed, warnings,
       (System.nanoTime() - startedAt) / 1000000L)
   }

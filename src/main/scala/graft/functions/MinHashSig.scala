@@ -40,7 +40,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MinHashSig {
 
-  /** md5 variant — also called from generated code. */
+  /** md5 variant — also called from generated code. NULL array
+    * elements are SKIPPED exactly like the Column form (the hasher
+    * maps null -> null and `array_min` ignores nulls); an array of
+    * only nulls yields the same [null x k] as an empty one. */
   def md5Sig(sh: ArrayData, k: Int): ArrayData = {
     val out = new Array[Any](k)
     val n = sh.numElements()
@@ -49,22 +52,28 @@ object MinHashSig {
     val mins = new Array[String](k)
     var i = 0
     while (i < n) {
-      val bytes = sh.getUTF8String(i).getBytes
-      var seed = 0
-      while (seed < k) {
-        md.reset()
-        md.update(String.valueOf(seed).getBytes(
-          java.nio.charset.StandardCharsets.US_ASCII))
-        md.update(':'.toByte)
-        md.update(bytes)
-        val hex = toHex(md.digest())
-        if (mins(seed) == null || hex.compareTo(mins(seed)) < 0) mins(seed) = hex
-        seed += 1
+      if (!sh.isNullAt(i)) {
+        val bytes = sh.getUTF8String(i).getBytes
+        var seed = 0
+        while (seed < k) {
+          md.reset()
+          md.update(String.valueOf(seed).getBytes(
+            java.nio.charset.StandardCharsets.US_ASCII))
+          md.update(':'.toByte)
+          md.update(bytes)
+          val hex = toHex(md.digest())
+          if (mins(seed) == null || hex.compareTo(mins(seed)) < 0) mins(seed) = hex
+          seed += 1
+        }
       }
       i += 1
     }
     var s = 0
-    while (s < k) { out(s) = UTF8String.fromString(mins(s)); s += 1 }
+    while (s < k) {
+      // mins stays null when every element was null — [null x k]
+      out(s) = if (mins(s) == null) null else UTF8String.fromString(mins(s))
+      s += 1
+    }
     new GenericArrayData(out)
   }
 
@@ -93,12 +102,24 @@ object MinHashSig {
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = sh.getUTF8String(i)
-      var seed = 0
-      while (seed < k) {
-        val h = XXH64.hashUTF8String(s, seedBases(seed))
-        if (h < mins(seed)) mins(seed) = h
-        seed += 1
+      // a NULL element is NOT skipped: Spark's xxhash64 folds null
+      // children as "leave the accumulator alone", so
+      // xxhash64(lit(seed), null) = the seed chain head itself — it
+      // participates in the min with exactly that value
+      if (sh.isNullAt(i)) {
+        var seed = 0
+        while (seed < k) {
+          if (seedBases(seed) < mins(seed)) mins(seed) = seedBases(seed)
+          seed += 1
+        }
+      } else {
+        val s = sh.getUTF8String(i)
+        var seed = 0
+        while (seed < k) {
+          val h = XXH64.hashUTF8String(s, seedBases(seed))
+          if (h < mins(seed)) mins(seed) = h
+          seed += 1
+        }
       }
       i += 1
     }

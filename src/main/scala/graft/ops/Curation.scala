@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * Stage order is deliberate: the cheap scan-side filters (C4, Gopher,
   * repetition, quality, language) run FIRST and shrink the corpus
-  * before any shuffle; their survivor counts are all computed in ONE
-  * aggregation pass over the scan (progressive conjunction), so the
-  * whole scan-side ledger costs a single corpus read. The shuffle
-  * stages follow cheapest-first: URL dedup and exact dedup are one
-  * map-side-combined aggregation each, unigram scoring is one
-  * token-keyed join, and the pair-generating near-dup stage — the most
-  * expensive — runs last over the smallest surviving frame.
+  * before any shuffle; the whole scan-side ledger is ONE kernel call
+  * per row (the first-failing-stage hygiene verdict) grouped into a
+  * map-side-combined <=7-row aggregate, so it costs a single corpus
+  * read. The shuffle stages follow cheapest-first: URL dedup and
+  * exact dedup are one map-side-combined aggregation each, unigram
+  * scoring is one token-keyed join, and the pair-generating near-dup
+  * stage — the most expensive — runs last over the smallest surviving
+  * frame.
   */
 object Curation {
 
@@ -40,7 +41,19 @@ object Curation {
     def output: Long = stages.lastOption.map(_._2).getOrElse(input)
   }
 
-  final case class CurationResult(df: DataFrame, stats: CurationStats)
+  /** `release()` unpersists the pipeline's internal caches once the
+    * caller is DONE with `df` (has written or collected it). It is NOT
+    * called automatically: the returned frame's lineage reads those
+    * caches, and Spark's non-cascading uncache would rebuild/discard
+    * dependent entries — releasing before consumption re-executes the
+    * whole pipeline on the next action. Skipping release leaks up to
+    * ~6 corpus-scale MEMORY_AND_DISK entries per curate() call in a
+    * long-lived session (LRU-evicted under pressure, but CacheManager
+    * metadata and spill space grow until cleared). */
+  final case class CurationResult(df: DataFrame, stats: CurationStats,
+      private[graft] val cached: Seq[DataFrame] = Nil) {
+    def release(): Unit = cached.foreach(_.unpersist())
+  }
 
   /** Near-dup pair generation strategy for the final stage. */
   sealed trait NearDup
@@ -143,6 +156,12 @@ object Curation {
       else graft.functions.Hygiene.QualityStage
     val verdict = coalesce(verdictRaw, lit(firstStage))
 
+    val tracked = Vector.newBuilder[DataFrame]
+    def cacheTracked(df: DataFrame): DataFrame = {
+      val c = Dedup.cacheOnce(df)
+      tracked += c
+      c
+    }
     val sc = docs.sparkSession.sparkContext
     def staged[A](name: String)(body: => A): A = {
       sc.setJobDescription(s"graft curate: $name")
@@ -170,7 +189,7 @@ object Curation {
     // AND the downstream dedup chain — cache it once here so a repeated
     // identical curate call (bench reps) reuses the live entry instead
     // of re-issuing cache() against the same plan.
-    val scanKept = Dedup.cacheOnce(
+    val scanKept = cacheTracked(
       docs.filter(verdict === graft.functions.Hygiene.PassVerdict)
         .withColumn(textCol, cleanText))
 
@@ -192,7 +211,7 @@ object Curation {
         // (fingerprint groupBy + the keeper semi join), and this frame
         // carries a union, a join and the URL-canonicalization regex
         // chain — without the cache all of it executes twice
-        val kept = Dedup.cacheOnce(scanKept.filter(!usable)
+        val kept = cacheTracked(scanKept.filter(!usable)
           .unionByName(scanKept.filter(usable).join(keepers, Seq(idCol), "left_semi")))
         ledger += ("url_dup" -> staged("url dedup")(kept.count()))
         kept
@@ -200,7 +219,7 @@ object Curation {
     }
 
     // ---- exact content dedup -----------------------------------------
-    val exactKept = Dedup.cacheOnce(Dedup.exactDedup(urlKept, textCol, idCol))
+    val exactKept = cacheTracked(Dedup.exactDedup(urlKept, textCol, idCol))
     val afterExact = staged("exact dedup")(exactKept.count())
     ledger += ("exact_dup" -> afterExact)
 
@@ -211,13 +230,13 @@ object Curation {
         // action over the scored frame, and the bucket filter below
         // consumes it AGAIN — without the cache the corpus-scale LM
         // scoring plan executes twice per stage
-        val scored = Dedup.cacheOnce(
+        val scored = cacheTracked(
           QualityFilters.unigramLogProbs(exactKept, idCol, textCol, u.model))
         val bucketed = QualityFilters.qualityBucketsApprox(
           scored, buckets = u.buckets, relErr = u.relErr)
         val keepIds = bucketed.filter(col("quality_bucket") <= u.keepBuckets)
           .select(col(idCol))
-        val kept = Dedup.cacheOnce(exactKept.join(keepIds, Seq(idCol), "left_semi"))
+        val kept = cacheTracked(exactKept.join(keepIds, Seq(idCol), "left_semi"))
         ledger += ("unigram" -> staged("unigram buckets")(kept.count()))
         kept
       case None => exactKept
@@ -230,13 +249,13 @@ object Curation {
         val model = b.model.getOrElse(
           QualityFilters.bigramModel(uniKept, textCol, b.minCount))
         // same double-execution guard as the unigram stage above
-        val scored = Dedup.cacheOnce(QualityFilters.bigramLogProbs(
+        val scored = cacheTracked(QualityFilters.bigramLogProbs(
           uniKept, idCol, textCol, Some(model), b.alpha))
         val bucketed = QualityFilters.qualityBucketsApprox(
           scored, buckets = b.buckets, relErr = b.relErr)
         val keepIds = bucketed.filter(col("quality_bucket") <= b.keepBuckets)
           .select(col(idCol))
-        val kept = Dedup.cacheOnce(uniKept.join(keepIds, Seq(idCol), "left_semi"))
+        val kept = cacheTracked(uniKept.join(keepIds, Seq(idCol), "left_semi"))
         ledger += ("bigram" -> staged("bigram buckets")(kept.count()))
         kept
       case None => uniKept
@@ -257,14 +276,13 @@ object Curation {
     val curated = Dedup.dedupByPairs(lmKept, idCol, pairs)
     ledger += ("near_dup" -> staged("near-dup dedup")(curated.count()))
 
-    // scanKept deliberately stays resident: unpersisting it would make
-    // the CacheManager REBUILD every dependent entry (exactKept,
-    // uniKept, the scored frames — and through them the RETURNED
-    // frame's lineage), so the caller's first action over the result
-    // would re-execute the whole pipeline from the parquet scan.
-    // Caches are MEMORY_AND_DISK and LRU-evicted under pressure; a
-    // caller done with the session-wide entries uses
-    // spark.catalog.clearCache().
-    CurationResult(curated, CurationStats(input, ledger.result()))
+    // the caches deliberately stay resident: unpersisting any of them
+    // here would make the CacheManager REBUILD every dependent entry
+    // (and through them the RETURNED frame's lineage), so the caller's
+    // first action over the result would re-execute the whole pipeline
+    // from the parquet scan. The caller releases them AFTER consuming
+    // df, via CurationResult.release().
+    CurationResult(curated, CurationStats(input, ledger.result()),
+      tracked.result())
   }
 }

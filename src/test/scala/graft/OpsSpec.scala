@@ -443,6 +443,13 @@ class OpsSpec extends SparkFunSuite {
       (1 to 200).map(i => s"w$i").mkString(" "))
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
       .select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      // in-repo shingles() never emits null elements, but the public
+      // contract accepts any array<string>: null elements must be
+      // SKIPPED like array_min over null hashes, all-null like empty
+      .unionByName(Seq(
+        (100L, Seq("a b c", null, "d e f")),
+        (101L, Seq(null.asInstanceOf[String], null.asInstanceOf[String])),
+        (102L, Seq.empty[String])).toDF("id", "sh"))
     for (k <- Seq(1, 16, 60)) {
       // reference: the k-HOF formulation with the same hasher lambdas
       def ref(hasher: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column) =
