@@ -773,6 +773,21 @@ object SparkEntry {
         "doc_id", "text", n = 4)
         .select("doc_id").orderBy("doc_id")
     }),
+    // Corpus-level boilerplate removal (RefinedWeb-style): lines whose
+    // normalized form appears in > maxDocFreq distinct docs (the
+    // synthesized nav/footer) vanish from every page; unique content
+    // and blank lines survive in order.
+    "q_boilerplate" -> ((s, dir) => {
+      val id = col("doc_id")
+      val synth = concat(
+        lit("Nav Home About Contact\n"),
+        lit("unique line "), id.cast("string"), lit(" content"),
+        when(id % 3 === 0, lit("\nFooter terms and privacy")).otherwise(lit("")))
+      graft.ops.Dedup.stripBoilerplate(
+          t(s, dir, "documents").withColumn("text", synth),
+          "doc_id", "text", maxDocFreq = 50)
+        .select("doc_id", "text").orderBy("doc_id")
+    }),
     // Graded contamination: per training doc, shared-ngram count and
     // fraction against the eval shingle set (same split and n as
     // q_decontaminate, whose boolean this report generalizes)
@@ -1920,6 +1935,37 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id % 17 != 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    'Nav Home About Contact' || chr(10) ||
+        |    'unique line ' || doc_id || ' content' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Footer terms and privacy'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |lines AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth),
+        |le AS (
+        |  SELECT doc_id, pos, ls[pos] AS ln FROM (
+        |    SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls FROM lines) q),
+        |nb AS (
+        |  SELECT doc_id, pos,
+        |    md5(regexp_replace(lower(trim(ln)), '\s+', ' ', 'g')) AS h
+        |  FROM le WHERE length(trim(ln)) > 0),
+        |boiler AS (
+        |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM nb) q
+        |  GROUP BY h HAVING count(*) > 50),
+        |rem AS (SELECT DISTINCT doc_id, pos FROM nb JOIN boiler USING (h)),
+        |kept AS (
+        |  SELECT le.doc_id, le.pos, le.ln
+        |  FROM le LEFT JOIN rem ON rem.doc_id = le.doc_id AND rem.pos = le.pos
+        |  WHERE rem.doc_id IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, coalesce(r.text, '') AS text
+        |FROM synth s LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q_contamination" ->
       """WITH docs AS (

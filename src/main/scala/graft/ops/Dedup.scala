@@ -234,6 +234,61 @@ object Dedup {
       .drop("__sents", "__removed")
   }
 
+  // ---- corpus-level boilerplate line removal -------------------------
+
+  /** Normalized line fingerprint shared by [[boilerplateLines]] and
+    * [[stripBoilerplate]]: md5 of the lowercased, whitespace-collapsed
+    * trimmed line (the [[TextAnalysis.fingerprint]] normal form at
+    * line granularity). */
+  private def lineFingerprint(line: Column): Column =
+    md5(regexp_replace(lower(trim(line)), "\\s+", " "))
+
+  /** (line fingerprints, example text, doc frequency) of lines whose
+    * normalized form appears in MORE than `maxDocFreq` distinct
+    * documents — nav menus, cookie banners, footers: the
+    * RefinedWeb-style cross-document boilerplate signal (per-document
+    * repetition is [[graft.ops.QualityFilters.repetitionFilter]]'s
+    * territory). One distinct + one map-side-combined count; blank
+    * lines never count. */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, s"boilerplateLines wants maxDocFreq >= 1, got $maxDocFreq")
+    df.select(col(idCol), explode(split(col(textCol), "\n")).as("__l"))
+      .filter(length(trim(col("__l"))) > 0)
+      .select(col(idCol), col("__l"), lineFingerprint(col("__l")).as("line_fp"))
+      .groupBy(col("line_fp"))
+      .agg(count_distinct(col(idCol)).as("n_docs"), min(col("__l")).as("example"))
+      .filter(col("n_docs") > maxDocFreq)
+      .select("line_fp", "example", "n_docs")
+  }
+
+  /** Remove corpus-level boilerplate lines from EVERY document: any
+    * non-blank line whose normalized form exceeds `maxDocFreq`
+    * distinct documents is dropped; blank lines and everything else
+    * keep their order. Reassembly follows the [[spanDedup]] shape —
+    * only the REMOVED (doc, position) pairs shuffle, never document
+    * payloads; the boilerplate fingerprint set is tiny by construction
+    * (each surviving fingerprint is shared by >maxDocFreq docs). */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Long): DataFrame = {
+    val lines = col("__lines")
+    val withLines = df.withColumn("__lines", split(col(textCol), "\n"))
+    val positioned = withLines.select(col(idCol),
+      posexplode(lines).as(Seq("__pos", "__l")))
+      .filter(length(trim(col("__l"))) > 0)
+      .select(col(idCol), col("__pos"), lineFingerprint(col("__l")).as("line_fp"))
+    val boiler = boilerplateLines(df, idCol, textCol, maxDocFreq)
+      .select("line_fp")
+    val removed = positioned.join(boiler, "line_fp")
+      .groupBy(idCol).agg(collect_set("__pos").as("__removed"))
+    withLines.join(removed, Seq(idCol), "left")
+      .withColumn(textCol, array_join(
+        filter(lines, (l, i) => !array_contains(
+          coalesce(col("__removed"), array().cast("array<int>")), i)),
+        "\n"))
+      .drop("__lines", "__removed")
+  }
+
   /** Portable per-shingle hash: lexicographic min over
     * `md5(seed:shingle)` strings. Identical in DuckDB — used by the
     * oracle-checked queries. */

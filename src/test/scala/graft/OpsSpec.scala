@@ -292,6 +292,30 @@ class OpsSpec extends SparkFunSuite {
     assert(delta.columns.toSeq == Seq("fingerprint"))
   }
 
+  test("boilerplate lines: corpus-frequency removal, blanks and order preserved") {
+    val nav = "  Nav  Home   About "   // normalization folds case/whitespace
+    val docs = Seq(
+      (1L, s"$nav\nunique alpha one\n\nNAV HOME ABOUT\nclosing alpha"),
+      (2L, s"$nav\nunique beta two"),
+      (3L, s"$nav\nunique gamma three"),
+      (4L, "no boilerplate here at all")
+    ).toDF("doc_id", "text")
+    val report = Dedup.boilerplateLines(docs, "doc_id", "text", maxDocFreq = 2)
+      .collect()
+    assert(report.length == 1, report.mkString(";"))
+    assert(report.head.getAs[Long]("n_docs") == 3) // doc 1 counts ONCE despite 2 copies
+    val stripped = Dedup.stripBoilerplate(docs, "doc_id", "text", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // both normalized variants vanish; the blank line and order survive
+    assert(stripped(1L) == "unique alpha one\n\nclosing alpha", s"got <${stripped(1L)}>")
+    assert(stripped(2L) == "unique beta two")
+    assert(stripped(4L) == "no boilerplate here at all")
+    // below the threshold nothing is touched
+    val same = Dedup.stripBoilerplate(docs, "doc_id", "text", maxDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.collect().foreach(r => assert(same(r.getLong(0)) == r.getString(1)))
+  }
+
   test("contamination scores grade overlap; decontaminate is its zero-tolerance cut") {
     val evalDf = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val train = Seq(
