@@ -1851,8 +1851,8 @@ object SparkEntry {
         |  SELECT doc_id, CAST(h % 8 AS INT) AS pack_group,
         |    sum(n) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - n AS st
         |  FROM d)
-        |SELECT doc_id, pack_group, st // 2000 AS pack_id,
-        |       st - (st // 2000) * 2000 AS pack_offset
+        |SELECT doc_id, pack_group, CAST(st // 2000 AS BIGINT) AS pack_id,
+        |       CAST(st - (st // 2000) * 2000 AS BIGINT) AS pack_offset
         |FROM cum ORDER BY doc_id""".stripMargin,
 
     "q_pack_materialize" ->
@@ -1867,8 +1867,8 @@ object SparkEntry {
         |    sum(n) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - n AS st
         |  FROM d),
         |assigned AS (
-        |  SELECT doc_id, text, pack_group, st // 2000 AS pack_id,
-        |         st - (st // 2000) * 2000 AS pack_offset
+        |  SELECT doc_id, text, pack_group, CAST(st // 2000 AS BIGINT) AS pack_id,
+        |         CAST(st - (st // 2000) * 2000 AS BIGINT) AS pack_offset
         |  FROM cum)
         |SELECT pack_group, pack_id, count(*) AS n_docs,
         |  md5(string_agg(text, ' ' ORDER BY pack_offset, doc_id)) AS text_md5
@@ -1981,8 +1981,8 @@ object SparkEntry {
         |  FROM (SELECT doc_id, s FROM sh WHERE doc_id % 17 != 0) t
         |  LEFT JOIN ev ON t.s = ev.s GROUP BY t.doc_id)
         |SELECT d.doc_id,
-        |  coalesce(a.cont, 0) AS contaminated_ngrams,
-        |  coalesce(a.total, 0) AS total_ngrams,
+        |  CAST(coalesce(a.cont, 0) AS BIGINT) AS contaminated_ngrams,
+        |  CAST(coalesce(a.total, 0) AS BIGINT) AS total_ngrams,
         |  round(CASE WHEN coalesce(a.total, 0) = 0 THEN 0.0
         |    ELSE CAST(a.cont AS DOUBLE) / a.total END, 6) AS contamination_frac
         |FROM documents d LEFT JOIN agg a USING (doc_id)
