@@ -1993,7 +1993,7 @@ object SparkEntry {
         |t AS (SELECT lang, n,
         |        pow(CAST(n AS DOUBLE) / (SELECT sum(n) FROM c), -0.5) AS raw
         |      FROM c)
-        |SELECT lang, round(raw * (4.0 / (SELECT max(raw) FROM t)), 9) AS weight
+        |SELECT lang, round(least(4.0, raw / (SELECT min(raw) FROM t)), 9) AS weight
         |FROM t ORDER BY lang""".stripMargin
   )
 }

@@ -5,20 +5,23 @@ import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the composition a 100 TB training-data
   * pipeline actually runs — C4 line cleaning → Gopher document rules →
-  * repetition rules → quality/language filter → URL dedup → exact
-  * dedup → CCNet unigram/bigram LM bucketing → near-dup dedup — with
-  * per-stage drop accounting so nothing is silently lost.
+  * repetition rules → quality/language filter → blocklist → URL dedup
+  * → corpus boilerplate removal → exact dedup → C4 span dedup →
+  * ExactSubstr passage removal → CCNet unigram/bigram LM bucketing → benchmark decontamination → near-dup
+  * dedup → SemDeDup — with per-stage drop accounting so nothing is
+  * silently lost.
   *
   * Stage order is deliberate: the cheap scan-side filters (C4, Gopher,
-  * repetition, quality, language) run FIRST and shrink the corpus
-  * before any shuffle; the whole scan-side ledger is ONE kernel call
-  * per row (the first-failing-stage hygiene verdict) grouped into a
-  * map-side-combined <=7-row aggregate, so it costs a single corpus
-  * read. The shuffle stages follow cheapest-first: URL dedup and
-  * exact dedup are one map-side-combined aggregation each, unigram
-  * scoring is one token-keyed join, and the pair-generating near-dup
-  * stage — the most expensive — runs last over the smallest surviving
-  * frame.
+  * repetition, quality, language, blocklist) run FIRST and shrink the
+  * corpus before any shuffle; the whole scan-side ledger is ONE kernel
+  * call per row (the first-failing-stage hygiene verdict) grouped into
+  * a map-side-combined <=7-row aggregate, so it costs a single corpus
+  * read. The shuffle stages follow cheapest-first: URL dedup, exact
+  * dedup and the boilerplate/span text rewrites are one-to-two
+  * map-side-combined aggregations each, LM scoring is one token-keyed
+  * join, decontamination is a broadcast anti-join, and the
+  * pair-generating stages — lexical near-dup, then semantic
+  * SemDeDup — run last over the smallest surviving frame.
   */
 object Curation {
 
@@ -46,10 +49,14 @@ object Curation {
     * called automatically: the returned frame's lineage reads those
     * caches, and Spark's non-cascading uncache would rebuild/discard
     * dependent entries — releasing before consumption re-executes the
-    * whole pipeline on the next action. Skipping release leaks up to
-    * ~6 corpus-scale MEMORY_AND_DISK entries per curate() call in a
-    * long-lived session (LRU-evicted under pressure, but CacheManager
-    * metadata and spill space grow until cleared). */
+    * whole pipeline on the next action. `cached` holds EVERY frame the
+    * pipeline registered, including the ones library calls create
+    * internally (near-dup signature/bucket frames, LM model frames,
+    * boilerplate line positions, semantic clusters — captured via
+    * [[graft.util.Caching.tracking]]), so release() is complete.
+    * Skipping it leaks those MEMORY_AND_DISK entries per curate() call
+    * in a long-lived session (LRU-evicted under pressure, but
+    * CacheManager metadata and spill space grow until cleared). */
   final case class CurationResult(df: DataFrame, stats: CurationStats,
       private[graft] val cached: Seq[DataFrame] = Nil) {
     def release(): Unit = cached.foreach(_.unpersist())
@@ -100,19 +107,76 @@ object Curation {
       minCount: Long = 2,
       relErr: Double = 0.001)
 
+  /** Corpus-level boilerplate line removal stage
+    * ([[Dedup.stripBoilerplate]]): lines whose normalized form appears
+    * in more than `maxDocFreq` distinct documents are deleted
+    * everywhere. `dropEmptied` also drops documents whose text is
+    * blank after stripping (a page that was ALL nav/banner). */
+  final case class BoilerplateConfig(maxDocFreq: Long = 10,
+      dropEmptied: Boolean = true)
+
+  /** C4 cross-document span dedup stage ([[Dedup.spanDedup]]): runs of
+    * `span` consecutive sentences survive only at their first corpus
+    * occurrence. Sentence segmentation needs terminal punctuation, and
+    * documents are REASSEMBLED from their sentences — terminator-free
+    * text (code, tables, logs) has no sentences and comes back blank,
+    * so with `dropEmptied` those documents are dropped. This stage is
+    * for punctuated web prose; use [[Dedup.exactSubstrDedup]] (token
+    * windows, no punctuation assumption) for mixed corpora. */
+  final case class SpanDedupConfig(span: Int = 3,
+      dropEmptied: Boolean = true)
+
+  /** ExactSubstr duplicate-passage removal stage
+    * ([[Dedup.exactSubstrDedup]]): runs of `k` consecutive whitespace
+    * tokens duplicated anywhere in the corpus survive only at their
+    * first occurrence — the terminator-free complement of
+    * [[SpanDedupConfig]] for code, tables and logs. `dropEmptied`
+    * drops documents left blank by the removal. */
+  final case class ExactSubstrConfig(k: Int = 20, dropEmptied: Boolean = true)
+
+  /** Benchmark-decontamination stage ([[Dedup.decontaminate]]): drop
+    * every surviving document sharing an `n`-gram with `eval`. The
+    * eval shingle set is broadcast (`broadcastEval = false` for an
+    * oversized eval corpus → shuffled join); the training side is
+    * scanned once and never shuffled. */
+  final case class DecontaminateConfig(eval: DataFrame, n: Int = 8,
+      broadcastEval: Boolean = true)
+
+  /** SemDeDup stage ([[Similarity.semDedup]]): semantic near-dup
+    * removal over `vecCol` (an embedding array column that must be
+    * present on the input frame — join your embedding table on before
+    * calling curate). Runs LAST, over the smallest surviving frame:
+    * it catches paraphrases the lexical stages cannot. */
+  final case class SemDeDupConfig(vecCol: String,
+      threshold: Double = 0.95,
+      nlist: Int = 16,
+      refineIters: Int = 0,
+      keepFarthestFromCentroid: Boolean = true,
+      maxCluster: Int = 100000)
+
   /** Optional corpus-hygiene stages around the core quality → language
     * → dedup spine. Everything defaults OFF; enabling a stage adds its
-    * (name, survivors) entry to the ledger. `urlCol` names a column of
-    * raw page URLs; when set, canonical-URL dedup runs before content
-    * dedup (cheaper key, catches mirror fetches exact dedup misses
-    * only after the heavier text hash). */
+    * (name, survivors) entry to the ledger. `blocklist` drops pages
+    * containing any listed word (scan-side, fused into the same corpus
+    * read as the verdict kernel). `urlCol` names a column of raw page
+    * URLs; when set, canonical-URL dedup runs before content dedup
+    * (cheaper key, catches mirror fetches exact dedup misses only
+    * after the heavier text hash). `boilerplate` and `spanDedup` are
+    * corpus-level text rewrites; `decontaminate` and `semDedup` run
+    * after the lexical dedups, cheapest-first. */
   final case class HygieneConfig(
       c4: Option[C4Config] = None,
       gopher: Option[QualityFilters.GopherConfig] = None,
       repetition: Option[QualityFilters.RepetitionConfig] = None,
+      blocklist: Option[Seq[String]] = None,
       urlCol: Option[String] = None,
+      boilerplate: Option[BoilerplateConfig] = None,
+      spanDedup: Option[SpanDedupConfig] = None,
+      exactSubstr: Option[ExactSubstrConfig] = None,
       unigram: Option[UnigramConfig] = None,
-      bigram: Option[BigramConfig] = None)
+      bigram: Option[BigramConfig] = None,
+      decontaminate: Option[DecontaminateConfig] = None,
+      semDedup: Option[SemDeDupConfig] = None)
 
   def curate(
       docs: DataFrame,
@@ -157,11 +221,14 @@ object Curation {
     val verdict = coalesce(verdictRaw, lit(firstStage))
 
     val tracked = Vector.newBuilder[DataFrame]
-    def cacheTracked(df: DataFrame): DataFrame = {
-      val c = Dedup.cacheOnce(df)
-      tracked += c
-      c
-    }
+    // tracking: EVERY cacheOnce fired while the pipeline is built —
+    // including the ones inside Dedup / QualityFilters / Similarity
+    // (signature frames, bounded buckets, LM models, boilerplate line
+    // positions, semantic clusters) — lands in `tracked`, so
+    // CurationResult.release() owns the full cache set, not just the
+    // frames this function registered directly.
+    graft.util.Caching.tracking(tracked += _) {
+    def cacheTracked(df: DataFrame): DataFrame = Dedup.cacheOnce(df)
     val sc = docs.sparkSession.sparkContext
     def staged[A](name: String)(body: => A): A = {
       sc.setJobDescription(s"graft curate: $name")
@@ -188,13 +255,24 @@ object Curation {
     // cacheOnce: the scan-filtered frame feeds the URL-dedup self-join
     // AND the downstream dedup chain — cache it once here so a repeated
     // identical curate call (bench reps) reuses the live entry instead
-    // of re-issuing cache() against the same plan.
-    val scanKept = cacheTracked(
+    // of re-issuing cache() against the same plan. The blocklist
+    // filter (when enabled) fuses into the SAME whole-stage-codegen
+    // scan as the verdict filter — no extra corpus read — and
+    // evaluates the CLEANED text like every other post-C4 rule.
+    val scanFiltered =
       docs.filter(verdict === graft.functions.Hygiene.PassVerdict)
-        .withColumn(textCol, cleanText))
+        .withColumn(textCol, cleanText)
+    val scanKept = cacheTracked(hygiene.blocklist match {
+      case Some(words) =>
+        scanFiltered.filter(QualityFilters.blocklistKeep(col(textCol), words))
+      case None => scanFiltered
+    })
 
     var ledger = Vector.newBuilder[(String, Long)]
     ledger ++= scanCounts
+    hygiene.blocklist.foreach { _ =>
+      ledger += ("blocklist" -> staged("blocklist")(scanKept.count()))
+    }
 
     // ---- URL dedup: one map-side-combined group + a semi join --------
     val urlKept = hygiene.urlCol match {
@@ -218,10 +296,57 @@ object Curation {
       case None => scanKept
     }
 
+    // ---- corpus-level boilerplate line removal -----------------------
+    // BEFORE exact dedup: two mirror pages differing only in their nav
+    // menus become byte-identical once the menus are stripped, so the
+    // cheap hash dedup catches them. stripBoilerplate caches its own
+    // (id, pos, fingerprint) frame internally (tracked); the rewritten
+    // corpus is cached here because exact dedup consumes it twice.
+    val boilKept = hygiene.boilerplate match {
+      case Some(bc) =>
+        val stripped = Dedup.stripBoilerplate(urlKept, idCol, textCol, bc.maxDocFreq)
+        val kept = cacheTracked(
+          if (bc.dropEmptied) stripped.filter(length(trim(col(textCol))) > 0)
+          else stripped)
+        ledger += ("boilerplate" -> staged("boilerplate strip")(kept.count()))
+        kept
+      case None => urlKept
+    }
+
     // ---- exact content dedup -----------------------------------------
-    val exactKept = cacheTracked(Dedup.exactDedup(urlKept, textCol, idCol))
+    val exactKept = cacheTracked(Dedup.exactDedup(boilKept, textCol, idCol))
     val afterExact = staged("exact dedup")(exactKept.count())
     ledger += ("exact_dup" -> afterExact)
+
+    // ---- C4 cross-document span dedup --------------------------------
+    // AFTER exact dedup (whole-document duplicates are gone for one
+    // cheap shuffle; the span machinery then only pays for partial
+    // overlaps). Rewrites text, so it must precede the LM scoring
+    // stages — scores should describe the text that survives.
+    val spanKept = hygiene.spanDedup match {
+      case Some(sp) =>
+        val deduped = Dedup.spanDedup(exactKept, idCol, textCol, sp.span)
+        val kept = cacheTracked(
+          if (sp.dropEmptied) deduped.filter(length(trim(col(textCol))) > 0)
+          else deduped)
+        ledger += ("span_dup" -> staged("span dedup")(kept.count()))
+        kept
+      case None => exactKept
+    }
+
+    // ---- ExactSubstr duplicate-passage removal -----------------------
+    // the token-window complement of span dedup, same position in the
+    // pipeline for the same reasons (post exact dedup, pre LM scoring)
+    val substrKept = hygiene.exactSubstr match {
+      case Some(es) =>
+        val deduped = Dedup.exactSubstrDedup(spanKept, idCol, textCol, es.k)
+        val kept = cacheTracked(
+          if (es.dropEmptied) deduped.filter(length(trim(col(textCol))) > 0)
+          else deduped)
+        ledger += ("exact_substr" -> staged("exactsubstr dedup")(kept.count()))
+        kept
+      case None => spanKept
+    }
 
     // ---- CCNet unigram bucketing (post-dedup, approx scale path) -----
     val uniKept = hygiene.unigram match {
@@ -231,15 +356,15 @@ object Curation {
         // consumes it AGAIN — without the cache the corpus-scale LM
         // scoring plan executes twice per stage
         val scored = cacheTracked(
-          QualityFilters.unigramLogProbs(exactKept, idCol, textCol, u.model))
+          QualityFilters.unigramLogProbs(substrKept, idCol, textCol, u.model))
         val bucketed = QualityFilters.qualityBucketsApprox(
           scored, buckets = u.buckets, relErr = u.relErr)
         val keepIds = bucketed.filter(col("quality_bucket") <= u.keepBuckets)
           .select(col(idCol))
-        val kept = cacheTracked(exactKept.join(keepIds, Seq(idCol), "left_semi"))
+        val kept = cacheTracked(substrKept.join(keepIds, Seq(idCol), "left_semi"))
         ledger += ("unigram" -> staged("unigram buckets")(kept.count()))
         kept
-      case None => exactKept
+      case None => substrKept
     }
 
     // ---- bigram LM perplexity bucketing (the CCNet scoring model
@@ -261,20 +386,51 @@ object Curation {
       case None => uniKept
     }
 
+    // ---- benchmark decontamination ------------------------------------
+    // a cheap broadcast anti-join (train side never shuffles) that
+    // shrinks the input to the expensive pair-generating stages below
+    val decontKept = hygiene.decontaminate match {
+      case Some(dc) =>
+        val kept = cacheTracked(Dedup.decontaminate(
+          lmKept, dc.eval, idCol, textCol, dc.n, dc.broadcastEval))
+        ledger += ("contaminated" -> staged("decontaminate")(kept.count()))
+        kept
+      case None => lmKept
+    }
+
     // ---- near-dup dedup: the expensive stage runs over the smallest
     // surviving frame ---------------------------------------------------
     val pairs = nearDup match {
       case NearDup.NgramExact =>
-        Dedup.ngramJaccardPairs(lmKept, idCol, textCol,
+        Dedup.ngramJaccardPairs(decontKept, idCol, textCol,
           shingleSize, nearDupThreshold)
       case NearDup.MinhashLsh =>
         val (k, bands) = Dedup.lshParamsFor(nearDupThreshold)
-        Dedup.minhashJaccardPairs(lmKept, idCol, textCol,
+        Dedup.minhashJaccardPairs(decontKept, idCol, textCol,
           k = k, bands = bands, n = shingleSize, threshold = nearDupThreshold,
           hasher = hasher)
     }
-    val curated = Dedup.dedupByPairs(lmKept, idCol, pairs)
-    ledger += ("near_dup" -> staged("near-dup dedup")(curated.count()))
+    val nearDeduped = Dedup.dedupByPairs(decontKept, idCol, pairs)
+
+    // ---- SemDeDup: paraphrase-level dedup over the embedding column,
+    // last of all — it sees only what every lexical stage kept --------
+    val curated = hygiene.semDedup match {
+      case Some(sd) =>
+        // the near-dup survivors feed clustering, the pair join AND the
+        // final dedup — cache them (the None branch keeps the historic
+        // count-then-return shape instead: one extra tail execution,
+        // no corpus-scale cache)
+        val nd = cacheTracked(nearDeduped)
+        ledger += ("near_dup" -> staged("near-dup dedup")(nd.count()))
+        val kept = cacheTracked(Similarity.semDedup(nd, idCol, sd.vecCol,
+          sd.threshold, sd.nlist, sd.refineIters,
+          sd.keepFarthestFromCentroid, sd.maxCluster))
+        ledger += ("semantic_dup" -> staged("semantic dedup")(kept.count()))
+        kept
+      case None =>
+        ledger += ("near_dup" -> staged("near-dup dedup")(nearDeduped.count()))
+        nearDeduped
+    }
 
     // the caches deliberately stay resident: unpersisting any of them
     // here would make the CacheManager REBUILD every dependent entry
@@ -284,5 +440,6 @@ object Curation {
     // df, via CurationResult.release().
     CurationResult(curated, CurationStats(input, ledger.result()),
       tracked.result())
+    }
   }
 }

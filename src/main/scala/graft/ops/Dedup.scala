@@ -271,13 +271,25 @@ object Dedup {
     * (each surviving fingerprint is shared by >maxDocFreq docs). */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
       maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, s"stripBoilerplate wants maxDocFreq >= 1, got $maxDocFreq")
     val lines = col("__lines")
     val withLines = df.withColumn("__lines", split(col(textCol), "\n"))
-    val positioned = withLines.select(col(idCol),
+    // ONE explode+fingerprint of the text column feeds BOTH the corpus
+    // frequency aggregation and the removed-position probe. cacheOnce:
+    // the two consumers would otherwise each re-read and re-hash the
+    // whole corpus (a full extra 100 TB scan per call). The cached
+    // frame is (id, pos, fp) — fingerprint-narrow, a fraction of the
+    // text it derives from, and spills to disk under pressure. Inside
+    // [[graft.ops.Curation.curate]] the cache is owned and released by
+    // CurationResult; standalone callers keep one narrow resident
+    // entry (LRU-evicted) per distinct input plan.
+    val positioned = cacheOnce(withLines.select(col(idCol),
       posexplode(lines).as(Seq("__pos", "__l")))
       .filter(length(trim(col("__l"))) > 0)
-      .select(col(idCol), col("__pos"), lineFingerprint(col("__l")).as("line_fp"))
-    val boiler = boilerplateLines(df, idCol, textCol, maxDocFreq)
+      .select(col(idCol), col("__pos"), lineFingerprint(col("__l")).as("line_fp")))
+    val boiler = positioned.groupBy("line_fp")
+      .agg(count_distinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") > maxDocFreq)
       .select("line_fp")
     val removed = positioned.join(boiler, "line_fp")
       .groupBy(idCol).agg(collect_set("__pos").as("__removed"))
@@ -287,6 +299,61 @@ object Dedup {
           coalesce(col("__removed"), array().cast("array<int>")), i)),
         "\n"))
       .drop("__lines", "__removed")
+  }
+
+  // ---- ExactSubstr duplicate-passage removal -------------------------
+
+  /** ExactSubstr-style duplicate-passage removal (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): any
+    * run of `k` consecutive whitespace tokens occurring more than once
+    * in the corpus survives only at its FIRST occurrence — min
+    * (id, start), deterministic — and every other occurrence has the
+    * covered tokens deleted; documents are reassembled from their
+    * surviving tokens (single-space joined, which also normalizes
+    * intra-document whitespace for untouched docs, mirroring
+    * [[spanDedup]]'s reassembly). Unlike [[spanDedup]] this assumes no
+    * sentence terminators, so duplicated code, tables, chat logs and
+    * other punctuation-free passages are caught.
+    *
+    * Scale shape mirrors [[spanDedup]]: window hashes are md5 over the
+    * lowercased space-joined token run, so the wide text column never
+    * shuffles — only (id, start, hash) rows do; hashes seen once are
+    * dropped BEFORE the probe join, so the join's build side holds
+    * only actually-duplicated windows; removed-index sets ride a
+    * second narrow aggregation keyed on id. The paper's suffix array
+    * is a single-machine construction; the stride-1 sliding-window
+    * hash join is its shuffle-native equivalent for runs >= k (what
+    * the paper removes), at O(tokens) shuffled rows. */
+  def exactSubstrDedup(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 20): DataFrame = {
+    require(k >= 1, s"exactSubstrDedup wants k >= 1, got $k")
+    val toks = col("__toks")
+    val withToks = df.withColumn("__toks",
+      filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0))
+    val winHashes = withToks.select(col(idCol),
+      posexplode(
+        when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            i => md5(lower(array_join(slice(toks, i + 1, lit(k)), " ")))))
+        .otherwise(array().cast("array<string>")))
+        .as(Seq("__start", "__h")))
+    val winners = winHashes.groupBy("__h")
+      .agg(min(struct(col(idCol), col("__start"))).as("__w"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select("__h", "__w")
+    val removed = winHashes.join(winners, "__h")
+      .filter(struct(col(idCol), col("__start")) =!= col("__w"))
+      .select(col(idCol),
+        explode(sequence(col("__start"), col("__start") + (k - 1)))
+          .as("__ridx"))
+      .groupBy(idCol).agg(collect_set("__ridx").as("__removed"))
+    withToks.join(removed, Seq(idCol), "left")
+      .withColumn(textCol, array_join(
+        filter(toks, (t, i) => !array_contains(
+          coalesce(col("__removed"), array().cast("array<int>")), i)),
+        " "))
+      .drop("__toks", "__removed")
   }
 
   /** Portable per-shingle hash: lexicographic min over

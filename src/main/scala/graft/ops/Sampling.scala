@@ -134,10 +134,11 @@ object Sampling {
 
   /** Temperature-scaled mixing (the multilingual/multi-source recipe
     * of mBERT/XLM-R and data-mix papers): stratum sampling probability
-    * ∝ size^alpha, renormalized so the LARGEST resulting weight is
-    * `maxWeight` — alpha = 1 reproduces natural proportions, alpha → 0
-    * approaches uniform over strata (small strata get UP-sampled
-    * relative to their size). Weights are computed from one tiny
+    * ∝ size^alpha, normalized so the LARGEST stratum keeps weight 1.0
+    * and small-stratum up-weights are capped at `maxWeight` — alpha =
+    * 1 reproduces the natural corpus exactly, alpha → 0 approaches
+    * uniform over strata (small strata get UP-sampled relative to
+    * their size). Weights are computed from one tiny
     * per-stratum count aggregate (collected — strata are languages or
     * sources, thousands at most) and applied with [[mixByWeight]]'s
     * deterministic fractional oversampling. Returns the mixed frame;
@@ -150,9 +151,16 @@ object Sampling {
 
   /** The per-stratum weights [[mixByTemperature]] applies: with
     * stratum fractions p_i = n_i / N, the target mix is
-    * q_i ∝ p_i^alpha; the per-ROW repetition weight is then
-    * w_i = (q_i / p_i) scaled so max_i w_i = maxWeight — the smallest
-    * stratum always gets the cap and everything else is relative. */
+    * q_i ∝ p_i^alpha; the per-ROW repetition weight is
+    * w_i ∝ q_i / p_i = p_i^(alpha-1), normalized so the LARGEST
+    * stratum gets weight 1.0 (it is never repeated or dropped) and
+    * capped at `maxWeight` — the standard temperature-sampling
+    * convention: alpha = 1 reproduces the natural corpus exactly
+    * (every weight 1.0, no volume inflation), alpha → 0 up-samples
+    * small strata toward uniform until the cap bites. The cap trades
+    * mix fidelity for bounded repetition of tiny strata (a 1000x
+    * up-weight would repeat a tiny stratum 1000 times); strata at the
+    * cap sit below their q_i target. */
   def temperatureWeights(df: DataFrame, stratumCol: String,
       alpha: Double, maxWeight: Double = 4.0): Map[String, Double] = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
@@ -165,10 +173,11 @@ object Sampling {
         Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
     require(counts.nonEmpty, "temperatureWeights needs at least one non-null stratum")
     val total = counts.values.sum.toDouble
-    // w ∝ p^alpha / p = p^(alpha-1); normalize max to maxWeight
+    // w ∝ p^alpha / p = p^(alpha-1); the largest stratum has the
+    // SMALLEST raw weight, so dividing by min(raw) pins it to 1.0
     val raw = counts.map { case (s, n) => s -> math.pow(n / total, alpha - 1.0) }
-    val scale = maxWeight / raw.values.max
-    raw.map { case (s, w) => s -> w * scale }
+    val base = raw.values.min
+    raw.map { case (s, w) => s -> math.min(maxWeight, w / base) }
   }
 
   /** Exactly k rows per stratum (eval-set construction): the k rows
@@ -209,9 +218,17 @@ object Sampling {
     * One shuffle on the group key + a per-group running-sum window;
     * `groups` bounds the window partition size (set it ≈ cluster
     * parallelism × a few). Deterministic across runs/engines under the
-    * "pack" salt — reshuffling the cluster cannot change any pack. */
+    * "pack" salt — reshuffling the cluster cannot change any pack.
+    *
+    * `tokenCount` overrides the budget unit: pass
+    * [[TextAnalysis.bpeTokenCount]]`(col(textCol))` for the BPE-ish
+    * estimate, or a precomputed column from a REAL tokenizer — packs
+    * then track the counts your training job will actually see
+    * (whitespace counts drift from BPE counts without bound on
+    * code/CJK/punctuation-heavy text). Default: whitespace tokens. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      tokenBudget: Long, groups: Int = 1024, seed: Int = 42): DataFrame = {
+      tokenBudget: Long, groups: Int = 1024, seed: Int = 42,
+      tokenCount: Option[Column] = None): DataFrame = {
     require(tokenBudget >= 1, s"packSequences wants tokenBudget >= 1, got $tokenBudget")
     require(groups >= 1, s"packSequences wants groups >= 1, got $groups")
     val clobbered = Seq("pack_group", "pack_id", "pack_offset", "__start")
@@ -219,7 +236,7 @@ object Sampling {
     require(clobbered.isEmpty,
       s"packSequences writes ${clobbered.mkString(", ")}; rename the existing column(s) first")
     val h = unitHash(col(idCol), seed, "pack")
-    val n = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val n = tokenCount.getOrElse(TextAnalysis.tokenCount(col(textCol))).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pmod(h, lit(groups.toLong)))
       .orderBy(h.asc, col(idCol).asc)
@@ -254,4 +271,88 @@ object Sampling {
               struct(col("pack_offset"), col(idCol).as("__id"), col(textCol).as("__t")))),
             x => x.getField("__t")),
           sep).as(textCol))
+
+  /** Slice [[packSequences]] assignments into fixed-length training
+    * sequences of EXACTLY `seqLen` whitespace tokens (the last chunk
+    * of each pack may be shorter; `dropPartial` discards it) with
+    * doc-boundary bookkeeping: each output row carries `boundaries`,
+    * an array of (id, begin_token, end_token) in chunk-local token
+    * coordinates recording which document contributed which token
+    * span — what a loss-masking / attention-separation training setup
+    * reads. A document whose tokens straddle a chunk edge is split
+    * across both chunks, like the real concatenate-then-chunk step.
+    *
+    * Token coordinates are WHITESPACE-token positions — the only
+    * tokenization expressible engine-side. When the assignment was
+    * budgeted with a real-tokenizer `tokenCount`, treat these chunks
+    * as pre-chunks for the tokenizer-side slicer; the budget then
+    * tracks real counts but exact slicing must happen where the
+    * tokenizer lives. Zero-token documents contribute no tokens and
+    * appear in no chunk's boundaries.
+    *
+    * Cost: one exchange keyed (pack_group, pack_id) feeding the
+    * within-pack offset window; the per-chunk reassembly aggregation
+    * reuses that partitioning (its keys are a superset), so no second
+    * exchange — same two-exchange total as assignment +
+    * [[materializePacks]]. Only token-sliced rows shuffle, and each
+    * document explodes into at most ceil(n/seqLen)+1 chunk slices. */
+  def chunkPacks(assigned: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", seqLen: Int = 2048, sep: String = " ",
+      dropPartial: Boolean = false): DataFrame = {
+    require(seqLen >= 1, s"chunkPacks wants seqLen >= 1, got $seqLen")
+    val needed = Seq("pack_group", "pack_id", "pack_offset")
+      .filterNot(assigned.columns.contains)
+    require(needed.isEmpty,
+      s"chunkPacks wants a packSequences frame; missing ${needed.mkString(", ")}")
+    val clobbered = Seq("seq_idx", "n_tokens", "boundaries")
+      .filter(assigned.columns.contains)
+    require(clobbered.isEmpty,
+      s"chunkPacks writes ${clobbered.mkString(", ")}; rename the existing column(s) first")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_group"), col("pack_id"))
+      .orderBy(col("pack_offset").asc, col(idCol).asc)
+    // concatenation-order offset within the pack: pack_offset is a
+    // budget-relative coordinate (an overshooting document shifts its
+    // successors into the next pack at a nonzero offset), so the
+    // chunk math needs the true running sum in pack order
+    val withOff = assigned
+      .withColumn("__toks",
+        filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__off", sum(col("__n")).over(w) - col("__n"))
+    val sliced = withOff
+      .filter(col("__n") > 0)
+      .select(col("pack_group"), col("pack_id"), col(idCol),
+        col("__toks"), col("__n"), col("__off"),
+        explode(sequence(
+          floor(col("__off") / seqLen),
+          floor((col("__off") + col("__n") - 1) / seqLen))).as("seq_idx"))
+      .withColumn("__tokStart",
+        greatest(lit(0L), col("seq_idx") * seqLen - col("__off")))
+      .withColumn("__tokEnd",
+        least(col("__n"), (col("seq_idx") + 1) * seqLen - col("__off")))
+      .withColumn("__begin",
+        col("__off") + col("__tokStart") - col("seq_idx") * seqLen)
+      .select(col("pack_group"), col("pack_id"), col("seq_idx"), col(idCol),
+        col("__begin"),
+        (col("__begin") + col("__tokEnd") - col("__tokStart")).as("__end"),
+        array_join(slice(col("__toks"), (col("__tokStart") + 1).cast("int"),
+          (col("__tokEnd") - col("__tokStart")).cast("int")), sep).as("__t"))
+    // struct field order begin-first: array_sort orders slices by their
+    // chunk position (begins are distinct — slices never overlap)
+    val chunks = sliced
+      .groupBy("pack_group", "pack_id", "seq_idx")
+      .agg(
+        sum(col("__end") - col("__begin")).as("n_tokens"),
+        array_sort(collect_list(struct(col("__begin"), col(idCol).as("__id"),
+          col("__end"), col("__t")))).as("__parts"))
+      .withColumn(textCol,
+        array_join(transform(col("__parts"), x => x.getField("__t")), sep))
+      .withColumn("boundaries", transform(col("__parts"),
+        x => struct(x.getField("__id").as(idCol),
+          x.getField("__begin").as("begin_token"),
+          x.getField("__end").as("end_token"))))
+      .drop("__parts")
+    if (dropPartial) chunks.filter(col("n_tokens") === seqLen.toLong) else chunks
+  }
 }

@@ -337,24 +337,28 @@ class OpsSpec extends SparkFunSuite {
     assert(kept == scores.filter(_._2._1 == 0).keySet)
   }
 
-  test("temperature mixing upsamples small strata to the cap, alpha=1 is natural") {
+  test("temperature mixing keeps the largest stratum at 1.0 and caps small strata") {
     import graft.ops.Sampling
     val df = (1 to 90).map(i => (i.toLong, if (i <= 80) "en" else "de"))
       .toDF("doc_id", "lang")
     val w = Sampling.temperatureWeights(df, "lang", alpha = 0.5, maxWeight = 4.0)
-    assert(math.abs(w("de") - 4.0) < 1e-12, s"smallest stratum gets the cap: $w")
-    // w_en / w_de = sqrt(n_de / n_en) = sqrt(1/8)
-    assert(math.abs(w("en") / w("de") - math.sqrt(10.0 / 80.0)) < 1e-12)
-    // alpha = 1: natural proportions — every stratum identical weight
+    assert(math.abs(w("en") - 1.0) < 1e-12, s"largest stratum keeps weight 1: $w")
+    // w_de / w_en = sqrt(n_en / n_de) = sqrt(8), below the cap
+    assert(math.abs(w("de") - math.sqrt(8.0)) < 1e-12)
+    // the cap bites when the up-weight exceeds it
+    val capped = Sampling.temperatureWeights(df, "lang", alpha = 0.5, maxWeight = 2.0)
+    assert(math.abs(capped("de") - 2.0) < 1e-12 && math.abs(capped("en") - 1.0) < 1e-12)
+    // alpha = 1: the natural corpus exactly — every weight 1.0, no
+    // volume inflation (the convention ADVICE r10 flagged)
     val w1 = Sampling.temperatureWeights(df, "lang", alpha = 1.0, maxWeight = 4.0)
-    assert(w1.values.forall(v => math.abs(v - 4.0) < 1e-12))
+    assert(w1.values.forall(v => math.abs(v - 1.0) < 1e-12))
     // the mix materializes: per-row repetitions bounded by floor/ceil
     val mixed = Sampling.mixByTemperature(df, "doc_id", "lang", alpha = 0.5)
     val byLang = mixed.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(byLang("de") == 40) // integer weight 4.0 exactly quadruples
-    val en = byLang("en")
-    assert(en >= 80 * math.floor(w("en")) && en <= 80 * math.ceil(w("en")), s"en=$en w=$w")
+    assert(byLang("en") == 80) // weight exactly 1.0 — never duplicated
+    val de = byLang("de")
+    assert(de >= 10 * math.floor(w("de")) && de <= 10 * math.ceil(w("de")), s"de=$de w=$w")
   }
 
   test("dedupByPairsBest keeps the best-scored member per component") {
