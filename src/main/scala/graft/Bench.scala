@@ -296,9 +296,37 @@ object Bench {
         .when(col("id") % 25 === 1, concat(urlOf(col("id") - 1),
           lit("?utm_source=feed&utm_campaign=mirror")))
         .otherwise(urlOf(col("id")))
+      // write to a process-unique temp dir and atomically rename into
+      // place: two concurrent bench/probe processes that both saw
+      // !committed would otherwise interleave mode(overwrite) writes
+      // into the SAME directory and one could read a half-written
+      // dataset. With the move, a racer either publishes first (we
+      // discard ours) or loses the rename (same outcome) — the
+      // committed path only ever appears fully formed.
+      val tmp = s"$dir/.tmp_docs_${ProcessHandle.current().pid()}_${System.nanoTime()}"
       spark.range(nDocs)
         .select(col("id").as("doc_id"), url.as("url"), text.as("text"))
-        .write.mode("overwrite").parquet(cp)
+        .write.mode("overwrite").parquet(tmp)
+      val src = java.nio.file.Paths.get(tmp)
+      try java.nio.file.Files.move(src, java.nio.file.Paths.get(cp),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          if (!committed(cp)) throw e // lost the race to NOTHING — real failure
+          java.nio.file.Files.walkFileTree(src,
+            new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+              override def visitFile(f: java.nio.file.Path,
+                  a: java.nio.file.attribute.BasicFileAttributes) = {
+                java.nio.file.Files.delete(f)
+                java.nio.file.FileVisitResult.CONTINUE
+              }
+              override def postVisitDirectory(d: java.nio.file.Path,
+                  e: java.io.IOException) = {
+                java.nio.file.Files.delete(d)
+                java.nio.file.FileVisitResult.CONTINUE
+              }
+            })
+      }
     }
     cp
   }

@@ -731,6 +731,47 @@ object SparkEntry {
         .select(col("pack_group"), col("pack_id"), col("n_docs"),
           md5(col("text")).as("text_md5"))
         .orderBy("pack_group", "pack_id")),
+    // Fixed-length chunking of packed sequences: within-pack offsets,
+    // per-chunk token slices, and doc-boundary bookkeeping all pinned
+    // (bounds serialized id:begin:end so the nested array hashes flat)
+    "q_chunk_packs" -> ((s, dir) =>
+      graft.ops.Sampling.chunkPacks(
+        graft.ops.Sampling.packSequences(
+          t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text",
+          tokenBudget = 2000, groups = 8, seed = 7),
+        "doc_id", "text", seqLen = 512)
+        .select(col("pack_group"), col("pack_id"), col("seq_idx"),
+          col("n_tokens"), md5(col("text")).as("text_md5"),
+          array_join(transform(col("boundaries"),
+            b => concat_ws(":", b.getField("doc_id"),
+              b.getField("begin_token"), b.getField("end_token"))), ",")
+            .as("bounds"))
+        .orderBy("pack_group", "pack_id", "seq_idx")),
+    // ExactSubstr duplicate-passage removal over terminator-free text:
+    // each doc carries a 10-token punctuation-free run shared by its
+    // (doc_id % 5) pool; %9 docs carry it twice, %13 docs are shorter
+    // than the k=8 window. First (id, start) occurrence keeps its run;
+    // every other occurrence loses the covered tokens.
+    "q_exactsubstr" -> ((s, dir) => {
+      val id = col("doc_id")
+      val g = (id % 5).cast("string")
+      val run = concat_ws(" ",
+        concat(lit("s1x"), g), concat(lit("s2x"), g), concat(lit("s3x"), g),
+        concat(lit("s4x"), g), concat(lit("s5x"), g), concat(lit("s6x"), g),
+        concat(lit("s7x"), g), concat(lit("s8x"), g), concat(lit("s9x"), g),
+        concat(lit("s10x"), g))
+      val synth = when(id % 13 === 0,
+          concat(lit("short "), id.cast("string")))
+        .otherwise(concat_ws(" ",
+          concat(lit("head"), id.cast("string")),
+          run,
+          when(id % 9 === 0, run).otherwise(lit("")),
+          concat(lit("tail"), id.cast("string"))))
+      graft.ops.Dedup.exactSubstrDedup(
+          t(s, dir, "documents").withColumn("text", synth),
+          "doc_id", "text", k = 8)
+        .select("doc_id", "text").orderBy("doc_id")
+    }),
     // Exactly k docs per stratum: smallest unit hashes win, id ties
     "q_sample_exactk" -> ((s, dir) =>
       graft.ops.Sampling.exactKPerStratum(
@@ -1873,6 +1914,100 @@ object SparkEntry {
         |SELECT pack_group, pack_id, count(*) AS n_docs,
         |  md5(string_agg(text, ' ' ORDER BY pack_offset, doc_id)) AS text_md5
         |FROM assigned GROUP BY 1, 2 ORDER BY pack_group, pack_id""".stripMargin,
+
+    "q_chunk_packs" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5('pack:7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, text, n, CAST(h % 8 AS INT) AS pack_group,
+        |    sum(n) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - n AS st
+        |  FROM d),
+        |asg AS (
+        |  SELECT doc_id, text, n, pack_group,
+        |    CAST(st // 2000 AS BIGINT) AS pack_id,
+        |    CAST(st - (st // 2000) * 2000 AS BIGINT) AS pack_offset
+        |  FROM cum),
+        |offs AS (
+        |  SELECT doc_id, text, CAST(n AS BIGINT) AS n, pack_group, pack_id,
+        |    CAST(sum(n) OVER (PARTITION BY pack_group, pack_id
+        |                      ORDER BY pack_offset, doc_id) - n AS BIGINT) AS off
+        |  FROM asg),
+        |expl AS (
+        |  SELECT doc_id, pack_group, pack_id, n, off,
+        |    regexp_split_to_array(trim(text), '\s+') AS w,
+        |    unnest(generate_series(off // 512, (off + n - 1) // 512)) AS s
+        |  FROM offs WHERE n > 0),
+        |parts0 AS (
+        |  SELECT doc_id, pack_group, pack_id, CAST(s AS BIGINT) AS seq_idx,
+        |    w, off, s * 512 AS cbase,
+        |    greatest(0, s * 512 - off) AS ts,
+        |    least(n, (s + 1) * 512 - off) AS te
+        |  FROM expl),
+        |parts AS (
+        |  SELECT doc_id, pack_group, pack_id, seq_idx,
+        |    CAST(off + ts - cbase AS BIGINT) AS beg,
+        |    CAST(off + te - cbase AS BIGINT) AS endt,
+        |    CAST(te - ts AS BIGINT) AS cnt,
+        |    array_to_string(w[ts + 1 : te], ' ') AS t
+        |  FROM parts0)
+        |SELECT pack_group, pack_id, seq_idx,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(t, ' ' ORDER BY beg, doc_id)) AS text_md5,
+        |  string_agg(doc_id || ':' || beg || ':' || endt, ',' ORDER BY beg, doc_id) AS bounds
+        |FROM parts GROUP BY 1, 2, 3
+        |ORDER BY pack_group, pack_id, seq_idx""".stripMargin,
+
+    "q_exactsubstr" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'short ' || doc_id
+        |    ELSE concat_ws(' ',
+        |      'head' || doc_id,
+        |      concat_ws(' ', 's1x' || (doc_id % 5), 's2x' || (doc_id % 5),
+        |        's3x' || (doc_id % 5), 's4x' || (doc_id % 5), 's5x' || (doc_id % 5),
+        |        's6x' || (doc_id % 5), 's7x' || (doc_id % 5), 's8x' || (doc_id % 5),
+        |        's9x' || (doc_id % 5), 's10x' || (doc_id % 5)),
+        |      CASE WHEN doc_id % 9 = 0 THEN concat_ws(' ',
+        |        's1x' || (doc_id % 5), 's2x' || (doc_id % 5), 's3x' || (doc_id % 5),
+        |        's4x' || (doc_id % 5), 's5x' || (doc_id % 5), 's6x' || (doc_id % 5),
+        |        's7x' || (doc_id % 5), 's8x' || (doc_id % 5), 's9x' || (doc_id % 5),
+        |        's10x' || (doc_id % 5)) ELSE '' END,
+        |      'tail' || doc_id)
+        |    END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> length(t) > 0) AS w
+        |  FROM synth),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS start,
+        |    md5(lower(array_to_string(w[i:i+7], ' '))) AS h
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+        |        FROM toks WHERE len(w) >= 8) q),
+        |ranked AS (
+        |  SELECT doc_id, start, h,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+        |  FROM wins),
+        |removed AS (
+        |  SELECT DISTINCT doc_id, start + unnest([0,1,2,3,4,5,6,7]) AS idx
+        |  FROM ranked WHERE rn > 1),
+        |tok_rows AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM toks),
+        |kept AS (
+        |  SELECT tr.doc_id, tr.i, tr.w[tr.i] AS tok
+        |  FROM tok_rows tr LEFT JOIN removed r
+        |    ON r.doc_id = tr.doc_id AND r.idx = tr.i - 1
+        |  WHERE r.doc_id IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, coalesce(r.text, '') AS text
+        |FROM synth s LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q_sample_exactk" ->
       """SELECT doc_id, lang FROM (

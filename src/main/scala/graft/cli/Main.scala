@@ -65,7 +65,10 @@ object Main {
       |  quickstart [DIR]   generate demo data, build, audit
       |  curate  --input PATH --output PATH [--id-col doc_id] [--text-col text]
       |          [--min-quality 0.3] [--languages en,de|none] [--c4] [--gopher]
-      |          [--repetition] [--url-col COL] [--unigram-buckets N [--unigram-keep K]]
+      |          [--repetition] [--blocklist w1,w2] [--url-col COL]
+      |          [--boilerplate-max-doc-freq N] [--span-dedup [N]] [--exact-substr [K]]
+      |          [--unigram-buckets N [--unigram-keep K]]
+      |          [--decontaminate EVAL_PARQUET [--decontaminate-ngram 8]]
       |          [--near-dup minhash|ngram] [--near-dup-threshold 0.8] [--json PATH]
       |""".stripMargin
 
@@ -538,12 +541,23 @@ object Main {
       gopher = if (f.contains("gopher")) Some(QualityFilters.GopherConfig()) else None,
       repetition =
         if (f.contains("repetition")) Some(QualityFilters.RepetitionConfig()) else None,
+      blocklist = f.get("blocklist").map(_.split(",").toSeq.filter(_.nonEmpty)),
       urlCol = f.get("url-col"),
+      boilerplate = f.get("boilerplate-max-doc-freq").map(m =>
+        Curation.BoilerplateConfig(maxDocFreq = m.toLong)),
+      // a bare flag parses as "true" -> the documented default size
+      spanDedup = f.get("span-dedup").map(v =>
+        Curation.SpanDedupConfig(span = if (v == "true") 3 else v.toInt)),
+      exactSubstr = f.get("exact-substr").map(v =>
+        Curation.ExactSubstrConfig(k = if (v == "true") 20 else v.toInt)),
       unigram = f.get("unigram-buckets").map { b =>
         Curation.UnigramConfig(buckets = b.toInt,
           keepBuckets = f.get("unigram-keep").map(_.toInt)
             .getOrElse(math.max(1, b.toInt - 1)))
-      })
+      },
+      decontaminate = f.get("decontaminate").map(path =>
+        Curation.DecontaminateConfig(spark.read.parquet(path),
+          n = f.getOrElse("decontaminate-ngram", "8").toInt)))
     val nearDup = f.getOrElse("near-dup", "minhash") match {
       case "minhash" => Curation.NearDup.MinhashLsh
       case "ngram"   => Curation.NearDup.NgramExact

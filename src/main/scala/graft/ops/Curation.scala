@@ -178,6 +178,10 @@ object Curation {
       decontaminate: Option[DecontaminateConfig] = None,
       semDedup: Option[SemDeDupConfig] = None)
 
+  /** Run the pipeline. `hasher` (used by the MinHash/LSH near-dup
+    * stage) hits the codegen'd signature kernel only when it IS
+    * `Dedup.md5Hash` or `Dedup.xxHash` by reference — pass the `val`s
+    * themselves, not a wrapping lambda (see [[Dedup.signatures]]). */
   def curate(
       docs: DataFrame,
       idCol: String = "doc_id",

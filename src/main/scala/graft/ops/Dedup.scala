@@ -405,7 +405,14 @@ object Dedup {
 
   /** (id, sig) signature frame — compute ONCE and share between
     * bucketing and estimation; the signature is the expensive part
-    * (k hashes per shingle). */
+    * (k hashes per shingle).
+    *
+    * `hasher` dispatches to the one-pass codegen'd kernel by REFERENCE
+    * equality on [[md5Hash]]/[[xxHash]]: pass those `val`s themselves.
+    * An eta-expanded or wrapped-but-identical lambda silently takes
+    * the interpreted k-HOF path (~10x slower at k=60) — a custom
+    * hasher is assumed to MEAN custom semantics, so there is no
+    * content-based detection. */
   def signatures(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, n: Int = 3,
       hasher: (Column, Int) => Column = md5Hash): DataFrame =

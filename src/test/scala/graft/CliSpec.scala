@@ -244,6 +244,45 @@ class CliSpec extends SparkFunSuite {
     assert(json.contains("\"input_rows\":5") && json.contains("\"stage\":\"near_dup\""))
   }
 
+  test("curate command: second-wave flags reach their stages") {
+    val dir = Files.createTempDirectory("graft_cli_curate2")
+    val in = s"$dir/docs.parquet"
+    val out = s"$dir/curated.parquet"
+    val evalP = s"$dir/eval.parquet"
+    val banner = "accept all cookies to continue browsing"
+    Seq(
+      (1L, s"$banner\nthe quiet harbor town wakes early with the fishing boats today."),
+      (2L, s"$banner\nthe narrow lane climbs toward the old chapel on the hill."),
+      (3L, s"$banner\nthis page speaks about verboten topics in plain words."),
+      (4L, "the secret benchmark passage hides inside this training document today.")
+    ).toDF("doc_id", "text").write.parquet(in)
+    Seq((100L,
+      "the secret benchmark passage hides inside this training document today."))
+      .toDF("doc_id", "text").write.parquet(evalP)
+    val outCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCap)) {
+      assert(graft.cli.Main.cmdCurate(Array(
+        "--input", in, "--output", out,
+        "--min-quality", "0", "--languages", "none",
+        "--blocklist", "verboten",
+        "--boilerplate-max-doc-freq", "1",
+        "--span-dedup", "--exact-substr", "20",
+        "--decontaminate", evalP,
+        "--near-dup-threshold", "0.95")) == 0)
+    }
+    val printed = outCap.toString
+    Seq("blocklist", "boilerplate", "span_dup", "exact_substr", "contaminated")
+      .foreach(stage => assert(printed.contains(stage), s"missing '$stage' in:\n$printed"))
+    // doc 3 dies at blocklist; doc 4 shares its 8-grams with the eval
+    // set; 1 and 2 survive with the banner line stripped
+    val survivors = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L), s"got $survivors")
+    val texts = spark.read.parquet(out).select("text")
+      .collect().map(_.getString(0))
+    assert(texts.forall(!_.contains("accept all cookies")))
+  }
+
   test("inspect: exact and --approx modes both report usable distincts") {
     val dir = Files.createTempDirectory("graft_cli_inspect")
     val p = s"$dir/t.parquet"

@@ -290,6 +290,85 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(!rb.df.select("doc_id").as[Long].collect().contains(99L))
   }
 
+  test("curation second-wave stages: one planted failure per stage") {
+    import graft.ops.Curation
+    val banner = "accept all cookies to continue browsing"
+    val prose1 = "the quiet harbor town wakes early with the fishing boats."
+    val prose4 = "a narrow lane climbs from the square toward the chapel."
+    val sharedBlock = "Shared sky one. Shared sky two. Shared sky three."
+    val contamText = "the secret benchmark passage hides inside this training document today."
+    val docs = Seq(
+      // survives everything; carries the boilerplate banner
+      (1L, s"$banner\n$prose1", Array(1.0, 0.0, 0.0, 0.0)),
+      // blocklist word
+      (2L, "this page contains verboten content and nothing else.", Array(0.9, 0.1, 0.0, 0.0)),
+      // nothing BUT the banner: emptied by the strip, dropped
+      (3L, banner, Array(0.8, 0.2, 0.0, 0.0)),
+      // banner + unique prose: survives de-bannered
+      (4L, s"$banner\n$prose4", Array(0.0, 1.0, 0.0, 0.0)),
+      // span winner (min id): keeps the shared block and its tail
+      (5L, s"$sharedBlock The unique tail sentence stays here.", Array(0.0, 0.0, 1.0, 0.0)),
+      // span loser: was only the block, emptied, dropped
+      (6L, sharedBlock, Array(0.0, 0.9, 0.1, 0.0)),
+      // shares an 8-gram with the eval set
+      (7L, contamText, Array(0.3, 0.3, 0.3, 0.0)),
+      // semantic near-identical pair: one of the two survives
+      (8L, "winter light settles over the frozen pond by the farm.", Array(0.0, 0.0, 0.0, 1.0)),
+      (9L, "the orchard keeper counts the last crates of apples now.", Array(0.0, 0.0, 0.05, 0.999))
+    ).toDF("doc_id", "text", "vec")
+    val evalDf = Seq((100L, contamText)).toDF("doc_id", "text")
+
+    val r = Curation.curate(docs, minQuality = 0.0, languages = Nil,
+      nearDupThreshold = 0.9,
+      hygiene = Curation.HygieneConfig(
+        blocklist = Some(Seq("verboten")),
+        boilerplate = Some(Curation.BoilerplateConfig(maxDocFreq = 2)),
+        spanDedup = Some(Curation.SpanDedupConfig(span = 3)),
+        decontaminate = Some(Curation.DecontaminateConfig(evalDf, n = 8)),
+        semDedup = Some(Curation.SemDeDupConfig("vec", threshold = 0.95, nlist = 1))))
+    assert(r.stats.input == 9)
+    assert(r.stats.stages.map(_._1) == Vector("quality", "language",
+      "blocklist", "boilerplate", "exact_dup", "span_dup", "contaminated",
+      "near_dup", "semantic_dup"))
+    assert(r.stats.dropped == Map(
+      "quality" -> 0L, "language" -> 0L, "blocklist" -> 1L,
+      "boilerplate" -> 1L, "exact_dup" -> 0L, "span_dup" -> 1L,
+      "contaminated" -> 1L, "near_dup" -> 0L, "semantic_dup" -> 1L))
+    val kept = r.df.select("doc_id").as[Long].collect().toSet
+    assert(kept.intersect(Set(1L, 4L, 5L)) == Set(1L, 4L, 5L))
+    assert(kept.intersect(Set(8L, 9L)).size == 1, s"one of the semantic pair: $kept")
+    assert(r.stats.output == 4)
+    // the banner is gone from the survivors that carried it
+    val texts = r.df.filter($"doc_id".isin(1L, 4L)).select("text").as[String].collect()
+    assert(texts.forall(!_.contains("accept all cookies")))
+    // release() owns the library-internal caches too (tracking scope):
+    // well beyond the frames curate registers directly
+    assert(r.cached.nonEmpty)
+    r.release()
+    assert(r.cached.forall(
+      _.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
+  }
+
+  test("curation exactSubstr stage drops terminator-free duplicated passages") {
+    import graft.ops.Curation
+    val run = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"keeper $run intro"),
+      (2L, run), // emptied by the removal, dropped
+      (3L, "completely different prose that stands alone fine")
+    ).toDF("doc_id", "text")
+    val r = Curation.curate(docs, minQuality = 0.0, languages = Nil,
+      nearDupThreshold = 0.99,
+      hygiene = Curation.HygieneConfig(
+        exactSubstr = Some(Curation.ExactSubstrConfig(k = 8))))
+    assert(r.stats.stages.map(_._1).contains("exact_substr"))
+    assert(r.stats.dropped("exact_substr") == 1)
+    assert(r.df.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    val kept1 = r.df.filter($"doc_id" === 1L).select("text").as[String].head()
+    assert(kept1 == s"keeper $run intro", "winner keeps its passage verbatim")
+    r.release()
+  }
+
   test("unigram model round-trips through parquet and scores cross-corpus") {
     import graft.ops.QualityFilters
     val ref = Seq(

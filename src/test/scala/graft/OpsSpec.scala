@@ -194,6 +194,98 @@ class OpsSpec extends SparkFunSuite {
     assert(mat == expectedPacks)
   }
 
+  test("chunkPacks: exact-length slices, doc boundaries tile every chunk") {
+    import graft.ops.Sampling
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 7).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 4).map(i => s"c$i").mkString(" ")),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val assigned = Sampling.packSequences(docs, "doc_id", "text",
+      tokenBudget = 100, groups = 1, seed = 1)
+    val chunks = Sampling.chunkPacks(assigned, "doc_id", "text", seqLen = 6)
+      .orderBy("seq_idx").collect()
+    // one pack of 16 tokens -> sequences of 6, 6, 4
+    assert(chunks.map(_.getAs[Long]("n_tokens")).toSeq == Seq(6L, 6L, 4L))
+    // reassembled chunk texts concatenate to exactly the pack text
+    // (the zero-token doc contributes an empty string to materialize's
+    // separator-join but no tokens to any chunk — exclude it)
+    val full = chunks.map(_.getAs[String]("text")).mkString(" ")
+    val packed = Sampling.materializePacks(
+        assigned.filter(length(trim($"text")) > 0))
+      .select("text").as[String].head()
+    assert(full == packed)
+    // boundaries tile each chunk: begin 0, contiguous, end = n_tokens;
+    // and each slice's span length matches its token contribution
+    var perDoc = Map.empty[Long, Long].withDefaultValue(0L)
+    chunks.foreach { r =>
+      val bounds = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("boundaries")
+        .map(b => (b.getAs[Long]("doc_id"),
+          b.getAs[Long]("begin_token"), b.getAs[Long]("end_token")))
+        .toIndexedSeq
+      assert(bounds.head._2 == 0L)
+      assert(bounds.last._3 == r.getAs[Long]("n_tokens"))
+      bounds.sliding(2).foreach {
+        case Seq((_, _, e), (_, b, _)) => assert(e == b, "contiguous tiling")
+        case _ =>
+      }
+      bounds.foreach { case (id, b, e) => perDoc += id -> (perDoc(id) + (e - b)) }
+    }
+    // every token of every doc lands in exactly one slice; the
+    // zero-token doc appears in no boundaries
+    assert(perDoc == Map(1L -> 5L, 2L -> 7L, 3L -> 4L))
+    // a doc straddling a chunk edge is split across both chunks
+    val docsPerChunk = chunks.map(
+      _.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("boundaries").map(_.getAs[Long]("doc_id")))
+    assert(docsPerChunk.flatten.length > 3, "at least one doc split across chunks")
+    // dropPartial discards the trailing short sequence only
+    val fullOnly = Sampling.chunkPacks(assigned, "doc_id", "text",
+      seqLen = 6, dropPartial = true).collect()
+    assert(fullOnly.map(_.getAs[Long]("n_tokens")).toSeq == Seq(6L, 6L))
+  }
+
+  test("packSequences custom token counts close the whitespace-vs-BPE budget drift") {
+    import graft.ops.Sampling
+    // punctuation-heavy docs: whitespace sees 2 tokens, the BPE-ish
+    // estimate sees 16 — an 8x under-count of the real budget
+    val docs = (1 to 40).map(i => (i.toLong, s"a,b,c,d,e,f,g,h v$i"))
+      .toDF("doc_id", "text")
+    def packsOf(tc: Option[org.apache.spark.sql.Column]) =
+      Sampling.packSequences(docs, "doc_id", "text", tokenBudget = 16,
+        groups = 1, seed = 1, tokenCount = tc)
+        .select("pack_id").distinct.count()
+    val ws = packsOf(None)
+    val bpe = packsOf(Some(graft.ops.TextAnalysis.bpeTokenCount(col("text"))))
+    // whitespace counting packs ~8 docs into a "16-token" pack that
+    // really holds ~128 BPE tokens; the BPE budget opens ~8x the packs
+    assert(ws <= 6 && bpe >= 35, s"ws=$ws bpe=$bpe")
+  }
+
+  test("exactSubstrDedup removes duplicated token windows; first occurrence wins") {
+    import graft.ops.Dedup
+    val run = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha $run omega"),
+      (2L, s"beta intro $run"),
+      (3L, run),
+      (4L, "tiny doc"),
+      (5L, "some entirely different words that repeat nothing at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(out(0) == s"alpha $run omega", "first occurrence keeps the passage")
+    assert(out(1) == "beta intro", "later occurrence loses exactly the run")
+    assert(out(2) == "", "a doc that was all duplicate comes back empty")
+    assert(out(3) == "tiny doc", "docs below k tokens are untouched")
+    assert(out(4) == "some entirely different words that repeat nothing at all")
+    // within-doc self-repeat: the second copy is removed, first kept
+    val self = Seq((1L, s"$run $run")).toDF("doc_id", "text")
+    val o = Dedup.exactSubstrDedup(self, "doc_id", "text", k = 12)
+      .select("text").as[String].head()
+    assert(o == run)
+  }
+
   test("blocklist: token-equality hits, case folding, punctuation caveat") {
     import graft.ops.QualityFilters
     val words = Seq("blocked", "verboten")

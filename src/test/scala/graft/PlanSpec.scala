@@ -322,6 +322,57 @@ class PlanSpec extends SparkFunSuite {
     assert("\\bWindow\\b".r.findAllIn(plan).size <= 2, s"window fan-out:\n$plan")
   }
 
+  test("boilerplate strip explodes and fingerprints the corpus text once") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tracked = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
+    val stripped = graft.util.Caching.tracking(tracked += _) {
+      Dedup.stripBoilerplate(docs, "doc_id", "text", maxDocFreq = 5)
+    }
+    // the (id, pos, fingerprint) frame is cached and feeds BOTH the
+    // frequency aggregation and the removal probe — so the outer
+    // logical plan reads the InMemoryRelation twice (a LEAF: its
+    // cached build plan is not a child) and contains NO Generate of
+    // its own: the posexplode (the full corpus-text read) runs once,
+    // inside the shared cached frame. r10 re-exploded per consumer.
+    val opt = stripped.queryExecution.optimizedPlan
+    val imrs = opt.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
+    val gens = opt.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+    assert(imrs.size == 2,
+      s"both consumers must read the shared cached line frame:\n$opt")
+    assert(gens.isEmpty,
+      s"corpus text must explode only inside the shared cached frame:\n$opt")
+    assert(tracked.nonEmpty, "stripBoilerplate must register its cache with the tracker")
+    tracked.foreach(_.unpersist())
+  }
+
+  test("exactsubstr dedup: hash-keyed shuffles only, text never in the window aggs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(Dedup.exactSubstrDedup(docs, "doc_id", "text", k = 20))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"exactsubstr must join on window hash / id, never all pairs:\n$plan")
+    // winner groupBy(__h) and removed groupBy(id) both map-side combine
+    assert(plan.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 4 ||
+      plan.contains("ObjectHashAggregate"),
+      s"missing partial aggregation in exactsubstr aggs:\n$plan")
+  }
+
+  test("pack chunking reuses the window partitioning: two exchanges total, no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val assigned = graft.ops.Sampling.packSequences(
+      docs, "doc_id", "text", tokenBudget = 2000, groups = 8)
+    val plan = planOf(graft.ops.Sampling.chunkPacks(
+      assigned, "doc_id", "text", seqLen = 512))
+    // one exchange for the assignment window (group key), one for the
+    // chunking window (pack key); the per-chunk reassembly aggregation
+    // clusters on a superset of the pack key and adds NO third exchange
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"assignment + chunking must shuffle exactly twice total:\n$plan")
+    assert(!plan.contains("Join"), s"chunking joins nothing:\n$plan")
+  }
+
   test("sampling and corpus mixing are scan-side: no exchange, no join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sampled = planOf(graft.ops.Sampling.stratifiedSample(
