@@ -362,6 +362,38 @@ object Bench {
     r.stats.output
   }
 
+  /** ExactSubstr duplicate-passage removal over the synthetic corpus
+    * (tracked round-over-round like curate_1m): stride-1 k-token
+    * window hashing, winner aggregation, removal probe, reassembly,
+    * and the curated corpus written back out — the full cost of the
+    * Lee-et-al-style pass. The corpus plants exact copies (%17) and
+    * near-copies (%13 share base prose with a tail sentence), so the
+    * removal path does real work. Cold per rep (clearCache first). */
+  private[graft] def exactSubstrScenario(nDocs: Long)(spark: SparkSession): Long = {
+    val cp = corpusScenario(spark, nDocs)
+    spark.catalog.clearCache()
+    val out = graft.ops.Dedup.exactSubstrDedup(
+        spark.read.parquet(cp), "doc_id", "text", k = 20)
+      .filter(length(trim(col("text"))) > 0)
+    out.write.mode("overwrite").parquet(s"$benchDir/exactsubstr_$nDocs.parquet")
+    -1L
+  }
+
+  /** Sequence packing + fixed-length chunking over the synthetic
+    * corpus: assignment window, within-pack offsets, chunk slicing
+    * with doc-boundary bookkeeping, chunks written out — the
+    * training-prep tail a curated corpus feeds. */
+  private[graft] def chunkScenario(nDocs: Long)(spark: SparkSession): Long = {
+    val cp = corpusScenario(spark, nDocs)
+    spark.catalog.clearCache()
+    val assigned = graft.ops.Sampling.packSequences(
+      spark.read.parquet(cp).select("doc_id", "text"), "doc_id", "text",
+      tokenBudget = 2048, groups = 64, seed = 42)
+    graft.ops.Sampling.chunkPacks(assigned, "doc_id", "text", seqLen = 2048)
+      .write.mode("overwrite").parquet(s"$benchDir/chunks_$nDocs.parquet")
+    -1L
+  }
+
   /** The scan-side quality rules alone at 10M docs (judge-tracked
     * `gopher_c4_10m`): C4 keep + Gopher document rules + repetition
     * rules over the cleaned text in ONE filter — the "runs at
@@ -485,7 +517,13 @@ object Bench {
       "build_20m_skew_plain" -> (() => { skewScenario(auto = false)(spark); () }),
       // composed corpus-hygiene pass + the scan-side rules in isolation
       "curate_1m" -> (() => { curateScenario(1000000L)(spark); () }),
-      "gopher_c4_10m" -> (() => { scanFilterScenario(10000000L)(spark); () })
+      "gopher_c4_10m" -> (() => { scanFilterScenario(10000000L)(spark); () }),
+      // round-11 additions: the ExactSubstr pass (300k docs — ~25M
+      // windows; the 1M shape measured ~45s/rep, too heavy for a
+      // 6-rep tracked row) and the packing + chunking training-prep
+      // tail, both over the same synthetic corpus family
+      "exactsubstr_300k" -> (() => { exactSubstrScenario(300000L)(spark); () }),
+      "chunk_1m" -> (() => { chunkScenario(1000000L)(spark); () })
     )
 
     def median(xs: Seq[Double]): Double = {

@@ -20,8 +20,12 @@ object BenchOne {
     val skewMode = args.headOption.contains("skew")
     val curateMode = args.headOption.contains("curate")
     val scanMode = args.headOption.contains("scanfilter")
+    val substrMode = args.headOption.contains("exactsubstr")
+    val chunkMode = args.headOption.contains("chunk")
     val posArgs =
-      if (auditMode || skewMode || curateMode || scanMode) args.drop(1) else args
+      if (auditMode || skewMode || curateMode || scanMode || substrMode || chunkMode)
+        args.drop(1)
+      else args
     val nLabels = posArgs.headOption.map(_.toInt).getOrElse(1000000)
     val nFeatures = posArgs.lift(1).map(_.toInt).getOrElse(10)
     val dir = posArgs.lift(2).getOrElse(
@@ -107,23 +111,26 @@ object BenchOne {
       return
     }
 
-    if (curateMode || scanMode) {
-      // isolate Bench's curate_1m / gopher_c4_10m corpus rows; nLabels
-      // reads as the doc count (defaults still apply: 1M docs curate,
-      // use `scanfilter 10000000` for the 10M scan row)
+    if (curateMode || scanMode || substrMode || chunkMode) {
+      // isolate Bench's corpus rows (curate_1m / gopher_c4_10m /
+      // exactsubstr_1m / chunk_1m); nLabels reads as the doc count
+      // (defaults still apply: 1M docs, `scanfilter 10000000` for the
+      // 10M scan row)
       val nDocs = nLabels.toLong
-      timed("corpus datagen + warmup") {
+      def run(): Long =
         if (curateMode) Bench.curateScenario(nDocs)(spark)
-        else Bench.scanFilterScenario(nDocs)(spark)
-      }
+        else if (scanMode) Bench.scanFilterScenario(nDocs)(spark)
+        else if (substrMode) Bench.exactSubstrScenario(nDocs)(spark)
+        else Bench.chunkScenario(nDocs)(spark)
+      val label =
+        if (curateMode) "curate"
+        else if (scanMode) "scanfilter"
+        else if (substrMode) "exactsubstr"
+        else "chunk"
+      timed("corpus datagen + warmup")(run())
       (1 to 3).foreach { i =>
         syncFs()
-        timed(s"${if (curateMode) "curate" else "scanfilter"} run$i") {
-          val rows =
-            if (curateMode) Bench.curateScenario(nDocs)(spark)
-            else Bench.scanFilterScenario(nDocs)(spark)
-          println("  rows=" + rows)
-        }
+        timed(s"$label run$i")(println("  rows=" + run()))
       }
       spark.stop()
       return

@@ -769,7 +769,7 @@ object SparkEntry {
           concat(lit("tail"), id.cast("string"))))
       graft.ops.Dedup.exactSubstrDedup(
           t(s, dir, "documents").withColumn("text", synth),
-          "doc_id", "text", k = 8)
+          "doc_id", "text", k = 8, portableHash = true)
         .select("doc_id", "text").orderBy("doc_id")
     }),
     // Exactly k docs per stratum: smallest unit hashes win, id ties

@@ -315,28 +315,38 @@ object Dedup {
     * sentence terminators, so duplicated code, tables, chat logs and
     * other punctuation-free passages are caught.
     *
-    * Scale shape mirrors [[spanDedup]]: window hashes are md5 over the
-    * lowercased space-joined token run, so the wide text column never
-    * shuffles — only (id, start, hash) rows do; hashes seen once are
-    * dropped BEFORE the probe join, so the join's build side holds
+    * Scale shape mirrors [[spanDedup]]: only (id, start, window-hash)
+    * rows shuffle — the wide text column never does; hashes seen once
+    * are dropped BEFORE the probe join, so the join's build side holds
     * only actually-duplicated windows; removed-index sets ride a
     * second narrow aggregation keyed on id. The paper's suffix array
     * is a single-machine construction; the stride-1 sliding-window
     * hash join is its shuffle-native equivalent for runs >= k (what
-    * the paper removes), at O(tokens) shuffled rows. */
+    * the paper removes), at O(tokens) shuffled rows.
+    *
+    * The default window hash is the one-pass rolling kernel
+    * ([[graft.functions.WindowHash]]): O(tokens) long arithmetic,
+    * 8-byte hashes on the wire, identical results modulo its
+    * documented 2^-64 window-collision rate. `portableHash = true`
+    * switches to md5 over the lowercased space-joined run — O(tokens
+    * x k) and ~3.5x slower end-to-end — byte-replayable in DuckDB
+    * (the q_exactsubstr oracle path) and collision-free in practice. */
   def exactSubstrDedup(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", k: Int = 20): DataFrame = {
+      textCol: String = "text", k: Int = 20,
+      portableHash: Boolean = false): DataFrame = {
     require(k >= 1, s"exactSubstrDedup wants k >= 1, got $k")
     val toks = col("__toks")
     val withToks = df.withColumn("__toks",
       filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0))
-    val winHashes = withToks.select(col(idCol),
-      posexplode(
+    val windowHash =
+      if (portableHash)
         when(size(toks) >= k,
           transform(sequence(lit(0), size(toks) - k),
             i => md5(lower(array_join(slice(toks, i + 1, lit(k)), " ")))))
-        .otherwise(array().cast("array<string>")))
-        .as(Seq("__start", "__h")))
+          .otherwise(array().cast("array<string>"))
+      else graft.functions.WindowHash.of(toks, k)
+    val winHashes = withToks.select(col(idCol),
+      posexplode(windowHash).as(Seq("__start", "__h")))
     val winners = winHashes.groupBy("__h")
       .agg(min(struct(col(idCol), col("__start"))).as("__w"),
         count(lit(1)).as("__n"))

@@ -284,6 +284,19 @@ class OpsSpec extends SparkFunSuite {
     val o = Dedup.exactSubstrDedup(self, "doc_id", "text", k = 12)
       .select("text").as[String].head()
     assert(o == run)
+    // the rolling-kernel default and the md5 portable path remove the
+    // SAME passages (hash values differ; removal decisions must not)
+    val fast = Dedup.exactSubstrDedup(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").select("doc_id", "text").collect().toSeq
+    val portable = Dedup.exactSubstrDedup(docs, "doc_id", "text", k = 8,
+        portableHash = true)
+      .orderBy("doc_id").select("doc_id", "text").collect().toSeq
+    assert(fast == portable)
+    // case folding matches too: windows differing only in case collide
+    val cased = Seq((1L, run.toUpperCase), (2L, run)).toDF("doc_id", "text")
+    val foldedFast = Dedup.exactSubstrDedup(cased, "doc_id", "text", k = 12)
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(foldedFast.toSeq == Seq(run.toUpperCase, ""))
   }
 
   test("blocklist: token-equality hits, case folding, punctuation caveat") {
