@@ -38,6 +38,7 @@ object Main {
           case "init"    => cmdInit(rest)
           case "quickstart" => cmdQuickstart(rest)
           case "curate"  => cmdCurate(rest)
+          case "pack"    => cmdPack(rest)
           case "help" | "-h" | "--help" => println(usage); 0
           case other => System.err.println(s"Unknown command '$other'\n$usage"); 2
         }
@@ -69,7 +70,13 @@ object Main {
       |          [--boilerplate-max-doc-freq N] [--span-dedup [N]] [--exact-substr [K]]
       |          [--unigram-buckets N [--unigram-keep K]]
       |          [--decontaminate EVAL_PARQUET [--decontaminate-ngram 8]]
+      |          [--semdedup-col COL [--semdedup-threshold 0.95] [--semdedup-nlist 16]]
       |          [--near-dup minhash|ngram] [--near-dup-threshold 0.8] [--json PATH]
+      |  pack    --input PATH --output PATH [--id-col doc_id] [--text-col text]
+      |          [--token-budget 2048] [--groups 1024] [--seed 42]
+      |          [--token-count bpe|whitespace|COL] [--seq-len N [--drop-partial]]
+      |          (--seq-len chunks into fixed-length sequences with doc
+      |           boundaries; without it packs are concatenated whole)
       |""".stripMargin
 
   private def session(): SparkSession = {
@@ -557,7 +564,11 @@ object Main {
       },
       decontaminate = f.get("decontaminate").map(path =>
         Curation.DecontaminateConfig(spark.read.parquet(path),
-          n = f.getOrElse("decontaminate-ngram", "8").toInt)))
+          n = f.getOrElse("decontaminate-ngram", "8").toInt)),
+      semDedup = f.get("semdedup-col").map(c =>
+        Curation.SemDeDupConfig(c,
+          threshold = f.getOrElse("semdedup-threshold", "0.95").toDouble,
+          nlist = f.getOrElse("semdedup-nlist", "16").toInt)))
     val nearDup = f.getOrElse("near-dup", "minhash") match {
       case "minhash" => Curation.NearDup.MinhashLsh
       case "ngram"   => Curation.NearDup.NgramExact
@@ -597,6 +608,43 @@ object Main {
           ",\"stages\":" + stagesJson + "}")
       println(s"ledger_json=$jp")
     }
+    0
+  }
+
+  /** Training-sequence packing from the command line:
+    * [[graft.ops.Sampling.packSequences]] then either
+    * [[graft.ops.Sampling.chunkPacks]] (`--seq-len`: fixed-length
+    * sequences with doc-boundary bookkeeping) or
+    * [[graft.ops.Sampling.materializePacks]] (whole concatenated
+    * packs). `--token-count bpe` budgets with the BPE-ish estimate;
+    * a column name budgets with precomputed real-tokenizer counts. */
+  private[graft] def cmdPack(args: Array[String]): Int = {
+    val (f, _) = flags(args)
+    val spark = session()
+    import graft.ops.{Sampling, TextAnalysis}
+    val input = req(f, "input", "pack needs --input PATH (a parquet corpus)")
+    val output = req(f, "output", "pack needs --output PATH")
+    val idCol = f.getOrElse("id-col", "doc_id")
+    val textCol = f.getOrElse("text-col", "text")
+    val tokenCount = f.get("token-count") match {
+      case Some("bpe")                   => Some(TextAnalysis.bpeTokenCount(col(textCol)))
+      case Some("whitespace") | None     => None
+      case Some(c)                       => Some(col(c))
+    }
+    val assigned = Sampling.packSequences(spark.read.parquet(input),
+      idCol, textCol,
+      tokenBudget = f.getOrElse("token-budget", "2048").toLong,
+      groups = f.getOrElse("groups", "1024").toInt,
+      seed = f.getOrElse("seed", "42").toInt,
+      tokenCount = tokenCount)
+    val out = f.get("seq-len") match {
+      case Some(sl) => Sampling.chunkPacks(assigned, idCol, textCol,
+        seqLen = sl.toInt, dropPartial = f.contains("drop-partial"))
+      case None => Sampling.materializePacks(assigned, idCol, textCol)
+    }
+    out.write.mode("overwrite").parquet(output)
+    val n = spark.read.parquet(output).count()
+    println(s"${if (f.contains("seq-len")) "sequences" else "packs"}=$n written=$output")
     0
   }
 

@@ -283,6 +283,37 @@ class CliSpec extends SparkFunSuite {
     assert(texts.forall(!_.contains("accept all cookies")))
   }
 
+  test("pack command: materialized packs and fixed-length chunking") {
+    val dir = Files.createTempDirectory("graft_cli_pack")
+    val in = s"$dir/docs.parquet"
+    (1 to 50).map(i => (i.toLong, (1 to 30).map(j => s"t${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(in)
+    val packsOut = s"$dir/packs.parquet"
+    val outCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCap)) {
+      assert(graft.cli.Main.cmdPack(Array(
+        "--input", in, "--output", packsOut,
+        "--token-budget", "100", "--groups", "2")) == 0)
+    }
+    assert(outCap.toString.contains("packs="))
+    val packs = spark.read.parquet(packsOut)
+    assert(packs.columns.toSet == Set("pack_group", "pack_id", "n_docs", "text"))
+    assert(packs.count() > 0)
+    // chunking mode: every non-trailing sequence holds exactly seq-len
+    // tokens and carries its doc boundaries
+    val chunksOut = s"$dir/chunks.parquet"
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdPack(Array(
+        "--input", in, "--output", chunksOut,
+        "--token-budget", "100", "--groups", "2",
+        "--token-count", "bpe", "--seq-len", "40", "--drop-partial")) == 0)
+    }
+    val chunks = spark.read.parquet(chunksOut)
+    assert(chunks.columns.contains("boundaries"))
+    assert(chunks.select("n_tokens").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(40L))
+  }
+
   test("inspect: exact and --approx modes both report usable distincts") {
     val dir = Files.createTempDirectory("graft_cli_inspect")
     val p = s"$dir/t.parquet"
