@@ -368,7 +368,14 @@ object Bench {
     * and the curated corpus written back out — the full cost of the
     * Lee-et-al-style pass. The corpus plants exact copies (%17) and
     * near-copies (%13 share base prose with a tail sentence), so the
-    * removal path does real work. Cold per rep (clearCache first). */
+    * removal path does real work. Cold per rep (clearCache first).
+    *
+    * Context note (r11): this row measures ~25s inside the full bench
+    * but ~6s via `BenchOne exactsubstr 300000` in a fresh JVM — a
+    * session-state effect of the 20-minute bench (heap occupancy
+    * around the 25M-row winner aggregation), consistent across rounds
+    * and therefore still comparable round-over-round. Use BenchOne for
+    * the operator's true cost. */
   private[graft] def exactSubstrScenario(nDocs: Long)(spark: SparkSession): Long = {
     val cp = corpusScenario(spark, nDocs)
     spark.catalog.clearCache()
