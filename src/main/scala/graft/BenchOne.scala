@@ -22,8 +22,10 @@ object BenchOne {
     val scanMode = args.headOption.contains("scanfilter")
     val substrMode = args.headOption.contains("exactsubstr")
     val chunkMode = args.headOption.contains("chunk")
+    val sessionMode = args.headOption.contains("session")
     val posArgs =
-      if (auditMode || skewMode || curateMode || scanMode || substrMode || chunkMode)
+      if (auditMode || skewMode || curateMode || scanMode || substrMode ||
+          chunkMode || sessionMode)
         args.drop(1)
       else args
     val nLabels = posArgs.headOption.map(_.toInt).getOrElse(1000000)
@@ -106,6 +108,23 @@ object BenchOne {
             println("  rows=" + Bench.skewScenario(auto)(spark))
           }
         }
+      }
+      spark.stop()
+      return
+    }
+
+    if (sessionMode) {
+      // reproduce the full-bench context effect on exactsubstr_300k:
+      // run the heavy corpus rows first in the SAME JVM, then measure
+      val nDocs = 300000L
+      timed("corpus warmup")(Bench.exactSubstrScenario(nDocs)(spark))
+      (1 to 2).foreach { i =>
+        syncFs(); timed(s"exactsubstr fresh run$i")(Bench.exactSubstrScenario(nDocs)(spark))
+      }
+      timed("curate_1m")(Bench.curateScenario(1000000L)(spark))
+      timed("gopher_c4_10m")(Bench.scanFilterScenario(10000000L)(spark))
+      (1 to 3).foreach { i =>
+        syncFs(); timed(s"exactsubstr after-heavy run$i")(Bench.exactSubstrScenario(nDocs)(spark))
       }
       spark.stop()
       return
