@@ -215,12 +215,18 @@ object Dedup {
               "\\s+", " ")))))
         .otherwise(array().cast("array<string>")))
         .as(Seq("__start", "__h")))
-    val winners = spanHashes.groupBy("__h")
-      .agg(min(struct(col(idCol), col("__start"))).as("__w"),
-        count(lit(1)).as("__n"))
+    // count-first, same rationale as [[exactSubstrDedup]]: the
+    // corpus-wide aggregation stays a hash-aggregable long count; the
+    // SortAggregate-only min(struct) winner choice runs over just the
+    // duplicated span occurrences
+    val dupHashes = spanHashes.groupBy("__h")
+      .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
-      .select("__h", "__w")
-    val removed = spanHashes.join(winners, "__h")
+      .select("__h")
+    val dupSpans = cacheOnce(spanHashes.join(dupHashes, "__h"))
+    val winners = dupSpans.groupBy("__h")
+      .agg(min(struct(col(idCol), col("__start"))).as("__w"))
+    val removed = dupSpans.join(winners, "__h")
       .filter(struct(col(idCol), col("__start")) =!= col("__w"))
       .select(col(idCol),
         explode(sequence(col("__start"), col("__start") + (span - 1)))
@@ -347,12 +353,21 @@ object Dedup {
       else graft.functions.WindowHash.of(toks, k)
     val winHashes = withToks.select(col(idCol),
       posexplode(windowHash).as(Seq("__start", "__h")))
-    val winners = winHashes.groupBy("__h")
-      .agg(min(struct(col(idCol), col("__start"))).as("__w"),
-        count(lit(1)).as("__n"))
+    // count-first: Spark can only SortAggregate a min(struct(...)) —
+    // struct buffers aren't hash-aggregable — which at corpus scale
+    // means SORTING every window occurrence. The count aggregation is
+    // a pure long buffer (HashAggregate, map-side combined), shrinks
+    // to just the duplicated hashes, and the order-sensitive
+    // winner min runs over ONLY those occurrences (cached: the same
+    // small frame feeds the winner agg and the removal probe).
+    val dupHashes = winHashes.groupBy("__h")
+      .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
-      .select("__h", "__w")
-    val removed = winHashes.join(winners, "__h")
+      .select("__h")
+    val dupWins = cacheOnce(winHashes.join(dupHashes, "__h"))
+    val winners = dupWins.groupBy("__h")
+      .agg(min(struct(col(idCol), col("__start"))).as("__w"))
+    val removed = dupWins.join(winners, "__h")
       .filter(struct(col(idCol), col("__start")) =!= col("__w"))
       .select(col(idCol),
         explode(sequence(col("__start"), col("__start") + (k - 1)))
