@@ -140,11 +140,44 @@ object Similarity {
     * ranking site sharing it. */
   private def nearestLists(frame: DataFrame, keyCol: String, vc: String,
       centroids: DataFrame, n: Int): DataFrame = {
-    val scored = frame.crossJoin(broadcast(centroids))
-      .withColumn("__d", cosine(col(vc), col("__centroid")))
-    val ww = Window.partitionBy(col(keyCol)).orderBy(col("__d").desc, col("list_id"))
-    scored.withColumn("__r", row_number().over(ww)).filter(col("__r") <= n)
-      .drop("__centroid", "__d", "__r")
+    // centroid values ride the PLAN (collected once — the frame is
+    // nlist-bounded and was broadcast anyway) and the TopCentroids
+    // kernel ranks them per row scan-side. The previous formulation
+    // cross-joined rows against the centroids and ranked with a
+    // per-key window: corpus x nlist rows, each carrying the full
+    // embedding payload, through an exchange + sort — gigabytes of
+    // shuffle per million vectors for what is per-row arithmetic.
+    // The (cosine desc, then list_id) tie-break is preserved by
+    // sorting the collected centroids by list_id: the kernel breaks
+    // ties toward the lower index.
+    val listIdType = centroids.schema("list_id").dataType
+    val collected = centroids.select(col("list_id"), col("__centroid")).collect()
+      .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+      .sortWith { case ((a, _), (b, _)) => idLt(a, b) }
+    if (collected.isEmpty)
+      return frame.withColumn("list_id", lit(null).cast(listIdType))
+        .filter(lit(false))
+    val idsLit = array(collected.map(c => lit(c._1)).toIndexedSeq: _*)
+    frame
+      .select(col("*"), explode(graft.functions.TopCentroids.of(
+        asDouble(col(vc)), collected.map(_._2), n)).as("__ci"))
+      .withColumn("list_id",
+        element_at(idsLit, col("__ci") + 1).cast(listIdType))
+      .drop("__ci")
+  }
+
+  /** Driver-side list_id ordering matching Spark's own (numeric, or
+    * binary UTF8 for strings) — the tie-break order [[nearestLists]]
+    * feeds the kernel. */
+  private def idLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Int, y: Int)   => x < y
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+    case (x: Comparable[_], _) => x.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    case _ => throw new IllegalArgumentException(
+      s"unorderable list_id type ${a.getClass.getName}")
   }
 
   /** Centroid selection shared by [[ivfTopK]] and [[buildIvfIndex]]:
@@ -163,21 +196,17 @@ object Similarity {
     // localCheckpoint truncates the growing lineage so the final
     // centroid frame stays a small broadcastable relation.
     val centroids = (0 until refineIters).foldLeft(seeded) { (cents, _) =>
-      val assigned = corpus
-        .select(asDouble(col(vecCol)).as("__av"), col(idCol).as("__aid"))
-        .crossJoin(broadcast(cents))
-        .withColumn("__d", cosine(col("__av"), col("__centroid")))
-      // argmax centroid per vector as ONE map-side-combined
-      // aggregation: a vector's nlist candidate rows collapse inside
-      // their mapper partition, so the shuffle carries |corpus| rows
-      // (not |corpus| x nlist) and nothing sorts. Only the ordering
-      // struct (d, list_id) must be orderable; ties deterministically
-      // pick the larger list_id.
-      val best = assigned
-        .groupBy(col("__aid"))
-        .agg(
-          max(struct(col("__d"), col("list_id"))).getField("list_id").as("list_id"),
-          any_value(col("__av")).as("__av")) // constant within the group
+      // scan-side argmax via the TopCentroids kernel (the shared
+      // nearestLists path): no corpus x nlist explosion, no exchange
+      // for the assignment — only the means aggregation shuffles, and
+      // it map-side combines down to nlist x dim rows. This also
+      // unifies the refinement's tie-break with the documented
+      // assignment/probe order (cosine desc, then SMALLER list_id —
+      // the previous max(struct) picked the larger on exact ties,
+      // which only differed for duplicate seed vectors).
+      val best = nearestLists(
+        corpus.select(col(idCol).as("__aid"), asDouble(col(vecCol)).as("__av")),
+        "__aid", "__av", cents, 1)
       val means = best
         .select(col("list_id"), posexplode(col("__av")).as(Seq("__pos", "__val")))
         .groupBy("list_id", "__pos").agg(avg("__val").as("__m"))
