@@ -46,17 +46,23 @@ object Curation {
 
   /** `release()` unpersists the pipeline's internal caches once the
     * caller is DONE with `df` (has written or collected it). It is NOT
-    * called automatically: the returned frame's lineage reads those
-    * caches, and Spark's non-cascading uncache would rebuild/discard
-    * dependent entries — releasing before consumption re-executes the
-    * whole pipeline on the next action. `cached` holds EVERY frame the
+    * called automatically: with the caches gone, a later action over
+    * `df` recomputes their plans. `cached` holds EVERY frame the
     * pipeline registered, including the ones library calls create
     * internally (near-dup signature/bucket frames, LM model frames,
     * boilerplate line positions, semantic clusters — captured via
     * [[graft.util.Caching.tracking]]), so release() is complete.
     * Skipping it leaks those MEMORY_AND_DISK entries per curate() call
     * in a long-lived session (LRU-evicted under pressure, but
-    * CacheManager metadata and spill space grow until cleared). */
+    * CacheManager metadata and spill space grow until cleared).
+    *
+    * STAGE outputs are not in `cached`: they are lazy localCheckpoints
+    * (see `stageCp` in [[curate]]), whose blocks the ContextCleaner
+    * reclaims once the result (and `df`) become unreachable — the same
+    * lifecycle [[Dedup.connectedComponents]] uses for its per-round
+    * frames. They are deliberately NOT unpersisted here: a checkpoint
+    * truncates lineage, so dropping its blocks while `df` is still
+    * referenced would make the next action FAIL rather than recompute. */
   final case class CurationResult(df: DataFrame, stats: CurationStats,
       private[graft] val cached: Seq[DataFrame] = Nil) {
     def release(): Unit = cached.foreach(_.unpersist())
@@ -233,6 +239,22 @@ object Curation {
     // frames this function registered directly.
     graft.util.Caching.tracking(tracked += _) {
     def cacheTracked(df: DataFrame): DataFrame = Dedup.cacheOnce(df)
+    // Stage-boundary lineage truncation. Every stage output is
+    // materialized anyway (its ledger count); a lazy localCheckpoint
+    // makes that materialization ALSO cut the logical plan to a flat
+    // LogicalRDD. Without the cut, each stage's plan embeds its
+    // input's plan at every reference (the reassembly/dedup stages
+    // reference their input 2-4 times: probe side + winner side +
+    // rejoin), and although execution dedupes through the block store,
+    // the plan DAG prints as a TREE — explain strings, AQE
+    // plan-change events and UI SparkPlanInfo all expand it, so a
+    // composed 9-stage pipeline spent MINUTES of driver CPU and tens
+    // of GB rendering exponentially nested plans (observed: the
+    // full-hygiene spec hung >19 min in generateTreeString). Storage
+    // cost is the same MEMORY_AND_DISK footprint the per-stage cache
+    // paid; blocks are reclaimed by the ContextCleaner once the
+    // result is dropped (the connectedComponents lifecycle).
+    def stageCp(df: DataFrame): DataFrame = df.localCheckpoint(false)
     val sc = docs.sparkSession.sparkContext
     def staged[A](name: String)(body: => A): A = {
       sc.setJobDescription(s"graft curate: $name")
@@ -266,7 +288,7 @@ object Curation {
     val scanFiltered =
       docs.filter(verdict === graft.functions.Hygiene.PassVerdict)
         .withColumn(textCol, cleanText)
-    val scanKept = cacheTracked(hygiene.blocklist match {
+    val scanKept = stageCp(hygiene.blocklist match {
       case Some(words) =>
         scanFiltered.filter(QualityFilters.blocklistKeep(col(textCol), words))
       case None => scanFiltered
@@ -289,11 +311,11 @@ object Curation {
         val usable = col(u).isNotNull && length(canon) > 0
         val keepers = QualityFilters.dedupByUrl(scanKept.filter(usable), u, idCol)
           .select(col("keep_id").as(idCol))
-        // cached: the next stage (exactDedup) consumes its input TWICE
-        // (fingerprint groupBy + the keeper semi join), and this frame
-        // carries a union, a join and the URL-canonicalization regex
-        // chain — without the cache all of it executes twice
-        val kept = cacheTracked(scanKept.filter(!usable)
+        // checkpointed: the next stage (exactDedup) consumes its input
+        // TWICE (fingerprint groupBy + the keeper semi join), and this
+        // frame carries a union, a join and the URL-canonicalization
+        // regex chain — without materialization all of it executes twice
+        val kept = stageCp(scanKept.filter(!usable)
           .unionByName(scanKept.filter(usable).join(keepers, Seq(idCol), "left_semi")))
         ledger += ("url_dup" -> staged("url dedup")(kept.count()))
         kept
@@ -309,7 +331,7 @@ object Curation {
     val boilKept = hygiene.boilerplate match {
       case Some(bc) =>
         val stripped = Dedup.stripBoilerplate(urlKept, idCol, textCol, bc.maxDocFreq)
-        val kept = cacheTracked(
+        val kept = stageCp(
           if (bc.dropEmptied) stripped.filter(length(trim(col(textCol))) > 0)
           else stripped)
         ledger += ("boilerplate" -> staged("boilerplate strip")(kept.count()))
@@ -318,7 +340,7 @@ object Curation {
     }
 
     // ---- exact content dedup -----------------------------------------
-    val exactKept = cacheTracked(Dedup.exactDedup(boilKept, textCol, idCol))
+    val exactKept = stageCp(Dedup.exactDedup(boilKept, textCol, idCol))
     val afterExact = staged("exact dedup")(exactKept.count())
     ledger += ("exact_dup" -> afterExact)
 
@@ -330,7 +352,7 @@ object Curation {
     val spanKept = hygiene.spanDedup match {
       case Some(sp) =>
         val deduped = Dedup.spanDedup(exactKept, idCol, textCol, sp.span)
-        val kept = cacheTracked(
+        val kept = stageCp(
           if (sp.dropEmptied) deduped.filter(length(trim(col(textCol))) > 0)
           else deduped)
         ledger += ("span_dup" -> staged("span dedup")(kept.count()))
@@ -344,7 +366,7 @@ object Curation {
     val substrKept = hygiene.exactSubstr match {
       case Some(es) =>
         val deduped = Dedup.exactSubstrDedup(spanKept, idCol, textCol, es.k)
-        val kept = cacheTracked(
+        val kept = stageCp(
           if (es.dropEmptied) deduped.filter(length(trim(col(textCol))) > 0)
           else deduped)
         ledger += ("exact_substr" -> staged("exactsubstr dedup")(kept.count()))
@@ -365,7 +387,7 @@ object Curation {
           scored, buckets = u.buckets, relErr = u.relErr)
         val keepIds = bucketed.filter(col("quality_bucket") <= u.keepBuckets)
           .select(col(idCol))
-        val kept = cacheTracked(substrKept.join(keepIds, Seq(idCol), "left_semi"))
+        val kept = stageCp(substrKept.join(keepIds, Seq(idCol), "left_semi"))
         ledger += ("unigram" -> staged("unigram buckets")(kept.count()))
         kept
       case None => substrKept
@@ -384,7 +406,7 @@ object Curation {
           scored, buckets = b.buckets, relErr = b.relErr)
         val keepIds = bucketed.filter(col("quality_bucket") <= b.keepBuckets)
           .select(col(idCol))
-        val kept = cacheTracked(uniKept.join(keepIds, Seq(idCol), "left_semi"))
+        val kept = stageCp(uniKept.join(keepIds, Seq(idCol), "left_semi"))
         ledger += ("bigram" -> staged("bigram buckets")(kept.count()))
         kept
       case None => uniKept
@@ -395,7 +417,7 @@ object Curation {
     // shrinks the input to the expensive pair-generating stages below
     val decontKept = hygiene.decontaminate match {
       case Some(dc) =>
-        val kept = cacheTracked(Dedup.decontaminate(
+        val kept = stageCp(Dedup.decontaminate(
           lmKept, dc.eval, idCol, textCol, dc.n, dc.broadcastEval))
         ledger += ("contaminated" -> staged("decontaminate")(kept.count()))
         kept
@@ -421,12 +443,12 @@ object Curation {
     val curated = hygiene.semDedup match {
       case Some(sd) =>
         // the near-dup survivors feed clustering, the pair join AND the
-        // final dedup — cache them (the None branch keeps the historic
-        // count-then-return shape instead: one extra tail execution,
-        // no corpus-scale cache)
-        val nd = cacheTracked(nearDeduped)
+        // final dedup — checkpoint them (the None branch keeps the
+        // historic count-then-return shape instead: one extra tail
+        // execution, no corpus-scale materialization)
+        val nd = stageCp(nearDeduped)
         ledger += ("near_dup" -> staged("near-dup dedup")(nd.count()))
-        val kept = cacheTracked(Similarity.semDedup(nd, idCol, sd.vecCol,
+        val kept = stageCp(Similarity.semDedup(nd, idCol, sd.vecCol,
           sd.threshold, sd.nlist, sd.refineIters,
           sd.keepFarthestFromCentroid, sd.maxCluster))
         ledger += ("semantic_dup" -> staged("semantic dedup")(kept.count()))
@@ -436,12 +458,11 @@ object Curation {
         nearDeduped
     }
 
-    // the caches deliberately stay resident: unpersisting any of them
-    // here would make the CacheManager REBUILD every dependent entry
-    // (and through them the RETURNED frame's lineage), so the caller's
-    // first action over the result would re-execute the whole pipeline
-    // from the parquet scan. The caller releases them AFTER consuming
-    // df, via CurationResult.release().
+    // the tracked caches deliberately stay resident: unpersisting any
+    // of them here would make the CacheManager REBUILD dependent
+    // entries mid-pipeline. The caller releases them AFTER consuming
+    // df, via CurationResult.release(); the stage checkpoints are
+    // GC-reclaimed (see CurationResult doc).
     CurationResult(curated, CurationStats(input, ledger.result()),
       tracked.result())
     }
