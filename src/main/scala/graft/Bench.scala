@@ -401,6 +401,23 @@ object Bench {
     -1L
   }
 
+  /** DSIR importance resampling over the synthetic corpus
+    * (judge-tracked `dsir_1m`): two bounded bucket-distribution
+    * aggregations (target = the %97 slice, ~1%), scan-side λ-literal
+    * scoring with the rolling-kernel buckets, Gumbel top-k selection
+    * of 5% written out. Cold per rep. */
+  private[graft] def dsirScenario(nDocs: Long)(spark: SparkSession): Long = {
+    val cp = corpusScenario(spark, nDocs)
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(cp)
+    val scored = graft.ops.Dsir.importanceWeights(
+      docs, docs.filter(col("doc_id") % 97 === 0), "text", buckets = 65536)
+    graft.ops.Dsir.resampleTopK(scored, math.max(1, (nDocs / 20).toInt))
+      .select("doc_id", "dsir_key")
+      .write.mode("overwrite").parquet(s"$benchDir/dsir_$nDocs.parquet")
+    -1L
+  }
+
   /** The scan-side quality rules alone at 10M docs (judge-tracked
     * `gopher_c4_10m`): C4 keep + Gopher document rules + repetition
     * rules over the cleaned text in ONE filter — the "runs at
@@ -530,7 +547,9 @@ object Bench {
       // 6-rep tracked row) and the packing + chunking training-prep
       // tail, both over the same synthetic corpus family
       "exactsubstr_300k" -> (() => { exactSubstrScenario(300000L)(spark); () }),
-      "chunk_1m" -> (() => { chunkScenario(1000000L)(spark); () })
+      "chunk_1m" -> (() => { chunkScenario(1000000L)(spark); () }),
+      // DSIR selection: fit + scan-side score + Gumbel top-5% of 1M
+      "dsir_1m" -> (() => { dsirScenario(1000000L)(spark); () })
     )
 
     def median(xs: Seq[Double]): Double = {

@@ -854,6 +854,31 @@ object SparkEntry {
         .toSeq.sortBy(_._1).toDF("lang", "weight")
         .select(col("lang"), round(col("weight"), 9).as("weight"))
         .orderBy("lang")
+    }),
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // bucket distributions fit on target (source = src0) vs raw (all
+    // docs), per-doc log importance weight scored scan-side against
+    // the driver-built λ literal. Portable md5 bucketing so the oracle
+    // replays featurize → fit → score end-to-end.
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dsir.importanceWeights(
+          docs, docs.filter(col("source") === "src0"),
+          buckets = 8192, portableHash = true)
+        .select(col("doc_id"), round(col("dsir_logw"), 6).as("dsir_logw"))
+        .orderBy("doc_id")
+    }),
+    // DSIR Gumbel top-k resample: k=50 without replacement ∝ w, noise
+    // hash-seeded (salt "dsir", seed 42) so the draw replays in
+    // DuckDB; keys rounded to 6dp with doc-id tie-break.
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = graft.ops.Dsir.importanceWeights(
+        docs, docs.filter(col("source") === "src0"),
+        buckets = 8192, portableHash = true)
+      graft.ops.Dsir.resampleTopK(scored, k = 50)
+        .select(col("doc_id"), col("dsir_key"))
+        .orderBy(desc("dsir_key"), col("doc_id"))
     })
   )
 
@@ -2129,6 +2154,55 @@ object SparkEntry {
         |        pow(CAST(n AS DOUBLE) / (SELECT sum(n) FROM c), -0.5) AS raw
         |      FROM c)
         |SELECT lang, round(least(4.0, raw / (SELECT min(raw) FROM t)), 9) AS weight
-        |FROM t ORDER BY lang""".stripMargin
+        |FROM t ORDER BY lang""".stripMargin,
+
+    // DSIR replay: featurize (lowercased whitespace unigrams+bigrams →
+    // top-60-bit md5 bucket mod 8192) → fit add-1 smoothed target/raw
+    // multinomials → score Σ λ[bucket]. λ is computed
+    // division-then-ln exactly like the Scala side; round-6 absorbs
+    // libm ulp noise (the established LM-oracle discipline).
+    "q_dsir_weights" -> dsirOracle(
+      "SELECT d.doc_id, round(coalesce(s.w, 0.0), 6) AS dsir_logw\n" +
+        "FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id\n" +
+        "ORDER BY d.doc_id"),
+
+    // Gumbel top-k: key = w − ln(−ln(u)), u = (md5-unit-hash + 0.5) /
+    // 2^60 under the Sampling "dsir:42:" salt prefix; round-6 key,
+    // doc-id tie-break, LIMIT 50.
+    "q_dsir_select" -> dsirOracle(
+      "SELECT d.doc_id,\n" +
+        "  round(coalesce(s.w, 0.0) -\n" +
+        "    ln(-ln((('0x'||substr(md5('dsir:42:'||CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT::DOUBLE + 0.5)\n" +
+        "        / 1152921504606846976.0)), 6) AS dsir_key\n" +
+        "FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id\n" +
+        "ORDER BY dsir_key DESC, d.doc_id LIMIT 50")
   )
+
+  /** Shared DSIR oracle CTE chain (featurize → distributions → λ →
+    * per-doc score), parameterized by the final SELECT. */
+  private def dsirOracle(finalSelect: String): String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+      |  FROM toks),
+      |hashed AS (
+      |  SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT % 8192 AS b FROM grams),
+      |tgt AS (
+      |  SELECT b, count(*) AS c FROM hashed
+      |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')
+      |  GROUP BY 1),
+      |rawd AS (SELECT b, count(*) AS c FROM hashed GROUP BY 1),
+      |tot AS (SELECT (SELECT sum(c) FROM tgt) AS ts, (SELECT sum(c) FROM rawd) AS rs),
+      |lam AS (
+      |  SELECT r.b,
+      |    ln((coalesce(tg.c, 0) + 1.0) / (ts + 8192.0)) -
+      |    ln((r.c + 1.0) / (rs + 8192.0)) AS l
+      |  FROM rawd r LEFT JOIN tgt tg ON r.b = tg.b CROSS JOIN tot),
+      |scored AS (
+      |  SELECT h.doc_id, sum(l.l) AS w FROM hashed h JOIN lam l ON h.b = l.b GROUP BY 1)
+      |""".stripMargin + finalSelect
 }

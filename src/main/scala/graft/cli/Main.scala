@@ -39,6 +39,7 @@ object Main {
           case "quickstart" => cmdQuickstart(rest)
           case "curate"  => cmdCurate(rest)
           case "pack"    => cmdPack(rest)
+          case "dsir"    => cmdDsir(rest)
           case "help" | "-h" | "--help" => println(usage); 0
           case other => System.err.println(s"Unknown command '$other'\n$usage"); 2
         }
@@ -77,6 +78,11 @@ object Main {
       |          [--token-count bpe|whitespace|COL] [--seq-len N [--drop-partial]]
       |          (--seq-len chunks into fixed-length sequences with doc
       |           boundaries; without it packs are concatenated whole)
+      |  dsir    --input RAW --target TARGET --output PATH (--k N | --weights-only)
+      |          [--buckets 65536] [--alpha 1.0] [--temperature 1.0] [--seed 42]
+      |          [--id-col doc_id] [--text-col text]
+      |          (DSIR importance resampling: select raw docs that look
+      |           like the target corpus; --weights-only writes scores)
       |""".stripMargin
 
   private def session(): SparkSession = {
@@ -645,6 +651,39 @@ object Main {
     out.write.mode("overwrite").parquet(output)
     val n = spark.read.parquet(output).count()
     println(s"${if (f.contains("seq-len")) "sequences" else "packs"}=$n written=$output")
+    0
+  }
+
+  /** `graft dsir --input raw.parquet --target target.parquet --output
+    * selected.parquet --k N [--buckets 65536] [--alpha 1.0]
+    * [--temperature 1.0] [--seed 42] [--id-col doc_id] [--text-col
+    * text] [--weights-only]`: DSIR importance resampling
+    * ([[graft.ops.Dsir]]) — score every raw doc against the target
+    * distribution, then Gumbel-top-k select (or, with
+    * `--weights-only`, write the scored corpus instead). */
+  private[graft] def cmdDsir(args: Array[String]): Int = {
+    val (f, _) = flags(args)
+    val spark = session()
+    import graft.ops.Dsir
+    val input = req(f, "input", "dsir needs --input PATH (the raw parquet corpus)")
+    val target = req(f, "target", "dsir needs --target PATH (the target-domain parquet corpus)")
+    val output = req(f, "output", "dsir needs --output PATH")
+    val idCol = f.getOrElse("id-col", "doc_id")
+    val textCol = f.getOrElse("text-col", "text")
+    val scored = Dsir.importanceWeights(
+      spark.read.parquet(input), spark.read.parquet(target), textCol,
+      buckets = f.getOrElse("buckets", "65536").toInt,
+      alpha = f.getOrElse("alpha", "1.0").toDouble)
+    val out =
+      if (f.contains("weights-only")) scored
+      else Dsir.resampleTopK(scored,
+        k = req(f, "k", "dsir needs --k N (or --weights-only)").toInt,
+        idCol = idCol,
+        seed = f.getOrElse("seed", "42").toInt,
+        temperature = f.getOrElse("temperature", "1.0").toDouble)
+    out.write.mode("overwrite").parquet(output)
+    val n = spark.read.parquet(output).count()
+    println(s"${if (f.contains("weights-only")) "scored" else "selected"}=$n written=$output")
     0
   }
 

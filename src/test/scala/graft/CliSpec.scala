@@ -314,6 +314,38 @@ class CliSpec extends SparkFunSuite {
       .map(_.getLong(0)).toSeq == Seq(40L))
   }
 
+  test("dsir command: selection favors the target domain; weights-only writes scores") {
+    val dir = Files.createTempDirectory("graft_cli_dsir")
+    val raw = s"$dir/raw.parquet"
+    val tgt = s"$dir/target.parquet"
+    // 40 cat docs (ids 1-40) + 40 dog docs (ids 41-80); target is cats
+    ((1 to 40).map(i => (i.toLong, s"cat purr kitten whiskers nap c$i")) ++
+      (41 to 80).map(i => (i.toLong, s"dog bark kennel bone growl d$i")))
+      .toDF("doc_id", "text").write.parquet(raw)
+    (1 to 5).map(i => (100L + i, "cat kitten purr nap whiskers"))
+      .toDF("doc_id", "text").write.parquet(tgt)
+    val selOut = s"$dir/selected.parquet"
+    val outCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCap)) {
+      assert(graft.cli.Main.cmdDsir(Array(
+        "--input", raw, "--target", tgt, "--output", selOut,
+        "--k", "20", "--buckets", "1024")) == 0)
+    }
+    assert(outCap.toString.contains("selected=20"))
+    val ids = spark.read.parquet(selOut).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.size == 20 && ids.count(_ <= 40) >= 15,
+      s"selection should skew hard toward the cat domain, got $ids")
+    val wOut = s"$dir/weights.parquet"
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdDsir(Array(
+        "--input", raw, "--target", tgt, "--output", wOut,
+        "--buckets", "1024", "--weights-only")) == 0)
+    }
+    val w = spark.read.parquet(wOut)
+    assert(w.columns.contains("dsir_logw") && w.count() == 80)
+  }
+
   test("inspect: exact and --approx modes both report usable distincts") {
     val dir = Files.createTempDirectory("graft_cli_inspect")
     val p = s"$dir/t.parquet"

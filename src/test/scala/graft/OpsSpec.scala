@@ -1496,4 +1496,64 @@ class OpsSpec extends SparkFunSuite {
     assert(byUrl("https://example.com/b") == ((5L, 1L)))
     assert(byUrl.size == 2)
   }
+
+  test("dsir: bucket distribution counts every unigram+bigram occurrence") {
+    import graft.ops.Dsir
+    val df = Seq((1L, "a b c d"), (2L, "x"), (3L, ""), (4L, "  a   b "))
+      .toDF("doc_id", "text")
+    for (portable <- Seq(true, false)) {
+      val total = Dsir.bucketDistribution(df, "text", 64, portable)
+        .agg(sum("cnt")).collect()(0).getLong(0)
+      // (4+3) + (1+0) + 0 + (2+1) unigrams+bigrams
+      assert(total == 11L, s"portable=$portable got $total")
+    }
+  }
+
+  test("dsir: weights favor target-like documents under both hashers") {
+    import graft.ops.Dsir
+    val raw = Seq(
+      (1L, "cat cat kitten purr cat whiskers purr nap"),
+      (2L, "dog bark dog kennel bone dog growl fetch"),
+      (3L, "cat purr kitten cat nap whiskers purr cat"),
+      (4L, "dog bone growl kennel bark dog dog fetch"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "cat kitten purr whiskers cat purr nap"),
+      (11L, "kitten cat purr cat whiskers nap purr")
+    ).toDF("doc_id", "text")
+    for (portable <- Seq(true, false)) {
+      val w = Dsir.importanceWeights(raw, target, buckets = 512,
+          portableHash = portable)
+        .select("doc_id", "dsir_logw")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(w(1L) > w(2L) && w(3L) > w(4L),
+        s"portable=$portable: cat docs should outweigh dog docs, got $w")
+      assert(w(5L) == 0.0, s"gramless doc must score the empty sum, got ${w(5L)}")
+      assert(w.values.forall(v => !v.isNaN && !v.isInfinite))
+    }
+  }
+
+  test("dsir: gumbel top-k is deterministic, k-sized, greedy at low temperature") {
+    import graft.ops.Dsir
+    val scored = Dsir.importanceWeights(
+      docs, docs.filter(col("source") === "src0"), buckets = 2048)
+    val a = Dsir.resampleTopK(scored, 20).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val b = Dsir.resampleTopK(scored, 20).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b, "resample must replay identically")
+    assert(a.size == 20 && a.distinct.size == 20, "k distinct docs (without replacement)")
+    // temperature -> 0: logw/T dominates the O(10) Gumbel noise, so the
+    // draw collapses to the greedy top-k by weight
+    val greedy = scored.orderBy(desc("dsir_logw"), col("doc_id")).limit(20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cold = Dsir.resampleTopK(scored, 20, temperature = 1e-6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cold == greedy, s"cold draw $cold != greedy $greedy")
+    // a different seed perturbs the unit-temperature draw (noise is live)
+    val s1 = Dsir.resampleTopK(scored, 20, seed = 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 != a.toSet, "distinct seeds should draw distinct samples")
+  }
 }

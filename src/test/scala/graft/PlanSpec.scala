@@ -384,4 +384,22 @@ class PlanSpec extends SparkFunSuite {
     assert(!mixed.contains("Exchange") && !mixed.contains("Join"),
       s"mix should be generate-over-scan, no shuffle:\n$mixed")
   }
+
+  test("dsir scoring is scan-side and selection is per-partition top-k") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = graft.ops.Dsir.importanceWeights(
+      docs, docs.filter(col("source") === "src0"), buckets = 1024)
+    // λ rides the plan as a literal: scoring must add no join and no
+    // exchange — the corpus payload never shuffles
+    val plan = planOf(scored)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"DSIR scoring must stay scan-side:\n$plan")
+    // selection: TakeOrderedAndProject (per-partition top-k + driver
+    // merge of k-per-partition), never a global sort exchange
+    val sel = planOf(graft.ops.Dsir.resampleTopK(scored, 10))
+    assert(sel.contains("TakeOrderedAndProject"),
+      s"selection should plan as TakeOrderedAndProject:\n$sel")
+    assert(!sel.contains("Exchange"),
+      s"selection must not shuffle the corpus:\n$sel")
+  }
 }
