@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   *  - Each distribution is ONE map-side-combined aggregation whose
   *    output is at most `buckets` rows (bounded ≤ 2^20); both fit on
   *    the driver by construction, so λ is built once driver-side and
-  *    embedded in the plan as a literal array — scoring then needs NO
-  *    join and NO shuffle: one interpreted array-fold per row over an
-  *    O(1) literal lookup.
+  *    rides the plan — scoring then needs NO join and NO shuffle: one
+  *    codegen'd kernel call per row ([[graft.functions.DsirScore]])
+  *    on the fast path, one interpreted fold over the λ literal on
+  *    the md5-portable oracle path.
   *  - Selection is `ORDER BY key DESC LIMIT k` — Spark plans
   *    TakeOrderedAndProject (per-partition top-k, driver merge of k
   *    rows per partition), never a global sort.
@@ -77,16 +78,23 @@ object Dsir {
       transform(grams(text), g =>
         pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
           lit(buckets.toLong)).cast("int"))
-    else {
-      // rolling-kernel path: WindowHash at k=1 (unigrams) and k=2
-      // (bigrams) — each token xx64-hashed ONCE per k, 8-byte values,
-      // no gram strings
-      val t = toks(text)
-      transform(
-        concat(graft.functions.WindowHash.of(t, 1),
-          graft.functions.WindowHash.of(t, 2)),
-        h => pmod(h, lit(buckets.toLong)).cast("int"))
-    }
+    else
+      // one-pass kernel: each token xx64-hashed once, bigram hashes
+      // rolled from the token hashes ([[graft.functions.DsirScore]]),
+      // no gram strings, no interpreted HOF — equivalent to the
+      // Column formulation [[bucketsByFold]] (OpsSpec-pinned)
+      graft.functions.DsirScore.bucketsOf(toks(text), buckets)
+  }
+
+  /** Reference Column formulation of the fast-path buckets (WindowHash
+    * at k=1 and k=2 through interpreted transform/pmod) — kept for the
+    * kernel-equivalence pin; not used on any production path. */
+  def bucketsByFold(text: Column, buckets: Int): Column = {
+    val t = toks(text)
+    transform(
+      concat(graft.functions.WindowHash.of(t, 1),
+        graft.functions.WindowHash.of(t, 2)),
+      h => pmod(h, lit(buckets.toLong)).cast("int"))
   }
 
   /** (bucket, cnt) gram-occurrence distribution of a corpus: one
@@ -133,10 +141,22 @@ object Dsir {
       math.log((tgt(b) + alpha) / (tTot + alpha * buckets)) -
         math.log((rawD(b) + alpha) / (rTot + alpha * buckets))
     }
-    val lamLit = typedLit(lam)
     raw.withColumn(weightCol,
-      aggregate(bucketsOf(col(textCol), buckets, portableHash),
-        lit(0.0), (acc, b) => acc + element_at(lamLit, b + 1)))
+      if (portableHash) scoreByFold(col(textCol), lam, buckets, portableHash = true)
+      else graft.functions.DsirScore.of(toks(col(textCol)), lam))
+  }
+
+  /** Reference Column formulation of the per-doc score: an interpreted
+    * HOF fold over [[bucketsOf]]. The portable path scores with this
+    * (md5 buckets — the DuckDB-replayable oracle shape); the fast path
+    * dispatches to the one-pass [[graft.functions.DsirScore]] kernel,
+    * bit-identical to this fold over the k=1/k=2 window-hash buckets
+    * (OpsSpec-pinned, including summation order). */
+  def scoreByFold(text: Column, lam: Array[Double], buckets: Int,
+      portableHash: Boolean): Column = {
+    val lamLit = typedLit(lam)
+    aggregate(bucketsOf(text, buckets, portableHash), lit(0.0),
+      (acc, b) => acc + element_at(lamLit, b + 1))
   }
 
   /** Gumbel top-k resampling WITHOUT replacement: taking the k

@@ -1534,6 +1534,38 @@ class OpsSpec extends SparkFunSuite {
     }
   }
 
+  test("dsir: scoring kernel matches the HOF fold bit-for-bit") {
+    import graft.ops.Dsir
+    val rnd = new scala.util.Random(7)
+    val lam = Array.fill(512)(rnd.nextGaussian())
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "x"), (3L, ""), (4L, "  Mixed   CASE tokens  Here "),
+      (5L, (1 to 200).map(i => s"w${i % 37}").mkString(" "))
+    ).toDF("id", "text")
+    val toksCol = filter(split(lower(trim(col("text"))), "\\s+"),
+      t => length(t) > 0)
+    val lamLit = typedLit(lam)
+    val rows = texts.select(col("id"),
+      graft.functions.DsirScore.of(toksCol, lam).as("kernel"),
+      aggregate(Dsir.bucketsByFold(col("text"), 512), lit(0.0),
+        (acc, b) => acc + element_at(lamLit, b + 1)).as("fold"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"id=${r.getLong(0)}: kernel ${r.getDouble(1)} != fold ${r.getDouble(2)}")
+    }
+    // the bucket kernel agrees with the HOF formulation element-for-element
+    val bk = texts.select(col("id"),
+      graft.functions.DsirScore.bucketsOf(toksCol, 512).as("k"),
+      Dsir.bucketsByFold(col("text"), 512).as("f")).collect()
+    bk.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"id=${r.getLong(0)}: bucket kernel != fold")
+    }
+  }
+
   test("dsir: gumbel top-k is deterministic, k-sized, greedy at low temperature") {
     import graft.ops.Dsir
     val scored = Dsir.importanceWeights(
