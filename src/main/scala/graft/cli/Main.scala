@@ -72,6 +72,7 @@ object Main {
       |          [--unigram-buckets N [--unigram-keep K]]
       |          [--decontaminate EVAL_PARQUET [--decontaminate-ngram 8]]
       |          [--semdedup-col COL [--semdedup-threshold 0.95] [--semdedup-nlist 16]]
+      |          [--dsir-target PARQUET --dsir-k N [--dsir-buckets 65536] [--dsir-temperature 1.0]]
       |          [--near-dup minhash|ngram] [--near-dup-threshold 0.8] [--json PATH]
       |  pack    --input PATH --output PATH [--id-col doc_id] [--text-col text]
       |          [--token-budget 2048] [--groups 1024] [--seed 42]
@@ -574,7 +575,12 @@ object Main {
       semDedup = f.get("semdedup-col").map(c =>
         Curation.SemDeDupConfig(c,
           threshold = f.getOrElse("semdedup-threshold", "0.95").toDouble,
-          nlist = f.getOrElse("semdedup-nlist", "16").toInt)))
+          nlist = f.getOrElse("semdedup-nlist", "16").toInt)),
+      dsir = f.get("dsir-target").map(path =>
+        Curation.DsirConfig(spark.read.parquet(path),
+          k = req(f, "dsir-k", "--dsir-target needs --dsir-k N (how many docs to select)").toInt,
+          buckets = f.getOrElse("dsir-buckets", "65536").toInt,
+          temperature = f.getOrElse("dsir-temperature", "1.0").toDouble)))
     val nearDup = f.getOrElse("near-dup", "minhash") match {
       case "minhash" => Curation.NearDup.MinhashLsh
       case "ngram"   => Curation.NearDup.NgramExact

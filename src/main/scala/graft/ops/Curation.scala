@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   * pipeline actually runs — C4 line cleaning → Gopher document rules →
   * repetition rules → quality/language filter → blocklist → URL dedup
   * → corpus boilerplate removal → exact dedup → C4 span dedup →
-  * ExactSubstr passage removal → CCNet unigram/bigram LM bucketing → benchmark decontamination → near-dup
-  * dedup → SemDeDup — with per-stage drop accounting so nothing is
+  * ExactSubstr passage removal → CCNet unigram/bigram LM bucketing →
+  * benchmark decontamination → near-dup dedup → SemDeDup → DSIR
+  * target selection — with per-stage drop accounting so nothing is
   * silently lost.
   *
   * Stage order is deliberate: the cheap scan-side filters (C4, Gopher,
@@ -160,6 +161,15 @@ object Curation {
       keepFarthestFromCentroid: Boolean = true,
       maxCluster: Int = 100000)
 
+  /** DSIR target-selection stage ([[Dsir]]): keep the `k` surviving
+    * documents that look most like `target` (Gumbel top-k without
+    * replacement under hashed-n-gram importance weights). Runs LAST of
+    * everything — selection should see only clean, deduplicated
+    * survivors, and the distributions it fits should describe them. */
+  final case class DsirConfig(target: DataFrame, k: Int,
+      buckets: Int = 65536, alpha: Double = 1.0,
+      temperature: Double = 1.0, seed: Int = 42)
+
   /** Optional corpus-hygiene stages around the core quality → language
     * → dedup spine. Everything defaults OFF; enabling a stage adds its
     * (name, survivors) entry to the ledger. `blocklist` drops pages
@@ -169,7 +179,8 @@ object Curation {
     * (cheaper key, catches mirror fetches exact dedup misses only
     * after the heavier text hash). `boilerplate` and `spanDedup` are
     * corpus-level text rewrites; `decontaminate` and `semDedup` run
-    * after the lexical dedups, cheapest-first. */
+    * after the lexical dedups, cheapest-first; `dsir` selection runs
+    * last of all. */
   final case class HygieneConfig(
       c4: Option[C4Config] = None,
       gopher: Option[QualityFilters.GopherConfig] = None,
@@ -182,7 +193,8 @@ object Curation {
       unigram: Option[UnigramConfig] = None,
       bigram: Option[BigramConfig] = None,
       decontaminate: Option[DecontaminateConfig] = None,
-      semDedup: Option[SemDeDupConfig] = None)
+      semDedup: Option[SemDeDupConfig] = None,
+      dsir: Option[DsirConfig] = None)
 
   /** Run the pipeline. `hasher` (used by the MinHash/LSH near-dup
     * stage) hits the codegen'd signature kernel only when it IS
@@ -438,14 +450,15 @@ object Curation {
     }
     val nearDeduped = Dedup.dedupByPairs(decontKept, idCol, pairs)
 
-    // ---- SemDeDup: paraphrase-level dedup over the embedding column,
-    // last of all — it sees only what every lexical stage kept --------
-    val curated = hygiene.semDedup match {
+    // ---- SemDeDup: paraphrase-level dedup over the embedding column —
+    // it sees only what every lexical stage kept ------------------------
+    val preSelect = hygiene.semDedup match {
       case Some(sd) =>
         // the near-dup survivors feed clustering, the pair join AND the
         // final dedup — checkpoint them (the None branch keeps the
         // historic count-then-return shape instead: one extra tail
-        // execution, no corpus-scale materialization)
+        // execution, no corpus-scale materialization — unless DSIR
+        // follows, whose fit + scoring re-read the frame)
         val nd = stageCp(nearDeduped)
         ledger += ("near_dup" -> staged("near-dup dedup")(nd.count()))
         val kept = stageCp(Similarity.semDedup(nd, idCol, sd.vecCol,
@@ -454,8 +467,23 @@ object Curation {
         ledger += ("semantic_dup" -> staged("semantic dedup")(kept.count()))
         kept
       case None =>
-        ledger += ("near_dup" -> staged("near-dup dedup")(nearDeduped.count()))
-        nearDeduped
+        val nd = if (hygiene.dsir.isDefined) stageCp(nearDeduped) else nearDeduped
+        ledger += ("near_dup" -> staged("near-dup dedup")(nd.count()))
+        nd
+    }
+
+    // ---- DSIR target selection: last of all — the distributions fit
+    // on (and the draw selects from) exactly the surviving corpus -----
+    val curated = hygiene.dsir match {
+      case Some(dc) =>
+        val scored = staged("dsir fit")(Dsir.importanceWeights(
+          preSelect, dc.target, textCol, dc.buckets, dc.alpha))
+        val kept = stageCp(Dsir.resampleTopK(scored, dc.k, idCol,
+            seed = dc.seed, temperature = dc.temperature)
+          .drop("dsir_logw", "dsir_key"))
+        ledger += ("dsir_selected" -> staged("dsir selection")(kept.count()))
+        kept
+      case None => preSelect
     }
 
     // the tracked caches deliberately stay resident: unpersisting any

@@ -349,6 +349,33 @@ class ExtensionsSpec extends SparkFunSuite {
       _.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
   }
 
+  test("curation dsir stage selects the k most target-like survivors, last") {
+    import graft.ops.Curation
+    val docs = ((1 to 20).map(i => (i.toLong, s"cat purr kitten whiskers nap c$i")) ++
+      (21 to 40).map(i => (i.toLong, s"dog bark kennel bone growl d$i")) ++
+      // an exact-dup pair: the near-dup/exact stages must run BEFORE
+      // selection so the duplicate cannot be drawn twice
+      Seq((41L, "cat purr kitten whiskers nap c1")))
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "cat kitten purr nap whiskers"))
+      .toDF("doc_id", "text")
+    val r = Curation.curate(docs, minQuality = 0.0, languages = Nil,
+      nearDupThreshold = 0.99,
+      hygiene = Curation.HygieneConfig(
+        dsir = Some(Curation.DsirConfig(target, k = 10, buckets = 1024))))
+    assert(r.stats.stages.map(_._1) == Vector("quality", "language",
+      "exact_dup", "near_dup", "dsir_selected"))
+    assert(r.stats.dropped("exact_dup") == 1, "the planted dup goes first")
+    assert(r.stats.after("dsir_selected") == 10)
+    val kept = r.df.select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 10)
+    assert(kept.count(_ <= 20) >= 8,
+      s"selection should skew hard toward the cat domain, got $kept")
+    // selection output keeps the input schema (score columns dropped)
+    assert(r.df.columns.toSet == Set("doc_id", "text"))
+    r.release()
+  }
+
   test("curation exactSubstr stage drops terminator-free duplicated passages") {
     import graft.ops.Curation
     val run = (1 to 10).map(i => s"tok$i").mkString(" ")
