@@ -92,25 +92,105 @@ object DsirScore {
       .fromPrimitiveArray(out)
   }
 
+  /** md5-portable scorer — the oracle-path twin of [[score]]. Bucket =
+    * top-60-bits-of-md5(gram) mod B, exactly the Column formulation
+    * `pmod(conv(substring(md5(g),1,15),16,10), B)` over the
+    * unigram+bigram surface forms (bigram digests are streamed as
+    * tokA + ' ' + tokB — the concatenated string is never built).
+    * Same unigrams-then-bigrams summation order; bit-identical to the
+    * interpreted fold (OpsSpec-pinned). Also called from generated
+    * code. */
+  def md5Score(toks: ArrayData, weights: Array[Double]): Double = {
+    val b = weights.length
+    val n = toks.numElements()
+    if (n == 0) return 0.0
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tb = tokenBytes(toks, n)
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      md.reset(); md.update(tb(i))
+      sum += weights((top60(md.digest()) % b).toInt)
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      md.reset(); md.update(tb(i)); md.update(' '.toByte); md.update(tb(i + 1))
+      sum += weights((top60(md.digest()) % b).toInt)
+      i += 1
+    }
+    sum
+  }
+
+  /** md5-portable bucket ids (unigrams first, then bigrams). Also
+    * called from generated code. */
+  def md5Buckets(toks: ArrayData, b: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n == 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(new Array[Int](0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tb = tokenBytes(toks, n)
+    val out = new Array[Int](2 * n - 1)
+    var i = 0
+    while (i < n) {
+      md.reset(); md.update(tb(i))
+      out(i) = (top60(md.digest()) % b).toInt
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      md.reset(); md.update(tb(i)); md.update(' '.toByte); md.update(tb(i + 1))
+      out(n + i) = (top60(md.digest()) % b).toInt
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  private def tokenBytes(toks: ArrayData, n: Int): Array[Array[Byte]] = {
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      // null tokens cannot come out of the filtered split; hash empty
+      // bytes rather than throw on adversarial input
+      tb(i) =
+        if (toks.isNullAt(i)) Array.emptyByteArray
+        else toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    tb
+  }
+
+  /** First 15 hex chars of the digest as a (nonnegative) 60-bit long —
+    * bytes 0-6 whole plus the high nibble of byte 7, matching
+    * `conv(substring(md5hex, 1, 15), 16, 10)`. */
+  private def top60(digest: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
+    (v << 4) | ((digest(7) & 0xffL) >>> 4)
+  }
+
   /** Column API: double DSIR log-weight of a token array. */
-  def of(tokens: Column, weights: Array[Double]): Column = {
+  def of(tokens: Column, weights: Array[Double], md5: Boolean = false): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
-    ColumnBridge.column(DsirScoreExpr(ColumnBridge.expression(tokens), weights))
+    ColumnBridge.column(DsirScoreExpr(ColumnBridge.expression(tokens), weights, md5))
   }
 
   /** Column API: array<int> of unigram+bigram bucket ids. */
-  def bucketsOf(tokens: Column, b: Int): Column = {
+  def bucketsOf(tokens: Column, b: Int, md5: Boolean = false): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
-    ColumnBridge.column(DsirBucketsExpr(ColumnBridge.expression(tokens), b))
+    ColumnBridge.column(DsirBucketsExpr(ColumnBridge.expression(tokens), b, md5))
   }
 }
 
 /** See [[DsirScore]]. `weights` is plan data (compared by reference in
   * expression equality — two scorers only canonicalize together when
   * they share the array instance, which is how [[graft.ops.Dsir]]
-  * builds them). */
-case class DsirScoreExpr(child: Expression, weights: Array[Double])
-    extends UnaryExpression {
+  * builds them). `md5` selects the portable hasher. */
+case class DsirScoreExpr(child: Expression, weights: Array[Double],
+    md5: Boolean) extends UnaryExpression {
 
   require(weights.nonEmpty, "dsir_score wants a non-empty weight array")
 
@@ -124,11 +204,13 @@ case class DsirScoreExpr(child: Expression, weights: Array[Double])
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    DsirScore.score(input.asInstanceOf[ArrayData], weights)
+    if (md5) DsirScore.md5Score(input.asInstanceOf[ArrayData], weights)
+    else DsirScore.score(input.asInstanceOf[ArrayData], weights)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val w = ctx.addReferenceObj("weights", weights, "double[]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.DsirScore.score($c, $w)")
+    val fn = if (md5) "md5Score" else "score"
+    defineCodeGen(ctx, ev, c => s"graft.functions.DsirScore.$fn($c, $w)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): DsirScoreExpr =
@@ -137,8 +219,9 @@ case class DsirScoreExpr(child: Expression, weights: Array[Double])
   override def prettyName: String = "dsir_score"
 }
 
-/** See [[DsirScore.buckets]]. */
-case class DsirBucketsExpr(child: Expression, b: Int) extends UnaryExpression {
+/** See [[DsirScore.buckets]] / [[DsirScore.md5Buckets]]. */
+case class DsirBucketsExpr(child: Expression, b: Int, md5: Boolean)
+    extends UnaryExpression {
 
   require(b >= 1, s"dsir_buckets wants b >= 1, got $b")
 
@@ -153,10 +236,13 @@ case class DsirBucketsExpr(child: Expression, b: Int) extends UnaryExpression {
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    DsirScore.buckets(input.asInstanceOf[ArrayData], b)
+    if (md5) DsirScore.md5Buckets(input.asInstanceOf[ArrayData], b)
+    else DsirScore.buckets(input.asInstanceOf[ArrayData], b)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.DsirScore.buckets($c, $b)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (md5) "md5Buckets" else "buckets"
+    defineCodeGen(ctx, ev, c => s"graft.functions.DsirScore.$fn($c, $b)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): DsirBucketsExpr =
     copy(child = newChild)

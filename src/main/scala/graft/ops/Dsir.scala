@@ -23,8 +23,7 @@ import org.apache.spark.sql.functions._
   *    the driver by construction, so λ is built once driver-side and
   *    rides the plan — scoring then needs NO join and NO shuffle: one
   *    codegen'd kernel call per row ([[graft.functions.DsirScore]])
-  *    on the fast path, one interpreted fold over the λ literal on
-  *    the md5-portable oracle path.
+  *    under either hasher.
   *  - Selection is `ORDER BY key DESC LIMIT k` — Spark plans
   *    TakeOrderedAndProject (per-partition top-k, driver merge of k
   *    rows per partition), never a global sort.
@@ -56,8 +55,9 @@ object Dsir {
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
   /** Unigram + bigram surface forms of a document (DSIR's feature
-    * set). Only materialized on the portable path — the fast path
-    * hashes tokens directly and never builds the bigram strings. */
+    * set). Only materialized by the reference formulation
+    * [[bucketsByFold]] — both kernels hash tokens directly and never
+    * build the bigram strings. */
   def grams(text: Column): Column = {
     val t = toks(text)
     concat(t,
@@ -68,34 +68,38 @@ object Dsir {
   }
 
   /** Array of bucket ids (one per unigram and bigram occurrence,
-    * duplicates preserved — DSIR is a bag-of-grams model). */
+    * duplicates preserved — DSIR is a bag-of-grams model). Both
+    * hashers run as one-pass codegen'd kernels
+    * ([[graft.functions.DsirScore]]): the fast path xx64-hashes each
+    * token once and rolls bigram hashes from the token hashes; the
+    * portable path streams md5 over the gram bytes (bucket =
+    * top-60-bits-of-md5 mod B, replayed in DuckDB as
+    * `('0x'||substr(md5(g),1,15))::BIGINT % B`). Each is
+    * bit-identical to its Column formulation [[bucketsByFold]]
+    * (OpsSpec-pinned). */
   def bucketsOf(text: Column, buckets: Int, portableHash: Boolean): Column = {
     require(buckets >= 1 && buckets <= MaxBuckets,
       s"buckets must be in [1, $MaxBuckets], got $buckets")
+    graft.functions.DsirScore.bucketsOf(toks(text), buckets, md5 = portableHash)
+  }
+
+  /** Reference Column formulations of [[bucketsOf]] (md5 over the
+    * gram strings / WindowHash at k=1 and k=2, through interpreted
+    * transform/pmod) — kept for the kernel-equivalence pins; not used
+    * on any production path. */
+  def bucketsByFold(text: Column, buckets: Int,
+      portableHash: Boolean = false): Column =
     if (portableHash)
-      // top 60 bits of md5 — nonnegative, so % == pmod; DuckDB:
-      // ('0x'||substr(md5(g),1,15))::BIGINT % buckets
       transform(grams(text), g =>
         pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
           lit(buckets.toLong)).cast("int"))
-    else
-      // one-pass kernel: each token xx64-hashed once, bigram hashes
-      // rolled from the token hashes ([[graft.functions.DsirScore]]),
-      // no gram strings, no interpreted HOF — equivalent to the
-      // Column formulation [[bucketsByFold]] (OpsSpec-pinned)
-      graft.functions.DsirScore.bucketsOf(toks(text), buckets)
-  }
-
-  /** Reference Column formulation of the fast-path buckets (WindowHash
-    * at k=1 and k=2 through interpreted transform/pmod) — kept for the
-    * kernel-equivalence pin; not used on any production path. */
-  def bucketsByFold(text: Column, buckets: Int): Column = {
-    val t = toks(text)
-    transform(
-      concat(graft.functions.WindowHash.of(t, 1),
-        graft.functions.WindowHash.of(t, 2)),
-      h => pmod(h, lit(buckets.toLong)).cast("int"))
-  }
+    else {
+      val t = toks(text)
+      transform(
+        concat(graft.functions.WindowHash.of(t, 1),
+          graft.functions.WindowHash.of(t, 2)),
+        h => pmod(h, lit(buckets.toLong)).cast("int"))
+    }
 
   /** (bucket, cnt) gram-occurrence distribution of a corpus: one
     * map-side-combined shuffle of (bucket, partial-count) rows; output
@@ -142,20 +146,19 @@ object Dsir {
         math.log((rawD(b) + alpha) / (rTot + alpha * buckets))
     }
     raw.withColumn(weightCol,
-      if (portableHash) scoreByFold(col(textCol), lam, buckets, portableHash = true)
-      else graft.functions.DsirScore.of(toks(col(textCol)), lam))
+      graft.functions.DsirScore.of(toks(col(textCol)), lam, md5 = portableHash))
   }
 
   /** Reference Column formulation of the per-doc score: an interpreted
-    * HOF fold over [[bucketsOf]]. The portable path scores with this
-    * (md5 buckets — the DuckDB-replayable oracle shape); the fast path
-    * dispatches to the one-pass [[graft.functions.DsirScore]] kernel,
-    * bit-identical to this fold over the k=1/k=2 window-hash buckets
-    * (OpsSpec-pinned, including summation order). */
+    * HOF fold over [[bucketsByFold]]. Both production paths dispatch
+    * to the one-pass [[graft.functions.DsirScore]] kernels,
+    * bit-identical to this fold under the matching hasher
+    * (OpsSpec-pinned, including the unigrams-then-bigrams summation
+    * order); kept for that pin only. */
   def scoreByFold(text: Column, lam: Array[Double], buckets: Int,
       portableHash: Boolean): Column = {
     val lamLit = typedLit(lam)
-    aggregate(bucketsOf(text, buckets, portableHash), lit(0.0),
+    aggregate(bucketsByFold(text, buckets, portableHash), lit(0.0),
       (acc, b) => acc + element_at(lamLit, b + 1))
   }
 

@@ -1545,24 +1545,24 @@ class OpsSpec extends SparkFunSuite {
     ).toDF("id", "text")
     val toksCol = filter(split(lower(trim(col("text"))), "\\s+"),
       t => length(t) > 0)
-    val lamLit = typedLit(lam)
-    val rows = texts.select(col("id"),
-      graft.functions.DsirScore.of(toksCol, lam).as("kernel"),
-      aggregate(Dsir.bucketsByFold(col("text"), 512), lit(0.0),
-        (acc, b) => acc + element_at(lamLit, b + 1)).as("fold"))
-      .collect()
-    rows.foreach { r =>
-      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
-        java.lang.Double.doubleToLongBits(r.getDouble(2)),
-        s"id=${r.getLong(0)}: kernel ${r.getDouble(1)} != fold ${r.getDouble(2)}")
-    }
-    // the bucket kernel agrees with the HOF formulation element-for-element
-    val bk = texts.select(col("id"),
-      graft.functions.DsirScore.bucketsOf(toksCol, 512).as("k"),
-      Dsir.bucketsByFold(col("text"), 512).as("f")).collect()
-    bk.foreach { r =>
-      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
-        s"id=${r.getLong(0)}: bucket kernel != fold")
+    for (md5Path <- Seq(false, true)) {
+      val rows = texts.select(col("id"),
+        graft.functions.DsirScore.of(toksCol, lam, md5 = md5Path).as("kernel"),
+        Dsir.scoreByFold(col("text"), lam, 512, portableHash = md5Path).as("fold"))
+        .collect()
+      rows.foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(2)),
+          s"md5=$md5Path id=${r.getLong(0)}: kernel ${r.getDouble(1)} != fold ${r.getDouble(2)}")
+      }
+      // the bucket kernel agrees with the HOF formulation element-for-element
+      val bk = texts.select(col("id"),
+        graft.functions.DsirScore.bucketsOf(toksCol, 512, md5 = md5Path).as("k"),
+        Dsir.bucketsByFold(col("text"), 512, portableHash = md5Path).as("f")).collect()
+      bk.foreach { r =>
+        assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+          s"md5=$md5Path id=${r.getLong(0)}: bucket kernel != fold")
+      }
     }
   }
 
