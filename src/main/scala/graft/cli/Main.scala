@@ -79,11 +79,13 @@ object Main {
       |          [--token-count bpe|whitespace|COL] [--seq-len N [--drop-partial]]
       |          (--seq-len chunks into fixed-length sequences with doc
       |           boundaries; without it packs are concatenated whole)
-      |  dsir    --input RAW --target TARGET --output PATH (--k N | --weights-only)
-      |          [--buckets 65536] [--alpha 1.0] [--temperature 1.0] [--seed 42]
-      |          [--id-col doc_id] [--text-col text]
+      |  dsir    --input RAW (--target TARGET | --target-dist DIST) --output PATH
+      |          (--k N | --weights-only) [--buckets 65536] [--alpha 1.0]
+      |          [--temperature 1.0] [--seed 42] [--id-col doc_id] [--text-col text]
+      |          [--save-target-dist PATH]
       |          (DSIR importance resampling: select raw docs that look
-      |           like the target corpus; --weights-only writes scores)
+      |           like the target corpus; --weights-only writes scores;
+      |           --save-target-dist persists the target fit for reuse)
       |""".stripMargin
 
   private def session(): SparkSession = {
@@ -660,26 +662,44 @@ object Main {
     0
   }
 
-  /** `graft dsir --input raw.parquet --target target.parquet --output
-    * selected.parquet --k N [--buckets 65536] [--alpha 1.0]
-    * [--temperature 1.0] [--seed 42] [--id-col doc_id] [--text-col
-    * text] [--weights-only]`: DSIR importance resampling
+  /** `graft dsir --input raw.parquet (--target target.parquet |
+    * --target-dist dist.parquet) --output selected.parquet --k N
+    * [--buckets 65536] [--alpha 1.0] [--temperature 1.0] [--seed 42]
+    * [--id-col doc_id] [--text-col text] [--weights-only]
+    * [--save-target-dist PATH]`: DSIR importance resampling
     * ([[graft.ops.Dsir]]) — score every raw doc against the target
-    * distribution, then Gumbel-top-k select (or, with
+    * distribution (fit here from --target, or a persisted fit from
+    * --target-dist), then Gumbel-top-k select (or, with
     * `--weights-only`, write the scored corpus instead). */
   private[graft] def cmdDsir(args: Array[String]): Int = {
     val (f, _) = flags(args)
     val spark = session()
     import graft.ops.Dsir
     val input = req(f, "input", "dsir needs --input PATH (the raw parquet corpus)")
-    val target = req(f, "target", "dsir needs --target PATH (the target-domain parquet corpus)")
     val output = req(f, "output", "dsir needs --output PATH")
     val idCol = f.getOrElse("id-col", "doc_id")
     val textCol = f.getOrElse("text-col", "text")
-    val scored = Dsir.importanceWeights(
-      spark.read.parquet(input), spark.read.parquet(target), textCol,
-      buckets = f.getOrElse("buckets", "65536").toInt,
-      alpha = f.getOrElse("alpha", "1.0").toDouble)
+    val buckets = f.getOrElse("buckets", "65536").toInt
+    val alpha = f.getOrElse("alpha", "1.0").toDouble
+    // --target-dist reuses a persisted fit (the recurring-refresh
+    // shape); --target fits the target corpus here, and
+    // --save-target-dist persists that fit for the next refresh
+    val targetDist = f.get("target-dist") match {
+      case Some(dp) => Dsir.loadDistribution(spark, dp)
+      case None =>
+        val t = req(f, "target",
+          "dsir needs --target PATH (a target-domain parquet corpus) or --target-dist PATH")
+        val dist = Dsir.bucketDistribution(
+          spark.read.parquet(t), textCol, buckets)
+        f.get("save-target-dist").foreach { sp =>
+          Dsir.saveDistribution(dist, sp)
+          println(s"target_dist=$sp (buckets=$buckets)")
+        }
+        dist
+    }
+    val scored = Dsir.importanceWeightsFromTarget(
+      spark.read.parquet(input), targetDist, textCol,
+      buckets = buckets, alpha = alpha)
     val out =
       if (f.contains("weights-only")) scored
       else Dsir.resampleTopK(scored,

@@ -109,11 +109,37 @@ object Dsir {
     df.select(explode(bucketsOf(col(textCol), buckets, portableHash)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
+  /** Persist a bucket distribution as parquet — fit the (small)
+    * target corpus once and reuse it across raw-corpus refreshes via
+    * [[importanceWeightsFromTarget]] (the [[QualityFilters]] LM
+    * save/load pattern). The saved frame is ≤ `buckets` rows. Record
+    * the (buckets, hasher) pair out of band: a distribution only
+    * composes with a raw corpus fit under the SAME pair (loading
+    * against a different bucket count fails fast in the λ build). */
+  def saveDistribution(dist: DataFrame, path: String): Unit =
+    dist.write.mode("overwrite").parquet(path)
+
+  def loadDistribution(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(df.columns.toSet == Set("bucket", "cnt"),
+      s"$path is not a DSIR bucket distribution " +
+        s"(want columns [bucket, cnt], got [${df.columns.mkString(", ")}])")
+    df
+  }
+
   /** Collect a bucket distribution into a dense driver-side array —
     * bounded by `buckets` rows (≤ [[MaxBuckets]]) by construction. */
   private def dense(dist: DataFrame, buckets: Int): Array[Long] = {
     val arr = new Array[Long](buckets)
-    dist.collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    dist.select(col("bucket").cast("int"), col("cnt").cast("long"))
+      .collect().foreach { r =>
+        val b = r.getInt(0)
+        require(b >= 0 && b < buckets,
+          s"bucket id $b outside [0, $buckets) — was this distribution " +
+            "fit with a different bucket count or hasher?")
+        arr(b) = r.getLong(1)
+      }
     arr
   }
 
@@ -131,9 +157,23 @@ object Dsir {
   def importanceWeights(raw: DataFrame, target: DataFrame,
       textCol: String = "text", buckets: Int = 8192, alpha: Double = 1.0,
       portableHash: Boolean = false,
+      weightCol: String = "dsir_logw"): DataFrame =
+    importanceWeightsFromTarget(raw,
+      bucketDistribution(target, textCol, buckets, portableHash),
+      textCol, buckets, alpha, portableHash, weightCol)
+
+  /** [[importanceWeights]] against an ALREADY-FIT target distribution
+    * (from [[bucketDistribution]], typically persisted via
+    * [[saveDistribution]]): the recurring-refresh shape — the target
+    * never changes between corpus drops, so only the raw distribution
+    * is refit. The distribution must have been fit under the SAME
+    * (buckets, portableHash) pair. */
+  def importanceWeightsFromTarget(raw: DataFrame, targetDist: DataFrame,
+      textCol: String = "text", buckets: Int = 8192, alpha: Double = 1.0,
+      portableHash: Boolean = false,
       weightCol: String = "dsir_logw"): DataFrame = {
     require(alpha > 0, s"alpha must be > 0 (smoothing), got $alpha")
-    val tgt = dense(bucketDistribution(target, textCol, buckets, portableHash), buckets)
+    val tgt = dense(targetDist, buckets)
     val rawD = dense(bucketDistribution(raw, textCol, buckets, portableHash), buckets)
     val tTot = tgt.sum.toDouble
     val rTot = rawD.sum.toDouble

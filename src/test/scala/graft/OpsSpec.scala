@@ -1566,6 +1566,32 @@ class OpsSpec extends SparkFunSuite {
     }
   }
 
+  test("dsir: persisted target distribution scores identically; mismatches fail fast") {
+    import graft.ops.Dsir
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_dist").toString
+    val target = docs.filter(col("source") === "src0")
+    Dsir.saveDistribution(
+      Dsir.bucketDistribution(target, "text", 2048), s"$dir/tgt.parquet")
+    val loaded = Dsir.loadDistribution(spark, s"$dir/tgt.parquet")
+    def weights(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "dsir_logw").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = weights(Dsir.importanceWeights(docs, target, buckets = 2048))
+    val viaStore = weights(
+      Dsir.importanceWeightsFromTarget(docs, loaded, buckets = 2048))
+    assert(direct == viaStore, "stored fit must replay the direct fit exactly")
+    // distribution fit under a different bucket count: fail fast, not garbage
+    val e = intercept[IllegalArgumentException] {
+      Dsir.importanceWeightsFromTarget(docs, loaded, buckets = 64)
+    }
+    assert(e.getMessage.contains("bucket"))
+    // arbitrary parquet is not a distribution
+    val e2 = intercept[IllegalArgumentException] {
+      Dsir.loadDistribution(spark, s"$sf/documents.parquet")
+    }
+    assert(e2.getMessage.contains("not a DSIR bucket distribution"))
+  }
+
   test("dsir: gumbel top-k is deterministic, k-sized, greedy at low temperature") {
     import graft.ops.Dsir
     val scored = Dsir.importanceWeights(
