@@ -879,6 +879,22 @@ object SparkEntry {
       graft.ops.Dsir.resampleTopK(scored, k = 50)
         .select(col("doc_id"), col("dsir_key"))
         .orderBy(desc("dsir_key"), col("doc_id"))
+    }),
+    // fastText-style classifier quality scoring: logistic regression
+    // over hashed-n-gram bucket counts, trained src0-vs-(src1,src2),
+    // scored scan-side through the bucket kernel. LBFGS training has
+    // no DuckDB replay, so this is the deliberate rows-only entry —
+    // behavior is pinned by OpsSpec (planted separation, save/load,
+    // both hashers) and the ExtensionsSpec curation stage test.
+    "q_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.ops.QualityClassifier.train(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source").isin("src1", "src2")),
+        buckets = 2048)
+      graft.ops.QualityClassifier.score(docs, m)
+        .select(col("doc_id"), round(col("quality_prob"), 6).as("quality_prob"))
+        .orderBy("doc_id")
     })
   )
 

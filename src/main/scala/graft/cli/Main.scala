@@ -40,6 +40,7 @@ object Main {
           case "curate"  => cmdCurate(rest)
           case "pack"    => cmdPack(rest)
           case "dsir"    => cmdDsir(rest)
+          case "classify" => cmdClassify(rest)
           case "help" | "-h" | "--help" => println(usage); 0
           case other => System.err.println(s"Unknown command '$other'\n$usage"); 2
         }
@@ -72,6 +73,8 @@ object Main {
       |          [--unigram-buckets N [--unigram-keep K]]
       |          [--decontaminate EVAL_PARQUET [--decontaminate-ngram 8]]
       |          [--semdedup-col COL [--semdedup-threshold 0.95] [--semdedup-nlist 16]]
+      |          [--classifier-positives PARQUET | --classifier-model DIR]
+      |          [--classifier-min-prob 0.5] [--classifier-negative-rate 0.01]
       |          [--dsir-target PARQUET --dsir-k N [--dsir-buckets 65536] [--dsir-temperature 1.0]]
       |          [--near-dup minhash|ngram] [--near-dup-threshold 0.8] [--json PATH]
       |  pack    --input PATH --output PATH [--id-col doc_id] [--text-col text]
@@ -86,6 +89,12 @@ object Main {
       |          (DSIR importance resampling: select raw docs that look
       |           like the target corpus; --weights-only writes scores;
       |           --save-target-dist persists the target fit for reuse)
+      |  classify --input RAW --output PATH
+      |          (--positives REF [--negatives RAW_SAMPLE] [--save-model DIR] | --model DIR)
+      |          [--min-prob 0.5] [--buckets 65536] [--score-only] [--text-col text]
+      |          (fastText-style quality classifier: train positives-vs-
+      |           negatives, keep docs with P(quality) >= min-prob;
+      |           --score-only writes quality_prob instead of filtering)
       |""".stripMargin
 
   private def session(): SparkSession = {
@@ -578,6 +587,16 @@ object Main {
         Curation.SemDeDupConfig(c,
           threshold = f.getOrElse("semdedup-threshold", "0.95").toDouble,
           nlist = f.getOrElse("semdedup-nlist", "16").toInt)),
+      classifier = f.get("classifier-positives").map(pp =>
+        Curation.ClassifierConfig(
+          positives = Some(spark.read.parquet(pp)),
+          minProb = f.getOrElse("classifier-min-prob", "0.5").toDouble,
+          negativeRate = f.getOrElse("classifier-negative-rate", "0.01").toDouble,
+          buckets = f.getOrElse("classifier-buckets", "65536").toInt))
+        .orElse(f.get("classifier-model").map(mp =>
+          Curation.ClassifierConfig(
+            model = Some(graft.ops.QualityClassifier.load(spark, mp)),
+            minProb = f.getOrElse("classifier-min-prob", "0.5").toDouble))),
       dsir = f.get("dsir-target").map(path =>
         Curation.DsirConfig(spark.read.parquet(path),
           k = req(f, "dsir-k", "--dsir-target needs --dsir-k N (how many docs to select)").toInt,
@@ -710,6 +729,43 @@ object Main {
     out.write.mode("overwrite").parquet(output)
     val n = spark.read.parquet(output).count()
     println(s"${if (f.contains("weights-only")) "scored" else "selected"}=$n written=$output")
+    0
+  }
+
+  /** `graft classify`: train ([[graft.ops.QualityClassifier.train]])
+    * or load a quality classifier, then filter (or, with
+    * `--score-only`, score) the input corpus. Without --negatives the
+    * negative class is a deterministic 1% hash-sample of the input. */
+  private[graft] def cmdClassify(args: Array[String]): Int = {
+    val (f, _) = flags(args)
+    val spark = session()
+    import graft.ops.{QualityClassifier, Sampling}
+    val input = req(f, "input", "classify needs --input PATH (a parquet corpus)")
+    val output = req(f, "output", "classify needs --output PATH")
+    val textCol = f.getOrElse("text-col", "text")
+    val buckets = f.getOrElse("buckets", "65536").toInt
+    val raw = spark.read.parquet(input)
+    val model = f.get("model") match {
+      case Some(mp) => QualityClassifier.load(spark, mp)
+      case None =>
+        val pos = spark.read.parquet(req(f, "positives",
+          "classify needs --positives PATH (a reference corpus) or --model DIR"))
+        val neg = f.get("negatives").map(spark.read.parquet)
+          .getOrElse(Sampling.hashSample(raw, f.getOrElse("id-col", "doc_id"), 0.01))
+        val m = QualityClassifier.train(pos, neg, textCol, buckets)
+        f.get("save-model").foreach { mp =>
+          QualityClassifier.save(m, mp, spark)
+          println(s"model=$mp (buckets=$buckets)")
+        }
+        m
+    }
+    val out =
+      if (f.contains("score-only")) QualityClassifier.score(raw, model, textCol)
+      else QualityClassifier.filterByQuality(raw, model,
+        f.getOrElse("min-prob", "0.5").toDouble, textCol)
+    out.write.mode("overwrite").parquet(output)
+    val n = spark.read.parquet(output).count()
+    println(s"${if (f.contains("score-only")) "scored" else "kept"}=$n written=$output")
     0
   }
 

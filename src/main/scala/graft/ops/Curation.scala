@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * repetition rules → quality/language filter → blocklist → URL dedup
   * → corpus boilerplate removal → exact dedup → C4 span dedup →
   * ExactSubstr passage removal → CCNet unigram/bigram LM bucketing →
+  * classifier quality filter →
   * benchmark decontamination → near-dup dedup → SemDeDup → DSIR
   * target selection — with per-stage drop accounting so nothing is
   * silently lost.
@@ -141,6 +142,25 @@ object Curation {
     * drops documents left blank by the removal. */
   final case class ExactSubstrConfig(k: Int = 20, dropEmptied: Boolean = true)
 
+  /** fastText-style classifier quality stage
+    * ([[QualityClassifier]]): score every surviving document under a
+    * logistic model trained positive-vs-negative and keep those at or
+    * above `minProb`. `model` skips training (the train-once
+    * score-every-drop shape); otherwise positives come from
+    * `positives` (a small reference corpus) and negatives from a
+    * deterministic `negativeRate` hash-sample of the CURRENT
+    * survivors. Runs with the other statistical quality stages —
+    * post-dedup, so duplicates cannot skew the fit. */
+  final case class ClassifierConfig(
+      positives: Option[DataFrame] = None,
+      minProb: Double = 0.5,
+      negativeRate: Double = 0.01,
+      buckets: Int = 65536,
+      model: Option[QualityClassifier.Model] = None) {
+    require(model.isDefined || positives.isDefined,
+      "ClassifierConfig needs a trained model or a positives corpus")
+  }
+
   /** Benchmark-decontamination stage ([[Dedup.decontaminate]]): drop
     * every surviving document sharing an `n`-gram with `eval`. The
     * eval shingle set is broadcast (`broadcastEval = false` for an
@@ -192,6 +212,7 @@ object Curation {
       exactSubstr: Option[ExactSubstrConfig] = None,
       unigram: Option[UnigramConfig] = None,
       bigram: Option[BigramConfig] = None,
+      classifier: Option[ClassifierConfig] = None,
       decontaminate: Option[DecontaminateConfig] = None,
       semDedup: Option[SemDeDupConfig] = None,
       dsir: Option[DsirConfig] = None)
@@ -424,16 +445,33 @@ object Curation {
       case None => uniKept
     }
 
+    // ---- classifier quality stage (post-dedup, with the other
+    // statistical quality stages): train on bounded frames, score the
+    // survivors scan-side through the bucket kernel ------------------
+    val clsKept = hygiene.classifier match {
+      case Some(cc) =>
+        val model = cc.model.getOrElse {
+          val negatives = Sampling.hashSample(lmKept, idCol, cc.negativeRate)
+          staged("classifier fit")(QualityClassifier.train(
+            cc.positives.get, negatives, textCol, cc.buckets))
+        }
+        val kept = stageCp(
+          QualityClassifier.filterByQuality(lmKept, model, cc.minProb, textCol))
+        ledger += ("classifier" -> staged("classifier filter")(kept.count()))
+        kept
+      case None => lmKept
+    }
+
     // ---- benchmark decontamination ------------------------------------
     // a cheap broadcast anti-join (train side never shuffles) that
     // shrinks the input to the expensive pair-generating stages below
     val decontKept = hygiene.decontaminate match {
       case Some(dc) =>
         val kept = stageCp(Dedup.decontaminate(
-          lmKept, dc.eval, idCol, textCol, dc.n, dc.broadcastEval))
+          clsKept, dc.eval, idCol, textCol, dc.n, dc.broadcastEval))
         ledger += ("contaminated" -> staged("decontaminate")(kept.count()))
         kept
-      case None => lmKept
+      case None => clsKept
     }
 
     // ---- near-dup dedup: the expensive stage runs over the smallest

@@ -51,7 +51,7 @@ object Dsir {
 
   /** Lowercased whitespace tokens — the shared corpus tokenization
     * (same normal form as the bigram LM / unigram scorers). */
-  private def toks(text: Column): Column =
+  private[ops] def toks(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
   /** Unigram + bigram surface forms of a document (DSIR's feature

@@ -346,6 +346,42 @@ class CliSpec extends SparkFunSuite {
     assert(w.columns.contains("dsir_logw") && w.count() == 80)
   }
 
+  test("classify command: train+save, filter via saved model") {
+    val dir = Files.createTempDirectory("graft_cli_classify")
+    val raw = s"$dir/raw.parquet"
+    val ref = s"$dir/ref.parquet"
+    val neg = s"$dir/neg.parquet"
+    ((1 to 30).map(i => (i.toLong, s"cat purr kitten whiskers nap c$i")) ++
+      (31 to 60).map(i => (i.toLong, s"dog bark kennel bone growl d$i")))
+      .toDF("doc_id", "text").write.parquet(raw)
+    (1 to 8).map(i => (100L + i, "cat kitten purr nap whiskers"))
+      .toDF("doc_id", "text").write.parquet(ref)
+    (31 to 60).map(i => (i.toLong, s"dog bark kennel bone growl d$i"))
+      .toDF("doc_id", "text").write.parquet(neg)
+    val keptOut = s"$dir/kept.parquet"
+    val modelOut = s"$dir/model.parquet"
+    val outCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCap)) {
+      assert(graft.cli.Main.cmdClassify(Array(
+        "--input", raw, "--output", keptOut,
+        "--positives", ref, "--negatives", neg,
+        "--save-model", modelOut, "--buckets", "1024")) == 0)
+    }
+    assert(outCap.toString.contains("model=") && outCap.toString.contains("kept="))
+    val kept = spark.read.parquet(keptOut).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (1 to 30).map(_.toLong).toSet, s"got $kept")
+    // scoring via the saved model, no retrain
+    val scoredOut = s"$dir/scored.parquet"
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdClassify(Array(
+        "--input", raw, "--output", scoredOut,
+        "--model", modelOut, "--score-only")) == 0)
+    }
+    val scored = spark.read.parquet(scoredOut)
+    assert(scored.count() == 60 && scored.columns.contains("quality_prob"))
+  }
+
   test("inspect: exact and --approx modes both report usable distincts") {
     val dir = Files.createTempDirectory("graft_cli_inspect")
     val p = s"$dir/t.parquet"

@@ -376,6 +376,45 @@ class ExtensionsSpec extends SparkFunSuite {
     r.release()
   }
 
+  test("curation classifier stage keeps reference-like docs, runs post-dedup") {
+    import graft.ops.Curation
+    val docs = ((1 to 20).map(i => (i.toLong, s"cat purr kitten whiskers nap c$i")) ++
+      (21 to 40).map(i => (i.toLong, s"dog bark kennel bone growl d$i")))
+      .toDF("doc_id", "text")
+    val reference = (1 to 10).map(i => (200L + i, "cat kitten purr nap whiskers"))
+      .toDF("doc_id", "text")
+    // negatives: the full survivor sample (rate 1.0; planted-scale
+    // corpora are too small for the default 1%). The sample CONTAINS
+    // the cat docs — the GPT-3-style noisy-negative setup — so where
+    // cats land depends on the fit; what IS deterministic is that dog
+    // docs (absent from the positives) score ~0 and drop, and the
+    // stage runs between exact dedup and near-dup
+    val r = Curation.curate(docs, minQuality = 0.0, languages = Nil,
+      nearDupThreshold = 0.99,
+      hygiene = Curation.HygieneConfig(
+        classifier = Some(Curation.ClassifierConfig(
+          positives = Some(reference), minProb = 0.15,
+          negativeRate = 1.0, buckets = 1024))))
+    assert(r.stats.stages.map(_._1) == Vector("quality", "language",
+      "exact_dup", "classifier", "near_dup"))
+    val kept = r.df.select("doc_id").as[Long].collect().toSet
+    assert(kept.forall(_ <= 20L),
+      s"no dog doc may pass the classifier, got $kept")
+    assert(r.stats.dropped("classifier") >= 20,
+      s"the 20 dog docs must be dropped: ${r.stats.dropped}")
+    // a pre-trained model skips the fit and gives the same outcome
+    val m = graft.ops.QualityClassifier.train(reference,
+      docs.filter($"doc_id" > 20L), buckets = 1024)
+    val r2 = Curation.curate(docs, minQuality = 0.0, languages = Nil,
+      nearDupThreshold = 0.99,
+      hygiene = Curation.HygieneConfig(
+        classifier = Some(Curation.ClassifierConfig(
+          model = Some(m), minProb = 0.5))))
+    val kept2 = r2.df.select("doc_id").as[Long].collect().toSet
+    assert(kept2 == (1 to 20).map(_.toLong).toSet, s"got $kept2")
+    r.release(); r2.release()
+  }
+
   test("curation exactSubstr stage drops terminator-free duplicated passages") {
     import graft.ops.Curation
     val run = (1 to 10).map(i => s"tok$i").mkString(" ")

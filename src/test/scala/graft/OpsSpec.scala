@@ -1592,6 +1592,46 @@ class OpsSpec extends SparkFunSuite {
     assert(e2.getMessage.contains("not a DSIR bucket distribution"))
   }
 
+  test("quality classifier: separation, filtering, save/load, both hashers") {
+    import graft.ops.QualityClassifier
+    val pos = (1 to 40).map(i =>
+      (i.toLong, s"cat purr kitten whiskers nap soft c${i % 7}"))
+      .toDF("doc_id", "text")
+    val neg = (1 to 40).map(i =>
+      (100L + i, s"dog bark kennel bone growl fetch d${i % 7}"))
+      .toDF("doc_id", "text")
+    val all = pos.unionByName(neg)
+    for (portable <- Seq(false, true)) {
+      val m = QualityClassifier.train(pos, neg, buckets = 1024,
+        portableHash = portable)
+      assert(m.buckets == 1024)
+      val scored = QualityClassifier.score(all, m)
+        .select("doc_id", "quality_prob")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(scored.values.forall(p => p >= 0.0 && p <= 1.0))
+      assert(scored.filter(_._1 <= 40L).values.min > 0.8,
+        s"portable=$portable: positives should score high")
+      assert(scored.filter(_._1 > 40L).values.max < 0.2,
+        s"portable=$portable: negatives should score low")
+      val kept = QualityClassifier.filterByQuality(all, m, minProb = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == (1 to 40).map(_.toLong).toSet)
+      assert(!kept.exists(_ > 40L))
+    }
+    // save/load round trip scores identically; junk parquet rejected
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc").toString
+    val m = QualityClassifier.train(pos, neg, buckets = 512)
+    QualityClassifier.save(m, s"$dir/model.parquet", spark)
+    val loaded = QualityClassifier.load(spark, s"$dir/model.parquet")
+    assert(loaded.weights.toSeq == m.weights.toSeq &&
+      loaded.intercept == m.intercept &&
+      loaded.portableHash == m.portableHash)
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.load(spark, s"$sf/documents.parquet")
+    }
+    assert(e.getMessage.contains("not a quality-classifier model"))
+  }
+
   test("dsir: gumbel top-k is deterministic, k-sized, greedy at low temperature") {
     import graft.ops.Dsir
     val scored = Dsir.importanceWeights(
