@@ -401,6 +401,20 @@ object Bench {
     -1L
   }
 
+  /** Deterministic training-order shuffle + contiguous global index
+    * over the synthetic corpus (`shuffle_10m`): the full text payload
+    * rides ONE range exchange, the checkpointed layout feeds the
+    * two-job zipWithIndex shape, ordered output written back — the
+    * last pipeline step before a trainer streams the corpus. */
+  private[graft] def shuffleScenario(nDocs: Long)(spark: SparkSession): Long = {
+    val cp = corpusScenario(spark, nDocs)
+    spark.catalog.clearCache()
+    graft.ops.Sampling.globalOrderIndex(
+        spark.read.parquet(cp).select("doc_id", "text"), "doc_id")
+      .write.mode("overwrite").parquet(s"$benchDir/shuffled_$nDocs.parquet")
+    -1L
+  }
+
   /** DSIR importance resampling over the synthetic corpus
     * (judge-tracked `dsir_1m`): two bounded bucket-distribution
     * aggregations (target = the %97 slice, ~1%), scan-side λ-literal
@@ -549,7 +563,10 @@ object Bench {
       "exactsubstr_300k" -> (() => { exactSubstrScenario(300000L)(spark); () }),
       "chunk_1m" -> (() => { chunkScenario(1000000L)(spark); () }),
       // DSIR selection: fit + scan-side score + Gumbel top-5% of 1M
-      "dsir_1m" -> (() => { dsirScenario(1000000L)(spark); () })
+      "dsir_1m" -> (() => { dsirScenario(1000000L)(spark); () }),
+      // training-order shuffle + global index: the full text payload
+      // through one range exchange + the two-job index stamp
+      "shuffle_10m" -> (() => { shuffleScenario(10000000L)(spark); () })
     )
 
     def median(xs: Seq[Double]): Double = {

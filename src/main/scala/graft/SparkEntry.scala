@@ -855,6 +855,49 @@ object SparkEntry {
         .select(col("lang"), round(col("weight"), 9).as("weight"))
         .orderBy("lang")
     }),
+    // Token-budget corpus mixing: per-language token-volume targets
+    // (100k-token budget, 50/30/20 en/de/fr) turned into repetition
+    // weights from the corpus's own token totals, applied with the
+    // shared deterministic fractional oversampling. The oracle refits
+    // the weights from scratch (totals → budget division → floor/
+    // threshold), so the whole data-dependent path replays.
+    "q_mix_token_budget" -> ((s, dir) =>
+      graft.ops.Sampling.mixByTokenBudget(t(s, dir, "documents"), "doc_id",
+          "lang", Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2),
+          tokenBudget = 100000L)
+        .select(col("doc_id"), col("lang"), col("rep_idx").cast("long").as("rep_idx"))
+        .orderBy("doc_id", "rep_idx")),
+    // Deterministic corpus shuffle with contiguous global position:
+    // the two-job zipWithIndex shape (range sort + per-partition
+    // offsets) must reproduce exactly ROW_NUMBER over the hash order.
+    "q_shuffle_index" -> ((s, dir) =>
+      graft.ops.Sampling.globalOrderIndex(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("global_idx"))
+        .orderBy("doc_id")),
+    // Per-source corpus profile + ROLLUP total: doc/distinct-text/
+    // token/char counts, min/max/mean doc tokens, in ONE aggregation.
+    "q_corpus_profile" -> ((s, dir) =>
+      graft.ops.TextAnalysis.corpusProfile(t(s, dir, "documents"))
+        .select(col("source"), col("is_total"), col("n_docs"),
+          col("n_unique_texts"), col("n_tokens"), col("n_chars"),
+          col("min_doc_tokens"), col("max_doc_tokens"),
+          round(col("avg_doc_tokens"), 6).as("avg_doc_tokens"))
+        .orderBy("is_total", "source")),
+    // HTML-to-text: each doc wrapped in a synthesized page (style +
+    // script blocks with angle brackets inside, entity soup incl. a
+    // double-escaped &amp;amp;) and stripped back; the regex chain is
+    // shared RE2/Java syntax so the oracle replays it verbatim.
+    "q_html_strip" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><style>p { color: red; }</style></head><body><p>"),
+        col("text"),
+        lit("</p><script type=\"text/js\">var x = 1 < 2;</script>" +
+          "<div>tail &amp;amp; &lt;b&gt; &nbsp;x</div></body></html>"))
+      t(s, dir, "documents").withColumn("text", html)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.stripHtml(col("text")).as("text"))
+        .orderBy("doc_id")
+    }),
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // bucket distributions fit on target (source = src0) vs raw (all
     // docs), per-doc log importance weight scored scan-side against
@@ -2171,6 +2214,76 @@ object SparkEntry {
         |      FROM c)
         |SELECT lang, round(least(4.0, raw / (SELECT min(raw) FROM t)), 9) AS weight
         |FROM t ORDER BY lang""".stripMargin,
+
+    // token-budget mixing: refit weight = min(10, budget*frac/T_lang)
+    // with the exact Scala operand order ((b * frac) / T, all IEEE
+    // doubles), then replay mixByWeight's floor + fractional-threshold
+    // repetition under the shared "mix" salt. floor-then-CAST mirrors
+    // rateThreshold's toLong truncation (positive values only).
+    "q_mix_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM d GROUP BY lang),
+        |w AS (
+        |  SELECT lang,
+        |    least(10.0, (CAST(100000 AS DOUBLE) *
+        |      CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+        |                WHEN 'fr' THEN 0.2 ELSE 0.0 END) / CAST(t AS DOUBLE)) AS wt
+        |  FROM tot),
+        |r AS (
+        |  SELECT doc_id, d.lang,
+        |    CAST(floor(wt) AS BIGINT)
+        |    + CASE WHEN ('0x' || substr(md5('mix:42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |                < CAST(floor((wt - floor(wt)) * 1152921504606846976.0) AS BIGINT)
+        |           THEN 1 ELSE 0 END AS reps
+        |  FROM d JOIN w USING (lang) WHERE wt > 0)
+        |SELECT doc_id, lang, unnest(range(reps)) AS rep_idx
+        |FROM r WHERE reps > 0 ORDER BY doc_id, rep_idx""".stripMargin,
+
+    "q_shuffle_index" ->
+      """SELECT doc_id,
+        |  ROW_NUMBER() OVER (
+        |    ORDER BY ('0x' || substr(md5('shuffle:42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |             doc_id) - 1 AS global_idx
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_profile" ->
+      """WITH d AS (
+        |  SELECT source, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents)
+        |SELECT source, CAST(GROUPING(source) AS INT) AS is_total,
+        |  count(*) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(min(n) AS BIGINT) AS min_doc_tokens,
+        |  CAST(max(n) AS BIGINT) AS max_doc_tokens,
+        |  round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_doc_tokens
+        |FROM d GROUP BY ROLLUP(source) ORDER BY is_total, source""".stripMargin,
+
+    "q_html_strip" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p { color: red; }</style></head><body><p>' || text ||
+        |    '</p><script type="text/js">var x = 1 < 2;</script>' ||
+        |    '<div>tail &amp;amp; &lt;b&gt; &nbsp;x</div></body></html>' AS h
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS h FROM synth),
+        |s2 AS (SELECT doc_id,
+        |  regexp_replace(h, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(
+        |    h, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS h FROM s3)
+        |SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS text
+        |FROM s4 ORDER BY doc_id""".stripMargin,
 
     // DSIR replay: featurize (lowercased whitespace unigrams+bigrams →
     // top-60-bit md5 bucket mod 8192) → fit add-1 smoothed target/raw

@@ -41,6 +41,8 @@ object Main {
           case "pack"    => cmdPack(rest)
           case "dsir"    => cmdDsir(rest)
           case "classify" => cmdClassify(rest)
+          case "profile" => cmdProfile(rest)
+          case "shuffle" => cmdShuffle(rest)
           case "help" | "-h" | "--help" => println(usage); 0
           case other => System.err.println(s"Unknown command '$other'\n$usage"); 2
         }
@@ -95,6 +97,19 @@ object Main {
       |          (fastText-style quality classifier: train positives-vs-
       |           negatives, keep docs with P(quality) >= min-prob;
       |           --score-only writes quality_prob instead of filtering)
+      |  profile --input PATH [--group-col source] [--text-col text] [--json PATH]
+      |          (per-group corpus stats + total: docs, distinct texts,
+      |           tokens, chars, doc-token min/max/mean — one agg pass)
+      |  shuffle --input PATH --output PATH [--id-col doc_id] [--seed 42]
+      |          [--index] [--shards N]
+      |          (deterministic training-order shuffle: global sort by
+      |           hash(seed, id); --index stamps a contiguous global_idx;
+      |           --shards N writes N ordered parquet shards)
+      |
+      |  Corpus commands (curate/pack/dsir/classify/profile/shuffle) read
+      |  and write parquet or JSONL: .jsonl/.json paths auto-detect, or
+      |  force with --input-format/--output-format parquet|jsonl. Parquet
+      |  is the scale path (JSONL schema inference re-reads the input).
       |""".stripMargin
 
   private def session(): SparkSession = {
@@ -115,6 +130,35 @@ object Main {
   private def req(f: Map[String, String], name: String, hint: String): String =
     f.getOrElse(name, throw graft.errors.Errors.config(
       s"missing required --$name.", hint))
+
+  /** Corpus read for the training-data commands: parquet (the scale
+    * path) or JSONL (the lingua franca of LLM data drops — one JSON
+    * object per line, `.jsonl`/`.json`/`.jsonl.gz` by extension or
+    * forced with `--input-format`). JSONL schema inference costs one
+    * extra full read of the data; at corpus scale convert to parquet
+    * once and run every later stage against that. */
+  private def readCorpus(spark: SparkSession, path: String,
+      format: Option[String]): org.apache.spark.sql.DataFrame =
+    format.getOrElse(inferFormat(path)) match {
+      case "parquet"         => spark.read.parquet(path)
+      case "jsonl" | "json"  => spark.read.json(path)
+      case other => throw graft.errors.Errors.config(
+        s"unknown corpus format '$other'.", "use parquet or jsonl")
+    }
+
+  private def writeCorpus(df: org.apache.spark.sql.DataFrame, path: String,
+      format: Option[String]): Unit =
+    format.getOrElse(inferFormat(path)) match {
+      case "parquet"        => df.write.mode("overwrite").parquet(path)
+      case "jsonl" | "json" => df.write.mode("overwrite").json(path)
+      case other => throw graft.errors.Errors.config(
+        s"unknown corpus format '$other'.", "use parquet or jsonl")
+    }
+
+  private def inferFormat(path: String): String =
+    if (path.endsWith(".jsonl") || path.endsWith(".json") ||
+        path.endsWith(".jsonl.gz") || path.endsWith(".json.gz")) "jsonl"
+    else "parquet"
 
   private def flags(args: Array[String]): (Map[String, String], List[String]) = {
     val m = scala.collection.mutable.Map.empty[String, String]
@@ -581,7 +625,7 @@ object Main {
             .getOrElse(math.max(1, b.toInt - 1)))
       },
       decontaminate = f.get("decontaminate").map(path =>
-        Curation.DecontaminateConfig(spark.read.parquet(path),
+        Curation.DecontaminateConfig(readCorpus(spark, path, f.get("input-format")),
           n = f.getOrElse("decontaminate-ngram", "8").toInt)),
       semDedup = f.get("semdedup-col").map(c =>
         Curation.SemDeDupConfig(c,
@@ -589,7 +633,7 @@ object Main {
           nlist = f.getOrElse("semdedup-nlist", "16").toInt)),
       classifier = f.get("classifier-positives").map(pp =>
         Curation.ClassifierConfig(
-          positives = Some(spark.read.parquet(pp)),
+          positives = Some(readCorpus(spark, pp, f.get("input-format"))),
           minProb = f.getOrElse("classifier-min-prob", "0.5").toDouble,
           negativeRate = f.getOrElse("classifier-negative-rate", "0.01").toDouble,
           buckets = f.getOrElse("classifier-buckets", "65536").toInt))
@@ -598,7 +642,7 @@ object Main {
             model = Some(graft.ops.QualityClassifier.load(spark, mp)),
             minProb = f.getOrElse("classifier-min-prob", "0.5").toDouble))),
       dsir = f.get("dsir-target").map(path =>
-        Curation.DsirConfig(spark.read.parquet(path),
+        Curation.DsirConfig(readCorpus(spark, path, f.get("input-format")),
           k = req(f, "dsir-k", "--dsir-target needs --dsir-k N (how many docs to select)").toInt,
           buckets = f.getOrElse("dsir-buckets", "65536").toInt,
           temperature = f.getOrElse("dsir-temperature", "1.0").toDouble)))
@@ -615,7 +659,7 @@ object Main {
       case None         => Seq("en")
     }
     val r = Curation.curate(
-      spark.read.parquet(input),
+      readCorpus(spark, input, f.get("input-format")),
       idCol = f.getOrElse("id-col", "doc_id"),
       textCol = f.getOrElse("text-col", "text"),
       minQuality = f.getOrElse("min-quality", "0.3").toDouble,
@@ -624,7 +668,7 @@ object Main {
       nearDup = nearDup,
       hygiene = hygiene,
       hasher = Dedup.xxHash)
-    r.df.write.mode("overwrite").parquet(output)
+    writeCorpus(r.df, output, f.get("output-format"))
     r.release() // output is on disk; drop the pipeline's internal caches
     println(s"input_rows=${r.stats.input}")
     val dropped = r.stats.dropped
@@ -664,7 +708,8 @@ object Main {
       case Some("whitespace") | None     => None
       case Some(c)                       => Some(col(c))
     }
-    val assigned = Sampling.packSequences(spark.read.parquet(input),
+    val assigned = Sampling.packSequences(
+      readCorpus(spark, input, f.get("input-format")),
       idCol, textCol,
       tokenBudget = f.getOrElse("token-budget", "2048").toLong,
       groups = f.getOrElse("groups", "1024").toInt,
@@ -675,8 +720,8 @@ object Main {
         seqLen = sl.toInt, dropPartial = f.contains("drop-partial"))
       case None => Sampling.materializePacks(assigned, idCol, textCol)
     }
-    out.write.mode("overwrite").parquet(output)
-    val n = spark.read.parquet(output).count()
+    writeCorpus(out, output, f.get("output-format"))
+    val n = readCorpus(spark, output, f.get("output-format")).count()
     println(s"${if (f.contains("seq-len")) "sequences" else "packs"}=$n written=$output")
     0
   }
@@ -709,7 +754,7 @@ object Main {
         val t = req(f, "target",
           "dsir needs --target PATH (a target-domain parquet corpus) or --target-dist PATH")
         val dist = Dsir.bucketDistribution(
-          spark.read.parquet(t), textCol, buckets)
+          readCorpus(spark, t, f.get("input-format")), textCol, buckets)
         f.get("save-target-dist").foreach { sp =>
           Dsir.saveDistribution(dist, sp)
           println(s"target_dist=$sp (buckets=$buckets)")
@@ -717,7 +762,7 @@ object Main {
         dist
     }
     val scored = Dsir.importanceWeightsFromTarget(
-      spark.read.parquet(input), targetDist, textCol,
+      readCorpus(spark, input, f.get("input-format")), targetDist, textCol,
       buckets = buckets, alpha = alpha)
     val out =
       if (f.contains("weights-only")) scored
@@ -726,8 +771,8 @@ object Main {
         idCol = idCol,
         seed = f.getOrElse("seed", "42").toInt,
         temperature = f.getOrElse("temperature", "1.0").toDouble)
-    out.write.mode("overwrite").parquet(output)
-    val n = spark.read.parquet(output).count()
+    writeCorpus(out, output, f.get("output-format"))
+    val n = readCorpus(spark, output, f.get("output-format")).count()
     println(s"${if (f.contains("weights-only")) "scored" else "selected"}=$n written=$output")
     0
   }
@@ -744,13 +789,14 @@ object Main {
     val output = req(f, "output", "classify needs --output PATH")
     val textCol = f.getOrElse("text-col", "text")
     val buckets = f.getOrElse("buckets", "65536").toInt
-    val raw = spark.read.parquet(input)
+    val raw = readCorpus(spark, input, f.get("input-format"))
     val model = f.get("model") match {
       case Some(mp) => QualityClassifier.load(spark, mp)
       case None =>
-        val pos = spark.read.parquet(req(f, "positives",
-          "classify needs --positives PATH (a reference corpus) or --model DIR"))
-        val neg = f.get("negatives").map(spark.read.parquet)
+        val pos = readCorpus(spark, req(f, "positives",
+          "classify needs --positives PATH (a reference corpus) or --model DIR"),
+          f.get("input-format"))
+        val neg = f.get("negatives").map(readCorpus(spark, _, f.get("input-format")))
           .getOrElse(Sampling.hashSample(raw, f.getOrElse("id-col", "doc_id"), 0.01))
         val m = QualityClassifier.train(pos, neg, textCol, buckets)
         f.get("save-model").foreach { mp =>
@@ -763,9 +809,90 @@ object Main {
       if (f.contains("score-only")) QualityClassifier.score(raw, model, textCol)
       else QualityClassifier.filterByQuality(raw, model,
         f.getOrElse("min-prob", "0.5").toDouble, textCol)
-    out.write.mode("overwrite").parquet(output)
-    val n = spark.read.parquet(output).count()
+    writeCorpus(out, output, f.get("output-format"))
+    val n = readCorpus(spark, output, f.get("output-format")).count()
     println(s"${if (f.contains("score-only")) "scored" else "kept"}=$n written=$output")
+    0
+  }
+
+  /** `graft profile`: per-group corpus statistics + ROLLUP total
+    * ([[graft.ops.TextAnalysis.corpusProfile]]) printed as a table,
+    * optionally dumped as JSON. */
+  private[graft] def cmdProfile(args: Array[String]): Int = {
+    val (f, _) = flags(args)
+    val spark = session()
+    val input = req(f, "input", "profile needs --input PATH (a parquet corpus)")
+    val groupCol = f.getOrElse("group-col", "source")
+    val rows = graft.ops.TextAnalysis.corpusProfile(
+        readCorpus(spark, input, f.get("input-format")),
+        groupCol, f.getOrElse("text-col", "text"))
+      .orderBy(col("is_total"), col(groupCol))
+      .collect()
+    val header = Seq(groupCol, "docs", "uniq_texts", "tokens", "chars",
+      "min_tok", "max_tok", "avg_tok")
+    val table = rows.map { r =>
+      Seq(if (r.getAs[Int]("is_total") == 1) "TOTAL" else r.getString(0),
+        r.getAs[Long]("n_docs").toString, r.getAs[Long]("n_unique_texts").toString,
+        r.getAs[Long]("n_tokens").toString, r.getAs[Long]("n_chars").toString,
+        r.getAs[Long]("min_doc_tokens").toString, r.getAs[Long]("max_doc_tokens").toString,
+        f"${r.getAs[Double]("avg_doc_tokens")}%.1f")
+    }
+    val widths = (header +: table.toSeq).transpose.map(_.map(_.length).max)
+    (header +: table.toSeq).foreach { cells =>
+      println(cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }.mkString("  "))
+    }
+    f.get("json").foreach { jp =>
+      val json = graft.util.Jsons.value(rows.toSeq.map { r =>
+        graft.util.Jsons.Raw(graft.util.Jsons.obj(
+          groupCol -> (if (r.getAs[Int]("is_total") == 1) null else r.getString(0)),
+          "is_total" -> r.getAs[Int]("is_total"),
+          "n_docs" -> r.getAs[Long]("n_docs"),
+          "n_unique_texts" -> r.getAs[Long]("n_unique_texts"),
+          "n_tokens" -> r.getAs[Long]("n_tokens"),
+          "n_chars" -> r.getAs[Long]("n_chars"),
+          "min_doc_tokens" -> r.getAs[Long]("min_doc_tokens"),
+          "max_doc_tokens" -> r.getAs[Long]("max_doc_tokens"),
+          "avg_doc_tokens" -> r.getAs[Double]("avg_doc_tokens")))
+      })
+      Files.writeString(Paths.get(jp), json + "\n")
+      println(s"json=$jp")
+    }
+    0
+  }
+
+  /** `graft shuffle`: deterministic training-order shuffle
+    * ([[graft.ops.Sampling.shuffleDeterministic]] /
+    * [[graft.ops.Sampling.globalOrderIndex]]); `--shards N` writes N
+    * ordered parquet shards (shard k holds the k-th contiguous range
+    * of the shuffled order — file layout a sequential trainer streams
+    * in order). */
+  private[graft] def cmdShuffle(args: Array[String]): Int = {
+    val (f, _) = flags(args)
+    val spark = session()
+    import graft.ops.Sampling
+    val input = req(f, "input", "shuffle needs --input PATH (a parquet corpus)")
+    val output = req(f, "output", "shuffle needs --output PATH")
+    val idCol = f.getOrElse("id-col", "doc_id")
+    val seed = f.getOrElse("seed", "42").toInt
+    val df = readCorpus(spark, input, f.get("input-format"))
+    // build the key (and, with --index, the global position) first;
+    // the single range exchange below both orders and shards — no
+    // redundant pre-sort
+    val keyed =
+      if (f.contains("index")) Sampling.globalOrderIndex(df, idCol, seed)
+      else df.withColumn("shuffle_key", Sampling.shuffleKeyOf(col(idCol), seed))
+    val out = f.get("shards") match {
+      case Some(nStr) =>
+        val nShards = nStr.toInt
+        require(nShards >= 1, s"--shards wants >= 1, got $nShards")
+        keyed.repartitionByRange(nShards, col("shuffle_key"), col(idCol))
+          .sortWithinPartitions(col("shuffle_key").asc, col(idCol).asc)
+      case None => keyed.orderBy(col("shuffle_key").asc, col(idCol).asc)
+    }
+    writeCorpus(out, output, f.get("output-format"))
+    val n = readCorpus(spark, output, f.get("output-format")).count()
+    println(s"shuffled=$n written=$output" +
+      f.get("shards").map(s => s" shards=$s").getOrElse(""))
     0
   }
 

@@ -202,6 +202,125 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic corpus shuffle (training-order randomization): sort
+    * by the unit hash of (seed, id) under the "shuffle" salt. The same
+    * id always lands at the same position regardless of cluster
+    * layout, partition count, or input file order — re-running the
+    * export reproduces the byte-identical training order, and a new
+    * seed is a fresh permutation. Plans as ONE range exchange + sort
+    * (Spark's scalable total order: sampled range boundaries, no
+    * single-partition funnel). The hash key is kept as `keyCol` so
+    * downstream stages (sharded writers, [[globalOrderIndex]]) can
+    * reuse the order without recomputing md5. */
+  def shuffleDeterministic(df: DataFrame, idCol: String, seed: Int = 42,
+      keyCol: String = "shuffle_key"): DataFrame = {
+    require(!df.columns.contains(keyCol),
+      s"shuffleDeterministic writes $keyCol; rename the existing column first")
+    df.withColumn(keyCol, shuffleKeyOf(col(idCol), seed))
+      .orderBy(col(keyCol).asc, col(idCol).asc)
+  }
+
+  /** The shuffle-order key itself (no sort): callers that range-
+    * partition into shards or feed a writer can build the key once
+    * and skip [[shuffleDeterministic]]'s global sort. */
+  def shuffleKeyOf(id: Column, seed: Int = 42): Column =
+    unitHash(id, seed, "shuffle")
+
+  /** Contiguous 0-based global position of every row in
+    * [[shuffleDeterministic]] order — the "shuffled row number" a
+    * training-data exporter stamps on each sample so any sequence
+    * range maps to a deterministic corpus slice.
+    *
+    * Spark has no scalable global row_number (a global window funnels
+    * through ONE partition), so this uses the two-job zipWithIndex
+    * shape kept entirely in DataFrames: range-partition + sort on the
+    * shuffle key, stamp `monotonically_increasing_id` (partition id in
+    * the high bits, per-partition position in the low 33), pin the
+    * sorted layout with a lazy localCheckpoint, then (job 1) collect
+    * per-partition row counts — ONE small row per partition — and
+    * (job 2) add each partition's prefix offset back via a broadcast
+    * join. The index is a pure function of the total (key, id) order,
+    * so partition boundaries, AQE coalescing and executor count cannot
+    * change any row's index. Cost: one range shuffle, materialized
+    * once, read by two jobs. */
+  def globalOrderIndex(df: DataFrame, idCol: String, seed: Int = 42,
+      indexCol: String = "global_idx", keyCol: String = "shuffle_key"): DataFrame = {
+    val clobbered = (Seq(indexCol, keyCol) ++ Seq("__mid", "__pid", "__offset"))
+      .filter(df.columns.contains)
+    require(clobbered.isEmpty,
+      s"globalOrderIndex writes ${clobbered.mkString(", ")}; rename the existing column(s) first")
+    val keyed = df.withColumn(keyCol, shuffleKeyOf(col(idCol), seed))
+    // monotonically_increasing_id = partitionId * 2^33 + position, and
+    // the projection runs ABOVE the sort in the same stage, so the low
+    // 33 bits are the row's position in (key, id) order within its
+    // range partition
+    val sorted = keyed
+      .repartitionByRange(col(keyCol), col(idCol))
+      .sortWithinPartitions(col(keyCol).asc, col(idCol).asc)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(false) // pin ONE materialization for both jobs
+    val pid = shiftright(col("__mid"), 33)
+    val counts = sorted.groupBy(pid.as("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((-1L, 0L)) { case ((_, acc), (p, n)) =>
+      (p, acc + n)
+    }.sliding(2).collect { case Array((_, off), (p, _)) => (p, off) }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toDF("__pid", "__offset")
+    sorted
+      .join(broadcast(offsetsDf), pid === col("__pid"))
+      .withColumn(indexCol,
+        col("__offset") + (col("__mid").bitwiseAND(lit((1L << 33) - 1))))
+      .drop("__mid", "__pid", "__offset")
+  }
+
+  /** The per-stratum repetition weights [[mixByTokenBudget]] applies:
+    * with per-stratum token totals T_s (one bounded map-side-combined
+    * aggregate), the weight is `min(maxWeight, budget x frac_s / T_s)`
+    * — i.e. each stratum is down- or up-sampled so its expected token
+    * volume hits its share of the budget, with up-sampling capped
+    * (repeating a tiny stratum hundreds of times degrades training
+    * more than missing its quota). Strata absent from `fractions` or
+    * with zero tokens get no weight (dropped by the mix default). */
+  def tokenBudgetWeights(df: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], tokenBudget: Long,
+      textCol: String = "text", tokenCount: Option[Column] = None,
+      maxWeight: Double = 10.0): Map[String, Double] = {
+    require(tokenBudget >= 1, s"tokenBudget >= 1, got $tokenBudget")
+    require(fractions.values.forall(_ >= 0.0), "fractions must be non-negative")
+    require(maxWeight > 0.0, s"maxWeight > 0, got $maxWeight")
+    val n = tokenCount.getOrElse(TextAnalysis.tokenCount(col(textCol))).cast("long")
+    val totals = df.groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(sum(n).as("__t"))
+      .collect().flatMap(r =>
+        Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
+    fractions.flatMap { case (s, frac) =>
+      totals.get(s).filter(_ > 0L).map { t =>
+        // operand order mirrors the oracle SQL bit-for-bit:
+        // (budget * frac) / t, all IEEE double ops
+        s -> math.min(maxWeight, tokenBudget * frac / t.toDouble)
+      }
+    }
+  }
+
+  /** Corpus mixing by TOKEN budget — the unit trainers actually
+    * allocate ("300B tokens: 50% web, 30% code, 20% books"), not
+    * document counts: compute [[tokenBudgetWeights]] from one bounded
+    * per-stratum token aggregate, then apply them with
+    * [[mixByWeight]]'s deterministic fractional oversampling (under
+    * the shared "mix" salt). Expected output token volume per stratum
+    * is `min(budget x frac, maxWeight x T_s)`; strata not named in
+    * `fractions` are dropped. Scan-side after the one aggregate. */
+  def mixByTokenBudget(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], tokenBudget: Long,
+      textCol: String = "text", tokenCount: Option[Column] = None,
+      maxWeight: Double = 10.0, seed: Int = 42): DataFrame =
+    mixByWeight(df, idCol, stratumCol,
+      tokenBudgetWeights(df, stratumCol, fractions, tokenBudget, textCol,
+        tokenCount, maxWeight),
+      default = 0.0, seed = seed)
+
   /** Deterministic training-sequence packing: assign every document a
     * (pack_group, pack_id, pack_offset) so documents of a pack are
     * consecutive in hash order and their token counts fill roughly

@@ -266,6 +266,53 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("doc_freq"))
 
+  /** Strip HTML to text — the first step of every web-crawl pipeline:
+    * drop `<script>`/`<style>` blocks with their contents, replace
+    * every remaining tag with a space (so `</p><p>` cannot weld
+    * words), unescape the six ubiquitous named entities (`&amp;`
+    * LAST, so a double-escaped `&amp;lt;` yields the literal `&lt;`
+    * exactly like a single-pass decoder), and collapse whitespace
+    * runs. Line structure is NOT preserved — run line-level filters
+    * (C4, boilerplate) before stripping, or per extracted line.
+    * Pure scan-side `regexp_replace` chain: every pattern is shared
+    * RE2/Java syntax (no backreferences, no lookarounds), so the
+    * whole transform replays in the cross-engine oracle. */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** One-pass per-stratum corpus profile — the observability report a
+    * pipeline run starts and ends with: per `groupCol` value plus a
+    * ROLLUP total row (`is_total = 1`), document / distinct-text /
+    * token / char counts and doc-token min/max/mean. ONE aggregation
+    * over the scan (the exact-distinct on the text fingerprint rides
+    * the same shuffle as exact dedup — md5 values, not documents,
+    * move); `avg_doc_tokens` is computed sum/count rather than `avg()`
+    * so it divides one exact integer sum (bit-stable across partition
+    * orders) instead of accumulating doubles. */
+  def corpusProfile(df: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val n = tokenCount(col(textCol)).cast("long")
+    df.rollup(col(groupCol))
+      .agg(
+        grouping(col(groupCol)).cast("int").as("is_total"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col(textCol))).as("n_unique_texts"),
+        sum(n).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        min(n).as("min_doc_tokens"),
+        max(n).as("max_doc_tokens"),
+        (sum(n).cast("double") / count(lit(1))).as("avg_doc_tokens"))
+  }
+
   /** One-pass enrichment of a document frame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

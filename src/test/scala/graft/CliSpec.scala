@@ -382,6 +382,65 @@ class CliSpec extends SparkFunSuite {
     assert(scored.count() == 60 && scored.columns.contains("quality_prob"))
   }
 
+  test("profile command: table + json; shuffle command: ordered shards round-trip") {
+    val dir = Files.createTempDirectory("graft_cli_profile")
+    val in = s"$dir/docs.parquet"
+    ((1 to 20).map(i => (i.toLong, "web", s"alpha beta doc $i")) ++
+      (21 to 25).map(i => (i.toLong, "code", s"x = $i")))
+      .toDF("doc_id", "source", "text").write.parquet(in)
+    val jsonOut = s"$dir/profile.json"
+    val outCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCap)) {
+      assert(graft.cli.Main.cmdProfile(Array(
+        "--input", in, "--json", jsonOut)) == 0)
+    }
+    val printed = outCap.toString
+    assert(printed.contains("web") && printed.contains("TOTAL"), printed)
+    val parsed = graft.util.Jsons.parse(
+        Files.readString(java.nio.file.Paths.get(jsonOut)))
+      .getOrElse(fail("unparseable profile json"))
+      .asInstanceOf[Vector[Any]].map(_.asInstanceOf[Map[String, Any]])
+    assert(parsed.size == 3)
+    val total = parsed.find(_("is_total") == 1L).get
+    assert(total("n_docs") == 25L, s"got $total")
+    // shuffle with --index --shards: global_idx must equal the
+    // cross-shard read-back position of the shard-ordered layout
+    val shufOut = s"$dir/shuffled.parquet"
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdShuffle(Array(
+        "--input", in, "--output", shufOut, "--index", "--shards", "3")) == 0)
+    }
+    val back = spark.read.parquet(shufOut)
+    assert(back.count() == 25 && back.columns.contains("global_idx"))
+    val byIdx = back.orderBy("global_idx").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val byKey = back.orderBy(col("shuffle_key"), col("doc_id")).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(byIdx == byKey, "index order must equal shuffle-key order")
+  }
+
+  test("corpus commands round-trip JSONL by extension") {
+    val dir = Files.createTempDirectory("graft_cli_jsonl")
+    val in = s"$dir/docs.jsonl"
+    (1 to 10).map(i => (i.toLong, s"alpha beta doc $i", "web"))
+      .toDF("doc_id", "text", "source").write.json(in)
+    val out = s"$dir/shuffled.jsonl"
+    val outCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCap)) {
+      assert(graft.cli.Main.cmdShuffle(Array(
+        "--input", in, "--output", out)) == 0)
+    }
+    assert(outCap.toString.contains("shuffled=10"))
+    val back = spark.read.json(out)
+    assert(back.count() == 10 && back.columns.contains("shuffle_key"))
+    // profile reads the same jsonl drop directly
+    val profCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(profCap)) {
+      assert(graft.cli.Main.cmdProfile(Array("--input", in)) == 0)
+    }
+    assert(profCap.toString.contains("TOTAL"), profCap.toString)
+  }
+
   test("inspect: exact and --approx modes both report usable distincts") {
     val dir = Files.createTempDirectory("graft_cli_inspect")
     val p = s"$dir/t.parquet"

@@ -1654,4 +1654,96 @@ class OpsSpec extends SparkFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(s1 != a.toSet, "distinct seeds should draw distinct samples")
   }
+
+  test("globalOrderIndex: contiguous rank in shuffle order, layout-invariant") {
+    import graft.ops.Sampling
+    val n = docs.count()
+    val out = Sampling.globalOrderIndex(docs, "doc_id")
+      .select("doc_id", "shuffle_key", "global_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == n)
+    // contiguous 0..n-1
+    assert(out.map(_._3).sorted.toSeq == (0L until n).toSeq)
+    // the index IS the rank in (shuffle_key, doc_id) order
+    val ranked = out.sortBy(t => (t._2, t._1)).map(_._1).toSeq
+    val byIdx = out.sortBy(_._3).map(_._1).toSeq
+    assert(ranked == byIdx, "global_idx must equal the hash-order rank")
+    // partition layout cannot change any row's index
+    val re = Sampling.globalOrderIndex(docs.repartition(7), "doc_id")
+      .select("doc_id", "global_idx")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall { case (id, _, idx) => re(id) == idx },
+      "index must be a pure function of (seed, id) population")
+    // shuffleDeterministic agrees with the same order
+    val shuffled = Sampling.shuffleDeterministic(docs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(shuffled == ranked, "shuffleDeterministic yields the same total order")
+  }
+
+  test("mixByTokenBudget: weights hit per-stratum token targets, cap bites") {
+    import graft.ops.Sampling
+    val df = ((1 to 10).map(i => (i.toLong, "en", Seq.fill(10)("tok").mkString(" "))) ++
+      (11 to 15).map(i => (i.toLong, "de", "a b c d")) ++
+      (16 to 18).map(i => (i.toLong, "fr", "x y"))).toDF("doc_id", "lang", "text")
+    // totals: en 100, de 20 tokens. budget 200 at 50/50: en weight
+    // exactly 1.0, de exactly 5.0 — fully deterministic repetition
+    val w = Sampling.tokenBudgetWeights(df, "lang",
+      Map("en" -> 0.5, "de" -> 0.5), tokenBudget = 200L)
+    assert(w == Map("en" -> 1.0, "de" -> 5.0), s"got $w")
+    val mixed = Sampling.mixByTokenBudget(df, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.5), tokenBudget = 200L)
+    val reps = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reps == Map("en" -> 10L, "de" -> 25L), s"got $reps")
+    // fr has no fraction -> dropped entirely
+    assert(!reps.contains("fr"))
+    // the cap bounds up-sampling of tiny strata
+    val capped = Sampling.tokenBudgetWeights(df, "lang",
+      Map("en" -> 0.5, "de" -> 0.5), tokenBudget = 200L, maxWeight = 3.0)
+    assert(capped("de") == 3.0 && capped("en") == 1.0)
+    // a stratum named in fractions but absent from the corpus is skipped
+    val missing = Sampling.tokenBudgetWeights(df, "lang",
+      Map("zh" -> 1.0), tokenBudget = 200L)
+    assert(missing.isEmpty)
+  }
+
+  test("stripHtml drops script/style with contents, unwelds tags, decodes entities once") {
+    val cases = Seq(
+      (1L, "<p>Hello</p><p>world</p>"),
+      (2L, "a<script>var x = \"<b>\";</script>b"),
+      (3L, "x<style type=\"text/css\">p{}</style>y"),
+      (4L, "&amp;lt; &lt; &gt; &quot; &#39; &nbsp;"),
+      (5L, "no tags at all"),
+      (6L, "<SCRIPT>upper()</SCRIPT>kept")
+    ).toDF("id", "text")
+      .select(col("id"), TextAnalysis.stripHtml(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cases(1L) == "Hello world")
+    assert(cases(2L) == "a b", s"script content must vanish: '${cases(2L)}'")
+    assert(cases(3L) == "x y")
+    // double-escaped &amp;lt; decodes ONCE (to the literal "&lt;")
+    assert(cases(4L) == "&lt; < > \" '", s"got '${cases(4L)}'")
+    assert(cases(5L) == "no tags at all")
+    assert(cases(6L) == "kept", "case-insensitive script removal")
+  }
+
+  test("corpusProfile: per-source stats + rollup total in one pass") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "s1", "a b"), (2L, "s1", "a b"), (3L, "s1", "c"),
+      (4L, "s2", "")
+    ).toDF("doc_id", "source", "text")
+    val rows = TextAnalysis.corpusProfile(df)
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1)) -> r).toMap
+    val s1 = rows((Some("s1"), 0))
+    assert(s1.getAs[Long]("n_docs") == 3 && s1.getAs[Long]("n_unique_texts") == 2)
+    assert(s1.getAs[Long]("n_tokens") == 5 && s1.getAs[Long]("n_chars") == 7)
+    assert(s1.getAs[Long]("min_doc_tokens") == 1 && s1.getAs[Long]("max_doc_tokens") == 2)
+    assert(math.abs(s1.getAs[Double]("avg_doc_tokens") - 5.0 / 3.0) < 1e-12)
+    val s2 = rows((Some("s2"), 0))
+    assert(s2.getAs[Long]("n_docs") == 1 && s2.getAs[Long]("n_tokens") == 0)
+    val total = rows((None, 1))
+    assert(total.getAs[Long]("n_docs") == 4 && total.getAs[Long]("n_tokens") == 5)
+    assert(total.getAs[Long]("n_unique_texts") == 3) // "a b", "c", ""
+  }
 }

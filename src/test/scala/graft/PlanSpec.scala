@@ -402,4 +402,40 @@ class PlanSpec extends SparkFunSuite {
     assert(!sel.contains("Exchange"),
       s"selection must not shuffle the corpus:\n$sel")
   }
+
+  test("deterministic shuffle is one range exchange; index never funnels one partition") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val shuffled = planOf(graft.ops.Sampling.shuffleDeterministic(docs, "doc_id"))
+    assert(shuffled.contains("rangepartitioning"),
+      s"global order should range-partition:\n$shuffled")
+    assert(!shuffled.contains("SinglePartition"),
+      s"no single-partition funnel in the shuffle:\n$shuffled")
+    assert(!shuffled.contains("Window"),
+      s"shuffleDeterministic is a sort, not a window:\n$shuffled")
+    // the index path: range sort + broadcast offsets join — never a
+    // global window (whose sort would collapse to ONE partition)
+    val indexed = planOf(graft.ops.Sampling.globalOrderIndex(docs, "doc_id"))
+    assert(!indexed.contains("SinglePartition") && !indexed.contains("Window"),
+      s"globalOrderIndex must not fall back to a global window:\n$indexed")
+    assert(indexed.contains("BroadcastExchange") || indexed.contains("BroadcastHashJoin"),
+      s"partition offsets should join broadcast:\n$indexed")
+  }
+
+  test("token-budget mix is scan-side after one bounded aggregate; profile is one agg pass") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // after the driver-side weights collect, the applied mix must be
+    // generate-over-scan exactly like mixByWeight
+    val mixed = planOf(graft.ops.Sampling.mixByTokenBudget(
+      docs, "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.5), tokenBudget = 100000L))
+    assert(!mixed.contains("Exchange") && !mixed.contains("Join"),
+      s"token-budget mix should be scan-side:\n$mixed")
+    // profile: partial HashAggregate before the exchange (map-side
+    // combine), and only ONE shuffle round for the rollup + distinct
+    val prof = planOf(graft.ops.TextAnalysis.corpusProfile(docs))
+    val firstEx = prof.indexOf("Exchange")
+    assert(firstEx > 0 && prof.substring(0, firstEx).contains("HashAggregate"),
+      s"profile must partially aggregate before the exchange:\n$prof")
+    assert(!prof.contains("SinglePartition"),
+      s"profile must not collapse to one partition:\n$prof")
+  }
 }
