@@ -375,7 +375,15 @@ object Bench {
     * session-state effect of the 20-minute bench (heap occupancy
     * around the 25M-row winner aggregation), consistent across rounds
     * and therefore still comparable round-over-round. Use BenchOne for
-    * the operator's true cost. */
+    * the operator's true cost.
+    *
+    * Adjudicated (r11, late): an 83s full-bench sample against the
+    * 24.9s prior is HOST VARIANCE, not the count-first rewrite — a
+    * same-day BenchOne A/B of the pre- and post-rewrite binaries
+    * measured 14.8-22.5s vs 12.5-25s isolated (statistically
+    * identical; GC 0.2-3.1s per rep dominates the spread). This row
+    * has the widest noise envelope in the suite; re-adjudicate the
+    * same way before reading any single sample as a regression. */
   private[graft] def exactSubstrScenario(nDocs: Long)(spark: SparkSession): Long = {
     val cp = corpusScenario(spark, nDocs)
     spark.catalog.clearCache()
@@ -413,6 +421,23 @@ object Bench {
         spark.read.parquet(cp).select("doc_id", "text"), "doc_id")
       .write.mode("overwrite").parquet(s"$benchDir/shuffled_$nDocs.parquet")
     -1L
+  }
+
+  /** Byte-level BPE over the synthetic corpus (`bpe_1m`): train a real
+    * 8k vocab on a 5% hash-sample (one frequency aggregate + the
+    * driver merge loop), then exact-count tokens across all docs
+    * through the codegen'd kernel — the train + budget pass of
+    * token-exact packing. Aggregated output so the row measures
+    * compute, not parquet writing. */
+  private[graft] def bpeScenario(nDocs: Long)(spark: SparkSession): Long = {
+    val cp = corpusScenario(spark, nDocs)
+    spark.catalog.clearCache()
+    val df = spark.read.parquet(cp)
+    val vocab = graft.ops.Tokenizer.train(
+      graft.ops.Sampling.hashSample(df, "doc_id", 0.05), "text",
+      vocabSize = 8192, maxWordTypes = 100000)
+    df.select(graft.ops.Tokenizer.tokenCount(col("text"), vocab).as("n"))
+      .agg(sum(col("n"))).collect().head.getLong(0)
   }
 
   /** DSIR importance resampling over the synthetic corpus
@@ -566,7 +591,9 @@ object Bench {
       "dsir_1m" -> (() => { dsirScenario(1000000L)(spark); () }),
       // training-order shuffle + global index: the full text payload
       // through one range exchange + the two-job index stamp
-      "shuffle_10m" -> (() => { shuffleScenario(10000000L)(spark); () })
+      "shuffle_10m" -> (() => { shuffleScenario(10000000L)(spark); () }),
+      // BPE: train an 8k vocab on a 5% sample + exact-count 1M docs
+      "bpe_1m" -> (() => { bpeScenario(1000000L)(spark); () })
     )
 
     def median(xs: Seq[Double]): Double = {

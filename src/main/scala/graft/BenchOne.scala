@@ -23,10 +23,11 @@ object BenchOne {
     val substrMode = args.headOption.contains("exactsubstr")
     val chunkMode = args.headOption.contains("chunk")
     val dsirMode = args.headOption.contains("dsir")
+    val bpeMode = args.headOption.contains("bpe")
     val sessionMode = args.headOption.contains("session")
     val posArgs =
       if (auditMode || skewMode || curateMode || scanMode || substrMode ||
-          chunkMode || dsirMode || sessionMode)
+          chunkMode || dsirMode || bpeMode || sessionMode)
         args.drop(1)
       else args
     val nLabels = posArgs.headOption.map(_.toInt).getOrElse(1000000)
@@ -131,7 +132,7 @@ object BenchOne {
       return
     }
 
-    if (curateMode || scanMode || substrMode || chunkMode || dsirMode) {
+    if (curateMode || scanMode || substrMode || chunkMode || dsirMode || bpeMode) {
       // isolate Bench's corpus rows (curate_1m / gopher_c4_10m /
       // exactsubstr_1m / chunk_1m); nLabels reads as the doc count
       // (defaults still apply: 1M docs, `scanfilter 10000000` for the
@@ -142,12 +143,14 @@ object BenchOne {
         else if (scanMode) Bench.scanFilterScenario(nDocs)(spark)
         else if (substrMode) Bench.exactSubstrScenario(nDocs)(spark)
         else if (dsirMode) Bench.dsirScenario(nDocs)(spark)
+        else if (bpeMode) Bench.bpeScenario(nDocs)(spark)
         else Bench.chunkScenario(nDocs)(spark)
       val label =
         if (curateMode) "curate"
         else if (scanMode) "scanfilter"
         else if (substrMode) "exactsubstr"
         else if (dsirMode) "dsir"
+        else if (bpeMode) "bpe"
         else "chunk"
       timed("corpus datagen + warmup")(run())
       (1 to 3).foreach { i =>

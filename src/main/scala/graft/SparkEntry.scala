@@ -898,6 +898,25 @@ object SparkEntry {
           graft.ops.TextAnalysis.stripHtml(col("text")).as("text"))
         .orderBy("doc_id")
     }),
+    // Corpus-trained byte-level BPE, proven by its invariant: the
+    // byte alphabet makes decode(encode(text)) the identity for EVERY
+    // document, so the oracle is the corpus itself. The query trains
+    // a real vocab on the corpus (one frequency aggregate + driver
+    // merge loop), encodes every doc through the codegen'd kernel,
+    // decodes back, and must reproduce the input byte-for-byte —
+    // a full-pipeline check of pre-tokenize/merge/encode/decode.
+    // The merge rules themselves (no SQL replay of the iterative
+    // trainer) are pinned by TokenizerSpec's hand-computed Sennrich
+    // example.
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.ops.Tokenizer.train(docs, vocabSize = 1024,
+        maxWordTypes = 50000)
+      docs.select(col("doc_id"),
+          graft.ops.Tokenizer.decode(
+            graft.ops.Tokenizer.encode(col("text"), vocab), vocab).as("text"))
+        .orderBy("doc_id")
+    }),
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // bucket distributions fit on target (source = src0) vs raw (all
     // docs), per-doc log importance weight scored scan-side against
@@ -2284,6 +2303,13 @@ object SparkEntry {
         |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS h FROM s3)
         |SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS text
         |FROM s4 ORDER BY doc_id""".stripMargin,
+
+    // BPE round trip: the byte alphabet guarantees
+    // decode(encode(text)) == text, so the oracle is the identity —
+    // any pre-tokenizer coverage gap, merge bug, or decode bug breaks
+    // the hash on real corpus text
+    "q_bpe_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
 
     // DSIR replay: featurize (lowercased whitespace unigrams+bigrams →
     // top-60-bit md5 bucket mod 8192) → fit add-1 smoothed target/raw

@@ -43,6 +43,7 @@ object Main {
           case "classify" => cmdClassify(rest)
           case "profile" => cmdProfile(rest)
           case "shuffle" => cmdShuffle(rest)
+          case "tokenizer" => cmdTokenizer(rest)
           case "help" | "-h" | "--help" => println(usage); 0
           case other => System.err.println(s"Unknown command '$other'\n$usage"); 2
         }
@@ -105,6 +106,13 @@ object Main {
       |          (deterministic training-order shuffle: global sort by
       |           hash(seed, id); --index stamps a contiguous global_idx;
       |           --shards N writes N ordered parquet shards)
+      |  tokenizer --train --input PATH --model DIR [--vocab-size 8192]
+      |            [--max-word-types 200000]
+      |  tokenizer --input PATH --model DIR --output PATH [--count-only]
+      |          (byte-level BPE: --train fits a vocab on the corpus and
+      |           saves it; without --train, encodes the corpus with a
+      |           saved vocab — token_ids + n_tokens, or n_tokens alone
+      |           with --count-only)
       |
       |  Corpus commands (curate/pack/dsir/classify/profile/shuffle) read
       |  and write parquet or JSONL: .jsonl/.json paths auto-detect, or
@@ -703,10 +711,12 @@ object Main {
     val output = req(f, "output", "pack needs --output PATH")
     val idCol = f.getOrElse("id-col", "doc_id")
     val textCol = f.getOrElse("text-col", "text")
-    val tokenCount = f.get("token-count") match {
-      case Some("bpe")                   => Some(TextAnalysis.bpeTokenCount(col(textCol)))
-      case Some("whitespace") | None     => None
-      case Some(c)                       => Some(col(c))
+    val tokenCount = (f.get("token-count"), f.get("tokenizer")) match {
+      case (_, Some(vp)) => Some(graft.ops.Tokenizer.tokenCount(col(textCol),
+        graft.ops.Tokenizer.load(spark, vp)))
+      case (Some("bpe"), _)               => Some(TextAnalysis.bpeTokenCount(col(textCol)))
+      case (Some("whitespace") | None, _) => None
+      case (Some(c), _)                   => Some(col(c))
     }
     val assigned = Sampling.packSequences(
       readCorpus(spark, input, f.get("input-format")),
@@ -893,6 +903,40 @@ object Main {
     val n = readCorpus(spark, output, f.get("output-format")).count()
     println(s"shuffled=$n written=$output" +
       f.get("shards").map(s => s" shards=$s").getOrElse(""))
+    0
+  }
+
+  /** `graft tokenizer`: train a byte-level BPE vocab on a corpus
+    * ([[graft.ops.Tokenizer.train]] — one frequency aggregate + the
+    * driver merge loop) or encode a corpus with a saved vocab
+    * (scan-side kernel; `--count-only` stamps exact token counts
+    * without materializing the id arrays). */
+  private[graft] def cmdTokenizer(args: Array[String]): Int = {
+    val (f, _) = flags(args)
+    val spark = session()
+    import graft.ops.Tokenizer
+    val input = req(f, "input", "tokenizer needs --input PATH (a parquet corpus)")
+    val model = req(f, "model", "tokenizer needs --model DIR (vocab parquet)")
+    val textCol = f.getOrElse("text-col", "text")
+    val df = readCorpus(spark, input, f.get("input-format"))
+    if (f.contains("train")) {
+      val vocab = Tokenizer.train(df, textCol,
+        vocabSize = f.getOrElse("vocab-size", "8192").toInt,
+        maxWordTypes = f.getOrElse("max-word-types", "200000").toInt)
+      Tokenizer.save(vocab, model, spark)
+      println(s"vocab_size=${vocab.size} merges=${vocab.mergeLeft.length} model=$model")
+    } else {
+      val output = req(f, "output",
+        "tokenizer without --train encodes: needs --output PATH")
+      val vocab = Tokenizer.load(spark, model)
+      val out =
+        if (f.contains("count-only"))
+          df.withColumn("n_tokens", Tokenizer.tokenCount(col(textCol), vocab))
+        else Tokenizer.tokenize(df, vocab, textCol)
+      writeCorpus(out, output, f.get("output-format"))
+      val n = readCorpus(spark, output, f.get("output-format")).count()
+      println(s"encoded=$n vocab_size=${vocab.size} written=$output")
+    }
     0
   }
 

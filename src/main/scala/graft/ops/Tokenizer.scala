@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Bpe, BpeVocab}
+
+/** Corpus-trained byte-level BPE tokenization — the step that turns
+  * "token budget" from a whitespace guess into the unit the trainer
+  * actually consumes. See [[graft.functions.Bpe]] for the kernel and
+  * the scale design (bounded-aggregate training, scan-side encoding,
+  * lossless byte-alphabet round trip).
+  *
+  * Typical pipeline:
+  * {{{
+  *   val vocab = Tokenizer.train(corpus, vocabSize = 8192)
+  *   Tokenizer.save(vocab, "s3a://.../vocab", spark)   // once
+  *   val withIds = Tokenizer.tokenize(corpus, vocab)   // array<int> ids
+  *   Sampling.packSequences(corpus, "doc_id", "text", 2048,
+  *     tokenCount = Some(Tokenizer.tokenCount(col("text"), vocab)))
+  * }}}
+  */
+object Tokenizer {
+
+  /** Train a BPE vocab from the corpus. ONE map-side-combined
+    * frequency aggregate cut to the `maxWordTypes` most frequent
+    * pre-tokens (TakeOrdered — ties broken on the pre-token string, so
+    * the cut is deterministic), then the driver-side merge loop over
+    * that bounded table. The tail beyond the cut only loses frequency
+    * mass that could not have changed early merges; this is the
+    * standard frequency-table BPE trainer shape and is what keeps
+    * training a single pass at 100 TB. */
+  def train(df: DataFrame, textCol: String = "text",
+      vocabSize: Int = 8192, maxWordTypes: Int = 200000): BpeVocab = {
+    require(maxWordTypes >= 1, s"maxWordTypes >= 1, got $maxWordTypes")
+    val freqs = df
+      .select(explode(Bpe.preTokensOf(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__w").asc)
+      .limit(maxWordTypes)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    Bpe.learn(freqs, vocabSize)
+  }
+
+  /** Persist a vocab: one parquet row per token id (merge pairs on the
+    * merged token's row; base-byte rows have null pairs). Readable by
+    * anything that speaks parquet — the model IS its table. */
+  def save(vocab: BpeVocab, path: String, spark: SparkSession): Unit = {
+    import spark.implicits._
+    val rows = (0 until vocab.size).map { id =>
+      if (id < 256) (id, vocab.tokens(id), None: Option[Int], None: Option[Int])
+      else (id, vocab.tokens(id),
+        Some(vocab.mergeLeft(id - 256)), Some(vocab.mergeRight(id - 256)))
+    }
+    rows.toDF("id", "token", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: SparkSession, path: String): BpeVocab = {
+    val df = spark.read.parquet(path)
+    require(df.columns.toSet == Set("id", "token", "left", "right"),
+      s"$path is not a BPE vocab " +
+        s"(want [id, token, left, right], got [${df.columns.mkString(", ")}])")
+    val rows = df.collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1),
+      if (r.isNullAt(2)) -1 else r.getInt(2),
+      if (r.isNullAt(3)) -1 else r.getInt(3))).sortBy(_._1)
+    require(rows.length >= 256 && rows.zipWithIndex.forall { case (r, i) => r._1 == i },
+      s"$path: vocab ids must be contiguous from 0, got ${rows.length} rows")
+    val n = rows.length - 256
+    val vocab = BpeVocab(rows.map(_._2),
+      rows.drop(256).map(_._3), rows.drop(256).map(_._4))
+    require((0 until n).forall(i => vocab.mergeLeft(i) >= 0 && vocab.mergeRight(i) >= 0),
+      s"$path: merged token rows (id >= 256) need non-null left/right")
+    vocab
+  }
+
+  /** array<int> token ids for a text column (scan-side kernel). */
+  def encode(text: Column, vocab: BpeVocab): Column = Bpe.encodeOf(text, vocab)
+
+  /** Exact encoded length (same kernel + cache, no id array). */
+  def tokenCount(text: Column, vocab: BpeVocab): Column = Bpe.countOf(text, vocab)
+
+  /** Inverse of [[encode]]: ids -> the original text, byte-exact. */
+  def decode(ids: Column, vocab: BpeVocab): Column = Bpe.decodeOf(ids, vocab)
+
+  /** Corpus tokenization: adds `idsCol` (array<int>) and `nTokensCol`
+    * (int, = size of ids without re-encoding). Scan-side — the frame's
+    * partitioning and pushdowns are untouched. */
+  def tokenize(df: DataFrame, vocab: BpeVocab, textCol: String = "text",
+      idsCol: String = "token_ids", nTokensCol: String = "n_tokens"): DataFrame = {
+    val clobbered = Seq(idsCol, nTokensCol).filter(df.columns.contains)
+    require(clobbered.isEmpty,
+      s"tokenize writes ${clobbered.mkString(", ")}; rename the existing column(s) first")
+    df.withColumn(idsCol, encode(col(textCol), vocab))
+      .withColumn(nTokensCol, size(col(idsCol)))
+  }
+}

@@ -441,6 +441,39 @@ class CliSpec extends SparkFunSuite {
     assert(profCap.toString.contains("TOTAL"), profCap.toString)
   }
 
+  test("tokenizer command: train then encode; pack --tokenizer budgets with the trained vocab") {
+    val dir = Files.createTempDirectory("graft_cli_bpe")
+    val in = s"$dir/docs.parquet"
+    (1 to 40).map(i => (i.toLong, s"the quick brown fox number $i jumps high"))
+      .toDF("doc_id", "text").write.parquet(in)
+    val model = s"$dir/vocab"
+    val outCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCap)) {
+      assert(graft.cli.Main.cmdTokenizer(Array(
+        "--train", "--input", in, "--model", model, "--vocab-size", "512")) == 0)
+    }
+    assert(outCap.toString.contains("vocab_size="), outCap.toString)
+    val enc = s"$dir/encoded.parquet"
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdTokenizer(Array(
+        "--input", in, "--model", model, "--output", enc)) == 0)
+    }
+    val back = spark.read.parquet(enc)
+    assert(back.count() == 40 &&
+      back.columns.contains("token_ids") && back.columns.contains("n_tokens"))
+    // the shared words compressed into multi-byte tokens
+    val v = graft.ops.Tokenizer.load(spark, model)
+    assert(v.size > 256)
+    // pack with the trained vocab: exact-count budgeting end-to-end
+    val packed = s"$dir/packed.parquet"
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdPack(Array(
+        "--input", in, "--output", packed, "--tokenizer", model,
+        "--token-budget", "64", "--groups", "2")) == 0)
+    }
+    assert(spark.read.parquet(packed).count() > 0)
+  }
+
   test("inspect: exact and --approx modes both report usable distincts") {
     val dir = Files.createTempDirectory("graft_cli_inspect")
     val p = s"$dir/t.parquet"

@@ -421,6 +421,28 @@ class PlanSpec extends SparkFunSuite {
       s"partition offsets should join broadcast:\n$indexed")
   }
 
+  test("bpe tokenize is a scan-side codegen kernel; training aggregates before its exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val vocab = graft.functions.Bpe.learn(Array("the" -> 5L, "thx" -> 3L), 260)
+    val tok = planOf(graft.ops.Tokenizer.tokenize(docs, vocab))
+    assert(tok.contains("*(1) Project") && tok.contains("bpe_encode"),
+      s"encode fell out of codegen:\n$tok")
+    assert(!tok.contains("Exchange") && !tok.contains("Join"),
+      s"tokenize must not shuffle the corpus:\n$tok")
+    // training frequency cut: partial agg before the shuffle, and the
+    // top-N arrives via TakeOrdered, not a global sort of all words
+    val freq = docs
+      .select(explode(graft.functions.Bpe.preTokensOf(col("text"))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__w").asc).limit(1000)
+    val fp = planOf(freq)
+    val firstEx = fp.indexOf("Exchange")
+    assert(firstEx > 0 && fp.substring(0, firstEx).contains("HashAggregate"),
+      s"word counts must partially aggregate before the exchange:\n$fp")
+    assert(fp.contains("TakeOrderedAndProject"),
+      s"the vocab cut must be a top-N, not a global sort:\n$fp")
+  }
+
   test("token-budget mix is scan-side after one bounded aggregate; profile is one agg pass") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // after the driver-side weights collect, the applied mix must be

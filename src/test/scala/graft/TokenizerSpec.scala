@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bpe
+import graft.ops.Tokenizer
+
+class TokenizerSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("merge learning follows Sennrich order with deterministic ties") {
+    // byte-level take on the classic example. Weighted pair counts:
+    // (e,s) and (s,t) both 9 — tie goes to the smaller (left, right),
+    // so "es" first, then ("es","t") at 9, then (l,o)/(o,w) tie at 7.
+    val freqs = Array("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val v = Bpe.learn(freqs, vocabSize = 256 + 4)
+    def tok(id: Int) = new String(v.tokens(id), "UTF-8")
+    assert((tok(v.mergeLeft(0)), tok(v.mergeRight(0))) == ("e", "s"))
+    assert((tok(v.mergeLeft(1)), tok(v.mergeRight(1))) == ("es", "t"))
+    assert((tok(v.mergeLeft(2)), tok(v.mergeRight(2))) == ("l", "o"))
+    assert((tok(v.mergeLeft(3)), tok(v.mergeRight(3))) == ("lo", "w"))
+    assert(tok(256 + 1) == "est" && tok(256 + 3) == "low")
+    // training is deterministic end-to-end
+    val v2 = Bpe.learn(freqs, vocabSize = 256 + 4)
+    assert(v.tokens.map(_.toSeq).toSeq == v2.tokens.map(_.toSeq).toSeq)
+  }
+
+  test("learning stops early when no pair repeats") {
+    val v = Bpe.learn(Array("ab" -> 1L, "cd" -> 1L), vocabSize = 10000)
+    assert(v.size == 256, "every pair is unique -> no merge is worth making")
+  }
+
+  test("encode applies lowest-rank merges; count and decode agree") {
+    val freqs = Array("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val v = Bpe.learn(freqs, vocabSize = 256 + 4)
+    val out = Seq((1L, "lowest"), (2L, "low low"), (3L, ""))
+      .toDF("id", "text")
+      .select(col("id"), Tokenizer.encode(col("text"), v).as("ids"),
+        Tokenizer.tokenCount(col("text"), v).as("n"),
+        Tokenizer.decode(Tokenizer.encode(col("text"), v), v).as("back"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getInt(2), r.getString(3)))).toMap
+    // "lowest" -> es, est, lo, low -> [low][est]
+    assert(out(1L)._1 == Seq(256 + 3, 256 + 1), s"got ${out(1L)._1}")
+    // " low" is a DIFFERENT pre-token than "low": space byte stays
+    // unmerged (no training mass), then l,o->lo->low applies
+    assert(out(2L)._1 == Seq(256 + 3, ' '.toInt, 256 + 3), s"got ${out(2L)._1}")
+    assert(out.forall { case (_, (ids, n, _)) => ids.length == n })
+    assert(out(1L)._3 == "lowest" && out(2L)._3 == "low low" && out(3L)._3 == "")
+  }
+
+  test("byte alphabet round-trips anything: unicode, emoji, whitespace runs, raw punctuation") {
+    val v = Bpe.learn(Array("the" -> 10L, "of" -> 8L), vocabSize = 300)
+    val tricky = Seq(
+      "héllo wörld",
+      "日本語のテキスト",
+      "mixed 🎉 emoji 🚀 text",
+      "tabs\tand\nnewlines\r\n  double  spaces ",
+      "   leading and trailing   ",
+      "it's can't we're I'll they'd you've I'm",
+      "a-b_c.d,e;f:g!h?i(j)k[l]m{n}o<p>q",
+      "1234 5,678.90 1e-9 0xFF",
+      "")
+    val out = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"),
+        Tokenizer.decode(Tokenizer.encode(col("text"), v), v).as("back"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    tricky.zipWithIndex.foreach { case (t, i) =>
+      assert(out(i.toLong) == t, s"round trip broke for <$t>: <${out(i.toLong)}>")
+    }
+  }
+
+  test("corpus-trained vocab compresses the corpus it was trained on") {
+    val v = Tokenizer.train(docs, vocabSize = 1024, maxWordTypes = 50000)
+    assert(v.size > 256, "a natural-language corpus must yield merges")
+    val stats = Tokenizer.tokenize(docs, v)
+      .agg(sum(col("n_tokens")).as("bpe"),
+        sum(length(col("text"))).as("chars"),
+        sum(graft.ops.TextAnalysis.tokenCount(col("text"))).as("words"))
+      .collect().head
+    val (bpe, chars, words) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    // tokens-per-byte must beat the 1-token-per-byte floor by a wide
+    // margin, and a subword vocab always yields >= the word count
+    assert(bpe < chars / 2, s"bpe=$bpe chars=$chars: no compression happened")
+    assert(bpe >= words, s"bpe=$bpe words=$words: fewer tokens than words")
+  }
+
+  test("save/load round-trips the model bit-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    val v = Tokenizer.train(docs.limit(200), vocabSize = 512, maxWordTypes = 20000)
+    Tokenizer.save(v, s"$dir/vocab", spark)
+    val l = Tokenizer.load(spark, s"$dir/vocab")
+    assert(l.tokens.map(_.toSeq).toSeq == v.tokens.map(_.toSeq).toSeq)
+    assert(l.mergeLeft.toSeq == v.mergeLeft.toSeq &&
+      l.mergeRight.toSeq == v.mergeRight.toSeq)
+    val a = docs.limit(50).select(Tokenizer.encode(col("text"), v).as("ids"))
+      .collect().map(_.getSeq[Int](0)).toSeq
+    val b = docs.limit(50).select(Tokenizer.encode(col("text"), l).as("ids"))
+      .collect().map(_.getSeq[Int](0)).toSeq
+    assert(a == b, "loaded vocab must encode identically")
+  }
+
+  test("token-exact packing: budget drift is zero under the bpe count") {
+    val v = Tokenizer.train(docs, vocabSize = 512, maxWordTypes = 20000)
+    val packed = graft.ops.Sampling.packSequences(docs, "doc_id", "text",
+      tokenBudget = 512, groups = 8,
+      tokenCount = Some(Tokenizer.tokenCount(col("text"), v)))
+    val check = packed
+      .withColumn("n", Tokenizer.tokenCount(col("text"), v).cast("long"))
+      .groupBy("pack_group", "pack_id")
+      .agg(min("pack_offset").as("first_off"), sum("n").as("tokens"))
+    // every pack starts where the previous one's spill ended (offset
+    // of its first doc < budget) — the packing invariant under the
+    // EXACT same count the trainer would compute
+    assert(check.filter(col("first_off") >= 512).count() == 0)
+    assert(check.count() > 0)
+  }
+}
