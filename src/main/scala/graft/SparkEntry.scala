@@ -917,6 +917,31 @@ object SparkEntry {
             graft.ops.Tokenizer.encode(col("text"), vocab), vocab).as("text"))
         .orderBy("doc_id")
     }),
+    // BPE trainer-sequence export, proven by pack reassembly: docs are
+    // tokenized, packed under the REPLAYABLE whitespace budget (the
+    // q_pack_sequences assignment), and chunked at the id level into
+    // 512-id sequences; decoding each pack's sequences concatenated in
+    // order must reproduce the pack's documents concatenated with no
+    // separator — any slicing, ordering, or boundary bug in
+    // chunkPackedIds (or the encode/decode kernels) breaks the md5.
+    "q_bpe_chunk_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val vocab = graft.ops.Tokenizer.train(docs, vocabSize = 1024,
+        maxWordTypes = 50000)
+      val assigned = graft.ops.Sampling.packSequences(
+        graft.ops.Tokenizer.tokenize(docs, vocab).drop("n_tokens"),
+        "doc_id", "text", tokenBudget = 2000, groups = 8, seed = 7)
+      graft.ops.Sampling.chunkPackedIds(assigned, "doc_id", "token_ids",
+          seqLen = 512)
+        .groupBy("pack_group", "pack_id")
+        .agg(array_sort(collect_list(struct(col("seq_idx"),
+          col("token_ids").as("__ids")))).as("__parts"))
+        .select(col("pack_group"), col("pack_id"),
+          md5(graft.ops.Tokenizer.decode(
+            flatten(transform(col("__parts"), x => x.getField("__ids"))),
+            vocab)).as("text_md5"))
+        .orderBy("pack_group", "pack_id")
+    }),
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // bucket distributions fit on target (source = src0) vs raw (all
     // docs), per-doc log importance weight scored scan-side against
@@ -2310,6 +2335,29 @@ object SparkEntry {
     // the hash on real corpus text
     "q_bpe_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
+
+    // chunked-sequence round trip: replay the whitespace pack
+    // assignment (q_pack_sequences), then the no-separator pack
+    // concatenation is what decoding the id-level chunks in order
+    // must reproduce
+    "q_bpe_chunk_roundtrip" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5('pack:7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, text, CAST(h % 8 AS INT) AS pack_group,
+        |    sum(n) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - n AS st
+        |  FROM d),
+        |assigned AS (
+        |  SELECT doc_id, text, pack_group, CAST(st // 2000 AS BIGINT) AS pack_id,
+        |         CAST(st - (st // 2000) * 2000 AS BIGINT) AS pack_offset
+        |  FROM cum WHERE length(text) > 0)
+        |SELECT pack_group, pack_id,
+        |  md5(string_agg(text, '' ORDER BY pack_offset, doc_id)) AS text_md5
+        |FROM assigned GROUP BY 1, 2 ORDER BY pack_group, pack_id""".stripMargin,
 
     // DSIR replay: featurize (lowercased whitespace unigrams+bigrams →
     // top-60-bit md5 bucket mod 8192) → fit add-1 smoothed target/raw

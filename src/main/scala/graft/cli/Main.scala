@@ -82,9 +82,12 @@ object Main {
       |          [--near-dup minhash|ngram] [--near-dup-threshold 0.8] [--json PATH]
       |  pack    --input PATH --output PATH [--id-col doc_id] [--text-col text]
       |          [--token-budget 2048] [--groups 1024] [--seed 42]
-      |          [--token-count bpe|whitespace|COL] [--seq-len N [--drop-partial]]
+      |          [--token-count bpe|whitespace|COL | --tokenizer DIR]
+      |          [--seq-len N [--drop-partial]] [--ids [--keep-partial]]
       |          (--seq-len chunks into fixed-length sequences with doc
-      |           boundaries; without it packs are concatenated whole)
+      |           boundaries; without it packs are concatenated whole;
+      |           --ids + --tokenizer exports fixed-length token-ID
+      |           training sequences instead of text)
       |  dsir    --input RAW (--target TARGET | --target-dist DIST) --output PATH
       |          (--k N | --weights-only) [--buckets 65536] [--alpha 1.0]
       |          [--temperature 1.0] [--seed 42] [--id-col doc_id] [--text-col text]
@@ -717,6 +720,22 @@ object Main {
       case (Some("bpe"), _)               => Some(TextAnalysis.bpeTokenCount(col(textCol)))
       case (Some("whitespace") | None, _) => None
       case (Some(c), _)                   => Some(col(c))
+    }
+    if (f.contains("ids")) {
+      // trainer-sequence export: fixed-length token-ID arrays
+      val vp = req(f, "tokenizer",
+        "pack --ids exports token-id sequences: needs --tokenizer DIR")
+      val out = graft.ops.Tokenizer.packToSequences(
+        readCorpus(spark, input, f.get("input-format")),
+        graft.ops.Tokenizer.load(spark, vp), idCol, textCol,
+        seqLen = f.getOrElse("seq-len", "2048").toInt,
+        groups = f.getOrElse("groups", "1024").toInt,
+        seed = f.getOrElse("seed", "42").toInt,
+        dropPartial = !f.contains("keep-partial"))
+      writeCorpus(out, output, f.get("output-format"))
+      val n = readCorpus(spark, output, f.get("output-format")).count()
+      println(s"sequences=$n written=$output")
+      return 0
     }
     val assigned = Sampling.packSequences(
       readCorpus(spark, input, f.get("input-format")),

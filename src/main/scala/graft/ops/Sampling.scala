@@ -202,6 +202,74 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Token-ID-level chunking of a [[packSequences]] frame — the actual
+    * trainer export: every output row is one training sequence of
+    * exactly `seqLen` token ids (the last sequence of a pack may be
+    * shorter unless `dropPartial`), sliced from the pack-order
+    * concatenation of per-document id arrays with `boundaries`
+    * bookkeeping identical to [[chunkPacks]]. Ids are concatenated
+    * with NO separator — for a byte-level BPE
+    * ([[graft.ops.Tokenizer]]) decoding a pack's sequences in order
+    * reproduces the pack's documents byte-for-byte, which is the
+    * contract oracle (q_bpe_chunk_roundtrip).
+    *
+    * Same scale shape as [[chunkPacks]]: one window over the existing
+    * pack partitioning for the true running offset, explode one row
+    * per (document, overlapped sequence), and a partial-aggregable
+    * groupBy reassembly — id slices shuffle, never whole packs. */
+  def chunkPackedIds(assigned: DataFrame, idCol: String = "doc_id",
+      idsCol: String = "token_ids", seqLen: Int = 2048,
+      dropPartial: Boolean = false): DataFrame = {
+    require(seqLen >= 1, s"chunkPackedIds wants seqLen >= 1, got $seqLen")
+    val needed = Seq("pack_group", "pack_id", "pack_offset", idsCol)
+      .filterNot(assigned.columns.contains)
+    require(needed.isEmpty,
+      s"chunkPackedIds wants a packSequences frame with $idsCol; " +
+        s"missing ${needed.mkString(", ")}")
+    val clobbered = Seq("seq_idx", "n_tokens", "boundaries")
+      .filter(assigned.columns.contains)
+    require(clobbered.isEmpty,
+      s"chunkPackedIds writes ${clobbered.mkString(", ")}; rename the existing column(s) first")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_group"), col("pack_id"))
+      .orderBy(col("pack_offset").asc, col(idCol).asc)
+    val withOff = assigned
+      .withColumn("__n", size(col(idsCol)).cast("long"))
+      .withColumn("__off", sum(col("__n")).over(w) - col("__n"))
+    val sliced = withOff
+      .filter(col("__n") > 0)
+      .select(col("pack_group"), col("pack_id"), col(idCol),
+        col(idsCol), col("__n"), col("__off"),
+        explode(sequence(
+          floor(col("__off") / seqLen),
+          floor((col("__off") + col("__n") - 1) / seqLen))).as("seq_idx"))
+      .withColumn("__tokStart",
+        greatest(lit(0L), col("seq_idx") * seqLen - col("__off")))
+      .withColumn("__tokEnd",
+        least(col("__n"), (col("seq_idx") + 1) * seqLen - col("__off")))
+      .withColumn("__begin",
+        col("__off") + col("__tokStart") - col("seq_idx") * seqLen)
+      .select(col("pack_group"), col("pack_id"), col("seq_idx"), col(idCol),
+        col("__begin"),
+        (col("__begin") + col("__tokEnd") - col("__tokStart")).as("__end"),
+        slice(col(idsCol), (col("__tokStart") + 1).cast("int"),
+          (col("__tokEnd") - col("__tokStart")).cast("int")).as("__ids"))
+    val chunks = sliced
+      .groupBy("pack_group", "pack_id", "seq_idx")
+      .agg(
+        sum(col("__end") - col("__begin")).as("n_tokens"),
+        array_sort(collect_list(struct(col("__begin"), col(idCol).as("__id"),
+          col("__end"), col("__ids")))).as("__parts"))
+      .withColumn(idsCol,
+        flatten(transform(col("__parts"), x => x.getField("__ids"))))
+      .withColumn("boundaries", transform(col("__parts"),
+        x => struct(x.getField("__id").as(idCol),
+          x.getField("__begin").as("begin_token"),
+          x.getField("__end").as("end_token"))))
+      .drop("__parts")
+    if (dropPartial) chunks.filter(col("n_tokens") === seqLen.toLong) else chunks
+  }
+
   /** Deterministic corpus shuffle (training-order randomization): sort
     * by the unit hash of (seed, id) under the "shuffle" salt. The same
     * id always lands at the same position regardless of cluster

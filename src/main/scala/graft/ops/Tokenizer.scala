@@ -84,6 +84,27 @@ object Tokenizer {
   /** Inverse of [[encode]]: ids -> the original text, byte-exact. */
   def decode(ids: Column, vocab: BpeVocab): Column = Bpe.decodeOf(ids, vocab)
 
+  /** The full text -> trainer-sequences pipeline: tokenize, assign
+    * packs under the EXACT encoded counts, slice into fixed `seqLen`
+    * id sequences ([[Sampling.chunkPackedIds]]) with per-document
+    * boundary bookkeeping. `dropPartial = true` (the default) emits
+    * ready-to-train rows of exactly `seqLen` ids. One group-keyed
+    * exchange (packing window) + one reassembly aggregate; the encode
+    * kernel runs once per document, materialized through the shuffle. */
+  def packToSequences(df: DataFrame, vocab: BpeVocab,
+      idCol: String = "doc_id", textCol: String = "text",
+      seqLen: Int = 2048, groups: Int = 1024, seed: Int = 42,
+      dropPartial: Boolean = true): DataFrame = {
+    val tokenized = tokenize(df, vocab, textCol)
+    val assigned = Sampling.packSequences(tokenized, idCol, textCol,
+      tokenBudget = seqLen.toLong, groups = groups, seed = seed,
+      tokenCount = Some(col("n_tokens")))
+    // n_tokens did its job (the pack budget); chunkPackedIds re-emits
+    // a per-sequence n_tokens of its own
+    Sampling.chunkPackedIds(assigned.drop("n_tokens"), idCol, "token_ids",
+      seqLen, dropPartial)
+  }
+
   /** Corpus tokenization: adds `idsCol` (array<int>) and `nTokensCol`
     * (int, = size of ids without re-encoding). Scan-side — the frame's
     * partitioning and pushdowns are untouched. */

@@ -472,6 +472,17 @@ class CliSpec extends SparkFunSuite {
         "--token-budget", "64", "--groups", "2")) == 0)
     }
     assert(spark.read.parquet(packed).count() > 0)
+    // --ids: fixed-length token-ID training sequences
+    val seqs = s"$dir/seqs.parquet"
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdPack(Array(
+        "--input", in, "--output", seqs, "--tokenizer", model, "--ids",
+        "--seq-len", "32", "--groups", "2")) == 0)
+    }
+    val sq = spark.read.parquet(seqs)
+    assert(sq.count() > 0 && sq.columns.contains("token_ids"))
+    assert(sq.filter(col("n_tokens") =!= 32L).count() == 0,
+      "--ids drops partial sequences by default")
   }
 
   test("inspect: exact and --approx modes both report usable distincts") {

@@ -105,6 +105,54 @@ class TokenizerSpec extends SparkFunSuite {
     assert(a == b, "loaded vocab must encode identically")
   }
 
+  test("packToSequences: exact-length id sequences, boundaries kept, packs decode back") {
+    val v = Tokenizer.train(docs, vocabSize = 512, maxWordTypes = 20000)
+    val seqs = Tokenizer.packToSequences(docs, v, seqLen = 128, groups = 4,
+      dropPartial = false)
+    val rows = seqs.select("pack_group", "pack_id", "seq_idx", "n_tokens")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every sequence except possibly the LAST of each pack is full
+    val byPack = rows.groupBy(t => (t._1, t._2))
+    byPack.foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == sorted.indices.map(_.toLong).toSeq,
+        "seq_idx must be contiguous from 0")
+      sorted.dropRight(1).foreach(t => assert(t._4 == 128L, s"non-final short seq: $t"))
+      assert(sorted.last._4 <= 128L && sorted.last._4 > 0L)
+    }
+    // ids actually have n_tokens elements, boundaries cover them
+    val shape = seqs.select(size(col("token_ids")).as("k"), col("n_tokens"),
+        aggregate(transform(col("boundaries"),
+          b => b.getField("end_token") - b.getField("begin_token")),
+          lit(0L), (a, x) => a + x).as("covered"))
+      .collect()
+    assert(shape.forall(r => r.getInt(0).toLong == r.getLong(1) &&
+      r.getLong(2) == r.getLong(1)), "boundaries must tile each sequence")
+    // dropPartial keeps only full sequences
+    val full = Tokenizer.packToSequences(docs, v, seqLen = 128, groups = 4)
+    assert(full.filter(col("n_tokens") =!= 128L).count() == 0)
+    // reassembling a pack's sequences and decoding reproduces the
+    // pack's documents concatenated in pack order
+    val packText = seqs.groupBy("pack_group", "pack_id")
+      .agg(array_sort(collect_list(struct(col("seq_idx"),
+        col("token_ids").as("__ids")))).as("p"))
+      .select(col("pack_group"), col("pack_id"),
+        Tokenizer.decode(flatten(transform(col("p"), x => x.getField("__ids"))), v)
+          .as("back"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getString(2)).toMap
+    val expected = graft.ops.Sampling.packSequences(
+        graft.ops.Tokenizer.tokenize(docs, v).drop("n_tokens"),
+        "doc_id", "text", tokenBudget = 128, groups = 4,
+        tokenCount = Some(size(col("token_ids"))))
+      .filter(length(col("text")) > 0)
+      .groupBy("pack_group", "pack_id")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("pack_offset"),
+        col("doc_id"), col("text").as("__t")))).getField("__t")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(packText == expected, "pack reassembly must decode to the pack text")
+  }
+
   test("token-exact packing: budget drift is zero under the bpe count") {
     val v = Tokenizer.train(docs, vocabSize = 512, maxWordTypes = 20000)
     val packed = graft.ops.Sampling.packSequences(docs, "doc_id", "text",
