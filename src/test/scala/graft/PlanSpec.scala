@@ -373,6 +373,23 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("Join"), s"chunking joins nothing:\n$plan")
   }
 
+  test("packToSequences keeps the chunkPacks shape: encode is scan-side, two exchanges, no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val vocab = graft.ops.Tokenizer.train(docs, vocabSize = 300,
+      maxWordTypes = 10000)
+    val plan = planOf(graft.ops.Tokenizer.packToSequences(
+      docs, vocab, seqLen = 128, groups = 4, dropPartial = false))
+    // tokenize adds NO exchange of its own (codegen'd scan-side
+    // kernel); packing window + id-chunking window are the only two,
+    // and the reassembly agg clusters on a superset of the pack key
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"tokenize + pack + id-chunk must shuffle exactly twice total:\n$plan")
+    assert(!plan.contains("Join"), s"id chunking joins nothing:\n$plan")
+    assert(plan.contains("BpeEncode") || plan.contains("bpe_encode"),
+      s"encode kernel must appear in the scan-side projection:\n$plan")
+  }
+
   test("sampling and corpus mixing are scan-side: no exchange, no join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sampled = planOf(graft.ops.Sampling.stratifiedSample(
