@@ -942,6 +942,36 @@ object SparkEntry {
             vocab)).as("text_md5"))
         .orderBy("pack_group", "pack_id")
     }),
+    // Document-separator (EOS) insertion, proven the same way: every
+    // document's ids get the reserved <|endoftext|> special appended
+    // (id outside the merge range, never produced by encode), the
+    // budget counts it (whitespace+1 here so DuckDB can replay the
+    // assignment), and decoding each pack's sequences in order must
+    // reproduce the documents each terminated by the literal
+    // separator text — pinning special-token decode, the +1 budget,
+    // and that EOS ids ride slices like any other id.
+    "q_bpe_chunk_eos" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val vocab = graft.ops.Tokenizer.train(docs, vocabSize = 1024,
+        maxWordTypes = 50000, specialTokens = Seq("<|endoftext|>"))
+      val eosId = graft.ops.Tokenizer.specialId(vocab, "<|endoftext|>")
+      val toks = graft.ops.Tokenizer.tokenize(docs, vocab).drop("n_tokens")
+        .withColumn("token_ids", concat(col("token_ids"), array(lit(eosId))))
+      val assigned = graft.ops.Sampling.packSequences(
+        toks, "doc_id", "text", tokenBudget = 2000, groups = 8, seed = 7,
+        tokenCount = Some(
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long") + 1))
+      graft.ops.Sampling.chunkPackedIds(assigned, "doc_id", "token_ids",
+          seqLen = 512)
+        .groupBy("pack_group", "pack_id")
+        .agg(array_sort(collect_list(struct(col("seq_idx"),
+          col("token_ids").as("__ids")))).as("__parts"))
+        .select(col("pack_group"), col("pack_id"),
+          md5(graft.ops.Tokenizer.decode(
+            flatten(transform(col("__parts"), x => x.getField("__ids"))),
+            vocab)).as("text_md5"))
+        .orderBy("pack_group", "pack_id")
+    }),
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // bucket distributions fit on target (source = src0) vs raw (all
     // docs), per-doc log importance weight scored scan-side against
@@ -2357,6 +2387,29 @@ object SparkEntry {
         |  FROM cum WHERE length(text) > 0)
         |SELECT pack_group, pack_id,
         |  md5(string_agg(text, '' ORDER BY pack_offset, doc_id)) AS text_md5
+        |FROM assigned GROUP BY 1, 2 ORDER BY pack_group, pack_id""".stripMargin,
+
+    // EOS-separated replay: the +1 budget (every doc carries its
+    // separator), NO empty-doc filter (an empty doc still contributes
+    // its EOS), and the pack text joins each document with the
+    // literal separator
+    "q_bpe_chunk_eos" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5('pack:7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END + 1 AS n
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, text, CAST(h % 8 AS INT) AS pack_group,
+        |    sum(n) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - n AS st
+        |  FROM d),
+        |assigned AS (
+        |  SELECT doc_id, text, pack_group, CAST(st // 2000 AS BIGINT) AS pack_id,
+        |         CAST(st - (st // 2000) * 2000 AS BIGINT) AS pack_offset
+        |  FROM cum)
+        |SELECT pack_group, pack_id,
+        |  md5(string_agg(text || '<|endoftext|>', '' ORDER BY pack_offset, doc_id)) AS text_md5
         |FROM assigned GROUP BY 1, 2 ORDER BY pack_group, pack_id""".stripMargin,
 
     // DSIR replay: featurize (lowercased whitespace unigrams+bigrams →

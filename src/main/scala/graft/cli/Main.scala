@@ -83,11 +83,12 @@ object Main {
       |  pack    --input PATH --output PATH [--id-col doc_id] [--text-col text]
       |          [--token-budget 2048] [--groups 1024] [--seed 42]
       |          [--token-count bpe|whitespace|COL | --tokenizer DIR]
-      |          [--seq-len N [--drop-partial]] [--ids [--keep-partial]]
+      |          [--seq-len N [--drop-partial]] [--ids [--keep-partial] [--eos TOK]]
       |          (--seq-len chunks into fixed-length sequences with doc
       |           boundaries; without it packs are concatenated whole;
       |           --ids + --tokenizer exports fixed-length token-ID
-      |           training sequences instead of text)
+      |           training sequences instead of text; --eos appends the
+      |           named special token to every document's ids)
       |  dsir    --input RAW (--target TARGET | --target-dist DIST) --output PATH
       |          (--k N | --weights-only) [--buckets 65536] [--alpha 1.0]
       |          [--temperature 1.0] [--seed 42] [--id-col doc_id] [--text-col text]
@@ -110,7 +111,7 @@ object Main {
       |           hash(seed, id); --index stamps a contiguous global_idx;
       |           --shards N writes N ordered parquet shards)
       |  tokenizer --train --input PATH --model DIR [--vocab-size 8192]
-      |            [--max-word-types 200000]
+      |            [--max-word-types 200000] [--specials TOK1,TOK2]
       |  tokenizer --input PATH --model DIR --output PATH [--count-only]
       |          (byte-level BPE: --train fits a vocab on the corpus and
       |           saves it; without --train, encodes the corpus with a
@@ -731,7 +732,8 @@ object Main {
         seqLen = f.getOrElse("seq-len", "2048").toInt,
         groups = f.getOrElse("groups", "1024").toInt,
         seed = f.getOrElse("seed", "42").toInt,
-        dropPartial = !f.contains("keep-partial"))
+        dropPartial = !f.contains("keep-partial"),
+        eos = f.get("eos"))
       writeCorpus(out, output, f.get("output-format"))
       val n = readCorpus(spark, output, f.get("output-format")).count()
       println(s"sequences=$n written=$output")
@@ -941,9 +943,11 @@ object Main {
     if (f.contains("train")) {
       val vocab = Tokenizer.train(df, textCol,
         vocabSize = f.getOrElse("vocab-size", "8192").toInt,
-        maxWordTypes = f.getOrElse("max-word-types", "200000").toInt)
+        maxWordTypes = f.getOrElse("max-word-types", "200000").toInt,
+        specialTokens = f.get("specials").toSeq.flatMap(_.split(',').toSeq))
       Tokenizer.save(vocab, model, spark)
-      println(s"vocab_size=${vocab.size} merges=${vocab.mergeLeft.length} model=$model")
+      println(s"vocab_size=${vocab.size} merges=${vocab.mergeLeft.length} " +
+        s"specials=${vocab.specials.length} model=$model")
     } else {
       val output = req(f, "output",
         "tokenizer without --train encodes: needs --output PATH")

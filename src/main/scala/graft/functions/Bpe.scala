@@ -37,18 +37,28 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 /** The trained model: `tokens(id)` = the token's bytes (ids 0..255 are
   * the single raw byte; id 256+r is merge rank r), and the merge at
-  * rank r fused `(mergeLeft(r), mergeRight(r))`. Top-level (not nested
-  * in [[Bpe]]) so generated Java can name the type. Arrays are plan
-  * data — compared by reference in expression equality, like
-  * [[DsirScore]]'s weights. */
+  * rank r fused `(mergeLeft(r), mergeRight(r))`. `specials` are
+  * reserved control tokens (EOS/BOS/PAD) appended AFTER the merge
+  * range: id `tokens.length + s` decodes to `specials(s)`'s bytes but
+  * is NEVER produced by encode — the pipeline inserts it
+  * programmatically (document separators in packed sequences), the
+  * GPT-2 convention. Top-level (not nested in [[Bpe]]) so generated
+  * Java can name the type. Arrays are plan data — compared by
+  * reference in expression equality, like [[DsirScore]]'s weights. */
 case class BpeVocab(tokens: Array[Array[Byte]],
-    mergeLeft: Array[Int], mergeRight: Array[Int]) extends Serializable {
+    mergeLeft: Array[Int], mergeRight: Array[Int],
+    specials: Array[Array[Byte]] = Array.empty) extends Serializable {
   require(tokens.length == 256 + mergeLeft.length &&
     mergeLeft.length == mergeRight.length,
     s"inconsistent vocab: ${tokens.length} tokens, ${mergeLeft.length}/" +
       s"${mergeRight.length} merges")
 
-  def size: Int = tokens.length
+  /** Total id space: merge range + specials. */
+  def size: Int = tokens.length + specials.length
+
+  /** The bytes for ANY valid id, special or not. */
+  def tokenBytes(id: Int): Array[Byte] =
+    if (id < tokens.length) tokens(id) else specials(id - tokens.length)
 
   /** pair (left << 32 | right) -> rank; merged id is 256 + rank. */
   @transient private[functions] lazy val ranks: java.util.HashMap[java.lang.Long, Integer] = {
@@ -71,7 +81,7 @@ case class BpeVocab(tokens: Array[Array[Byte]],
       new java.util.LinkedHashMap[String, Array[Int]](1024, 0.75f, true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[String, Array[Int]]): Boolean =
-          size() > 65536
+          this.size() > 65536
       })
 }
 
@@ -257,16 +267,16 @@ object Bpe {
     var i = 0
     while (i < n) {
       val id = ids.getInt(i)
-      require(id >= 0 && id < v.tokens.length,
-        s"token id $id outside vocab of ${v.tokens.length}")
-      len += v.tokens(id).length
+      require(id >= 0 && id < v.size,
+        s"token id $id outside vocab of ${v.size}")
+      len += v.tokenBytes(id).length
       i += 1
     }
     val out = new Array[Byte](len)
     var o = 0
     i = 0
     while (i < n) {
-      val t = v.tokens(ids.getInt(i))
+      val t = v.tokenBytes(ids.getInt(i))
       System.arraycopy(t, 0, out, o, t.length)
       o += t.length
       i += 1

@@ -31,8 +31,11 @@ object Tokenizer {
     * standard frequency-table BPE trainer shape and is what keeps
     * training a single pass at 100 TB. */
   def train(df: DataFrame, textCol: String = "text",
-      vocabSize: Int = 8192, maxWordTypes: Int = 200000): BpeVocab = {
+      vocabSize: Int = 8192, maxWordTypes: Int = 200000,
+      specialTokens: Seq[String] = Nil): BpeVocab = {
     require(maxWordTypes >= 1, s"maxWordTypes >= 1, got $maxWordTypes")
+    require(vocabSize - specialTokens.size >= 256,
+      s"vocabSize $vocabSize leaves < 256 ids after ${specialTokens.size} specials")
     val freqs = df
       .select(explode(Bpe.preTokensOf(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__n"))
@@ -40,7 +43,37 @@ object Tokenizer {
       .limit(maxWordTypes)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    Bpe.learn(freqs, vocabSize)
+    // specials reserve id slots INSIDE vocabSize (GPT-2: 50257 =
+    // 256 bytes + 50000 merges + <|endoftext|>)
+    withSpecialTokens(Bpe.learn(freqs, vocabSize - specialTokens.size),
+      specialTokens)
+  }
+
+  /** Attach reserved control tokens (EOS/BOS/PAD) to a trained vocab:
+    * ids after the merge range, decoded as their literal text, never
+    * produced by encode — [[packToSequences]] and friends insert them
+    * programmatically. Encoding the literal text of a special yields
+    * ordinary ids (the GPT-2 convention without special-token
+    * splitting); round trips stay lossless either way. */
+  def withSpecialTokens(vocab: BpeVocab, specialTokens: Seq[String]): BpeVocab = {
+    if (specialTokens.isEmpty) vocab
+    else {
+      require(specialTokens.distinct == specialTokens,
+        s"duplicate special tokens: ${specialTokens.mkString(", ")}")
+      require(vocab.specials.isEmpty,
+        "vocab already has special tokens; build from the bare vocab")
+      vocab.copy(specials = specialTokens.map(
+        _.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray)
+    }
+  }
+
+  /** The id of a special token attached at train/load time. */
+  def specialId(vocab: BpeVocab, token: String): Int = {
+    val b = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val i = vocab.specials.indexWhere(java.util.Arrays.equals(_, b))
+    require(i >= 0, s"'$token' is not a special token of this vocab " +
+      s"(has ${vocab.specials.map(new String(_, "UTF-8")).mkString(", ")})")
+    vocab.tokens.length + i
   }
 
   /** Persist a vocab: one parquet row per token id (merge pairs on the
@@ -49,9 +82,11 @@ object Tokenizer {
   def save(vocab: BpeVocab, path: String, spark: SparkSession): Unit = {
     import spark.implicits._
     val rows = (0 until vocab.size).map { id =>
-      if (id < 256) (id, vocab.tokens(id), None: Option[Int], None: Option[Int])
-      else (id, vocab.tokens(id),
+      if (id < 256) (id, vocab.tokenBytes(id), None: Option[Int], None: Option[Int])
+      else if (id < vocab.tokens.length) (id, vocab.tokenBytes(id),
         Some(vocab.mergeLeft(id - 256)), Some(vocab.mergeRight(id - 256)))
+      // specials: trailing rows with null pairs (ids > every merge)
+      else (id, vocab.tokenBytes(id), None: Option[Int], None: Option[Int])
     }
     rows.toDF("id", "token", "left", "right")
       .coalesce(1).write.mode("overwrite").parquet(path)
@@ -67,12 +102,18 @@ object Tokenizer {
       if (r.isNullAt(3)) -1 else r.getInt(3))).sortBy(_._1)
     require(rows.length >= 256 && rows.zipWithIndex.forall { case (r, i) => r._1 == i },
       s"$path: vocab ids must be contiguous from 0, got ${rows.length} rows")
-    val n = rows.length - 256
-    val vocab = BpeVocab(rows.map(_._2),
-      rows.drop(256).map(_._3), rows.drop(256).map(_._4))
-    require((0 until n).forall(i => vocab.mergeLeft(i) >= 0 && vocab.mergeRight(i) >= 0),
-      s"$path: merged token rows (id >= 256) need non-null left/right")
-    vocab
+    // merges are the null-pair-free prefix of ids >= 256; anything
+    // after the first null-pair row is a special (and must all be)
+    val tail = rows.drop(256)
+    val nMerges = tail.indexWhere(r => r._3 < 0 || r._4 < 0) match {
+      case -1 => tail.length
+      case k  => k
+    }
+    val (merges, specials) = tail.splitAt(nMerges)
+    require(specials.forall(r => r._3 < 0 && r._4 < 0),
+      s"$path: merge rows may not appear after special-token rows")
+    BpeVocab(rows.take(256 + nMerges).map(_._2),
+      merges.map(_._3), merges.map(_._4), specials.map(_._2))
   }
 
   /** array<int> token ids for a text column (scan-side kernel). */
@@ -88,14 +129,25 @@ object Tokenizer {
     * packs under the EXACT encoded counts, slice into fixed `seqLen`
     * id sequences ([[Sampling.chunkPackedIds]]) with per-document
     * boundary bookkeeping. `dropPartial = true` (the default) emits
-    * ready-to-train rows of exactly `seqLen` ids. One group-keyed
-    * exchange (packing window) + one reassembly aggregate; the encode
-    * kernel runs once per document, materialized through the shuffle. */
+    * ready-to-train rows of exactly `seqLen` ids. `eos` names a
+    * special token ([[withSpecialTokens]]/`train(specialTokens=)`)
+    * appended to every document's ids before packing — the
+    * document-separator convention (GPT-2's `<|endoftext|>`); its id
+    * counts toward the budget and rides the slices like any other id,
+    * so decoding a pack's sequences yields the documents each
+    * terminated by the separator text. One group-keyed exchange
+    * (packing window) + one reassembly aggregate; the encode kernel
+    * runs once per document, materialized through the shuffle. */
   def packToSequences(df: DataFrame, vocab: BpeVocab,
       idCol: String = "doc_id", textCol: String = "text",
       seqLen: Int = 2048, groups: Int = 1024, seed: Int = 42,
-      dropPartial: Boolean = true): DataFrame = {
-    val tokenized = tokenize(df, vocab, textCol)
+      dropPartial: Boolean = true, eos: Option[String] = None): DataFrame = {
+    val tokenized = eos.map(specialId(vocab, _)) match {
+      case None => tokenize(df, vocab, textCol)
+      case Some(id) => tokenize(df, vocab, textCol)
+        .withColumn("token_ids", concat(col("token_ids"), array(lit(id))))
+        .withColumn("n_tokens", col("n_tokens") + 1)
+    }
     val assigned = Sampling.packSequences(tokenized, idCol, textCol,
       tokenBudget = seqLen.toLong, groups = groups, seed = seed,
       tokenCount = Some(col("n_tokens")))

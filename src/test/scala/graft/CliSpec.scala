@@ -483,6 +483,24 @@ class CliSpec extends SparkFunSuite {
     assert(sq.count() > 0 && sq.columns.contains("token_ids"))
     assert(sq.filter(col("n_tokens") =!= 32L).count() == 0,
       "--ids drops partial sequences by default")
+    // --specials at train time + --eos at export time: the reserved id
+    // appears in the exported sequences (one per in-pack document)
+    val model2 = s"$dir/vocab_eos"
+    val seqs2 = s"$dir/seqs_eos.parquet"
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdTokenizer(Array(
+        "--train", "--input", in, "--model", model2, "--vocab-size", "512",
+        "--specials", "<|endoftext|>")) == 0)
+      assert(graft.cli.Main.cmdPack(Array(
+        "--input", in, "--output", seqs2, "--tokenizer", model2, "--ids",
+        "--seq-len", "32", "--groups", "2", "--keep-partial",
+        "--eos", "<|endoftext|>")) == 0)
+    }
+    val v2 = graft.ops.Tokenizer.load(spark, model2)
+    val eosId = graft.ops.Tokenizer.specialId(v2, "<|endoftext|>")
+    assert(spark.read.parquet(seqs2)
+      .filter(array_contains(col("token_ids"), eosId)).count() > 0,
+      "exported sequences must carry the document separator")
   }
 
   test("inspect: exact and --approx modes both report usable distincts") {

@@ -153,6 +153,79 @@ class TokenizerSpec extends SparkFunSuite {
     assert(packText == expected, "pack reassembly must decode to the pack text")
   }
 
+  test("special tokens: reserved ids decode to literals, encode never emits them, save/load keeps them") {
+    val v = Tokenizer.train(docs, vocabSize = 512, maxWordTypes = 20000,
+      specialTokens = Seq("<|endoftext|>", "<|pad|>"))
+    // specials reserve slots INSIDE vocabSize (the merge loop may
+    // stop early on a small corpus, so pin structure, not the total)
+    assert(v.size <= 512 && v.specials.length == 2 &&
+      v.tokens.length == v.size - 2)
+    val eos = Tokenizer.specialId(v, "<|endoftext|>")
+    val pad = Tokenizer.specialId(v, "<|pad|>")
+    assert(eos == v.tokens.length && pad == v.tokens.length + 1)
+    intercept[IllegalArgumentException](Tokenizer.specialId(v, "<|bos|>"))
+    // decode emits the literal text; mixing specials with ordinary ids works
+    val out = Seq(("hello world", 0)).toDF("text", "i")
+      .select(Tokenizer.decode(
+        concat(Tokenizer.encode(col("text"), v),
+          array(lit(eos))), v).as("back"))
+      .head().getString(0)
+    assert(out == "hello world<|endoftext|>")
+    // encode of the separator's literal text yields ORDINARY ids only
+    val ids = Seq(Tuple1("a<|endoftext|>b")).toDF("text")
+      .select(Tokenizer.encode(col("text"), v)).head().getSeq[Int](0)
+    assert(!ids.contains(eos) && !ids.contains(pad),
+      s"encode must never produce special ids, got $ids")
+    // round trip still lossless THROUGH the separator text
+    val back = Seq(Tuple1("a<|endoftext|>b")).toDF("text")
+      .select(Tokenizer.decode(Tokenizer.encode(col("text"), v), v))
+      .head().getString(0)
+    assert(back == "a<|endoftext|>b")
+    // save/load preserves specials bit-exactly
+    val dir = java.nio.file.Files.createTempDirectory("vocab_sp").toString
+    Tokenizer.save(v, s"$dir/m", spark)
+    val lv = Tokenizer.load(spark, s"$dir/m")
+    assert(lv.specials.map(_.toSeq).toSeq == v.specials.map(_.toSeq).toSeq)
+    assert(Tokenizer.specialId(lv, "<|endoftext|>") == eos)
+    assert(lv.tokens.map(_.toSeq).toSeq == v.tokens.map(_.toSeq).toSeq)
+  }
+
+  test("packToSequences with eos: every document ends with the separator, decode keeps it") {
+    val v = Tokenizer.train(docs, vocabSize = 512, maxWordTypes = 20000,
+      specialTokens = Seq("<|endoftext|>"))
+    val eos = Tokenizer.specialId(v, "<|endoftext|>")
+    val seqs = Tokenizer.packToSequences(docs, v, seqLen = 128, groups = 4,
+      dropPartial = false, eos = Some("<|endoftext|>"))
+    // every in-sequence document boundary whose end is INSIDE the
+    // sequence... simpler invariant: reassembled pack ids contain
+    // exactly one eos per document, at each document's last position
+    val packs = seqs.groupBy("pack_group", "pack_id")
+      .agg(array_sort(collect_list(struct(col("seq_idx"),
+        col("token_ids").as("__ids"), col("boundaries").as("__b")))).as("p"))
+      .select(
+        flatten(transform(col("p"), x => x.getField("__ids"))).as("ids"),
+        Tokenizer.decode(flatten(transform(col("p"), x => x.getField("__ids"))), v)
+          .as("back"),
+        size(flatten(transform(col("p"), x => x.getField("__b")))).as("nparts"))
+      .collect()
+    assert(packs.nonEmpty)
+    val sep = "<|endoftext|>"
+    packs.foreach { r =>
+      val ids = r.getSeq[Int](0)
+      val back = r.getString(1)
+      assert(ids.last == eos, "every pack ends in eos")
+      // decoded pack text ends with the separator and the eos count
+      // equals the separator occurrences in the text
+      assert(back.endsWith(sep))
+      assert(ids.count(_ == eos) == back.sliding(sep.length).count(_ == sep))
+    }
+    // budget accounting: eos counts toward seqLen (all-full sequences
+    // under dropPartial are exactly 128 ids including separators)
+    val full = Tokenizer.packToSequences(docs, v, seqLen = 128, groups = 4,
+      eos = Some("<|endoftext|>"))
+    assert(full.filter(size(col("token_ids")) =!= 128).count() == 0)
+  }
+
   test("token-exact packing: budget drift is zero under the bpe count") {
     val v = Tokenizer.train(docs, vocabSize = 512, maxWordTypes = 20000)
     val packed = graft.ops.Sampling.packSequences(docs, "doc_id", "text",
