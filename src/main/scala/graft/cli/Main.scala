@@ -83,12 +83,15 @@ object Main {
       |  pack    --input PATH --output PATH [--id-col doc_id] [--text-col text]
       |          [--token-budget 2048] [--groups 1024] [--seed 42]
       |          [--token-count bpe|whitespace|COL | --tokenizer DIR]
-      |          [--seq-len N [--drop-partial]] [--ids [--keep-partial] [--eos TOK]]
+      |          [--seq-len N [--drop-partial]]
+      |          [--ids [--keep-partial] [--eos TOK] [--pad TOK]]
       |          (--seq-len chunks into fixed-length sequences with doc
       |           boundaries; without it packs are concatenated whole;
       |           --ids + --tokenizer exports fixed-length token-ID
       |           training sequences instead of text; --eos appends the
-      |           named special token to every document's ids)
+      |           named special token to every document's ids; --pad
+      |           fills kept partial sequences to seq-len — n_tokens
+      |           keeps the real length for the loss mask)
       |  dsir    --input RAW (--target TARGET | --target-dist DIST) --output PATH
       |          (--k N | --weights-only) [--buckets 65536] [--alpha 1.0]
       |          [--temperature 1.0] [--seed 42] [--id-col doc_id] [--text-col text]
@@ -733,7 +736,7 @@ object Main {
         groups = f.getOrElse("groups", "1024").toInt,
         seed = f.getOrElse("seed", "42").toInt,
         dropPartial = !f.contains("keep-partial"),
-        eos = f.get("eos"))
+        eos = f.get("eos"), pad = f.get("pad"))
       writeCorpus(out, output, f.get("output-format"))
       val n = readCorpus(spark, output, f.get("output-format")).count()
       println(s"sequences=$n written=$output")

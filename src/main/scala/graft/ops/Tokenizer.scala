@@ -141,7 +141,8 @@ object Tokenizer {
   def packToSequences(df: DataFrame, vocab: BpeVocab,
       idCol: String = "doc_id", textCol: String = "text",
       seqLen: Int = 2048, groups: Int = 1024, seed: Int = 42,
-      dropPartial: Boolean = true, eos: Option[String] = None): DataFrame = {
+      dropPartial: Boolean = true, eos: Option[String] = None,
+      pad: Option[String] = None): DataFrame = {
     val tokenized = eos.map(specialId(vocab, _)) match {
       case None => tokenize(df, vocab, textCol)
       case Some(id) => tokenize(df, vocab, textCol)
@@ -153,8 +154,17 @@ object Tokenizer {
       tokenCount = Some(col("n_tokens")))
     // n_tokens did its job (the pack budget); chunkPackedIds re-emits
     // a per-sequence n_tokens of its own
-    Sampling.chunkPackedIds(assigned.drop("n_tokens"), idCol, "token_ids",
-      seqLen, dropPartial)
+    val chunked = Sampling.chunkPackedIds(assigned.drop("n_tokens"),
+      idCol, "token_ids", seqLen, dropPartial)
+    // pad the (kept) partial final sequences to a fixed seqLen ids —
+    // n_tokens keeps the REAL length, so the trainer's loss mask is
+    // `position < n_tokens`; full sequences are untouched
+    pad.map(specialId(vocab, _)) match {
+      case None => chunked
+      case Some(pid) => chunked.withColumn("token_ids",
+        concat(col("token_ids"), array_repeat(lit(pid),
+          (lit(seqLen) - size(col("token_ids"))).cast("int"))))
+    }
   }
 
   /** Corpus tokenization: adds `idsCol` (array<int>) and `nTokensCol`

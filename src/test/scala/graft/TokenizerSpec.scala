@@ -226,6 +226,24 @@ class TokenizerSpec extends SparkFunSuite {
     assert(full.filter(size(col("token_ids")) =!= 128).count() == 0)
   }
 
+  test("packToSequences with pad: partial finals fill to seqLen, n_tokens keeps the real length") {
+    val v = Tokenizer.train(docs, vocabSize = 512, maxWordTypes = 20000,
+      specialTokens = Seq("<|endoftext|>", "<|pad|>"))
+    val padId = Tokenizer.specialId(v, "<|pad|>")
+    val seqs = Tokenizer.packToSequences(docs, v, seqLen = 128, groups = 4,
+      dropPartial = false, eos = Some("<|endoftext|>"), pad = Some("<|pad|>"))
+      .select(col("token_ids"), col("n_tokens")).collect()
+    assert(seqs.nonEmpty)
+    assert(seqs.exists(_.getLong(1) < 128L), "test wants at least one partial final")
+    seqs.foreach { r =>
+      val ids = r.getSeq[Int](0)
+      val n = r.getLong(1).toInt
+      assert(ids.length == 128, "every sequence pads to exactly seqLen ids")
+      assert(ids.take(n).forall(_ != padId), "pad never appears before n_tokens")
+      assert(ids.drop(n).forall(_ == padId), "everything after n_tokens is pad")
+    }
+  }
+
   test("token-exact packing: budget drift is zero under the bpe count") {
     val v = Tokenizer.train(docs, vocabSize = 512, maxWordTypes = 20000)
     val packed = graft.ops.Sampling.packSequences(docs, "doc_id", "text",
