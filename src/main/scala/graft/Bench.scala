@@ -440,6 +440,26 @@ object Bench {
       .agg(sum(col("n"))).collect().head.getLong(0)
   }
 
+  /** The full trainer export (`sequences_1m`): train an 8k vocab on a
+    * 5% sample, encode every document (codegen kernel), append the
+    * EOS separator, pack under the EXACT id counts, slice into
+    * 2048-id sequences, write the id parquet — everything between a
+    * curated corpus and the training loop in one row. Write included
+    * deliberately: the id arrays ARE the deliverable here. */
+  private[graft] def sequencesScenario(nDocs: Long)(spark: SparkSession): Long = {
+    val cp = corpusScenario(spark, nDocs)
+    spark.catalog.clearCache()
+    val df = spark.read.parquet(cp).select("doc_id", "text")
+    val vocab = graft.ops.Tokenizer.train(
+      graft.ops.Sampling.hashSample(df, "doc_id", 0.05), "text",
+      vocabSize = 8192, maxWordTypes = 100000,
+      specialTokens = Seq("<|endoftext|>"))
+    graft.ops.Tokenizer.packToSequences(df, vocab, seqLen = 2048,
+        groups = 64, eos = Some("<|endoftext|>"))
+      .write.mode("overwrite").parquet(s"$benchDir/sequences_$nDocs.parquet")
+    -1L
+  }
+
   /** DSIR importance resampling over the synthetic corpus
     * (judge-tracked `dsir_1m`): two bounded bucket-distribution
     * aggregations (target = the %97 slice, ~1%), scan-side λ-literal
@@ -593,7 +613,9 @@ object Bench {
       // through one range exchange + the two-job index stamp
       "shuffle_10m" -> (() => { shuffleScenario(10000000L)(spark); () }),
       // BPE: train an 8k vocab on a 5% sample + exact-count 1M docs
-      "bpe_1m" -> (() => { bpeScenario(1000000L)(spark); () })
+      "bpe_1m" -> (() => { bpeScenario(1000000L)(spark); () }),
+      // full trainer export: train + encode + eos + pack + chunk + write
+      "sequences_1m" -> (() => { sequencesScenario(1000000L)(spark); () })
     )
 
     def median(xs: Seq[Double]): Double = {

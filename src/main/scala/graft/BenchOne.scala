@@ -24,10 +24,11 @@ object BenchOne {
     val chunkMode = args.headOption.contains("chunk")
     val dsirMode = args.headOption.contains("dsir")
     val bpeMode = args.headOption.contains("bpe")
+    val seqMode = args.headOption.contains("sequences")
     val sessionMode = args.headOption.contains("session")
     val posArgs =
       if (auditMode || skewMode || curateMode || scanMode || substrMode ||
-          chunkMode || dsirMode || bpeMode || sessionMode)
+          chunkMode || dsirMode || bpeMode || seqMode || sessionMode)
         args.drop(1)
       else args
     val nLabels = posArgs.headOption.map(_.toInt).getOrElse(1000000)
@@ -132,7 +133,8 @@ object BenchOne {
       return
     }
 
-    if (curateMode || scanMode || substrMode || chunkMode || dsirMode || bpeMode) {
+    if (curateMode || scanMode || substrMode || chunkMode || dsirMode ||
+        bpeMode || seqMode) {
       // isolate Bench's corpus rows (curate_1m / gopher_c4_10m /
       // exactsubstr_1m / chunk_1m); nLabels reads as the doc count
       // (defaults still apply: 1M docs, `scanfilter 10000000` for the
@@ -144,6 +146,7 @@ object BenchOne {
         else if (substrMode) Bench.exactSubstrScenario(nDocs)(spark)
         else if (dsirMode) Bench.dsirScenario(nDocs)(spark)
         else if (bpeMode) Bench.bpeScenario(nDocs)(spark)
+        else if (seqMode) Bench.sequencesScenario(nDocs)(spark)
         else Bench.chunkScenario(nDocs)(spark)
       val label =
         if (curateMode) "curate"
@@ -151,6 +154,7 @@ object BenchOne {
         else if (substrMode) "exactsubstr"
         else if (dsirMode) "dsir"
         else if (bpeMode) "bpe"
+        else if (seqMode) "sequences"
         else "chunk"
       timed("corpus datagen + warmup")(run())
       (1 to 3).foreach { i =>
