@@ -368,4 +368,53 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.ops.Sampling.hashSample(ids, "id", 0.0).count() == 0L)
     assert(graft.ops.Sampling.hashSample(ids, "id", 1.0).count() == 400L)
   }
+
+  test("chunkPackedIds tiles every pack exactly for arbitrary shapes") {
+    // independent reference model: per pack, order documents by
+    // (pack_offset, doc_id), concatenate their id arrays, slice into
+    // seqLen chunks. The operator must agree on pack keys, chunk
+    // contiguity, full-chunk lengths, and the concatenated content —
+    // for ANY doc lengths (incl. zero), seqLen, budget and group count.
+    val genChunkCase = for {
+      nDocs <- Gen.choose(1, 40)
+      lens <- Gen.listOfN(nDocs, Gen.choose(0, 50))
+      seqLen <- Gen.choose(1, 17)
+      budget <- Gen.choose(1L, 64L)
+      groups <- Gen.choose(1, 4)
+    } yield (lens, seqLen, budget, groups)
+    check(Prop.forAllNoShrink(genChunkCase) { case (lens, seqLen, budget, groups) =>
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (0 until n).map(j => i * 1000 + j).toArray, "t")
+      }.toDF("doc_id", "token_ids", "text")
+      val assigned = graft.ops.Sampling.packSequences(docs, "doc_id", "text",
+        tokenBudget = budget, groups = groups, seed = 1,
+        tokenCount = Some(size(col("token_ids"))))
+      val got = graft.ops.Sampling.chunkPackedIds(
+          assigned, "doc_id", "token_ids", seqLen)
+        .select("pack_group", "pack_id", "seq_idx", "n_tokens", "token_ids")
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getSeq[Int](4))))
+        .groupBy(_._1).map { case (k, rows) =>
+          k -> rows.map(_._2).sortBy(_._1).toSeq
+        }
+      val ref = assigned
+        .select("pack_group", "pack_id", "pack_offset", "doc_id", "token_ids")
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getSeq[Int](4))))
+        .groupBy(_._1).map { case (k, rows) =>
+          k -> rows.map(_._2).sortBy(t => (t._1, t._2)).flatMap(_._3).toSeq
+        }.filter(_._2.nonEmpty)
+      val keysOk = got.keySet == ref.keySet
+      val tileOk = keysOk && ref.forall { case (k, all) =>
+        val chunks = got(k)
+        chunks.map(_._1) == chunks.indices.map(_.toLong) &&
+        chunks.dropRight(1).forall(_._3.size == seqLen) &&
+        chunks.forall(c => c._2 == c._3.size.toLong) &&
+        chunks.flatMap(_._3) == all
+      }
+      Prop(keysOk) :| "pack keys" && Prop(tileOk) :| "tiling"
+    }, 25)
+  }
 }
