@@ -818,6 +818,20 @@ object SparkEntry {
     // normalized form appears in > maxDocFreq distinct docs (the
     // synthesized nav/footer) vanish from every page; unique content
     // and blank lines survive in order.
+    // Within-document duplicate-line removal: planted repeats (one
+    // shared line, one per-doc line, doubled blanks) — repeated
+    // non-blank lines survive only at their first position, blanks
+    // keep the structure
+    "q_line_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val synth = concat(
+        lit("repeat me\nunique "), id.cast("string"),
+        lit(" x\nrepeat me\n\n\nunique "), id.cast("string"),
+        lit(" x\ntail "), (id % 5).cast("string"))
+      graft.ops.Dedup.dedupLinesInDoc(
+          t(s, dir, "documents").withColumn("text", synth), "text")
+        .select("doc_id", "text").orderBy("doc_id")
+    }),
     "q_boilerplate" -> ((s, dir) => {
       val id = col("doc_id")
       val synth = concat(
@@ -2228,6 +2242,27 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id % 17 != 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
         |ORDER BY doc_id""".stripMargin,
+
+    // same synth; keep = blank OR first occurrence of the exact line
+    "q_line_dedup" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    'repeat me' || chr(10) || 'unique ' || doc_id || ' x' || chr(10) ||
+        |    'repeat me' || chr(10) || chr(10) || chr(10) ||
+        |    'unique ' || doc_id || ' x' || chr(10) || 'tail ' || (doc_id % 5) AS text
+        |  FROM documents),
+        |le AS (
+        |  SELECT doc_id, pos, ls[pos] AS ln FROM (
+        |    SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls
+        |    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth) q0) q),
+        |k AS (
+        |  SELECT doc_id, pos, ln,
+        |    (length(trim(ln)) = 0 OR
+        |     pos = min(pos) OVER (PARTITION BY doc_id, ln)) AS keep
+        |  FROM le)
+        |SELECT doc_id,
+        |  string_agg(ln, chr(10) ORDER BY pos) FILTER (WHERE keep) AS text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_boilerplate" ->
       """WITH synth AS (

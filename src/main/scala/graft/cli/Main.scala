@@ -71,7 +71,7 @@ object Main {
       |  quickstart [DIR]   generate demo data, build, audit
       |  curate  --input PATH --output PATH [--id-col doc_id] [--text-col text]
       |          [--min-quality 0.3] [--languages en,de|none] [--c4] [--gopher]
-      |          [--repetition] [--blocklist w1,w2] [--url-col COL]
+      |          [--repetition] [--line-dedup] [--blocklist w1,w2] [--url-col COL]
       |          [--boilerplate-max-doc-freq N] [--span-dedup [N]] [--exact-substr [K]]
       |          [--unigram-buckets N [--unigram-keep K]]
       |          [--decontaminate EVAL_PARQUET [--decontaminate-ngram 8]]
@@ -625,6 +625,7 @@ object Main {
       gopher = if (f.contains("gopher")) Some(QualityFilters.GopherConfig()) else None,
       repetition =
         if (f.contains("repetition")) Some(QualityFilters.RepetitionConfig()) else None,
+      lineDedup = f.contains("line-dedup"),
       blocklist = f.get("blocklist").map(_.split(",").toSeq.filter(_.nonEmpty)),
       urlCol = f.get("url-col"),
       boilerplate = f.get("boilerplate-max-doc-freq").map(m =>

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the composition a 100 TB training-data
-  * pipeline actually runs — C4 line cleaning → Gopher document rules →
+  * pipeline actually runs — C4 line cleaning → within-doc line dedup →
+  * Gopher document rules →
   * repetition rules → quality/language filter → blocklist → URL dedup
   * → corpus boilerplate removal → exact dedup → C4 span dedup →
   * ExactSubstr passage removal → CCNet unigram/bigram LM bucketing →
@@ -205,6 +206,15 @@ object Curation {
       c4: Option[C4Config] = None,
       gopher: Option[QualityFilters.GopherConfig] = None,
       repetition: Option[QualityFilters.RepetitionConfig] = None,
+      /** Within-document duplicate-line removal
+        * ([[Dedup.dedupLinesExpr]]): a pure text REWRITE fused into
+        * the same scan as the verdict kernel — no extra corpus read,
+        * no ledger row (it never drops documents; it normalizes
+        * survivors so the later hash dedups catch pages differing
+        * only in how often a line repeats). The quality verdict
+        * deliberately sees the PRE-rewrite text: within-document
+        * repetition is itself a quality signal. */
+      lineDedup: Boolean = false,
       blocklist: Option[Seq[String]] = None,
       urlCol: Option[String] = None,
       boilerplate: Option[BoilerplateConfig] = None,
@@ -320,7 +330,8 @@ object Curation {
     // evaluates the CLEANED text like every other post-C4 rule.
     val scanFiltered =
       docs.filter(verdict === graft.functions.Hygiene.PassVerdict)
-        .withColumn(textCol, cleanText)
+        .withColumn(textCol,
+          if (hygiene.lineDedup) Dedup.dedupLinesExpr(cleanText) else cleanText)
     val scanKept = stageCp(hygiene.blocklist match {
       case Some(words) =>
         scanFiltered.filter(QualityFilters.blocklistKeep(col(textCol), words))

@@ -307,6 +307,36 @@ object Dedup {
       .drop("__lines", "__removed")
   }
 
+  /** WITHIN-document duplicate-line removal (the per-document leg of
+    * line hygiene — Dolma/RefinedWeb apply it before any corpus-level
+    * pass): every repeated non-blank line keeps only its FIRST
+    * occurrence inside the document; blank lines keep the document's
+    * structure and are never deduped. Exact line equality — the
+    * corpus-level normalized-fingerprint rule is
+    * [[stripBoilerplate]]'s job.
+    *
+    * Entirely scan-side: one codegen'd higher-order-function chain per
+    * row (split, first-occurrence filter, rejoin), NO shuffle, NO
+    * join — the cheapest possible place in a pipeline, which is why it
+    * runs first in hygiene stacks. The first-occurrence test is
+    * O(lines²) per document via array_position; documents are
+    * line-bounded in practice (a 10k-line doc is 1e8 char compares at
+    * worst, still microseconds next to its own parse). */
+  def dedupLinesInDoc(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, dedupLinesExpr(col(textCol)))
+
+  /** The [[dedupLinesInDoc]] rewrite as a bare Column, for fusing into
+    * an existing scan (that is how [[Curation.curate]] applies it —
+    * same corpus read as the verdict kernel). */
+  def dedupLinesExpr(text: Column): Column = {
+    val lines = split(text, "\n")
+    array_join(
+      filter(lines, (l, i) =>
+        (length(trim(l)) === 0) ||
+          (array_position(lines, l) === (i + 1).cast("long"))),
+      "\n")
+  }
+
   // ---- ExactSubstr duplicate-passage removal -------------------------
 
   /** ExactSubstr-style duplicate-passage removal (Lee et al. 2021,

@@ -290,6 +290,35 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(!rb.df.select("doc_id").as[Long].collect().contains(99L))
   }
 
+  test("curate lineDedup: survivor text is rewritten, no ledger row, exact dedup unifies") {
+    import graft.ops.Curation
+    // docs 1 and 2 differ ONLY in how often a line repeats -> after the
+    // scan-side rewrite they are byte-identical and exact dedup keeps one
+    val docs = Seq(
+      (1L, "same line here\nsame line here\nsecond line now"),
+      (2L, "same line here\nsecond line now"),
+      (3L, "all unique alpha\nall unique beta")
+    ).toDF("doc_id", "text")
+    val r = Curation.curate(docs, minQuality = 0.0, languages = Nil,
+      nearDupThreshold = 0.99,
+      hygiene = Curation.HygieneConfig(lineDedup = true))
+    // a rewrite, not a filter: no ledger row, nothing dropped by scan
+    assert(!r.stats.stages.map(_._1).contains("line_dedup"))
+    val kept = r.df.select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(kept.values.forall(!_.contains("same line here\nsame line here")),
+      s"duplicated line must be rewritten: $kept")
+    assert(r.stats.dropped("exact_dup") == 1,
+      s"rewritten twins must collapse in exact dedup: ${r.stats}")
+    assert(kept.contains(3L))
+    // without the flag the twins stay distinct
+    val r0 = Curation.curate(docs, minQuality = 0.0, languages = Nil,
+      nearDupThreshold = 0.99,
+      hygiene = Curation.HygieneConfig())
+    assert(r0.stats.dropped("exact_dup") == 0, r0.stats.toString)
+    r.release(); r0.release()
+  }
+
   test("curation second-wave stages: one planted failure per stage") {
     import graft.ops.Curation
     val banner = "accept all cookies to continue browsing"

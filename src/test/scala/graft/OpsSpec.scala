@@ -397,6 +397,25 @@ class OpsSpec extends SparkFunSuite {
     assert(delta.columns.toSeq == Seq("fingerprint"))
   }
 
+  test("within-doc line dedup: repeats keep first occurrence, blanks untouched, exact equality") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha\n\n\nbeta\ngamma"),
+      (2L, "alpha \nalpha\nalpha "),   // trailing space = a DIFFERENT line
+      (3L, "solo"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesInDoc(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alpha\nbeta\n\n\ngamma", s"got <${out(1L)}>")
+    assert(out(2L) == "alpha \nalpha", s"got <${out(2L)}>")
+    assert(out(3L) == "solo")
+    assert(out(4L) == "")
+    // other documents untouched: idempotent
+    val twice = Dedup.dedupLinesInDoc(Dedup.dedupLinesInDoc(docs, "text"), "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice == out)
+  }
+
   test("boilerplate lines: corpus-frequency removal, blanks and order preserved") {
     val nav = "  Nav  Home   About "   // normalization folds case/whitespace
     val docs = Seq(

@@ -373,6 +373,15 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("Join"), s"chunking joins nothing:\n$plan")
   }
 
+  test("within-doc line dedup is pure scan-side: no exchange, no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val plan = planOf(graft.ops.Dedup.dedupLinesInDoc(docs, "text"))
+    assert(!plan.contains("Exchange"),
+      s"per-document line dedup must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"line dedup joins nothing:\n$plan")
+  }
+
   test("packToSequences keeps the chunkPacks shape: encode is scan-side, two exchanges, no join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text")
