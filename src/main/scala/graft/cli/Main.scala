@@ -105,7 +105,9 @@ object Main {
       |          (fastText-style quality classifier: train positives-vs-
       |           negatives, keep docs with P(quality) >= min-prob;
       |           --score-only writes quality_prob instead of filtering)
-      |  profile --input PATH [--group-col source] [--text-col text] [--json PATH]
+      |  profile --input PATH [--group-col source] [--text-col text]
+      |          [--tokenizer DIR] [--json PATH]
+      |          (--tokenizer counts real BPE tokens instead of whitespace)
       |          (per-group corpus stats + total: docs, distinct texts,
       |           tokens, chars, doc-token min/max/mean — one agg pass)
       |  shuffle --input PATH --output PATH [--id-col doc_id] [--seed 42]
@@ -858,15 +860,20 @@ object Main {
     val spark = session()
     val input = req(f, "input", "profile needs --input PATH (a parquet corpus)")
     val groupCol = f.getOrElse("group-col", "source")
+    val textCol = f.getOrElse("text-col", "text")
+    // --tokenizer: measure real token counts (the unit the trainer
+    // consumes) instead of the whitespace default
+    val tokens = f.get("tokenizer").map(vp => graft.ops.Tokenizer.tokenCount(
+      col(textCol), graft.ops.Tokenizer.load(spark, vp)))
     val rows = graft.ops.TextAnalysis.corpusProfile(
         readCorpus(spark, input, f.get("input-format")),
-        groupCol, f.getOrElse("text-col", "text"))
+        groupCol, textCol, tokens)
       .orderBy(col("is_total"), col(groupCol))
       .collect()
     val header = Seq(groupCol, "docs", "uniq_texts", "tokens", "chars",
       "min_tok", "max_tok", "avg_tok")
     val table = rows.map { r =>
-      Seq(if (r.getAs[Int]("is_total") == 1) "TOTAL" else r.getString(0),
+      Seq(if (r.getAs[Int]("is_total") == 1) "TOTAL" else String.valueOf(r.get(0)),
         r.getAs[Long]("n_docs").toString, r.getAs[Long]("n_unique_texts").toString,
         r.getAs[Long]("n_tokens").toString, r.getAs[Long]("n_chars").toString,
         r.getAs[Long]("min_doc_tokens").toString, r.getAs[Long]("max_doc_tokens").toString,
@@ -879,7 +886,8 @@ object Main {
     f.get("json").foreach { jp =>
       val json = graft.util.Jsons.value(rows.toSeq.map { r =>
         graft.util.Jsons.Raw(graft.util.Jsons.obj(
-          groupCol -> (if (r.getAs[Int]("is_total") == 1) null else r.getString(0)),
+          groupCol -> (if (r.getAs[Int]("is_total") == 1) null
+            else String.valueOf(r.get(0))),
           "is_total" -> r.getAs[Int]("is_total"),
           "n_docs" -> r.getAs[Long]("n_docs"),
           "n_unique_texts" -> r.getAs[Long]("n_unique_texts"),

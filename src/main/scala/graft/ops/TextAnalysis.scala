@@ -299,8 +299,11 @@ object TextAnalysis {
     * so it divides one exact integer sum (bit-stable across partition
     * orders) instead of accumulating doubles. */
   def corpusProfile(df: DataFrame, groupCol: String = "source",
-      textCol: String = "text"): DataFrame = {
-    val n = tokenCount(col(textCol)).cast("long")
+      textCol: String = "text", tokens: Option[Column] = None): DataFrame = {
+    // tokens overrides the whitespace default with a real count (e.g.
+    // Tokenizer.tokenCount) so the profile measures the unit the
+    // trainer consumes — still one scan-side expression per row
+    val n = tokens.getOrElse(tokenCount(col(textCol))).cast("long")
     df.rollup(col(groupCol))
       .agg(
         grouping(col(groupCol)).cast("int").as("is_total"),

@@ -501,6 +501,13 @@ class CliSpec extends SparkFunSuite {
     assert(spark.read.parquet(seqs2)
       .filter(array_contains(col("token_ids"), eosId)).count() > 0,
       "exported sequences must carry the document separator")
+    // profile --tokenizer: real token counts in the corpus profile
+    val profCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(profCap)) {
+      assert(graft.cli.Main.cmdProfile(Array(
+        "--input", in, "--group-col", "doc_id", "--tokenizer", model)) == 0)
+    }
+    assert(profCap.toString.contains("TOTAL"), profCap.toString)
   }
 
   test("inspect: exact and --approx modes both report usable distincts") {
