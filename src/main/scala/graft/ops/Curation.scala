@@ -207,7 +207,7 @@ object Curation {
       gopher: Option[QualityFilters.GopherConfig] = None,
       repetition: Option[QualityFilters.RepetitionConfig] = None,
       /** Within-document duplicate-line removal
-        * ([[Dedup.dedupLinesFromArray]]): a pure text REWRITE fused into
+        * ([[graft.functions.LineDedup]]): a pure text REWRITE fused into
         * the same scan as the verdict kernel — no extra corpus read,
         * no ledger row (it never drops documents; it normalizes
         * survivors so the later hash dedups catch pages differing
@@ -328,20 +328,14 @@ object Curation {
     // filter (when enabled) fuses into the SAME whole-stage-codegen
     // scan as the verdict filter — no extra corpus read — and
     // evaluates the CLEANED text like every other post-C4 rule.
-    // line dedup projects the cleaned text, THEN the lines array, THEN
-    // rewrites — each a same-stage projection, so the HOF lambda sees
-    // attributes (per-element cost O(1)) and the corpus is still read
-    // once; inlining cleanText under the lambda would re-run the whole
-    // C4 chain once per LINE (see Dedup.dedupLinesFromArray)
-    val scanBase =
-      docs.filter(verdict === graft.functions.Hygiene.PassVerdict)
-        .withColumn(textCol, cleanText)
+    // the line-dedup kernel composes INSIDE the same codegen span as
+    // the verdict filter and C4 rewrite — one corpus read, cleanText
+    // evaluated once per document as the kernel's child
     val scanFiltered =
-      if (hygiene.lineDedup)
-        scanBase.withColumn("__lines", split(col(textCol), "\n"))
-          .withColumn(textCol, Dedup.dedupLinesFromArray(col("__lines")))
-          .drop("__lines")
-      else scanBase
+      docs.filter(verdict === graft.functions.Hygiene.PassVerdict)
+        .withColumn(textCol,
+          if (hygiene.lineDedup) graft.functions.LineDedup.of(cleanText)
+          else cleanText)
     val scanKept = stageCp(hygiene.blocklist match {
       case Some(words) =>
         scanFiltered.filter(QualityFilters.blocklistKeep(col(textCol), words))

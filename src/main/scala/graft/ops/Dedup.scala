@@ -315,35 +315,13 @@ object Dedup {
     * corpus-level normalized-fingerprint rule is
     * [[stripBoilerplate]]'s job.
     *
-    * Entirely scan-side: one codegen'd higher-order-function chain per
-    * row (split, first-occurrence filter, rejoin), NO shuffle, NO
-    * join — the cheapest possible place in a pipeline, which is why it
-    * runs first in hygiene stacks. The first-occurrence test is
-    * O(lines²) per document via array_position; documents are
-    * line-bounded in practice (a 10k-line doc is 1e8 char compares at
-    * worst, still microseconds next to its own parse). */
-  def dedupLinesInDoc(df: DataFrame, textCol: String): DataFrame = {
-    require(!df.columns.contains("__lines"),
-      "dedupLinesInDoc uses a __lines working column; rename the existing one first")
-    df.withColumn("__lines", split(col(textCol), "\n"))
-      .withColumn(textCol, dedupLinesFromArray(col("__lines")))
-      .drop("__lines")
-  }
-
-  /** The [[dedupLinesInDoc]] rewrite over an ALREADY-PROJECTED lines
-    * array column (how [[Curation.curate]] fuses it into the verdict
-    * scan). Take the projected column, not `split(text, ...)` inline:
-    * higher-order functions re-evaluate outer subtrees referenced in
-    * the lambda PER ELEMENT, so an inline split (or worse, a whole
-    * C4-clean chain under it) would run once per line instead of once
-    * per document — the same expression-tree hygiene rule as
-    * signatures/shingles. */
-  def dedupLinesFromArray(lines: Column): Column =
-    array_join(
-      filter(lines, (l, i) =>
-        (length(trim(l)) === 0) ||
-          (array_position(lines, l) === (i + 1).cast("long"))),
-      "\n")
+    * Entirely scan-side: ONE codegen'd kernel call per row
+    * ([[graft.functions.LineDedup]] — split, seen-set filter, rejoin
+    * in a single O(lines) pass), NO shuffle, NO join — the cheapest
+    * possible place in a pipeline, which is why it runs first in
+    * hygiene stacks. */
+  def dedupLinesInDoc(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, graft.functions.LineDedup.of(col(textCol)))
 
   // ---- ExactSubstr duplicate-passage removal -------------------------
 

@@ -373,13 +373,21 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("Join"), s"chunking joins nothing:\n$plan")
   }
 
-  test("within-doc line dedup is pure scan-side: no exchange, no join") {
+  test("within-doc line dedup is one scan-side codegen kernel: no exchange, no join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text")
-    val plan = planOf(graft.ops.Dedup.dedupLinesInDoc(docs, "text"))
+    val df = graft.ops.Dedup.dedupLinesInDoc(docs, "text")
+    val plan = planOf(df)
     assert(!plan.contains("Exchange"),
       s"per-document line dedup must not shuffle:\n$plan")
     assert(!plan.contains("Join"), s"line dedup joins nothing:\n$plan")
+    assert(plan.contains("dedup_lines"),
+      s"the LineDedup kernel must appear in the projection:\n$plan")
+    // the kernel codegens: the rewrite projection carries the `*(n)`
+    // whole-stage-codegen marker (the HOF formulation it replaced was
+    // a CodegenFallback and lost it)
+    assert("""\*\(\d+\) Project \[.*dedup_lines""".r.findFirstIn(plan).isDefined,
+      s"line dedup must stay inside whole-stage codegen:\n$plan")
   }
 
   test("packToSequences keeps the chunkPacks shape: encode is scan-side, two exchanges, no join") {
