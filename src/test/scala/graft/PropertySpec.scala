@@ -369,6 +369,32 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.ops.Sampling.hashSample(ids, "id", 1.0).count() == 400L)
   }
 
+  test("line-dedup kernel matches the independent HOF formulation on arbitrary line soups") {
+    // small alphabet forces duplicate lines; space-only and
+    // trailing-space variants pin the blank rule (space-only = blank,
+    // trailing space = a DIFFERENT line). The reference path is the
+    // array_position higher-order formulation the kernel replaced —
+    // fully independent evaluation machinery inside Spark.
+    val genDoc = for {
+      n <- Gen.choose(0, 12)
+      lines <- Gen.listOfN(n,
+        Gen.oneOf("a", "b", "a b", "", " ", "  ", "a ", " a", "xyz"))
+    } yield lines.mkString("\n")
+    check(Prop.forAllNoShrink(Gen.listOfN(30, genDoc)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val rows = df.withColumn("__lines", split(col("text"), "\n"))
+        .select(col("id"),
+          graft.functions.LineDedup.of(col("text")).as("k"),
+          array_join(filter(col("__lines"), (l, i) =>
+            (length(trim(l)) === 0) ||
+              (array_position(col("__lines"), l) === (i + 1).cast("long"))),
+            "\n").as("r"))
+        .collect()
+      rows.forall(r => r.getString(1) == r.getString(2))
+    }, 8)
+  }
+
   test("chunkPackedIds tiles every pack exactly for arbitrary shapes") {
     // independent reference model: per pack, order documents by
     // (pack_offset, doc_id), concatenate their id arrays, slice into
