@@ -728,6 +728,12 @@ object Main {
       case (Some("whitespace") | None, _) => None
       case (Some(c), _)                   => Some(col(c))
     }
+    if (!f.contains("ids")) {
+      val idsOnly = Seq("eos", "pad", "keep-partial").filter(f.contains)
+      if (idsOnly.nonEmpty) throw graft.errors.Errors.config(
+        s"${idsOnly.map("--" + _).mkString(", ")} only apply to the " +
+          "token-ID export.", "add --ids (and --tokenizer DIR)")
+    }
     if (f.contains("ids")) {
       // trainer-sequence export: fixed-length token-ID arrays
       val vp = req(f, "tokenizer",

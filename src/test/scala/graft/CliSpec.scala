@@ -501,6 +501,11 @@ class CliSpec extends SparkFunSuite {
     assert(spark.read.parquet(seqs2)
       .filter(array_contains(col("token_ids"), eosId)).count() > 0,
       "exported sequences must carry the document separator")
+    // --eos/--pad without --ids is a config error, not a silent no-op
+    val err = intercept[graft.errors.ConfigError](graft.cli.Main.cmdPack(Array(
+      "--input", in, "--output", s"$dir/x.parquet", "--tokenizer", model,
+      "--eos", "<|endoftext|>")))
+    assert(err.getMessage.contains("--ids"), err.getMessage)
     // profile --tokenizer: real token counts in the corpus profile
     val profCap = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(profCap)) {
