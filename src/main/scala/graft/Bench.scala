@@ -666,6 +666,20 @@ object Bench {
     // checkpoints, where the old number amortized a cache that every
     // DOWNSTREAM consumer then paid to rebuild (60s per action at
     // 300k docs; the composed curation pass got 5.6x faster).
+    // Host-contention visibility (r11 lesson: a degraded session was
+    // recorded and committed, poisoning the round-over-round
+    // comparison). The 1-minute loadavg at start and end rides the
+    // output JSON so any consumer can see whether the host was quiet;
+    // a loud start also warns immediately.
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val loadStart = loadavg()
+    if (loadStart > 4.0)
+      System.err.println(f"[bench] WARNING: loadavg $loadStart%.2f at start — " +
+        "numbers from this run are likely contended; prefer a quiet window")
+
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     val prior: Map[String, Double] = try {
       val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(outPath))
@@ -679,7 +693,20 @@ object Bench {
       }
     } catch { case _: Exception => Map.empty }
 
-    val entries = scenarios ++ operatorQueries
+    // r12 group isolation (judge-directed after the r11 contention
+    // audit): the q_* microbenches run FIRST, at fresh-JVM state,
+    // before the heavyweight throughput scenarios (shuffle_10m,
+    // curate_1m, the LBFGS fit) fragment the heap — r11 recorded a
+    // uniform 1.40x inflation across the micro rows that a same-binary
+    // TimeQuery A/B on an idle host showed was session context, not
+    // code (q_semdedup isolated: r10 binary 3.8s vs r11 binary 3.0s;
+    // q_contamination: 2.2s vs 0.6s — the "regressions" were actually
+    // improvements). Pass 2 runs in REVERSE, so the heavy scenarios
+    // also get an early-in-pass sample; per-row min keeps whichever
+    // pass sampled the row cleanest. The r1 concern this inverts
+    // (operator-query caches taxing later rows) is handled by the
+    // per-row clearCache+gc in measure().
+    val entries = operatorQueries ++ scenarios
     val warmed = scala.collection.mutable.Set.empty[String]
     // One measurement = warmup (first encounter only) + median of up to
     // 3 timed reps under a 60s budget (keeps the 10M-row headroom
@@ -731,7 +758,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val loadEnd = loadavg()
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
     // Belt and braces for machine consumers: build.sbt routes forked
     // stdout RAW (StdoutOutput — sbt's default logger [info]-prefixed
     // this line and broke the driver's parse in rounds 1-2), and the

@@ -1026,8 +1026,31 @@ object SparkEntry {
       graft.ops.QualityClassifier.score(docs, m)
         .select(col("doc_id"), round(col("quality_prob"), 6).as("quality_prob"))
         .orderBy("doc_id")
+    }),
+    // The classifier's SCORING half under FIXED literal weights (the
+    // lshPlaneLiterals discipline): σ(Σ w[bucket(g)] + b) through the
+    // portable md5 bucket kernel — exactly the q_dsir_weights DuckDB
+    // replay path plus a sigmoid. This gives the scan-side scorer a
+    // real hash-match oracle row; the LBFGS fit above stays rows-only.
+    "q_quality_classifier_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.ops.QualityClassifier.Model(
+        classifierOracleWeights, -0.25, portableHash = true)
+      graft.ops.QualityClassifier.score(docs, m)
+        .select(col("doc_id"), round(col("quality_prob"), 6).as("quality_prob"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Fixed weights for the classifier scoring oracle: 64 seeded
+    * gaussians scaled so typical document margins land mid-sigmoid
+    * (a saturated sigmoid would round every prob to 0/1 and weaken the
+    * hash check). `Double.toString` round-trips, so the DuckDB literal
+    * applies the bit-identical weights. */
+  private lazy val classifierOracleWeights: Array[Double] = {
+    val rnd = new scala.util.Random(7L)
+    Array.fill(64)(rnd.nextGaussian() / 8)
+  }
 
   /** The exact hyperplane constants `Similarity.hyperplaneSignature`
     * draws for (dim=64, planes=2, seed=42), rendered as DuckDB DOUBLE[]
@@ -2466,7 +2489,32 @@ object SparkEntry {
         "    ln(-ln((('0x'||substr(md5('dsir:42:'||CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT::DOUBLE + 0.5)\n" +
         "        / 1152921504606846976.0)), 6) AS dsir_key\n" +
         "FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id\n" +
-        "ORDER BY dsir_key DESC, d.doc_id LIMIT 50")
+        "ORDER BY dsir_key DESC, d.doc_id LIMIT 50"),
+
+    // Classifier scoring replay: same featurize → md5-top-60-bit
+    // bucket chain as the DSIR oracle, weights indexed from the fixed
+    // 64-element literal, sigmoid of (Σ w + intercept). Docs with no
+    // grams miss the join and coalesce to the empty-sum margin 0, the
+    // kernel's own empty-array contract.
+    "q_quality_classifier_score" -> {
+      val wlit = classifierOracleWeights.mkString("[", ",", "]")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id,
+         |    unnest(t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+         |  FROM toks),
+         |scored AS (
+         |  SELECT doc_id,
+         |    sum(($wlit)[('0x'||substr(md5(g),1,15))::BIGINT % 64 + 1]) AS m
+         |  FROM grams GROUP BY 1)
+         |SELECT d.doc_id,
+         |  round(1.0 / (1.0 + exp(-(coalesce(s.m, 0.0) + -0.25))), 6) AS quality_prob
+         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }
   )
 
   /** Shared DSIR oracle CTE chain (featurize → distributions → λ →

@@ -51,9 +51,12 @@ object QualityClassifier {
     * spark.ml fit. */
   private def labeled(df: DataFrame, textCol: String, buckets: Int,
       portableHash: Boolean, label: Double): DataFrame = {
+    // null text ⇒ bucketsOf returns null ⇒ the udf receives null; map
+    // it to the empty vector instead of NPEing the whole fit (JSONL
+    // corpora with missing text fields hit this)
     val toVec = udf { (ids: Seq[Int]) =>
       val counts = scala.collection.mutable.TreeMap.empty[Int, Double]
-      ids.foreach(b => counts(b) = counts.getOrElse(b, 0.0) + 1.0)
+      if (ids != null) ids.foreach(b => counts(b) = counts.getOrElse(b, 0.0) + 1.0)
       org.apache.spark.ml.linalg.Vectors.sparse(
         buckets, counts.keys.toArray, counts.values.toArray)
     }
