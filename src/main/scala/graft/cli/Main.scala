@@ -43,6 +43,7 @@ object Main {
           case "classify" => cmdClassify(rest)
           case "profile" => cmdProfile(rest)
           case "shuffle" => cmdShuffle(rest)
+          case "export"  => cmdExport(rest)
           case "tokenizer" => cmdTokenizer(rest)
           case "help" | "-h" | "--help" => println(usage); 0
           case other => System.err.println(s"Unknown command '$other'\n$usage"); 2
@@ -115,6 +116,14 @@ object Main {
       |          (deterministic training-order shuffle: global sort by
       |           hash(seed, id); --index stamps a contiguous global_idx;
       |           --shards N writes N ordered parquet shards)
+      |  export  --input PATH --output DIR [--shards 16] [--seed 42]
+      |          [--key-cols c1,c2]
+      |          (train-ready sharded export: deterministic shuffle +
+      |           contiguous global_idx + shard=idx div ceil(total/N),
+      |           written as shard=K partition dirs with a _manifest.json
+      |           of per-shard row counts and index ranges; key defaults
+      |           to doc_id, or pack_group,pack_id,seq_idx for pack --ids
+      |           output)
       |  tokenizer --train --input PATH --model DIR [--vocab-size 8192]
       |            [--max-word-types 200000] [--specials TOK1,TOK2]
       |  tokenizer --input PATH --model DIR --output PATH [--count-only]
@@ -642,16 +651,34 @@ object Main {
           keepBuckets = f.get("unigram-keep").map(_.toInt)
             .getOrElse(math.max(1, b.toInt - 1)))
       },
+      // the CCNet scoring model proper: --bigram-buckets triggers the
+      // stage (self-trained LM), --bigram-model scores under a
+      // persisted clean-reference LM (saveBigramModel's layout) —
+      // same flag shape as the unigram stage
+      bigram =
+        if (f.contains("bigram-buckets") || f.contains("bigram-model")) {
+          val b = f.get("bigram-buckets").map(_.toInt).getOrElse(3)
+          Some(Curation.BigramConfig(buckets = b,
+            keepBuckets = f.get("bigram-keep").map(_.toInt)
+              .getOrElse(math.max(1, b - 1)),
+            model = f.get("bigram-model")
+              .map(QualityFilters.loadBigramModel(spark, _))))
+        } else None,
       decontaminate = f.get("decontaminate").map(path =>
-        Curation.DecontaminateConfig(readCorpus(spark, path, f.get("input-format")),
+        Curation.DecontaminateConfig(readCorpus(spark, path, None),
           n = f.getOrElse("decontaminate-ngram", "8").toInt)),
       semDedup = f.get("semdedup-col").map(c =>
         Curation.SemDeDupConfig(c,
           threshold = f.getOrElse("semdedup-threshold", "0.95").toDouble,
           nlist = f.getOrElse("semdedup-nlist", "16").toInt)),
+      // auxiliary corpora (eval sets, reference positives, DSIR
+      // targets) infer their format from their OWN paths:
+      // --input-format describes the primary --input, and forcing it
+      // onto auxiliaries broke mixed-format runs (jsonl input +
+      // parquet reference)
       classifier = f.get("classifier-positives").map(pp =>
         Curation.ClassifierConfig(
-          positives = Some(readCorpus(spark, pp, f.get("input-format"))),
+          positives = Some(readCorpus(spark, pp, None)),
           minProb = f.getOrElse("classifier-min-prob", "0.5").toDouble,
           negativeRate = f.getOrElse("classifier-negative-rate", "0.01").toDouble,
           buckets = f.getOrElse("classifier-buckets", "65536").toInt))
@@ -660,7 +687,7 @@ object Main {
             model = Some(graft.ops.QualityClassifier.load(spark, mp)),
             minProb = f.getOrElse("classifier-min-prob", "0.5").toDouble))),
       dsir = f.get("dsir-target").map(path =>
-        Curation.DsirConfig(readCorpus(spark, path, f.get("input-format")),
+        Curation.DsirConfig(readCorpus(spark, path, None),
           k = req(f, "dsir-k", "--dsir-target needs --dsir-k N (how many docs to select)").toInt,
           buckets = f.getOrElse("dsir-buckets", "65536").toInt,
           temperature = f.getOrElse("dsir-temperature", "1.0").toDouble)))
@@ -738,6 +765,14 @@ object Main {
       // trainer-sequence export: fixed-length token-ID arrays
       val vp = req(f, "tokenizer",
         "pack --ids exports token-id sequences: needs --tokenizer DIR")
+      // --pad only applies to the partial final sequence of a pack;
+      // with the default drop-partial policy there is nothing to pad
+      // and the flag would silently no-op — fail fast instead (same
+      // style as the --ids guard above)
+      if (f.contains("pad") && !f.contains("keep-partial"))
+        throw graft.errors.Errors.config(
+          "--pad pads the partial final sequences, but partial " +
+            "sequences are dropped by default.", "add --keep-partial")
       val out = graft.ops.Tokenizer.packToSequences(
         readCorpus(spark, input, f.get("input-format")),
         graft.ops.Tokenizer.load(spark, vp), idCol, textCol,
@@ -796,8 +831,10 @@ object Main {
       case None =>
         val t = req(f, "target",
           "dsir needs --target PATH (a target-domain parquet corpus) or --target-dist PATH")
+        // auxiliary target corpus: format inferred from its own path
+        // (--input-format describes --input)
         val dist = Dsir.bucketDistribution(
-          readCorpus(spark, t, f.get("input-format")), textCol, buckets)
+          readCorpus(spark, t, None), textCol, buckets)
         f.get("save-target-dist").foreach { sp =>
           Dsir.saveDistribution(dist, sp)
           println(s"target_dist=$sp (buckets=$buckets)")
@@ -836,10 +873,11 @@ object Main {
     val model = f.get("model") match {
       case Some(mp) => QualityClassifier.load(spark, mp)
       case None =>
+        // auxiliary corpora infer format from their own paths
         val pos = readCorpus(spark, req(f, "positives",
           "classify needs --positives PATH (a reference corpus) or --model DIR"),
-          f.get("input-format"))
-        val neg = f.get("negatives").map(readCorpus(spark, _, f.get("input-format")))
+          None)
+        val neg = f.get("negatives").map(readCorpus(spark, _, None))
           .getOrElse(Sampling.hashSample(raw, f.getOrElse("id-col", "doc_id"), 0.01))
         val m = QualityClassifier.train(pos, neg, textCol, buckets)
         f.get("save-model").foreach { mp =>
@@ -942,6 +980,77 @@ object Main {
     val n = readCorpus(spark, output, f.get("output-format")).count()
     println(s"shuffled=$n written=$output" +
       f.get("shards").map(s => s" shards=$s").getOrElse(""))
+    0
+  }
+
+  /** `graft export`: the train-ready sharded export — deterministic
+    * shuffle + contiguous global index ([[graft.ops.Sampling
+    * .globalOrderIndex]]) + contiguous shard assignment ([[graft.ops
+    * .Sampling.shardByOrder]]), written as `shard=K/` partition dirs
+    * (each internally in training order) with a `_manifest.json` of
+    * per-shard row counts and index ranges. Shard membership and
+    * within-shard order are pure functions of (seed, key), so
+    * re-running the export reproduces identical shards; the
+    * underscore-prefixed manifest is invisible to parquet readers.
+    * Keys default to `doc_id` (a curated corpus) or
+    * `pack_group,pack_id,seq_idx` (`pack --ids` sequence output). */
+  private[graft] def cmdExport(args: Array[String]): Int = {
+    val (f, _) = flags(args)
+    val spark = session()
+    import graft.ops.Sampling
+    val input = req(f, "input", "export needs --input PATH (a parquet corpus)")
+    val output = req(f, "output", "export needs --output DIR")
+    val nShards = f.getOrElse("shards", "16").toInt
+    val seed = f.getOrElse("seed", "42").toInt
+    val df = readCorpus(spark, input, f.get("input-format"))
+    val keyCols = f.get("key-cols").map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse {
+        if (df.columns.contains("doc_id")) Seq("doc_id")
+        else if (Seq("pack_group", "pack_id", "seq_idx").forall(df.columns.contains))
+          Seq("pack_group", "pack_id", "seq_idx")
+        else throw graft.errors.Errors.config(
+          "export can't infer a unique row key " +
+            s"(columns: ${df.columns.mkString(", ")}).",
+          "pass --key-cols c1[,c2,...] naming a unique key")
+      }
+    keyCols.filterNot(df.columns.contains) match {
+      case Nil => ()
+      case missing => throw graft.errors.Errors.config(
+        s"--key-cols ${missing.mkString(", ")} not in the input " +
+          s"(columns: ${df.columns.mkString(", ")}).", "fix --key-cols")
+    }
+    // composite keys collapse to ONE order column; the \\u0001
+    // separator keeps ("a","bc")/("ab","c")-style composites distinct
+    val (keyed, idCol) =
+      if (keyCols.size == 1) (df, keyCols.head)
+      else (df.withColumn("__export_key",
+        concat_ws("\u0001", keyCols.map(c => col(c).cast("string")): _*)),
+        "__export_key")
+    val sharded = Sampling.shardByOrder(keyed, idCol, nShards, seed)
+      .drop((if (keyCols.size == 1) Seq.empty else Seq(idCol)) :+ "shuffle_key": _*)
+    sharded
+      .repartitionByRange(nShards, col("global_idx"))
+      .sortWithinPartitions(col("global_idx"))
+      .write.mode("overwrite").partitionBy("shard").parquet(output)
+    // manifest from what actually landed on disk (counts the written
+    // data, not the plan)
+    val stats = spark.read.parquet(output)
+      .groupBy("shard").agg(count(lit(1)).as("rows"),
+        min("global_idx").as("first_idx"), max("global_idx").as("last_idx"))
+      .orderBy("shard").collect()
+    val total = stats.map(_.getAs[Long]("rows")).sum
+    val manifest = graft.util.Jsons.obj(
+      "rows" -> total, "shards" -> nShards, "seed" -> seed,
+      "key_cols" -> keyCols,
+      "shard_rows" -> graft.util.Jsons.Raw(graft.util.Jsons.arr(
+        stats.toSeq.map(r => graft.util.Jsons.Raw(graft.util.Jsons.obj(
+          "shard" -> r.getAs[Int]("shard"),
+          "rows" -> r.getAs[Long]("rows"),
+          "first_idx" -> r.getAs[Long]("first_idx"),
+          "last_idx" -> r.getAs[Long]("last_idx")))))))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(output, "_manifest.json"), manifest)
+    println(s"exported=$total shards=${stats.length} written=$output")
     0
   }
 

@@ -343,6 +343,30 @@ object Sampling {
       .drop("__mid", "__pid", "__offset")
   }
 
+  /** Deterministic contiguous shard assignment on top of
+    * [[globalOrderIndex]]: shard = global_idx div ceil(total/nShards),
+    * so shard membership (and the order within each shard) is a pure
+    * function of the (seed, id) permutation — re-running the export
+    * reproduces byte-identical shards regardless of cluster layout.
+    * The total comes from one max() over the layout the index already
+    * pinned (no extra shuffle). Integer `div` (not double /): a
+    * float quotient could round a boundary row into the next shard at
+    * large indices. */
+  def shardByOrder(df: DataFrame, idCol: String, nShards: Int, seed: Int = 42,
+      shardCol: String = "shard", indexCol: String = "global_idx"): DataFrame = {
+    require(nShards >= 1, s"nShards >= 1, got $nShards")
+    require(!df.columns.contains(shardCol),
+      s"shardByOrder writes $shardCol; rename the existing column first")
+    val indexed = globalOrderIndex(df, idCol, seed, indexCol)
+    val total = indexed.agg(max(col(indexCol))).collect().head match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0) + 1L
+    }
+    val perShard = math.max(1L, (total + nShards - 1) / nShards)
+    indexed.withColumn(shardCol,
+      least(expr(s"`$indexCol` div $perShard"), lit(nShards - 1L)).cast("int"))
+  }
+
   /** The per-stratum repetition weights [[mixByTokenBudget]] applies:
     * with per-stratum token totals T_s (one bounded map-side-combined
     * aggregate), the weight is `min(maxWeight, budget x frac_s / T_s)`

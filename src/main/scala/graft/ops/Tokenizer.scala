@@ -43,10 +43,39 @@ object Tokenizer {
       .limit(maxWordTypes)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
+    // Loud degradation guard: on a pathological corpus (no whitespace,
+    // highly unique text) the maxWordTypes cut can silently discard
+    // most of the frequency mass and train merges on an unrepresentative
+    // sliver. Only measured when the cut was actually HIT (one extra
+    // scan-side aggregate, no shuffle) — the common under-cut case
+    // costs nothing.
+    if (freqs.length == maxWordTypes) {
+      val covered = cutCoverage(df, textCol, freqs.iterator.map(_._2).sum)
+      if (covered < 0.9)
+        Console.err.println(
+          f"[tokenizer] WARNING: the maxWordTypes=$maxWordTypes cut covers " +
+            f"only ${covered * 100}%.1f%% of pre-token occurrences — the " +
+            "corpus has a heavy word-type tail (no-whitespace or highly " +
+            "unique text?); raise maxWordTypes or pre-normalize the text")
+    }
     // specials reserve id slots INSIDE vocabSize (GPT-2: 50257 =
     // 256 bytes + 50000 merges + <|endoftext|>)
     withSpecialTokens(Bpe.learn(freqs, vocabSize - specialTokens.size),
       specialTokens)
+  }
+
+  /** Fraction of the corpus's pre-token occurrences covered by a
+    * frequency table holding `keptMass` occurrences: keptMass / total,
+    * 1.0 for an empty corpus. Factored out of [[train]]'s cut guard so
+    * the diagnostic is testable directly. */
+  private[graft] def cutCoverage(df: DataFrame, textCol: String,
+      keptMass: Long): Double = {
+    val total = df.select(sum(size(Bpe.preTokensOf(col(textCol)))))
+      .collect().head match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    if (total <= 0L) 1.0 else keptMass.toDouble / total
   }
 
   /** Attach reserved control tokens (EOS/BOS/PAD) to a trained vocab:

@@ -541,4 +541,128 @@ class CliSpec extends SparkFunSuite {
     assert(approx.contains("distinct=7")) // tiny cardinalities are exact in HLL++
     assert(estId.max >= 900 && estId.max <= 1100, s"HLL estimate off: $approx")
   }
+
+  test("pack --ids --pad without --keep-partial is a config error, not a no-op") {
+    val dir = Files.createTempDirectory("graft_cli_padguard")
+    val in = s"$dir/docs.parquet"
+    (1 to 10).map(i => (i.toLong, s"alpha beta gamma delta epsilon w$i"))
+      .toDF("doc_id", "text").write.parquet(in)
+    val model = s"$dir/vocab"
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdTokenizer(Array(
+        "--train", "--input", in, "--model", model, "--vocab-size", "512",
+        "--specials", "<|pad|>")) == 0)
+    }
+    val err = intercept[graft.errors.ConfigError](graft.cli.Main.cmdPack(Array(
+      "--input", in, "--output", s"$dir/x.parquet", "--tokenizer", model,
+      "--ids", "--pad", "<|pad|>")))
+    assert(err.getMessage.contains("--keep-partial"), err.getMessage)
+  }
+
+  test("curate command: bigram LM stage via --bigram-buckets and --bigram-model") {
+    val dir = Files.createTempDirectory("graft_cli_bigram")
+    val in = s"$dir/docs.parquet"
+    val out = s"$dir/curated.parquet"
+    // fluent prose (repeating bigrams) vs one gibberish page: the
+    // self-trained LM puts the gibberish in the worst bucket
+    val fluent = (1 to 9).map(i => (i.toLong,
+      "the quiet harbor town wakes early with the fishing boats " +
+        s"and the morning market opens with the fresh catch today t$i"))
+    val junk = Seq((10L, "zq xv qk jw vz kx wq zj vv kk qq ww zz jj xx"))
+    (fluent ++ junk).toDF("doc_id", "text").write.parquet(in)
+    val outCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCap)) {
+      assert(graft.cli.Main.cmdCurate(Array(
+        "--input", in, "--output", out,
+        "--min-quality", "0", "--languages", "none",
+        "--near-dup-threshold", "0.99",
+        "--bigram-buckets", "2", "--bigram-keep", "1")) == 0)
+    }
+    assert(outCap.toString.contains("bigram"),
+      s"bigram stage missing from the ledger:\n$outCap")
+    // self-trained LM: wiring only — scores here tie at the median
+    // (identical prose bodies) and the UNK pathology lifts the junk
+    // doc (the Scaladoc's caveat), so bucket OUTCOMES are asserted
+    // under the reference model below, and in OpsSpec for semantics
+    val survivors = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.nonEmpty, "bigram stage must not empty the corpus here")
+    // --bigram-model: a persisted clean-reference LM (fluent-only
+    // training) maps the gibberish to unseen-UNK bigrams -> lowest
+    // scores -> the dropped bucket
+    val modelDir = s"$dir/lm"
+    val lm = graft.ops.QualityFilters.bigramModel(
+      fluent.toDF("doc_id", "text"), "text", minCount = 1)
+    graft.ops.QualityFilters.saveBigramModel(lm, modelDir)
+    val out2 = s"$dir/curated2.parquet"
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdCurate(Array(
+        "--input", in, "--output", out2,
+        "--min-quality", "0", "--languages", "none",
+        "--near-dup-threshold", "0.99",
+        "--bigram-model", modelDir, "--bigram-buckets", "2")) == 0)
+    }
+    val survivors2 = spark.read.parquet(out2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors2.nonEmpty && !survivors2.contains(10L),
+      s"gibberish must land in the reference model's dropped bucket: $survivors2")
+  }
+
+  test("export command: curate -> pack --ids -> export gives deterministic shards + manifest") {
+    val dir = Files.createTempDirectory("graft_cli_export")
+    val in = s"$dir/docs.parquet"
+    def mk(i: Int) = s"the steady harbor town number t$i wakes early with fishing " +
+      s"boats and the morning market opens with fresh catch for everyone d$i"
+    // 58 clean docs + 2 exact duplicates for curate to drop
+    ((1 to 58).map(i => (i.toLong, mk(i))) ++ Seq((59L, mk(1)), (60L, mk(2))))
+      .toDF("doc_id", "text").write.parquet(in)
+    val curated = s"$dir/curated.parquet"
+    val model = s"$dir/vocab"
+    val seqs = s"$dir/seqs.parquet"
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdCurate(Array(
+        "--input", in, "--output", curated,
+        "--min-quality", "0", "--languages", "none")) == 0)
+      assert(graft.cli.Main.cmdTokenizer(Array(
+        "--train", "--input", curated, "--model", model,
+        "--vocab-size", "512")) == 0)
+      assert(graft.cli.Main.cmdPack(Array(
+        "--input", curated, "--output", seqs, "--tokenizer", model, "--ids",
+        "--seq-len", "32", "--groups", "2", "--keep-partial")) == 0)
+    }
+    assert(spark.read.parquet(curated).count() == 58L, "dups curated away")
+    val out1 = s"$dir/shards1"
+    val out2 = s"$dir/shards2"
+    val cap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap)) {
+      assert(graft.cli.Main.cmdExport(Array(
+        "--input", seqs, "--output", out1, "--shards", "3")) == 0)
+      assert(graft.cli.Main.cmdExport(Array(
+        "--input", seqs, "--output", out2, "--shards", "3")) == 0)
+    }
+    assert(cap.toString.contains("exported="), cap.toString)
+    // the pack-sequence composite key is inferred
+    val m1 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out1, "_manifest.json")))
+    val m2 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out2, "_manifest.json")))
+    assert(m1 == m2, s"re-running the export must reproduce the manifest:\n$m1\n$m2")
+    assert(m1.contains("\"key_cols\":[\"pack_group\",\"pack_id\",\"seq_idx\"]"), m1)
+    def rows(p: String) = spark.read.parquet(p)
+      .select("shard", "global_idx", "pack_group", "pack_id", "seq_idx")
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString(","))
+    assert(rows(out1).toSeq == rows(out2).toSeq,
+      "shard contents must be byte-identical across runs")
+    // contiguous global index, shards cover contiguous ranges
+    val r1 = spark.read.parquet(out1)
+    val idx = r1.select("global_idx").collect().map(_.getLong(0)).sorted
+    assert(idx.toSeq == (0L until idx.length).toSeq)
+    val ranges = r1.groupBy("shard")
+      .agg(min("global_idx").as("lo"), max("global_idx").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("shard").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    ranges.foreach { case (lo, hi, n) => assert(hi - lo + 1 == n,
+      s"shard range [$lo,$hi] must be contiguous with $n rows") }
+  }
 }

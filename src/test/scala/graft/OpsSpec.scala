@@ -1699,6 +1699,32 @@ class OpsSpec extends SparkFunSuite {
     assert(shuffled == ranked, "shuffleDeterministic yields the same total order")
   }
 
+  test("shardByOrder: contiguous balanced shards, pure function of (seed, id)") {
+    import graft.ops.Sampling
+    val n = docs.count()
+    val out = Sampling.shardByOrder(docs, "doc_id", nShards = 7)
+      .select("doc_id", "global_idx", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length == n)
+    // shard = global_idx div ceil(n/7), never past the last shard
+    val perShard = (n + 6) / 7
+    out.foreach { case (_, idx, s) =>
+      assert(s == math.min(6L, idx / perShard).toInt, s"idx=$idx shard=$s") }
+    assert(out.map(_._3).distinct.sorted.toSeq == (0 until 7),
+      "all shards populated at this size")
+    // deterministic across runs and partition layouts
+    val re = Sampling.shardByOrder(docs.repartition(5), "doc_id", nShards = 7)
+      .select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.forall { case (id, _, s) => re(id) == s })
+    // a different seed is a different permutation -> different shards
+    val reseeded = Sampling.shardByOrder(docs, "doc_id", nShards = 7, seed = 1)
+      .select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.exists { case (id, _, s) => reseeded(id) != s },
+      "seed must drive the permutation")
+  }
+
   test("mixByTokenBudget: weights hit per-stratum token targets, cap bites") {
     import graft.ops.Sampling
     val df = ((1 to 10).map(i => (i.toLong, "en", Seq.fill(10)("tok").mkString(" "))) ++

@@ -259,4 +259,29 @@ class TokenizerSpec extends SparkFunSuite {
     assert(check.filter(col("first_off") >= 512).count() == 0)
     assert(check.count() > 0)
   }
+
+  test("maxWordTypes cut: loud warning when a pathological corpus drops mass") {
+    // no-whitespace corpus: every doc is ONE unique all-letter
+    // pre-token (digits would split under the GPT-2 pattern), so a
+    // maxWordTypes=5 cut keeps 5 of 50 occurrences (10% coverage)
+    val weird = (0 until 50).map(i =>
+      "zq" + ('a' + i / 26).toChar + ('a' + i % 26).toChar + "xjvkqwpbdfghm")
+      .toDF("text")
+    val errCap = new java.io.ByteArrayOutputStream()
+    val v = Console.withErr(new java.io.PrintStream(errCap)) {
+      Tokenizer.train(weird, vocabSize = 300, maxWordTypes = 5)
+    }
+    assert(v.size >= 256, "training still yields a usable vocab")
+    assert(errCap.toString.contains("WARNING"),
+      s"expected a coverage warning, got: '${errCap.toString}'")
+    // the diagnostic itself: 5 kept singletons over 50 total
+    assert(math.abs(Tokenizer.cutCoverage(weird, "text", 5L) - 0.1) < 1e-9)
+    // a corpus whose types fit under the cut warns nothing
+    val clean = (1 to 50).map(_ => "the cat sat on the mat").toDF("text")
+    val errCap2 = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(errCap2)) {
+      Tokenizer.train(clean, vocabSize = 300, maxWordTypes = 1000)
+    }
+    assert(!errCap2.toString.contains("WARNING"), errCap2.toString)
+  }
 }
