@@ -698,6 +698,25 @@ object SparkEntry {
           col("width"), col("height"))
         .orderBy("media_id", "frame_index")
     }),
+    // Image near-dup dedup: REAL ImageIO decodes → dHash64 → pigeonhole
+    // banded hamming pairs → min-id component dedup. The grid PNGs make
+    // every dHash bit a pure md5-integer function of the id
+    // (syntheticGridPng), so the oracle replays the ENTIRE pipeline —
+    // all 64 signature bits per image, banding, popcount, connected
+    // components — in pure SQL against the real decoded hashes. Output:
+    // every image's dhash plus its keep/drop verdict.
+    "q_image_neardup" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.syntheticGridMedia(s, 400)
+      val hashes = graft.ops.Multimodal.imageDHashes(media)
+      val pairs = graft.ops.Dedup.hammingPairs64(hashes, "media_id", "dhash",
+        maxHamming = 2, bands = 4)
+      val kept = graft.ops.Dedup.dedupByPairs(hashes, "media_id", pairs)
+      hashes.join(kept.select(col("media_id"), lit(1).as("kept")),
+          Seq("media_id"), "left")
+        .select(col("media_id"), col("dhash"),
+          coalesce(col("kept"), lit(0)).as("kept"))
+        .orderBy("media_id")
+    }),
     // Full one-pass text enrichment
     "q_text_analyze" -> ((s, dir) =>
       graft.ops.TextAnalysis.analyze(t(s, dir, "documents"))
@@ -1787,6 +1806,69 @@ object SparkEntry {
         |       CAST(unnest(range(0, nf, 3)) AS INT) AS frame_index,
         |       width, height
         |FROM v ORDER BY media_id, frame_index""".stripMargin,
+
+    // Image near-dup replay: syntheticGridPng makes every dHash grid
+    // cell the md5-top-60-bit of "img:<seed>:<cx>:<cy>" mod 256, so
+    // the oracle recomputes all 64 signature bits (strict right-
+    // neighbor-brighter compares), reassembles the signed 64-bit hash
+    // from four 16-bit bands (band 3 two's-complement adjusted),
+    // generates candidates by band equality (the pigeonhole), filters
+    // popcount <= 2, and min-labels components with a recursive CTE —
+    // the Spark side's values come from REAL PNG decodes.
+    "q_image_neardup" ->
+      """WITH RECURSIVE imgs AS (
+        |  SELECT i AS id,
+        |         CASE WHEN i % 5 = 1 THEN i - 1 ELSE i END AS eff,
+        |         (i % 10 = 6) AS pert
+        |  FROM range(400) t(i)),
+        |cells AS (
+        |  SELECT g.id, cy.range AS cy, cx.range AS cx,
+        |    CASE WHEN g.pert AND cx.range = 4 AND cy.range = 3
+        |      THEN ((('0x'||substr(md5('img:'||g.eff||':'||cx.range||':'||cy.range),1,15))::BIGINT % 256) + 128) % 256
+        |      ELSE ('0x'||substr(md5('img:'||g.eff||':'||cx.range||':'||cy.range),1,15))::BIGINT % 256
+        |    END AS v
+        |  FROM imgs g, range(8) cy, range(9) cx),
+        |bits AS (
+        |  SELECT a.id, a.cy * 8 + a.cx AS pos,
+        |         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.id = b.id AND a.cy = b.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8),
+        |bands AS (
+        |  SELECT id, CAST(pos // 16 AS INT) AS band,
+        |         CAST(sum(CAST(bit AS BIGINT) << CAST(pos % 16 AS INT)) AS BIGINT) AS bits
+        |  FROM bits GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT id,
+        |    max(CASE WHEN band = 0 THEN bits END) AS b0,
+        |    max(CASE WHEN band = 1 THEN bits END) AS b1,
+        |    max(CASE WHEN band = 2 THEN bits END) AS b2,
+        |    max(CASE WHEN band = 3 THEN bits END) AS b3
+        |  FROM bands GROUP BY 1),
+        |sigv AS (
+        |  SELECT id, b0, b1, b2, b3,
+        |    CAST(b0 + b1 * 65536 + b2 * 4294967296 +
+        |      (b3 - CASE WHEN b3 >= 32768 THEN 65536 ELSE 0 END) * 281474976710656
+        |      AS BIGINT) AS dhash
+        |  FROM sig),
+        |edges AS (
+        |  SELECT x.id AS ea, y.id AS eb
+        |  FROM sigv x JOIN sigv y ON x.id < y.id AND
+        |       (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+        |  WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+        |        bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 2),
+        |adj AS (SELECT ea AS u, eb AS w FROM edges UNION ALL SELECT eb, ea FROM edges),
+        |nodes AS (SELECT DISTINCT u AS id FROM adj),
+        |r AS (
+        |  SELECT id, id AS lbl FROM nodes
+        |  UNION
+        |  SELECT a.w AS id, r.lbl FROM r JOIN adj a ON a.u = r.id),
+        |comp AS (SELECT id, min(lbl) AS comp FROM r GROUP BY 1),
+        |losers AS (SELECT id FROM comp WHERE comp <> id)
+        |SELECT s.id AS media_id, s.dhash AS dhash,
+        |       CAST(CASE WHEN l.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM sigv s LEFT JOIN losers l ON s.id = l.id
+        |ORDER BY media_id""".stripMargin,
 
     "q_embed_topk" ->
       """WITH q AS (

@@ -74,7 +74,9 @@ object Main {
       |          [--min-quality 0.3] [--languages en,de|none] [--c4] [--gopher]
       |          [--repetition] [--line-dedup] [--blocklist w1,w2] [--url-col COL]
       |          [--boilerplate-max-doc-freq N] [--span-dedup [N]] [--exact-substr [K]]
+      |          [--image-hash-col COL [--image-max-hamming 2] [--image-bands 4]]
       |          [--unigram-buckets N [--unigram-keep K]]
+      |          [--bigram-buckets N [--bigram-keep K] [--bigram-model DIR]]
       |          [--decontaminate EVAL_PARQUET [--decontaminate-ngram 8]]
       |          [--semdedup-col COL [--semdedup-threshold 0.95] [--semdedup-nlist 16]]
       |          [--classifier-positives PARQUET | --classifier-model DIR]
@@ -639,6 +641,10 @@ object Main {
       lineDedup = f.contains("line-dedup"),
       blocklist = f.get("blocklist").map(_.split(",").toSeq.filter(_.nonEmpty)),
       urlCol = f.get("url-col"),
+      imageDup = f.get("image-hash-col").map(c =>
+        Curation.ImageDupConfig(c,
+          maxHamming = f.getOrElse("image-max-hamming", "2").toInt,
+          bands = f.getOrElse("image-bands", "4").toInt)),
       boilerplate = f.get("boilerplate-max-doc-freq").map(m =>
         Curation.BoilerplateConfig(maxDocFreq = m.toLong)),
       // a bare flag parses as "true" -> the documented default size

@@ -116,6 +116,17 @@ object Curation {
       minCount: Long = 2,
       relErr: Double = 0.001)
 
+  /** Image near-dup stage for multimodal corpora: `hashCol` holds a
+    * precomputed 64-bit perceptual hash per document (e.g.
+    * [[Multimodal.imageDHashes]] joined onto the docs frame, or any
+    * other 64-bit locality key); documents whose hashes sit within
+    * `maxHamming` bits form components that keep only the minimum-id
+    * member ([[Dedup.hammingPairs64]] pigeonhole banding +
+    * [[Dedup.dedupByPairs]] — never all-pairs). Rows with a null hash
+    * (no image) pass through untouched. */
+  final case class ImageDupConfig(hashCol: String, maxHamming: Int = 2,
+      bands: Int = 4, maxBucket: Int = 100000)
+
   /** Corpus-level boilerplate line removal stage
     * ([[Dedup.stripBoilerplate]]): lines whose normalized form appears
     * in more than `maxDocFreq` distinct documents are deleted
@@ -217,6 +228,7 @@ object Curation {
       lineDedup: Boolean = false,
       blocklist: Option[Seq[String]] = None,
       urlCol: Option[String] = None,
+      imageDup: Option[ImageDupConfig] = None,
       boilerplate: Option[BoilerplateConfig] = None,
       spanDedup: Option[SpanDedupConfig] = None,
       exactSubstr: Option[ExactSubstrConfig] = None,
@@ -370,6 +382,24 @@ object Curation {
       case None => scanKept
     }
 
+    // ---- image near-dup dedup: 8-byte perceptual-hash key, the
+    // multimodal sibling of URL dedup (cheap key first — a mirror
+    // page re-serving the same hero image dies here before the text
+    // machinery pays for it); hashless rows pass through exactly like
+    // URL-less rows above ------------------------------------------------
+    val imgKept = hygiene.imageDup match {
+      case Some(ic) =>
+        val withHash = urlKept.filter(col(ic.hashCol).isNotNull)
+        val pairs = Dedup.hammingPairs64(
+          withHash.select(col(idCol), col(ic.hashCol)), idCol, ic.hashCol,
+          ic.maxHamming, ic.bands, ic.maxBucket)
+        val kept = stageCp(urlKept.filter(col(ic.hashCol).isNull)
+          .unionByName(Dedup.dedupByPairs(withHash, idCol, pairs)))
+        ledger += ("image_dup" -> staged("image dedup")(kept.count()))
+        kept
+      case None => urlKept
+    }
+
     // ---- corpus-level boilerplate line removal -----------------------
     // BEFORE exact dedup: two mirror pages differing only in their nav
     // menus become byte-identical once the menus are stripped, so the
@@ -378,13 +408,13 @@ object Curation {
     // corpus is cached here because exact dedup consumes it twice.
     val boilKept = hygiene.boilerplate match {
       case Some(bc) =>
-        val stripped = Dedup.stripBoilerplate(urlKept, idCol, textCol, bc.maxDocFreq)
+        val stripped = Dedup.stripBoilerplate(imgKept, idCol, textCol, bc.maxDocFreq)
         val kept = stageCp(
           if (bc.dropEmptied) stripped.filter(length(trim(col(textCol))) > 0)
           else stripped)
         ledger += ("boilerplate" -> staged("boilerplate strip")(kept.count()))
         kept
-      case None => urlKept
+      case None => imgKept
     }
 
     // ---- exact content dedup -----------------------------------------

@@ -807,4 +807,85 @@ object Multimodal {
       else MediaRow(i, "audio/wav", syntheticWav(i))
     }
   }
+
+  // ---- image near-dup dedup (dHash + pigeonhole banding) --------------
+
+  /** dHash near-dup candidate pairs over a media frame: batched REAL
+    * decode → 64-bit [[dHash64]] → [[Dedup.hammingPairs64]] pigeonhole
+    * banding (recall-complete for `maxHamming < bands`, never
+    * all-pairs). Returns (a, b, hamming) over media ids. Undecodable
+    * payloads (audio, corrupt bytes) emit no hash and never pair. */
+  def imageNearDupPairs(ds: Dataset[MediaRow], maxHamming: Int = 2,
+      bands: Int = 4, maxBucket: Int = 100000): DataFrame =
+    Dedup.hammingPairs64(imageDHashes(ds), "media_id", "dhash",
+      maxHamming, bands, maxBucket)
+
+  /** Image near-dup dedup: keep the minimum media_id of each
+    * near-duplicate component (re-encodes, mild recompression and
+    * rescales of one image hash within `maxHamming` bits) plus every
+    * unpaired frame — [[imageNearDupPairs]] + [[Dedup.dedupByPairs]],
+    * the image-level first step of multimodal corpus curation. */
+  def dedupImagesByDHash(ds: Dataset[MediaRow], maxHamming: Int = 2,
+      bands: Int = 4, maxBucket: Int = 100000): DataFrame =
+    Dedup.dedupByPairs(ds.toDF(), "media_id",
+      imageNearDupPairs(ds, maxHamming, bands, maxBucket))
+
+  /** Top 60 bits of md5 of `s` (the portable-oracle hash discipline —
+    * `('0x'||substr(md5(s),1,15))::BIGINT` in DuckDB). */
+  private def md5Top60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
+  /** Deterministic 90×80 gray GRID png: a 9×8 layout of 10×10
+    * constant-gray cells, cell (cx, cy) valued
+    * `md5Top60("img:<seed>:<cx>:<cy>") % 256`. Because each dHash grid
+    * cell maps to exactly one constant block, [[dHash64]]'s
+    * area-averaged luma recovers every cell value EXACTLY and the full
+    * 64-bit signature is a pure function of the seed — replayable in
+    * DuckDB SQL (md5 + integer compares), which is what gives the
+    * image near-dup operator a bit-exact oracle over REAL ImageIO
+    * decodes. `perturb` bumps cell (4,3) by +128 (mod 256): at most
+    * the two comparisons touching that cell flip, so the perturbed
+    * twin sits within Hamming distance 2 of the original. */
+  def syntheticGridPng(seed: Long, perturb: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      90, 80, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        val base = (md5Top60(s"img:$seed:$cx:$cy") % 256L).toInt
+        val v = if (perturb && cx == 4 && cy == 3) (base + 128) % 256 else base
+        val rgb = (v << 16) | (v << 8) | v
+        var y = cy * 10
+        while (y < cy * 10 + 10) {
+          var x = cx * 10
+          while (x < cx * 10 + 10) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Near-identical-image corpus for the oracle row and tests:
+    * id % 5 == 1 duplicates id-1 — byte-identical when id % 10 == 1,
+    * the perturbed (Hamming ≤ 2) twin when id % 10 == 6; every other
+    * id is a distinct random-grid image. */
+  def syntheticGridMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val eff: Long = if (i % 5 == 1) i - 1 else i
+      MediaRow(i, "image/png", syntheticGridPng(eff, perturb = i % 10 == 6))
+    }
+  }
 }

@@ -608,6 +608,33 @@ class CliSpec extends SparkFunSuite {
       s"gibberish must land in the reference model's dropped bucket: $survivors2")
   }
 
+  test("curate command: --image-hash-col drops perceptual-hash twins, keeps hashless rows") {
+    val dir = Files.createTempDirectory("graft_cli_imgdup")
+    val in = s"$dir/docs.parquet"
+    val out = s"$dir/curated.parquet"
+    Seq(
+      (1L, java.lang.Long.valueOf(81985529216486895L),
+        "first page carries the original hero image today"),
+      (2L, java.lang.Long.valueOf(81985529216486895L ^ 3L),
+        "second page re-serves a recompressed copy of it"),
+      (3L, java.lang.Long.valueOf(-81985529216486895L),
+        "third page shows an entirely different picture"),
+      (4L, null.asInstanceOf[java.lang.Long],
+        "fourth page has no image and must pass through")
+    ).toDF("doc_id", "img_hash", "text").write.parquet(in)
+    val outCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCap)) {
+      assert(graft.cli.Main.cmdCurate(Array(
+        "--input", in, "--output", out,
+        "--min-quality", "0", "--languages", "none",
+        "--image-hash-col", "img_hash")) == 0)
+    }
+    assert(outCap.toString.contains("image_dup"), outCap.toString)
+    val survivors = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 3L, 4L), s"got $survivors")
+  }
+
   test("export command: curate -> pack --ids -> export gives deterministic shards + manifest") {
     val dir = Files.createTempDirectory("graft_cli_export")
     val in = s"$dir/docs.parquet"

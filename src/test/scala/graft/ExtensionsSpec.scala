@@ -247,6 +247,30 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(r2.df.count() == 4)
   }
 
+  test("curation image near-dup stage dedups by perceptual hash, hashless rows pass") {
+    import graft.ops.Curation
+    // hashes: doc 2 within hamming 2 of doc 1 (bits 0-1 flipped), doc 3
+    // far away, doc 4 imageless (null hash)
+    val docs = Seq(
+      (1L, java.lang.Long.valueOf(0x0123456789abcdL),
+        "first page about rivers and mills and bridges today"),
+      (2L, java.lang.Long.valueOf(0x0123456789abcdL ^ 3L),
+        "second page describing the same hero image differently"),
+      (3L, java.lang.Long.valueOf(0x7edcba9876543210L),
+        "third page with a different image entirely attached"),
+      (4L, null.asInstanceOf[java.lang.Long],
+        "imageless page must pass through the stage untouched")
+    ).toDF("doc_id", "img_hash", "text")
+    val r = Curation.curate(docs, minQuality = 0.0, languages = Nil,
+      nearDupThreshold = 0.99,
+      hygiene = Curation.HygieneConfig(
+        imageDup = Some(Curation.ImageDupConfig("img_hash"))))
+    assert(r.stats.stages.map(_._1).contains("image_dup"))
+    assert(r.stats.dropped("image_dup") == 1L)
+    assert(r.df.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L),
+      "doc 2 collapses into doc 1's component; null hash passes")
+  }
+
   test("curation unigram stage drops the statistical-outlier bucket") {
     import graft.ops.Curation
     val common = Seq(
@@ -888,6 +912,26 @@ class ExtensionsSpec extends SparkFunSuite {
       maxHamming = 3, bands = 4)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)), s"got $pairs")
+  }
+
+  test("image near-dup dedup: planted exact and perturbed twins collapse to min id") {
+    // syntheticGridMedia plants id%10==1 as byte-identical copies of
+    // id-1 and id%10==6 as hamming<=2 perturbed twins of id-1
+    val media = Multimodal.syntheticGridMedia(spark, 100)
+    val kept = Multimodal.dedupImagesByDHash(media)
+      .select("media_id").as[Long].collect().toSet
+    assert(kept == (0L until 100L).filterNot(_ % 5 == 1).toSet,
+      s"every planted twin (ids %5==1) must collapse into its base: $kept")
+    val pairs = Multimodal.imageNearDupPairs(media)
+      .select(col("a"), col("b"), col("hamming").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    (0 until 100).filter(_ % 10 == 1).foreach(i =>
+      assert(pairs.get((i - 1L, i.toLong)).contains(0L),
+        s"exact copy $i must pair with ${i - 1} at hamming 0"))
+    (0 until 100).filter(_ % 10 == 6).foreach(i =>
+      assert(pairs.get((i - 1L, i.toLong)).exists(_ <= 2L),
+        s"perturbed twin $i must pair with ${i - 1} within hamming 2"))
   }
 
   test("binaryFile ingestion end-to-end: files on disk -> typed features") {

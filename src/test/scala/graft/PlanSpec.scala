@@ -194,6 +194,22 @@ class PlanSpec extends SparkFunSuite {
     assert(plan.contains("Generate explode"), s"no bucket explode:\n$plan")
   }
 
+  test("image near-dup pairs join on banded hash buckets, not all pairs") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    // signature frame shape only (no decode needed to pin the plan):
+    // hammingPairs64 must explode 4 band structs and join on
+    // (band, bits) — an all-pairs plan would show a cartesian/BNL join
+    val sigs = spark.range(1000)
+      .select(col("id").as("media_id"), xxhash64(col("id")).as("dhash"))
+    val plan = planOf(Dedup.hammingPairs64(sigs, "media_id", "dhash",
+      maxHamming = 2, bands = 4))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the image near-dup path:\n$plan")
+    assert(plan.contains("Generate explode"), s"no band explode:\n$plan")
+  }
+
   test("hyperplane signature plan is O(planes) nodes at production dims") {
     // dim=1024 x planes=16: the per-element lit() form would be >16k
     // Literal nodes before analysis even starts; typedLit keeps each
