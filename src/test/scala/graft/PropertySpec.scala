@@ -443,4 +443,38 @@ class PropertySpec extends AnyFunSuite {
       Prop(keysOk) :| "pack keys" && Prop(tileOk) :| "tiling"
     }, 25)
   }
+
+  private val genHammingCase = for {
+    nBase <- Gen.choose(1, 4)
+    bases <- Gen.listOfN(nBase, Gen.choose(Long.MinValue, Long.MaxValue))
+    n <- Gen.choose(2, 25)
+    sigs <- Gen.listOfN(n, for {
+      b <- Gen.choose(0, nBase - 1)
+      nFlips <- Gen.choose(0, 5)
+      flips <- Gen.listOfN(nFlips, Gen.choose(0, 63))
+    } yield flips.foldLeft(bases(b))((s, i) => s ^ (1L << i)))
+    bands <- Gen.oneOf(2, 4, 8)
+    maxHam <- Gen.choose(0, 3).map(h => math.min(h, bands - 1))
+  } yield (sigs, bands, maxHam)
+
+  test("hammingPairs64 equals brute-force popcount pairs (pigeonhole recall completeness)") {
+    import spark.implicits._
+    // clustered signatures (bases with 0-5 flipped bits) exercise real
+    // near pairs, exact dups and cross-cluster negatives; the banded
+    // path must return EXACTLY the brute-force pair set for every
+    // maxHamming < bands
+    check(Prop.forAllNoShrink(genHammingCase) { case (sigs, bands, maxHam) =>
+      val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "sig")
+      val got = graft.ops.Dedup.hammingPairs64(df, "id", "sig", maxHam, bands)
+        .select(col("a"), col("b"), col("hamming").cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        i <- sigs.indices
+        j <- sigs.indices if i < j
+        h = java.lang.Long.bitCount(sigs(i) ^ sigs(j)) if h <= maxHam
+      } yield (i.toLong, j.toLong, h.toLong)).toSet
+      Prop(got == want) :| s"banded $got != brute $want"
+    }, 25)
+  }
 }
