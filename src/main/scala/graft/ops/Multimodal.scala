@@ -292,6 +292,15 @@ object Multimodal {
     * the bytes are not decodable audio.
     */
   def decodeAudio(content: Array[Byte], coeffs: Int = 13): Option[(Int, Long, Array[Float])] =
+    decodePcmMono(content).map { case (sr, durationMs, mono, n) =>
+      (sr, durationMs, melCepstrum(mono, n, sr, coeffs))
+    }
+
+  /** The shared audio decode: (sampleRate, durationMs, channel-mixed
+    * mono samples, sample count) — feeds both [[decodeAudio]]'s MFCC
+    * and [[audioFingerprint64]]. None when not decodable audio. */
+  private def decodePcmMono(content: Array[Byte])
+      : Option[(Int, Long, Array[Double], Int)] =
     try {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
       val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
@@ -343,7 +352,7 @@ object Multimodal {
             }
             read = if (n < cap) pcm.read(buf) else -1
           }
-          Some((sr, durationMs, melCepstrum(mono, n, sr, coeffs)))
+          Some((sr, durationMs, mono, n))
         }
       } finally ais.close()
     } catch { case _: Exception => None }
@@ -352,6 +361,27 @@ object Multimodal {
     * filterbank → log → DCT-II → first `coeffs` coefficients. */
   private def melCepstrum(samples: Array[Double], n: Int, sampleRate: Int,
       coeffs: Int): Array[Float] = {
+    val logE = melBandEnergies(samples, 0, n, sampleRate, NMelFilters)
+    Array.tabulate(coeffs) { j =>
+      var s = 0.0
+      var k = 0
+      while (k < NMelFilters) {
+        s += logE(k) * math.cos(math.Pi * j * (k + 0.5) / NMelFilters)
+        k += 1
+      }
+      s.toFloat
+    }
+  }
+
+  /** Log mel-band energies of `samples(from until until)`:
+    * Hann-windowed [[FftSize]]-point FFT frames over the span (one
+    * zero-padded frame when it is shorter than a window), power
+    * spectra averaged, `nBands` triangular mel filters, log. The
+    * shared spectral core of [[melCepstrum]] (full-clip, 26 bands →
+    * DCT) and [[audioFingerprint64]] (per-segment, 8 bands →
+    * sign-of-delta bits). */
+  private def melBandEnergies(samples: Array[Double], from: Int, until: Int,
+      sampleRate: Int, nBands: Int): Array[Double] = {
     val nBins = FftSize / 2 + 1
     val hann = Array.tabulate(FftSize)(i =>
       0.5 - 0.5 * math.cos(2 * math.Pi * i / (FftSize - 1)))
@@ -359,13 +389,13 @@ object Multimodal {
     val re = new Array[Double](FftSize)
     val im = new Array[Double](FftSize)
     var frames = 0
-    var start = 0
-    // at least one (zero-padded) frame even for clips shorter than a
+    var start = from
+    // at least one (zero-padded) frame even for spans shorter than a
     // window; thereafter only full windows
-    while (frames == 0 || start + FftSize <= n) {
+    while (frames == 0 || start + FftSize <= until) {
       var i = 0
       while (i < FftSize) {
-        re(i) = if (start + i < n) samples(start + i) * hann(i) else 0.0
+        re(i) = if (start + i < until) samples(start + i) * hann(i) else 0.0
         im(i) = 0.0
         i += 1
       }
@@ -382,12 +412,10 @@ object Multimodal {
     def imel(m: Double) = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
     val melMax = mel(sampleRate / 2.0)
     // filter m spans bin(m)..bin(m+2), triangular peak at bin(m+1)
-    val binOf = Array.tabulate(NMelFilters + 2)(i =>
+    val binOf = Array.tabulate(nBands + 2)(i =>
       math.min(nBins - 1,
-        math.round(imel(melMax * i / (NMelFilters + 1)) * FftSize / sampleRate).toInt))
-    val logE = new Array[Double](NMelFilters)
-    var m = 0
-    while (m < NMelFilters) {
+        math.round(imel(melMax * i / (nBands + 1)) * FftSize / sampleRate).toInt))
+    Array.tabulate(nBands) { m =>
       val lo = binOf(m); val cm = binOf(m + 1); val hi = binOf(m + 2)
       var e = 0.0
       var b = lo
@@ -398,18 +426,54 @@ object Multimodal {
         e += w * power(b)
         b += 1
       }
-      logE(m) = math.log(math.max(e / math.max(frames, 1), 1e-12))
-      m += 1
+      math.log(math.max(e / math.max(frames, 1), 1e-12))
     }
-    Array.tabulate(coeffs) { j =>
-      var s = 0.0
-      var k = 0
-      while (k < NMelFilters) {
-        s += logE(k) * math.cos(math.Pi * j * (k + 0.5) / NMelFilters)
-        k += 1
+  }
+
+  /** 64-bit temporal-spectral audio fingerprint (the audio sibling of
+    * [[dHash64]]): the clip's first [[MaxAnalysisSamples]] mono
+    * samples split into 9 equal time segments, 8 triangular mel-band
+    * log energies per segment, bit (t·8 + m) set when band m RISES
+    * from segment t to t+1. Sign-of-delta over LOG energies is exactly
+    * invariant to uniform gain (a constant log shift cancels in every
+    * delta) and to lossless re-encoding (same PCM → same bits), while
+    * different spectral-temporal structure flips many bits — pair with
+    * [[Dedup.hammingPairs64]] for corpus-scale audio near-dup dedup.
+    * None when the bytes are not decodable audio. */
+  def audioFingerprint64(content: Array[Byte]): Option[Long] =
+    decodePcmMono(content).map { case (sr, _, mono, n) =>
+      val segs = 9
+      val bands = 8
+      // empty segments (clips shorter than 9 samples, or empty audio)
+      // fall through to the zero-padded single frame -> floor energies
+      val e = Array.tabulate(segs) { t =>
+        val from = (t.toLong * n / segs).toInt
+        val until = ((t + 1).toLong * n / segs).toInt
+        melBandEnergies(mono, from, math.max(until, from), sr, bands)
       }
-      s.toFloat
+      var h = 0L
+      var t = 0
+      while (t < segs - 1) {
+        var m = 0
+        while (m < bands) {
+          if (e(t + 1)(m) > e(t)(m)) h |= 1L << (t * bands + m)
+          m += 1
+        }
+        t += 1
+      }
+      h
     }
+
+  /** 64-bit audio fingerprints for a media frame's decodable audio
+    * payloads, in the same batched partition pass as the other
+    * extractors: (media_id, afp). Non-audio payloads emit nothing. */
+  def audioFingerprints(ds: Dataset[MediaRow],
+      repartitionTo: Option[Int] = None): DataFrame = {
+    import ds.sparkSession.implicits._
+    val base = repartitionTo.map(ds.repartition(_)).getOrElse(ds)
+    base.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.flatMap(m =>
+      audioFingerprint64(m.content).map(h => (m.media_id, h)))))
+      .toDF("media_id", "afp")
   }
 
   /** In-place iterative radix-2 FFT (lengths must be a power of two —
@@ -829,6 +893,24 @@ object Multimodal {
       bands: Int = 4, maxBucket: Int = 100000): DataFrame =
     Dedup.dedupByPairs(ds.toDF(), "media_id",
       imageNearDupPairs(ds, maxHamming, bands, maxBucket))
+
+  /** Audio near-dup candidate pairs over a media frame: batched REAL
+    * decode → [[audioFingerprint64]] → [[Dedup.hammingPairs64]]
+    * pigeonhole banding (recall-complete for `maxHamming < bands`,
+    * never all-pairs). Returns (a, b, hamming) over media ids. */
+  def audioNearDupPairs(ds: Dataset[MediaRow], maxHamming: Int = 3,
+      bands: Int = 4, maxBucket: Int = 100000): DataFrame =
+    Dedup.hammingPairs64(audioFingerprints(ds), "media_id", "afp",
+      maxHamming, bands, maxBucket)
+
+  /** Audio near-dup dedup: keep the minimum media_id of each
+    * near-duplicate component (re-encodes and gain-changed copies of
+    * one clip) plus every unpaired frame — the audio leg of multimodal
+    * corpus curation, same shape as [[dedupImagesByDHash]]. */
+  def dedupAudioByFingerprint(ds: Dataset[MediaRow], maxHamming: Int = 3,
+      bands: Int = 4, maxBucket: Int = 100000): DataFrame =
+    Dedup.dedupByPairs(ds.toDF(), "media_id",
+      audioNearDupPairs(ds, maxHamming, bands, maxBucket))
 
   /** Top 60 bits of md5 of `s` (the portable-oracle hash discipline —
     * `('0x'||substr(md5(s),1,15))::BIGINT` in DuckDB). */

@@ -934,6 +934,55 @@ class ExtensionsSpec extends SparkFunSuite {
         s"perturbed twin $i must pair with ${i - 1} within hamming 2"))
   }
 
+  test("audio fingerprint: gain-stable, re-encode exact, discriminative; banded dedup") {
+    // two-tone clip with a rising envelope: decisive temporal-spectral
+    // structure, so the sign-of-delta bits survive PCM re-quantization
+    def wav(freqA: Int, freqB: Int, amp: Double): Array[Byte] = {
+      val sr = 8000; val frames = 4000
+      val pcm = new Array[Byte](frames * 2)
+      var i = 0
+      while (i < frames) {
+        val f = if (i < frames / 2) freqA else freqB
+        val env = 0.2 + 0.8 * i / frames
+        val v = (math.sin(2 * math.Pi * f * i / sr) * env * amp * 32767).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = Multimodal.audioFingerprint64(wav(300, 1200, 0.9)).get
+    // byte-identical clip -> identical fingerprint
+    assert(Multimodal.audioFingerprint64(wav(300, 1200, 0.9)).get == base)
+    // half gain (re-quantized PCM, not an exact scale): log-delta bits
+    // hold except at near-ties
+    val gained = Multimodal.audioFingerprint64(wav(300, 1200, 0.45)).get
+    assert(ham(base, gained) <= 3, s"gain change flipped ${ham(base, gained)} bits")
+    // different spectral-temporal content lands far away
+    val other = Multimodal.audioFingerprint64(wav(500, 700, 0.9)).get
+    assert(ham(base, other) > 10, s"only ${ham(base, other)} bits apart")
+    // non-audio produces no fingerprint
+    assert(Multimodal.audioFingerprint64(Multimodal.syntheticPng(3)).isEmpty)
+
+    // pipeline: the gain-copy collapses into its base, the distinct
+    // clip and the non-audio frame survive
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, "audio/wav", wav(300, 1200, 0.9)),
+      Multimodal.MediaRow(1L, "audio/wav", wav(300, 1200, 0.45)),
+      Multimodal.MediaRow(2L, "audio/wav", wav(500, 700, 0.9)),
+      Multimodal.MediaRow(3L, "image/png", Multimodal.syntheticPng(3))))
+    val kept = Multimodal.dedupAudioByFingerprint(media)
+      .select("media_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L), s"got $kept")
+  }
+
   test("binaryFile ingestion end-to-end: files on disk -> typed features") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile
     dir.deleteOnExit()
