@@ -74,7 +74,8 @@ object Main {
       |          [--min-quality 0.3] [--languages en,de|none] [--c4] [--gopher]
       |          [--repetition] [--line-dedup] [--blocklist w1,w2] [--url-col COL]
       |          [--boilerplate-max-doc-freq N] [--span-dedup [N]] [--exact-substr [K]]
-      |          [--image-hash-col COL [--image-max-hamming 2] [--image-bands 4]]
+      |          [--image-hash-col COL | --image-col BINARY_COL]
+      |          [--image-max-hamming 2] [--image-bands 4]
       |          [--unigram-buckets N [--unigram-keep K]]
       |          [--bigram-buckets N [--bigram-keep K] [--bigram-model DIR]]
       |          [--decontaminate EVAL_PARQUET [--decontaminate-ngram 8]]
@@ -641,10 +642,14 @@ object Main {
       lineDedup = f.contains("line-dedup"),
       blocklist = f.get("blocklist").map(_.split(",").toSeq.filter(_.nonEmpty)),
       urlCol = f.get("url-col"),
-      imageDup = f.get("image-hash-col").map(c =>
-        Curation.ImageDupConfig(c,
-          maxHamming = f.getOrElse("image-max-hamming", "2").toInt,
-          bands = f.getOrElse("image-bands", "4").toInt)),
+      // --image-hash-col names a PRECOMPUTED 64-bit hash column;
+      // --image-col names a raw binary image column and computes the
+      // dHash scan-side below (decode cost rides the corpus read)
+      imageDup = f.get("image-col").map(_ => "__img_dhash")
+        .orElse(f.get("image-hash-col")).map(c =>
+          Curation.ImageDupConfig(c,
+            maxHamming = f.getOrElse("image-max-hamming", "2").toInt,
+            bands = f.getOrElse("image-bands", "4").toInt)),
       boilerplate = f.get("boilerplate-max-doc-freq").map(m =>
         Curation.BoilerplateConfig(maxDocFreq = m.toLong)),
       // a bare flag parses as "true" -> the documented default size
@@ -709,8 +714,13 @@ object Main {
       case Some(ls)     => ls.split(",").toSeq
       case None         => Seq("en")
     }
+    val corpus = f.get("image-col") match {
+      case Some(c) => readCorpus(spark, input, f.get("input-format"))
+        .withColumn("__img_dhash", graft.ops.Multimodal.dHashCol(col(c)))
+      case None => readCorpus(spark, input, f.get("input-format"))
+    }
     val r = Curation.curate(
-      readCorpus(spark, input, f.get("input-format")),
+      corpus,
       idCol = f.getOrElse("id-col", "doc_id"),
       textCol = f.getOrElse("text-col", "text"),
       minQuality = f.getOrElse("min-quality", "0.3").toDouble,
@@ -719,7 +729,7 @@ object Main {
       nearDup = nearDup,
       hygiene = hygiene,
       hasher = Dedup.xxHash)
-    writeCorpus(r.df, output, f.get("output-format"))
+    writeCorpus(r.df.drop("__img_dhash"), output, f.get("output-format"))
     r.release() // output is on disk; drop the pipeline's internal caches
     println(s"input_rows=${r.stats.input}")
     val dropped = r.stats.dropped

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
@@ -883,6 +883,20 @@ object Multimodal {
       bands: Int = 4, maxBucket: Int = 100000): DataFrame =
     Dedup.hammingPairs64(imageDHashes(ds), "media_id", "dhash",
       maxHamming, bands, maxBucket)
+
+  /** [[dHash64]] as a nullable-long column over a binary image column
+    * — the untyped-DataFrame convenience for wiring a raw image column
+    * straight into [[graft.ops.Curation.ImageDupConfig]]
+    * (`df.withColumn("img_hash", Multimodal.dHashCol(col("image")))`).
+    * Scala UDF, not a codegen expression: ImageIO decoding cannot be
+    * generated code, and the decode itself dwarfs the UDF bridge cost.
+    * Undecodable/null payloads yield null (imageless rows pass the
+    * dedup stage untouched). For typed media frames prefer the batched
+    * [[imageDHashes]] partition pass. */
+  def dHashCol(bytes: Column): Column = {
+    val f = udf((b: Array[Byte]) => if (b == null) None else dHash64(b))
+    f(bytes)
+  }
 
   /** Image near-dup dedup: keep the minimum media_id of each
     * near-duplicate component (re-encodes, mild recompression and

@@ -633,6 +633,32 @@ class CliSpec extends SparkFunSuite {
     val survivors = spark.read.parquet(out)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(survivors == Set(1L, 3L, 4L), s"got $survivors")
+
+    // --image-col: raw binary image column, dHash computed scan-side;
+    // undecodable bytes -> null hash -> pass through
+    val in2 = s"$dir/docs_img.parquet"
+    val out2 = s"$dir/curated_img.parquet"
+    Seq(
+      (1L, graft.ops.Multimodal.syntheticGridPng(10L),
+        "first page carries the original hero image today"),
+      (2L, graft.ops.Multimodal.syntheticGridPng(10L, perturb = true),
+        "second page re-serves a mildly recompressed copy"),
+      (3L, graft.ops.Multimodal.syntheticGridPng(20L),
+        "third page shows an entirely different picture"),
+      (4L, Array[Byte](1, 2, 3),
+        "fourth page has undecodable bytes and passes through")
+    ).toDF("doc_id", "image", "text").write.parquet(in2)
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdCurate(Array(
+        "--input", in2, "--output", out2,
+        "--min-quality", "0", "--languages", "none",
+        "--image-col", "image")) == 0)
+    }
+    val curated2 = spark.read.parquet(out2)
+    assert(!curated2.columns.contains("__img_dhash"),
+      "the internal hash column must not leak into the output")
+    val survivors2 = curated2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors2 == Set(1L, 3L, 4L), s"got $survivors2")
   }
 
   test("export command: curate -> pack --ids -> export gives deterministic shards + manifest") {
