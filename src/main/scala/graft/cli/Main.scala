@@ -118,7 +118,9 @@ object Main {
       |          [--index] [--shards N]
       |          (deterministic training-order shuffle: global sort by
       |           hash(seed, id); --index stamps a contiguous global_idx;
-      |           --shards N writes N ordered parquet shards)
+      |           --shards N writes N ordered parquet shards — shard FILE
+      |           boundaries are sampled, so for byte-identical shard
+      |           reproducibility across runs use `export`)
       |  export  --input PATH --output DIR [--shards 16] [--seed 42]
       |          [--key-cols c1,c2]
       |          (train-ready sharded export: deterministic shuffle +
@@ -1016,6 +1018,12 @@ object Main {
     import graft.ops.Sampling
     val input = req(f, "input", "export needs --input PATH (a parquet corpus)")
     val output = req(f, "output", "export needs --output DIR")
+    // shards are parquet partition dirs + a manifest; a jsonl request
+    // would be silently ignored — fail fast instead
+    f.get("output-format").filter(_ != "parquet").foreach(fmt =>
+      throw graft.errors.Errors.config(
+        s"export writes parquet shard directories, not $fmt.",
+        "drop --output-format (or convert downstream)"))
     val nShards = f.getOrElse("shards", "16").toInt
     val seed = f.getOrElse("seed", "42").toInt
     val df = readCorpus(spark, input, f.get("input-format"))

@@ -908,6 +908,17 @@ object Multimodal {
     Dedup.dedupByPairs(ds.toDF(), "media_id",
       imageNearDupPairs(ds, maxHamming, bands, maxBucket))
 
+  /** [[audioFingerprint64]] as a nullable-long column over a binary
+    * audio column — the untyped-DataFrame convenience mirroring
+    * [[dHashCol]]; wire it into [[graft.ops.Curation.ImageDupConfig]]
+    * (which accepts ANY 64-bit locality hash column) for audio-level
+    * dedup of a multimodal corpus. Undecodable/null payloads yield
+    * null and pass the dedup stage untouched. */
+  def audioFingerprintCol(bytes: Column): Column = {
+    val f = udf((b: Array[Byte]) => if (b == null) None else audioFingerprint64(b))
+    f(bytes)
+  }
+
   /** Audio near-dup candidate pairs over a media frame: batched REAL
     * decode → [[audioFingerprint64]] → [[Dedup.hammingPairs64]]
     * pigeonhole banding (recall-complete for `maxHamming < bands`,
