@@ -907,6 +907,14 @@ object SparkEntry {
       graft.ops.Sampling.globalOrderIndex(t(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), col("global_idx"))
         .orderBy("doc_id")),
+    // Deterministic shard assignment (the export command's core):
+    // shard = global_idx div ceil(total/7) on top of the shuffle order
+    // — integer div and the ceil both replay exactly in DuckDB.
+    "q_shard_assign" -> ((s, dir) =>
+      graft.ops.Sampling.shardByOrder(
+          t(s, dir, "documents").select("doc_id"), "doc_id", nShards = 7)
+        .select(col("doc_id"), col("global_idx"), col("shard"))
+        .orderBy("doc_id")),
     // Per-source corpus profile + ROLLUP total: doc/distinct-text/
     // token/char counts, min/max/mean doc tokens, in ONE aggregation.
     "q_corpus_profile" -> ((s, dir) =>
@@ -2463,6 +2471,20 @@ object SparkEntry {
         |    ORDER BY ('0x' || substr(md5('shuffle:42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
         |             doc_id) - 1 AS global_idx
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Shard = global_idx div ceil(n/7); kept INT like Spark's cast
+    "q_shard_assign" ->
+      """WITH idx AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (
+        |      ORDER BY ('0x' || substr(md5('shuffle:42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |               doc_id) - 1 AS global_idx
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM idx)
+        |SELECT i.doc_id, CAST(i.global_idx AS BIGINT) AS global_idx,
+        |  CAST(i.global_idx // ((t.n + 6) // 7) AS INT) AS shard
+        |FROM idx i CROSS JOIN tot t
+        |ORDER BY i.doc_id""".stripMargin,
 
     "q_corpus_profile" ->
       """WITH d AS (
