@@ -139,7 +139,10 @@ object Main {
       |
       |  Corpus commands (curate/pack/dsir/classify/profile/shuffle) read
       |  and write parquet or JSONL: .jsonl/.json paths auto-detect, or
-      |  force with --input-format/--output-format parquet|jsonl. Parquet
+      |  force with --input-format/--output-format parquet|jsonl
+      |  (--input-format covers the primary --input; auxiliary corpora —
+      |  eval sets, positives, DSIR targets — infer from their own paths,
+      |  or force them all with --aux-format). Parquet
       |  is the scale path (JSONL schema inference re-reads the input).
       |""".stripMargin
 
@@ -636,6 +639,18 @@ object Main {
     import graft.ops.{Curation, Dedup, QualityFilters}
     val input = req(f, "input", "curate needs --input PATH (a parquet corpus)")
     val output = req(f, "output", "curate needs --output PATH")
+    if (f.contains("image-col") && f.contains("image-hash-col"))
+      throw graft.errors.Errors.config(
+        "--image-col and --image-hash-col are mutually exclusive.",
+        "pass the raw binary column OR the precomputed hash column, not both")
+    if (f.contains("image-col") || f.contains("image-hash-col")) {
+      val mh = f.getOrElse("image-max-hamming", "2").toInt
+      val bd = f.getOrElse("image-bands", "4").toInt
+      if (64 % bd != 0 || mh >= bd) throw graft.errors.Errors.config(
+        s"image dedup needs bands dividing 64 and max-hamming < bands " +
+          s"(got max-hamming $mh, bands $bd).",
+        "e.g. --image-max-hamming 2 --image-bands 4")
+    }
     val hygiene = Curation.HygieneConfig(
       c4 = if (f.contains("c4")) Some(Curation.C4Config()) else None,
       gopher = if (f.contains("gopher")) Some(QualityFilters.GopherConfig()) else None,
@@ -678,20 +693,21 @@ object Main {
               .map(QualityFilters.loadBigramModel(spark, _))))
         } else None,
       decontaminate = f.get("decontaminate").map(path =>
-        Curation.DecontaminateConfig(readCorpus(spark, path, None),
+        Curation.DecontaminateConfig(readCorpus(spark, path, f.get("aux-format")),
           n = f.getOrElse("decontaminate-ngram", "8").toInt)),
       semDedup = f.get("semdedup-col").map(c =>
         Curation.SemDeDupConfig(c,
           threshold = f.getOrElse("semdedup-threshold", "0.95").toDouble,
           nlist = f.getOrElse("semdedup-nlist", "16").toInt)),
       // auxiliary corpora (eval sets, reference positives, DSIR
-      // targets) infer their format from their OWN paths:
-      // --input-format describes the primary --input, and forcing it
-      // onto auxiliaries broke mixed-format runs (jsonl input +
-      // parquet reference)
+      // targets) infer their format from their OWN paths —
+      // --input-format describes the primary --input only, and
+      // forcing it onto auxiliaries broke mixed-format runs.
+      // --aux-format forces ALL auxiliaries (extensionless jsonl
+      // part-file directories cannot be inferred)
       classifier = f.get("classifier-positives").map(pp =>
         Curation.ClassifierConfig(
-          positives = Some(readCorpus(spark, pp, None)),
+          positives = Some(readCorpus(spark, pp, f.get("aux-format"))),
           minProb = f.getOrElse("classifier-min-prob", "0.5").toDouble,
           negativeRate = f.getOrElse("classifier-negative-rate", "0.01").toDouble,
           buckets = f.getOrElse("classifier-buckets", "65536").toInt))
@@ -700,7 +716,7 @@ object Main {
             model = Some(graft.ops.QualityClassifier.load(spark, mp)),
             minProb = f.getOrElse("classifier-min-prob", "0.5").toDouble))),
       dsir = f.get("dsir-target").map(path =>
-        Curation.DsirConfig(readCorpus(spark, path, None),
+        Curation.DsirConfig(readCorpus(spark, path, f.get("aux-format")),
           k = req(f, "dsir-k", "--dsir-target needs --dsir-k N (how many docs to select)").toInt,
           buckets = f.getOrElse("dsir-buckets", "65536").toInt,
           temperature = f.getOrElse("dsir-temperature", "1.0").toDouble)))
@@ -849,10 +865,10 @@ object Main {
       case None =>
         val t = req(f, "target",
           "dsir needs --target PATH (a target-domain parquet corpus) or --target-dist PATH")
-        // auxiliary target corpus: format inferred from its own path
-        // (--input-format describes --input)
+        // auxiliary target corpus: format inferred from its own
+        // path (--input-format describes --input; --aux-format forces)
         val dist = Dsir.bucketDistribution(
-          readCorpus(spark, t, None), textCol, buckets)
+          readCorpus(spark, t, f.get("aux-format")), textCol, buckets)
         f.get("save-target-dist").foreach { sp =>
           Dsir.saveDistribution(dist, sp)
           println(s"target_dist=$sp (buckets=$buckets)")
@@ -892,10 +908,11 @@ object Main {
       case Some(mp) => QualityClassifier.load(spark, mp)
       case None =>
         // auxiliary corpora infer format from their own paths
+        // (--aux-format forces, for extensionless jsonl directories)
         val pos = readCorpus(spark, req(f, "positives",
           "classify needs --positives PATH (a reference corpus) or --model DIR"),
-          None)
-        val neg = f.get("negatives").map(readCorpus(spark, _, None))
+          f.get("aux-format"))
+        val neg = f.get("negatives").map(readCorpus(spark, _, f.get("aux-format")))
           .getOrElse(Sampling.hashSample(raw, f.getOrElse("id-col", "doc_id"), 0.01))
         val m = QualityClassifier.train(pos, neg, textCol, buckets)
         f.get("save-model").foreach { mp =>
@@ -1044,11 +1061,16 @@ object Main {
           s"(columns: ${df.columns.mkString(", ")}).", "fix --key-cols")
     }
     // composite keys collapse to ONE order column; the \\u0001
-    // separator keeps ("a","bc")/("ab","c")-style composites distinct
+    // separator keeps ("a","bc")/("ab","c")-style composites distinct,
+    // and each component is marker-prefixed ("v" value / "n" null)
+    // because concat_ws SKIPS nulls — (x, null, y) and (x, y, null)
+    // would otherwise collide into one key and make their shard
+    // assignment run-order-dependent
     val (keyed, idCol) =
       if (keyCols.size == 1) (df, keyCols.head)
       else (df.withColumn("__export_key",
-        concat_ws("\u0001", keyCols.map(c => col(c).cast("string")): _*)),
+        concat_ws("\u0001", keyCols.map(c =>
+          coalesce(concat(lit("v"), col(c).cast("string")), lit("n"))): _*)),
         "__export_key")
     val sharded = Sampling.shardByOrder(keyed, idCol, nShards, seed)
       .drop((if (keyCols.size == 1) Seq.empty else Seq(idCol)) :+ "shuffle_key": _*)
@@ -1063,8 +1085,12 @@ object Main {
         min("global_idx").as("first_idx"), max("global_idx").as("last_idx"))
       .orderBy("shard").collect()
     val total = stats.map(_.getAs[Long]("rows")).sum
+    // "shards" = dirs actually written (fewer than requested when the
+    // input has fewer rows); a trainer iterating manifest shards must
+    // not hit missing directories
     val manifest = graft.util.Jsons.obj(
-      "rows" -> total, "shards" -> nShards, "seed" -> seed,
+      "rows" -> total, "shards" -> stats.length,
+      "shards_requested" -> nShards, "seed" -> seed,
       "key_cols" -> keyCols,
       "shard_rows" -> graft.util.Jsons.Raw(graft.util.Jsons.arr(
         stats.toSeq.map(r => graft.util.Jsons.Raw(graft.util.Jsons.obj(

@@ -150,18 +150,39 @@ object Multimodal {
     }
   }
 
-  /** Perceptual hashes for a media frame's decodable images, in the
-    * same batched partition pass as the other extractors: (media_id,
-    * dhash). Non-image payloads emit nothing — a fabricated hash would
-    * pollute the near-dup graph downstream. */
-  def imageDHashes(ds: Dataset[MediaRow],
-      repartitionTo: Option[Int] = None): DataFrame = {
+  /** Shared batched 64-bit fingerprint pass: (media_id, hash) for
+    * every payload `extract` can decode; undecodable payloads emit
+    * nothing — a fabricated hash would pollute the near-dup graph
+    * downstream. The mapPartitions/grouped shape bounds peak decode
+    * memory at [[BatchSize]] payloads exactly like the feature
+    * extractors. */
+  private def fingerprints64(ds: Dataset[MediaRow], outCol: String,
+      repartitionTo: Option[Int])(extract: Array[Byte] => Option[Long])
+      : DataFrame = {
     import ds.sparkSession.implicits._
     val base = repartitionTo.map(ds.repartition(_)).getOrElse(ds)
     base.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.flatMap(m =>
-      dHash64(m.content).map(h => (m.media_id, h)))))
-      .toDF("media_id", "dhash")
+      extract(m.content).map(h => (m.media_id, h)))))
+      .toDF("media_id", outCol)
   }
+
+  /** A 64-bit extractor as a nullable-long column over a binary column
+    * — the untyped-DataFrame bridge behind [[dHashCol]] /
+    * [[audioFingerprintCol]]. A Scala UDF, not a codegen expression:
+    * the decoders cannot be generated code, and the decode itself
+    * dwarfs the UDF bridge cost. */
+  private def fingerprintCol(bytes: Column)(
+      extract: Array[Byte] => Option[Long]): Column = {
+    val f = udf((b: Array[Byte]) => if (b == null) None else extract(b))
+    f(bytes)
+  }
+
+  /** Perceptual hashes for a media frame's decodable images, in the
+    * same batched partition pass as the other extractors: (media_id,
+    * dhash). */
+  def imageDHashes(ds: Dataset[MediaRow],
+      repartitionTo: Option[Int] = None): DataFrame =
+    fingerprints64(ds, "dhash", repartitionTo)(dHash64)
 
   /** Deterministic area-average resize of an image payload to
     * `outW`×`outH`, re-encoded as PNG (lossless, so chained transforms
@@ -468,13 +489,8 @@ object Multimodal {
     * payloads, in the same batched partition pass as the other
     * extractors: (media_id, afp). Non-audio payloads emit nothing. */
   def audioFingerprints(ds: Dataset[MediaRow],
-      repartitionTo: Option[Int] = None): DataFrame = {
-    import ds.sparkSession.implicits._
-    val base = repartitionTo.map(ds.repartition(_)).getOrElse(ds)
-    base.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.flatMap(m =>
-      audioFingerprint64(m.content).map(h => (m.media_id, h)))))
-      .toDF("media_id", "afp")
-  }
+      repartitionTo: Option[Int] = None): DataFrame =
+    fingerprints64(ds, "afp", repartitionTo)(audioFingerprint64)
 
   /** In-place iterative radix-2 FFT (lengths must be a power of two —
     * only ever called with [[FftSize]]). */
@@ -893,10 +909,7 @@ object Multimodal {
     * Undecodable/null payloads yield null (imageless rows pass the
     * dedup stage untouched). For typed media frames prefer the batched
     * [[imageDHashes]] partition pass. */
-  def dHashCol(bytes: Column): Column = {
-    val f = udf((b: Array[Byte]) => if (b == null) None else dHash64(b))
-    f(bytes)
-  }
+  def dHashCol(bytes: Column): Column = fingerprintCol(bytes)(dHash64)
 
   /** Image near-dup dedup: keep the minimum media_id of each
     * near-duplicate component (re-encodes, mild recompression and
@@ -914,10 +927,8 @@ object Multimodal {
     * (which accepts ANY 64-bit locality hash column) for audio-level
     * dedup of a multimodal corpus. Undecodable/null payloads yield
     * null and pass the dedup stage untouched. */
-  def audioFingerprintCol(bytes: Column): Column = {
-    val f = udf((b: Array[Byte]) => if (b == null) None else audioFingerprint64(b))
-    f(bytes)
-  }
+  def audioFingerprintCol(bytes: Column): Column =
+    fingerprintCol(bytes)(audioFingerprint64)
 
   /** Audio near-dup candidate pairs over a media frame: batched REAL
     * decode → [[audioFingerprint64]] → [[Dedup.hammingPairs64]]

@@ -36,21 +36,27 @@ object Tokenizer {
     require(maxWordTypes >= 1, s"maxWordTypes >= 1, got $maxWordTypes")
     require(vocabSize - specialTokens.size >= 256,
       s"vocabSize $vocabSize leaves < 256 ids after ${specialTokens.size} specials")
+    // Loud degradation guard: on a pathological corpus (no whitespace,
+    // highly unique text) the maxWordTypes cut can silently discard
+    // most of the frequency mass and train merges on an
+    // unrepresentative sliver. The total occurrence count rides the
+    // SAME scan as the frequency aggregate via an Observation — zero
+    // extra jobs (a second corpus scan here would double the dominant
+    // cost of train() at web scale, where the cut is the normal case).
+    val obs = org.apache.spark.sql.Observation()
     val freqs = df
       .select(explode(Bpe.preTokensOf(col(textCol))).as("__w"))
+      .observe(obs, count(lit(1)).as("__total"))
       .groupBy("__w").agg(count(lit(1)).as("__n"))
       .orderBy(col("__n").desc, col("__w").asc)
       .limit(maxWordTypes)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    // Loud degradation guard: on a pathological corpus (no whitespace,
-    // highly unique text) the maxWordTypes cut can silently discard
-    // most of the frequency mass and train merges on an unrepresentative
-    // sliver. Only measured when the cut was actually HIT (one extra
-    // scan-side aggregate, no shuffle) — the common under-cut case
-    // costs nothing.
     if (freqs.length == maxWordTypes) {
-      val covered = cutCoverage(df, textCol, freqs.iterator.map(_._2).sum)
+      val total = obs.get("__total").asInstanceOf[Long]
+      val covered =
+        if (total <= 0L) 1.0
+        else freqs.iterator.map(_._2).sum.toDouble / total
       if (covered < 0.9)
         Console.err.println(
           f"[tokenizer] WARNING: the maxWordTypes=$maxWordTypes cut covers " +
@@ -66,8 +72,9 @@ object Tokenizer {
 
   /** Fraction of the corpus's pre-token occurrences covered by a
     * frequency table holding `keptMass` occurrences: keptMass / total,
-    * 1.0 for an empty corpus. Factored out of [[train]]'s cut guard so
-    * the diagnostic is testable directly. */
+    * 1.0 for an empty corpus. The standalone diagnostic twin of
+    * [[train]]'s cut guard (which rides the SAME scan via an
+    * Observation instead of paying this one's extra aggregate). */
   private[graft] def cutCoverage(df: DataFrame, textCol: String,
       keptMass: Long): Double = {
     val total = df.select(sum(size(Bpe.preTokensOf(col(textCol)))))

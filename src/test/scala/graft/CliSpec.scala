@@ -659,6 +659,50 @@ class CliSpec extends SparkFunSuite {
       "the internal hash column must not leak into the output")
     val survivors2 = curated2.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(survivors2 == Set(1L, 3L, 4L), s"got $survivors2")
+    // conflicting/invalid image flags fail fast, not mid-job
+    val e1 = intercept[graft.errors.ConfigError](graft.cli.Main.cmdCurate(Array(
+      "--input", in2, "--output", s"$dir/x", "--image-col", "image",
+      "--image-hash-col", "h")))
+    assert(e1.getMessage.contains("mutually exclusive"), e1.getMessage)
+    val e2 = intercept[graft.errors.ConfigError](graft.cli.Main.cmdCurate(Array(
+      "--input", in2, "--output", s"$dir/x", "--image-col", "image",
+      "--image-max-hamming", "4", "--image-bands", "4")))
+    assert(e2.getMessage.contains("max-hamming"), e2.getMessage)
+  }
+
+  test("export composite keys: null components cannot collide with value components") {
+    val dir = Files.createTempDirectory("graft_cli_export_null")
+    val in = s"$dir/rows.parquet"
+    // ('x', null, 'y') vs ('x', 'y', null): concat_ws skips nulls, so
+    // an unmarked key would collide these into one key and make their
+    // relative order (and shard) run-dependent
+    Seq(
+      ("x", null.asInstanceOf[String], "y", 1L),
+      ("x", "y", null.asInstanceOf[String], 2L),
+      ("a", "b", "c", 3L)
+    ).toDF("k1", "k2", "k3", "payload").write.parquet(in)
+    val out1 = s"$dir/s1"
+    val out2 = s"$dir/s2"
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdExport(Array(
+        "--input", in, "--output", out1, "--shards", "2",
+        "--key-cols", "k1,k2,k3")) == 0)
+      assert(graft.cli.Main.cmdExport(Array(
+        "--input", in, "--output", out2, "--shards", "2",
+        "--key-cols", "k1,k2,k3")) == 0)
+    }
+    def rows(p: String) = spark.read.parquet(p)
+      .select("payload", "global_idx", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(rows(out1).toSeq == rows(out2).toSeq, "order must be reproducible")
+    // the two null-pattern rows must NOT share a key: distinct keys ->
+    // distinct shuffle positions -> a stable strict order between them
+    val idx = rows(out1).map(r => r._1 -> r._2).toMap
+    assert(idx(1L) != idx(2L))
+    // manifest reports the shards actually written
+    val m = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out1, "_manifest.json")))
+    assert(m.contains("\"shards\":2") && m.contains("\"shards_requested\":2"), m)
   }
 
   test("export command: curate -> pack --ids -> export gives deterministic shards + manifest") {
