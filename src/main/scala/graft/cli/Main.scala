@@ -84,6 +84,10 @@ object Main {
       |          [--classifier-min-prob 0.5] [--classifier-negative-rate 0.01]
       |          [--dsir-target PARQUET --dsir-k N [--dsir-buckets 65536] [--dsir-temperature 1.0]]
       |          [--near-dup minhash|ngram] [--near-dup-threshold 0.8] [--json PATH]
+      |          [--resume-dir DIR]  (stage-level checkpoints: a re-run
+      |           against the same dir skips completed stages — restart
+      |           a multi-hour curation after driver loss; refuse on
+      |           config change)
       |  pack    --input PATH --output PATH [--id-col doc_id] [--text-col text]
       |          [--token-budget 2048] [--groups 1024] [--seed 42]
       |          [--token-count bpe|whitespace|COL | --tokenizer DIR]
@@ -746,7 +750,8 @@ object Main {
       nearDupThreshold = f.getOrElse("near-dup-threshold", "0.8").toDouble,
       nearDup = nearDup,
       hygiene = hygiene,
-      hasher = Dedup.xxHash)
+      hasher = Dedup.xxHash,
+      resume = f.get("resume-dir"))
     writeCorpus(r.df.drop("__img_dhash"), output, f.get("output-format"))
     r.release() // output is on disk; drop the pipeline's internal caches
     println(s"input_rows=${r.stats.input}")

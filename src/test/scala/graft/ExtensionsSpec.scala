@@ -247,6 +247,50 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(r2.df.count() == 4)
   }
 
+  test("curation resume: completed stages are read back, config drift refused") {
+    import graft.ops.Curation
+    val dir = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    val prose = (i: Int) => "the quiet harbor town wakes early with the " +
+      s"fishing boats and the market opens with fresh catch today t$i"
+    val docs = ((1 to 7).map(i => (i.toLong, prose(i))) :+ (8L, prose(1)))
+      .toDF("doc_id", "text")
+    def run(input: org.apache.spark.sql.DataFrame) =
+      Curation.curate(input, minQuality = 0.0, languages = Nil,
+        nearDupThreshold = 0.99, resume = Some(dir))
+    val r1 = run(docs)
+    val ids1 = r1.df.select("doc_id").as[Long].collect().toSet
+    assert(ids1.size == 7 && !ids1.contains(8L), s"dup must drop: $ids1")
+    // stage dirs + params pin + scan side counts landed
+    Seq("scan", "exact_dup", "near_dup").foreach(s =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s, "_SUCCESS")),
+        s"missing stage checkpoint $s"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_params.json")))
+
+    // full resume: an EMPTY input must still reproduce run 1 — every
+    // stage (including the scan aggregate) reads its checkpoint and
+    // the new input is never touched
+    val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    val r2 = run(empty)
+    assert(r2.df.select("doc_id").as[Long].collect().toSet == ids1,
+      "resumed run must reproduce the checkpointed result")
+    assert(r2.stats.input == r1.stats.input &&
+      r2.stats.stages == r1.stats.stages, "ledger must resume too")
+
+    // partial resume: drop the LAST stage's checkpoint — it recomputes
+    // from the prior stage's checkpoint, still ignoring the new input
+    val nd = new java.io.File(s"$dir/near_dup")
+    nd.listFiles().foreach(_.delete()); nd.delete()
+    val r3 = run(empty)
+    assert(r3.df.select("doc_id").as[Long].collect().toSet == ids1,
+      "recomputed tail must rebuild from the prior checkpoint")
+
+    // changed config refuses the dir instead of mixing semantics
+    val err = intercept[graft.errors.ConfigError](
+      Curation.curate(docs, minQuality = 0.5, languages = Nil,
+        nearDupThreshold = 0.99, resume = Some(dir)))
+    assert(err.getMessage.contains("different curation parameters"), err.getMessage)
+  }
+
   test("curation image near-dup stage dedups by perceptual hash, hashless rows pass") {
     import graft.ops.Curation
     // hashes: doc 2 within hamming 2 of doc 1 (bits 0-1 flipped), doc 3
