@@ -242,6 +242,28 @@ class CliSpec extends SparkFunSuite {
     assert(survivors.contains(5L), "null-url doc must pass the url stage")
     val json = new String(Files.readAllBytes(java.nio.file.Paths.get(jp)))
     assert(json.contains("\"input_rows\":5") && json.contains("\"stage\":\"near_dup\""))
+
+    // --resume-dir: stage checkpoints + params pin land; a second run
+    // against the same dir resumes and reproduces the output
+    val rdir = s"$dir/resume"
+    val out2 = s"$dir/curated2.parquet"
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdCurate(Array(
+        "--input", in, "--output", out2, "--c4", "--gopher", "--repetition",
+        "--url-col", "url", "--near-dup", "minhash",
+        "--near-dup-threshold", "0.9", "--resume-dir", rdir)) == 0)
+    }
+    assert(Files.exists(java.nio.file.Paths.get(rdir, "_params.json")))
+    assert(Files.exists(java.nio.file.Paths.get(rdir, "scan", "_SUCCESS")))
+    val out3 = s"$dir/curated3.parquet"
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdCurate(Array(
+        "--input", in, "--output", out3, "--c4", "--gopher", "--repetition",
+        "--url-col", "url", "--near-dup", "minhash",
+        "--near-dup-threshold", "0.9", "--resume-dir", rdir)) == 0)
+    }
+    assert(spark.read.parquet(out3).select("doc_id").collect().map(_.getLong(0)).toSet ==
+      spark.read.parquet(out2).select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
   test("curate command: second-wave flags reach their stages") {
