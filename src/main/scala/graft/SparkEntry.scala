@@ -717,6 +717,24 @@ object SparkEntry {
           coalesce(col("kept"), lit(0)).as("kept"))
         .orderBy("media_id")
     }),
+    // Incremental image near-dup against a prior hash store (the
+    // recurring-drop shape): ids <= 200 are the store, the rest the
+    // batch; a batch image within hamming 2 of ANY stored hash drops
+    // as a store hit, the fresh remainder dedups among itself. Planted
+    // boundary pair: id 201 copies id 200 (in the store).
+    "q_image_neardup_incremental" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.syntheticGridMedia(s, 400)
+      val hashes = graft.ops.Multimodal.imageDHashes(media)
+      val store = hashes.filter(col("media_id") <= 200)
+      val batch = hashes.filter(col("media_id") > 200)
+      val kept = graft.ops.Dedup.incrementalHammingDedup(
+        batch, store, "media_id", "dhash", maxHamming = 2, bands = 4)
+      batch.join(kept.select(col("media_id"), lit(1).as("kept")),
+          Seq("media_id"), "left")
+        .select(col("media_id"), col("dhash"),
+          coalesce(col("kept"), lit(0)).as("kept"))
+        .orderBy("media_id")
+    }),
     // Full one-pass text enrichment
     "q_text_analyze" -> ((s, dir) =>
       graft.ops.TextAnalysis.analyze(t(s, dir, "documents"))
@@ -1823,43 +1841,8 @@ object SparkEntry {
     // generates candidates by band equality (the pigeonhole), filters
     // popcount <= 2, and min-labels components with a recursive CTE —
     // the Spark side's values come from REAL PNG decodes.
-    "q_image_neardup" ->
-      """WITH RECURSIVE imgs AS (
-        |  SELECT i AS id,
-        |         CASE WHEN i % 5 = 1 THEN i - 1 ELSE i END AS eff,
-        |         (i % 10 = 6) AS pert
-        |  FROM range(400) t(i)),
-        |cells AS (
-        |  SELECT g.id, cy.range AS cy, cx.range AS cx,
-        |    CASE WHEN g.pert AND cx.range = 4 AND cy.range = 3
-        |      THEN ((('0x'||substr(md5('img:'||g.eff||':'||cx.range||':'||cy.range),1,15))::BIGINT % 256) + 128) % 256
-        |      ELSE ('0x'||substr(md5('img:'||g.eff||':'||cx.range||':'||cy.range),1,15))::BIGINT % 256
-        |    END AS v
-        |  FROM imgs g, range(8) cy, range(9) cx),
-        |bits AS (
-        |  SELECT a.id, a.cy * 8 + a.cx AS pos,
-        |         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
-        |  FROM cells a JOIN cells b
-        |    ON a.id = b.id AND a.cy = b.cy AND b.cx = a.cx + 1
-        |  WHERE a.cx < 8),
-        |bands AS (
-        |  SELECT id, CAST(pos // 16 AS INT) AS band,
-        |         CAST(sum(CAST(bit AS BIGINT) << CAST(pos % 16 AS INT)) AS BIGINT) AS bits
-        |  FROM bits GROUP BY 1, 2),
-        |sig AS (
-        |  SELECT id,
-        |    max(CASE WHEN band = 0 THEN bits END) AS b0,
-        |    max(CASE WHEN band = 1 THEN bits END) AS b1,
-        |    max(CASE WHEN band = 2 THEN bits END) AS b2,
-        |    max(CASE WHEN band = 3 THEN bits END) AS b3
-        |  FROM bands GROUP BY 1),
-        |sigv AS (
-        |  SELECT id, b0, b1, b2, b3,
-        |    CAST(b0 + b1 * 65536 + b2 * 4294967296 +
-        |      (b3 - CASE WHEN b3 >= 32768 THEN 65536 ELSE 0 END) * 281474976710656
-        |      AS BIGINT) AS dhash
-        |  FROM sig),
-        |edges AS (
+    "q_image_neardup" -> imageSigOracle(
+      """edges AS (
         |  SELECT x.id AS ea, y.id AS eb
         |  FROM sigv x JOIN sigv y ON x.id < y.id AND
         |       (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
@@ -1876,7 +1859,43 @@ object SparkEntry {
         |SELECT s.id AS media_id, s.dhash AS dhash,
         |       CAST(CASE WHEN l.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
         |FROM sigv s LEFT JOIN losers l ON s.id = l.id
-        |ORDER BY media_id""".stripMargin,
+        |ORDER BY media_id""".stripMargin),
+
+    // Incremental replay: store = sigs of ids <= 200, batch = the
+    // rest; a batch image within hamming 2 of ANY stored hash is a
+    // store hit (banding is recall-complete, so brute-force popcount
+    // hits are the exact banded hit set); the fresh remainder then
+    // runs the standard pair + component dedup among itself.
+    "q_image_neardup_incremental" -> imageSigOracle(
+      """store AS (SELECT * FROM sigv WHERE id <= 200),
+        |batch AS (SELECT * FROM sigv WHERE id > 200),
+        |hits AS (
+        |  SELECT DISTINCT b.id FROM batch b JOIN store s
+        |  ON bit_count(xor(b.b0, s.b0)) + bit_count(xor(b.b1, s.b1)) +
+        |     bit_count(xor(b.b2, s.b2)) + bit_count(xor(b.b3, s.b3)) <= 2),
+        |fresh AS (
+        |  SELECT * FROM batch WHERE id NOT IN (SELECT id FROM hits)),
+        |edges AS (
+        |  SELECT x.id AS ea, y.id AS eb
+        |  FROM fresh x JOIN fresh y ON x.id < y.id AND
+        |       (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+        |  WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+        |        bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 2),
+        |adj AS (SELECT ea AS u, eb AS w FROM edges UNION ALL SELECT eb, ea FROM edges),
+        |nodes AS (SELECT DISTINCT u AS id FROM adj),
+        |r AS (
+        |  SELECT id, id AS lbl FROM nodes
+        |  UNION
+        |  SELECT a.w AS id, r.lbl FROM r JOIN adj a ON a.u = r.id),
+        |comp AS (SELECT id, min(lbl) AS comp FROM r GROUP BY 1),
+        |losers AS (SELECT id FROM comp WHERE comp <> id)
+        |SELECT b.id AS media_id, b.dhash AS dhash,
+        |       CAST(CASE WHEN h.id IS NOT NULL OR l.id IS NOT NULL
+        |            THEN 0 ELSE 1 END AS INT) AS kept
+        |FROM batch b
+        |LEFT JOIN hits h ON b.id = h.id
+        |LEFT JOIN losers l ON b.id = l.id
+        |ORDER BY media_id""".stripMargin),
 
     "q_embed_topk" ->
       """WITH q AS (
@@ -2620,6 +2639,48 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin
     }
   )
+
+  /** Shared image-signature oracle chain: syntheticGridMedia's cell
+    * formula → all 64 dHash bits → 16-bit bands → signed 64-bit hash
+    * (`sigv(id, b0..b3, dhash)`), parameterized by the tail CTEs +
+    * final SELECT. See q_image_neardup for the full derivation. */
+  private def imageSigOracle(tail: String): String =
+    """WITH RECURSIVE imgs AS (
+      |  SELECT i AS id,
+      |         CASE WHEN i % 5 = 1 THEN i - 1 ELSE i END AS eff,
+      |         (i % 10 = 6) AS pert
+      |  FROM range(400) t(i)),
+      |cells AS (
+      |  SELECT g.id, cy.range AS cy, cx.range AS cx,
+      |    CASE WHEN g.pert AND cx.range = 4 AND cy.range = 3
+      |      THEN ((('0x'||substr(md5('img:'||g.eff||':'||cx.range||':'||cy.range),1,15))::BIGINT % 256) + 128) % 256
+      |      ELSE ('0x'||substr(md5('img:'||g.eff||':'||cx.range||':'||cy.range),1,15))::BIGINT % 256
+      |    END AS v
+      |  FROM imgs g, range(8) cy, range(9) cx),
+      |bits AS (
+      |  SELECT a.id, a.cy * 8 + a.cx AS pos,
+      |         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.id = b.id AND a.cy = b.cy AND b.cx = a.cx + 1
+      |  WHERE a.cx < 8),
+      |bands AS (
+      |  SELECT id, CAST(pos // 16 AS INT) AS band,
+      |         CAST(sum(CAST(bit AS BIGINT) << CAST(pos % 16 AS INT)) AS BIGINT) AS bits
+      |  FROM bits GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT id,
+      |    max(CASE WHEN band = 0 THEN bits END) AS b0,
+      |    max(CASE WHEN band = 1 THEN bits END) AS b1,
+      |    max(CASE WHEN band = 2 THEN bits END) AS b2,
+      |    max(CASE WHEN band = 3 THEN bits END) AS b3
+      |  FROM bands GROUP BY 1),
+      |sigv AS (
+      |  SELECT id, b0, b1, b2, b3,
+      |    CAST(b0 + b1 * 65536 + b2 * 4294967296 +
+      |      (b3 - CASE WHEN b3 >= 32768 THEN 65536 ELSE 0 END) * 281474976710656
+      |      AS BIGINT) AS dhash
+      |  FROM sig),
+      |""".stripMargin + tail
 
   /** Shared DSIR oracle CTE chain (featurize → distributions → λ →
     * per-doc score), parameterized by the final SELECT. */

@@ -623,6 +623,86 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-batch-row best (lowest) Hamming distance against a prior
+    * corpus's 64-bit fingerprint store — the candidate-generation half
+    * of [[incrementalHammingDedup]], mirroring [[nearDupStoreHits]]
+    * for hash keys. Pigeonhole banding on BOTH sides: only same-band
+    * (batch, store) rows are compared, the store is hash-sized (one
+    * 8-byte key per historical row), and for `maxHamming < bands`
+    * every qualifying pair collides on at least one band, so the
+    * filtered hits equal the brute-force hit set. Returns (idCol,
+    * best_hamming); batch rows with no band collision are absent. */
+  def hammingStoreHits(batchSigs: DataFrame, storeSigs: DataFrame,
+      idCol: String, sigCol: String, bands: Int = 4,
+      maxBucket: Int = 100000): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    def banded(df: DataFrame, id: String, sig: String) = {
+      val b = df.select(col(idCol).as(id), col(sigCol).as(sig),
+        explode(array((0 until bands).map(k =>
+          struct(lit(k).as("band"),
+            shiftrightunsigned(col(sigCol), k * width).bitwiseAND(lit(mask))
+              .as("bits"))): _*)).as("bb"))
+        .select(col(id), col(sig),
+          col("bb.band").as("band"), col("bb.bits").as("bits"))
+      b.withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bits")))
+        .filter(col("__n") <= maxBucket).drop("__n")
+    }
+    banded(batchSigs, "__ba", "__siga")
+      .join(banded(storeSigs, "__sb", "__sigb"), Seq("band", "bits"))
+      .groupBy(col("__ba").as(idCol))
+      .agg(min(bit_count(col("__siga").bitwiseXOR(col("__sigb"))))
+        .as("best_hamming"))
+  }
+
+  /** Incremental 64-bit-fingerprint near-dup dedup — the Hamming
+    * sibling of [[incrementalNearDedup]], for recurring corpus drops
+    * keyed on image dHashes ([[Multimodal.imageDHashes]]), audio
+    * fingerprints, SimHash, or any 64-bit locality key: drop batch
+    * rows whose `sigCol` sits within `maxHamming` bits of ANY stored
+    * hash, then near-dedup the survivors against each other
+    * ([[hammingPairs64]] + min-id components). Rows with a NULL sig
+    * (undecodable media) pass through untouched, like the curation
+    * stage. The store is a persisted (id, sig) frame
+    * ([[saveHashStore]] / [[loadHashStore]]); append the survivors'
+    * hashes after each refresh. Returns surviving batch rows with
+    * their original columns. */
+  def incrementalHammingDedup(batch: DataFrame, storeSigs: DataFrame,
+      idCol: String, sigCol: String, maxHamming: Int = 2, bands: Int = 4,
+      maxBucket: Int = 100000): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole completeness needs maxHamming < bands (got $maxHamming >= $bands)")
+    val withSig = batch.filter(col(sigCol).isNotNull)
+    val hits = hammingStoreHits(withSig.select(col(idCol), col(sigCol)),
+        storeSigs, idCol, sigCol, bands, maxBucket)
+      .filter(col("best_hamming") <= maxHamming)
+      .select(idCol)
+    val fresh = withSig.join(hits, Seq(idCol), "left_anti")
+    val pairs = hammingPairs64(fresh.select(col(idCol), col(sigCol)),
+      idCol, sigCol, maxHamming, bands, maxBucket)
+    dedupByPairs(fresh, idCol, pairs)
+      .unionByName(batch.filter(col(sigCol).isNull))
+  }
+
+  /** Persist a 64-bit fingerprint store for [[incrementalHammingDedup]].
+    * The sig column is normalized to long; the id column keeps its own
+    * type (the [[saveSignatureStore]] contract). */
+  def saveHashStore(sigs: DataFrame, idCol: String, sigCol: String,
+      path: String): Unit =
+    sigs.select(col(idCol), col(sigCol).cast("long").as(sigCol))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted fingerprint store, validating the contract. */
+  def loadHashStore(spark: org.apache.spark.sql.SparkSession,
+      idCol: String, sigCol: String, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(Set(idCol, sigCol).subsetOf(df.columns.toSet),
+      s"hash store at $path must have ($idCol, $sigCol) columns, " +
+        s"found: ${df.columns.mkString(", ")}")
+    df.select(col(idCol), col(sigCol).cast("long").as(sigCol))
+  }
+
   /** Portable SimHash near-dup pairs: 60-bit fingerprints whose token
     * hash is the first 15 hex chars of md5 — `('0x'||hex)::BIGINT` in
     * DuckDB reproduces the exact value, so the whole pipeline

@@ -978,6 +978,26 @@ class ExtensionsSpec extends SparkFunSuite {
         s"perturbed twin $i must pair with ${i - 1} within hamming 2"))
   }
 
+  test("incremental hamming dedup: store hits drop, intra-batch dedup, null sigs pass") {
+    import graft.ops.Dedup
+    val store = Seq((1L, 100L), (2L, 0x0f0f0f0fL)).toDF("media_id", "dhash")
+    val batch = Seq(
+      (10L, java.lang.Long.valueOf(100L ^ 1L)), // hamming 1 of stored id 1
+      (11L, java.lang.Long.valueOf(0x7000000000L)), // fresh
+      (12L, java.lang.Long.valueOf(0x7000000000L ^ 3L)), // hamming 2 of 11
+      (13L, null.asInstanceOf[java.lang.Long]) // undecodable: passes
+    ).toDF("media_id", "dhash")
+    val kept = Dedup.incrementalHammingDedup(batch, store, "media_id", "dhash")
+      .select("media_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L), s"got $kept")
+    // persisted store round trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_hashstore").toString
+    Dedup.saveHashStore(store, "media_id", "dhash", dir)
+    val loaded = Dedup.loadHashStore(spark, "media_id", "dhash", dir)
+    assert(loaded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 100L), (2L, 0x0f0f0f0fL)))
+  }
+
   test("audio fingerprint: gain-stable, re-encode exact, discriminative; banded dedup") {
     // two-tone clip with a rising envelope: decisive temporal-spectral
     // structure, so the sign-of-delta bits survive PCM re-quantization
