@@ -208,6 +208,15 @@ class PlanSpec extends SparkFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join in the image near-dup path:\n$plan")
     assert(plan.contains("Generate explode"), s"no band explode:\n$plan")
+    // the incremental store path must also stay banded: batch and
+    // store join only on (band, bits), never all-pairs
+    val store = spark.range(500)
+      .select((col("id") + 10000).as("media_id"), xxhash64(col("id") * 7).as("dhash"))
+    val incPlan = planOf(Dedup.incrementalHammingDedup(
+      sigs, store, "media_id", "dhash", maxHamming = 2, bands = 4))
+    assert(!incPlan.contains("CartesianProduct") &&
+      !incPlan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the incremental hash-dedup path:\n$incPlan")
   }
 
   test("hyperplane signature plan is O(planes) nodes at production dims") {
