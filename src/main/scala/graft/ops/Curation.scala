@@ -475,9 +475,13 @@ object Curation {
           }
           val df = store match {
             case Some(st) =>
-              val out = staged("scan filter")(st.write("scan", frame))
+              // side JSON FIRST: a crash between the two writes then
+              // leaves counts without a _SUCCESS-committed frame — the
+              // next run recomputes the stage and overwrites both.
+              // The reverse order would leave a committed frame whose
+              // resume fails hard on the missing side file.
               st.writeSide("scan", counts :+ ("__input" -> inputN))
-              out
+              staged("scan filter")(st.write("scan", frame))
             case None => stageCp(frame)
           }
           (df, inputN, counts)
