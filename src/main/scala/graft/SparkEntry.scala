@@ -717,6 +717,26 @@ object SparkEntry {
           coalesce(col("kept"), lit(0)).as("kept"))
         .orderBy("media_id")
     }),
+    // Audio near-dup dedup: REAL javax.sound decodes → FFT → mel-band
+    // energies → audioFingerprint64 → pigeonhole banded hamming pairs
+    // → min-id component dedup. The grid WAVs make every fingerprint
+    // bit the actual move of a reflecting md5-walk over 4 amplitude
+    // levels (syntheticGridWav), so the oracle replays the ENTIRE
+    // pipeline — all 64 sign-of-delta bits per clip, banding,
+    // popcount, connected components — in pure SQL against the real
+    // decoded fingerprints (the audio sibling of q_image_neardup).
+    "q_audio_neardup" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.syntheticGridAudio(s, 400)
+      val sigs = graft.ops.Multimodal.audioFingerprints(media)
+      val pairs = graft.ops.Dedup.hammingPairs64(sigs, "media_id", "afp",
+        maxHamming = 2, bands = 4)
+      val kept = graft.ops.Dedup.dedupByPairs(sigs, "media_id", pairs)
+      sigs.join(kept.select(col("media_id"), lit(1).as("kept")),
+          Seq("media_id"), "left")
+        .select(col("media_id"), col("afp"),
+          coalesce(col("kept"), lit(0)).as("kept"))
+        .orderBy("media_id")
+    }),
     // Incremental image near-dup against a prior hash store (the
     // recurring-drop shape): ids <= 200 are the store, the rest the
     // batch; a batch image within hamming 2 of ANY stored hash drops
@@ -1860,6 +1880,75 @@ object SparkEntry {
         |       CAST(CASE WHEN l.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
         |FROM sigv s LEFT JOIN losers l ON s.id = l.id
         |ORDER BY media_id""".stripMargin),
+
+    // Audio near-dup replay: syntheticGridWav makes each fingerprint
+    // bit the actual move of a reflecting md5-walk over 4 amplitude
+    // levels (direction = md5("afp:<seed>:<t>:<m>") % 2, forced up at
+    // level 0 / down at level 3; perturbation XORs the t=7 input of
+    // bands 2 and 5). The oracle replays the walk with a recursive
+    // CTE, reassembles the signed 64-bit fingerprint from four 16-bit
+    // bands, generates candidates by band equality, filters
+    // popcount <= 2 and min-labels components — the Spark side's
+    // values come from REAL javax.sound decodes through the FFT
+    // mel-energy pipeline.
+    "q_audio_neardup" ->
+      """WITH RECURSIVE clips AS (
+        |  SELECT i AS id,
+        |         CASE WHEN i % 5 = 1 THEN i - 1 ELSE i END AS eff,
+        |         (i % 10 = 6) AS pert
+        |  FROM range(400) t(i)),
+        |dirs AS (
+        |  SELECT c.id, m.range AS m, t.range AS t,
+        |    (('0x'||substr(md5('afp:'||c.eff||':'||t.range||':'||m.range),1,15))::BIGINT
+        |     + CASE WHEN c.pert AND t.range = 7 AND m.range IN (2, 5)
+        |       THEN 1 ELSE 0 END) % 2 AS d
+        |  FROM clips c, range(8) m, range(8) t),
+        |walk AS (
+        |  SELECT c.id, m.range AS m, 0 AS t, 1 AS l, CAST(NULL AS INT) AS bit
+        |  FROM clips c, range(8) m
+        |  UNION ALL
+        |  SELECT w.id, w.m, w.t + 1,
+        |    w.l + CASE WHEN w.l = 0 OR (d.d = 1 AND w.l < 3) THEN 1 ELSE -1 END,
+        |    CASE WHEN w.l = 0 OR (d.d = 1 AND w.l < 3) THEN 1 ELSE 0 END
+        |  FROM walk w JOIN dirs d ON d.id = w.id AND d.m = w.m AND d.t = w.t
+        |  WHERE w.t < 8),
+        |bits AS (
+        |  SELECT id, (t - 1) * 8 + m AS pos, bit FROM walk WHERE t >= 1),
+        |bands AS (
+        |  SELECT id, CAST(pos // 16 AS INT) AS band,
+        |         CAST(sum(CAST(bit AS BIGINT) << CAST(pos % 16 AS INT)) AS BIGINT) AS bits
+        |  FROM bits GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT id,
+        |    max(CASE WHEN band = 0 THEN bits END) AS b0,
+        |    max(CASE WHEN band = 1 THEN bits END) AS b1,
+        |    max(CASE WHEN band = 2 THEN bits END) AS b2,
+        |    max(CASE WHEN band = 3 THEN bits END) AS b3
+        |  FROM bands GROUP BY 1),
+        |sigv AS (
+        |  SELECT id, b0, b1, b2, b3,
+        |    CAST(b0 + b1 * 65536 + b2 * 4294967296 +
+        |      (b3 - CASE WHEN b3 >= 32768 THEN 65536 ELSE 0 END) * 281474976710656
+        |      AS BIGINT) AS afp
+        |  FROM sig),
+        |edges AS (
+        |  SELECT x.id AS ea, y.id AS eb
+        |  FROM sigv x JOIN sigv y ON x.id < y.id AND
+        |       (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+        |  WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+        |        bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 2),
+        |adj AS (SELECT ea AS u, eb AS w FROM edges UNION ALL SELECT eb, ea FROM edges),
+        |nodes AS (SELECT DISTINCT u AS id FROM adj),
+        |r AS (
+        |  SELECT id, id AS lbl FROM nodes
+        |  UNION
+        |  SELECT a.w AS id, r.lbl FROM r JOIN adj a ON a.u = r.id),
+        |comp AS (SELECT id, min(lbl) AS comp FROM r GROUP BY 1),
+        |losers AS (SELECT id FROM comp WHERE comp <> id)
+        |SELECT s.id AS media_id, s.afp AS afp,
+        |       CAST(CASE WHEN l.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM sigv s LEFT JOIN losers l ON s.id = l.id
+        |ORDER BY media_id""".stripMargin,
 
     // Incremental replay: store = sigs of ids <= 200, batch = the
     // rest; a batch image within hamming 2 of ANY stored hash is a

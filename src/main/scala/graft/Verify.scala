@@ -18,9 +18,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_ == name) }
-      .foreach { case (name, fn) =>
+    // a misspelled --only name must fail loudly, not write nothing and
+    // exit 0 (which reads as "all green" to a caller diffing outputs)
+    if (only.isDefined && selected.isEmpty) {
+      System.err.println(s"[verify] no query named '${only.get}' " +
+        s"(known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+      spark.stop()
+      sys.exit(2)
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

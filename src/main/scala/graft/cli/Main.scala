@@ -1067,18 +1067,25 @@ object Main {
     }
     // composite keys collapse to ONE order column; the \\u0001
     // separator keeps ("a","bc")/("ab","c")-style composites distinct,
-    // and each component is marker-prefixed ("v" value / "n" null)
+    // each component is marker-prefixed ("v" value / "n" null)
     // because concat_ws SKIPS nulls — (x, null, y) and (x, y, null)
     // would otherwise collide into one key and make their shard
-    // assignment run-order-dependent
+    // assignment run-order-dependent — and any \\u0001/\\u0002 INSIDE a
+    // value is \\u0002-escaped, so a value that happens to CONTAIN the
+    // separator cannot make two distinct composites collide either
+    val esc = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(regexp_replace(c, "\u0002", "\u0002\u0002"),
+        "\u0001", "\u0002\u0001")
     val (keyed, idCol) =
       if (keyCols.size == 1) (df, keyCols.head)
       else (df.withColumn("__export_key",
         concat_ws("\u0001", keyCols.map(c =>
-          coalesce(concat(lit("v"), col(c).cast("string")), lit("n"))): _*)),
+          coalesce(concat(lit("v"), esc(col(c).cast("string"))), lit("n"))): _*)),
         "__export_key")
+    // shardByOrder already drops its internal shuffle key; only the
+    // synthesized composite column is ours to clean up
     val sharded = Sampling.shardByOrder(keyed, idCol, nShards, seed)
-      .drop((if (keyCols.size == 1) Seq.empty else Seq(idCol)) :+ "shuffle_key": _*)
+      .drop((if (keyCols.size == 1) Seq.empty[String] else Seq(idCol)): _*)
     sharded
       .repartitionByRange(nShards, col("global_idx"))
       .sortWithinPartitions(col("global_idx"))

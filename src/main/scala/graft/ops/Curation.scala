@@ -266,6 +266,26 @@ object Curation {
     private def path(stage: String) = s"$dir/$stage"
     def isDone(stage: String): Boolean =
       Files.exists(Paths.get(path(stage), "_SUCCESS"))
+    /** Completed stages must form a PREFIX of the enabled pipeline:
+      * stage N's checkpoint was computed FROM stage N-1's frame, so a
+      * manually deleted (or partially cleaned) intermediate checkpoint
+      * with later checkpoints still present would resume those later
+      * stages against upstream data recomputed from a different input
+      * state. Any done stage after the first missing one is
+      * invalidated here (its `_SUCCESS` removed — `write` overwrites
+      * the rest) so the pipeline self-heals by recomputing the suffix
+      * instead of silently mixing two runs. */
+    def validatePrefix(orderedStages: Seq[String]): Unit = {
+      val firstMissing = orderedStages.indexWhere(!isDone(_))
+      if (firstMissing >= 0)
+        orderedStages.drop(firstMissing + 1).filter(isDone).foreach { st =>
+          System.err.println(s"[graft] resume dir $dir: checkpoint for " +
+            s"stage '$st' follows missing stage " +
+            s"'${orderedStages(firstMissing)}' — invalidating it (the " +
+            "suffix recomputes from the first missing stage)")
+          Files.delete(Paths.get(path(st), "_SUCCESS"))
+        }
+    }
     def read(spark: org.apache.spark.sql.SparkSession, stage: String): DataFrame =
       spark.read.parquet(path(stage))
     def write(stage: String, df: DataFrame): DataFrame = {
@@ -404,6 +424,22 @@ object Curation {
         "dsir" -> h.dsir.map(d =>
           s"${d.k}:${d.buckets}:${d.alpha}:${d.temperature}:${d.seed}")))
     }
+    // enabled stage keys in pipeline order, for the prefix check (the
+    // names must match the stageOut keys below)
+    store.foreach(_.validatePrefix(Seq("scan") ++
+      hygiene.urlCol.map(_ => "url_dup") ++
+      hygiene.imageDup.map(_ => "image_dup") ++
+      hygiene.boilerplate.map(_ => "boilerplate") ++
+      Seq("exact_dup") ++
+      hygiene.spanDedup.map(_ => "span_dup") ++
+      hygiene.exactSubstr.map(_ => "exact_substr") ++
+      hygiene.unigram.map(_ => "unigram") ++
+      hygiene.bigram.map(_ => "bigram") ++
+      hygiene.classifier.map(_ => "classifier") ++
+      hygiene.decontaminate.map(_ => "contaminated") ++
+      Seq("near_dup") ++
+      hygiene.semDedup.map(_ => "semantic_dup") ++
+      hygiene.dsir.map(_ => "dsir_selected")))
     // One stage boundary: under resume, a completed stage's frame is
     // READ BACK (the thunk is never forced — no refit, no reshuffles);
     // an incomplete stage computes, persists atomically and reads

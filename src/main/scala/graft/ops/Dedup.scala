@@ -597,7 +597,10 @@ object Dedup {
     * at least one — candidate generation is recall-complete, then the
     * exact popcount filter keeps true pairs. `maxBucket` bounds the
     * degenerate-bucket blowup (e.g. the all-zero fingerprint of blank
-    * inputs). Returns (a, b, hamming). */
+    * inputs) by dropping over-full (band, bits) buckets WHOLE — pairs
+    * whose only shared band was a dropped bucket are silently missed,
+    * so recall-completeness holds only while no bucket exceeds the
+    * cap. Returns (a, b, hamming). */
   def hammingPairs64(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 100000): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
@@ -630,8 +633,17 @@ object Dedup {
     * (batch, store) rows are compared, the store is hash-sized (one
     * 8-byte key per historical row), and for `maxHamming < bands`
     * every qualifying pair collides on at least one band, so the
-    * filtered hits equal the brute-force hit set. Returns (idCol,
-    * best_hamming); batch rows with no band collision are absent. */
+    * filtered hits equal the brute-force hit set — UNLESS `maxBucket`
+    * cuts: a (band, bits) bucket holding more than `maxBucket` rows on
+    * EITHER side is dropped whole (the degenerate-fingerprint guard —
+    * e.g. solid-color images all hashing to dHash 0), and pairs whose
+    * only collision was that bucket are silently missed, so
+    * [[incrementalHammingDedup]] retains their batch rows. That is the
+    * same deliberate recall-for-boundedness trade every banded
+    * generator here makes; raise `maxBucket` (or pre-filter the
+    * degenerate sigs) when exactness over pathological inputs matters.
+    * Returns (idCol, best_hamming); batch rows with no band collision
+    * are absent. */
   def hammingStoreHits(batchSigs: DataFrame, storeSigs: DataFrame,
       idCol: String, sigCol: String, bands: Int = 4,
       maxBucket: Int = 100000): DataFrame = {

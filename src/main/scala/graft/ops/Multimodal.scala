@@ -871,6 +871,125 @@ object Multimodal {
     cc("RIFF") ++ le(body.length) ++ body
   }
 
+  /** Deterministic WAV whose [[audioFingerprint64]] BITS are a pure
+    * md5-integer function of the seed — the audio analog of
+    * [[syntheticGridPng]], built so the whole near-dup pipeline
+    * (decode → FFT → mel energies → sign-of-delta bits → banding →
+    * components) replays bit-exactly in a SQL oracle while the Spark
+    * side runs the REAL javax.sound + FFT path.
+    *
+    * Construction: 9 segments of exactly [[FftSize]]·2 samples (the
+    * fingerprint's segment split lands on these boundaries, and
+    * [[melBandEnergies]]'s Hann windows never straddle them). Each of
+    * the 8 mel bands carries one sine at the exact PEAK FFT bin of its
+    * triangular filter — an exact-bin sine under a 1024-point Hann has
+    * (near-)exact 3-bin support, so bands are spectrally orthogonal up
+    * to a ~-22 dB edge-bin overlap term. Per-band amplitude follows a
+    * REFLECTING WALK over 4 levels (~4 dB energy apart): direction
+    * d(t,m) = md5("afp:seed:t:m") bit, forced up at level 0 / down at
+    * level 3. Consecutive segments therefore NEVER tie — every
+    * fingerprint bit is the walk's actual move, with a >=4 dB margin
+    * that the cross-band edge term (<= -22 dB, bounded by the 3-level
+    * max gap at ~12 dB => worst ~-10 dB relative) cannot flip.
+    * `perturb` flips the t=7 direction INPUT of bands 2 and 5 — the
+    * last transition, so no reflection cascade: the twin's fingerprint
+    * differs in at most those 2 bits (fewer when a flip is
+    * boundary-forced), planting Hamming<=2 near-dup pairs. */
+  def syntheticGridWav(seed: Long, perturb: Boolean = false): Array[Byte] = {
+    val sr = 8000
+    val segs = 9
+    val bands = 8
+    val segLen = 2 * FftSize
+    val n = segs * segLen
+    // peak bins of melBandEnergies' triangular filters (same formula,
+    // nBands = 8): peakBin(m) = binOf(m + 1)
+    def mel(f: Double) = 2595.0 * math.log10(1.0 + f / 700.0)
+    def imel(m: Double) = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+    val melMax = mel(sr / 2.0)
+    val peakBin = Array.tabulate(bands)(m =>
+      math.min(FftSize / 2,
+        math.round(imel(melMax * (m + 1) / (bands + 1)) * FftSize / sr).toInt))
+    val levels = gridWavLevels(seed, perturb, segs, bands)
+    // ~4 dB energy (sqrt(2.5) amplitude) per level; worst-case sum of
+    // 8 bands at the top level stays inside 16-bit PCM
+    val amp = Array.tabulate(4)(l => 900.0 * math.pow(2.5, l * 0.5))
+    val pcmBytes = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = i / segLen
+      var s = 0.0
+      var m = 0
+      while (m < bands) {
+        // f_m = peakBin(m) * sr / FftSize => phase = 2*pi*bin*i/FftSize
+        s += amp(levels(m)(t)) * math.sin(2 * math.Pi * peakBin(m) * i / FftSize)
+        m += 1
+      }
+      val v = math.max(-32767, math.min(32767, math.round(s))).toInt
+      pcmBytes(2 * i) = (v & 0xff).toByte
+      pcmBytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcmBytes), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The reflecting-walk level schedule behind [[syntheticGridWav]]:
+    * levels(m)(t) in {0..3}, l(0) = 1, direction bit
+    * md5("afp:seed:t:m") % 2 (XOR the perturbation at t = 7 for bands
+    * 2 and 5), forced up at 0 / down at 3. */
+  private def gridWavLevels(seed: Long, perturb: Boolean, segs: Int,
+      bands: Int): Array[Array[Int]] =
+    Array.tabulate(bands) { m =>
+      val l = new Array[Int](segs)
+      l(0) = 1
+      var t = 0
+      while (t < segs - 1) {
+        val d = (md5Top60(s"afp:$seed:$t:$m") % 2 == 1) ^
+          (perturb && t == segs - 2 && (m == 2 || m == 5))
+        val up = l(t) == 0 || (d && l(t) < 3)
+        l(t + 1) = l(t) + (if (up) 1 else -1)
+        t += 1
+      }
+      l
+    }
+
+  /** The fingerprint [[syntheticGridWav]] is CONSTRUCTED to decode to
+    * — the pure md5-walk replay (what the SQL oracle computes). Spec
+    * contract: audioFingerprint64(syntheticGridWav(s, p)) ==
+    * gridWavFingerprint(s, p) for every seed. */
+  def gridWavFingerprint(seed: Long, perturb: Boolean = false): Long = {
+    val levels = gridWavLevels(seed, perturb, 9, 8)
+    var h = 0L
+    var t = 0
+    while (t < 8) {
+      var m = 0
+      while (m < 8) {
+        if (levels(m)(t + 1) > levels(m)(t)) h |= 1L << (t * 8 + m)
+        m += 1
+      }
+      t += 1
+    }
+    h
+  }
+
+  /** Synthesize the grid-WAV media frame for the audio near-dup oracle
+    * — same planted-twin scheme as [[syntheticGridMedia]]: id i%5==1
+    * repeats id i-1's seed, and i%10==6 additionally carries the
+    * perturbed (Hamming<=2) twin; every other id is a distinct
+    * random-walk clip. */
+  def syntheticGridAudio(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val eff: Long = if (i % 5 == 1) i - 1 else i
+      MediaRow(i, "audio/wav", syntheticGridWav(eff, perturb = i % 10 == 6))
+    }
+  }
+
   /** Synthesize deterministic MJPEG AVI videos for tests/benches. */
   def syntheticVideos(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._

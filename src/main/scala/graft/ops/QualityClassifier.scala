@@ -73,14 +73,22 @@ object QualityClassifier {
     * directly. */
   def train(positives: DataFrame, negatives: DataFrame,
       textCol: String = "text", buckets: Int = 65536,
-      maxIter: Int = 100, regParam: Double = 1e-4,
+      maxIter: Int = 100, regParam: Double = 1e-4, tol: Double = 1e-5,
       portableHash: Boolean = false): Model = {
     require(buckets >= 1 && buckets <= Dsir.MaxBuckets,
       s"buckets must be in [1, ${Dsir.MaxBuckets}], got $buckets")
     val data = labeled(positives, textCol, buckets, portableHash, 1.0)
       .unionByName(labeled(negatives, textCol, buckets, portableHash, 0.0))
+    // every LBFGS knob pinned EXPLICITLY (maxIter, tol, regParam): the
+    // fit's iteration count — hence its wall-clock and the model it
+    // converges to — must not float with a spark.ml default change
+    // between versions. tol 1e-5 (vs spark's 1e-6 default) stops the
+    // long convergence tail: the scoring kernel quantizes probabilities
+    // through a sigmoid, where a 1e-5-scale objective wobble is
+    // invisible, and it bounds the fit's bench variance.
     val lr = new org.apache.spark.ml.classification.LogisticRegression()
       .setMaxIter(maxIter)
+      .setTol(tol)
       .setRegParam(regParam)
       .setStandardization(false)
     val fit = lr.fit(data)

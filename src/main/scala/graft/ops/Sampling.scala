@@ -351,13 +351,17 @@ object Sampling {
     * The total comes from one max() over the layout the index already
     * pinned (no extra shuffle). Integer `div` (not double /): a
     * float quotient could round a boundary row into the next shard at
-    * large indices. */
+    * large indices. Output schema = input columns + `indexCol` +
+    * `shardCol`; the internal shuffle key [[globalOrderIndex]] sorts on
+    * is dropped here (it is derivable as [[shuffleKeyOf]](id, seed) —
+    * callers who want it should call globalOrderIndex directly). */
   def shardByOrder(df: DataFrame, idCol: String, nShards: Int, seed: Int = 42,
       shardCol: String = "shard", indexCol: String = "global_idx"): DataFrame = {
     require(nShards >= 1, s"nShards >= 1, got $nShards")
     require(!df.columns.contains(shardCol),
       s"shardByOrder writes $shardCol; rename the existing column first")
     val indexed = globalOrderIndex(df, idCol, seed, indexCol)
+      .drop("shuffle_key") // globalOrderIndex's default keyCol
     val total = indexed.agg(max(col(indexCol))).collect().head match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0) + 1L

@@ -291,6 +291,61 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(err.getMessage.contains("different curation parameters"), err.getMessage)
   }
 
+  test("curation resume: crash between side-JSON and frame commit self-heals") {
+    import graft.ops.Curation
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_resume_crash").toString
+    val prose = (i: Int) => "the quiet harbor town wakes early with the " +
+      s"fishing boats and the market opens with fresh catch today t$i"
+    val docs = (1 to 6).map(i => (i.toLong, prose(i))).toDF("doc_id", "text")
+    def run() = Curation.curate(docs, minQuality = 0.0, languages = Nil,
+      nearDupThreshold = 0.99, resume = Some(dir))
+    // inject a throwing side-writer: pre-create the scan stage's side
+    // JSON path as a DIRECTORY so Files.writeString fails. The side
+    // JSON is written BEFORE the frame checkpoint (commit 871fe2f), so
+    // the failure must leave NO _SUCCESS-committed scan frame — the
+    // reverse order would commit the frame first and leave a resume
+    // state that fails hard on the missing side counts.
+    Files.createDirectories(Paths.get(dir, "_scan.json"))
+    intercept[Exception](run())
+    assert(!Files.exists(Paths.get(dir, "scan", "_SUCCESS")),
+      "a failed side write must not leave a committed scan frame " +
+        "(side JSON must be written before the frame checkpoint)")
+    // clear the injected fault: the interrupted stage recomputes whole
+    Files.delete(Paths.get(dir, "_scan.json"))
+    val r = run()
+    assert(r.df.select("doc_id").as[Long].collect().toSet ==
+      (1L to 6L).toSet, "post-crash rerun must self-heal by recomputation")
+    assert(Files.exists(Paths.get(dir, "scan", "_SUCCESS")) &&
+      Files.exists(Paths.get(dir, "_scan.json")))
+  }
+
+  test("curation resume: non-prefix checkpoints are invalidated, not mixed") {
+    import graft.ops.Curation
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_resume_prefix").toString
+    val prose = (i: Int) => "the quiet harbor town wakes early with the " +
+      s"fishing boats and the market opens with fresh catch today t$i"
+    val docs = ((1 to 7).map(i => (i.toLong, prose(i))) :+ (8L, prose(1)))
+      .toDF("doc_id", "text")
+    def run() = Curation.curate(docs, minQuality = 0.0, languages = Nil,
+      nearDupThreshold = 0.99, resume = Some(dir))
+    val ids1 = run().df.select("doc_id").as[Long].collect().toSet
+    // simulate a manually cleaned INTERMEDIATE checkpoint with a stale
+    // later-stage checkpoint still present: delete exact_dup, replace
+    // near_dup's content with a bogus frame (as if written from a
+    // different upstream state). Resuming must NOT serve the stale
+    // near_dup — completed stages no longer form a prefix, so the
+    // suffix is invalidated and recomputed.
+    val ed = new java.io.File(s"$dir/exact_dup")
+    ed.listFiles().foreach(_.delete()); ed.delete()
+    Seq((99L, "bogus row from a divergent earlier run")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/near_dup")
+    val r2 = run()
+    assert(r2.df.select("doc_id").as[Long].collect().toSet == ids1,
+      "stale non-prefix near_dup checkpoint must be invalidated and recomputed")
+  }
+
   test("curation image near-dup stage dedups by perceptual hash, hashless rows pass") {
     import graft.ops.Curation
     // hashes: doc 2 within hamming 2 of doc 1 (bits 0-1 flipped), doc 3
@@ -1045,6 +1100,31 @@ class ExtensionsSpec extends SparkFunSuite {
     val kept = Multimodal.dedupAudioByFingerprint(media)
       .select("media_id").as[Long].collect().toSet
     assert(kept == Set(0L, 2L, 3L), s"got $kept")
+  }
+
+  test("syntheticGridWav: real decode fingerprint == md5-walk formula; twins collapse") {
+    // the q_audio_neardup oracle contract: every one of the 64
+    // sign-of-delta bits the REAL javax.sound -> FFT -> mel pipeline
+    // computes must equal the pure md5 reflecting-walk replay
+    for (i <- 0 until 60; p <- Seq(false, true)) {
+      val real = Multimodal.audioFingerprint64(Multimodal.syntheticGridWav(i, p))
+      val want = Multimodal.gridWavFingerprint(i, p)
+      assert(real.contains(want),
+        s"seed=$i perturb=$p: real=$real want=$want (margin collapsed?)")
+    }
+    // the perturbation flips the LAST walk transition of bands 2 and 5
+    // only — no reflection cascade, so twins sit within Hamming 2
+    for (i <- 0 until 40) {
+      val h = java.lang.Long.bitCount(
+        Multimodal.gridWavFingerprint(i) ^ Multimodal.gridWavFingerprint(i, perturb = true))
+      assert(h <= 2, s"seed=$i perturbed twin is $h bits away")
+    }
+    // planted twins (i%5==1 repeats i-1's seed) collapse to min-id
+    val media = Multimodal.syntheticGridAudio(spark, 50)
+    val kept = Multimodal.dedupAudioByFingerprint(media, maxHamming = 2)
+      .select("media_id").as[Long].collect().toSet
+    assert((0 until 50).count(i => i % 5 == 1 && !kept(i.toLong)) == 10,
+      s"every planted twin must drop; kept=$kept")
   }
 
   test("binaryFile ingestion end-to-end: files on disk -> typed features") {
