@@ -717,6 +717,27 @@ object SparkEntry {
           coalesce(col("kept"), lit(0)).as("kept"))
         .orderBy("media_id")
     }),
+    // Video near-dup dedup: REAL RIFF parses → keyframe JPEG decode →
+    // dHash64 → pigeonhole banded hamming pairs → min-id component
+    // dedup. The grid AVIs make every keyframe dHash bit the actual
+    // move of a reflecting md5-walk over 9 brightness levels
+    // (syntheticGridMjpegAvi) with a 24-gray-level step that JPEG
+    // round-trip error cannot flip, and the planted twins are
+    // RE-ENCODED at a different JPEG quality — byte-different payloads
+    // whose decoded hashes still collapse. The oracle replays the
+    // walk, banding, popcount and components in pure SQL.
+    "q_video_neardup" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.syntheticGridVideos(s, 200)
+      val sigs = graft.ops.Multimodal.videoKeyframeDHashes(media)
+      val pairs = graft.ops.Dedup.hammingPairs64(sigs, "media_id", "vhash",
+        maxHamming = 2, bands = 4)
+      val kept = graft.ops.Dedup.dedupByPairs(sigs, "media_id", pairs)
+      sigs.join(kept.select(col("media_id"), lit(1).as("kept")),
+          Seq("media_id"), "left")
+        .select(col("media_id"), col("vhash"),
+          coalesce(col("kept"), lit(0)).as("kept"))
+        .orderBy("media_id")
+    }),
     // Audio near-dup dedup: REAL javax.sound decodes → FFT → mel-band
     // energies → audioFingerprint64 → pigeonhole banded hamming pairs
     // → min-id component dedup. The grid WAVs make every fingerprint
@@ -1880,6 +1901,73 @@ object SparkEntry {
         |       CAST(CASE WHEN l.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
         |FROM sigv s LEFT JOIN losers l ON s.id = l.id
         |ORDER BY media_id""".stripMargin),
+
+    // Video near-dup replay: syntheticGridMjpegAvi makes each keyframe
+    // dHash bit the actual move of a reflecting md5-walk over 9
+    // brightness levels (direction = md5("vid:<seed>:<y>:<x>") % 2,
+    // forced up at level 0 / down at level 8, start 4; perturbation
+    // XORs the x=7 input of rows 3 and 6). The oracle replays the walk
+    // with a recursive CTE and reruns banding + popcount + components
+    // — the Spark side's hashes come from REAL RIFF-parsed, JPEG-
+    // decoded keyframes (twins re-encoded at a different quality).
+    "q_video_neardup" ->
+      """WITH RECURSIVE clips AS (
+        |  SELECT i AS id,
+        |         CASE WHEN i % 5 = 1 THEN i - 1 ELSE i END AS eff,
+        |         (i % 10 = 6) AS pert
+        |  FROM range(200) t(i)),
+        |dirs AS (
+        |  SELECT c.id, y.range AS y, x.range AS x,
+        |    (('0x'||substr(md5('vid:'||c.eff||':'||y.range||':'||x.range),1,15))::BIGINT
+        |     + CASE WHEN c.pert AND x.range = 7 AND y.range IN (3, 6)
+        |       THEN 1 ELSE 0 END) % 2 AS d
+        |  FROM clips c, range(8) y, range(8) x),
+        |walk AS (
+        |  SELECT c.id, y.range AS y, 0 AS x, 4 AS l, CAST(NULL AS INT) AS bit
+        |  FROM clips c, range(8) y
+        |  UNION ALL
+        |  SELECT w.id, w.y, w.x + 1,
+        |    w.l + CASE WHEN w.l = 0 OR (d.d = 1 AND w.l < 8) THEN 1 ELSE -1 END,
+        |    CASE WHEN w.l = 0 OR (d.d = 1 AND w.l < 8) THEN 1 ELSE 0 END
+        |  FROM walk w JOIN dirs d ON d.id = w.id AND d.y = w.y AND d.x = w.x
+        |  WHERE w.x < 8),
+        |bits AS (
+        |  SELECT id, y * 8 + (x - 1) AS pos, bit FROM walk WHERE x >= 1),
+        |bands AS (
+        |  SELECT id, CAST(pos // 16 AS INT) AS band,
+        |         CAST(sum(CAST(bit AS BIGINT) << CAST(pos % 16 AS INT)) AS BIGINT) AS bits
+        |  FROM bits GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT id,
+        |    max(CASE WHEN band = 0 THEN bits END) AS b0,
+        |    max(CASE WHEN band = 1 THEN bits END) AS b1,
+        |    max(CASE WHEN band = 2 THEN bits END) AS b2,
+        |    max(CASE WHEN band = 3 THEN bits END) AS b3
+        |  FROM bands GROUP BY 1),
+        |sigv AS (
+        |  SELECT id, b0, b1, b2, b3,
+        |    CAST(b0 + b1 * 65536 + b2 * 4294967296 +
+        |      (b3 - CASE WHEN b3 >= 32768 THEN 65536 ELSE 0 END) * 281474976710656
+        |      AS BIGINT) AS vhash
+        |  FROM sig),
+        |edges AS (
+        |  SELECT x.id AS ea, y.id AS eb
+        |  FROM sigv x JOIN sigv y ON x.id < y.id AND
+        |       (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+        |  WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+        |        bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 2),
+        |adj AS (SELECT ea AS u, eb AS w FROM edges UNION ALL SELECT eb, ea FROM edges),
+        |nodes AS (SELECT DISTINCT u AS id FROM adj),
+        |r AS (
+        |  SELECT id, id AS lbl FROM nodes
+        |  UNION
+        |  SELECT a.w AS id, r.lbl FROM r JOIN adj a ON a.u = r.id),
+        |comp AS (SELECT id, min(lbl) AS comp FROM r GROUP BY 1),
+        |losers AS (SELECT id FROM comp WHERE comp <> id)
+        |SELECT s.id AS media_id, s.vhash AS vhash,
+        |       CAST(CASE WHEN l.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM sigv s LEFT JOIN losers l ON s.id = l.id
+        |ORDER BY media_id""".stripMargin,
 
     // Audio near-dup replay: syntheticGridWav makes each fingerprint
     // bit the actual move of a reflecting md5-walk over 4 amplitude

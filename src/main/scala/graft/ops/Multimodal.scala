@@ -848,6 +848,15 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
     }
+    assembleMjpegAvi(jpegs, w, h)
+  }
+
+  /** Assemble ImageIO-encoded JPEG frames into a REAL RIFF/AVI
+    * container (honest avih/strh/strf headers + movi `00dc` chunks) —
+    * shared by [[syntheticMjpegAvi]] and [[syntheticGridMjpegAvi]]. */
+  private def assembleMjpegAvi(jpegs: Array[Array[Byte]], w: Int, h: Int)
+      : Array[Byte] = {
+    val nFrames = jpegs.length
     def le(v: Int): Array[Byte] = Array(
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
@@ -995,6 +1004,154 @@ object Multimodal {
     import spark.implicits._
     spark.range(n.toLong).map(i => MediaRow(i, "video/avi", syntheticMjpegAvi(i)))
   }
+
+  /** Deterministic MJPEG AVI whose KEYFRAME dHash bits are a pure
+    * md5-integer function of the seed — the video analog of
+    * [[syntheticGridPng]]/[[syntheticGridWav]]. JPEG is LOSSY, so the
+    * PNG grid's direct md5-valued cells would tie (equal neighbors
+    * decode to noise-perturbed near-ties whose strict compare is
+    * unpredictable); instead each dHash grid row walks its brightness:
+    * cell (y, x+1) = cell (y, x) ± 24 gray levels, direction
+    * md5("vid:seed:y:x") bit under a REFLECTING walk over 9 levels
+    * (20..212). Consecutive cells never tie and the 24-level step
+    * dwarfs JPEG round-trip error on a 10×10-pixel flat cell (|err| <
+    * 3 at the qualities used), so bit (y·8+x) of the REAL
+    * RIFF-parse → JPEG-decode → lumaGrid → dHash pipeline equals the
+    * walk's actual move. `quality` varies the JPEG encoder setting —
+    * two encodes of one seed at different qualities are genuine
+    * re-encoded twins with byte-different payloads and equal hashes.
+    * `perturb` flips the x=7 direction INPUT of rows 3 and 6 (the last
+    * step — no reflection cascade): Hamming <= 2 twins. Frames 1..2
+    * repeat the keyframe content shifted one level darker so the
+    * container carries real multi-frame MJPEG. */
+  def syntheticGridMjpegAvi(seed: Long, perturb: Boolean = false,
+      quality: Float = 0.85f): Array[Byte] = {
+    val levels = gridVideoLevels(seed, perturb)
+    val jpegs = Array.tabulate(3) { f =>
+      val img = new java.awt.image.BufferedImage(
+        90, 80, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 9) {
+          val v = math.max(0, 20 + 24 * levels(cy)(cx) - f * 12)
+          val rgb = (v << 16) | (v << 8) | v
+          var y = cy * 10
+          while (y < cy * 10 + 10) {
+            var x = cx * 10
+            while (x < cx * 10 + 10) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          cx += 1
+        }
+        cy += 1
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      writer.dispose()
+      ios.close()
+      bos.toByteArray
+    }
+    assembleMjpegAvi(jpegs, 90, 80)
+  }
+
+  /** The reflecting-walk brightness-level schedule behind
+    * [[syntheticGridMjpegAvi]]'s keyframe: levels(y)(x) in {0..8},
+    * level(y)(0) = 4, direction bit md5("vid:seed:y:x") % 2 (XOR the
+    * perturbation at x = 7 for rows 3 and 6), forced up at 0 / down
+    * at 8. */
+  private def gridVideoLevels(seed: Long, perturb: Boolean): Array[Array[Int]] =
+    Array.tabulate(8) { y =>
+      val k = new Array[Int](9)
+      k(0) = 4
+      var x = 0
+      while (x < 8) {
+        val d = (md5Top60(s"vid:$seed:$y:$x") % 2 == 1) ^
+          (perturb && x == 7 && (y == 3 || y == 6))
+        val up = k(x) == 0 || (d && k(x) < 8)
+        k(x + 1) = k(x) + (if (up) 1 else -1)
+        x += 1
+      }
+      k
+    }
+
+  /** The keyframe dHash [[syntheticGridMjpegAvi]] is CONSTRUCTED to
+    * decode to — the pure md5-walk replay (what the SQL oracle
+    * computes). Spec contract: videoKeyframeDHashes over the grid AVIs
+    * equals gridVideoDHash(seed, perturb) at every quality used. */
+  def gridVideoDHash(seed: Long, perturb: Boolean = false): Long = {
+    val levels = gridVideoLevels(seed, perturb)
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (levels(y)(x + 1) > levels(y)(x)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Synthesize the grid-AVI media frame for the video near-dup oracle
+    * — the planted-twin scheme of [[syntheticGridMedia]], with the
+    * twin (id i%5==1, repeating id i-1's pixels) RE-ENCODED at a lower
+    * JPEG quality so collapsing it exercises real re-encode
+    * invariance, and i%10==6 additionally perturbed (Hamming<=2). */
+  def syntheticGridVideos(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val eff: Long = if (i % 5 == 1) i - 1 else i
+      val q = if (i % 5 == 1) 0.7f else 0.85f
+      MediaRow(i, "video/avi", syntheticGridMjpegAvi(eff, perturb = i % 10 == 6, q))
+    }
+  }
+
+  /** 64-bit dHash of each video's KEYFRAME (first frame chunk) in a
+    * batched partition pass: RIFF parse ([[aviFrameChunks]]) → real
+    * JPEG decode → [[dHash64]]. Returns (media_id, vhash); non-AVI or
+    * frameless payloads emit nothing. The keyframe hash is the cheap
+    * video identity key — re-encodes, container rewrites and
+    * quality changes of one clip agree on it; for cut/trim robustness
+    * compose per-frame [[dHash64]] over [[videoFrameFeatures]]'
+    * sampled frames instead (min-hash of the frame-hash set). */
+  def videoKeyframeDHashes(ds: Dataset[MediaRow],
+      repartitionTo: Option[Int] = None): DataFrame = {
+    import ds.sparkSession.implicits._
+    val base = repartitionTo.map(ds.repartition(_)).getOrElse(ds)
+    base.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.flatMap { m =>
+      aviFrameChunks(m.content).flatMap(_.headOption).flatMap {
+        case (off, len) =>
+          dHash64(java.util.Arrays.copyOfRange(m.content, off, off + len))
+      }.map(h => (m.media_id, h))
+    })).toDF("media_id", "vhash")
+  }
+
+  /** Video near-dup candidate pairs over a media frame: keyframe
+    * dHash → [[Dedup.hammingPairs64]] pigeonhole banding
+    * (recall-complete for `maxHamming < bands`, never all-pairs).
+    * Returns (a, b, hamming) over media ids. */
+  def videoNearDupPairs(ds: Dataset[MediaRow], maxHamming: Int = 2,
+      bands: Int = 4, maxBucket: Int = 100000): DataFrame =
+    Dedup.hammingPairs64(videoKeyframeDHashes(ds), "media_id", "vhash",
+      maxHamming, bands, maxBucket)
+
+  /** Video near-dup dedup: keep the minimum media_id of each
+    * near-duplicate component (re-encodes and quality changes of one
+    * clip) plus every unpaired video — the video leg of multimodal
+    * corpus curation, same shape as [[dedupImagesByDHash]] /
+    * [[dedupAudioByFingerprint]]. */
+  def dedupVideosByKeyframe(ds: Dataset[MediaRow], maxHamming: Int = 2,
+      bands: Int = 4, maxBucket: Int = 100000): DataFrame =
+    Dedup.dedupByPairs(ds.toDF(), "media_id",
+      videoNearDupPairs(ds, maxHamming, bands, maxBucket))
 
   /** Synthesize a deterministic media frame for tests/benches. Even
     * ids carry REAL tiny PNGs (exercise the ImageIO path); odd ids

@@ -1127,6 +1127,37 @@ class ExtensionsSpec extends SparkFunSuite {
       s"every planted twin must drop; kept=$kept")
   }
 
+  test("video near-dup: re-encoded keyframe twins collapse; hash == md5-walk formula") {
+    // oracle contract: the REAL RIFF-parse -> JPEG-decode -> lumaGrid
+    // -> dHash pipeline must reproduce the md5-walk replay at BOTH
+    // encoder qualities the generator uses (re-encode invariance)
+    for (i <- 0 until 30; p <- Seq(false, true); q <- Seq(0.7f, 0.85f)) {
+      val avi = Multimodal.syntheticGridMjpegAvi(i, p, q)
+      val row = Multimodal.videoKeyframeDHashes(
+        spark.createDataset(Seq(Multimodal.MediaRow(0L, "video/avi", avi))))
+        .select("vhash").as[Long].collect()
+      assert(row.length == 1 && row.head == Multimodal.gridVideoDHash(i, p),
+        s"seed=$i perturb=$p quality=$q: ${row.toSeq} != ${Multimodal.gridVideoDHash(i, p)}")
+    }
+    // the perturbation flips the LAST walk step of rows 3 and 6 only
+    for (i <- 0 until 30) {
+      val h = java.lang.Long.bitCount(
+        Multimodal.gridVideoDHash(i) ^ Multimodal.gridVideoDHash(i, perturb = true))
+      assert(h <= 2, s"seed=$i perturbed twin is $h bits away")
+    }
+    // planted twins (i%5==1 repeats i-1's pixels, re-encoded at a
+    // LOWER jpeg quality — byte-different AVIs) collapse to min-id;
+    // non-AVI payloads emit no hash and pass through the dedup
+    val media = Multimodal.syntheticGridVideos(spark, 50)
+      .union(spark.createDataset(Seq(
+        Multimodal.MediaRow(999L, "image/png", Multimodal.syntheticPng(1)))))
+    val kept = Multimodal.dedupVideosByKeyframe(media)
+      .select("media_id").as[Long].collect().toSet
+    assert((0 until 50).count(i => i % 5 == 1 && !kept(i.toLong)) == 10,
+      s"every re-encoded twin must drop; kept=$kept")
+    assert(kept(999L), "hashless non-video rows must survive untouched")
+  }
+
   test("binaryFile ingestion end-to-end: files on disk -> typed features") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile
     dir.deleteOnExit()
