@@ -31,13 +31,22 @@ object Graft {
     * `timefence_version` the same way, engine.py:1425). */
   val Version = "0.4.0"
 
-  /** Point-in-time-correct training-set build (SURVEY §3.1). */
+  /** Point-in-time-correct training-set build (SURVEY §3.1).
+    *
+    * `progress` is the reference's `build(progress=...)` stage hook
+    * (engine.py:945-958): invoked with (stage, featureName) at `load`,
+    * `compute`/`join` per feature, `write` and `verify` — see
+    * [[graft.engine.BuildOptions.progress]] for the timing semantics.
+    * Passing it here overrides any hook already set in `options`. */
   def build(
       spark: SparkSession,
       labels: Labels,
       features: Seq[Feature],
-      options: BuildOptions = BuildOptions()
-  ): BuildResult = Build(spark, labels, features, options)
+      options: BuildOptions = BuildOptions(),
+      progress: (String, String) => Unit = BuildOptions.NoProgress
+  ): BuildResult = Build(spark, labels, features,
+    if (progress eq BuildOptions.NoProgress) options
+    else options.copy(progress = progress))
 
   /** Temporal-leakage audit of an existing dataset (mode A). */
   def auditTemporal(

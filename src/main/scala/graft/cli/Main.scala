@@ -21,10 +21,26 @@ import graft.util.{Durations, MiniYaml}
   */
 object Main {
 
-  def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { println(usage); sys.exit(2) }
-    val cmd = args.head
-    val rest = args.tail
+  /** Spark log level set by the global `-v`/`--debug` flags — the
+    * reference's verbosity group options (cli.py:189-208: -v => INFO,
+    * --debug => DEBUG), mapped onto log4j via setLogLevel. */
+  private var logLevel: String = "WARN"
+
+  def main(args: Array[String]): Unit = sys.exit(run(args))
+
+  /** main minus the sys.exit — the testable dispatch seam. */
+  private[graft] def run(args: Array[String]): Int = {
+    // global verbosity flags are position-independent (the reference
+    // accepts them before the command; we take them anywhere)
+    val (verbosity, realArgs) = args.partition(a =>
+      a == "-v" || a == "--verbose" || a == "--debug")
+    logLevel =
+      if (verbosity.contains("--debug")) "DEBUG"
+      else if (verbosity.nonEmpty) "INFO"
+      else "WARN"
+    if (realArgs.isEmpty) { println(usage); return 2 }
+    val cmd = realArgs.head
+    val rest = realArgs.tail
     val code =
       try {
         cmd match {
@@ -52,11 +68,15 @@ object Main {
         case e: graft.errors.GraftException =>
           System.err.println(s"error: ${e.getMessage}"); 1
       }
-    sys.exit(code)
+    code
   }
+
+  private[graft] def currentLogLevel: String = logLevel
 
   private def usage: String =
     """graft — point-in-time training sets on Spark
+      |
+      |Global flags: -v/--verbose (INFO logs), --debug (DEBUG logs)
       |
       |Commands:
       |  build   --config graft.yaml [--output PATH] [--dry-run] [--split n:s:e]
@@ -159,7 +179,7 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel(logLevel)
     s
   }
 
@@ -319,7 +339,7 @@ object Main {
 
   // ---- commands ------------------------------------------------------
 
-  private def cmdBuild(args: Array[String]): Int = {
+  private[graft] def cmdBuild(args: Array[String]): Int = {
     val (f, _) = flags(args)
     val cfg = loadConfig(f.getOrElse("config", "graft.yaml"))
     val out = f.get("output")
@@ -347,7 +367,16 @@ object Main {
         .getOrElse(cfg.options.maxLookback),
       onMissing = f.getOrElse("on-missing", cfg.options.onMissing))
     val spark = session()
-    val r = Build(spark, cfg.labels, withStaleness, opts)
+    // plain stdout stage lines — the reference's rich progress bar
+    // (cli.py:629-668) minus rich; same per-feature step granularity
+    val n = withStaleness.size
+    val step = new java.util.concurrent.atomic.AtomicInteger(0)
+    val r = Build(spark, cfg.labels, withStaleness, opts.copy(
+      progress = (stage, feat) => {
+        val i = step.incrementAndGet()
+        val what = if (feat.isEmpty) stage else s"$stage $feat"
+        println(s"[build ${i}/${2 * n + 3}] $what")
+      }))
     r.warnings.foreach(w => System.err.println(s"warning: $w"))
     println(s"rows=${r.rows} columns=${r.columns.size} audit_passed=${r.auditPassed}")
     r.features.foreach(s =>

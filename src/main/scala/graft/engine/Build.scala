@@ -46,12 +46,29 @@ final case class BuildOptions(
     /** Tuning for Strategy.Auto's hot-key skew probe (see
       * [[AsOfJoin.autoStrategy]]); defaults skip the probe entirely on
       * small feature sides. */
-    autoConfig: AsOfJoin.AutoConfig = AsOfJoin.AutoConfig()
+    autoConfig: AsOfJoin.AutoConfig = AsOfJoin.AutoConfig(),
+    /** Stage callback `(stage, featureName)` — the Spark analog of the
+      * reference's `build(progress=...)` message hook
+      * (engine.py:945-958, driven by the rich bar in cli.py:629-668).
+      * Stages: `load` / `compute <feature>` / `join <feature>` /
+      * `write` / `verify` (featureName is "" for the non-feature
+      * stages). `compute` and `join` fire at PLAN time (Spark builds
+      * one lazy DAG — per-feature work has no per-feature action);
+      * `write` and `verify` fire immediately before the action that
+      * executes the plan, which is where the wall-clock goes. Must be
+      * cheap and non-throwing; never invoked on a build-cache hit. */
+    progress: (String, String) => Unit = BuildOptions.NoProgress
 ) {
   if (join != "strict" && join != "inclusive")
     throw Errors.config(s"Invalid join '$join'.", "Use 'strict' or 'inclusive'.")
   if (onMissing != "null" && onMissing != "skip")
     throw Errors.config(s"Invalid on_missing '$onMissing'.", "Use 'null' or 'skip'.")
+}
+
+object BuildOptions {
+  /** The default no-op progress hook (identity-compared by
+    * [[graft.Graft.build]]'s convenience overload). */
+  val NoProgress: (String, String) => Unit = (_, _) => ()
 }
 
 /** Half-open time split `[start, end)` (engine.py:1386-1403). */
@@ -255,6 +272,7 @@ object Build {
     }
 
     // ---- label spine -----------------------------------------------
+    options.progress("load", "")
     val rawLabels = labels.resolve(spark)
     requireColumns("Labels", rawLabels, labels.keys ++ (labels.labelTime +: labels.target))
     validateSplits(options.splits)
@@ -364,10 +382,12 @@ object Build {
     // already renamed to their namespaced OUTPUT names, plus the
     // carried-time aliases it must emit.
     case class JoinUnit(f0: Feature, df: DataFrame, rightKeys: Seq[String],
-        timeCol: String, nsValueCols: Seq[String], timeOuts: Seq[String])
+        timeCol: String, nsValueCols: Seq[String], timeOuts: Seq[String],
+        featNames: Seq[String])
 
     val units: Seq[JoinUnit] = groups.map {
       case Seq(f) =>
+        options.progress("compute", f.name)
         val feat = computeOrLoadFeature(f)
         val rightKeys = labels.keys.map(k => f.keyMapping.getOrElse(k, k))
         requireColumns(s"Feature '${f.name}'", feat.df, rightKeys :+ feat.timeCol)
@@ -382,10 +402,11 @@ object Build {
             valueCols.map(c => col(c).as(Names.namespaced(f.name, c))): _*)
         JoinUnit(f, ns, rightKeys, feat.timeCol,
           valueCols.map(Names.namespaced(f.name, _)),
-          Seq(Names.featureTimeCol(f.name)))
+          Seq(Names.featureTimeCol(f.name)), Seq(f.name))
 
       case grp =>
         val f0 = grp.head
+        grp.foreach(f => options.progress("compute", f.name))
         val src = sourceCache.getOrElseUpdate(f0.source.name, f0.source.resolve(spark))
         val rightKeys = labels.keys.map(k => f0.keyMapping.getOrElse(k, k))
         grp.foreach { f =>
@@ -415,7 +436,7 @@ object Build {
         // each merged feature gets its own {f}__feature_time alias —
         // identical values by construction (same embargo → same row)
         JoinUnit(f0, combined, rightKeys, "feature_time", nsCols,
-          grp.map(f => Names.featureTimeCol(f.name)))
+          grp.map(f => Names.featureTimeCol(f.name)), grp.map(_.name))
     }
 
     // Units whose join parameters agree — embargo, staleness, and
@@ -490,6 +511,7 @@ object Build {
       .select((RowId +: labels.keys :+ labels.labelTime).map(col): _*)
 
     def joinSingle(u: JoinUnit): DataFrame = {
+      u.featNames.foreach(n => options.progress("join", n))
       val spec = baseSpec(u.f0, u.rightKeys, u.timeCol, u.nsValueCols)
         .copy(rightTimeOut = "__unit_ft")
       val j = AsOfJoin.join(spineNarrow, u.df, spec, options.strategy, options.autoConfig)
@@ -498,6 +520,7 @@ object Build {
           u.nsValueCols.map(col)): _*)
     }
     def joinMulti(us: Seq[JoinUnit], labelFrame: DataFrame): DataFrame = {
+      us.foreach(_.featNames.foreach(n => options.progress("join", n)))
       val spec = baseSpec(us.head.f0, us.head.rightKeys, us.head.timeCol, Nil)
       val rights = us.map(u => AsOfJoin.MultiRight(
         u.df, u.rightKeys, u.timeCol, u.nsValueCols, u.timeOuts))
@@ -638,15 +661,19 @@ object Build {
       case Some(out) if !options.sortResult =>
         val obs = org.apache.spark.sql.Observation()
         val fused = finishFrame(skipped.observe(obs, aggCols.head, aggCols.tail: _*))
+        options.progress("write", "")
         fused.write.mode("overwrite").parquet(out)
         graft.sources.SchemaCache.put(out, fused.schema)
+        options.progress("verify", "") // the stats/invariant agg rode the write
         val (n, st, range) = decodeStats(obs.get)
         writeSplits(out)
         (fused, n, st, range)
       case Some(out) =>
         val cached = skipped.cache()
+        options.progress("verify", "")
         val (n, st, range) = aggViaCache(cached)
         val sorted = finishFrame(cached)
+        options.progress("write", "")
         sorted.write.mode("overwrite").parquet(out)
         graft.sources.SchemaCache.put(out, sorted.schema)
         writeSplits(out)
@@ -658,6 +685,7 @@ object Build {
         // no-output build (bench reps) re-derives this exact plan —
         // reuse the live entry instead of re-issuing cache()
         val cached = graft.util.Caching.cacheOnce(skipped)
+        options.progress("verify", "")
         val (n, st, range) = aggViaCache(cached)
         (finishFrame(cached), n, st, range)
     }

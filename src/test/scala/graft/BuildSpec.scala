@@ -69,6 +69,35 @@ class BuildSpec extends SparkFunSuite {
     r.validate() // must not throw
   }
 
+  test("progress callback: stage order, one compute+join per feature") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val r = graft.Graft.build(spark, labels, Seq(userCountry, rollingSpend),
+      progress = (st, f) => seen.synchronized { seen += ((st, f)) })
+    assert(r.rows == 50)
+    val stages = seen.map(_._1).toSeq
+    // load first, write+verify last, compute/join per feature between
+    assert(stages.head == "load", s"got $stages")
+    assert(seen.count(_ == ("compute", "user_country")) == 1 &&
+      seen.count(_ == ("compute", "rolling_spend")) == 1, s"got $seen")
+    assert(seen.count(_ == ("join", "user_country")) == 1 &&
+      seen.count(_ == ("join", "rolling_spend")) == 1, s"got $seen")
+    assert(stages.count(_ == "write") == 0, "no output => no write stage")
+    assert(stages.count(_ == "verify") == 1 && stages.last == "verify", s"got $stages")
+    // every feature's compute precedes its join, and load precedes all
+    def idx(p: (String, String)) = seen.indexOf(p)
+    assert(idx(("compute", "user_country")) < idx(("join", "user_country")))
+    assert(idx(("compute", "rolling_spend")) < idx(("join", "rolling_spend")))
+    // with an output, write appears and precedes verify (fused path)
+    val out = java.nio.file.Files.createTempDirectory("graft_prog").toString + "/t.parquet"
+    seen.clear()
+    graft.Graft.build(spark, labels, Seq(userCountry),
+      BuildOptions(output = Some(out), sortResult = false),
+      progress = (st, f) => seen.synchronized { seen += ((st, f)) })
+    val st2 = seen.map(_._1).toSeq
+    assert(st2.count(_ == "write") == 1 && st2.count(_ == "verify") == 1, s"got $st2")
+    assert(st2.indexOf("write") < st2.indexOf("verify"), s"got $st2")
+  }
+
   test("strict build output satisfies the invariant (property-style)") {
     // re-join the output against feature_time bookkeeping via a build
     // that keeps verification on; violations must be 0 for both features

@@ -158,6 +158,63 @@ class CliSpec extends SparkFunSuite {
     assert(r2.rows == 19 && r2.features.head.matched == -1) // manifest-backed
   }
 
+  test("build command prints stage progress lines; -v/--debug set the log level") {
+    val dir = Files.createTempDirectory("graft_cli_prog")
+    val users = spark.range(1, 20).select(
+      col("id").as("user_id"),
+      (lit(ts("2023-06-01 00:00:00")) + make_dt_interval(col("id"))).as("updated_at"),
+      concat(lit("C"), col("id") % 3).as("country"))
+    val labels = spark.range(1, 20).select(
+      col("id").as("user_id"),
+      (lit(ts("2023-07-01 00:00:00")) + make_dt_interval(col("id"))).as("label_time"),
+      (col("id") % 2 === 0).as("churned"))
+    users.write.parquet(s"$dir/users.parquet")
+    labels.write.parquet(s"$dir/labels.parquet")
+    Files.writeString(dir.resolve("graft.yaml"),
+      s"""labels:
+         |  path: $dir/labels.parquet
+         |  keys: [user_id]
+         |  label_time: label_time
+         |  target: [churned]
+         |features:
+         |  - name: user_country
+         |    source: $dir/users.parquet
+         |    keys: [user_id]
+         |    timestamp: updated_at
+         |    columns: [country]
+         |store: none
+         |""".stripMargin)
+    val outCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCap)) {
+      assert(graft.cli.Main.cmdBuild(Array(
+        "--config", s"$dir/graft.yaml",
+        "--output", s"$dir/train.parquet")) == 0)
+    }
+    val printed = outCap.toString
+    // the reference's progress-bar steps as plain stdout lines
+    // (cli.py:629-668 minus rich): load, compute+join per feature,
+    // write, verify — with the step counter over 2n+3
+    Seq("[build 1/5] load", "compute user_country", "join user_country",
+      "write", "verify").foreach(step =>
+      assert(printed.contains(step), s"missing '$step' in:\n$printed"))
+    // the default sorted path verifies over the cache BEFORE the
+    // sorted write — the emission order reflects the real execution
+    // order (the fused unsorted path is asserted in BuildSpec)
+    assert(printed.indexOf("verify") < printed.indexOf("write"), printed)
+
+    // global verbosity flags (reference cli.py:189-208): -v => INFO,
+    // --debug => DEBUG, absent => WARN; position-independent, parsed
+    // without disturbing the command args
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.run(Array("-v", "help")) == 0)
+      assert(graft.cli.Main.currentLogLevel == "INFO")
+      assert(graft.cli.Main.run(Array("help", "--debug")) == 0)
+      assert(graft.cli.Main.currentLogLevel == "DEBUG")
+      assert(graft.cli.Main.run(Array("help")) == 0)
+      assert(graft.cli.Main.currentLogLevel == "WARN")
+    }
+  }
+
   test("config passthrough: csv delimiter, flatten_columns, store off") {
     val dir = Files.createTempDirectory("graft_cli_csv")
     Files.writeString(dir.resolve("users.csv"),
