@@ -633,6 +633,35 @@ object SparkEntry {
     // probe through the partition-pruned layout — bit-identical to the
     // inline path by construction, so it shares q_embed_ivf_topk's
     // oracle. The save/load/prune roundtrip is what the row proves.
+    // IVF incremental append: build + persist an index over the base
+    // corpus (vec_id % 3 > 0), then append the recurring drop (% 3 ==
+    // 0) against the SAVED centroids — no re-clustering — and read the
+    // appended rows' list assignments back from the reloaded on-disk
+    // partitionBy(list_id) layout. The oracle replays centroid
+    // selection over the base (md5-hash-ordered seeds) and the batch's
+    // nearest-centroid assignment (cosine desc, then list_id) in pure
+    // SQL, so a hash match proves assignment + disk append + pinned
+    // reload end-to-end.
+    "q_embed_ivf_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 3 > 0)
+      val batch = e.filter(col("vec_id") % 3 === 0)
+      val idx = graft.ops.Similarity.buildIvfIndex(base, "vec_id", "embedding",
+        nlist = 8)
+      // session-stable pid-scoped scratch (see q_embed_ivf_indexed's
+      // path note); save OVERWRITES, so the per-derivation append
+      // lands exactly once
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_app_${
+        java.lang.Integer.toHexString(new java.io.File(dir).getAbsolutePath.hashCode)}_${
+        ProcessHandle.current().pid()}"
+      graft.ops.Similarity.saveIvfIndex(idx, path)
+      val appended = graft.ops.Similarity.appendIvfIndex(
+        s, path, batch, "vec_id", "embedding")
+      appended.lists
+        .filter(col("neighbor_id") % 3 === 0)
+        .select(col("neighbor_id").as("vec_id"), col("list_id"))
+        .orderBy("vec_id")
+    }),
     "q_embed_ivf_indexed" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val idx = graft.ops.Similarity.buildIvfIndex(e, "vec_id", "embedding", nlist = 8)
@@ -2195,6 +2224,27 @@ object SparkEntry {
     // IVF probe: centroids = first 8 corpus vectors in md5(id) order
     // (the Spark pick is the same portable hash), corpus assigned to
     // its nearest centroid, queries probe the 3 nearest lists.
+    // IVF append replay: centroids hash-picked from the BASE corpus
+    // only, appended batch assigned to those fixed centroids by the
+    // documented tie-break (cosine desc, then list_id) — what
+    // appendIvfIndex writes into the persisted lists.
+    "q_embed_ivf_append" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |base AS (SELECT * FROM e WHERE vec_id % 3 > 0),
+        |cent AS (
+        |  SELECT vec_id AS list_id, v AS cv
+        |  FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |assign AS (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT x.vec_id, c.list_id,
+        |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        |             ORDER BY list_dot_product(x.v, c.cv)
+        |               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |               c.list_id) AS r
+        |    FROM e x CROSS JOIN cent c WHERE x.vec_id % 3 = 0) t WHERE r = 1)
+        |SELECT vec_id, list_id FROM assign ORDER BY vec_id""".stripMargin,
+
     "q_embed_ivf_topk" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -256,11 +256,7 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, refineIters: Int = 0): IvfIndex = {
     val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, refineIters)
-    val lists = nearestLists(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      "neighbor_id", "__cv", centroids, 1)
-      .select(col("list_id"), col("neighbor_id"), col("__cv").as("vec"))
-    IvfIndex(centroids, lists)
+    IvfIndex(centroids, assignLists(corpus, idCol, vecCol, centroids))
   }
 
   /** Persist an index: centroids as one small parquet, lists
@@ -292,6 +288,47 @@ object Similarity {
         "list_id", centroids.schema("list_id").dataType))
     IvfIndex(centroids, spark.read.schema(pinned).parquet(listsPath))
   }
+
+  /** Append a new vector batch to an existing [[IvfIndex]] WITHOUT
+    * re-clustering: the batch is assigned to the index's FIXED
+    * centroids (the same scan-side TopCentroids ranking, same
+    * tie-break, as the original build), so the appended index is
+    * bit-identical to a full rebuild of base+batch at those centroids
+    * — recurring corpus drops pay one batch-sized assignment scan
+    * instead of re-clustering the whole history (the store pattern
+    * incremental dedup uses, applied to ANN). Centroids drift from the
+    * data as appends accumulate (recall decays, correctness doesn't —
+    * probes still rank the true centroids); rebuild with
+    * [[buildIvfIndex]] when list sizes skew. The batch's `vecCol` must
+    * carry the same element type as the index's vectors. */
+  def appendToIvfIndex(index: IvfIndex, batch: DataFrame, idCol: String,
+      vecCol: String): IvfIndex =
+    IvfIndex(index.centroids,
+      index.lists.unionByName(assignLists(batch, idCol, vecCol, index.centroids)))
+
+  /** Append a batch to a PERSISTED index in place: assign against the
+    * saved centroids and `append`-write the new rows under the same
+    * `partitionBy(list_id)` layout — probe-time partition pruning and
+    * the pinned-type reload both keep working; only the probed lists'
+    * new files are read. Returns the reloaded index. NOT concurrency-
+    * safe: one writer per index path (same contract as the dedup
+    * signature stores). */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String): IvfIndex = {
+    val idx = loadIvfIndex(spark, path)
+    assignLists(batch, idCol, vecCol, idx.centroids)
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists.parquet")
+    loadIvfIndex(spark, path)
+  }
+
+  /** The shared build/append assignment: one inverted-list row per
+    * input vector, nearest (cosine desc, then list_id) fixed centroid. */
+  private def assignLists(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    nearestLists(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "neighbor_id", "__cv", centroids, 1)
+      .select(col("list_id"), col("neighbor_id"), col("__cv").as("vec"))
 
   /** Approximate top-k against a prebuilt [[IvfIndex]] — bit-identical
     * to [[ivfTopK]] at the same parameters, without touching the

@@ -1112,6 +1112,39 @@ class OpsSpec extends SparkFunSuite {
     assert(listDirs.length == built.centroids.count())
   }
 
+  test("ivf append: probe over appended index == full rebuild at fixed centroids") {
+    val base = embeddings.filter(col("vec_id") % 3 > 0)
+    val batch = embeddings.filter(col("vec_id") % 3 === 0)
+    val q = embeddings.filter(col("vec_id") % 25 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 9).as("sim"), col("rank"))
+        .collect().map(_.toString).sorted.toSeq
+    val baseIdx = Similarity.buildIvfIndex(base, "vec_id", "embedding", nlist = 4)
+    // in-memory append: assignment at the FIXED base centroids, so the
+    // appended index equals a whole-corpus assignment at those
+    // centroids (appendToIvfIndex over an emptied lists frame)
+    val appended = Similarity.appendToIvfIndex(baseIdx, batch, "vec_id", "embedding")
+    val rebuilt = Similarity.appendToIvfIndex(
+      baseIdx.copy(lists = baseIdx.lists.limit(0)), embeddings, "vec_id", "embedding")
+    assert(rows(Similarity.ivfTopKIndexed(q, appended, "vec_id", "embedding",
+      k = 3, nprobe = 2)) ==
+      rows(Similarity.ivfTopKIndexed(q, rebuilt, "vec_id", "embedding",
+        k = 3, nprobe = 2)))
+    // every base row kept its list; every batch row gained exactly one
+    assert(appended.lists.count() == base.count() + batch.count())
+    // persisted append: same results through the on-disk layout, new
+    // rows landing under the existing list_id= partition dirs
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Similarity.saveIvfIndex(baseIdx, dir)
+    val reloaded = Similarity.appendIvfIndex(spark, dir, batch, "vec_id", "embedding")
+    assert(rows(Similarity.ivfTopKIndexed(q, reloaded, "vec_id", "embedding",
+      k = 3, nprobe = 2)) ==
+      rows(Similarity.ivfTopKIndexed(q, appended, "vec_id", "embedding",
+        k = 3, nprobe = 2)))
+    assert(reloaded.lists.count() == appended.lists.count())
+  }
+
   test("persisted ivf index keeps string list ids distinct on reload") {
     // partition-dir type inference would parse list_id=01 and
     // list_id=1 both as integer 1 and merge two distinct lists; the
