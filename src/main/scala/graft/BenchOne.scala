@@ -25,10 +25,12 @@ object BenchOne {
     val dsirMode = args.headOption.contains("dsir")
     val bpeMode = args.headOption.contains("bpe")
     val seqMode = args.headOption.contains("sequences")
+    val clsFitMode = args.headOption.contains("classifierfit")
     val sessionMode = args.headOption.contains("session")
     val posArgs =
       if (auditMode || skewMode || curateMode || scanMode || substrMode ||
-          chunkMode || dsirMode || bpeMode || seqMode || sessionMode)
+          chunkMode || dsirMode || bpeMode || seqMode || clsFitMode ||
+          sessionMode)
         args.drop(1)
       else args
     val nLabels = posArgs.headOption.map(_.toInt).getOrElse(1000000)
@@ -128,6 +130,19 @@ object BenchOne {
       timed("gopher_c4_10m")(Bench.scanFilterScenario(10000000L)(spark))
       (1 to 3).foreach { i =>
         syncFs(); timed(s"exactsubstr after-heavy run$i")(Bench.exactSubstrScenario(nDocs)(spark))
+      }
+      spark.stop()
+      return
+    }
+
+    if (clsFitMode) {
+      // isolate the classifier_fit bench row (the LBFGS fit, pinned
+      // optimizer params) over SPARK_GRAFT_SF_DIR's documents table
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      timed("classifier_fit warmup")(Bench.classifierFitScenario(spark, sfDir))
+      (1 to 3).foreach { i =>
+        syncFs()
+        timed(s"classifier_fit run$i")(Bench.classifierFitScenario(spark, sfDir))
       }
       spark.stop()
       return
