@@ -312,7 +312,10 @@ object Similarity {
     * the pinned-type reload both keep working; only the probed lists'
     * new files are read. Returns the reloaded index. NOT concurrency-
     * safe: one writer per index path (same contract as the dedup
-    * signature stores). */
+    * signature stores). Each append adds one file set per touched list
+    * partition — after many small drops, compact (rewrite via
+    * [[saveIvfIndex]]) or rebuild; the read path stays correct
+    * regardless, file COUNT is the only cost. */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String): IvfIndex = {
     val idx = loadIvfIndex(spark, path)
