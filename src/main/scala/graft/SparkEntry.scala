@@ -767,6 +767,19 @@ object SparkEntry {
           coalesce(col("kept"), lit(0)).as("kept"))
         .orderBy("media_id")
     }),
+    // Min-frame-hash video signature: per-frame REAL JPEG decodes →
+    // dHash64 per frame → signed-long MIN inside the decode pass (no
+    // aggregation shuffle). Each grid AVI's three frames carry
+    // INDEPENDENT md5 walks (frame 0 = the keyframe walk, frames 1-2
+    // namespace "vidf"), so the oracle replays all three 64-bit hashes
+    // per video and takes LEAST — a real min over distinct values, the
+    // cut/trim-robust video identity key.
+    "q_video_minframe" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.syntheticGridVideos(s, 200)
+      graft.ops.Multimodal.videoMinFrameDHashes(media)
+        .select(col("media_id"), col("vhash"))
+        .orderBy("media_id")
+    }),
     // Audio near-dup dedup: REAL javax.sound decodes → FFT → mel-band
     // energies → audioFingerprint64 → pigeonhole banded hamming pairs
     // → min-id component dedup. The grid WAVs make every fingerprint
@@ -1997,6 +2010,59 @@ object SparkEntry {
         |       CAST(CASE WHEN l.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
         |FROM sigv s LEFT JOIN losers l ON s.id = l.id
         |ORDER BY media_id""".stripMargin,
+
+    // Min-frame-hash replay: three independent walks per video (the
+    // keyframe's "vid" walk with the perturbation, frames 1-2's "vidf"
+    // walks), each reassembled into a signed 64-bit dHash, LEAST per
+    // video — the Spark side's values come from real per-frame JPEG
+    // decodes with the min computed inside the decode pass.
+    "q_video_minframe" ->
+      """WITH RECURSIVE clips AS (
+        |  SELECT i AS id,
+        |         CASE WHEN i % 5 = 1 THEN i - 1 ELSE i END AS eff,
+        |         (i % 10 = 6) AS pert
+        |  FROM range(200) t(i)),
+        |dirs AS (
+        |  SELECT c.id, fr.range AS fr, y.range AS y, x.range AS x,
+        |    (('0x'||substr(md5(CASE WHEN fr.range = 0
+        |        THEN 'vid:'||c.eff||':'||y.range||':'||x.range
+        |        ELSE 'vidf:'||c.eff||':'||fr.range||':'||y.range||':'||x.range
+        |      END),1,15))::BIGINT
+        |     + CASE WHEN c.pert AND fr.range = 0 AND x.range = 7
+        |            AND y.range IN (3, 6) THEN 1 ELSE 0 END) % 2 AS d
+        |  FROM clips c, range(3) fr, range(8) y, range(8) x),
+        |walk AS (
+        |  SELECT c.id, fr.range AS fr, y.range AS y, 0 AS x, 4 AS l,
+        |         CAST(NULL AS INT) AS bit
+        |  FROM clips c, range(3) fr, range(8) y
+        |  UNION ALL
+        |  SELECT w.id, w.fr, w.y, w.x + 1,
+        |    w.l + CASE WHEN w.l = 0 OR (d.d = 1 AND w.l < 8) THEN 1 ELSE -1 END,
+        |    CASE WHEN w.l = 0 OR (d.d = 1 AND w.l < 8) THEN 1 ELSE 0 END
+        |  FROM walk w JOIN dirs d
+        |    ON d.id = w.id AND d.fr = w.fr AND d.y = w.y AND d.x = w.x
+        |  WHERE w.x < 8),
+        |bits AS (
+        |  SELECT id, fr, y * 8 + (x - 1) AS pos, bit FROM walk WHERE x >= 1),
+        |bands AS (
+        |  SELECT id, fr, CAST(pos // 16 AS INT) AS band,
+        |         CAST(sum(CAST(bit AS BIGINT) << CAST(pos % 16 AS INT)) AS BIGINT) AS bits
+        |  FROM bits GROUP BY 1, 2, 3),
+        |sig AS (
+        |  SELECT id, fr,
+        |    max(CASE WHEN band = 0 THEN bits END) AS b0,
+        |    max(CASE WHEN band = 1 THEN bits END) AS b1,
+        |    max(CASE WHEN band = 2 THEN bits END) AS b2,
+        |    max(CASE WHEN band = 3 THEN bits END) AS b3
+        |  FROM bands GROUP BY 1, 2),
+        |sigv AS (
+        |  SELECT id, fr,
+        |    CAST(b0 + b1 * 65536 + b2 * 4294967296 +
+        |      (b3 - CASE WHEN b3 >= 32768 THEN 65536 ELSE 0 END) * 281474976710656
+        |      AS BIGINT) AS fhash
+        |  FROM sig)
+        |SELECT id AS media_id, CAST(min(fhash) AS BIGINT) AS vhash
+        |FROM sigv GROUP BY 1 ORDER BY media_id""".stripMargin,
 
     // Audio near-dup replay: syntheticGridWav makes each fingerprint
     // bit the actual move of a reflecting md5-walk over 4 amplitude

@@ -94,7 +94,7 @@ object Main {
       |          [--min-quality 0.3] [--languages en,de|none] [--c4] [--gopher]
       |          [--repetition] [--line-dedup] [--blocklist w1,w2] [--url-col COL]
       |          [--boilerplate-max-doc-freq N] [--span-dedup [N]] [--exact-substr [K]]
-      |          [--image-hash-col COL | --image-col BINARY_COL]
+      |          [--image-hash-col COL | --image-col BIN | --audio-col BIN | --video-col BIN]
       |          [--image-max-hamming 2] [--image-bands 4]
       |          [--unigram-buckets N [--unigram-keep K]]
       |          [--bigram-buckets N [--bigram-keep K] [--bigram-model DIR]]
@@ -672,11 +672,15 @@ object Main {
     import graft.ops.{Curation, Dedup, QualityFilters}
     val input = req(f, "input", "curate needs --input PATH (a parquet corpus)")
     val output = req(f, "output", "curate needs --output PATH")
-    if (f.contains("image-col") && f.contains("image-hash-col"))
+    val mediaFlags = Seq("image-col", "image-hash-col", "audio-col", "video-col")
+      .filter(f.contains)
+    if (mediaFlags.size > 1)
       throw graft.errors.Errors.config(
-        "--image-col and --image-hash-col are mutually exclusive.",
-        "pass the raw binary column OR the precomputed hash column, not both")
-    if (f.contains("image-col") || f.contains("image-hash-col")) {
+        s"--${mediaFlags.mkString(" and --")} are mutually exclusive.",
+        "the perceptual-hash dedup stage takes ONE media identity: a raw " +
+          "binary column (--image-col/--audio-col/--video-col) or a " +
+          "precomputed 64-bit hash column (--image-hash-col)")
+    if (mediaFlags.nonEmpty) {
       val mh = f.getOrElse("image-max-hamming", "2").toInt
       val bd = f.getOrElse("image-bands", "4").toInt
       if (64 % bd != 0 || mh >= bd) throw graft.errors.Errors.config(
@@ -693,10 +697,13 @@ object Main {
       blocklist = f.get("blocklist").map(_.split(",").toSeq.filter(_.nonEmpty)),
       urlCol = f.get("url-col"),
       // --image-hash-col names a PRECOMPUTED 64-bit hash column;
-      // --image-col names a raw binary image column and computes the
-      // dHash scan-side below (decode cost rides the corpus read)
-      imageDup = f.get("image-col").map(_ => "__img_dhash")
-        .orElse(f.get("image-hash-col")).map(c =>
+      // --image-col / --audio-col / --video-col name a raw binary
+      // media column and compute the matching 64-bit perceptual hash
+      // scan-side below (decode cost rides the corpus read) — the
+      // stage itself is hash-agnostic (ImageDupConfig accepts any
+      // 64-bit locality key)
+      imageDup = (if (mediaFlags.exists(_ != "image-hash-col")) Some("__media_hash64")
+        else f.get("image-hash-col")).map(c =>
           Curation.ImageDupConfig(c,
             maxHamming = f.getOrElse("image-max-hamming", "2").toInt,
             bands = f.getOrElse("image-bands", "4").toInt)),
@@ -765,10 +772,15 @@ object Main {
       case Some(ls)     => ls.split(",").toSeq
       case None         => Seq("en")
     }
-    val corpus = f.get("image-col") match {
-      case Some(c) => readCorpus(spark, input, f.get("input-format"))
-        .withColumn("__img_dhash", graft.ops.Multimodal.dHashCol(col(c)))
-      case None => readCorpus(spark, input, f.get("input-format"))
+    val corpus = {
+      val raw = readCorpus(spark, input, f.get("input-format"))
+      f.get("image-col").map(c =>
+          raw.withColumn("__media_hash64", graft.ops.Multimodal.dHashCol(col(c))))
+        .orElse(f.get("audio-col").map(c => raw.withColumn("__media_hash64",
+          graft.ops.Multimodal.audioFingerprintCol(col(c)))))
+        .orElse(f.get("video-col").map(c => raw.withColumn("__media_hash64",
+          graft.ops.Multimodal.videoKeyframeDHashCol(col(c)))))
+        .getOrElse(raw)
     }
     val r = Curation.curate(
       corpus,
@@ -781,7 +793,7 @@ object Main {
       hygiene = hygiene,
       hasher = Dedup.xxHash,
       resume = f.get("resume-dir"))
-    writeCorpus(r.df.drop("__img_dhash"), output, f.get("output-format"))
+    writeCorpus(r.df.drop("__media_hash64"), output, f.get("output-format"))
     r.release() // output is on disk; drop the pipeline's internal caches
     println(s"input_rows=${r.stats.input}")
     val dropped = r.stats.dropped

@@ -1021,20 +1021,28 @@ object Multimodal {
     * two encodes of one seed at different qualities are genuine
     * re-encoded twins with byte-different payloads and equal hashes.
     * `perturb` flips the x=7 direction INPUT of rows 3 and 6 (the last
-    * step — no reflection cascade): Hamming <= 2 twins. Frames 1..2
-    * repeat the keyframe content shifted one level darker so the
-    * container carries real multi-frame MJPEG. */
+    * step — no reflection cascade): Hamming <= 2 twins; it perturbs
+    * the KEYFRAME only. Frames 1..2 carry their own independent walks
+    * (namespace "vidf:seed:f"), so the per-frame hash set holds three
+    * distinct md5-replayable values — [[gridVideoDHash]](seed, frame)
+    * replays any of them. */
   def syntheticGridMjpegAvi(seed: Long, perturb: Boolean = false,
       quality: Float = 0.85f): Array[Byte] = {
-    val levels = gridVideoLevels(seed, perturb)
     val jpegs = Array.tabulate(3) { f =>
+      // frame 0 is the keyframe walk; frames 1..2 carry their OWN
+      // walks (namespace "vidf:seed:f") so per-frame hashes are three
+      // DISTINCT md5-replayable values — the min-frame-hash signature
+      // oracle takes a real min, not a min over copies
+      val levels =
+        if (f == 0) gridVideoLevels(seed, perturb)
+        else gridVideoLevels(seed, perturb = false, ns = s"vidf:$seed:$f")
       val img = new java.awt.image.BufferedImage(
         90, 80, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var cy = 0
       while (cy < 8) {
         var cx = 0
         while (cx < 9) {
-          val v = math.max(0, 20 + 24 * levels(cy)(cx) - f * 12)
+          val v = 20 + 24 * levels(cy)(cx)
           val rgb = (v << 16) | (v << 8) | v
           var y = cy * 10
           while (y < cy * 10 + 10) {
@@ -1066,13 +1074,15 @@ object Multimodal {
     * level(y)(0) = 4, direction bit md5("vid:seed:y:x") % 2 (XOR the
     * perturbation at x = 7 for rows 3 and 6), forced up at 0 / down
     * at 8. */
-  private def gridVideoLevels(seed: Long, perturb: Boolean): Array[Array[Int]] =
+  private def gridVideoLevels(seed: Long, perturb: Boolean,
+      ns: String = null): Array[Array[Int]] =
     Array.tabulate(8) { y =>
+      val prefix = if (ns == null) s"vid:$seed" else ns
       val k = new Array[Int](9)
       k(0) = 4
       var x = 0
       while (x < 8) {
-        val d = (md5Top60(s"vid:$seed:$y:$x") % 2 == 1) ^
+        val d = (md5Top60(s"$prefix:$y:$x") % 2 == 1) ^
           (perturb && x == 7 && (y == 3 || y == 6))
         val up = k(x) == 0 || (d && k(x) < 8)
         k(x + 1) = k(x) + (if (up) 1 else -1)
@@ -1085,8 +1095,11 @@ object Multimodal {
     * decode to — the pure md5-walk replay (what the SQL oracle
     * computes). Spec contract: videoKeyframeDHashes over the grid AVIs
     * equals gridVideoDHash(seed, perturb) at every quality used. */
-  def gridVideoDHash(seed: Long, perturb: Boolean = false): Long = {
-    val levels = gridVideoLevels(seed, perturb)
+  def gridVideoDHash(seed: Long, perturb: Boolean = false,
+      frame: Int = 0): Long = {
+    val levels =
+      if (frame == 0) gridVideoLevels(seed, perturb)
+      else gridVideoLevels(seed, perturb = false, ns = s"vidf:$seed:$frame")
     var h = 0L
     var y = 0
     while (y < 8) {
@@ -1127,10 +1140,68 @@ object Multimodal {
     import ds.sparkSession.implicits._
     val base = repartitionTo.map(ds.repartition(_)).getOrElse(ds)
     base.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.flatMap { m =>
-      aviFrameChunks(m.content).flatMap(_.headOption).flatMap {
-        case (off, len) =>
+      keyframeDHash64(m.content).map(h => (m.media_id, h))
+    })).toDF("media_id", "vhash")
+  }
+
+  /** Keyframe dHash of a raw AVI payload (RIFF parse -> first frame
+    * chunk -> JPEG decode -> [[dHash64]]); None when not an AVI or the
+    * keyframe is undecodable. */
+  def keyframeDHash64(content: Array[Byte]): Option[Long] =
+    aviFrameChunks(content).flatMap(_.headOption).flatMap {
+      case (off, len) =>
+        dHash64(java.util.Arrays.copyOfRange(content, off, off + len))
+    }
+
+  /** [[keyframeDHash64]] as a nullable-long column over a binary video
+    * column — the untyped-DataFrame convenience mirroring [[dHashCol]]
+    * / [[audioFingerprintCol]]; wire it into
+    * [[graft.ops.Curation.ImageDupConfig]] (which accepts ANY 64-bit
+    * locality hash column) for video-level dedup of a multimodal
+    * corpus (`curate --video-col`). Undecodable/null payloads yield
+    * null and pass the dedup stage untouched. */
+  def videoKeyframeDHashCol(bytes: Column): Column =
+    fingerprintCol(bytes)(keyframeDHash64)
+
+  /** Per-frame dHashes of every `stride`-th frame: (media_id,
+    * frame_index, fhash) in the same batched partition pass as
+    * [[videoFrameFeatures]]; undecodable frames emit nothing. */
+  def videoFrameDHashes(ds: Dataset[MediaRow], stride: Int = 1,
+      repartitionTo: Option[Int] = None): DataFrame = {
+    import ds.sparkSession.implicits._
+    val base = repartitionTo.map(ds.repartition(_)).getOrElse(ds)
+    base.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.flatMap { m =>
+      aviFrameChunks(m.content).toSeq.flatMap { chunks =>
+        (0 until chunks.length by math.max(1, stride)).flatMap { i =>
+          val (off, len) = chunks(i)
           dHash64(java.util.Arrays.copyOfRange(m.content, off, off + len))
-      }.map(h => (m.media_id, h))
+            .map(h => (m.media_id, i, h))
+        }
+      }
+    })).toDF("media_id", "frame_index", "fhash")
+  }
+
+  /** Min-frame-hash video signature: (media_id, vhash) where vhash =
+    * the (signed-long) MINIMUM of the sampled frames' dHashes — the
+    * cut/trim-robust alternative to [[videoKeyframeDHashes]]: the min
+    * is invariant to frame REORDERING and survives dropping any frame
+    * that is not the argmin, where the keyframe hash dies with any
+    * edit of frame 0. Computed inside the decode pass (a video's
+    * frames live in one payload), so there is NO aggregation shuffle
+    * — one scan, one row out per decodable video. Feed it to
+    * [[Dedup.hammingPairs64]] like any 64-bit signature. */
+  def videoMinFrameDHashes(ds: Dataset[MediaRow], stride: Int = 1,
+      repartitionTo: Option[Int] = None): DataFrame = {
+    import ds.sparkSession.implicits._
+    val base = repartitionTo.map(ds.repartition(_)).getOrElse(ds)
+    base.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.flatMap { m =>
+      aviFrameChunks(m.content).flatMap { chunks =>
+        val hs = (0 until chunks.length by math.max(1, stride)).flatMap { i =>
+          val (off, len) = chunks(i)
+          dHash64(java.util.Arrays.copyOfRange(m.content, off, off + len))
+        }
+        if (hs.isEmpty) None else Some((m.media_id, hs.min))
+      }
     })).toDF("media_id", "vhash")
   }
 

@@ -734,7 +734,7 @@ class CliSpec extends SparkFunSuite {
         "--image-col", "image")) == 0)
     }
     val curated2 = spark.read.parquet(out2)
-    assert(!curated2.columns.contains("__img_dhash"),
+    assert(!curated2.columns.contains("__media_hash64"),
       "the internal hash column must not leak into the output")
     val survivors2 = curated2.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(survivors2 == Set(1L, 3L, 4L), s"got $survivors2")
@@ -747,6 +747,58 @@ class CliSpec extends SparkFunSuite {
       "--input", in2, "--output", s"$dir/x", "--image-col", "image",
       "--image-max-hamming", "4", "--image-bands", "4")))
     assert(e2.getMessage.contains("max-hamming"), e2.getMessage)
+
+    // --audio-col: raw WAV bytes, gain-invariant fingerprint scan-side
+    // (doc 2 is doc 1's twin clip; doc 3 distinct; doc 4 undecodable)
+    val in3 = s"$dir/docs_audio.parquet"
+    val out3 = s"$dir/curated_audio.parquet"
+    Seq(
+      (1L, graft.ops.Multimodal.syntheticGridWav(10L),
+        "first page carries the original audio clip today"),
+      (2L, graft.ops.Multimodal.syntheticGridWav(10L, perturb = true),
+        "second page re-serves a near-identical clip copy"),
+      (3L, graft.ops.Multimodal.syntheticGridWav(20L),
+        "third page plays an entirely different recording"),
+      (4L, Array[Byte](9, 9, 9),
+        "fourth page has undecodable bytes and passes through")
+    ).toDF("doc_id", "audio", "text").write.parquet(in3)
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdCurate(Array(
+        "--input", in3, "--output", out3,
+        "--min-quality", "0", "--languages", "none",
+        "--audio-col", "audio")) == 0)
+    }
+    assert(spark.read.parquet(out3).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+
+    // --video-col: raw AVI bytes, keyframe dHash scan-side (doc 2
+    // re-encodes doc 1's pixels at a different JPEG quality)
+    val in4 = s"$dir/docs_video.parquet"
+    val out4 = s"$dir/curated_video.parquet"
+    Seq(
+      (1L, graft.ops.Multimodal.syntheticGridMjpegAvi(10L),
+        "first page embeds the original clip at high quality"),
+      (2L, graft.ops.Multimodal.syntheticGridMjpegAvi(10L, quality = 0.7f),
+        "second page re-encodes the same clip at a lower quality"),
+      (3L, graft.ops.Multimodal.syntheticGridMjpegAvi(20L),
+        "third page shows an entirely different video"),
+      (4L, Array[Byte](0, 1, 2),
+        "fourth page has undecodable bytes and passes through")
+    ).toDF("doc_id", "video", "text").write.parquet(in4)
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdCurate(Array(
+        "--input", in4, "--output", out4,
+        "--min-quality", "0", "--languages", "none",
+        "--video-col", "video")) == 0)
+    }
+    assert(spark.read.parquet(out4).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+
+    // any two raw media flags conflict, same as raw-vs-precomputed
+    val e3 = intercept[graft.errors.ConfigError](graft.cli.Main.cmdCurate(Array(
+      "--input", in3, "--output", s"$dir/y",
+      "--audio-col", "audio", "--video-col", "video")))
+    assert(e3.getMessage.contains("mutually exclusive"), e3.getMessage)
   }
 
   test("export composite keys: null components cannot collide with value components") {

@@ -1145,6 +1145,16 @@ class ExtensionsSpec extends SparkFunSuite {
         Multimodal.gridVideoDHash(i) ^ Multimodal.gridVideoDHash(i, perturb = true))
       assert(h <= 2, s"seed=$i perturbed twin is $h bits away")
     }
+    // min-frame-hash signature: the signed-long min over the three
+    // frames' independent walk hashes, computed inside the decode pass
+    for (i <- Seq(0, 7, 13)) {
+      val avi = Multimodal.syntheticGridMjpegAvi(i)
+      val got = Multimodal.videoMinFrameDHashes(
+        spark.createDataset(Seq(Multimodal.MediaRow(0L, "video/avi", avi))))
+        .select("vhash").as[Long].collect()
+      val want = (0 until 3).map(f => Multimodal.gridVideoDHash(i, frame = f)).min
+      assert(got.toSeq == Seq(want), s"seed=$i: ${got.toSeq} != $want")
+    }
     // planted twins (i%5==1 repeats i-1's pixels, re-encoded at a
     // LOWER jpeg quality — byte-different AVIs) collapse to min-id;
     // non-AVI payloads emit no hash and pass through the dedup
