@@ -316,6 +316,34 @@ class PlanSpec extends SparkFunSuite {
       s"lists scan should carry a dynamic pruning filter:\n$plan")
   }
 
+  test("ivf append assignment is scan-side: no exchange") {
+    // appending a recurring drop must cost ONE batch-sized scan — the
+    // centroids ride the plan as literals (TopCentroids kernel) and
+    // the assignment must not exchange the embedding payload; at
+    // 100 TB of history an accidental re-cluster or shuffle is the
+    // scale-killer the append path exists to avoid
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = e.filter(col("vec_id") % 3 > 0)
+    val idx = graft.ops.Similarity.buildIvfIndex(base, "vec_id", "embedding", nlist = 8)
+    val appended = graft.ops.Similarity.appendToIvfIndex(
+      idx, e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
+    // the appended lists = base assignment UNION batch assignment;
+    // neither side may plan an Exchange
+    val plan = planOf(appended.lists)
+    assert(!plan.contains("Exchange"),
+      s"append assignment should not shuffle:\n$plan")
+  }
+
+  test("min-frame video signature is a single partition pass: no exchange") {
+    // the per-video min over frame hashes folds inside the decode
+    // iterator — an aggregation shuffle of (media_id, fhash) pairs
+    // would re-exchange one row per FRAME at corpus scale
+    val plan = planOf(graft.ops.Multimodal.videoMinFrameDHashes(
+      graft.ops.Multimodal.syntheticGridVideos(spark, 10)))
+    assert(!plan.contains("Exchange"),
+      s"min-frame signature should not shuffle:\n$plan")
+  }
+
   test("multimodal decode is a single partition pass: no exchange by default") {
     // decode + feature-extract must stream through mapPartitions with
     // no shuffle — at 100 TB of media an accidental exchange of the
