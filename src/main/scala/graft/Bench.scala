@@ -502,6 +502,56 @@ object Bench {
       .agg(sum(col("quality_prob"))).head().getDouble(0).toLong
   }
 
+  /** Deterministic embedding corpus (vec_id, embedding: array<float>,
+    * dim 16) for the IVF scale rows — generated once per process,
+    * outside the timed region, like every other scenario input. */
+  private def embCorpusPath(spark: SparkSession, n: Long): String = {
+    val path = s"$benchDir/emb_$n.parquet"
+    if (!committed(path)) {
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)), j =>
+          (pmod(col("id") * 2654435761L + j.cast("long") * 40503L, lit(99991L))
+            / lit(99991.0)).cast("float")).as("embedding"))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Full IVF (re)build over 1M vectors, PERSISTED — the cost the
+    * incremental append path avoids paying per recurring drop:
+    * centroid selection + assignment scan the WHOLE corpus and the
+    * whole index is rewritten (what a production rebuild does; the
+    * append row writes only its 100K batch). */
+  private[graft] def ivfBuildScenario(spark: SparkSession): Long = {
+    val corpus = spark.read.parquet(embCorpusPath(spark, 1100000L))
+      .filter(col("vec_id") < 1000000L)
+    graft.ops.Similarity.saveIvfIndex(
+      graft.ops.Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+        nlist = 64),
+      s"$benchDir/ivf_rebuild_out")
+    -1L
+  }
+
+  /** Incremental append of a 100K drop against the SAVED 1M index:
+    * one batch-sized assignment scan + a partitioned append write —
+    * read together with ivf_build_1m, the delta is the measured
+    * re-clustering cost the append path saves on every drop. The base
+    * index is built and saved once (warmup rep), outside the steady-
+    * state reps. */
+  private[graft] def ivfAppendScenario(spark: SparkSession): Long = {
+    val all = spark.read.parquet(embCorpusPath(spark, 1100000L))
+    val idxPath = s"$benchDir/ivf_idx_1m"
+    if (!committed(s"$idxPath/centroids.parquet")) {
+      val base = all.filter(col("vec_id") < 1000000L)
+      graft.ops.Similarity.saveIvfIndex(
+        graft.ops.Similarity.buildIvfIndex(base, "vec_id", "embedding",
+          nlist = 64), idxPath)
+    }
+    val batch = all.filter(col("vec_id") >= 1000000L)
+    graft.ops.Similarity.appendIvfIndex(spark, idxPath, batch,
+      "vec_id", "embedding").centroids.count()
+  }
+
   /** The scan-side quality rules alone at 10M docs (judge-tracked
     * `gopher_c4_10m`): C4 keep + Gopher document rules + repetition
     * rules over the cleaned text in ONE filter — the "runs at
@@ -637,6 +687,11 @@ object Bench {
       // training-order shuffle + global index: the full text payload
       // through one range exchange + the two-job index stamp
       "shuffle_10m" -> (() => { shuffleScenario(10000000L)(spark); () }),
+      // IVF scale pair: full 1M rebuild vs appending a 100K drop to
+      // the saved index — the measured re-clustering cost the
+      // incremental append saves on every recurring drop
+      "ivf_build_1m" -> (() => { ivfBuildScenario(spark); () }),
+      "ivf_append_100k" -> (() => { ivfAppendScenario(spark); () }),
       // quality classifier, SPLIT so LBFGS fit drift is visible in
       // isolation (the fused q_quality_classifier row mixes both):
       // fit = the driver-coordinated spark.ml LogisticRegression under

@@ -26,11 +26,12 @@ object BenchOne {
     val bpeMode = args.headOption.contains("bpe")
     val seqMode = args.headOption.contains("sequences")
     val clsFitMode = args.headOption.contains("classifierfit")
+    val ivfMode = args.headOption.contains("ivf")
     val sessionMode = args.headOption.contains("session")
     val posArgs =
       if (auditMode || skewMode || curateMode || scanMode || substrMode ||
           chunkMode || dsirMode || bpeMode || seqMode || clsFitMode ||
-          sessionMode)
+          ivfMode || sessionMode)
         args.drop(1)
       else args
     val nLabels = posArgs.headOption.map(_.toInt).getOrElse(1000000)
@@ -130,6 +131,19 @@ object BenchOne {
       timed("gopher_c4_10m")(Bench.scanFilterScenario(10000000L)(spark))
       (1 to 3).foreach { i =>
         syncFs(); timed(s"exactsubstr after-heavy run$i")(Bench.exactSubstrScenario(nDocs)(spark))
+      }
+      spark.stop()
+      return
+    }
+
+    if (ivfMode) {
+      // isolate the ivf_build_1m / ivf_append_100k scale pair
+      timed("ivf corpus + base index (warmup)")(Bench.ivfAppendScenario(spark))
+      (1 to 3).foreach { i =>
+        syncFs()
+        timed(s"ivf_build_1m run$i")(Bench.ivfBuildScenario(spark))
+        syncFs()
+        timed(s"ivf_append_100k run$i")(println("  rows=" + Bench.ivfAppendScenario(spark)))
       }
       spark.stop()
       return
