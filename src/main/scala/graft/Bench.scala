@@ -552,6 +552,40 @@ object Bench {
       "vec_id", "embedding").centroids.count()
   }
 
+  /** Recurring-refresh inputs for the incremental-dedup pair: the
+    * fingerprint store of the first 9M docs of the 10M corpus,
+    * persisted once as parquet (the store IS a file in the
+    * operational pattern), and the remaining 1M docs as the batch.
+    * The corpus plants genuine cross-id duplicates, so the store-hit
+    * leg does real work. */
+  private def incDedupInputs(spark: SparkSession): (DataFrame, DataFrame) = {
+    val cp = corpusScenario(spark, 10000000L)
+    val storePath = s"$benchDir/incdedup_store_9m.parquet"
+    if (!committed(storePath))
+      graft.ops.Dedup.fingerprintStore(
+          spark.read.parquet(cp).filter(col("doc_id") < 9000000L))
+        .write.mode("overwrite").parquet(storePath)
+    (spark.read.parquet(storePath),
+      spark.read.parquet(cp).filter(col("doc_id") >= 9000000L)
+        .select("doc_id", "text"))
+  }
+
+  /** The incremental-dedup scale pair: a 1M-doc refresh against a
+    * 9M-fingerprint store, plain anti-join vs the Bloom pre-filter
+    * (which includes its own store count + filter build in the timed
+    * region — the honest cold cost; a production refresh loads the
+    * persisted filter instead). Read together, the delta is what the
+    * scan-side membership proof saves over hash-partitioning the
+    * store every refresh. */
+  private[graft] def incDedupScenario(bloom: Boolean)(spark: SparkSession): Long = {
+    val (store, batch) = incDedupInputs(spark)
+    spark.catalog.clearCache()
+    val out =
+      if (bloom) graft.ops.Dedup.incrementalDedupBloom(batch, store)
+      else graft.ops.Dedup.incrementalDedup(batch, store)
+    out.count()
+  }
+
   /** The scan-side quality rules alone at 10M docs (judge-tracked
     * `gopher_c4_10m`): C4 keep + Gopher document rules + repetition
     * rules over the cleaned text in ONE filter — the "runs at
@@ -692,6 +726,12 @@ object Bench {
       // incremental append saves on every recurring drop
       "ivf_build_1m" -> (() => { ivfBuildScenario(spark); () }),
       "ivf_append_100k" -> (() => { ivfAppendScenario(spark); () }),
+      // incremental-dedup scale pair: 1M-doc refresh vs a 9M-row
+      // fingerprint store — plain anti-join vs the Bloom pre-filter
+      // (bloom row includes its cold build; the delta is the shuffle
+      // the scan-side membership proof removes)
+      "incdedup_plain_1m_vs_9m" -> (() => { incDedupScenario(bloom = false)(spark); () }),
+      "incdedup_bloom_1m_vs_9m" -> (() => { incDedupScenario(bloom = true)(spark); () }),
       // quality classifier, SPLIT so LBFGS fit drift is visible in
       // isolation (the fused q_quality_classifier row mixes both):
       // fit = the driver-coordinated spark.ml LogisticRegression under

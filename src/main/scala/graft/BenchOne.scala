@@ -27,11 +27,12 @@ object BenchOne {
     val seqMode = args.headOption.contains("sequences")
     val clsFitMode = args.headOption.contains("classifierfit")
     val ivfMode = args.headOption.contains("ivf")
+    val incDedupMode = args.headOption.contains("incdedup")
     val sessionMode = args.headOption.contains("session")
     val posArgs =
       if (auditMode || skewMode || curateMode || scanMode || substrMode ||
           chunkMode || dsirMode || bpeMode || seqMode || clsFitMode ||
-          ivfMode || sessionMode)
+          ivfMode || incDedupMode || sessionMode)
         args.drop(1)
       else args
     val nLabels = posArgs.headOption.map(_.toInt).getOrElse(1000000)
@@ -144,6 +145,21 @@ object BenchOne {
         timed(s"ivf_build_1m run$i")(Bench.ivfBuildScenario(spark))
         syncFs()
         timed(s"ivf_append_100k run$i")(println("  rows=" + Bench.ivfAppendScenario(spark)))
+      }
+      spark.stop()
+      return
+    }
+
+    if (incDedupMode) {
+      // isolate the incdedup_{plain,bloom}_1m_vs_9m pair
+      timed("corpus + store (warmup)")(Bench.incDedupScenario(bloom = false)(spark))
+      (1 to 3).foreach { i =>
+        syncFs()
+        timed(s"incdedup_plain run$i")(
+          println("  rows=" + Bench.incDedupScenario(bloom = false)(spark)))
+        syncFs()
+        timed(s"incdedup_bloom run$i")(
+          println("  rows=" + Bench.incDedupScenario(bloom = true)(spark)))
       }
       spark.stop()
       return

@@ -296,6 +296,19 @@ object SparkEntry {
           docs.filter(col("doc_id") % 3 =!= 0), store)
         .select("doc_id").orderBy("doc_id")
     }),
+    // The Bloom-prefiltered twin: same refresh, but batch winners are
+    // probed scan-side against a bloom of the store and only suspects
+    // reach the exact check (broadcast semi INTO the store — history
+    // never shuffles). No false negatives => bit-identical result; the
+    // oracle replays the plain incremental-dedup semantics.
+    "q_dedup_incremental_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val store = graft.util.Caching.cacheOnce(graft.ops.Dedup.fingerprintStore(
+        docs.filter(col("doc_id") % 3 === 0)))
+      graft.ops.Dedup.incrementalDedupBloom(
+          docs.filter(col("doc_id") % 3 =!= 0), store)
+        .select("doc_id").orderBy("doc_id")
+    }),
     // Incremental NEAR-dup: per batch doc (doc_id % 3 != 0), the best
     // MinHash-estimated Jaccard against the prior-corpus signature
     // store (doc_id % 3 == 0), candidates via cross-corpus LSH
@@ -574,6 +587,15 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, nlist = 8)
         .select("vec_id").orderBy("vec_id")),
+    // Cluster-balanced diversity sampling: exactly 5 winners per
+    // deterministic IVF cluster, winners = smallest unit hashes. The
+    // oracle replays clustering (the q_semdedup cent/assign CTEs) and
+    // the per-cluster hash-rank window end-to-end.
+    "q_cluster_sample" -> ((s, dir) =>
+      graft.ops.Similarity.clusterBalancedSample(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        kPerCluster = 5, nlist = 8, seed = 7)
+        .select("vec_id", "list_id").orderBy("vec_id")),
 
     // SimHash near-dup pairs, production path: murmur3 SimHash64Expr
     // (codegen'd custom Catalyst expression). Murmur isn't replayable
@@ -929,6 +951,20 @@ object SparkEntry {
     "q_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.ops.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", n = 4)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    // The Bloom twin for eval sets past broadcast size: training
+    // shingles are probed scan-side against a bloom of the eval
+    // shingle set, so only suspects reach the exact semi-join — the
+    // train-corpus-sized exchange of the broadcastEval=false fallback
+    // disappears. Bit-identical result (no false negatives); the
+    // oracle replays the plain decontamination semantics.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.decontaminateBloom(
         docs.filter(col("doc_id") % 17 =!= 0),
         docs.filter(col("doc_id") % 17 === 0),
         "doc_id", "text", n = 4)
@@ -1314,6 +1350,21 @@ object SparkEntry {
         |FROM d GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "q_dedup_incremental" ->
+      """WITH store AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |batch AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |winners AS (SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY 1)
+        |SELECT w.doc_id FROM winners w
+        |WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = w.fp)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the bloom pre-filter is semantically transparent (no false
+    // negatives; positives resolve through the exact semi-join), so
+    // the oracle IS the plain incremental-dedup replay
+    "q_dedup_incremental_bloom" ->
       """WITH store AS (
         |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |  FROM documents WHERE doc_id % 3 = 0),
@@ -2383,6 +2434,31 @@ object SparkEntry {
         |SELECT e.vec_id FROM e LEFT JOIN losers l ON l.id = e.vec_id
         |WHERE l.id IS NULL ORDER BY e.vec_id""".stripMargin,
 
+    // same cent/assign clustering replay, then the per-cluster
+    // exact-k hash-rank window (the q_sample_exactk formula with
+    // salt "exactk", seed 7)
+    "q_cluster_sample" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS list_id, v AS cv FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |assign AS (
+        |  SELECT id, list_id FROM (
+        |    SELECT x.vec_id AS id, c.list_id,
+        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_dot_product(x.v, c.cv)
+        |          / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |          c.list_id) AS r
+        |    FROM e x CROSS JOIN cent c) t WHERE r = 1),
+        |ranked AS (
+        |  SELECT id, list_id, ROW_NUMBER() OVER (PARTITION BY list_id
+        |    ORDER BY ('0x' || substr(md5('exactk:7:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT,
+        |             id) AS rn
+        |  FROM assign)
+        |SELECT id AS vec_id, list_id FROM ranked WHERE rn <= 5
+        |ORDER BY vec_id""".stripMargin,
+
     // identical semantics through the persisted index — same oracle
     "q_embed_ivf_indexed" ->
       """WITH e AS (
@@ -2654,6 +2730,24 @@ object SparkEntry {
          |FROM r WHERE reps > 0 ORDER BY doc_id, rep_idx""".stripMargin,
 
     "q_decontaminate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w)-3), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]))) AS s
+        |  FROM docs WHERE len(w) >= 4),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+        |cont AS (
+        |  SELECT DISTINCT x.doc_id FROM sh x JOIN ev ON x.s = ev.s
+        |  WHERE x.doc_id % 17 != 0)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 17 != 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY doc_id""".stripMargin,
+
+    // bloom decontamination is transparent the same way: the filter
+    // only routes definitely-clean shingles around the exact join, so
+    // the oracle IS the plain decontamination replay
+    "q_decontaminate_bloom" ->
       """WITH docs AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
         |sh AS (

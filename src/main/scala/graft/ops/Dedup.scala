@@ -92,6 +92,48 @@ object Dedup {
   def fingerprintStore(df: DataFrame, textCol: String = "text"): DataFrame =
     df.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint")).distinct()
 
+  /** [[incrementalDedup]] with a Bloom pre-filter over the store —
+    * bit-identical results (the shared oracle row pins it), different
+    * plan at 100 TB of history. The plain path hash-partitions BOTH
+    * sides of the batch-vs-store anti-join; here the batch winners are
+    * probed scan-side against a [[Bloom]] filter of the store's
+    * fingerprints, and because a Bloom filter has no false negatives,
+    * every `mightContain = false` winner is PROVEN fresh with no join
+    * at all. Only the suspects (true dups + an fpp fraction of false
+    * positives — batch-sized at worst, typically tiny) reach the exact
+    * check, which runs as a broadcast semi-join INTO the store: the
+    * history is scanned once and never shuffled, whatever its layout.
+    *
+    * Pass `bloom` (built once via [[Bloom.build]] over the store's
+    * fingerprint column, persisted with [[Bloom.save]], appended to
+    * with [[Bloom.merge]] as the store grows) to skip the build scan;
+    * omitted, it is built here from `store` (one extra scan +
+    * count — still cheaper than shuffling the store whenever the
+    * batch is much smaller than history, which is what "incremental"
+    * means). Null-fingerprint winners (null text) take the fresh path,
+    * exactly like the anti-join's null-never-matches semantics. */
+  def incrementalDedupBloom(df: DataFrame, store: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      storeFpCol: String = "fingerprint",
+      bloom: Option[Array[Byte]] = None, fpp: Double = 0.03): DataFrame = {
+    val winners = cacheOnce(df
+      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as(idCol)))
+    val bytes = bloom.getOrElse {
+      val n = math.max(1L, store.count())
+      Bloom.build(store, col(storeFpCol), n, fpp)
+    }
+    val suspects = winners
+      .filter(coalesce(Bloom.mightContain(bytes, col("__fp")), lit(false)))
+      .select("__fp")
+    // which suspects ARE in the store: history scanned once, suspects
+    // broadcast — no exchange on the store side regardless of its size
+    val hits = store.select(col(storeFpCol).as("__fp"))
+      .join(broadcast(suspects), Seq("__fp"), "left_semi").distinct()
+    val fresh = winners.join(broadcast(hits), Seq("__fp"), "left_anti")
+    df.join(fresh.select(idCol), Seq(idCol), "left_semi")
+  }
+
   /** Per-batch-document best MinHash-estimated Jaccard against a
     * prior-corpus signature store — the candidate-generation half of
     * [[incrementalNearDedup]]. LSH banding on BOTH sides means only
@@ -779,6 +821,43 @@ object Dedup {
   def decontaminate(train: DataFrame, evalDf: DataFrame, idCol: String,
       textCol: String, n: Int = 8, broadcastEval: Boolean = true): DataFrame =
     train.join(contaminatedIds(train, evalDf, idCol, textCol, n, broadcastEval),
+      Seq(idCol), "left_anti")
+
+  /** [[contaminatedIds]] for an eval set too big to broadcast — the
+    * case the plain path's `broadcastEval = false` escape handles by
+    * SHUFFLING every exploded training shingle (rows × n-grams-per-doc
+    * exchange: the single most expensive plan a 100 TB decontamination
+    * can pick). Here a [[Bloom]] filter of the eval shingle set rides
+    * the training scan instead: no false negatives means every
+    * `mightContain = false` shingle is proven clean and never leaves
+    * its partition, so only suspect shingles (true contamination + an
+    * fpp sliver) reach the exact semi-join against the eval set.
+    * Results are bit-identical to [[contaminatedIds]] (the oracle row
+    * pins it); the exchange shrinks from the training corpus to the
+    * suspects. `expectedShingles` skips the sizing count when the
+    * caller knows the eval set's distinct shingle count. */
+  def contaminatedIdsBloom(train: DataFrame, evalDf: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, expectedShingles: Option[Long] = None,
+      fpp: Double = 0.03): DataFrame = {
+    val evalSh = cacheOnce(
+      evalDf.select(explode(shingles(col(textCol), n)).as("__s")).distinct())
+    val items = math.max(1L, expectedShingles.getOrElse(evalSh.count()))
+    val bytes = Bloom.build(evalSh, col("__s"), items, fpp)
+    val trainSh = train.select(col(idCol),
+        explode(shingles(col(textCol), n)).as("__s"))
+      .filter(coalesce(Bloom.mightContain(bytes, col("__s")), lit(false)))
+    trainSh.join(evalSh, Seq("__s"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
+  /** [[decontaminate]] over [[contaminatedIdsBloom]] — the hard guard
+    * for eval sets past broadcast size, training corpus still scanned
+    * exactly once. */
+  def decontaminateBloom(train: DataFrame, evalDf: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, expectedShingles: Option[Long] = None,
+      fpp: Double = 0.03): DataFrame =
+    train.join(
+      contaminatedIdsBloom(train, evalDf, idCol, textCol, n, expectedShingles, fpp),
       Seq(idCol), "left_anti")
 
   /** Graded contamination instead of the boolean: per training

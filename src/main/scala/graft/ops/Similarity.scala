@@ -479,6 +479,27 @@ object Similarity {
       .drop("__centroid")
   }
 
+  /** Cluster-balanced ("diversity") sampling: exactly `kPerCluster`
+    * rows from each semantic cluster — uniform coverage over TOPICS
+    * instead of uniform over rows, the standard recipe for building
+    * eval sets and seed corpora whose head topics would otherwise
+    * drown the tail. Clustering is [[semClusters]]' deterministic IVF
+    * machinery (seeded md5-ordered centroids, nearest-centroid
+    * assignment); within each cluster the winners are the k smallest
+    * deterministic unit hashes (id tie-break), i.e.
+    * [[Sampling.exactKPerStratum]] over `list_id` — so the sample is
+    * a pure function of (corpus, nlist, seed): layout- and
+    * cluster-size-independent, replayable, and stable under reruns.
+    * Cost: one clustering pass + one stratum-keyed window; rows keep
+    * their cluster id and centroid similarity for downstream
+    * weighting. */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      kPerCluster: Int, nlist: Int = 16, seed: Int = 42,
+      refineIters: Int = 0): DataFrame =
+    Sampling.exactKPerStratum(
+      semClusters(df, idCol, vecCol, nlist, refineIters),
+      idCol, "list_id", kPerCluster, seed)
+
   /** SemDeDup candidate pairs: vectors are compared ONLY within their
     * cluster, so the quadratic pair cost is bounded per cluster
     * (|cluster| ~ n/nlist), never corpus-wide — that bound is the

@@ -397,6 +397,83 @@ class OpsSpec extends SparkFunSuite {
     assert(delta.columns.toSeq == Seq("fingerprint"))
   }
 
+  test("bloom: build/probe round trip, no false negatives, merge, save/load") {
+    import graft.ops.Bloom
+    val keys = (1L to 500L).map(i => s"key_$i").toDF("k")
+    val bloom = Bloom.build(keys, col("k"), expectedItems = 500, fpp = 0.01)
+    // zero false negatives by construction: every built key probes true
+    val probed = keys.filter(Bloom.mightContain(bloom, col("k"))).count()
+    assert(probed == 500, "a bloom filter must never miss a key it was built over")
+    // absent keys mostly probe false (fpp 1% over 500 draws: allow slack)
+    val absent = (1L to 500L).map(i => s"other_$i").toDF("k")
+      .filter(Bloom.mightContain(bloom, col("k"))).count()
+    assert(absent <= 25, s"false-positive rate blew past fpp: $absent/500")
+    // null keys probe null, not true/false
+    val nulls = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "k")
+      .select(Bloom.mightContain(bloom, col("k")).as("m")).collect()
+    assert(nulls.head.isNullAt(0), "null key must probe null")
+    // merge = union: keys from either side probe true
+    val more = (501L to 600L).map(i => s"key_$i").toDF("k")
+    val merged = Bloom.merge(bloom, Bloom.build(more, col("k"), 500, 0.01))
+    val both = (1L to 600L).map(i => s"key_$i").toDF("k")
+      .filter(Bloom.mightContain(merged, col("k"))).count()
+    assert(both == 600, "merged bloom must contain both sides' keys")
+    // save/load round trip through the Hadoop FS layer
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    Bloom.save(spark, merged, s"$dir/store.bloom")
+    val loaded = Bloom.load(spark, s"$dir/store.bloom")
+    assert(java.util.Arrays.equals(loaded, merged), "save/load must be byte-exact")
+  }
+
+  test("incremental dedup bloom: bit-identical to the exact path, incl. null text") {
+    import graft.ops.{Bloom, Dedup}
+    val prior = Seq((100L, "alpha"), (101L, "beta")).toDF("doc_id", "text")
+    val store = Dedup.fingerprintStore(prior).cache()
+    val batch = Seq(
+      (1L, "alpha"),                // store hit -> dropped
+      (2L, "gamma"), (3L, "gamma"), // intra-batch dup -> min id 2 survives
+      (4L, "ALPHA  "),              // normalized fingerprint hits the store
+      (5L, "delta"),
+      (6L, null.asInstanceOf[String]) // null fp: anti-join keeps it -> bloom path must too
+    ).toDF("doc_id", "text")
+    val exact = Dedup.incrementalDedup(batch, store)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val bloomed = Dedup.incrementalDedupBloom(batch, store)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(bloomed == exact, "bloom pre-filter must be semantically transparent")
+    assert(bloomed == Seq(2L, 5L, 6L))
+    // pre-built + persisted filter path (the recurring-refresh shape)
+    val bytes = Bloom.build(store, col("fingerprint"), 2, 0.01)
+    val viaPrebuilt = Dedup.incrementalDedupBloom(batch, store, bloom = Some(bytes))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaPrebuilt == exact)
+    // corpus-scale differential: sf documents split store/batch by id
+    val dStore = Dedup.fingerprintStore(docs.filter(col("doc_id") % 3 === 0))
+    val dBatch = docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+    val e = Dedup.incrementalDedup(dBatch, dStore)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Dedup.incrementalDedupBloom(dBatch, dStore)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(b == e, "corpus differential: bloom path diverged from exact path")
+  }
+
+  test("decontaminate bloom: bit-identical to the broadcast-exact path") {
+    import graft.ops.Dedup
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val evalDf = docs.filter(col("doc_id") % 17 === 0)
+    val exact = Dedup.decontaminate(train, evalDf, "doc_id", "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val bloomed = Dedup.decontaminateBloom(train, evalDf, "doc_id", "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(bloomed == exact, "bloom decontamination diverged from exact path")
+    assert(bloomed.nonEmpty, "survivors expected at sf0.001")
+    // expectedShingles hint skips the sizing count without changing results
+    val hinted = Dedup.decontaminateBloom(train, evalDf, "doc_id", "text", n = 4,
+        expectedShingles = Some(100000L))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(hinted == exact)
+  }
+
   test("within-doc line dedup: repeats keep first occurrence, blanks untouched, exact equality") {
     val docs = Seq(
       (1L, "alpha\nbeta\nalpha\n\n\nbeta\ngamma"),
@@ -499,6 +576,38 @@ class OpsSpec extends SparkFunSuite {
     val tp = Seq((5L, 6L), (6L, 7L)).toDF("a", "b")
     assert(Dedup.dedupByPairsBest(tied, "doc_id", tp, col("q"))
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(5L))
+  }
+
+  test("cluster-balanced sample: k per cluster, deterministic, cluster-size invariant") {
+    import graft.ops.Similarity
+    val out = Similarity.clusterBalancedSample(embeddings, "vec_id", "embedding",
+      kPerCluster = 5, nlist = 8, seed = 7)
+    assert(out.columns.toSet ==
+      Set("vec_id", "embedding", "list_id", "centroid_sim"))
+    // exactly min(k, |cluster|) winners per cluster — balanced coverage
+    val sizes = out.groupBy("list_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.size == 8, s"expected 8 clusters, got ${sizes.keySet}")
+    assert(sizes.values.forall(_ <= 5))
+    val clusterTotals = Similarity.semClusters(embeddings, "vec_id", "embedding",
+        nlist = 8).groupBy("list_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lid, n) =>
+      assert(n == math.min(5L, clusterTotals(lid)),
+        s"cluster $lid: sampled $n of ${clusterTotals(lid)}")
+    }
+    // pure function of (corpus, params): rerun and layout change agree
+    val ids = out.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val again = Similarity.clusterBalancedSample(
+        embeddings.repartition(7), "vec_id", "embedding",
+        kPerCluster = 5, nlist = 8, seed = 7)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == ids, "sample must be layout-independent")
+    // a different seed moves the within-cluster winners
+    val other = Similarity.clusterBalancedSample(embeddings, "vec_id", "embedding",
+        kPerCluster = 5, nlist = 8, seed = 8)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(other != ids, "seed must matter")
   }
 
   test("semDedup matches an independent reimplementation of the recipe") {

@@ -299,6 +299,41 @@ class PlanSpec extends SparkFunSuite {
     assert(semiIdx >= 0, s"no broadcast semi join:\n$plan")
   }
 
+  test("bloom incremental dedup: store side scans without an exchange; probe is codegen'd") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // cached: the store feeds both the bloom build and the exact check
+    val store = Dedup.fingerprintStore(docs.filter(col("doc_id") % 3 === 0)).cache()
+    val out = Dedup.incrementalDedupBloom(
+      docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text"), store)
+    val plan = planOf(out)
+    // the exact check must reach the store as a BROADCAST semi join —
+    // the whole point is that history never hash-partitions
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast semi join:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from the plan:\n$plan")
+    // the bloom probe itself must ride a codegen'd filter, not a UDF
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"bloom probe fell out of codegen:\n$plan")
+  }
+
+  test("bloom decontamination: train shingles filter scan-side before the only semi join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Dedup.contaminatedIdsBloom(
+      docs.filter(col("doc_id") % 17 =!= 0), docs.filter(col("doc_id") % 17 === 0),
+      "doc_id", "text", n = 4, expectedShingles = Some(100000L))
+    val plan = planOf(out)
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+    // the bloom filter must sit BELOW the semi join on the train side
+    // (whatever join strategy the planner picks): the generate+filter
+    // chain runs scan-side, so the exchange feeding the join carries
+    // suspects only, never the raw shingle stream
+    val joinIdx = plan.indexOf("Join")
+    val probeIdx = plan.lastIndexOf("might_contain")
+    assert(joinIdx >= 0, s"no semi join in the plan:\n$plan")
+    assert(probeIdx > joinIdx,
+      s"bloom probe is not below the join on the train side:\n$plan")
+  }
+
   test("loaded ivf index probes prune list partitions dynamically") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = graft.ops.Similarity.buildIvfIndex(e, "vec_id", "embedding", nlist = 8)
