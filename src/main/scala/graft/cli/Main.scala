@@ -98,7 +98,7 @@ object Main {
       |          [--image-max-hamming 2] [--image-bands 4]
       |          [--unigram-buckets N [--unigram-keep K]]
       |          [--bigram-buckets N [--bigram-keep K] [--bigram-model DIR]]
-      |          [--decontaminate EVAL_PARQUET [--decontaminate-ngram 8]]
+      |          [--decontaminate EVAL_PARQUET [--decontaminate-ngram 8] [--decontaminate-bloom]]
       |          [--semdedup-col COL [--semdedup-threshold 0.95] [--semdedup-nlist 16]]
       |          [--classifier-positives PARQUET | --classifier-model DIR]
       |          [--classifier-min-prob 0.5] [--classifier-negative-rate 0.01]
@@ -734,7 +734,8 @@ object Main {
         } else None,
       decontaminate = f.get("decontaminate").map(path =>
         Curation.DecontaminateConfig(readCorpus(spark, path, f.get("aux-format")),
-          n = f.getOrElse("decontaminate-ngram", "8").toInt)),
+          n = f.getOrElse("decontaminate-ngram", "8").toInt,
+          bloom = f.contains("decontaminate-bloom"))),
       semDedup = f.get("semdedup-col").map(c =>
         Curation.SemDeDupConfig(c,
           threshold = f.getOrElse("semdedup-threshold", "0.95").toDouble,

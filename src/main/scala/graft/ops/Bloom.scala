@@ -1,11 +1,15 @@
 package graft.ops
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.BinaryType
 import org.apache.spark.util.sketch.BloomFilter
+
+import graft.functions.BloomProbeExpr
 
 /** Broadcast-able Bloom filters over a key column — the scan-side
   * pre-filter that lets a recurring 100 TB refresh skip the shuffle
@@ -22,20 +26,19 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * Mechanics: keys are hashed to a long with `xxhash64` on BOTH the
   * build and probe side (so callers pass the natural key column and
-  * cannot mismatch hashers), the build is Spark's distributed
-  * `DataFrameStatFunctions.bloomFilter` (per-partition partial sketches
-  * merged on the driver — one scan, no shuffle), and the probe is the
-  * codegen'd catalyst `BloomFilterMightContain` predicate over the
-  * serialized filter as a binary literal — the same expression Spark's
-  * own runtime row-level filtering injects, so the probe stays inside
-  * whole-stage codegen and deserializes the filter once per task.
+  * cannot mismatch hashers); the build is ONE whole-stage-codegen
+  * aggregation (catalyst `BloomFilterAggregate` — per-partition
+  * partial filters OR-merged, no row boxing); the probe is codegen'd
+  * either way, in two forms: [[mightContain]] over serialized bytes
+  * as a literal (fine for small filters and tests) or — the form the
+  * dedup operators use — [[broadcastFilter]] + the broadcast overload,
+  * which torrent-ships the filter once per executor instead of inside
+  * every task binary ([[graft.functions.BloomProbeExpr]]).
   *
   * Sizing: `optimalNumOfBits(n, fpp)` ≈ n·ln(1/fpp)/ln²2 — 100 M keys
-  * at the 0.03 default is ~90 MB, 1 B keys ~900 MB. The serialized
-  * filter rides the plan to every task like a broadcast variable;
-  * size it for your store and executor headroom (raise `fpp` to
-  * shrink it — false positives only cost exact-check work, never
-  * correctness).
+  * at the 0.03 default is ~90 MB, 1 B keys ~900 MB; size for your
+  * store and executor headroom (raise `fpp` to shrink — false
+  * positives only cost exact-check work, never correctness).
   */
 object Bloom {
 
@@ -63,9 +66,40 @@ object Bloom {
       fpp: Double = 0.03): Array[Byte] = {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
-    val bf = df.select(keyHash(key).as("__h")).na.drop("any", Seq("__h"))
-      .stat.bloomFilter("__h", expectedItems, fpp)
-    serialize(bf)
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    // catalyst BloomFilterAggregate instead of stat.bloomFilter: the
+    // stat path converts every row to a boxed Row and treeAggregates
+    // outside codegen (measured ~2x the whole-stage HashAggregate
+    // below at 8M keys). The aggregate reads the conf-clamped sizing
+    // at EVAL time, so lift the runtime-filter caps (built for the
+    // optimizer's own 8MB injected filters) to this build's size for
+    // the duration of the job.
+    val spark = df.sparkSession
+    val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val oldItems = spark.conf.get(itemsConf)
+    val oldBits = spark.conf.get(bitsConf)
+    spark.conf.set(itemsConf, math.max(oldItems.toLong, expectedItems))
+    spark.conf.set(bitsConf, math.max(oldBits.toLong, numBits))
+    try {
+      // the hash is PRE-PROJECTED so the whole-stage-codegen scan
+      // stage computes it and the (interpreted) aggregate update only
+      // reads a long — feeding keyHash directly as the aggregate
+      // child would evaluate WHEN+xxhash64 interpreted per row
+      val hashed = df.select(keyHash(key).as("__h"))
+      val agg = ColumnBridge.column(new BloomFilterAggregate(
+          ColumnBridge.expression(col("__h")),
+          Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression())
+      val bytes = hashed.select(agg.as("__bf")).head().getAs[Array[Byte]](0)
+      // the aggregate returns null over zero non-null keys: an empty
+      // store legitimately has an empty filter
+      if (bytes != null) bytes
+      else serialize(BloomFilter.create(expectedItems, numBits))
+    } finally {
+      spark.conf.set(itemsConf, oldItems)
+      spark.conf.set(bitsConf, oldBits)
+    }
   }
 
   /** The codegen'd membership probe: true if `key` MIGHT be in the
@@ -77,6 +111,22 @@ object Bloom {
   def mightContain(bloom: Array[Byte], key: Column): Column =
     ColumnBridge.column(BloomFilterMightContain(
       Literal(bloom, BinaryType),
+      ColumnBridge.expression(keyHash(key))))
+
+  /** Broadcast the serialized filter once per session — at store scale
+    * (tens to hundreds of MB) this is MANDATORY: the literal form above
+    * ships the bytes inside every task binary of every probing stage
+    * and re-hashes them in every driver-side plan canonicalization
+    * (measured +2-8s per job at just 8MB), while a broadcast is
+    * torrent-distributed once per executor and referenced by pointer.
+    * Deserialization happens here, once, driver-side. */
+  def broadcastFilter(spark: SparkSession, bloom: Array[Byte]): Broadcast[BloomFilter] =
+    spark.sparkContext.broadcast(BloomFilter.readFrom(bloom))
+
+  /** [[mightContain]] over a [[broadcastFilter]] — identical
+    * semantics (null key probes null), codegen'd probe, no literal. */
+  def mightContain(bloom: Broadcast[BloomFilter], key: Column): Column =
+    ColumnBridge.column(BloomProbeExpr(bloom,
       ColumnBridge.expression(keyHash(key))))
 
   /** Union two filters built with the SAME expectedItems/fpp (bitwise

@@ -179,7 +179,7 @@ object Curation {
     * oversized eval corpus → shuffled join); the training side is
     * scanned once and never shuffled. */
   final case class DecontaminateConfig(eval: DataFrame, n: Int = 8,
-      broadcastEval: Boolean = true)
+      broadcastEval: Boolean = true, bloom: Boolean = false)
 
   /** SemDeDup stage ([[Similarity.semDedup]]): semantic near-dup
     * removal over `vecCol` (an embedding array column that must be
@@ -419,6 +419,8 @@ object Curation {
           s"${b.buckets}:${b.keepBuckets}:${b.model.isDefined}:${b.alpha}:${b.minCount}:${b.relErr}"),
         "classifier" -> h.classifier.map(c =>
           s"${c.minProb}:${c.negativeRate}:${c.buckets}:${c.model.isDefined}"),
+        // bloom is deliberately NOT part of the pin: it changes the
+        // plan, never the rows, so a resume may switch it freely
         "decontaminate" -> h.decontaminate.map(d => s"${d.n}:${d.broadcastEval}"),
         "semDedup" -> h.semDedup.map(_.toString),
         "dsir" -> h.dsir.map(d =>
@@ -695,7 +697,12 @@ object Curation {
     val decontKept = hygiene.decontaminate match {
       case Some(dc) =>
         val (kept, n) = stageOut("contaminated", "decontaminate")(
-          Dedup.decontaminate(
+          // bloom: the eval-set-past-broadcast-size path — train
+          // shingles filter scan-side, only suspects join (results
+          // bit-identical either way)
+          if (dc.bloom)
+            Dedup.decontaminateBloom(clsKept, dc.eval, idCol, textCol, dc.n)
+          else Dedup.decontaminate(
             clsKept, dc.eval, idCol, textCol, dc.n, dc.broadcastEval))
         ledger += ("contaminated" -> n)
         kept

@@ -123,8 +123,11 @@ object Dedup {
       val n = math.max(1L, store.count())
       Bloom.build(store, col(storeFpCol), n, fpp)
     }
+    // broadcast, never a literal: the filter is store-sized (MBs to
+    // hundreds of MBs) and must ship once per executor, not once per task
+    val bc = Bloom.broadcastFilter(df.sparkSession, bytes)
     val suspects = winners
-      .filter(coalesce(Bloom.mightContain(bytes, col("__fp")), lit(false)))
+      .filter(coalesce(Bloom.mightContain(bc, col("__fp")), lit(false)))
       .select("__fp")
     // which suspects ARE in the store: history scanned once, suspects
     // broadcast — no exchange on the store side regardless of its size
@@ -842,10 +845,11 @@ object Dedup {
     val evalSh = cacheOnce(
       evalDf.select(explode(shingles(col(textCol), n)).as("__s")).distinct())
     val items = math.max(1L, expectedShingles.getOrElse(evalSh.count()))
-    val bytes = Bloom.build(evalSh, col("__s"), items, fpp)
+    val bc = Bloom.broadcastFilter(train.sparkSession,
+      Bloom.build(evalSh, col("__s"), items, fpp))
     val trainSh = train.select(col(idCol),
         explode(shingles(col(textCol), n)).as("__s"))
-      .filter(coalesce(Bloom.mightContain(bytes, col("__s")), lit(false)))
+      .filter(coalesce(Bloom.mightContain(bc, col("__s")), lit(false)))
     trainSh.join(evalSh, Seq("__s"), "left_semi")
       .select(col(idCol)).distinct()
   }

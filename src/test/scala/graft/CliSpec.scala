@@ -360,6 +360,21 @@ class CliSpec extends SparkFunSuite {
     val texts = spark.read.parquet(out).select("text")
       .collect().map(_.getString(0))
     assert(texts.forall(!_.contains("accept all cookies")))
+    // --decontaminate-bloom: same survivors through the bloom plan
+    val out2 = s"$dir/curated_bloom.parquet"
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdCurate(Array(
+        "--input", in, "--output", out2,
+        "--min-quality", "0", "--languages", "none",
+        "--blocklist", "verboten",
+        "--boilerplate-max-doc-freq", "1",
+        "--span-dedup", "--exact-substr", "20",
+        "--decontaminate", evalP, "--decontaminate-bloom",
+        "--near-dup-threshold", "0.95")) == 0)
+    }
+    val survivors2 = spark.read.parquet(out2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors2 == Set(1L, 2L), s"bloom path diverged: $survivors2")
   }
 
   test("pack command: materialized packs and fixed-length chunking") {

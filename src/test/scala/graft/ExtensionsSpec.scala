@@ -501,6 +501,29 @@ class ExtensionsSpec extends SparkFunSuite {
       _.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
   }
 
+  test("curation decontaminate stage: bloom path drops the same rows") {
+    import graft.ops.Curation
+    val contam = "the shared eight gram contamination sentence lives right here today"
+    val docs = Seq(
+      (1L, "plain clean prose about gardens and the weather in spring."),
+      (2L, s"prefix words then $contam and a tail."),
+      (3L, "another clean document that shares nothing with the eval set.")
+    ).toDF("doc_id", "text")
+    val evalDf = Seq((100L, contam)).toDF("doc_id", "text")
+    def run(bloom: Boolean) = Curation.curate(docs,
+      minQuality = 0.0, languages = Nil, nearDupThreshold = 0.99,
+      hygiene = Curation.HygieneConfig(decontaminate =
+        Some(Curation.DecontaminateConfig(evalDf, n = 8, bloom = bloom))))
+    val plain = run(bloom = false)
+    val bloomed = run(bloom = true)
+    assert(bloomed.stats.dropped("contaminated") == 1L)
+    assert(plain.stats.dropped == bloomed.stats.dropped,
+      "bloom decontamination must change the plan, never the ledger")
+    assert(plain.df.select("doc_id").as[Long].collect().sorted.toSeq ==
+      bloomed.df.select("doc_id").as[Long].collect().sorted.toSeq)
+    plain.release(); bloomed.release()
+  }
+
   test("curation dsir stage selects the k most target-like survivors, last") {
     import graft.ops.Curation
     val docs = ((1 to 20).map(i => (i.toLong, s"cat purr kitten whiskers nap c$i")) ++

@@ -423,6 +423,20 @@ class OpsSpec extends SparkFunSuite {
     Bloom.save(spark, merged, s"$dir/store.bloom")
     val loaded = Bloom.load(spark, s"$dir/store.bloom")
     assert(java.util.Arrays.equals(loaded, merged), "save/load must be byte-exact")
+    // broadcast probe: identical verdicts to the literal probe
+    val bc = Bloom.broadcastFilter(spark, bloom)
+    val bcProbed = keys.filter(Bloom.mightContain(bc, col("k"))).count()
+    assert(bcProbed == 500, "broadcast probe must match the literal probe")
+    val bcNull = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "k")
+      .select(Bloom.mightContain(bc, col("k")).as("m")).collect()
+    assert(bcNull.head.isNullAt(0), "broadcast probe: null key must probe null")
+    // an empty build yields an empty (never-matching, mergeable) filter
+    val empty = Bloom.build(keys.filter(lit(false)), col("k"), 10, 0.01)
+    assert(keys.filter(Bloom.mightContain(empty, col("k"))).count() == 0)
+    val mergedEmpty = Bloom.merge(empty,
+      Bloom.build(keys.limit(10), col("k"), 10, 0.01))
+    assert(keys.limit(10).filter(Bloom.mightContain(mergedEmpty, col("k"))).count() == 10,
+      "empty filter must merge with a same-geometry filter")
   }
 
   test("incremental dedup bloom: bit-identical to the exact path, incl. null text") {
