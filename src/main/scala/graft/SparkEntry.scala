@@ -863,6 +863,17 @@ object SparkEntry {
         tokenBudget = 2000, groups = 8, seed = 7)
         .select("doc_id", "pack_group", "pack_id", "pack_offset")
         .orderBy("doc_id")),
+    // Packing-efficiency report: per-pack doc/token totals plus the
+    // chunk count and pad waste a seqLen=512 slicing would produce —
+    // the pre-launch numbers a trainer reads. Full assignment +
+    // aggregation + integer chunk math replayed in DuckDB.
+    "q_pack_stats" -> ((s, dir) =>
+      graft.ops.Sampling.packStats(
+        graft.ops.Sampling.packSequences(
+          t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text",
+          tokenBudget = 2000, groups = 8, seed = 7),
+        seqLen = 512)
+        .orderBy("pack_group", "pack_id")),
     // Pack materialization: concatenated sequences in pack order; the
     // md5 of the assembled text pins the exact document order
     "q_pack_materialize" -> ((s, dir) =>
@@ -1061,6 +1072,18 @@ object SparkEntry {
           col("min_doc_tokens"), col("max_doc_tokens"),
           round(col("avg_doc_tokens"), 6).as("avg_doc_tokens"))
         .orderBy("is_total", "source")),
+    // Snapshot drift report: old = docs with doc_id % 5 != 0, new =
+    // docs with doc_id % 7 != 0 — per-source deltas, growth ratio and
+    // status verdict, both profile rollups + the null-safe full-outer
+    // join replayed in DuckDB.
+    "q_profile_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextAnalysis.profileDiff(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 7 =!= 0))
+        .withColumn("token_ratio", round(col("token_ratio"), 6))
+        .orderBy("is_total", "source")
+    }),
     // HTML-to-text: each doc wrapped in a synthesized page (style +
     // script blocks with angle brackets inside, entity soup incl. a
     // double-escaped &amp;amp;) and stripped back; the regex chain is
@@ -2569,6 +2592,28 @@ object SparkEntry {
         |       CAST(st - (st // 2000) * 2000 AS BIGINT) AS pack_offset
         |FROM cum ORDER BY doc_id""".stripMargin,
 
+    // same assignment replay, grouped; chunk/pad math in integers
+    // (CAST the HUGEINT-yielding sums and //)
+    "q_pack_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('pack:7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n, CAST(h % 8 AS INT) AS pack_group,
+        |    sum(n) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - n AS st
+        |  FROM d),
+        |packs AS (
+        |  SELECT pack_group, CAST(st // 2000 AS BIGINT) AS pack_id,
+        |         count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        |  FROM cum GROUP BY 1, 2)
+        |SELECT pack_group, pack_id, n_docs, n_tokens,
+        |       CAST((n_tokens + 511) // 512 AS BIGINT) AS n_chunks,
+        |       CAST((512 - n_tokens % 512) % 512 AS BIGINT) AS pad_tokens
+        |FROM packs ORDER BY pack_group, pack_id""".stripMargin,
+
     "q_pack_materialize" ->
       """WITH d AS (
         |  SELECT doc_id, text,
@@ -2907,6 +2952,49 @@ object SparkEntry {
         |  CAST(max(n) AS BIGINT) AS max_doc_tokens,
         |  round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_doc_tokens
         |FROM d GROUP BY ROLLUP(source) ORDER BY is_total, source""".stripMargin,
+
+    // both snapshot rollups + the null-safe full-outer join; status
+    // verdict and growth ratio recomputed identically
+    "q_profile_diff" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |o AS (
+        |  SELECT source AS g, CAST(GROUPING(source) AS INT) AS t,
+        |    count(*) AS docs,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS uniq,
+        |    CAST(sum(n) AS BIGINT) AS toks
+        |  FROM d WHERE doc_id % 5 != 0 GROUP BY ROLLUP(source)),
+        |nw AS (
+        |  SELECT source AS g, CAST(GROUPING(source) AS INT) AS t,
+        |    count(*) AS docs,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS uniq,
+        |    CAST(sum(n) AS BIGINT) AS toks
+        |  FROM d WHERE doc_id % 7 != 0 GROUP BY ROLLUP(source))
+        |SELECT
+        |  COALESCE(o.g, nw.g) AS source,
+        |  COALESCE(o.t, nw.t) AS is_total,
+        |  COALESCE(o.docs, 0) AS old_docs,
+        |  COALESCE(nw.docs, 0) AS new_docs,
+        |  COALESCE(nw.docs, 0) - COALESCE(o.docs, 0) AS delta_docs,
+        |  COALESCE(o.uniq, 0) AS old_unique_texts,
+        |  COALESCE(nw.uniq, 0) AS new_unique_texts,
+        |  COALESCE(o.toks, 0) AS old_tokens,
+        |  COALESCE(nw.toks, 0) AS new_tokens,
+        |  COALESCE(nw.toks, 0) - COALESCE(o.toks, 0) AS delta_tokens,
+        |  CASE WHEN COALESCE(o.toks, 0) = 0 THEN NULL
+        |       ELSE round(CAST(COALESCE(nw.toks, 0) AS DOUBLE) / o.toks, 6)
+        |  END AS token_ratio,
+        |  CASE WHEN o.docs IS NULL THEN 'added'
+        |       WHEN nw.docs IS NULL THEN 'removed'
+        |       WHEN COALESCE(nw.toks, 0) > COALESCE(o.toks, 0) THEN 'grown'
+        |       WHEN COALESCE(nw.toks, 0) < COALESCE(o.toks, 0) THEN 'shrunk'
+        |       ELSE 'stable' END AS status
+        |FROM o FULL OUTER JOIN nw
+        |  ON o.g IS NOT DISTINCT FROM nw.g AND o.t = nw.t
+        |ORDER BY is_total, source""".stripMargin,
 
     "q_html_strip" ->
       """WITH synth AS (

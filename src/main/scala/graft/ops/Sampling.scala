@@ -487,6 +487,65 @@ object Sampling {
             x => x.getField("__t")),
           sep).as(textCol))
 
+  /** Packing-efficiency stats, one row per pack — the numbers a
+    * trainer reads BEFORE launching: how many documents and tokens
+    * each [[packSequences]] assembly carries, how many fixed-length
+    * sequences chunking at `seqLen` will cut from it, and how many pad
+    * tokens its final partial sequence will waste (= tokens LOST if
+    * `dropPartial` instead). Count tokens with the SAME `tokenCount`
+    * the assignment was budgeted with. A pack's token total can exceed
+    * its budget: a document belongs wholly to the pack where its first
+    * token lands, so the last document spills past the boundary rather
+    * than splitting — chunk/pad numbers therefore account against
+    * `seqLen`, not the budget. One aggregation keyed
+    * (pack_group, pack_id), the same map-side-combinable shape as
+    * [[materializePacks]]. */
+  def packStats(assigned: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", seqLen: Int = 2048,
+      tokenCount: Option[Column] = None): DataFrame = {
+    require(seqLen >= 1, s"packStats wants seqLen >= 1, got $seqLen")
+    val needed = Seq("pack_group", "pack_id")
+      .filterNot(assigned.columns.contains)
+    require(needed.isEmpty,
+      s"packStats wants a packSequences frame; missing ${needed.mkString(", ")}")
+    val n = tokenCount.getOrElse(TextAnalysis.tokenCount(col(textCol))).cast("long")
+    assigned
+      .groupBy("pack_group", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(n).as("n_tokens"))
+      // integer `div`, not `/`: Column./ is double division and a
+      // float quotient could mis-round at large token counts
+      .withColumn("n_chunks",
+        expr(s"(n_tokens + ${seqLen - 1}L) div ${seqLen}L"))
+      .withColumn("pad_tokens",
+        (lit(seqLen.toLong) - pmod(col("n_tokens"), lit(seqLen.toLong)))
+          % seqLen.toLong)
+  }
+
+  /** The corpus-level rollup of [[packStats]], ONE row: pack/doc/token
+    * totals, mean fill against the assignment's `tokenBudget`, and the
+    * padded-training utilization at `seqLen`
+    * (total / (total + pad) — the fraction of trained-on positions
+    * that are real data). Sum/count division, no float accumulation;
+    * one bounded aggregate over the per-pack frame. */
+  def packReport(assigned: DataFrame, tokenBudget: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      seqLen: Int = 2048, tokenCount: Option[Column] = None): DataFrame = {
+    require(tokenBudget >= 1, s"packReport wants tokenBudget >= 1, got $tokenBudget")
+    packStats(assigned, idCol, textCol, seqLen, tokenCount)
+      .agg(
+        count(lit(1)).as("n_packs"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chunks")).as("total_chunks"),
+        sum(col("pad_tokens")).as("pad_tokens"))
+      .select(col("n_packs"), col("n_docs"), col("total_tokens"),
+        col("total_chunks"), col("pad_tokens"),
+        (col("total_tokens").cast("double") / (col("n_packs") * tokenBudget))
+          .as("mean_fill"),
+        (col("total_tokens").cast("double")
+          / (col("total_tokens") + col("pad_tokens"))).as("utilization"))
+  }
+
   /** Slice [[packSequences]] assignments into fixed-length training
     * sequences of EXACTLY `seqLen` whitespace tokens (the last chunk
     * of each pack may be shorter; `dropPartial` discards it) with

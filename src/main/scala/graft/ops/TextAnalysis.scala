@@ -316,6 +316,60 @@ object TextAnalysis {
         (sum(n).cast("double") / count(lit(1))).as("avg_doc_tokens"))
   }
 
+  /** Snapshot-over-snapshot corpus drift report — the governance
+    * check a RECURRING pipeline runs between refreshes: per `groupCol`
+    * stratum (plus the rollup total, `is_total = 1`), document /
+    * token / distinct-text counts of the old and new snapshots side
+    * by side with deltas, the token growth ratio, and a status verdict
+    * (`added` / `removed` / `grown` / `shrunk` / `stable`). Catches
+    * the failure modes counts alone hide: a source that silently
+    * vanished from a crawl, a stratum that doubled and will now
+    * dominate mixing weights, a dedup change that halved unique texts.
+    *
+    * Cost: one [[corpusProfile]] aggregation per snapshot (each a
+    * single scan) + a full-outer join of two STRATUM-sized frames —
+    * nothing row-scale moves. The join is null-safe on `groupCol`
+    * (the rollup total keys on NULL; a genuine null stratum is
+    * disambiguated by `is_total`). */
+  def profileDiff(oldDf: DataFrame, newDf: DataFrame,
+      groupCol: String = "source", textCol: String = "text",
+      tokens: Option[Column] = None): DataFrame = {
+    def side(df: DataFrame, p: String) =
+      corpusProfile(df, groupCol, textCol, tokens)
+        .select(col(groupCol).as(s"${p}_g"), col("is_total").as(s"${p}_t"),
+          col("n_docs").as(s"${p}_docs"),
+          col("n_unique_texts").as(s"${p}_unique_texts"),
+          col("n_tokens").as(s"${p}_tokens"))
+    val o = side(oldDf, "old")
+    val n = side(newDf, "new")
+    o.join(n,
+        col("old_g") <=> col("new_g") && col("old_t") === col("new_t"),
+        "full_outer")
+      .select(
+        coalesce(col("old_g"), col("new_g")).as(groupCol),
+        coalesce(col("old_t"), col("new_t")).as("is_total"),
+        coalesce(col("old_docs"), lit(0L)).as("old_docs"),
+        coalesce(col("new_docs"), lit(0L)).as("new_docs"),
+        (coalesce(col("new_docs"), lit(0L))
+          - coalesce(col("old_docs"), lit(0L))).as("delta_docs"),
+        coalesce(col("old_unique_texts"), lit(0L)).as("old_unique_texts"),
+        coalesce(col("new_unique_texts"), lit(0L)).as("new_unique_texts"),
+        coalesce(col("old_tokens"), lit(0L)).as("old_tokens"),
+        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"),
+        (coalesce(col("new_tokens"), lit(0L))
+          - coalesce(col("old_tokens"), lit(0L))).as("delta_tokens"),
+        when(coalesce(col("old_tokens"), lit(0L)) === 0L, lit(null).cast("double"))
+          .otherwise(coalesce(col("new_tokens"), lit(0L)).cast("double")
+            / col("old_tokens")).as("token_ratio"),
+        when(col("old_docs").isNull, "added")
+          .when(col("new_docs").isNull, "removed")
+          .when(coalesce(col("new_tokens"), lit(0L))
+            > coalesce(col("old_tokens"), lit(0L)), "grown")
+          .when(coalesce(col("new_tokens"), lit(0L))
+            < coalesce(col("old_tokens"), lit(0L)), "shrunk")
+          .otherwise("stable").as("status"))
+  }
+
   /** One-pass enrichment of a document frame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

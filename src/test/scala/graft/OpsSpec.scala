@@ -194,6 +194,80 @@ class OpsSpec extends SparkFunSuite {
     assert(mat == expectedPacks)
   }
 
+  test("profileDiff: added/removed/grown/shrunk/stable verdicts per stratum") {
+    import graft.ops.TextAnalysis
+    val oldSnap = Seq(
+      ("web", "one two three"), ("web", "four five"),
+      ("books", "a b c d"),
+      ("gone", "x y z"),
+      ("same", "p q")
+    ).toDF("source", "text")
+    val newSnap = Seq(
+      ("web", "one two three"), ("web", "four five"), ("web", "six seven"),
+      ("books", "a b"),
+      ("fresh", "n m"),
+      ("same", "p q")
+    ).toDF("source", "text")
+    val d = TextAnalysis.profileDiff(oldSnap, newSnap)
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1)) -> r).toMap
+    def row(g: String) = d((Some(g), 0))
+    assert(row("web").getAs[String]("status") == "grown")
+    assert(row("web").getAs[Long]("delta_tokens") == 2L)
+    assert(row("web").getAs[Double]("token_ratio") == 7.0 / 5.0)
+    assert(row("books").getAs[String]("status") == "shrunk")
+    assert(row("gone").getAs[String]("status") == "removed")
+    assert(row("gone").getAs[Long]("new_docs") == 0L)
+    assert(row("fresh").getAs[String]("status") == "added")
+    assert(row("fresh").getAs[Long]("old_docs") == 0L)
+    assert(row("fresh").isNullAt(row("fresh").fieldIndex("token_ratio")))
+    assert(row("same").getAs[String]("status") == "stable")
+    // the rollup totals pair up on the NULL key
+    val total = d((None, 1))
+    assert(total.getAs[Long]("old_docs") == 5L)
+    assert(total.getAs[Long]("new_docs") == 6L)
+    // 14 old tokens vs 13 new: more docs, fewer tokens — the exact
+    // drift pattern the per-stratum report exists to surface
+    assert(total.getAs[String]("status") == "shrunk")
+  }
+
+  test("packStats/packReport: hand-computed fill, chunk and pad numbers") {
+    import graft.ops.Sampling
+    // one group, one pack: 5 + 7 + 4 + 0 = 16 tokens
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 7).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 4).map(i => s"c$i").mkString(" ")),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val assigned = Sampling.packSequences(docs, "doc_id", "text",
+      tokenBudget = 100, groups = 1, seed = 1)
+    val st = Sampling.packStats(assigned, seqLen = 6).collect()
+    assert(st.length == 1)
+    val r = st.head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 16L)
+    assert(r.getAs[Long]("n_chunks") == 3L)  // 6 + 6 + 4
+    assert(r.getAs[Long]("pad_tokens") == 2L) // final chunk pads 4 -> 6
+    // an exactly-full pack pads nothing
+    val full = Sampling.packStats(
+      Sampling.packSequences(
+        Seq((1L, ("x " * 12).trim)).toDF("doc_id", "text"),
+        "doc_id", "text", tokenBudget = 100, groups = 1, seed = 1),
+      seqLen = 6).collect().head
+    assert(full.getAs[Long]("n_chunks") == 2L)
+    assert(full.getAs[Long]("pad_tokens") == 0L)
+    // report rollup: totals + exact divisions
+    val rep = Sampling.packReport(assigned, tokenBudget = 100, seqLen = 6)
+      .collect().head
+    assert(rep.getAs[Long]("n_packs") == 1L)
+    assert(rep.getAs[Long]("n_docs") == 4L)
+    assert(rep.getAs[Long]("total_tokens") == 16L)
+    assert(rep.getAs[Long]("total_chunks") == 3L)
+    assert(rep.getAs[Long]("pad_tokens") == 2L)
+    assert(math.abs(rep.getAs[Double]("mean_fill") - 0.16) < 1e-12)
+    assert(math.abs(rep.getAs[Double]("utilization") - 16.0 / 18.0) < 1e-12)
+  }
+
   test("chunkPacks: exact-length slices, doc boundaries tile every chunk") {
     import graft.ops.Sampling
     val docs = Seq(
