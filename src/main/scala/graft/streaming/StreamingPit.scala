@@ -20,6 +20,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    State holds a bounded buffer (not just the latest row) so a
   *    feature that is still embargoed for one label can serve a later
   *    one; entries older than `retention` are pruned on every update.
+  *  - [[streamingExactDedup]]: watermark-bounded exact dedup of a
+  *    document stream (`dropDuplicatesWithinWatermark` on the content
+  *    fingerprint).
+  *  - [[streamingNearDupHits]]: MinHash/LSH near-dup detection on a
+  *    live ingest feed — the batch banding made incremental with
+  *    per-bucket state, a maxBucket degenerate guard, and event-time
+  *    eviction.
   *
   * Caveat (documented, tested): within a micro-batch, arrival order
   * inside a key group is the event order Spark hands the group — the
@@ -73,6 +80,128 @@ object StreamingPit {
     fp.filter(col("__fp").isNotNull).dropDuplicatesWithinWatermark("__fp")
       .union(fp.filter(col("__fp").isNull))
       .drop("__fp")
+  }
+
+  final case class BandedDoc(
+      band: Int, bucket: String, id: Long, sig: Seq[String], eventTime: Timestamp)
+
+  final case class BucketMembers(
+      ids: List[Long], sigs: List[List[String]], newestMs: Long)
+
+  /** One near-dup sighting: `id` collided with prior document
+    * `against` in (band, bucket) with MinHash-estimated Jaccard
+    * `best_est` >= the query's threshold. Grain is (id, band) — a
+    * document similar on several bands reports once per colliding
+    * band; consumers needing distinct ids dedup downstream. */
+  final case class NearDupHit(
+      id: Long, band: Int, bucket: String, best_est: Double, against: Long)
+
+  /** Streaming near-duplicate detection — the MinHash/LSH monitor for
+    * a live ingest feed: each arriving document's signature is checked
+    * against the PRIOR members of every LSH bucket it lands in, and a
+    * [[NearDupHit]] is emitted when the estimated Jaccard reaches
+    * `threshold`. The batch operator's banding exactly
+    * ([[graft.ops.Dedup.lshBucketsFromSigs]]' md5-of-band-slice
+    * buckets, shingle-less documents dropped — no similarity
+    * evidence), made incremental: state per (band, bucket) holds the
+    * bucket's member signatures, capped at `maxBucket` (the
+    * degenerate-bucket guard — past the cap new members are compared
+    * against the retained prefix but not added, so per-event work
+    * stays bounded on pathological buckets), and evicted by an
+    * EVENT-TIME timer once the watermark passes the bucket's newest
+    * arrival plus `retention` — state is bounded by buckets ACTIVE
+    * within the horizon, not buckets ever seen.
+    *
+    * "Prior" = earlier (eventTime, id) within a micro-batch, arrival
+    * order across batches — the same guarantee streaming exact dedup
+    * gives. `idCol` must be castable to long (hash string ids first).
+    */
+  def streamingNearDupHits(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      eventTimeCol: String,
+      k: Int = 16,
+      bands: Int = 4,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      watermark: String = "1 hour",
+      retention: Duration = Duration.ofHours(1),
+      maxBucket: Int = 1000
+  ): Dataset[NearDupHit] = {
+    require(k % bands == 0, "k must divide into equal bands")
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = k / bands
+    val sigCol = graft.ops.Dedup.minhashSignatureFromShingles(
+      graft.ops.Dedup.shingles(col(textCol), n), k)
+    val bandStructs = array(
+      (0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          md5(
+            concat_ws("|",
+              slice(col("__sig"), b * rows + 1, rows)))
+            .as("bucket"))
+      }: _*)
+    // the watermark is applied to the KEPT timestamp column after the
+    // projections — tagging the input column and then projecting it
+    // away would leave the stateful operator with no event-time column
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"),
+        col(eventTimeCol).cast("timestamp").as("eventTime"), sigCol.as("__sig"))
+      // no shingles -> null signature -> no similarity evidence (the
+      // batch operator drops these from bucketing identically)
+      .filter(element_at(col("__sig"), 1).isNotNull)
+      .select(explode(bandStructs).as("__b"),
+        col("id"), col("__sig").as("sig"), col("eventTime"))
+      .select(col("__b.band").as("band"), col("__b.bucket").as("bucket"),
+        col("id"), col("sig"), col("eventTime"))
+      .withWatermark("eventTime", watermark)
+      .as[BandedDoc]
+    val retentionMs = retention.toMillis
+    banded
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, String), events: Iterator[BandedDoc],
+         state: GroupState[BucketMembers]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BucketMembers(Nil, Nil, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            events.toArray.sortBy(d => (d.eventTime.getTime, d.id)).foreach { d =>
+              val sigList = d.sig.toList
+              var bestEst = -1.0
+              var bestId = Long.MaxValue
+              st.ids.zip(st.sigs).foreach { case (pid, psig) =>
+                var eq = 0
+                var i = 0
+                while (i < k) { if (sigList(i) == psig(i)) eq += 1; i += 1 }
+                val est = eq.toDouble / k
+                if (est > bestEst || (est == bestEst && pid < bestId)) {
+                  bestEst = est; bestId = pid
+                }
+              }
+              if (bestEst >= threshold)
+                out += NearDupHit(d.id, key._1, key._2, bestEst, bestId)
+              val newest = math.max(st.newestMs, d.eventTime.getTime)
+              st =
+                if (st.ids.size < maxBucket)
+                  BucketMembers(d.id :: st.ids, sigList :: st.sigs, newest)
+                else st.copy(newestMs = newest)
+            }
+            state.update(st)
+            if (st.newestMs > Long.MinValue) {
+              val target = math.max(st.newestMs + retentionMs,
+                state.getCurrentWatermarkMs() + 1)
+              state.setTimeoutTimestamp(target)
+            }
+            out.iterator
+          }
+        })
   }
 
   final case class Event(

@@ -1308,6 +1308,46 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(out.toSeq == Seq(1L, 3L))
   }
 
+  test("streaming near-dup hits: prior-member collisions flagged, state evicts, distinct passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the old barn today"
+    val twin = base + " extra"                       // high-Jaccard near-dup
+    val other = "completely different words about winter harbors and ice floes"
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "event_time", "text")
+    val q = StreamingPit.streamingNearDupHits(df, "doc_id", "text", "event_time",
+        k = 16, bands = 4, n = 3, threshold = 0.5, watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sneardup").start()
+    // batch 1: original + unrelated doc — no hits
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00"), base),
+      (2L, ts("2024-01-01 00:01:00"), other))
+    q.processAllAvailable()
+    // batch 2: the near-twin of doc 1 arrives -> flagged against 1
+    input.addData((3L, ts("2024-01-01 00:02:00"), twin))
+    q.processAllAvailable()
+    val hits = spark.sql("SELECT id, best_est, against FROM sneardup")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(hits.nonEmpty, "near-twin must collide with its prior")
+    assert(hits.forall { case (id, est, against) =>
+      id == 3L && against == 1L && est >= 0.5 })
+    // the estimate matches the batch operator's on the same pair
+    val batchEst = graft.ops.Dedup.minhashJaccardPairs(
+        Seq((1L, base), (3L, twin)).toDF("doc_id", "text"),
+        "doc_id", "text", k = 16, bands = 4, n = 3, threshold = 0.1)
+      .select("est_jaccard").as[Double].head()
+    assert(hits.forall { case (_, est, _) => est == batchEst },
+      s"stream estimate must equal batch estimate $batchEst")
+    // an exact repeat of doc 2 also flags (est 1.0)
+    input.addData((4L, ts("2024-01-01 00:03:00"), other))
+    q.processAllAvailable()
+    val all = spark.sql("SELECT DISTINCT id FROM sneardup")
+      .collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(all.toSeq == Seq(3L, 4L))
+  }
+
   test("streaming hygiene: the verdict kernel filters a live stream statelessly") {
     // the whole scan-side curation gate (C4 + Gopher + repetition +
     // quality + language) is one stateless codegen'd expression, so it
