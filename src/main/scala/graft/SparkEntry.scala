@@ -1072,6 +1072,13 @@ object SparkEntry {
           col("min_doc_tokens"), col("max_doc_tokens"),
           round(col("avg_doc_tokens"), 6).as("avg_doc_tokens"))
         .orderBy("is_total", "source")),
+    // Top-k frequent n-grams: the boilerplate/template discovery
+    // report — one explode, map-side-combined occurrence counts, exact
+    // distinct-doc counts, TakeOrdered top-k; fully replayed in DuckDB.
+    "q_top_ngrams" -> ((s, dir) =>
+      graft.ops.TextAnalysis.topNgrams(
+        t(s, dir, "documents"), n = 3, k = 25, idCol = Some("doc_id"))
+        .orderBy(col("n_occurrences").desc, col("ngram").asc)),
     // Snapshot drift report: old = docs with doc_id % 5 != 0, new =
     // docs with doc_id % 7 != 0 — per-source deltas, growth ratio and
     // status verdict, both profile rollups + the null-safe full-outer
@@ -2952,6 +2959,22 @@ object SparkEntry {
         |  CAST(max(n) AS BIGINT) AS max_doc_tokens,
         |  round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_doc_tokens
         |FROM d GROUP BY ROLLUP(source) ORDER BY is_total, source""".stripMargin,
+
+    // same whitespace n-gram split as the decontamination replay,
+    // WITHOUT list_distinct (occurrences, not per-doc shingle sets)
+    "q_top_ngrams" ->
+      """WITH d AS (
+        |  SELECT doc_id AS doc,
+        |         regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc, unnest(list_transform(generate_series(1, len(w)-2),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS ngram
+        |  FROM d WHERE len(w) >= 3)
+        |SELECT ngram, count(*) AS n_occurrences,
+        |       CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+        |FROM g GROUP BY 1
+        |ORDER BY n_occurrences DESC, ngram LIMIT 25""".stripMargin,
 
     // both snapshot rollups + the null-safe full-outer join; status
     // verdict and growth ratio recomputed identically

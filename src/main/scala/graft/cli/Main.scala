@@ -111,7 +111,7 @@ object Main {
       |  pack    --input PATH --output PATH [--id-col doc_id] [--text-col text]
       |          [--token-budget 2048] [--groups 1024] [--seed 42]
       |          [--token-count bpe|whitespace|COL | --tokenizer DIR]
-      |          [--seq-len N [--drop-partial]]
+      |          [--seq-len N [--drop-partial]] [--report]
       |          [--ids [--keep-partial] [--eos TOK] [--pad TOK]]
       |          (--seq-len chunks into fixed-length sequences with doc
       |           boundaries; without it packs are concatenated whole;
@@ -134,8 +134,9 @@ object Main {
       |           negatives, keep docs with P(quality) >= min-prob;
       |           --score-only writes quality_prob instead of filtering)
       |  profile --input PATH [--group-col source] [--text-col text]
-      |          [--tokenizer DIR] [--json PATH]
-      |          (--tokenizer counts real BPE tokens instead of whitespace)
+      |          [--tokenizer DIR] [--json PATH] [--diff-against OLD_PATH]
+      |          (--tokenizer counts real BPE tokens instead of whitespace;
+      |           --diff-against prints the snapshot drift report instead)
       |          (per-group corpus stats + total: docs, distinct texts,
       |           tokens, chars, doc-token min/max/mean — one agg pass)
       |  shuffle --input PATH --output PATH [--id-col doc_id] [--seed 42]
@@ -882,6 +883,19 @@ object Main {
     writeCorpus(out, output, f.get("output-format"))
     val n = readCorpus(spark, output, f.get("output-format")).count()
     println(s"${if (f.contains("seq-len")) "sequences" else "packs"}=$n written=$output")
+    // --report: the packing-efficiency rollup (fill vs budget, pad
+    // waste at the chunking seqLen) a trainer reads before launching
+    if (f.contains("report")) {
+      val r = Sampling.packReport(assigned,
+        tokenBudget = f.getOrElse("token-budget", "2048").toLong,
+        idCol = idCol, textCol = textCol,
+        seqLen = f.getOrElse("seq-len", "2048").toInt,
+        tokenCount = tokenCount).collect().head
+      println(f"packs=${r.getAs[Long]("n_packs")} docs=${r.getAs[Long]("n_docs")} " +
+        f"tokens=${r.getAs[Long]("total_tokens")} chunks=${r.getAs[Long]("total_chunks")} " +
+        f"pad=${r.getAs[Long]("pad_tokens")} mean_fill=${r.getAs[Double]("mean_fill")}%.4f " +
+        f"utilization=${r.getAs[Double]("utilization")}%.4f")
+    }
     0
   }
 
@@ -991,6 +1005,32 @@ object Main {
     // consumes) instead of the whitespace default
     val tokens = f.get("tokenizer").map(vp => graft.ops.Tokenizer.tokenCount(
       col(textCol), graft.ops.Tokenizer.load(spark, vp)))
+    // --diff-against OLD: the snapshot drift report instead of the
+    // single-corpus profile — old = that path, new = --input
+    f.get("diff-against").foreach { oldPath =>
+      val d = graft.ops.TextAnalysis.profileDiff(
+          readCorpus(spark, oldPath, f.get("input-format")),
+          readCorpus(spark, input, f.get("input-format")),
+          groupCol, textCol, tokens)
+        .orderBy(col("is_total"), col(groupCol))
+        .collect()
+      val hdr = Seq(groupCol, "old_docs", "new_docs", "old_tokens",
+        "new_tokens", "delta_tokens", "ratio", "status")
+      val tbl = d.map { r =>
+        Seq(if (r.getAs[Int]("is_total") == 1) "TOTAL" else String.valueOf(r.get(0)),
+          r.getAs[Long]("old_docs").toString, r.getAs[Long]("new_docs").toString,
+          r.getAs[Long]("old_tokens").toString, r.getAs[Long]("new_tokens").toString,
+          r.getAs[Long]("delta_tokens").toString,
+          if (r.isNullAt(r.fieldIndex("token_ratio"))) "-"
+          else f"${r.getAs[Double]("token_ratio")}%.3f",
+          r.getAs[String]("status"))
+      }
+      val ws = (hdr +: tbl.toSeq).transpose.map(_.map(_.length).max)
+      (hdr +: tbl.toSeq).foreach { cells =>
+        println(cells.zip(ws).map { case (c, w) => c.padTo(w, ' ') }.mkString("  "))
+      }
+      return 0
+    }
     val rows = graft.ops.TextAnalysis.corpusProfile(
         readCorpus(spark, input, f.get("input-format")),
         groupCol, textCol, tokens)

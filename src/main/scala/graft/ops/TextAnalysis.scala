@@ -266,6 +266,39 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("doc_freq"))
 
+  /** The k most frequent word n-grams of a corpus, with occurrence and
+    * document counts — the discovery report behind every boilerplate /
+    * contamination / template hunt ("which exact phrases dominate this
+    * crawl?"). One explode pass; occurrences partially aggregate
+    * map-side on the n-gram key and the per-document count is an exact
+    * `countDistinct` over the doc fingerprint (Spark's standard
+    * two-phase distinct aggregate — only (ngram, fingerprint) pairs
+    * shuffle, never documents); the top-k cut plans as
+    * TakeOrderedAndProject, so corpus-wide counts are never globally
+    * sorted or collected. Ties break toward the lexicographically
+    * smaller n-gram (deterministic output).
+    *
+    * `idCol` keys the document count; omitted, the text fingerprint
+    * stands in — byte-identical documents then count as ONE (fine for
+    * post-dedup corpora, undercounts raw crawls with exact repeats). */
+  def topNgrams(df: DataFrame, n: Int = 3, k: Int = 20,
+      textCol: String = "text", idCol: Option[String] = None): DataFrame = {
+    require(n >= 1, s"topNgrams wants n >= 1, got $n")
+    require(k >= 1, s"topNgrams wants k >= 1, got $k")
+    val w = tokens(col(textCol))
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+    val docKey = idCol.map(col).getOrElse(md5(col(textCol)))
+    df.select(docKey.as("__doc"), explode(grams).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("__doc")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(k)
+  }
+
   /** Strip HTML to text — the first step of every web-crawl pipeline:
     * drop `<script>`/`<style>` blocks with their contents, replace
     * every remaining tag with a space (so `</p><p>` cannot weld
@@ -368,6 +401,20 @@ object TextAnalysis {
           .when(coalesce(col("new_tokens"), lit(0L))
             < coalesce(col("old_tokens"), lit(0L)), "shrunk")
           .otherwise("stable").as("status"))
+  }
+
+  /** Compression-ratio quality signal (`deflated_bytes / raw_utf8_bytes`
+    * — the RedPajama-v2-family heuristic): natural prose lands roughly
+    * in 0.3–0.7; template/keyword-stuffed repetition falls far below,
+    * high-entropy junk (minified blobs, encoded binaries) sits near or
+    * above 1 (deflate overhead can exceed 1 on short strings — filter
+    * on length first, as every deployment of this signal does). One
+    * codegen'd kernel call per row ([[graft.functions.TextZip]]),
+    * deterministic, no model. Null on null or empty text. */
+  def compressionRatio(text: Column): Column = {
+    val raw = octet_length(text)
+    when(text.isNull || raw === 0, lit(null).cast("double"))
+      .otherwise(graft.functions.TextZip.deflateSizeCol(text).cast("double") / raw)
   }
 
   /** One-pass enrichment of a document frame. */

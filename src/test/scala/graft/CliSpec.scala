@@ -393,6 +393,17 @@ class CliSpec extends SparkFunSuite {
     val packs = spark.read.parquet(packsOut)
     assert(packs.columns.toSet == Set("pack_group", "pack_id", "n_docs", "text"))
     assert(packs.count() > 0)
+    // --report: the efficiency rollup prints after the write (50 docs
+    // x 30 tokens through the same assignment)
+    val repCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(repCap)) {
+      assert(graft.cli.Main.cmdPack(Array(
+        "--input", in, "--output", s"$dir/packs2.parquet",
+        "--token-budget", "100", "--groups", "2", "--report")) == 0)
+    }
+    val rep = repCap.toString
+    assert(rep.contains("tokens=1500"), rep)
+    assert(rep.contains("mean_fill=") && rep.contains("utilization="), rep)
     // chunking mode: every non-trailing sequence holds exactly seq-len
     // tokens and carries its doc boundaries
     val chunksOut = s"$dir/chunks.parquet"
@@ -497,6 +508,21 @@ class CliSpec extends SparkFunSuite {
     assert(parsed.size == 3)
     val total = parsed.find(_("is_total") == 1L).get
     assert(total("n_docs") == 25L, s"got $total")
+    // --diff-against: the drift report — "code" removed, "web" grown
+    val oldIn = s"$dir/docs_old.parquet"
+    ((1 to 10).map(i => (i.toLong, "web", s"alpha beta doc $i")) ++
+      (21 to 25).map(i => (i.toLong, "code", s"x = $i")) ++
+      (30 to 32).map(i => (i.toLong, "gone", s"legacy row $i")))
+      .toDF("doc_id", "source", "text").write.parquet(oldIn)
+    val diffCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(diffCap)) {
+      assert(graft.cli.Main.cmdProfile(Array(
+        "--input", in, "--diff-against", oldIn)) == 0)
+    }
+    val diffPrinted = diffCap.toString
+    assert(diffPrinted.contains("grown"), diffPrinted)
+    assert(diffPrinted.contains("removed"), diffPrinted)
+    assert(diffPrinted.contains("TOTAL"), diffPrinted)
     // shuffle with --index --shards: global_idx must equal the
     // cross-shard read-back position of the shard-ordered layout
     val shufOut = s"$dir/shuffled.parquet"

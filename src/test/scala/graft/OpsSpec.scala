@@ -194,6 +194,52 @@ class OpsSpec extends SparkFunSuite {
     assert(mat == expectedPacks)
   }
 
+  test("topNgrams: occurrence vs doc counts, deterministic ties, short docs skipped") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "the cat sat on the cat sat mat"), // "the cat sat" twice in one doc
+      (2L, "the cat sat quietly"),
+      (3L, "dogs bark"), // < 3 tokens: no grams
+      (4L, "zz aa bb"), (5L, "zz aa bb")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(df, n = 3, k = 3, idCol = Some("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.head == (("the cat sat", 3L, 2L)),
+      s"3 occurrences across 2 docs expected, got ${top.head}")
+    // docs 4 and 5 are byte-identical: with a real id they count as 2
+    assert(top(1) == (("zz aa bb", 2L, 2L)))
+    assert(top.length == 3)
+    // without an id column the fingerprint collapses exact repeats
+    val byFp = TextAnalysis.topNgrams(df, n = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(byFp(1) == (("zz aa bb", 2L, 1L)))
+    // k cuts, deterministically by (count desc, ngram asc)
+    val all = TextAnalysis.topNgrams(df, n = 3, k = 100).collect()
+    assert(all.map(_.getLong(1)).toSeq == all.map(_.getLong(1)).sorted.reverse.toSeq)
+  }
+
+  test("compression ratio separates repetitive and high-entropy text from prose") {
+    import graft.ops.TextAnalysis
+    val prose = "The quick brown fox jumps over the lazy dog while " +
+      "morning light settles across the quiet harbor town and fishermen " +
+      "prepare their nets for the long day ahead on open water."
+    val repetitive = "spam " * 200
+    val df = Seq(
+      ("prose", prose), ("rep", repetitive.trim),
+      ("empty", ""), ("nul", null.asInstanceOf[String])
+    ).toDF("k", "text")
+      .select(col("k"), TextAnalysis.compressionRatio(col("text")).as("r"))
+    val r = df.collect().map(x => x.getString(0) ->
+      (if (x.isNullAt(1)) Double.NaN else x.getDouble(1))).toMap
+    assert(r("rep") < r("prose"), s"repetition must compress below prose: $r")
+    assert(r("prose") < 0.9 && r("prose") > 0.2, s"prose ratio out of band: $r")
+    assert(r("empty").isNaN && r("nul").isNaN, "empty/null yield null")
+    // deterministic across evaluations
+    val again = Seq(("prose", prose)).toDF("k", "text")
+      .select(TextAnalysis.compressionRatio(col("text"))).head().getDouble(0)
+    assert(again == r("prose"))
+  }
+
   test("profileDiff: added/removed/grown/shrunk/stable verdicts per stratum") {
     import graft.ops.TextAnalysis
     val oldSnap = Seq(
