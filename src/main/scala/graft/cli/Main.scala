@@ -135,8 +135,10 @@ object Main {
       |           --score-only writes quality_prob instead of filtering)
       |  profile --input PATH [--group-col source] [--text-col text]
       |          [--tokenizer DIR] [--json PATH] [--diff-against OLD_PATH]
+      |          [--top-ngrams K [--ngram-n 3] [--id-col COL]]
       |          (--tokenizer counts real BPE tokens instead of whitespace;
-      |           --diff-against prints the snapshot drift report instead)
+      |           --diff-against prints the snapshot drift report instead;
+      |           --top-ngrams appends the frequent-phrase discovery table)
       |          (per-group corpus stats + total: docs, distinct texts,
       |           tokens, chars, doc-token min/max/mean — one agg pass)
       |  shuffle --input PATH --output PATH [--id-col doc_id] [--seed 42]
@@ -1031,6 +1033,20 @@ object Main {
       }
       return 0
     }
+    // --top-ngrams K: append the frequent-phrase discovery table
+    // (boilerplate/template hunt) after the profile
+    def printTopNgrams(): Unit = f.get("top-ngrams").foreach { kk =>
+      val idc = f.get("id-col") // optional: exact doc counts over an id
+      val t = graft.ops.TextAnalysis.topNgrams(
+          readCorpus(spark, input, f.get("input-format")),
+          n = f.getOrElse("ngram-n", "3").toInt, k = kk.toInt,
+          textCol = textCol, idCol = idc)
+        .collect()
+      println(s"top ${t.length} ngrams (n=${f.getOrElse("ngram-n", "3")}):")
+      t.foreach { r =>
+        println(f"  ${r.getLong(1)}%8d occ  ${r.getLong(2)}%8d docs  ${r.getString(0)}")
+      }
+    }
     val rows = graft.ops.TextAnalysis.corpusProfile(
         readCorpus(spark, input, f.get("input-format")),
         groupCol, textCol, tokens)
@@ -1066,6 +1082,7 @@ object Main {
       Files.writeString(Paths.get(jp), json + "\n")
       println(s"json=$jp")
     }
+    printTopNgrams()
     0
   }
 

@@ -452,8 +452,18 @@ object Sampling {
       s"packSequences writes ${clobbered.mkString(", ")}; rename the existing column(s) first")
     val h = unitHash(col(idCol), seed, "pack")
     val n = tokenCount.getOrElse(TextAnalysis.tokenCount(col(textCol))).cast("long")
+    // pack_group is materialized BEFORE the window and the window
+    // partitions by the COLUMN, not the expression: the window's
+    // output partitioning is then hashpartitioning(pack_group)
+    // itself, so every downstream consumer keyed on a (pack_group,
+    // ...) superset — the materialize/stats aggregations, chunkPacks'
+    // within-pack window — reuses THIS exchange instead of
+    // re-shuffling the corpus (PlanSpec pins the family's exchange
+    // counts). Partitioning by the raw pmod expression is the same
+    // grouping, but Spark cannot prove the later pack_group alias
+    // equal to the window's internally-extracted partition attribute.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(pmod(h, lit(groups.toLong)))
+      .partitionBy(col("pack_group"))
       .orderBy(h.asc, col(idCol).asc)
     // the running sum is materialized ONCE: deriving pack_id and
     // pack_offset from it in later projections (instead of repeating

@@ -523,6 +523,16 @@ class CliSpec extends SparkFunSuite {
     assert(diffPrinted.contains("grown"), diffPrinted)
     assert(diffPrinted.contains("removed"), diffPrinted)
     assert(diffPrinted.contains("TOTAL"), diffPrinted)
+    // --top-ngrams: the frequent-phrase table appends after the profile
+    val topCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(topCap)) {
+      assert(graft.cli.Main.cmdProfile(Array(
+        "--input", in, "--top-ngrams", "2", "--ngram-n", "2",
+        "--id-col", "doc_id")) == 0)
+    }
+    val topPrinted = topCap.toString
+    assert(topPrinted.contains("top 2 ngrams"), topPrinted)
+    assert(topPrinted.contains("alpha beta"), topPrinted)
     // shuffle with --index --shards: global_idx must equal the
     // cross-shard read-back position of the shard-ordered layout
     val shufOut = s"$dir/shuffled.parquet"

@@ -299,6 +299,25 @@ class PlanSpec extends SparkFunSuite {
     assert(semiIdx >= 0, s"no broadcast semi join:\n$plan")
   }
 
+  test("packStats reuses the assignment partitioning; topNgrams plans TakeOrdered") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val stats = graft.ops.Sampling.packStats(
+      graft.ops.Sampling.packSequences(docs, "doc_id", "text",
+        tokenBudget = 2000, groups = 8), seqLen = 512)
+    val statsPlan = planOf(stats)
+    // the (pack_group, pack_id) aggregation is satisfied by the
+    // window's hashpartitioning(pack_group): ONE exchange total
+    assert("Exchange hashpartitioning".r.findAllIn(statsPlan).size == 1,
+      s"packStats must reuse the assignment exchange:\n$statsPlan")
+    val top = graft.ops.TextAnalysis.topNgrams(docs, n = 3, k = 25,
+      idCol = Some("doc_id"))
+    val topPlan = planOf(top)
+    assert(topPlan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrdered, not a global sort:\n$topPlan")
+    assert(topPlan.contains("partial_count") || topPlan.contains("HashAggregate"),
+      s"occurrence counts must partially aggregate:\n$topPlan")
+  }
+
   test("bloom incremental dedup: store side scans without an exchange; probe is codegen'd") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // cached: the store feeds both the bloom build and the exact check
@@ -447,17 +466,20 @@ class PlanSpec extends SparkFunSuite {
       s"missing partial aggregation in exactsubstr aggs:\n$plan")
   }
 
-  test("pack chunking reuses the window partitioning: two exchanges total, no join") {
+  test("pack chunking reuses the assignment partitioning: ONE exchange total, no join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     val assigned = graft.ops.Sampling.packSequences(
       docs, "doc_id", "text", tokenBudget = 2000, groups = 8)
     val plan = planOf(graft.ops.Sampling.chunkPacks(
       assigned, "doc_id", "text", seqLen = 512))
-    // one exchange for the assignment window (group key), one for the
-    // chunking window (pack key); the per-chunk reassembly aggregation
-    // clusters on a superset of the pack key and adds NO third exchange
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
-      s"assignment + chunking must shuffle exactly twice total:\n$plan")
+    // the assignment window partitions by the pack_group COLUMN, so
+    // hashpartitioning(pack_group) satisfies the chunking window's
+    // (pack_group, pack_id) clustering AND the per-chunk reassembly
+    // aggregation: the whole chain shuffles the corpus ONCE (improved
+    // from two exchanges when the window keyed on the raw pmod
+    // expression, which downstream consumers could not match)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"assignment + chunking must shuffle exactly once total:\n$plan")
     assert(!plan.contains("Join"), s"chunking joins nothing:\n$plan")
   }
 
@@ -478,7 +500,7 @@ class PlanSpec extends SparkFunSuite {
       s"line dedup must stay inside whole-stage codegen:\n$plan")
   }
 
-  test("packToSequences keeps the chunkPacks shape: encode is scan-side, two exchanges, no join") {
+  test("packToSequences keeps the chunkPacks shape: encode is scan-side, ONE exchange, no join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text")
     val vocab = graft.ops.Tokenizer.train(docs, vocabSize = 300,
@@ -486,10 +508,11 @@ class PlanSpec extends SparkFunSuite {
     val plan = planOf(graft.ops.Tokenizer.packToSequences(
       docs, vocab, seqLen = 128, groups = 4, dropPartial = false))
     // tokenize adds NO exchange of its own (codegen'd scan-side
-    // kernel); packing window + id-chunking window are the only two,
-    // and the reassembly agg clusters on a superset of the pack key
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
-      s"tokenize + pack + id-chunk must shuffle exactly twice total:\n$plan")
+    // kernel); the packing window's hashpartitioning(pack_group)
+    // satisfies the id-chunking window and the reassembly agg too,
+    // so the whole train-ready export shuffles the corpus ONCE
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"tokenize + pack + id-chunk must shuffle exactly once total:\n$plan")
     assert(!plan.contains("Join"), s"id chunking joins nothing:\n$plan")
     assert(plan.contains("BpeEncode") || plan.contains("bpe_encode"),
       s"encode kernel must appear in the scan-side projection:\n$plan")
