@@ -657,6 +657,24 @@ object SparkEntry {
     // oracle. The save/load/prune roundtrip is what the row proves.
     // IVF incremental append: build + persist an index over the base
     // corpus (vec_id % 3 > 0), then append the recurring drop (% 3 ==
+    // Product-quantization ADC search: deterministic codebooks (the
+    // md5-ordered first 8 rows donate their j-th subvector to codebook
+    // j), per-subspace L2-argmin codes, and per-query lookup-table
+    // scoring (approx inner product = sum of subvector-centroid dots
+    // in j order). The oracle replays codebook selection, all 4 argmin
+    // codes per vector, and the 4-term ADC sum in the same order.
+    "q_embed_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.ops.Similarity.trainPq(e, "vec_id", "embedding",
+        m = 4, codebookSize = 8)
+      graft.ops.Similarity.pqTopK(
+          e.filter(col("vec_id") % 50 === 0),
+          graft.ops.Similarity.pqEncode(e, "embedding", model),
+          "vec_id", "embedding", "vec_id", k = 5, model)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // 0) against the SAVED centroids — no re-clustering — and read the
     // appended rows' list assignments back from the reloaded on-disk
     // partitionBy(list_id) layout. The oracle replays centroid
@@ -2375,6 +2393,56 @@ object SparkEntry {
     // only, appended batch assigned to those fixed centroids by the
     // documented tie-break (cosine desc, then list_id) — what
     // appendIvfIndex writes into the persisted lists.
+    // codebook = md5-ordered first 8 rows; per (vector, subspace) the
+    // L2-argmin code; ADC = the 4 subvector-centroid dots summed in
+    // j order (same parenthesization as the Spark reduce)
+    "q_embed_pq_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (
+        |  SELECT (ROW_NUMBER() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1 AS i, v
+        |  FROM (SELECT vec_id, v FROM e
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+        |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+        |sub AS (
+        |  SELECT x.vec_id, js.j, cb.i,
+        |    list_dot_product(x.v[js.j*16+1 : js.j*16+16], x.v[js.j*16+1 : js.j*16+16])
+        |      - 2 * list_dot_product(x.v[js.j*16+1 : js.j*16+16], cb.v[js.j*16+1 : js.j*16+16])
+        |      + list_dot_product(cb.v[js.j*16+1 : js.j*16+16], cb.v[js.j*16+1 : js.j*16+16]) AS d2
+        |  FROM e x CROSS JOIN js CROSS JOIN cb),
+        |codes AS (
+        |  SELECT vec_id, j, i FROM (
+        |    SELECT vec_id, j, i,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, i) AS r
+        |    FROM sub) t WHERE r = 1),
+        |cw AS (
+        |  SELECT vec_id,
+        |    MAX(CASE WHEN j = 0 THEN i END) AS i0,
+        |    MAX(CASE WHEN j = 1 THEN i END) AS i1,
+        |    MAX(CASE WHEN j = 2 THEN i END) AS i2,
+        |    MAX(CASE WHEN j = 3 THEN i END) AS i3
+        |  FROM codes GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |adc AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    ((list_dot_product(q.qv[1:16],  b0.v[1:16])
+        |      + list_dot_product(q.qv[17:32], b1.v[17:32]))
+        |      + list_dot_product(q.qv[33:48], b2.v[33:48]))
+        |      + list_dot_product(q.qv[49:64], b3.v[49:64]) AS sim
+        |  FROM cw c CROSS JOIN q
+        |  JOIN cb b0 ON b0.i = c.i0 JOIN cb b1 ON b1.i = c.i1
+        |  JOIN cb b2 ON b2.i = c.i2 JOIN cb b3 ON b3.i = c.i3
+        |  WHERE q.query_id <> c.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM adc)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+        |       CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q_embed_ivf_append" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

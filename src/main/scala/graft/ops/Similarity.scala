@@ -479,6 +479,126 @@ object Similarity {
       .drop("__centroid")
   }
 
+  /** Product-quantization model: `m` codebooks of `codebookSize`
+    * `dsub`-dimensional centroids. A d-dim vector encodes as m small
+    * integers (its nearest centroid per subspace) — at m=8,
+    * codebookSize=256 that is 8 bytes instead of d floats, the
+    * compression that makes billion-vector ANN fit in memory
+    * (Jégou et al. 2011). Codebooks are chosen DETERMINISTICALLY like
+    * [[buildIvfIndex]]'s centroids (the md5-ordered first
+    * `codebookSize` corpus rows, each contributing its j-th subvector
+    * to codebook j), so encoding, scoring, and the DuckDB oracle all
+    * replay from (corpus, m, codebookSize) alone. */
+  final case class PqModel(m: Int, dsub: Int,
+      codebooks: Array[Array[Array[Double]]]) {
+    def codebookSize: Int = codebooks.head.length
+  }
+
+  /** Fit a [[PqModel]]: one TakeOrdered over the corpus (codebookSize
+    * rows collected — bounded like the IVF centroid pick). The vector
+    * dimension must divide into `m` equal subspaces. */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, codebookSize: Int = 16): PqModel = {
+    require(m >= 1 && codebookSize >= 1, "m and codebookSize must be >= 1")
+    val rows = corpus
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(codebookSize)
+      .select(asDouble(col(vecCol)).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "trainPq needs a non-empty corpus")
+    val d = rows.head.length
+    require(d % m == 0, s"dim $d must divide into m=$m equal subspaces")
+    val dsub = d / m
+    PqModel(m, dsub,
+      Array.tabulate(m)(j => rows.map(_.slice(j * dsub, (j + 1) * dsub))))
+  }
+
+  /** Add a `pq_code` column (array<int>, length m): per subspace, the
+    * index of the L2-nearest codebook centroid (ties to the smaller
+    * index). Pure scan-side expression algebra — the standard
+    * k·d-per-row encode cost, no shuffle; store the codes next to the
+    * ids and drop the raw vectors for the compressed-domain scan. */
+  def pqEncode(corpus: DataFrame, vecCol: String, model: PqModel): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val codeFor = (0 until model.m).map { j =>
+      val xj = slice(v, j * model.dsub + 1, model.dsub)
+      val ranked = array(model.codebooks(j).zipWithIndex.map { case (c, i) =>
+        val cl = typedLit(c.toSeq)
+        // ||x-c||^2 = x.x - 2 x.c + c.c ; the c.c term is a constant
+        struct(
+          (VecOps.vecDot(xj, xj) - lit(2.0) * VecOps.vecDot(xj, cl)
+            + lit(c.map(x => x * x).sum)).as("d"),
+          lit(i).as("i"))
+      }: _*)
+      array_min(ranked).getField("i")
+    }
+    corpus.withColumn("pq_code", array(codeFor: _*))
+  }
+
+  /** Asymmetric-distance top-k over PQ codes: per query, ONE lookup
+    * table of subvector·centroid inner products is computed on the
+    * (tiny, broadcast) query frame, and each corpus code scores as m
+    * table lookups — `sum_j lut[j][code_j]` ≈ the full inner product,
+    * at 8 `element_at`s per pair instead of a d-dim dot. The corpus
+    * side carries only (id, code): never the vectors, never a shuffle
+    * (the result window ranks |queries|·|corpus→k| rows like
+    * [[bruteForceTopK]]). Scores are approximate INNER PRODUCTS —
+    * L2-normalize embeddings upstream if cosine ranking is wanted. */
+  def pqTopK(queries: DataFrame, codes: DataFrame, qidCol: String,
+      vecCol: String, idCol: String, k: Int, model: PqModel,
+      excludeSelf: Boolean = true): DataFrame = {
+    val qv = asDouble(col("__qv"))
+    val lut = array((0 until model.m).flatMap { j =>
+      val qj = slice(qv, j * model.dsub + 1, model.dsub)
+      model.codebooks(j).map(c => VecOps.vecDot(qj, typedLit(c.toSeq)))
+    }: _*)
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+    val adc = (0 until model.m)
+      .map(j => element_at(col("__lut"),
+        lit(j * model.codebookSize + 1) + element_at(col("pq_code"), j + 1)))
+      .reduce(_ + _)
+    codes.select(col(idCol).as("neighbor_id"), col("pq_code"))
+      .join(broadcast(q.withColumn("__lut", lut).drop("__qv")),
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"), adc.as("sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** PQ search with exact re-ranking: ADC proposes `candidates` ids
+    * per query from the compressed codes, then ONLY those rows' true
+    * vectors are fetched (a candidate-sized join, |queries|·candidates
+    * rows — never the corpus) and re-scored with the exact cosine for
+    * the final top-k. The standard recall-restoring pattern: the
+    * compressed scan does the winnowing, exact math only touches the
+    * shortlist. */
+  def pqTopKRefined(queries: DataFrame, corpus: DataFrame, qidCol: String,
+      idCol: String, vecCol: String, k: Int, model: PqModel,
+      candidates: Int = 0): DataFrame = {
+    val cand = math.max(k, if (candidates <= 0) 4 * k else candidates)
+    val codes = pqEncode(
+      corpus.select(col(idCol), col(vecCol)), vecCol, model)
+    val qFrame = queries.select(col(qidCol).as("__qid_raw"),
+      col(vecCol).as("__qv_raw"))
+    val shortlist = pqTopK(qFrame, codes, "__qid_raw", "__qv_raw",
+        idCol, cand, model)
+      .select(col("query_id"), col("neighbor_id"))
+    val withVecs = shortlist
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("__cv")), Seq("neighbor_id"))
+      .join(broadcast(qFrame.select(col("__qid_raw").as("query_id"),
+        asDouble(col("__qv_raw")).as("__qv"))), Seq("query_id"))
+    withVecs
+      .select(col("query_id"), col("neighbor_id"),
+        (VecOps.vecDot(col("__qv"), col("__cv"))
+          / (sqrt(VecOps.vecDot(col("__qv"), col("__qv")))
+            * sqrt(VecOps.vecDot(col("__cv"), col("__cv"))))).as("sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** Cluster-balanced ("diversity") sampling: exactly `kPerCluster`
     * rows from each semantic cluster — uniform coverage over TOPICS
     * instead of uniform over rows, the standard recipe for building

@@ -712,6 +712,49 @@ class OpsSpec extends SparkFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(5L))
   }
 
+  test("product quantization: exact codebook rows encode to themselves; ADC ranks twins first; full-refine equals brute force") {
+    import graft.ops.Similarity
+    val model = Similarity.trainPq(embeddings, "vec_id", "embedding",
+      m = 4, codebookSize = 8)
+    assert(model.dsub * model.m == 64 && model.codebookSize == 8)
+    // a codebook row reconstructs exactly: every subspace distance 0
+    // -> its own index wins each argmin, so the ADC score of a
+    // codebook row against itself is its true squared norm
+    val seedIds = embeddings
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(8).select("vec_id").collect().map(_.getLong(0))
+    val codes = Similarity.pqEncode(embeddings, "embedding", model)
+    assert(codes.columns.contains("pq_code"))
+    val seedCodes = codes.filter(col("vec_id").isin(seedIds: _*))
+      .select("vec_id", "pq_code")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // the i-th md5-ordered seed contributed subvector i to EVERY
+    // codebook, so its code must be [i, i, i, i]
+    seedIds.zipWithIndex.foreach { case (id, i) =>
+      assert(seedCodes(id) == Seq.fill(4)(i),
+        s"seed $id (rank $i) must encode to its own centroids, got ${seedCodes(id)}")
+    }
+    // refined search over the FULL candidate set is exactly brute force
+    val queries = embeddings.filter(col("vec_id") % 50 === 0)
+    val total = embeddings.count().toInt
+    val refined = Similarity.pqTopKRefined(queries, embeddings,
+        "vec_id", "vec_id", "embedding", k = 5, model, candidates = total)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val brute = Similarity.bruteForceTopK(queries, embeddings,
+        "vec_id", "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(refined == brute,
+      "full-candidate refine must reproduce exact brute-force ranking")
+    // pure-ADC search is deterministic and returns k rows per query
+    val adc = Similarity.pqTopK(queries, codes, "vec_id", "embedding",
+      "vec_id", k = 5, model)
+    val perQuery = adc.groupBy("query_id").count()
+      .collect().map(_.getLong(1)).toSet
+    assert(perQuery == Set(5L), s"5 neighbors per query, got $perQuery")
+  }
+
   test("cluster-balanced sample: k per cluster, deterministic, cluster-size invariant") {
     import graft.ops.Similarity
     val out = Similarity.clusterBalancedSample(embeddings, "vec_id", "embedding",

@@ -299,6 +299,25 @@ class PlanSpec extends SparkFunSuite {
     assert(semiIdx >= 0, s"no broadcast semi join:\n$plan")
   }
 
+  test("pq ADC search broadcasts the queries; the code scan never shuffles") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = Similarity.trainPq(e, "vec_id", "embedding",
+      m = 4, codebookSize = 8)
+    val plan = planOf(Similarity.pqTopK(
+      e.filter(col("vec_id") % 50 === 0),
+      Similarity.pqEncode(e, "embedding", model),
+      "vec_id", "embedding", "vec_id", k = 5, model))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"query side (with its lookup table) must broadcast:\n$plan")
+    // the corpus code side reaches the join without an exchange — only
+    // the (queries x k)-scale ranked result shuffles for the window
+    val joinIdx = plan.indexOf("BroadcastNestedLoopJoin")
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(exIdx == -1 || exIdx < joinIdx,
+      s"corpus codes must not hash-exchange below the join:\n$plan")
+  }
+
   test("packStats reuses the assignment partitioning; topNgrams plans TakeOrdered") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     val stats = graft.ops.Sampling.packStats(
