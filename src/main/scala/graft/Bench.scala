@@ -517,6 +517,35 @@ object Bench {
     path
   }
 
+  /** PQ pair over the 1M embedding corpus: encode (train codebooks +
+    * write m-int codes — the one-time compression pass) and ADC
+    * search (100 queries against the PERSISTED codes: per-query LUT +
+    * m lookups per pair, the compressed-domain scan whose whole point
+    * is reading 4 ints per vector instead of 16 floats). */
+  private[graft] def pqEncodeScenario(spark: SparkSession): Long = {
+    val corpus = spark.read.parquet(embCorpusPath(spark, 1100000L))
+      .filter(col("vec_id") < 1000000L)
+    val model = graft.ops.Similarity.trainPq(corpus, "vec_id", "embedding",
+      m = 4, codebookSize = 16)
+    graft.ops.Similarity.pqEncode(corpus, "embedding", model)
+      .select("vec_id", "pq_code")
+      .write.mode("overwrite").parquet(s"$benchDir/pq_codes_1m.parquet")
+    -1L
+  }
+
+  private[graft] def pqSearchScenario(spark: SparkSession): Long = {
+    val corpus = spark.read.parquet(embCorpusPath(spark, 1100000L))
+      .filter(col("vec_id") < 1000000L)
+    val codesPath = s"$benchDir/pq_codes_1m.parquet"
+    if (!committed(codesPath)) pqEncodeScenario(spark)
+    val model = graft.ops.Similarity.trainPq(corpus, "vec_id", "embedding",
+      m = 4, codebookSize = 16)
+    graft.ops.Similarity.pqTopK(
+      corpus.filter(col("vec_id") % 10000 === 0),
+      spark.read.parquet(codesPath),
+      "vec_id", "embedding", "vec_id", k = 10, model).count()
+  }
+
   /** Full IVF (re)build over 1M vectors, PERSISTED — the cost the
     * incremental append path avoids paying per recurring drop:
     * centroid selection + assignment scan the WHOLE corpus and the
@@ -744,6 +773,10 @@ object Bench {
       // the scan-side membership proof removes)
       "incdedup_plain_1m_vs_9m" -> (() => { incDedupScenario(bloom = false)(spark); () }),
       "incdedup_bloom_1m_vs_9m" -> (() => { incDedupScenario(bloom = true)(spark); () }),
+      // PQ pair: the one-time compression pass vs the compressed-domain
+      // ADC search over the persisted codes
+      "pq_encode_1m" -> (() => { pqEncodeScenario(spark); () }),
+      "pq_search_1m" -> (() => { pqSearchScenario(spark); () }),
       // quality classifier, SPLIT so LBFGS fit drift is visible in
       // isolation (the fused q_quality_classifier row mixes both):
       // fit = the driver-coordinated spark.ml LogisticRegression under

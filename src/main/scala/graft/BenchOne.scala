@@ -28,11 +28,12 @@ object BenchOne {
     val clsFitMode = args.headOption.contains("classifierfit")
     val ivfMode = args.headOption.contains("ivf")
     val incDedupMode = args.headOption.contains("incdedup")
+    val pqMode = args.headOption.contains("pq")
     val sessionMode = args.headOption.contains("session")
     val posArgs =
       if (auditMode || skewMode || curateMode || scanMode || substrMode ||
           chunkMode || dsirMode || bpeMode || seqMode || clsFitMode ||
-          ivfMode || incDedupMode || sessionMode)
+          ivfMode || incDedupMode || pqMode || sessionMode)
         args.drop(1)
       else args
     val nLabels = posArgs.headOption.map(_.toInt).getOrElse(1000000)
@@ -145,6 +146,20 @@ object BenchOne {
         timed(s"ivf_build_1m run$i")(Bench.ivfBuildScenario(spark))
         syncFs()
         timed(s"ivf_append_100k run$i")(println("  rows=" + Bench.ivfAppendScenario(spark)))
+      }
+      spark.stop()
+      return
+    }
+
+    if (pqMode) {
+      // isolate the pq_encode_1m / pq_search_1m pair
+      timed("emb corpus + codes (warmup)")(Bench.pqSearchScenario(spark))
+      (1 to 3).foreach { i =>
+        syncFs()
+        timed(s"pq_encode_1m run$i")(Bench.pqEncodeScenario(spark))
+        syncFs()
+        timed(s"pq_search_1m run$i")(
+          println("  rows=" + Bench.pqSearchScenario(spark)))
       }
       spark.stop()
       return
