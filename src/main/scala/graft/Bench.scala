@@ -546,6 +546,33 @@ object Bench {
       "vec_id", "embedding", "vec_id", k = 10, model).count()
   }
 
+  /** IVF-PQ pair over the same 1M corpus: build (cluster to 64 lists,
+    * train residual codebooks, persist partitionBy(list_id) codes —
+    * the one-time indexing pass) and search (100 queries through the
+    * LOADED index: nprobe=8 of 64 lists partition-pruned, ADC over
+    * 4-int codes — the probed-bytes floor of the ANN family; compare
+    * against ivf_search (pruned but full vectors) and pq_search_1m
+    * (codes but full corpus scan)). */
+  private[graft] def ivfPqBuildScenario(spark: SparkSession): Long = {
+    val corpus = spark.read.parquet(embCorpusPath(spark, 1100000L))
+      .filter(col("vec_id") < 1000000L)
+    graft.ops.Similarity.saveIvfPqIndex(
+      graft.ops.Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding",
+        nlist = 64, m = 4, codebookSize = 16),
+      s"$benchDir/ivfpq_idx_1m")
+    -1L
+  }
+
+  private[graft] def ivfPqSearchScenario(spark: SparkSession): Long = {
+    val path = s"$benchDir/ivfpq_idx_1m"
+    if (!committed(s"$path/codes.parquet")) ivfPqBuildScenario(spark)
+    val queries = spark.read.parquet(embCorpusPath(spark, 1100000L))
+      .filter(col("vec_id") < 1000000L && col("vec_id") % 10000 === 0)
+    graft.ops.Similarity.ivfPqTopK(queries,
+      graft.ops.Similarity.loadIvfPqIndex(spark, path),
+      "vec_id", "embedding", k = 10, nprobe = 8).count()
+  }
+
   /** Full IVF (re)build over 1M vectors, PERSISTED — the cost the
     * incremental append path avoids paying per recurring drop:
     * centroid selection + assignment scan the WHOLE corpus and the
@@ -777,6 +804,8 @@ object Bench {
       // ADC search over the persisted codes
       "pq_encode_1m" -> (() => { pqEncodeScenario(spark); () }),
       "pq_search_1m" -> (() => { pqSearchScenario(spark); () }),
+      "ivfpq_build_1m" -> (() => { ivfPqBuildScenario(spark); () }),
+      "ivfpq_search_1m" -> (() => { ivfPqSearchScenario(spark); () }),
       // quality classifier, SPLIT so LBFGS fit drift is visible in
       // isolation (the fused q_quality_classifier row mixes both):
       // fit = the driver-coordinated spark.ml LogisticRegression under

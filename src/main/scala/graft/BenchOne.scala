@@ -29,11 +29,12 @@ object BenchOne {
     val ivfMode = args.headOption.contains("ivf")
     val incDedupMode = args.headOption.contains("incdedup")
     val pqMode = args.headOption.contains("pq")
+    val ivfPqMode = args.headOption.contains("ivfpq")
     val sessionMode = args.headOption.contains("session")
     val posArgs =
       if (auditMode || skewMode || curateMode || scanMode || substrMode ||
           chunkMode || dsirMode || bpeMode || seqMode || clsFitMode ||
-          ivfMode || incDedupMode || pqMode || sessionMode)
+          ivfMode || incDedupMode || pqMode || ivfPqMode || sessionMode)
         args.drop(1)
       else args
     val nLabels = posArgs.headOption.map(_.toInt).getOrElse(1000000)
@@ -160,6 +161,20 @@ object BenchOne {
         syncFs()
         timed(s"pq_search_1m run$i")(
           println("  rows=" + Bench.pqSearchScenario(spark)))
+      }
+      spark.stop()
+      return
+    }
+
+    if (ivfPqMode) {
+      // isolate the ivfpq_build_1m / ivfpq_search_1m pair
+      timed("emb corpus + index (warmup)")(Bench.ivfPqSearchScenario(spark))
+      (1 to 3).foreach { i =>
+        syncFs()
+        timed(s"ivfpq_build_1m run$i")(Bench.ivfPqBuildScenario(spark))
+        syncFs()
+        timed(s"ivfpq_search_1m run$i")(
+          println("  rows=" + Bench.ivfPqSearchScenario(spark)))
       }
       spark.stop()
       return

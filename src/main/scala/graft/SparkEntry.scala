@@ -675,6 +675,31 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // IVF-PQ (FAISS IVFPQ shape): the corpus is clustered into 8
+    // inverted lists, each vector reduced to its residual against its
+    // list centroid, residuals product-quantized (4 subspaces, 16
+    // "pq"-salted md5-ordered donors), and the index SAVED/RELOADED
+    // through the partitionBy(list_id) code layout before the probe —
+    // so a hash match proves centroid pick + assignment + residual
+    // math + codebook pick + argmin codes + disk roundtrip + per-list
+    // ADC (dot(q, c_list) + 4-term LUT sum) end-to-end.
+    "q_embed_ivfpq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = graft.ops.Similarity.buildIvfPqIndex(
+        e, "vec_id", "embedding", nlist = 8, m = 4, codebookSize = 16)
+      // same reused-scratch-dir rationale as q_embed_ivf_indexed
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx_${
+        java.lang.Integer.toHexString(new java.io.File(dir).getAbsolutePath.hashCode)}_${
+        ProcessHandle.current().pid()}"
+      graft.ops.Similarity.saveIvfPqIndex(idx, path)
+      graft.ops.Similarity.ivfPqTopK(
+        e.filter(col("vec_id") % 50 === 0),
+        graft.ops.Similarity.loadIvfPqIndex(s, path),
+        "vec_id", "embedding", k = 5, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // 0) against the SAVED centroids — no re-clustering — and read the
     // appended rows' list assignments back from the reloaded on-disk
     // partitionBy(list_id) layout. The oracle replays centroid
@@ -2442,6 +2467,78 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(sim, 6) AS sim,
         |       CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_ivfpq_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS list_id, v AS cv
+        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |assign AS (
+        |  SELECT neighbor_id, v, list_id, cv FROM (
+        |    SELECT x.vec_id AS neighbor_id, x.v, c.list_id, c.cv,
+        |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        |             ORDER BY list_dot_product(x.v, c.cv)
+        |               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |               c.list_id) AS r
+        |    FROM e x CROSS JOIN cent c) t WHERE r = 1),
+        |res AS (
+        |  SELECT neighbor_id, list_id,
+        |         list_transform(list_zip(v, cv), p -> p[1] - p[2]) AS rv
+        |  FROM assign),
+        |cb AS (
+        |  SELECT (ROW_NUMBER() OVER (
+        |    ORDER BY md5('pq' || CAST(neighbor_id AS VARCHAR)), neighbor_id)) - 1 AS i, rv
+        |  FROM (SELECT neighbor_id, rv FROM res
+        |        ORDER BY md5('pq' || CAST(neighbor_id AS VARCHAR)), neighbor_id LIMIT 16)),
+        |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+        |sub AS (
+        |  SELECT x.neighbor_id, js.j, cb.i,
+        |    list_dot_product(x.rv[js.j*16+1 : js.j*16+16], x.rv[js.j*16+1 : js.j*16+16])
+        |      - 2 * list_dot_product(x.rv[js.j*16+1 : js.j*16+16], cb.rv[js.j*16+1 : js.j*16+16])
+        |      + list_dot_product(cb.rv[js.j*16+1 : js.j*16+16], cb.rv[js.j*16+1 : js.j*16+16]) AS d2
+        |  FROM res x CROSS JOIN js CROSS JOIN cb),
+        |codes AS (
+        |  SELECT neighbor_id, j, i FROM (
+        |    SELECT neighbor_id, j, i,
+        |      ROW_NUMBER() OVER (PARTITION BY neighbor_id, j ORDER BY d2, i) AS r
+        |    FROM sub) t WHERE r = 1),
+        |cw AS (
+        |  SELECT c.neighbor_id, a.list_id,
+        |    MAX(CASE WHEN j = 0 THEN i END) AS i0,
+        |    MAX(CASE WHEN j = 1 THEN i END) AS i1,
+        |    MAX(CASE WHEN j = 2 THEN i END) AS i2,
+        |    MAX(CASE WHEN j = 3 THEN i END) AS i3
+        |  FROM codes c JOIN (SELECT DISTINCT neighbor_id, list_id FROM res) a
+        |    ON a.neighbor_id = c.neighbor_id
+        |  GROUP BY c.neighbor_id, a.list_id),
+        |probe AS (
+        |  SELECT query_id, qv, list_id, cv FROM (
+        |    SELECT x.vec_id AS query_id, x.v AS qv, c.list_id, c.cv,
+        |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        |             ORDER BY list_dot_product(x.v, c.cv)
+        |               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |               c.list_id) AS r
+        |    FROM e x CROSS JOIN cent c WHERE x.vec_id % 50 = 0) t WHERE r <= 3),
+        |adc AS (
+        |  SELECT p.query_id, c.neighbor_id,
+        |    list_dot_product(p.qv, p.cv)
+        |      + (((list_dot_product(p.qv[1:16],  b0.rv[1:16])
+        |         + list_dot_product(p.qv[17:32], b1.rv[17:32]))
+        |         + list_dot_product(p.qv[33:48], b2.rv[33:48]))
+        |         + list_dot_product(p.qv[49:64], b3.rv[49:64])) AS sim
+        |  FROM cw c JOIN probe p USING (list_id)
+        |  JOIN cb b0 ON b0.i = c.i0 JOIN cb b1 ON b1.i = c.i1
+        |  JOIN cb b2 ON b2.i = c.i2 JOIN cb b3 ON b3.i = c.i3
+        |  WHERE p.query_id <> c.neighbor_id),
+        |r2 AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM adc)
+        |SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim,
+        |       CAST(rank AS BIGINT) AS rank
+        |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_embed_ivf_append" ->
       """WITH e AS (

@@ -755,6 +755,48 @@ class OpsSpec extends SparkFunSuite {
     assert(perQuery == Set(5L), s"5 neighbors per query, got $perQuery")
   }
 
+  test("ivf-pq: persisted roundtrip is bit-identical; full probe + full refine equals brute force") {
+    import graft.ops.Similarity
+    val idx = Similarity.buildIvfPqIndex(embeddings, "vec_id", "embedding",
+      nlist = 8, m = 4, codebookSize = 16)
+    val q = embeddings.filter(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 9).as("sim"), col("rank"))
+        .collect().map(_.toString).sorted.toSeq
+    val mem = rows(Similarity.ivfPqTopK(q, idx, "vec_id", "embedding",
+      k = 5, nprobe = 3))
+    assert(mem.nonEmpty)
+    // save -> load -> probe through the partitioned code layout:
+    // bit-identical (codebooks and centroids are exact doubles through
+    // parquet; codes are ints)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.saveIvfPqIndex(idx, dir)
+    val loaded = Similarity.loadIvfPqIndex(spark, dir)
+    assert(loaded.pq.m == 4 && loaded.pq.codebookSize == 16 && loaded.pq.dsub == 16)
+    assert(rows(Similarity.ivfPqTopK(q, loaded, "vec_id", "embedding",
+      k = 5, nprobe = 3)) == mem)
+    // the on-disk codes are partitioned by list and carry NO vectors —
+    // the probed scan reads 4 small ints per stored vector
+    val listDirs = new java.io.File(s"$dir/codes.parquet").listFiles()
+      .filter(_.getName.startsWith("list_id="))
+    assert(listDirs.nonEmpty)
+    assert(loaded.codes.columns.sorted.toSeq == Seq("list_id", "neighbor_id", "pq_code"))
+    // probing ALL lists with a full-corpus candidate budget, then
+    // exact-refining, reproduces brute-force ranking exactly: the ADC
+    // stage only winnows, the rerank restores exact cosines
+    val total = embeddings.count().toInt
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val refined = triples(Similarity.ivfPqTopKRefined(q, embeddings, idx,
+      "vec_id", "vec_id", "embedding", k = 5, nprobe = 8, candidates = total))
+    val brute = triples(Similarity.bruteForceTopK(q, embeddings,
+      "vec_id", "vec_id", "embedding", k = 5))
+    assert(refined == brute,
+      "full-probe full-candidate ivf-pq refine must reproduce brute-force ranking")
+  }
+
   test("cluster-balanced sample: k per cluster, deterministic, cluster-size invariant") {
     import graft.ops.Similarity
     val out = Similarity.clusterBalancedSample(embeddings, "vec_id", "embedding",

@@ -389,6 +389,35 @@ class PlanSpec extends SparkFunSuite {
       s"lists scan should carry a dynamic pruning filter:\n$plan")
   }
 
+  test("loaded ivf-pq probe prunes code partitions and reads codes, not vectors") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = graft.ops.Similarity.buildIvfPqIndex(e, "vec_id", "embedding",
+      nlist = 8, m = 4, codebookSize = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_dpp").toString
+    graft.ops.Similarity.saveIvfPqIndex(idx, dir)
+    val loaded = graft.ops.Similarity.loadIvfPqIndex(spark, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val df = graft.ops.Similarity.ivfPqTopK(q, loaded, "vec_id", "embedding",
+      k = 3, nprobe = 2)
+    // like the plain IVF index: the broadcast probe frame joins the
+    // partition column, so unprobed list directories are skipped by a
+    // dynamic pruning filter at scan time
+    val plan = planOf(df)
+    assert(plan.contains("dynamicpruning"),
+      s"codes scan should carry a dynamic pruning filter:\n$plan")
+    // and the pruned scan reads (neighbor_id, pq_code) ONLY — the
+    // whole point of IVF-PQ is that the d-float vectors are gone from
+    // the search path; a scan block that mentions a double array
+    // would mean vectors leaked back in
+    val f = formatted(df)
+    val codeScans = f.split("\n\n").filter(_.contains("codes.parquet"))
+    assert(codeScans.nonEmpty, s"no codes.parquet scan block in:\n$f")
+    codeScans.foreach { block =>
+      assert(block.contains("pq_code") && !block.contains("array<double>"),
+        s"codes scan must read codes, never vectors:\n$block")
+    }
+  }
+
   test("ivf append assignment is scan-side: no exchange") {
     // appending a recurring drop must cost ONE batch-sized scan — the
     // centroids ride the plan as literals (TopCentroids kernel) and
