@@ -149,11 +149,13 @@ object Main {
       |           boundaries are sampled, so for byte-identical shard
       |           reproducibility across runs use `export`)
       |  export  --input PATH --output DIR [--shards 16] [--seed 42]
-      |          [--key-cols c1,c2]
+      |          [--key-cols c1,c2] [--output-format parquet|jsonl]
       |          (train-ready sharded export: deterministic shuffle +
       |           contiguous global_idx + shard=idx div ceil(total/N),
       |           written as shard=K partition dirs with a _manifest.json
-      |           of per-shard row counts and index ranges; key defaults
+      |           of per-shard row counts and index ranges — parquet
+      |           keeps column types, jsonl writes ONE ordered text file
+      |           per shard, byte-identical across re-runs; key defaults
       |           to doc_id, or pack_group,pack_id,seq_idx for pack --ids
       |           output)
       |  tokenizer --train --input PATH --model DIR [--vocab-size 8192]
@@ -1139,12 +1141,16 @@ object Main {
     import graft.ops.Sampling
     val input = req(f, "input", "export needs --input PATH (a parquet corpus)")
     val output = req(f, "output", "export needs --output DIR")
-    // shards are parquet partition dirs + a manifest; a jsonl request
-    // would be silently ignored — fail fast instead
-    f.get("output-format").filter(_ != "parquet").foreach(fmt =>
-      throw graft.errors.Errors.config(
-        s"export writes parquet shard directories, not $fmt.",
-        "drop --output-format (or convert downstream)"))
+    // parquet shard dirs (columnar, keeps types) or jsonl shard dirs
+    // (one JSON object per line — what most trainer data loaders
+    // ingest directly); anything else fails fast
+    val outputFormat = f.getOrElse("output-format", "parquet") match {
+      case "json" | "jsonl" => "jsonl"
+      case "parquet"        => "parquet"
+      case other => throw graft.errors.Errors.config(
+        s"export writes parquet or jsonl shard directories, not $other.",
+        "use --output-format parquet|jsonl")
+    }
     val nShards = f.getOrElse("shards", "16").toInt
     val seed = f.getOrElse("seed", "42").toInt
     val df = readCorpus(spark, input, f.get("input-format"))
@@ -1185,13 +1191,35 @@ object Main {
     // synthesized composite column is ours to clean up
     val sharded = Sampling.shardByOrder(keyed, idCol, nShards, seed)
       .drop((if (keyCols.size == 1) Seq.empty[String] else Seq(idCol)): _*)
-    sharded
-      .repartitionByRange(nShards, col("global_idx"))
-      .sortWithinPartitions(col("global_idx"))
-      .write.mode("overwrite").partitionBy("shard").parquet(output)
+    outputFormat match {
+      case "parquet" =>
+        sharded
+          .repartitionByRange(nShards, col("global_idx"))
+          .sortWithinPartitions(col("global_idx"))
+          .write.mode("overwrite").partitionBy("shard").parquet(output)
+      case _ =>
+        // jsonl: one text file per shard, rows in global order. Range-
+        // partitioning on the shard value puts each shard's rows in
+        // exactly ONE task (equal keys never split across ranges), so
+        // the partitionBy(shard) text write emits a single part file
+        // per shard — a re-run reproduces every shard byte-for-byte.
+        // Nulls are written explicitly so the line schema is stable
+        // across shards whose column happens to be all-null.
+        val line = to_json(
+          struct(sharded.columns.filter(_ != "shard").map(col).toIndexedSeq: _*),
+          java.util.Collections.singletonMap("ignoreNullFields", "false"))
+        sharded
+          .repartitionByRange(nShards, col("shard"))
+          .sortWithinPartitions(col("shard"), col("global_idx"))
+          .select(col("shard"), line.as("value"))
+          .write.mode("overwrite").partitionBy("shard").text(output)
+    }
     // manifest from what actually landed on disk (counts the written
     // data, not the plan)
-    val stats = spark.read.parquet(output)
+    val written =
+      if (outputFormat == "parquet") spark.read.parquet(output)
+      else spark.read.json(output)
+    val stats = written
       .groupBy("shard").agg(count(lit(1)).as("rows"),
         min("global_idx").as("first_idx"), max("global_idx").as("last_idx"))
       .orderBy("shard").collect()
@@ -1202,6 +1230,7 @@ object Main {
     val manifest = graft.util.Jsons.obj(
       "rows" -> total, "shards" -> stats.length,
       "shards_requested" -> nShards, "seed" -> seed,
+      "format" -> outputFormat,
       "key_cols" -> keyCols,
       "shard_rows" -> graft.util.Jsons.Raw(graft.util.Jsons.arr(
         stats.toSeq.map(r => graft.util.Jsons.Raw(graft.util.Jsons.obj(

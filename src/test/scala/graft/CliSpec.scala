@@ -944,4 +944,67 @@ class CliSpec extends SparkFunSuite {
     ranges.foreach { case (lo, hi, n) => assert(hi - lo + 1 == n,
       s"shard range [$lo,$hi] must be contiguous with $n rows") }
   }
+
+  test("export --output-format jsonl: one ordered text file per shard, byte-identical re-runs") {
+    val dir = Files.createTempDirectory("graft_cli_export_jsonl")
+    val in = s"$dir/docs.parquet"
+    // one null text to pin explicit-null serialization
+    ((1 to 29).map(i => (i.toLong, s"doc number $i")) ++ Seq((30L, null: String)))
+      .toDF("doc_id", "text").write.parquet(in)
+    val out1 = s"$dir/shards1"
+    val out2 = s"$dir/shards2"
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdExport(Array(
+        "--input", in, "--output", out1, "--shards", "4",
+        "--output-format", "jsonl")) == 0)
+      assert(graft.cli.Main.cmdExport(Array(
+        "--input", in, "--output", out2, "--shards", "4",
+        "--output-format", "jsonl")) == 0)
+    }
+    def shardFiles(out: String): Seq[java.io.File] =
+      new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+        .sortBy(_.getName).toSeq
+        .map(d => d.listFiles().filter(f =>
+          f.getName.startsWith("part-") && !f.getName.endsWith(".crc")) match {
+          case Array(one) => one
+          case many => fail(s"shard dir ${d.getName} must hold exactly one " +
+            s"part file, got ${many.map(_.getName).mkString(", ")}")
+        })
+    val files1 = shardFiles(out1)
+    assert(files1.size == 4, s"4 shard dirs, got ${files1.size}")
+    // byte-identical across re-runs, shard by shard
+    files1.zip(shardFiles(out2)).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(Files.readAllBytes(a.toPath),
+        Files.readAllBytes(b.toPath)),
+        s"shard files must be byte-identical: $a vs $b")
+    }
+    // every line is a JSON object with the data columns + global_idx,
+    // in ascending global order within the shard; nulls are explicit
+    val lines = files1.flatMap(fl =>
+      new String(Files.readAllBytes(fl.toPath), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq)
+    assert(lines.size == 30)
+    assert(lines.forall(l => l.startsWith("{") && l.contains("\"doc_id\":") &&
+      l.contains("\"global_idx\":")), lines.take(2).mkString("\n"))
+    assert(lines.exists(_.contains("\"text\":null")),
+      "the null text row must serialize an explicit null")
+    val perShardIdx = files1.map(fl =>
+      new String(Files.readAllBytes(fl.toPath), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq
+        .map(l => "\"global_idx\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong))
+    perShardIdx.foreach(idx => assert(idx == idx.sorted,
+      "rows within a shard file must be in global order"))
+    assert(perShardIdx.flatten.sorted == (0L until 30L).toSeq)
+    // manifest records the format and the per-shard ranges
+    val m = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out1, "_manifest.json")))
+    assert(m.contains("\"format\":\"jsonl\"") && m.contains("\"rows\":30"), m)
+    // unknown formats still fail fast
+    val err = intercept[graft.errors.ConfigError] {
+      graft.cli.Main.cmdExport(Array(
+        "--input", in, "--output", s"$dir/nope", "--shards", "2",
+        "--output-format", "csv"))
+    }
+    assert(err.getMessage.contains("parquet or jsonl"))
+  }
 }
