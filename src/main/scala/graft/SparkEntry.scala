@@ -974,6 +974,15 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
         k = 20, seed = 7)
         .orderBy("doc_id")),
+    // Per-domain quality quota (RefinedWeb-style "cap docs per
+    // domain"): the 10 LONGEST documents of each source survive, ties
+    // to the smaller doc_id. The skew-immune two-phase window must
+    // produce the exact single-window answer the oracle computes.
+    "q_domain_cap" -> ((s, dir) =>
+      graft.ops.Sampling.bestKPerStratum(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "n_chars", k = 10, "doc_id")
+        .orderBy("doc_id")),
     // C4 badword page rule: the corpus is clean, so blocked tokens are
     // appended deterministically (same synthesis in the oracle) —
     // exercises hit counting, case folding, and the keep decision
@@ -2907,6 +2916,13 @@ object SparkEntry {
         |             doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "q_domain_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
     "q_blocklist" ->
       """WITH pages AS (

@@ -102,6 +102,9 @@ object Main {
       |          [--semdedup-col COL [--semdedup-threshold 0.95] [--semdedup-nlist 16]]
       |          [--classifier-positives PARQUET | --classifier-model DIR]
       |          [--classifier-min-prob 0.5] [--classifier-negative-rate 0.01]
+      |          [--max-per-domain N [--domain-col source] [--domain-order-col COL]]
+      |          (cap each domain at its N best surviving docs — ranked
+      |           by --domain-order-col desc, default text length)
       |          [--dsir-target PARQUET --dsir-k N [--dsir-buckets 65536] [--dsir-temperature 1.0]]
       |          [--near-dup minhash|ngram] [--near-dup-threshold 0.8] [--json PATH]
       |          [--resume-dir DIR]  (stage-level checkpoints: a re-run
@@ -761,6 +764,14 @@ object Main {
           Curation.ClassifierConfig(
             model = Some(graft.ops.QualityClassifier.load(spark, mp)),
             minProb = f.getOrElse("classifier-min-prob", "0.5").toDouble))),
+      // --max-per-domain caps each --domain-col group at its N best
+      // survivors; the ranking column defaults to a synthesized
+      // character length (dropped again before the write, below)
+      domainCap = f.get("max-per-domain").map(k =>
+        Curation.DomainCapConfig(
+          stratumCol = f.getOrElse("domain-col", "source"),
+          k = k.toInt,
+          orderCol = f.getOrElse("domain-order-col", "__domain_order"))),
       dsir = f.get("dsir-target").map(path =>
         Curation.DsirConfig(readCorpus(spark, path, f.get("aux-format")),
           k = req(f, "dsir-k", "--dsir-target needs --dsir-k N (how many docs to select)").toInt,
@@ -788,8 +799,15 @@ object Main {
           graft.ops.Multimodal.videoKeyframeDHashCol(col(c)))))
         .getOrElse(raw)
     }
+    // default domain-cap ranking: document length in characters,
+    // synthesized scan-side and dropped again before the write
+    val capped =
+      if (f.contains("max-per-domain") && !f.contains("domain-order-col"))
+        corpus.withColumn("__domain_order",
+          length(col(f.getOrElse("text-col", "text"))))
+      else corpus
     val r = Curation.curate(
-      corpus,
+      capped,
       idCol = f.getOrElse("id-col", "doc_id"),
       textCol = f.getOrElse("text-col", "text"),
       minQuality = f.getOrElse("min-quality", "0.3").toDouble,
@@ -799,7 +817,8 @@ object Main {
       hygiene = hygiene,
       hasher = Dedup.xxHash,
       resume = f.get("resume-dir"))
-    writeCorpus(r.df.drop("__media_hash64"), output, f.get("output-format"))
+    writeCorpus(r.df.drop("__media_hash64", "__domain_order"), output,
+      f.get("output-format"))
     r.release() // output is on disk; drop the pipeline's internal caches
     println(s"input_rows=${r.stats.input}")
     val dropped = r.stats.dropped

@@ -202,6 +202,16 @@ object Curation {
       buckets: Int = 65536, alpha: Double = 1.0,
       temperature: Double = 1.0, seed: Int = 42)
 
+  /** Per-domain quota stage ([[Sampling.bestKPerStratum]]): cap each
+    * `stratumCol` group (source, registered domain, crawl snapshot) at
+    * its `k` best surviving documents by `orderCol` descending —
+    * RefinedWeb's "no domain dominates the mixture" rule, applied
+    * AFTER every dedup (quota capacity is not wasted on duplicates)
+    * and BEFORE DSIR selection (the target draw sees the capped
+    * mixture). Skew-immune two-phase window — see bestKPerStratum. */
+  final case class DomainCapConfig(stratumCol: String, k: Int,
+      orderCol: String)
+
   /** Optional corpus-hygiene stages around the core quality → language
     * → dedup spine. Everything defaults OFF; enabling a stage adds its
     * (name, survivors) entry to the ledger. `blocklist` drops pages
@@ -237,6 +247,7 @@ object Curation {
       classifier: Option[ClassifierConfig] = None,
       decontaminate: Option[DecontaminateConfig] = None,
       semDedup: Option[SemDeDupConfig] = None,
+      domainCap: Option[DomainCapConfig] = None,
       dsir: Option[DsirConfig] = None)
 
   /** Opt-in stage-level resume store for [[curate]]: each completed
@@ -423,6 +434,7 @@ object Curation {
         // plan, never the rows, so a resume may switch it freely
         "decontaminate" -> h.decontaminate.map(d => s"${d.n}:${d.broadcastEval}"),
         "semDedup" -> h.semDedup.map(_.toString),
+        "domainCap" -> h.domainCap.map(_.toString),
         "dsir" -> h.dsir.map(d =>
           s"${d.k}:${d.buckets}:${d.alpha}:${d.temperature}:${d.seed}")))
     }
@@ -441,6 +453,7 @@ object Curation {
       hygiene.decontaminate.map(_ => "contaminated") ++
       Seq("near_dup") ++
       hygiene.semDedup.map(_ => "semantic_dup") ++
+      hygiene.domainCap.map(_ => "domain_capped") ++
       hygiene.dsir.map(_ => "dsir_selected")))
     // One stage boundary: under resume, a completed stage's frame is
     // READ BACK (the thunk is never forced — no refit, no reshuffles);
@@ -756,20 +769,33 @@ object Curation {
         }
     }
 
+    // ---- Per-domain quota: cap each domain at its k best survivors —
+    // after every dedup (capacity is not spent on duplicates), before
+    // DSIR selection (the target draw sees the capped mixture) --------
+    val preDsir = hygiene.domainCap match {
+      case Some(cap) =>
+        val (kept, n) = stageOut("domain_capped", "domain cap")(
+          Sampling.bestKPerStratum(preSelect, cap.stratumCol,
+            cap.orderCol, cap.k, idCol))
+        ledger += ("domain_capped" -> n)
+        kept
+      case None => preSelect
+    }
+
     // ---- DSIR target selection: last of all — the distributions fit
     // on (and the draw selects from) exactly the surviving corpus -----
     val curated = hygiene.dsir match {
       case Some(dc) =>
         val (kept, n) = stageOut("dsir_selected", "dsir selection") {
           val scored = staged("dsir fit")(Dsir.importanceWeights(
-            preSelect, dc.target, textCol, dc.buckets, dc.alpha))
+            preDsir, dc.target, textCol, dc.buckets, dc.alpha))
           Dsir.resampleTopK(scored, dc.k, idCol,
               seed = dc.seed, temperature = dc.temperature)
             .drop("dsir_logw", "dsir_key")
         }
         ledger += ("dsir_selected" -> n)
         kept
-      case None => preSelect
+      case None => preDsir
     }
 
     // the tracked caches deliberately stay resident: unpersisting any

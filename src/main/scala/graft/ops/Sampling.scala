@@ -202,6 +202,42 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Per-stratum quota by QUALITY (the RefinedWeb/Dolma "cap documents
+    * per domain" stage): keep the `k` BEST rows of each stratum by
+    * `orderCol` descending, ties to the smaller `idCol` — so the head
+    * domains stop drowning the mixture but each domain contributes its
+    * highest-scoring documents, not a random sample (that is
+    * [[exactKPerStratum]]'s job).
+    *
+    * Skew is the scale hazard here: a single hot domain (the
+    * wikipedia.org of a 100 TB crawl) funnels through ONE task under a
+    * naive per-stratum window. This runs TWO windows: the first is
+    * salted with the input partition id, so each task ranks only its
+    * local slice of every stratum and survivors are capped at k per
+    * (stratum, input partition); the second ranks those ≤ k·P
+    * survivors per stratum exactly. Both exchanges move skew-bounded
+    * partitions; the result is the exact global top-k per stratum —
+    * the phase-1 union always contains it, because phase 1 drops only
+    * rows with ≥ k better rows in the SAME stratum. Deterministic and
+    * layout-independent by the same argument. */
+  def bestKPerStratum(df: DataFrame, stratumCol: String, orderCol: String,
+      k: Int, idCol: String): DataFrame = {
+    require(k >= 1, s"bestKPerStratum wants k >= 1, got $k")
+    require(!df.columns.contains("__rn") && !df.columns.contains("__salt"),
+      "bestKPerStratum uses __rn/__salt working columns; rename the existing ones first")
+    val order = Seq(col(orderCol).desc, col(idCol).asc)
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("__salt")).orderBy(order: _*)
+    val global = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(order: _*)
+    df.withColumn("__salt", spark_partition_id())
+      .withColumn("__rn", row_number().over(local))
+      .filter(col("__rn") <= k)
+      .withColumn("__rn", row_number().over(global))
+      .filter(col("__rn") <= k)
+      .drop("__rn", "__salt")
+  }
+
   /** Token-ID-level chunking of a [[packSequences]] frame — the actual
     * trainer export: every output row is one training sequence of
     * exactly `seqLen` token ids (the last sequence of a pack may be

@@ -323,6 +323,38 @@ class CliSpec extends SparkFunSuite {
       spark.read.parquet(out2).select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("curate --max-per-domain: keeps the N longest survivors per domain") {
+    val dir = Files.createTempDirectory("graft_cli_domaincap")
+    val in = s"$dir/docs.parquet"
+    val out = s"$dir/curated.parquet"
+    // two domains, ten clean docs each, lengths strictly increasing
+    // with i — every doc's tokens are unique to it (no shingle overlap,
+    // so the dedup stages drop nothing and only the cap cuts) and the
+    // 3 longest (largest i) per domain must survive
+    def mk(d: Int, i: Int) =
+      (1 to i + 3).map(j => s"word${d}x${i}y$j").mkString(" ")
+    (1 to 20).map(i => (i.toLong, if (i <= 10) "siteA" else "siteB",
+        mk(i, if (i <= 10) i else i - 10)))
+      .toDF("doc_id", "source", "text").write.parquet(in)
+    val cap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap)) {
+      assert(graft.cli.Main.cmdCurate(Array(
+        "--input", in, "--output", out,
+        "--min-quality", "0", "--languages", "none",
+        "--max-per-domain", "3")) == 0)
+    }
+    assert(cap.toString.contains("domain_capped"), cap.toString)
+    val kept = spark.read.parquet(out)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.length == 6, s"3 per domain x 2 domains, got ${kept.toSeq}")
+    // per domain: the docs with the largest repeat factor (i % 10 + 1)
+    assert(kept.filter(_._2 == "siteA").map(_._1).toSet == Set(8L, 9L, 10L))
+    assert(kept.filter(_._2 == "siteB").map(_._1).toSet == Set(18L, 19L, 20L))
+    // the synthesized __domain_order helper never reaches the output
+    assert(!spark.read.parquet(out).columns.contains("__domain_order"))
+  }
+
   test("curate command: second-wave flags reach their stages") {
     val dir = Files.createTempDirectory("graft_cli_curate2")
     val in = s"$dir/docs.parquet"

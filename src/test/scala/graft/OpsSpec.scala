@@ -150,6 +150,30 @@ class OpsSpec extends SparkFunSuite {
     assert(other != byLang("big"))
   }
 
+  test("best-k per stratum: exact top-k by score, tie-broken by id, layout-independent") {
+    import graft.ops.Sampling
+    // scores with planted ties: score = i % 10, so each stratum has
+    // many rows sharing a score and the id tie-break decides the cut
+    val base = (1L to 90L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", (i % 10).toLong))
+    def expect(k: Int): Set[(Long, String)] =
+      base.groupBy(_._2).flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._1)).take(k).map(r => (r._1, r._2))
+      }.toSet
+    def got(df: org.apache.spark.sql.DataFrame, k: Int): Set[(Long, String)] =
+      Sampling.bestKPerStratum(df, "stratum", "score", k, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val df = base.toDF("doc_id", "stratum", "score")
+    assert(got(df, 7) == expect(7))
+    // layout-independent: one partition, many partitions, and a
+    // pre-sorted-by-score layout all give the same exact answer
+    assert(got(df.repartition(1), 7) == expect(7))
+    assert(got(df.repartition(13, col("doc_id")), 7) == expect(7))
+    assert(got(df.orderBy(col("score")), 7) == expect(7))
+    // k past stratum size keeps the whole stratum
+    assert(got(df, 1000).size == 90)
+  }
+
   test("sequence packing: budget boundaries, offsets, determinism") {
     import graft.ops.Sampling
     val df = (1L to 60L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim))

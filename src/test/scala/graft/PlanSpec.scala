@@ -389,6 +389,20 @@ class PlanSpec extends SparkFunSuite {
       s"lists scan should carry a dynamic pruning filter:\n$plan")
   }
 
+  test("best-k per stratum plans two skew-bounded windows, not one hot-key funnel") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.ops.Sampling.bestKPerStratum(
+      docs, "source", "n_chars", 5, "doc_id"))
+    // phase 1 partitions by (stratum, input-partition salt) so a hot
+    // domain spreads across tasks; phase 2 ranks only the <= k
+    // survivors per salt — both exchanges move skew-bounded partitions
+    assert(plan.contains("__salt"),
+      s"phase-1 window must salt with the input partition id:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"expected exactly the two-phase exchange shape, got $exchanges:\n$plan")
+  }
+
   test("loaded ivf-pq probe prunes code partitions and reads codes, not vectors") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = graft.ops.Similarity.buildIvfPqIndex(e, "vec_id", "embedding",
