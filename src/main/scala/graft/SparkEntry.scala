@@ -749,6 +749,23 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // ANN quality measurement: per-query recall@5 of the IVF probe
+    // against the exact brute-force top-5 — the tuning loop every ANN
+    // deployment runs. The oracle replays BOTH rankings and the
+    // set-intersection count.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      graft.ops.Similarity.recallAtK(
+        graft.ops.Similarity.ivfTopK(q, e, "vec_id", "vec_id", "embedding",
+          k = 5, nlist = 8, nprobe = 3),
+        graft.ops.Similarity.bruteForceTopK(q, e, "vec_id", "vec_id",
+          "embedding", k = 5))
+        .select(col("query_id"), col("hits").cast("long").as("hits"),
+          col("exact_n").cast("long").as("exact_n"),
+          round(col("recall"), 6).as("recall"))
+        .orderBy("query_id")
+    }),
     // Multimodal: batched image decode over binary media columns. The
     // input stays MIXED (even ids real PNGs, odd ids real WAVs) so the
     // batch pass exercises both the ImageIO path and the non-image
@@ -2476,6 +2493,55 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(sim, 6) AS sim,
         |       CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS list_id, v AS cv
+        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |assign AS (
+        |  SELECT neighbor_id, v, list_id FROM (
+        |    SELECT x.vec_id AS neighbor_id, x.v, c.list_id,
+        |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        |             ORDER BY list_dot_product(x.v, c.cv)
+        |               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |               c.list_id) AS r
+        |    FROM e x CROSS JOIN cent c) t WHERE r = 1),
+        |probe AS (
+        |  SELECT query_id, qv, list_id FROM (
+        |    SELECT x.vec_id AS query_id, x.v AS qv, c.list_id,
+        |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        |             ORDER BY list_dot_product(x.v, c.cv)
+        |               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |               c.list_id) AS r
+        |    FROM e x CROSS JOIN cent c WHERE x.vec_id % 50 = 0) t WHERE r <= 3),
+        |ivf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM (SELECT DISTINCT p.query_id, a.neighbor_id,
+        |                 list_dot_product(p.qv, a.v)
+        |                   / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS sim
+        |          FROM assign a JOIN probe p USING (list_id)
+        |          WHERE p.query_id <> a.neighbor_id)) WHERE rank <= 5),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_dot_product(q.v, c.v)
+        |               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+        |               c.vec_id) AS rank
+        |    FROM e q CROSS JOIN e c
+        |    WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id) WHERE rank <= 5)
+        |SELECT x.query_id,
+        |       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |       CAST(COUNT(*) AS BIGINT) AS exact_n,
+        |       ROUND(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |             / COUNT(*), 6) AS recall
+        |FROM exact x LEFT JOIN ivf i USING (query_id, neighbor_id)
+        |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
 
     "q_embed_ivfpq_topk" ->
       """WITH e AS (

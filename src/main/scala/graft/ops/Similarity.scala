@@ -780,6 +780,53 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Append a vector batch to a PERSISTED IVF-PQ index in place: the
+    * batch is assigned to the SAVED centroids and residual-encoded
+    * with the SAVED codebooks (no re-clustering, no codebook refit),
+    * then append-written under the same partitionBy(list_id) layout —
+    * bit-identical to a full re-encode of base+batch at those fixed
+    * centroids/codebooks, for one batch-sized scan. The same
+    * recurring-drop contract as [[appendIvfIndex]]: centroids and
+    * codebooks drift from the data as appends accumulate (recall
+    * decays, correctness doesn't); rebuild when list sizes skew. NOT
+    * concurrency-safe: one writer per index path. */
+  def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String,
+      vecCol: String): IvfPqIndex = {
+    val idx = loadIvfPqIndex(spark, path)
+    // cluster by list before the partitioned write — same file-count
+    // rationale as appendIvfIndex (one file per touched list per
+    // append, not tasks x nlist)
+    pqEncode(residualFrame(batch, idCol, vecCol, idx.centroids),
+        "__resid", idx.pq)
+      .select(col("list_id"), col("neighbor_id"), col("pq_code"))
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$path/codes.parquet")
+    loadIvfPqIndex(spark, path)
+  }
+
+  /** Per-query recall@k of an approximate ANN result against an exact
+    * baseline: both frames carry (query_id, neighbor_id) rows — the
+    * approximate and the ground-truth top-k. Returns one row per
+    * query present in `exact`: (query_id, hits, exact_n, recall) where
+    * recall = |approx ∩ exact| / |exact|. The measurement loop every
+    * tuned ANN deployment needs: sample queries, compute exact top-k
+    * once ([[bruteForceTopK]] on the sample), and track recall as
+    * nprobe / planes / codebook sizes move. Joins on (query, neighbor)
+    * — cost is |exact| rows, never the corpus. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("exact_n"))
+      .withColumn("recall", col("hits") / col("exact_n"))
+      .select(col("query_id"), col("hits"), col("exact_n"), col("recall"))
+  }
+
   /** Cluster-balanced ("diversity") sampling: exactly `kPerCluster`
     * rows from each semantic cluster — uniform coverage over TOPICS
     * instead of uniform over rows, the standard recipe for building
