@@ -20,6 +20,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    State holds a bounded buffer (not just the latest row) so a
   *    feature that is still embargoed for one label can serve a later
   *    one; entries older than `retention` are pruned on every update.
+  *  - [[streamingQualityGate]]: the batch curation scan's one-pass
+  *    hygiene verdict kernel on a live stream — stateless, shuffle-
+  *    free, verdicts bit-identical to the batch pipeline.
   *  - [[streamingExactDedup]]: watermark-bounded exact dedup of a
   *    document stream (`dropDuplicatesWithinWatermark` on the content
   *    fingerprint).
@@ -57,6 +60,36 @@ object StreamingPit {
           .as("n_leaky"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("n_rows"), col("n_leaky"))
+
+  /** Streaming corpus-hygiene gate: the SAME one-pass verdict kernel
+    * the batch curation scan runs ([[graft.ops.QualityFilters.hygieneSpec]]
+    * → the codegen hygiene_verdict expression), applied to an
+    * unbounded document stream. The kernel is a stateless scan-side
+    * expression, so the gate adds NO streaming state, needs no
+    * watermark, and causes no shuffle — every micro-batch pays exactly
+    * the batch scan cost, and verdicts are bit-identical to what the
+    * batch pipeline assigns the same text (first-failing-stage code,
+    * 0 = passed everything). Returns all rows annotated with
+    * `hygiene_verdict`; with `passedOnly` (default) failing rows are
+    * dropped — keep them by passing false and routing on the verdict
+    * (e.g. a dead-letter sink per failed stage). */
+  def streamingQualityGate(
+      docs: DataFrame,
+      textCol: String,
+      c4: Option[(Int, Int)] = None,
+      gopher: Option[graft.ops.QualityFilters.GopherConfig] = None,
+      repetition: Option[graft.ops.QualityFilters.RepetitionConfig] = None,
+      minQuality: Double = 0.0,
+      languages: Seq[String] = Nil,
+      passedOnly: Boolean = true): DataFrame = {
+    val spec = graft.ops.QualityFilters.hygieneSpec(
+      c4, gopher, repetition, minQuality, languages)
+    val out = docs.withColumn("hygiene_verdict",
+      graft.functions.Hygiene.hygieneVerdictOf(col(textCol), spec))
+    if (passedOnly)
+      out.filter(col("hygiene_verdict") === graft.functions.Hygiene.PassVerdict)
+    else out
+  }
 
   /** Streaming exact dedup: drop documents whose content fingerprint
     * was already seen, with state bounded by the event-time watermark

@@ -1308,6 +1308,43 @@ class ExtensionsSpec extends SparkFunSuite {
     assert(out.toSeq == Seq(1L, 3L))
   }
 
+  test("streaming quality gate: stateless kernel, verdicts match the batch scan") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clean = ("the steady harbor town wakes early and the morning market " +
+      "sells fresh catch to everyone while the boats return with the tide " +
+      "and the crews have stories to tell of wind and water that carry " +
+      "across the quay into every open doorway before the day has begun " +
+      "so that the whole town knows the catch before the nets are dry")
+    val junk = "zzz qqq www " * 20 // no stopwords, no real words
+    val rows = Seq((1L, clean), (2L, junk), (3L, clean + " once more today"))
+    val gopher = Some(graft.ops.QualityFilters.GopherConfig())
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamingPit.streamingQualityGate(
+      input.toDF().toDF("doc_id", "text"), "text",
+      gopher = gopher, minQuality = 0.3, languages = Seq("en"))
+    assert(gated.isStreaming, "the gate must preserve streaming-ness")
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("sgate").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val out = spark.sql("SELECT doc_id, hygiene_verdict FROM sgate")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    q.stop()
+    // bit-identical to the batch kernel on the same rows: the gate
+    // keeps exactly the batch scan's passers, all with verdict 0
+    val spec = graft.ops.QualityFilters.hygieneSpec(
+      None, gopher, None, 0.3, Seq("en"))
+    val batch = rows.toDF("doc_id", "text")
+      .withColumn("v",
+        graft.functions.Hygiene.hygieneVerdictOf(col("text"), spec))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(batch(2L) != 0, "the junk doc must fail a batch stage")
+    assert(batch(1L) == 0 && batch(3L) == 0, s"clean docs must pass: $batch")
+    assert(out == batch.filter(_._2 == 0),
+      s"streaming verdicts must equal the batch kernel's: $out vs $batch")
+  }
+
   test("streaming near-dup hits: prior-member collisions flagged, state evicts, distinct passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
