@@ -749,6 +749,22 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // Johnson–Lindenstrauss random projection 64 → 4 dims (seed 7):
+    // the pre-ANN compression path. The oracle replays the exact
+    // gaussian plane literals (Double.toString round-trips) and the
+    // dot/√outDim math.
+    "q_embed_project" -> ((s, dir) => {
+      val proj = graft.ops.Similarity.randomProject(
+        col("embedding"), dim = 64, outDim = 4, seed = 7L)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), proj.as("__p"))
+        .select(col("vec_id"),
+          round(element_at(col("__p"), 1), 6).as("p1"),
+          round(element_at(col("__p"), 2), 6).as("p2"),
+          round(element_at(col("__p"), 3), 6).as("p3"),
+          round(element_at(col("__p"), 4), 6).as("p4"))
+        .orderBy("vec_id")
+    }),
     // ANN quality measurement: per-query recall@5 of the IVF probe
     // against the exact brute-force top-5 — the tuning loop every ANN
     // deployment runs. The oracle replays BOTH rankings and the
@@ -1322,6 +1338,16 @@ object SparkEntry {
   private lazy val lshPlaneLiterals: Seq[String] = {
     val rnd = new scala.util.Random(42L)
     Seq.fill(2)(IndexedSeq.fill(64)(rnd.nextGaussian()))
+      .map(_.mkString("[", ",", "]"))
+  }
+
+  /** The exact gaussian directions `Similarity.randomProject` draws
+    * for (dim=64, outDim=4, seed=7), rendered as DuckDB DOUBLE[]
+    * literals — same Double.toString round-trip contract as
+    * [[lshPlaneLiterals]]. */
+  private lazy val projPlaneLiterals: Seq[String] = {
+    val rnd = new scala.util.Random(7L)
+    Seq.fill(4)(IndexedSeq.fill(64)(rnd.nextGaussian()))
       .map(_.mkString("[", ",", "]"))
   }
 
@@ -2493,6 +2519,16 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(sim, 6) AS sim,
         |       CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_project" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT vec_id,
+         |  ROUND(list_dot_product(v, ${projPlaneLiterals(0)}) / sqrt(4.0), 6) AS p1,
+         |  ROUND(list_dot_product(v, ${projPlaneLiterals(1)}) / sqrt(4.0), 6) AS p2,
+         |  ROUND(list_dot_product(v, ${projPlaneLiterals(2)}) / sqrt(4.0), 6) AS p3,
+         |  ROUND(list_dot_product(v, ${projPlaneLiterals(3)}) / sqrt(4.0), 6) AS p4
+         |FROM e ORDER BY vec_id""".stripMargin,
 
     "q_ann_recall" ->
       """WITH e AS (

@@ -541,6 +541,60 @@ object Similarity {
     corpus.withColumn("pq_code", array(codeFor: _*))
   }
 
+  /** Lloyd refinement of a [[PqModel]]'s codebooks — the k-means per
+    * subspace production PQ training runs (FAISS does exactly this):
+    * per iteration, every vector's m subvectors are assigned to their
+    * nearest codebook entry (the same argmin [[pqEncode]] uses) and
+    * each (subspace, code) entry moves to its members' element-wise
+    * mean; entries with no members keep their vectors. 2-3 iterations
+    * move the crude donor-row codebooks to genuine subspace density
+    * centers — a quantization-error/recall fix, not a scale change.
+    * Like the IVF Lloyd refinement, the means are float-reduction-
+    * order dependent, so REFINED codebooks are not bit-replayable in
+    * an external oracle — the contract rows keep refinement off.
+    * Cost per iteration: one corpus scan (the encode) + one skinny
+    * (m·codebookSize·dsub)-bounded aggregate with map-side combine. */
+  def refinePq(corpus: DataFrame, vecCol: String, model: PqModel,
+      iters: Int): PqModel =
+    (0 until iters).foldLeft(model) { (cb, _) =>
+      val means = pqEncode(corpus.select(col(vecCol)), vecCol, cb)
+        .select(asDouble(col(vecCol)).as("__v"),
+          posexplode(col("pq_code")).as(Seq("__j", "__code")))
+        .select(col("__j"), col("__code"),
+          posexplode(slice(col("__v"), col("__j") * cb.dsub + 1,
+            lit(cb.dsub))).as(Seq("__p", "__x")))
+        .groupBy("__j", "__code", "__p").agg(avg("__x").as("__m"))
+        .collect()
+      val next = Array.tabulate(cb.m)(j =>
+        cb.codebooks(j).map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      PqModel(cb.m, cb.dsub, next)
+    }
+
+  /** Johnson–Lindenstrauss random projection of an embedding column to
+    * `outDim` dimensions: p_i = dot(v, g_i) / sqrt(outDim) with seeded
+    * standard-gaussian directions g_i (the 1/√outDim scaling makes
+    * E‖p‖² = ‖v‖², so distances and dot products are preserved in
+    * expectation). The cheap pre-ANN compression when embeddings are
+    * wider than the search needs — at d=1024 → 64, the brute-force
+    * scan reads and multiplies 16× less. Pure scan-side expression
+    * algebra: outDim plane literals ride the plan (one Catalyst node
+    * each, like [[hyperplaneSignature]]'s planes), no shuffle.
+    * Deterministic in (dim, outDim, seed) — replayable by an external
+    * engine from the same gaussian stream. */
+  def randomProject(vec: Column, dim: Int, outDim: Int,
+      seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val dv = asDouble(vec)
+    val s = math.sqrt(outDim.toDouble)
+    array((0 until outDim).map { _ =>
+      val g = typedLit(IndexedSeq.fill(dim)(rnd.nextGaussian()))
+      VecOps.vecDot(dv, g) / lit(s)
+    }: _*)
+  }
+
   /** Asymmetric-distance top-k over PQ codes: per query, ONE lookup
     * table of subvector·centroid inner products is computed on the
     * (tiny, broadcast) query frame, and each corpus code scores as m
@@ -640,11 +694,13 @@ object Similarity {
     * shuffle beyond the bounded centroid TakeOrdered. */
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, m: Int = 8, codebookSize: Int = 16,
-      refineIters: Int = 0): IvfPqIndex = {
+      refineIters: Int = 0, pqRefineIters: Int = 0): IvfPqIndex = {
     val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, refineIters)
     val resid = residualFrame(corpus, idCol, vecCol, centroids)
-    val pq = trainPq(resid, "neighbor_id", "__resid", m, codebookSize,
-      saltDonors = "pq")
+    val pq = refinePq(resid, "__resid",
+      trainPq(resid, "neighbor_id", "__resid", m, codebookSize,
+        saltDonors = "pq"),
+      pqRefineIters)
     IvfPqIndex(centroids, pq,
       pqEncode(resid, "__resid", pq)
         .select(col("list_id"), col("neighbor_id"), col("pq_code")))

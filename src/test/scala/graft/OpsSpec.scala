@@ -1607,6 +1607,90 @@ class OpsSpec extends SparkFunSuite {
     assert(refined >= 0.85, s"refined recall $refined (seed was $seedRecall)")
   }
 
+  test("pq Lloyd refinement lifts ADC recall on a clustered corpus") {
+    // same planted geometry as the ivf refinement test; embeddings are
+    // L2-normalized so the ADC inner-product ranking IS the cosine
+    // ranking the exact baseline uses
+    val dim = 8
+    val clustered = spark.range(400).select(col("id"),
+      Similarity.normalize(transform(sequence(lit(0), lit(dim - 1)), j => {
+        val cl = col("id") % 4
+        val base = when(j === cl * 2, 10.0).otherwise(0.0)
+        val noise = (pmod(hash(col("id"), j), lit(1000)).cast("double") / 250.0) - 2.0
+        (base + noise).cast("float")
+      })).as("embedding"))
+    val q = clustered.filter(col("id") % 20 === 0)
+    val exact = Similarity.bruteForceTopK(q, clustered, "id", "id", "embedding", 5)
+    def recallOf(m: Similarity.PqModel): Double =
+      Similarity.recallAtK(
+        Similarity.pqTopK(q, Similarity.pqEncode(clustered, "embedding", m),
+          "id", "embedding", "id", k = 5, m),
+        exact).agg(avg(col("recall"))).head().getDouble(0)
+    val donor = Similarity.trainPq(clustered, "id", "embedding",
+      m = 4, codebookSize = 4)
+    val refined = Similarity.refinePq(clustered, "embedding", donor, 3)
+    val (r0, r3) = (recallOf(donor), recallOf(refined))
+    assert(r3 >= r0, s"refinement must never hurt here: donor=$r0 refined=$r3")
+    // the direct Lloyd guarantee: mean reconstruction error strictly
+    // drops (each assign/mean step minimizes within-code MSE)
+    val vecs = clustered.select(col("id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    def mse(m: Similarity.PqModel): Double = vecs.map { v =>
+      (0 until m.m).map { j =>
+        val xj = v.slice(j * m.dsub, (j + 1) * m.dsub)
+        m.codebooks(j).map(c =>
+          xj.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      }.sum
+    }.sum / vecs.length
+    val (e0, e3) = (mse(donor), mse(refined))
+    assert(e3 < e0, s"refined quantization error $e3 must beat donor $e0")
+    // shape is preserved, values moved
+    assert(refined.m == donor.m && refined.dsub == donor.dsub &&
+      refined.codebookSize == donor.codebookSize)
+    assert(refined.codebooks.flatten.flatten.toSeq !=
+      donor.codebooks.flatten.flatten.toSeq)
+  }
+
+  test("random projection: deterministic, norm-preserving in expectation, keeps planted neighborhoods") {
+    val dim = 8
+    val clustered = spark.range(400).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)), j => {
+        val cl = col("id") % 4
+        val base = when(j === cl * 2, 10.0).otherwise(0.0)
+        val noise = (pmod(hash(col("id"), j), lit(1000)).cast("double") / 250.0) - 2.0
+        (base + noise).cast("float")
+      }).as("embedding"))
+    val proj = clustered.select(col("id"),
+      Similarity.randomProject(col("embedding"), dim, 4, seed = 7).as("embedding"))
+    // deterministic across evaluations
+    val a = proj.orderBy("id").collect().map(_.getSeq[Double](1))
+    val b = proj.orderBy("id").collect().map(_.getSeq[Double](1))
+    assert(a.toSeq.map(_.toSeq) == b.toSeq.map(_.toSeq))
+    // E||p||^2 = ||v||^2: the mean norm ratio over 400 rows lands near 1
+    val ratio = clustered
+      .select((graft.functions.VecOps.vecDot(
+          Similarity.randomProject(col("embedding"), dim, 4, seed = 7),
+          Similarity.randomProject(col("embedding"), dim, 4, seed = 7))
+        / graft.functions.VecOps.vecDot(
+          Similarity.asDouble(col("embedding")),
+          Similarity.asDouble(col("embedding")))).as("r"))
+      .agg(avg(col("r"))).head().getDouble(0)
+    assert(ratio > 0.6 && ratio < 1.5, s"mean norm ratio $ratio")
+    // planted clusters survive the 2x compression: the JL guarantee is
+    // STRUCTURE preservation, not exact fine ranking — so assert that
+    // a projected query's top-5 stay in its own planted cluster (the
+    // clusters are 10 units apart vs ±2 noise)
+    val qp = proj.filter(col("id") % 20 === 0)
+    val onProj = Similarity.bruteForceTopK(qp, proj, "id", "id", "embedding", 5)
+    val sameCluster = onProj
+      .select((col("query_id") % 4 === col("neighbor_id") % 4)
+        .cast("double").as("same"))
+      .agg(avg(col("same"))).head().getDouble(0)
+    assert(sameCluster >= 0.9,
+      s"projected top-5 must stay within the planted cluster: $sameCluster")
+  }
+
   test("near-dup pairs via cosine threshold") {
     val pairs = Similarity.cosineNearDupPairsLsh(embeddings, "vec_id", "embedding",
       threshold = 0.4, dim = 64)
