@@ -61,6 +61,7 @@ object Main {
           case "shuffle" => cmdShuffle(rest)
           case "export"  => cmdExport(rest)
           case "tokenizer" => cmdTokenizer(rest)
+          case "index"   => cmdIndex(rest)
           case "help" | "-h" | "--help" => println(usage); 0
           case other => System.err.println(s"Unknown command '$other'\n$usage"); 2
         }
@@ -168,6 +169,17 @@ object Main {
       |           saves it; without --train, encodes the corpus with a
       |           saved vocab — token_ids + n_tokens, or n_tokens alone
       |           with --count-only)
+      |
+      |  index   --build --input PATH --output DIR [--nlist 64] [--refine-iters 0]
+      |          [--pq M,K [--pq-refine-iters 0]] [--id-col vec_id] [--vec-col embedding]
+      |          | --append --input BATCH --index DIR
+      |          | --search --queries PATH --index DIR --output PATH
+      |            [--k 10] [--nprobe 8] [--refine CANDIDATES --corpus PATH]
+      |          (persisted ANN: IVF lists of vectors, or with --pq the
+      |           IVF-PQ residual-code layout — probes read only nprobe
+      |           list partitions; append assigns new batches to the
+      |           saved centroids/codebooks without re-clustering;
+      |           --refine exact-reranks an ADC shortlist)
       |
       |  Corpus commands (curate/pack/dsir/classify/profile/shuffle) read
       |  and write parquet or JSONL: .jsonl/.json paths auto-detect, or
@@ -1268,6 +1280,92 @@ object Main {
     * driver merge loop) or encode a corpus with a saved vocab
     * (scan-side kernel; `--count-only` stamps exact token counts
     * without materializing the id arrays). */
+  /** `graft index`: the ANN index family from the command line —
+    * build/append/search a persisted IVF (vectors) or IVF-PQ (residual
+    * codes) index. The two layouts share the partitionBy(list_id)
+    * probe-pruning design; `--pq M,K` at build time picks IVF-PQ, and
+    * append/search auto-detect which layout a directory holds. */
+  private[graft] def cmdIndex(args: Array[String]): Int = {
+    val (f, _) = flags(args)
+    val spark = session()
+    import graft.ops.Similarity
+    val idCol = f.getOrElse("id-col", "vec_id")
+    val vecCol = f.getOrElse("vec-col", "embedding")
+    def isPq(dir: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codes.parquet"))
+    val modes = Seq("build", "append", "search").filter(f.contains)
+    if (modes.size != 1) throw graft.errors.Errors.config(
+      s"index needs exactly one of --build/--append/--search" +
+        (if (modes.isEmpty) "." else s", got --${modes.mkString(" --")}."),
+      "pick one mode")
+    modes.head match {
+      case "build" =>
+        val input = req(f, "input", "index --build needs --input PATH (an embedding corpus)")
+        val out = req(f, "output", "index --build needs --output DIR")
+        val df = readCorpus(spark, input, f.get("input-format"))
+        val nlist = f.getOrElse("nlist", "64").toInt
+        val refine = f.getOrElse("refine-iters", "0").toInt
+        f.get("pq") match {
+          case Some(mk) =>
+            val parts = mk.split(",").map(_.trim)
+            if (parts.length != 2 || parts.exists(p => scala.util.Try(p.toInt).isFailure))
+              throw graft.errors.Errors.config(
+                s"--pq wants M,K (subspaces, codebook size), got '$mk'.",
+                "e.g. --pq 8,256")
+            val (m, k) = (parts(0).toInt, parts(1).toInt)
+            Similarity.saveIvfPqIndex(Similarity.buildIvfPqIndex(
+              df, idCol, vecCol, nlist, m, k, refine,
+              f.getOrElse("pq-refine-iters", "0").toInt), out)
+            println(s"index=ivfpq nlist=$nlist m=$m codebook=$k written=$out")
+          case None =>
+            Similarity.saveIvfIndex(Similarity.buildIvfIndex(
+              df, idCol, vecCol, nlist, refine), out)
+            println(s"index=ivf nlist=$nlist written=$out")
+        }
+      case "append" =>
+        val input = req(f, "input", "index --append needs --input PATH (the new vector batch)")
+        val idxDir = req(f, "index", "index --append needs --index DIR")
+        val df = readCorpus(spark, input, f.get("input-format"))
+        val kind =
+          if (isPq(idxDir)) {
+            Similarity.appendIvfPqIndex(spark, idxDir, df, idCol, vecCol); "ivfpq"
+          } else {
+            Similarity.appendIvfIndex(spark, idxDir, df, idCol, vecCol); "ivf"
+          }
+        println(s"index=$kind appended_from=$input index_dir=$idxDir")
+      case _ =>
+        val qPath = req(f, "queries", "index --search needs --queries PATH")
+        val idxDir = req(f, "index", "index --search needs --index DIR")
+        val out = req(f, "output", "index --search needs --output PATH")
+        val queries = readCorpus(spark, qPath, f.get("input-format"))
+        val k = f.getOrElse("k", "10").toInt
+        val nprobe = f.getOrElse("nprobe", "8").toInt
+        val res =
+          if (isPq(idxDir)) {
+            val loaded = Similarity.loadIvfPqIndex(spark, idxDir)
+            f.get("refine") match {
+              case Some(cand) =>
+                // exact rerank needs the true vectors — the codes
+                // deliberately don't carry them
+                val corpus = readCorpus(spark, req(f, "corpus",
+                  "--refine needs --corpus PATH (the true vectors to rerank with)"),
+                  f.get("aux-format"))
+                Similarity.ivfPqTopKRefined(queries, corpus, loaded,
+                  idCol, idCol, vecCol, k, nprobe,
+                  if (cand == "true") 0 else cand.toInt)
+              case None =>
+                Similarity.ivfPqTopK(queries, loaded, idCol, vecCol, k, nprobe)
+            }
+          } else
+            Similarity.ivfTopKIndexed(queries,
+              Similarity.loadIvfIndex(spark, idxDir), idCol, vecCol, k, nprobe)
+        writeCorpus(res, out, f.get("output-format"))
+        val n = readCorpus(spark, out, f.get("output-format")).count()
+        println(s"results=$n k=$k nprobe=$nprobe written=$out")
+    }
+    0
+  }
+
   private[graft] def cmdTokenizer(args: Array[String]): Int = {
     val (f, _) = flags(args)
     val spark = session()

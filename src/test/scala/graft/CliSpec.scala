@@ -977,6 +977,68 @@ class CliSpec extends SparkFunSuite {
       s"shard range [$lo,$hi] must be contiguous with $n rows") }
   }
 
+  test("index command: build/search/append for ivf and ivf-pq layouts") {
+    val dir = Files.createTempDirectory("graft_cli_index")
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val base = s"$dir/base.parquet"
+    val batch = s"$dir/batch.parquet"
+    val queries = s"$dir/q.parquet"
+    spark.read.parquet(emb).filter(col("vec_id") % 3 > 0).write.parquet(base)
+    spark.read.parquet(emb).filter(col("vec_id") % 3 === 0).write.parquet(batch)
+    spark.read.parquet(emb).filter(col("vec_id") % 50 === 0).write.parquet(queries)
+    val sink = new java.io.PrintStream(new java.io.ByteArrayOutputStream())
+    // plain IVF: build over base, search
+    val ivfIdx = s"$dir/ivf_idx"
+    val ivfRes = s"$dir/ivf_res.parquet"
+    Console.withOut(sink) {
+      assert(graft.cli.Main.cmdIndex(Array(
+        "--build", "--input", base, "--output", ivfIdx, "--nlist", "8")) == 0)
+      assert(graft.cli.Main.cmdIndex(Array(
+        "--search", "--queries", queries, "--index", ivfIdx,
+        "--output", ivfRes, "--k", "5", "--nprobe", "3")) == 0)
+    }
+    val viaCli = spark.read.parquet(ivfRes)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString(",")).toSeq
+    val viaLib = graft.ops.Similarity.ivfTopKIndexed(
+        spark.read.parquet(queries),
+        graft.ops.Similarity.loadIvfIndex(spark, ivfIdx),
+        "vec_id", "embedding", k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString(",")).toSeq
+    assert(viaCli == viaLib, "CLI search must equal the library call")
+    // IVF-PQ: build with --pq, append the batch, search with exact refine
+    val pqIdx = s"$dir/pq_idx"
+    val pqRes = s"$dir/pq_res.parquet"
+    Console.withOut(sink) {
+      assert(graft.cli.Main.cmdIndex(Array(
+        "--build", "--input", base, "--output", pqIdx,
+        "--nlist", "8", "--pq", "4,16")) == 0)
+      assert(graft.cli.Main.cmdIndex(Array(
+        "--append", "--input", batch, "--index", pqIdx)) == 0)
+      assert(graft.cli.Main.cmdIndex(Array(
+        "--search", "--queries", queries, "--index", pqIdx,
+        "--output", pqRes, "--k", "5", "--nprobe", "3",
+        "--refine", "20", "--corpus", emb)) == 0)
+    }
+    // the appended index holds base+batch codes; every query gets k rows
+    assert(graft.ops.Similarity.loadIvfPqIndex(spark, pqIdx).codes.count() ==
+      spark.read.parquet(emb).count())
+    val perQuery = spark.read.parquet(pqRes).groupBy("query_id").count()
+      .collect().map(_.getLong(1)).toSet
+    assert(perQuery == Set(5L), s"5 reranked rows per query, got $perQuery")
+    // mode and argument validation fail fast
+    val err = intercept[graft.errors.ConfigError] {
+      graft.cli.Main.cmdIndex(Array("--build", "--search"))
+    }
+    assert(err.getMessage.contains("exactly one"))
+    val err2 = intercept[graft.errors.ConfigError] {
+      graft.cli.Main.cmdIndex(Array(
+        "--build", "--input", base, "--output", s"$dir/x", "--pq", "banana"))
+    }
+    assert(err2.getMessage.contains("M,K"))
+  }
+
   test("export --output-format jsonl: one ordered text file per shard, byte-identical re-runs") {
     val dir = Files.createTempDirectory("graft_cli_export_jsonl")
     val in = s"$dir/docs.parquet"
