@@ -551,6 +551,18 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.2)
       graft.ops.Dedup.connectedComponents(pairs).orderBy("id")
     }),
+    // Keep-best near-dup dedup: duplicate clusters (3-gram Jaccard
+    // components) keep their LONGEST member (n_chars desc, min id tie)
+    // instead of the min id — the RefinedWeb representative rule. The
+    // oracle replays pairs, recursive components, the per-component
+    // rank and the anti-join.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+      val pairs = graft.ops.Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.2)
+      graft.ops.Dedup.dedupByPairsBest(docs, "doc_id", pairs, col("n_chars"))
+        .orderBy("doc_id")
+    }),
     // MinHash + LSH banding candidate pairs (md5-portable hasher)
     "q_minhash_lsh" -> ((s, dir) =>
       graft.ops.Dedup.minhashCandidates(
@@ -2031,6 +2043,36 @@ object SparkEntry {
         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
         |SELECT x AS id, least(x, min(y)) AS comp
         |FROM reach GROUP BY x ORDER BY id""".stripMargin,
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS s
+        |  FROM docs WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |jpairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |good AS (
+        |  SELECT a, b FROM jpairs
+        |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2),
+        |edges AS (SELECT a AS x, b AS y FROM good UNION SELECT b, a FROM good),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+        |comp AS (SELECT x AS id, least(x, min(y)) AS comp FROM reach GROUP BY x),
+        |ranked AS (
+        |  SELECT c.id, ROW_NUMBER() OVER (PARTITION BY c.comp
+        |    ORDER BY d.n_chars DESC, c.id) AS r
+        |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+        |losers AS (SELECT id FROM ranked WHERE r > 1)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id""".stripMargin,
+
     "q_minhash_lsh" ->
       """WITH docs AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),

@@ -107,7 +107,10 @@ object Main {
       |          (cap each domain at its N best surviving docs — ranked
       |           by --domain-order-col desc, default text length)
       |          [--dsir-target PARQUET --dsir-k N [--dsir-buckets 65536] [--dsir-temperature 1.0]]
-      |          [--near-dup minhash|ngram] [--near-dup-threshold 0.8] [--json PATH]
+      |          [--near-dup minhash|ngram] [--near-dup-threshold 0.8]
+      |          [--near-dup-keep-col COL|length]  (each duplicate cluster
+      |           keeps its highest-COL member instead of the min id)
+      |          [--json PATH]
       |          [--resume-dir DIR]  (stage-level checkpoints: a re-run
       |           against the same dir skips completed stages — restart
       |           a multi-hour curation after driver loss; refuse on
@@ -812,12 +815,20 @@ object Main {
         .getOrElse(raw)
     }
     // default domain-cap ranking: document length in characters,
-    // synthesized scan-side and dropped again before the write
-    val capped =
-      if (f.contains("max-per-domain") && !f.contains("domain-order-col"))
-        corpus.withColumn("__domain_order",
+    // synthesized scan-side and dropped again before the write; the
+    // near-dup keep column accepts the special value "length" the same
+    // way (keep the longest page of each duplicate cluster)
+    val capped = {
+      val withDomain =
+        if (f.contains("max-per-domain") && !f.contains("domain-order-col"))
+          corpus.withColumn("__domain_order",
+            length(col(f.getOrElse("text-col", "text"))))
+        else corpus
+      if (f.get("near-dup-keep-col").contains("length"))
+        withDomain.withColumn("__neardup_order",
           length(col(f.getOrElse("text-col", "text"))))
-      else corpus
+      else withDomain
+    }
     val r = Curation.curate(
       capped,
       idCol = f.getOrElse("id-col", "doc_id"),
@@ -828,9 +839,12 @@ object Main {
       nearDup = nearDup,
       hygiene = hygiene,
       hasher = Dedup.xxHash,
-      resume = f.get("resume-dir"))
-    writeCorpus(r.df.drop("__media_hash64", "__domain_order"), output,
-      f.get("output-format"))
+      resume = f.get("resume-dir"),
+      nearDupKeepCol = f.get("near-dup-keep-col")
+        .map(c => if (c == "length") "__neardup_order" else c))
+    writeCorpus(
+      r.df.drop("__media_hash64", "__domain_order", "__neardup_order"),
+      output, f.get("output-format"))
     r.release() // output is on disk; drop the pipeline's internal caches
     println(s"input_rows=${r.stats.input}")
     val dropped = r.stats.dropped

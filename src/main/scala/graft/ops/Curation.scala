@@ -337,7 +337,13 @@ object Curation {
       nearDup: NearDup = NearDup.NgramExact,
       hygiene: HygieneConfig = HygieneConfig(),
       hasher: (Column, Int) => Column = Dedup.md5Hash,
-      resume: Option[String] = None
+      resume: Option[String] = None,
+      /** Near-dup representative choice: name a score column and each
+        * duplicate cluster keeps its HIGHEST-scoring member (ties to
+        * min id) via [[Dedup.dedupByPairsBest]] — the RefinedWeb-style
+        * "keep the best page of the cluster" instead of the default
+        * keep-min-id (whatever was ingested first). */
+      nearDupKeepCol: Option[String] = None
   ): CurationResult = {
     val t = col(textCol)
     // C4 rewrites the text (line filtering); every later scan-side rule
@@ -413,6 +419,7 @@ object Curation {
       new StageStore(dir, graft.util.Jsons.obj(
         "id" -> idCol, "text" -> textCol, "minQuality" -> minQuality,
         "languages" -> languages, "nearDupThreshold" -> nearDupThreshold,
+        "nearDupKeepCol" -> nearDupKeepCol,
         "shingleSize" -> shingleSize, "nearDup" -> nearDup.toString,
         "hasher" -> hasherName,
         "c4" -> h.c4.map(_.toString), "gopher" -> h.gopher.map(_.toString),
@@ -735,7 +742,10 @@ object Curation {
             k = k, bands = bands, n = shingleSize, threshold = nearDupThreshold,
             hasher = hasher)
       }
-      Dedup.dedupByPairs(decontKept, idCol, pairs)
+      nearDupKeepCol match {
+        case Some(sc) => Dedup.dedupByPairsBest(decontKept, idCol, pairs, col(sc))
+        case None     => Dedup.dedupByPairs(decontKept, idCol, pairs)
+      }
     }
 
     // ---- SemDeDup: paraphrase-level dedup over the embedding column —

@@ -355,6 +355,31 @@ class CliSpec extends SparkFunSuite {
     assert(!spark.read.parquet(out).columns.contains("__domain_order"))
   }
 
+  test("curate --near-dup-keep-col length: duplicate clusters keep the longest member") {
+    val dir = Files.createTempDirectory("graft_cli_keepbest")
+    val in = s"$dir/docs.parquet"
+    val out = s"$dir/curated.parquet"
+    val base = "the steady harbor town wakes early with fishing boats " +
+      "and the morning market sells fresh catch to everyone"
+    Seq(
+      (1L, base),                                      // near-dup, shorter, SMALLER id
+      (2L, base + " before the first ferry arrives"),  // near-dup, LONGER
+      (3L, (1 to 15).map(j => s"uniqueword$j").mkString(" ")) // untouched
+    ).toDF("doc_id", "text").write.parquet(in)
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdCurate(Array(
+        "--input", in, "--output", out,
+        "--min-quality", "0", "--languages", "none",
+        "--near-dup", "ngram", "--near-dup-threshold", "0.2",
+        "--near-dup-keep-col", "length")) == 0)
+    }
+    val kept = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // min-id would keep doc 1; keep-best by length must keep doc 2
+    assert(kept == Set(2L, 3L), s"got $kept")
+    assert(!spark.read.parquet(out).columns.contains("__neardup_order"))
+  }
+
   test("curate command: second-wave flags reach their stages") {
     val dir = Files.createTempDirectory("graft_cli_curate2")
     val in = s"$dir/docs.parquet"
