@@ -573,6 +573,48 @@ object Bench {
       "vec_id", "embedding", k = 10, nprobe = 8).count()
   }
 
+  /** Skewed-domain frame for the per-domain quota pair: 10M rows, one
+    * hot domain holding HALF the corpus (the wikipedia.org of a
+    * crawl), 1000 cold domains sharing the rest; deterministic
+    * hash-derived scores. Generated once, outside the timed region. */
+  private def domainCorpusPath(spark: SparkSession, n: Long): String = {
+    val path = s"$benchDir/domains_$n.parquet"
+    if (!committed(path)) {
+      spark.range(n).select(col("id"),
+        when(pmod(col("id"), lit(2L)) === 0, lit("hot"))
+          .otherwise(concat(lit("d"),
+            pmod(col("id") * 2654435761L, lit(1000L)))).as("domain"),
+        (pmod(col("id") * 40503L + 17L, lit(99991L)) / lit(99991.0)).as("score"),
+        // realistic row width: documents ride the window with their
+        // text — without payload the hot partition is a few skinny MB
+        // and the funnel never shows
+        concat(lit("payload "), repeat(
+          concat(lit("w"), pmod(col("id"), lit(97L)), lit(" ")), 40))
+          .as("text"))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** The measured claim behind [[graft.ops.Sampling.bestKPerStratum]]:
+    * Catalyst's partial WindowGroupLimit caps each input task's
+    * contribution at k rows per stratum BEFORE the exchange — on a
+    * planted hot domain (half the corpus in one stratum, realistic
+    * text payload riding the window) the pair records what that
+    * pushdown is worth against the same query with the optimization
+    * disabled (the true one-task funnel). Same exact answer. */
+  private[graft] def domainCapScenario(noGroupLimit: Boolean)(spark: SparkSession): Long = {
+    val df = spark.read.parquet(domainCorpusPath(spark, 10000000L))
+    val key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    val prior = spark.conf.getOption(key)
+    if (noGroupLimit) spark.conf.set(key, "-1")
+    try graft.ops.Sampling.bestKPerStratum(df, "domain", "score", 100, "id").count()
+    finally if (noGroupLimit) prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Full IVF (re)build over 1M vectors, PERSISTED — the cost the
     * incremental append path avoids paying per recurring drop:
     * centroid selection + assignment scan the WHOLE corpus and the
@@ -806,6 +848,8 @@ object Bench {
       "pq_search_1m" -> (() => { pqSearchScenario(spark); () }),
       "ivfpq_build_1m" -> (() => { ivfPqBuildScenario(spark); () }),
       "ivfpq_search_1m" -> (() => { ivfPqSearchScenario(spark); () }),
+      "domaincap_10m" -> (() => { domainCapScenario(noGroupLimit = false)(spark); () }),
+      "domaincap_10m_nolimit" -> (() => { domainCapScenario(noGroupLimit = true)(spark); () }),
       // quality classifier, SPLIT so LBFGS fit drift is visible in
       // isolation (the fused q_quality_classifier row mixes both):
       // fit = the driver-coordinated spark.ml LogisticRegression under

@@ -30,11 +30,13 @@ object BenchOne {
     val incDedupMode = args.headOption.contains("incdedup")
     val pqMode = args.headOption.contains("pq")
     val ivfPqMode = args.headOption.contains("ivfpq")
+    val domainCapMode = args.headOption.contains("domaincap")
     val sessionMode = args.headOption.contains("session")
     val posArgs =
       if (auditMode || skewMode || curateMode || scanMode || substrMode ||
           chunkMode || dsirMode || bpeMode || seqMode || clsFitMode ||
-          ivfMode || incDedupMode || pqMode || ivfPqMode || sessionMode)
+          ivfMode || incDedupMode || pqMode || ivfPqMode || domainCapMode ||
+          sessionMode)
         args.drop(1)
       else args
     val nLabels = posArgs.headOption.map(_.toInt).getOrElse(1000000)
@@ -175,6 +177,22 @@ object BenchOne {
         syncFs()
         timed(s"ivfpq_search_1m run$i")(
           println("  rows=" + Bench.ivfPqSearchScenario(spark)))
+      }
+      spark.stop()
+      return
+    }
+
+    if (domainCapMode) {
+      // isolate the domaincap_10m / domaincap_10m_nolimit pair
+      timed("domain corpus (warmup)")(
+        Bench.domainCapScenario(noGroupLimit = false)(spark))
+      (1 to 3).foreach { i =>
+        syncFs()
+        timed(s"domaincap_10m run$i")(
+          println("  rows=" + Bench.domainCapScenario(noGroupLimit = false)(spark)))
+        syncFs()
+        timed(s"domaincap_10m_nolimit run$i")(
+          println("  rows=" + Bench.domainCapScenario(noGroupLimit = true)(spark)))
       }
       spark.stop()
       return

@@ -209,33 +209,30 @@ object Sampling {
     * highest-scoring documents, not a random sample (that is
     * [[exactKPerStratum]]'s job).
     *
-    * Skew is the scale hazard here: a single hot domain (the
-    * wikipedia.org of a 100 TB crawl) funnels through ONE task under a
-    * naive per-stratum window. This runs TWO windows: the first is
-    * salted with the input partition id, so each task ranks only its
-    * local slice of every stratum and survivors are capped at k per
-    * (stratum, input partition); the second ranks those ≤ k·P
-    * survivors per stratum exactly. Both exchanges move skew-bounded
-    * partitions; the result is the exact global top-k per stratum —
-    * the phase-1 union always contains it, because phase 1 drops only
-    * rows with ≥ k better rows in the SAME stratum. Deterministic and
-    * layout-independent by the same argument. */
+    * Skew — one hot domain funneling through one task — is the scale
+    * hazard of a per-stratum window, and on this Spark the OPTIMIZER
+    * already owns the fix: a `row_number <= k` filter over a window
+    * plans a PARTIAL `WindowGroupLimit` BEFORE the exchange, capping
+    * every input task's contribution at k rows per stratum, then a
+    * final group-limit + window over those ≤ k·P survivors — exactly
+    * the salted two-phase rewrite, done by Catalyst (pinned in
+    * PlanSpec, measured as the domaincap_10m bench pair against the
+    * optimization disabled). A hand-rolled two-phase version was
+    * measured strictly slower: it pays a second full window over what
+    * the group-limit already bounded. Deterministic and
+    * layout-independent: row_number over (score desc, id asc) is a
+    * total order. */
   def bestKPerStratum(df: DataFrame, stratumCol: String, orderCol: String,
       k: Int, idCol: String): DataFrame = {
     require(k >= 1, s"bestKPerStratum wants k >= 1, got $k")
-    require(!df.columns.contains("__rn") && !df.columns.contains("__salt"),
-      "bestKPerStratum uses __rn/__salt working columns; rename the existing ones first")
-    val order = Seq(col(orderCol).desc, col(idCol).asc)
-    val local = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol), col("__salt")).orderBy(order: _*)
-    val global = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol)).orderBy(order: _*)
-    df.withColumn("__salt", spark_partition_id())
-      .withColumn("__rn", row_number().over(local))
+    require(!df.columns.contains("__rn"),
+      "bestKPerStratum uses a __rn working column; rename the existing one first")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .withColumn("__rn", row_number().over(global))
-      .filter(col("__rn") <= k)
-      .drop("__rn", "__salt")
+      .drop("__rn")
   }
 
   /** Token-ID-level chunking of a [[packSequences]] frame — the actual

@@ -389,18 +389,26 @@ class PlanSpec extends SparkFunSuite {
       s"lists scan should carry a dynamic pruning filter:\n$plan")
   }
 
-  test("best-k per stratum plans two skew-bounded windows, not one hot-key funnel") {
+  test("best-k per stratum: Catalyst plans a partial WindowGroupLimit before the exchange") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.ops.Sampling.bestKPerStratum(
       docs, "source", "n_chars", 5, "doc_id"))
-    // phase 1 partitions by (stratum, input-partition salt) so a hot
-    // domain spreads across tasks; phase 2 ranks only the <= k
-    // survivors per salt — both exchanges move skew-bounded partitions
-    assert(plan.contains("__salt"),
-      s"phase-1 window must salt with the input partition id:\n$plan")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges == 2,
-      s"expected exactly the two-phase exchange shape, got $exchanges:\n$plan")
+    // the skew story: the rank<=k filter must plan a PARTIAL
+    // WindowGroupLimit below the exchange — each input task ships at
+    // most k rows per stratum, so a hot domain cannot funnel its whole
+    // membership through one task's sort. One exchange total.
+    val idx = plan.indexOf("WindowGroupLimit")
+    val exch = plan.indexOf("Exchange hashpartitioning")
+    assert(idx >= 0, s"no WindowGroupLimit in:\n$plan")
+    assert(exch >= 0, s"no exchange in:\n$plan")
+    assert("WindowGroupLimit".r.findAllIn(plan).length == 2,
+      s"expected partial + final group limits:\n$plan")
+    // plan prints top-down: the PARTIAL instance is the one BELOW the
+    // exchange, i.e. appears after it in the string
+    assert(plan.lastIndexOf("WindowGroupLimit") > exch,
+      s"partial group limit must sit below the exchange:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"one exchange total:\n$plan")
   }
 
   test("loaded ivf-pq probe prunes code partitions and reads codes, not vectors") {
