@@ -105,7 +105,8 @@ object Main {
       |          [--classifier-min-prob 0.5] [--classifier-negative-rate 0.01]
       |          [--max-per-domain N [--domain-col source] [--domain-order-col COL]]
       |          (cap each domain at its N best surviving docs — ranked
-      |           by --domain-order-col desc, default text length)
+      |           by --domain-order-col desc; the default ranks by the
+      |           RAW input text's length, i.e. before any --c4 cleaning)
       |          [--dsir-target PARQUET --dsir-k N [--dsir-buckets 65536] [--dsir-temperature 1.0]]
       |          [--near-dup minhash|ngram] [--near-dup-threshold 0.8]
       |          [--near-dup-keep-col COL|length]  (each duplicate cluster
@@ -824,7 +825,11 @@ object Main {
           corpus.withColumn("__domain_order",
             length(col(f.getOrElse("text-col", "text"))))
         else corpus
-      if (f.get("near-dup-keep-col").contains("length"))
+      // the special value "length" is only special when the corpus has
+      // no column of that name — a real `length` column wins, so the
+      // magic word can never silently shadow user data
+      if (f.get("near-dup-keep-col").contains("length") &&
+          !withDomain.columns.contains("length"))
         withDomain.withColumn("__neardup_order",
           length(col(f.getOrElse("text-col", "text"))))
       else withDomain
@@ -841,7 +846,8 @@ object Main {
       hasher = Dedup.xxHash,
       resume = f.get("resume-dir"),
       nearDupKeepCol = f.get("near-dup-keep-col")
-        .map(c => if (c == "length") "__neardup_order" else c))
+        .map(c => if (c == "length" && capped.columns.contains("__neardup_order"))
+          "__neardup_order" else c))
     writeCorpus(
       r.df.drop("__media_hash64", "__domain_order", "__neardup_order"),
       output, f.get("output-format"))
@@ -1370,9 +1376,18 @@ object Main {
               case None =>
                 Similarity.ivfPqTopK(queries, loaded, idCol, vecCol, k, nprobe)
             }
-          } else
+          } else {
+            // a plain IVF index holds the true vectors and ranks exact
+            // cosines already — silently ignoring --refine would let a
+            // user believe a rerank ran (same fail-fast rule the
+            // export format check follows)
+            f.get("refine").foreach(_ => throw graft.errors.Errors.config(
+              "--refine applies to IVF-PQ indexes (ADC shortlist + exact rerank); " +
+                s"$idxDir is a plain IVF index whose probe scores exact cosines.",
+              "drop --refine (or rebuild the index with --pq M,K)"))
             Similarity.ivfTopKIndexed(queries,
               Similarity.loadIvfIndex(spark, idxDir), idCol, vecCol, k, nprobe)
+          }
         writeCorpus(res, out, f.get("output-format"))
         val n = readCorpus(spark, out, f.get("output-format")).count()
         println(s"results=$n k=$k nprobe=$nprobe written=$out")

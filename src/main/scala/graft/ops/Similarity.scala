@@ -595,6 +595,48 @@ object Similarity {
     }: _*)
   }
 
+  /** Per-query ADC lookup table: inner products of each query
+    * subvector against every codebook entry, flattened j-major — the
+    * ONE definition of the scoring table shared by [[pqTopK]] and
+    * [[ivfPqTopK]], whose bit-identical DuckDB oracles both replay it.
+    * `qv` must be array<double>. */
+  private def pqLut(model: PqModel, qv: Column): Column =
+    array((0 until model.m).flatMap { j =>
+      val qj = slice(qv, j * model.dsub + 1, model.dsub)
+      model.codebooks(j).map(c => VecOps.vecDot(qj, typedLit(c.toSeq)))
+    }: _*)
+
+  /** The m-term ADC sum of a row's `pq_code` against its `__lut`,
+    * left-associated in j order — the float-addition order the
+    * oracles replay. Shared by both PQ search paths. */
+  private def pqAdc(model: PqModel): Column =
+    (0 until model.m)
+      .map(j => element_at(col("__lut"),
+        lit(j * model.codebookSize + 1) + element_at(col("pq_code"), j + 1)))
+      .reduce(_ + _)
+
+  /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist:
+    * fetch ONLY the shortlist rows' true vectors (a candidate-sized
+    * join — never the corpus) plus the broadcast queries, score the
+    * exact cosine, keep top-k. Shared by [[pqTopKRefined]] and
+    * [[ivfPqTopKRefined]] so the rerank math and its (sim desc, id
+    * asc) tie-break have one definition. `qFrame` carries
+    * (__qid_raw, __qv_raw). */
+  private def exactRerank(shortlist: DataFrame, corpus: DataFrame,
+      qFrame: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    shortlist
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("__cv")), Seq("neighbor_id"))
+      .join(broadcast(qFrame.select(col("__qid_raw").as("query_id"),
+        asDouble(col("__qv_raw")).as("__qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (VecOps.vecDot(col("__qv"), col("__cv"))
+          / (sqrt(VecOps.vecDot(col("__qv"), col("__qv")))
+            * sqrt(VecOps.vecDot(col("__cv"), col("__cv"))))).as("sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+
   /** Asymmetric-distance top-k over PQ codes: per query, ONE lookup
     * table of subvector·centroid inner products is computed on the
     * (tiny, broadcast) query frame, and each corpus code scores as m
@@ -607,16 +649,9 @@ object Similarity {
   def pqTopK(queries: DataFrame, codes: DataFrame, qidCol: String,
       vecCol: String, idCol: String, k: Int, model: PqModel,
       excludeSelf: Boolean = true): DataFrame = {
-    val qv = asDouble(col("__qv"))
-    val lut = array((0 until model.m).flatMap { j =>
-      val qj = slice(qv, j * model.dsub + 1, model.dsub)
-      model.codebooks(j).map(c => VecOps.vecDot(qj, typedLit(c.toSeq)))
-    }: _*)
+    val lut = pqLut(model, asDouble(col("__qv")))
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
-    val adc = (0 until model.m)
-      .map(j => element_at(col("__lut"),
-        lit(j * model.codebookSize + 1) + element_at(col("pq_code"), j + 1)))
-      .reduce(_ + _)
+    val adc = pqAdc(model)
     codes.select(col(idCol).as("neighbor_id"), col("pq_code"))
       .join(broadcast(q.withColumn("__lut", lut).drop("__qv")),
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
@@ -644,19 +679,7 @@ object Similarity {
     val shortlist = pqTopK(qFrame, codes, "__qid_raw", "__qv_raw",
         idCol, cand, model)
       .select(col("query_id"), col("neighbor_id"))
-    val withVecs = shortlist
-      .join(corpus.select(col(idCol).as("neighbor_id"),
-        asDouble(col(vecCol)).as("__cv")), Seq("neighbor_id"))
-      .join(broadcast(qFrame.select(col("__qid_raw").as("query_id"),
-        asDouble(col("__qv_raw")).as("__qv"))), Seq("query_id"))
-    withVecs
-      .select(col("query_id"), col("neighbor_id"),
-        (VecOps.vecDot(col("__qv"), col("__cv"))
-          / (sqrt(VecOps.vecDot(col("__qv"), col("__qv")))
-            * sqrt(VecOps.vecDot(col("__cv"), col("__cv"))))).as("sim"))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
+    exactRerank(shortlist, corpus, qFrame, idCol, vecCol, k)
   }
 
   // ---- IVF-PQ: residual product quantization inside inverted lists --
@@ -696,7 +719,12 @@ object Similarity {
       nlist: Int = 16, m: Int = 8, codebookSize: Int = 16,
       refineIters: Int = 0, pqRefineIters: Int = 0): IvfPqIndex = {
     val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, refineIters)
-    val resid = residualFrame(corpus, idCol, vecCol, centroids)
+    // lazy-checkpoint the residual frame when refinement multiplies
+    // its consumers: the donor TakeOrdered, every refinePq iteration
+    // and the final encode would otherwise each re-run the assignment
+    // kernel + centroid join over the whole corpus
+    val resid0 = residualFrame(corpus, idCol, vecCol, centroids)
+    val resid = if (pqRefineIters > 0) resid0.localCheckpoint(false) else resid0
     val pq = refinePq(resid, "__resid",
       trainPq(resid, "neighbor_id", "__resid", m, codebookSize,
         saltDonors = "pq"),
@@ -711,7 +739,7 @@ object Similarity {
     * and reduced to the residual against it. Centroid values ride a
     * broadcast join on list_id (nlist rows), subtraction is a plain
     * codegen zip_with — the whole frame is one corpus scan. */
-  private def residualFrame(corpus: DataFrame, idCol: String, vecCol: String,
+  private[graft] def residualFrame(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame =
     assignLists(corpus, idCol, vecCol, centroids)
       .join(broadcast(centroids), Seq("list_id"))
@@ -779,24 +807,17 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     val model = index.pq
     val qv = asDouble(col("__qv"))
-    val lut = array((0 until model.m).flatMap { j =>
-      val qj = slice(qv, j * model.dsub + 1, model.dsub)
-      model.codebooks(j).map(c => VecOps.vecDot(qj, typedLit(c.toSeq)))
-    }: _*)
     // LUT before the per-list explode: computed once per QUERY row,
     // not once per probed (query, list) row
     val qbase = queries
       .select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__lut", lut)
+      .withColumn("__lut", pqLut(model, qv))
     val probed = nearestLists(qbase, "query_id", "__qv",
         index.centroids, nprobe)
       .join(broadcast(index.centroids), Seq("list_id"))
       .withColumn("__qc", VecOps.vecDot(qv, col("__centroid")))
       .select(col("list_id"), col("query_id"), col("__lut"), col("__qc"))
-    val adc = (0 until model.m)
-      .map(j => element_at(col("__lut"),
-        lit(j * model.codebookSize + 1) + element_at(col("pq_code"), j + 1)))
-      .reduce(_ + _)
+    val adc = pqAdc(model)
     index.codes
       .join(broadcast(probed), Seq("list_id"))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
@@ -822,18 +843,7 @@ object Similarity {
     val shortlist = ivfPqTopK(qFrame, index, "__qid_raw", "__qv_raw",
         cand, nprobe)
       .select(col("query_id"), col("neighbor_id"))
-    shortlist
-      .join(corpus.select(col(idCol).as("neighbor_id"),
-        asDouble(col(vecCol)).as("__cv")), Seq("neighbor_id"))
-      .join(broadcast(qFrame.select(col("__qid_raw").as("query_id"),
-        asDouble(col("__qv_raw")).as("__qv"))), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (VecOps.vecDot(col("__qv"), col("__cv"))
-          / (sqrt(VecOps.vecDot(col("__qv"), col("__qv")))
-            * sqrt(VecOps.vecDot(col("__cv"), col("__cv"))))).as("sim"))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
+    exactRerank(shortlist, corpus, qFrame, idCol, vecCol, k)
   }
 
   /** Append a vector batch to a PERSISTED IVF-PQ index in place: the
