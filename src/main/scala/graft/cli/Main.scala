@@ -179,6 +179,8 @@ object Main {
       |          | --append --input BATCH --index DIR
       |          | --search --queries PATH --index DIR --output PATH
       |            [--k 10] [--nprobe 8] [--refine CANDIDATES --corpus PATH]
+      |          | --describe --index DIR   (layout, params, per-list
+      |            row counts — list skew says when to rebuild)
       |          (persisted ANN: IVF lists of vectors, or with --pq the
       |           IVF-PQ residual-code layout — probes read only nprobe
       |           list partitions; append assigns new batches to the
@@ -1313,9 +1315,9 @@ object Main {
     val vecCol = f.getOrElse("vec-col", "embedding")
     def isPq(dir: String): Boolean =
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codes.parquet"))
-    val modes = Seq("build", "append", "search").filter(f.contains)
+    val modes = Seq("build", "append", "search", "describe").filter(f.contains)
     if (modes.size != 1) throw graft.errors.Errors.config(
-      s"index needs exactly one of --build/--append/--search" +
+      s"index needs exactly one of --build/--append/--search/--describe" +
         (if (modes.isEmpty) "." else s", got --${modes.mkString(" --")}."),
       "pick one mode")
     modes.head match {
@@ -1342,6 +1344,32 @@ object Main {
               df, idCol, vecCol, nlist, refine), out)
             println(s"index=ivf nlist=$nlist written=$out")
         }
+      case "describe" =>
+        // ops-facing health view: layout kind, parameters, and the
+        // per-list row distribution (list SKEW is what tells an
+        // operator an index needs a rebuild — appends assign to
+        // stale centroids and the hot lists grow)
+        val idxDir = req(f, "index", "index --describe needs --index DIR")
+        val (kind, rows) =
+          if (isPq(idxDir)) {
+            val idx = Similarity.loadIvfPqIndex(spark, idxDir)
+            println(s"index=ivfpq m=${idx.pq.m} dsub=${idx.pq.dsub} " +
+              s"codebook=${idx.pq.codebookSize}")
+            ("ivfpq", idx.codes.groupBy("list_id").count())
+          } else {
+            val idx = Similarity.loadIvfIndex(spark, idxDir)
+            println(s"index=ivf")
+            ("ivf", idx.lists.groupBy("list_id").count())
+          }
+        val counts = rows.orderBy("list_id").collect()
+          .map(r => r.get(0) -> r.getLong(1))
+        val ns = counts.map(_._2)
+        val total = ns.sum
+        println(s"kind=$kind lists=${counts.length} rows=$total " +
+          s"min_list=${if (ns.isEmpty) 0 else ns.min} " +
+          s"max_list=${if (ns.isEmpty) 0 else ns.max} " +
+          s"avg_list=${if (ns.isEmpty) 0 else total / ns.length}")
+        counts.foreach { case (l, n) => println(s"  list_id=$l rows=$n") }
       case "append" =>
         val input = req(f, "input", "index --append needs --input PATH (the new vector batch)")
         val idxDir = req(f, "index", "index --append needs --index DIR")

@@ -1052,6 +1052,22 @@ class CliSpec extends SparkFunSuite {
     val perQuery = spark.read.parquet(pqRes).groupBy("query_id").count()
       .collect().map(_.getLong(1)).toSet
     assert(perQuery == Set(5L), s"5 reranked rows per query, got $perQuery")
+    // --describe reports layout, params and the per-list distribution
+    val desc = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(desc)) {
+      assert(graft.cli.Main.cmdIndex(Array("--describe", "--index", pqIdx)) == 0)
+    }
+    val d = desc.toString
+    assert(d.contains("index=ivfpq m=4") && d.contains("codebook=16"), d)
+    assert(d.contains(s"rows=${spark.read.parquet(emb).count()}"), d)
+    assert(d.contains("list_id="), d)
+    // --refine on a plain IVF index fails fast instead of being ignored
+    val errR = intercept[graft.errors.ConfigError] {
+      graft.cli.Main.cmdIndex(Array(
+        "--search", "--queries", queries, "--index", ivfIdx,
+        "--output", s"$dir/nope.parquet", "--refine", "20", "--corpus", emb))
+    }
+    assert(errR.getMessage.contains("plain IVF"))
     // mode and argument validation fail fast
     val err = intercept[graft.errors.ConfigError] {
       graft.cli.Main.cmdIndex(Array("--build", "--search"))
