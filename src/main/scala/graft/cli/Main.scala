@@ -181,6 +181,8 @@ object Main {
       |            [--k 10] [--nprobe 8] [--refine CANDIDATES --corpus PATH]
       |          | --describe --index DIR   (layout, params, per-list
       |            row counts — list skew says when to rebuild)
+      |          | --compact --index DIR    (rewrite appended lists to
+      |            one file each; atomic dir swap, rows unchanged)
       |          (persisted ANN: IVF lists of vectors, or with --pq the
       |           IVF-PQ residual-code layout — probes read only nprobe
       |           list partitions; append assigns new batches to the
@@ -1315,9 +1317,10 @@ object Main {
     val vecCol = f.getOrElse("vec-col", "embedding")
     def isPq(dir: String): Boolean =
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codes.parquet"))
-    val modes = Seq("build", "append", "search", "describe").filter(f.contains)
+    val modes = Seq("build", "append", "search", "describe", "compact")
+      .filter(f.contains)
     if (modes.size != 1) throw graft.errors.Errors.config(
-      s"index needs exactly one of --build/--append/--search/--describe" +
+      s"index needs exactly one of --build/--append/--search/--describe/--compact" +
         (if (modes.isEmpty) "." else s", got --${modes.mkString(" --")}."),
       "pick one mode")
     modes.head match {
@@ -1344,6 +1347,10 @@ object Main {
               df, idCol, vecCol, nlist, refine), out)
             println(s"index=ivf nlist=$nlist written=$out")
         }
+      case "compact" =>
+        val idxDir = req(f, "index", "index --compact needs --index DIR")
+        Similarity.compactIndex(spark, idxDir)
+        println(s"compacted=$idxDir")
       case "describe" =>
         // ops-facing health view: layout kind, parameters, and the
         // per-list row distribution (list SKEW is what tells an

@@ -872,6 +872,42 @@ object Similarity {
     loadIvfPqIndex(spark, path)
   }
 
+  /** Compact a persisted index in place: each append leaves one file
+    * set per touched list partition, so a long-appended index pays its
+    * probe cost in file-open overhead; compaction rewrites the data
+    * frame clustered by list (ONE file per list again) — rows, probe
+    * results and the pinned-type reload are all unchanged. Works for
+    * both layouts (IVF `lists.parquet` / IVF-PQ `codes.parquet`). The
+    * rewrite goes through a sibling temp dir and a directory swap:
+    * Spark cannot overwrite a path it is lazily reading, and a crash
+    * mid-compaction must leave either the old or the new layout, not
+    * a half-written one. Same one-writer contract as append. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val isPq = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "codes.parquet"))
+    val dataDir = if (isPq) s"$path/codes.parquet" else s"$path/lists.parquet"
+    val tmp = s"$path/.compact_tmp"
+    val frame =
+      if (isPq) loadIvfPqIndex(spark, path).codes
+      else loadIvfIndex(spark, path).lists
+    frame.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    // swap: the old dir moves aside first so a crash between the two
+    // renames leaves a recoverable .compact_old, never a missing index
+    val fs = java.nio.file.Paths.get(dataDir)
+    val old = java.nio.file.Paths.get(s"$path/.compact_old")
+    java.nio.file.Files.move(fs, old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), fs)
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(rm)
+      java.nio.file.Files.delete(p)
+    }
+    rm(old)
+  }
+
   /** Per-query recall@k of an approximate ANN result against an exact
     * baseline: both frames carry (query_id, neighbor_id) rows — the
     * approximate and the ground-truth top-k. Returns one row per

@@ -1061,6 +1061,31 @@ class CliSpec extends SparkFunSuite {
     assert(d.contains("index=ivfpq m=4") && d.contains("codebook=16"), d)
     assert(d.contains(s"rows=${spark.read.parquet(emb).count()}"), d)
     assert(d.contains("list_id="), d)
+    // --compact rewrites the appended code layout to one file per list
+    // with identical rows and search results
+    val preCompact = spark.read.parquet(s"$dir/pq_res.parquet")
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString(",")).toSeq
+    val filesBefore = new java.io.File(s"$pqIdx/codes.parquet").listFiles()
+      .filter(_.getName.startsWith("list_id="))
+      .map(d => d.listFiles().count(_.getName.startsWith("part-"))).sum
+    Console.withOut(sink) {
+      assert(graft.cli.Main.cmdIndex(Array("--compact", "--index", pqIdx)) == 0)
+      assert(graft.cli.Main.cmdIndex(Array(
+        "--search", "--queries", queries, "--index", pqIdx,
+        "--output", s"$dir/pq_res2.parquet", "--k", "5", "--nprobe", "3",
+        "--refine", "20", "--corpus", emb)) == 0)
+    }
+    val listDirs2 = new java.io.File(s"$pqIdx/codes.parquet").listFiles()
+      .filter(_.getName.startsWith("list_id="))
+    val filesAfter = listDirs2
+      .map(d => d.listFiles().count(_.getName.startsWith("part-"))).sum
+    assert(filesAfter == listDirs2.length,
+      s"one file per list after compaction, got $filesAfter for ${listDirs2.length} lists")
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+    assert(spark.read.parquet(s"$dir/pq_res2.parquet")
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString(",")).toSeq
+      == preCompact, "search results must be unchanged by compaction")
     // --refine on a plain IVF index fails fast instead of being ignored
     val errR = intercept[graft.errors.ConfigError] {
       graft.cli.Main.cmdIndex(Array(
