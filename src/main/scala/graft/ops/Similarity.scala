@@ -881,7 +881,11 @@ object Similarity {
     * rewrite goes through a sibling temp dir and a directory swap:
     * Spark cannot overwrite a path it is lazily reading, and a crash
     * mid-compaction must leave either the old or the new layout, not
-    * a half-written one. Same one-writer contract as append. */
+    * a half-written one. The swap uses filesystem renames, so the
+    * index must live on a store with atomic directory moves (POSIX,
+    * HDFS) — on object stores without rename semantics, rewrite via
+    * [[saveIvfIndex]]/[[saveIvfPqIndex]] to a NEW path instead. Same
+    * one-writer contract as append. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val isPq = java.nio.file.Files.exists(

@@ -1519,6 +1519,17 @@ class OpsSpec extends SparkFunSuite {
     val listDirs = new java.io.File(s"$dir/lists.parquet").listFiles()
       .filter(_.getName.startsWith("list_id="))
     assert(listDirs.length == built.centroids.count())
+    // compaction of the (unfragmented) plain-IVF layout is a no-op for
+    // results: same rows, same probe output, still one file per list
+    Similarity.compactIndex(spark, dir)
+    val recompacted = Similarity.loadIvfIndex(spark, dir)
+    assert(rows(Similarity.ivfTopKIndexed(q, recompacted, "vec_id", "embedding",
+      k = 3, nprobe = 2)) == inline)
+    new java.io.File(s"$dir/lists.parquet").listFiles()
+      .filter(_.getName.startsWith("list_id=")).foreach { d =>
+        assert(d.listFiles().count(_.getName.startsWith("part-")) == 1,
+          s"one file per list after compaction in ${d.getName}")
+      }
   }
 
   test("ivf append: probe over appended index == full rebuild at fixed centroids") {
