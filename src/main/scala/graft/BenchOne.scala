@@ -25,6 +25,7 @@ object BenchOne {
     val dsirMode = args.headOption.contains("dsir")
     val bpeMode = args.headOption.contains("bpe")
     val seqMode = args.headOption.contains("sequences")
+    val shuffleMode = args.headOption.contains("shuffle")
     val clsFitMode = args.headOption.contains("classifierfit")
     val ivfMode = args.headOption.contains("ivf")
     val incDedupMode = args.headOption.contains("incdedup")
@@ -36,7 +37,7 @@ object BenchOne {
       if (auditMode || skewMode || curateMode || scanMode || substrMode ||
           chunkMode || dsirMode || bpeMode || seqMode || clsFitMode ||
           ivfMode || incDedupMode || pqMode || ivfPqMode || domainCapMode ||
-          sessionMode)
+          sessionMode || shuffleMode)
         args.drop(1)
       else args
     val nLabels = posArgs.headOption.map(_.toInt).getOrElse(1000000)
@@ -227,7 +228,7 @@ object BenchOne {
     }
 
     if (curateMode || scanMode || substrMode || chunkMode || dsirMode ||
-        bpeMode || seqMode) {
+        bpeMode || seqMode || shuffleMode) {
       // isolate Bench's corpus rows (curate_1m / gopher_c4_10m /
       // exactsubstr_1m / chunk_1m); nLabels reads as the doc count
       // (defaults still apply: 1M docs, `scanfilter 10000000` for the
@@ -240,6 +241,7 @@ object BenchOne {
         else if (dsirMode) Bench.dsirScenario(nDocs)(spark)
         else if (bpeMode) Bench.bpeScenario(nDocs)(spark)
         else if (seqMode) Bench.sequencesScenario(nDocs)(spark)
+        else if (shuffleMode) Bench.shuffleScenario(nDocs)(spark)
         else Bench.chunkScenario(nDocs)(spark)
       val label =
         if (curateMode) "curate"
@@ -248,6 +250,7 @@ object BenchOne {
         else if (dsirMode) "dsir"
         else if (bpeMode) "bpe"
         else if (seqMode) "sequences"
+        else if (shuffleMode) "shuffle"
         else "chunk"
       timed("corpus datagen + warmup")(run())
       (1 to 3).foreach { i =>

@@ -179,6 +179,9 @@ object Main {
       |          | --append --input BATCH --index DIR
       |          | --search --queries PATH --index DIR --output PATH
       |            [--k 10] [--nprobe 8] [--refine CANDIDATES --corpus PATH]
+      |            [--recall-sample N]  (sample N queries, print mean/min
+      |            recall@k vs the exact brute-force baseline — IVF-PQ
+      |            needs --corpus for the true vectors)
       |          | --describe --index DIR   (layout, params, per-list
       |            row counts — list skew says when to rebuild)
       |          | --compact --index DIR    (rewrite appended lists to
@@ -1315,8 +1318,10 @@ object Main {
     import graft.ops.Similarity
     val idCol = f.getOrElse("id-col", "vec_id")
     val vecCol = f.getOrElse("vec-col", "embedding")
-    def isPq(dir: String): Boolean =
-      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codes.parquet"))
+    // layout auto-detect through the Hadoop FileSystem of the path's
+    // scheme (Similarity.indexIsPq) — a java.nio probe would silently
+    // answer false for every hdfs:// index and misroute IVF-PQ loads
+    def isPq(dir: String): Boolean = Similarity.indexIsPq(spark, dir)
     val modes = Seq("build", "append", "search", "describe", "compact")
       .filter(f.contains)
     if (modes.size != 1) throw graft.errors.Errors.config(
@@ -1395,8 +1400,9 @@ object Main {
         val queries = readCorpus(spark, qPath, f.get("input-format"))
         val k = f.getOrElse("k", "10").toInt
         val nprobe = f.getOrElse("nprobe", "8").toInt
+        val pqIdx = isPq(idxDir)
         val res =
-          if (isPq(idxDir)) {
+          if (pqIdx) {
             val loaded = Similarity.loadIvfPqIndex(spark, idxDir)
             f.get("refine") match {
               case Some(cand) =>
@@ -1426,6 +1432,51 @@ object Main {
         writeCorpus(res, out, f.get("output-format"))
         val n = readCorpus(spark, out, f.get("output-format")).count()
         println(s"results=$n k=$k nprobe=$nprobe written=$out")
+        // --recall-sample N: the tuning loop every ANN deployment runs
+        // (sample queries, exact ground truth once, recall@k as nprobe /
+        // candidate counts move), one flag away instead of a notebook.
+        // Ground truth via bruteForceTopK costs |sample| x |corpus|
+        // scan-side dots — size the sample, not the corpus.
+        f.get("recall-sample").foreach { nStr =>
+          val sampleN = nStr.toInt
+          if (sampleN < 1) throw Errors.config(
+            s"--recall-sample wants a positive sample size, got '$nStr'.",
+            "e.g. --recall-sample 100")
+          // deterministic md5-ordered pick — replayable across runs, so
+          // recall numbers stay comparable as the search parameters move
+          val sampleIds = queries
+            .select(col(idCol))
+            .orderBy(md5(col(idCol).cast("string")), col(idCol))
+            .limit(sampleN)
+          val sampleQ = queries.join(broadcast(sampleIds), Seq(idCol))
+          // exact baseline over the TRUE vectors: a plain IVF index
+          // carries them in its lists; IVF-PQ codes deliberately don't,
+          // so the rerank corpus supplies them
+          val truth =
+            if (pqIdx) readCorpus(spark, req(f, "corpus",
+                "--recall-sample on an IVF-PQ index needs --corpus PATH " +
+                  "(the true vectors for the exact baseline)"),
+              f.get("aux-format"))
+            else Similarity.loadIvfIndex(spark, idxDir).lists
+              .select(col("neighbor_id").as(idCol), col("vec").as(vecCol))
+          val exact = Similarity.bruteForceTopK(sampleQ, truth,
+            idCol, idCol, vecCol, k)
+          // the approx side is the WRITTEN result filtered to the
+          // sample — recall measures what the search actually delivered
+          val approx = readCorpus(spark, out, f.get("output-format"))
+            .join(broadcast(sampleIds.withColumnRenamed(idCol, "query_id")),
+              Seq("query_id"))
+          val rec = Similarity.recallAtK(approx, exact)
+            .agg(avg(col("recall")).as("mean_recall"),
+              min(col("recall")).as("min_recall"),
+              count(lit(1)).as("n_queries")).head()
+          if (rec.getLong(2) == 0L)
+            println(s"recall_sample=0 k=$k (no ground-truth rows — " +
+              "is the sample empty, or the baseline corpus?)")
+          else println(f"recall_sample=${rec.getLong(2)} k=$k " +
+            f"mean_recall=${rec.getDouble(0)}%.4f " +
+            f"min_recall=${rec.getDouble(1)}%.4f")
+        }
     }
     0
   }

@@ -65,6 +65,43 @@ object Shingles {
     val expr = ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(text), n))
     coalesce(expr, typedLit(Seq.empty[String]))
   }
+
+  /** The kernel's occurrence-keeping sibling — also called from
+    * generated code. */
+  def computeAll(s: UTF8String, n: Int): ArrayData = {
+    val txt = s.trim().toString
+    val toks = txt.split("\\s+", -1)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** ALL n-gram occurrences in document order, duplicates kept — the
+    * counting unit for frequency reports ([[graft.ops.TextAnalysis
+    * .topNgrams]]), where "how often" matters as much as "whether".
+    * Same kernel economics as [[shingles]] (tokenize once per row,
+    * whole-stage codegen) and the same NULL/short-document → empty
+    * array convention; semantics match the
+    * `transform(sequence(1, size(w)-n+1), i -> concat_ws(' ', ...))`
+    * SQL formulation exactly (equivalence pinned in ExtensionsSpec),
+    * which re-tokenized the document once per element_at — the blowup
+    * that made a 5,000-doc report measure ~10s at sf0.1. */
+  def allShingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val expr = ColumnBridge.column(
+      AllShinglesExpr(ColumnBridge.expression(text), n))
+    coalesce(expr, typedLit(Seq.empty[String]))
+  }
 }
 
 case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
@@ -93,4 +130,32 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "shingles"
+}
+
+case class AllShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"all_shingles needs a string column, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Shingles.computeAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Shingles.computeAll($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): AllShinglesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "all_shingles"
 }

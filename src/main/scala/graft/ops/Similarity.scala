@@ -807,19 +807,25 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     val model = index.pq
     val qv = asDouble(col("__qv"))
-    // LUT before the per-list explode: computed once per QUERY row,
-    // not once per probed (query, list) row
     val qbase = queries
       .select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__lut", pqLut(model, qv))
+    // LUT in its OWN broadcast frame, one row per query: riding the
+    // probe frame would duplicate the m·codebookSize double table
+    // nprobe times per query, multiplying the broadcast by nprobe and
+    // walking large query batches into the driver/broadcast limits.
+    // Computed once per QUERY row (before any per-list explode) either
+    // way; the codes side picks it up with a second broadcast hash
+    // join on query_id after the list probe.
+    val luts = qbase.select(col("query_id"), pqLut(model, qv).as("__lut"))
     val probed = nearestLists(qbase, "query_id", "__qv",
         index.centroids, nprobe)
       .join(broadcast(index.centroids), Seq("list_id"))
       .withColumn("__qc", VecOps.vecDot(qv, col("__centroid")))
-      .select(col("list_id"), col("query_id"), col("__lut"), col("__qc"))
+      .select(col("list_id"), col("query_id"), col("__qc"))
     val adc = pqAdc(model)
     index.codes
       .join(broadcast(probed), Seq("list_id"))
+      .join(broadcast(luts), Seq("query_id"))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
               else lit(true))
       .select(col("query_id"), col("neighbor_id"),
@@ -872,6 +878,24 @@ object Similarity {
     loadIvfPqIndex(spark, path)
   }
 
+  /** Schemes whose rename is a COPY (or absent), not an atomic move —
+    * the stores where a directory swap can be observed half-done. */
+  private val NoAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift", "wasb", "wasbs")
+
+  /** Layout probe shared by the compact/describe/append auto-detection:
+    * an IVF-PQ index holds its data as `codes.parquet`, a plain IVF
+    * index as `lists.parquet`. Routed through the Hadoop FileSystem of
+    * the path's scheme so `hdfs://` (and any configured remote store)
+    * answers correctly — `java.nio.file` only ever speaks the local
+    * filesystem and would silently answer false for every remote index,
+    * misrouting an IVF-PQ index to the IVF loader. */
+  def indexIsPq(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "codes.parquet")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Compact a persisted index in place: each append leaves one file
     * set per touched list partition, so a long-appended index pays its
     * probe cost in file-open overhead; compaction rewrites the data
@@ -881,35 +905,69 @@ object Similarity {
     * rewrite goes through a sibling temp dir and a directory swap:
     * Spark cannot overwrite a path it is lazily reading, and a crash
     * mid-compaction must leave either the old or the new layout, not
-    * a half-written one. The swap uses filesystem renames, so the
-    * index must live on a store with atomic directory moves (POSIX,
-    * HDFS) — on object stores without rename semantics, rewrite via
-    * [[saveIvfIndex]]/[[saveIvfPqIndex]] to a NEW path instead. Same
-    * one-writer contract as append. */
+    * a half-written one. All probes and renames go through the Hadoop
+    * FileSystem of the path's scheme (local, `file://`, `hdfs://`);
+    * schemes without atomic rename (s3a and friends) FAIL FAST with
+    * the rewrite-to-a-new-path advice instead of risking a torn swap.
+    * On entry, leftovers of a crashed prior compact self-heal: a
+    * `.compact_old` with the data dir missing (death between the two
+    * renames) is moved back into place; one left beside an intact data
+    * dir (death during cleanup) is deleted; a stale `.compact_tmp` is
+    * always discarded. Same one-writer contract as append. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    val isPq = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(path, "codes.parquet"))
-    val dataDir = if (isPq) s"$path/codes.parquet" else s"$path/lists.parquet"
-    val tmp = s"$path/.compact_tmp"
+    val root = new org.apache.hadoop.fs.Path(path)
+    // scheme gate BEFORE touching the store: on a rename-less scheme
+    // even probing risks a later torn swap, and the advice is the same
+    // either way. (Checked on the URI, so a bare local path — null
+    // scheme — falls through to the default filesystem.)
+    Option(root.toUri.getScheme).map(_.toLowerCase).foreach { scheme =>
+      if (NoAtomicRenameSchemes(scheme))
+        throw graft.errors.Errors.config(
+          s"compactIndex swaps directories with filesystem renames, and " +
+            s"$scheme:// has no atomic rename — a crash mid-swap could " +
+            "leave a half-copied index.",
+          "rewrite the index to a NEW path instead: load it, then " +
+            "saveIvfIndex/saveIvfPqIndex to a fresh directory and point " +
+            "readers there")
+    }
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codes = new org.apache.hadoop.fs.Path(root, "codes.parquet")
+    val lists = new org.apache.hadoop.fs.Path(root, "lists.parquet")
+    val old = new org.apache.hadoop.fs.Path(root, ".compact_old")
+    val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
+    def renameOrDie(from: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to)) throw graft.errors.Errors.config(
+        s"compactIndex could not rename $from to $to.",
+        "check permissions and that no other writer holds this index " +
+          "(one-writer contract)")
+    // self-heal a crashed prior compact FIRST — layout detection below
+    // must see the recovered index, not the wreckage
+    if (fs.exists(old)) {
+      if (!fs.exists(codes) && !fs.exists(lists)) {
+        // died between the two renames: .compact_old IS the index data.
+        // Its original name is recoverable from the layout siblings —
+        // only IVF-PQ indexes carry codebooks.parquet.
+        val target = if (fs.exists(
+          new org.apache.hadoop.fs.Path(root, "codebooks.parquet"))) codes
+        else lists
+        renameOrDie(old, target)
+      } else fs.delete(old, true) // swap completed, cleanup died
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale half-written rewrite
+    val isPq = fs.exists(codes)
+    val dataDir = if (isPq) codes else lists
     val frame =
       if (isPq) loadIvfPqIndex(spark, path).codes
       else loadIvfIndex(spark, path).lists
     frame.repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
     // swap: the old dir moves aside first so a crash between the two
     // renames leaves a recoverable .compact_old, never a missing index
-    val fs = java.nio.file.Paths.get(dataDir)
-    val old = java.nio.file.Paths.get(s"$path/.compact_old")
-    java.nio.file.Files.move(fs, old)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), fs)
-    def rm(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(rm)
-      java.nio.file.Files.delete(p)
-    }
-    rm(old)
+    renameOrDie(dataDir, old)
+    renameOrDie(tmp, dataDir)
+    fs.delete(old, true)
   }
 
   /** Per-query recall@k of an approximate ANN result against an exact
@@ -922,7 +980,12 @@ object Similarity {
     * nprobe / planes / codebook sizes move. Joins on (query, neighbor)
     * — cost is |exact| rows, never the corpus. */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    // distinct BEFORE the join: an approx frame carrying duplicate
+    // (query, neighbor) rows (e.g. a multi-band LSH result that was
+    // not deduped upstream) would otherwise multiply the left join and
+    // count the same hit twice — letting recall exceed 1.0
     val a = approx.select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("__hit", lit(1L))
     exact.select(col("query_id"), col("neighbor_id"))
       .join(a, Seq("query_id", "neighbor_id"), "left")

@@ -1105,6 +1105,65 @@ class CliSpec extends SparkFunSuite {
     assert(err2.getMessage.contains("M,K"))
   }
 
+  test("index --search --recall-sample: printed recall equals the library computation") {
+    val dir = Files.createTempDirectory("graft_cli_recall")
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val queries = s"$dir/q.parquet"
+    spark.read.parquet(emb).filter(col("vec_id") % 50 === 0).write.parquet(queries)
+    val idx = s"$dir/ivf_idx"
+    val res = s"$dir/res.parquet"
+    val outCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCap)) {
+      assert(graft.cli.Main.cmdIndex(Array(
+        "--build", "--input", emb, "--output", idx, "--nlist", "8")) == 0)
+      assert(graft.cli.Main.cmdIndex(Array(
+        "--search", "--queries", queries, "--index", idx,
+        "--output", res, "--k", "5", "--nprobe", "2",
+        "--recall-sample", "7")) == 0)
+    }
+    val line = outCap.toString.linesIterator
+      .find(_.startsWith("recall_sample=")).getOrElse(
+        fail(s"no recall line printed:\n$outCap"))
+    // replay the CLI's ground-truth path in the library: the same
+    // md5-ordered 7-query sample, brute force over the index's own
+    // vectors, recall of the written result
+    import graft.ops.Similarity
+    val q = spark.read.parquet(queries)
+    val sampleIds = q.select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(7)
+    val sampleQ = q.join(broadcast(sampleIds), Seq("vec_id"))
+    val truth = Similarity.loadIvfIndex(spark, idx).lists
+      .select(col("neighbor_id").as("vec_id"), col("vec").as("embedding"))
+    val exact = Similarity.bruteForceTopK(sampleQ, truth,
+      "vec_id", "vec_id", "embedding", k = 5)
+    val approx = spark.read.parquet(res).join(
+      broadcast(sampleIds.withColumnRenamed("vec_id", "query_id")), Seq("query_id"))
+    val r = Similarity.recallAtK(approx, exact)
+      .agg(avg(col("recall")), min(col("recall"))).head()
+    val expected = f"recall_sample=7 k=5 " +
+      f"mean_recall=${r.getDouble(0)}%.4f min_recall=${r.getDouble(1)}%.4f"
+    assert(line == expected, s"CLI printed '$line', library says '$expected'")
+    // a partial probe on this near-random corpus should actually be
+    // measuring something: recall strictly within (0, 1] and the
+    // sample bounded by the flag
+    assert(r.getDouble(0) > 0.0 && r.getDouble(0) <= 1.0)
+    // IVF-PQ recall needs the true vectors: fail fast without --corpus
+    val pqIdx = s"$dir/pq_idx"
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdIndex(Array(
+        "--build", "--input", emb, "--output", pqIdx,
+        "--nlist", "8", "--pq", "4,16")) == 0)
+    }
+    val err = intercept[graft.errors.ConfigError] {
+      Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+        graft.cli.Main.cmdIndex(Array(
+          "--search", "--queries", queries, "--index", pqIdx,
+          "--output", s"$dir/pq_res.parquet", "--recall-sample", "5"))
+      }
+    }
+    assert(err.getMessage.contains("--corpus"), err.getMessage)
+  }
+
   test("export --output-format jsonl: one ordered text file per shard, byte-identical re-runs") {
     val dir = Files.createTempDirectory("graft_cli_export_jsonl")
     val in = s"$dir/docs.parquet"

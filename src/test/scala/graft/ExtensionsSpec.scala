@@ -114,6 +114,22 @@ class ExtensionsSpec extends SparkFunSuite {
       assert(kernel.exceptAll(sql).isEmpty && sql.exceptAll(kernel).isEmpty,
         s"mismatch at n=$n")
     }
+    // the occurrence-keeping sibling (topNgrams' counting unit) must
+    // match the HOF formulation it replaced: every occurrence, document
+    // order, duplicates kept, empty array for short/NULL texts
+    for (n <- Seq(1, 2, 3)) {
+      def w = graft.ops.TextAnalysis.tokens(col("text"))
+      val hof = docs.select(
+        when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - lit(n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(j => element_at(w, i + lit(j))): _*)))
+          .otherwise(array().cast("array<string>")).as("s"))
+      val kernel = docs.select(
+        graft.functions.Shingles.allShingles(col("text"), n).as("s"))
+      assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty,
+        s"allShingles mismatch at n=$n")
+    }
   }
 
   test("simhashPairs finds planted near-dups") {

@@ -867,6 +867,13 @@ class OpsSpec extends SparkFunSuite {
     val self = Similarity.recallAtK(exact, exact)
       .collect().map(_.getDouble(3))
     assert(self.forall(_ == 1.0))
+    // duplicate (query, neighbor) rows on the approx side (a multi-band
+    // LSH result not deduped upstream) must not double-count hits —
+    // recall stays what the distinct pairs earn and never exceeds 1
+    val dup = Similarity.recallAtK(approx.union(approx).union(exact), exact)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(dup(1L) == 1.0 && dup(2L) == 1.0,
+      s"duplicated approx rows must count once: $dup")
     // measured end-to-end: full-probe ivf recall against brute force is 1
     val q = embeddings.filter(col("vec_id") % 50 === 0)
     val brute = Similarity.bruteForceTopK(q, embeddings,
@@ -1530,6 +1537,81 @@ class OpsSpec extends SparkFunSuite {
         assert(d.listFiles().count(_.getName.startsWith("part-")) == 1,
           s"one file per list after compaction in ${d.getName}")
       }
+  }
+
+  test("index lifecycle speaks Hadoop FS: file:// scheme, rename-less fail-fast, crash recovery") {
+    val q = embeddings.filter(col("vec_id") % 25 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 9).as("sim"), col("rank"))
+        .collect().map(_.toString).sorted.toSeq
+    // the whole lifecycle through an explicitly SCHEMED path — the
+    // java.nio formulation this replaced could not stat "file:/..."
+    // at all (and silently mis-answered for hdfs://)
+    val local = java.nio.file.Files.createTempDirectory("graft_fs_idx")
+    val dir = "file:" + local.toString
+    val base = embeddings.filter(col("vec_id") % 3 > 0)
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(base, "vec_id", "embedding", nlist = 4), dir)
+    assert(!Similarity.indexIsPq(spark, dir), "plain IVF layout detected as PQ")
+    Similarity.appendIvfIndex(spark, dir,
+      embeddings.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
+    val before = rows(Similarity.ivfTopKIndexed(q,
+      Similarity.loadIvfIndex(spark, dir), "vec_id", "embedding",
+      k = 3, nprobe = 2))
+    Similarity.compactIndex(spark, dir)
+    assert(rows(Similarity.ivfTopKIndexed(q,
+      Similarity.loadIvfIndex(spark, dir), "vec_id", "embedding",
+      k = 3, nprobe = 2)) == before, "compaction through file:// changed results")
+    // crash between the two swap renames: the data dir is GONE and
+    // .compact_old holds the index — the next compact must restore it
+    // (name recovered from the layout siblings) and then succeed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir, "lists.parquet"),
+      new org.apache.hadoop.fs.Path(dir, ".compact_old")))
+    Similarity.compactIndex(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".compact_old")))
+    assert(rows(Similarity.ivfTopKIndexed(q,
+      Similarity.loadIvfIndex(spark, dir), "vec_id", "embedding",
+      k = 3, nprobe = 2)) == before, "crash recovery lost index rows")
+    // crash during cleanup: .compact_old left beside an INTACT data dir
+    // is stale wreckage — deleted, compaction proceeds
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, ".compact_old/list_id=0"))
+    Similarity.compactIndex(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".compact_old")))
+    assert(rows(Similarity.ivfTopKIndexed(q,
+      Similarity.loadIvfIndex(spark, dir), "vec_id", "embedding",
+      k = 3, nprobe = 2)) == before)
+    // IVF-PQ crash recovery restores the CODES name (codebooks sibling
+    // is the tell) — a wrong-name restore would misroute the loader
+    val pqLocal = java.nio.file.Files.createTempDirectory("graft_fs_pq")
+    val pqDir = "file:" + pqLocal.toString
+    Similarity.saveIvfPqIndex(Similarity.buildIvfPqIndex(
+      embeddings, "vec_id", "embedding", nlist = 4, m = 4,
+      codebookSize = 16), pqDir)
+    assert(Similarity.indexIsPq(spark, pqDir))
+    val pqFs = new org.apache.hadoop.fs.Path(pqDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pqBefore = rows(Similarity.ivfPqTopK(q,
+      Similarity.loadIvfPqIndex(spark, pqDir), "vec_id", "embedding",
+      k = 3, nprobe = 2))
+    assert(pqFs.rename(new org.apache.hadoop.fs.Path(pqDir, "codes.parquet"),
+      new org.apache.hadoop.fs.Path(pqDir, ".compact_old")))
+    assert(!Similarity.indexIsPq(spark, pqDir), "wreckage must not detect as PQ")
+    Similarity.compactIndex(spark, pqDir)
+    assert(Similarity.indexIsPq(spark, pqDir), "recovery must restore codes.parquet")
+    assert(rows(Similarity.ivfPqTopK(q,
+      Similarity.loadIvfPqIndex(spark, pqDir), "vec_id", "embedding",
+      k = 3, nprobe = 2)) == pqBefore)
+    // rename-less object-store schemes fail FAST with the
+    // rewrite-to-a-new-path advice — before touching the store
+    val e = intercept[graft.errors.ConfigError] {
+      Similarity.compactIndex(spark, "s3a://bucket/idx")
+    }
+    assert(e.getMessage.contains("atomic rename") &&
+      e.getMessage.toLowerCase.contains("new path"),
+      s"fail-fast message should carry the rewrite advice: ${e.getMessage}")
   }
 
   test("ivf append: probe over appended index == full rebuild at fixed centroids") {

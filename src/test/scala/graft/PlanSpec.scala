@@ -438,6 +438,17 @@ class PlanSpec extends SparkFunSuite {
       assert(block.contains("pq_code") && !block.contains("array<double>"),
         s"codes scan must read codes, never vectors:\n$block")
     }
+    // the per-query LUT (m·codebookSize doubles) rides its OWN
+    // broadcast, one row per query — the probe frame that explodes to
+    // (query, list) pairs must NOT carry it, or the broadcast bytes
+    // multiply by nprobe (the r13 ADVICE finding)
+    val probeBcasts = f.split("\n\n").filter(b =>
+      b.contains("Output") && b.contains("__qc") && b.contains("list_id"))
+    assert(probeBcasts.nonEmpty, s"no probe-frame block found in:\n$f")
+    probeBcasts.foreach { b =>
+      assert(!b.contains("__lut"),
+        s"probe frame must not carry the LUT (nprobe-duplicated broadcast):\n$b")
+    }
   }
 
   test("ivf append assignment is scan-side: no exchange") {
