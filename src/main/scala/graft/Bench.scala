@@ -715,6 +715,43 @@ object Bench {
     spark.read.parquet(cp).filter(verdict === 0).count()
   }
 
+  /** Streaming quality-gate throughput (`streaming_gate_300k`): the
+    * synthetic corpus replayed as a parquet FILE STREAM (8 files per
+    * micro-batch — 4 batches of ~75K docs, a realistic ingest cadence;
+    * the corpus is the one exactsubstr_300k already generates) through [[graft.streaming.StreamingPit
+    * .streamingQualityGate]] into the noop sink. The gate is the same
+    * stateless scan-side verdict kernel the batch pipeline runs, so
+    * this row tracks what the STREAMING path adds on top: micro-batch
+    * scheduling, offset tracking, per-batch planning (measured ~0.6s
+    * FIXED cost per micro-batch at 1-file triggers — overhead, not
+    * kernel, which is why the trigger batches 4 files). Each rep
+    * starts a fresh query on a fresh checkpoint under the RAM-backed
+    * bench scratch (the offset/commit WAL fsyncs per batch — on this
+    * host's throttled block device that is seconds per trigger of
+    * non-engine noise; production checkpoints live on fast stores), so
+    * every batch is processed cold — the five streaming operators
+    * previously had no tracked perf number at all. */
+  private[graft] def streamingGateScenario(nDocs: Long)(spark: SparkSession): Long = {
+    val cp = corpusScenario(spark, nDocs)
+    spark.catalog.clearCache()
+    val schema = spark.read.parquet(cp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(cp)
+    val gated = graft.streaming.StreamingPit.streamingQualityGate(
+      stream, "text",
+      c4 = Some((3, 5)),
+      gopher = Some(graft.ops.QualityFilters.GopherConfig()),
+      repetition = Some(graft.ops.QualityFilters.RepetitionConfig()),
+      minQuality = 0.3, languages = Seq("en"))
+    val q = gated.writeStream.format("noop")
+      .option("checkpointLocation",
+        s"$benchDir/stream_chk_${System.nanoTime()}")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    -1L
+  }
+
   /** Temporal audit over an nLabels-row PARQUET dataset with nFeatures
     * feature_time columns (the reference's audit bench shapes —
     * BASELINE.md rows 100K×{1,10} and 1M×{1,10} audit the built
@@ -860,7 +897,13 @@ object Bench {
       // BPE: train an 8k vocab on a 5% sample + exact-count 1M docs
       "bpe_1m" -> (() => { bpeScenario(1000000L)(spark); () }),
       // full trainer export: train + encode + eos + pack + chunk + write
-      "sequences_1m" -> (() => { sequencesScenario(1000000L)(spark); () })
+      "sequences_1m" -> (() => { sequencesScenario(1000000L)(spark); () }),
+      // streaming hygiene gate over an 8-batch file stream: the one
+      // tracked number for the streaming path (per-batch overhead +
+      // unpruned-row gate throughput; measured ~1.7x the batch
+      // kernel's per-doc CPU — the sink consumes full rows where the
+      // batch row counts a pruned filter)
+      "streaming_gate_300k" -> (() => { streamingGateScenario(300000L)(spark); () })
     )
 
     def median(xs: Seq[Double]): Double = {
@@ -953,15 +996,88 @@ object Bench {
     // per-row clearCache+gc in measure().
     val entries = operatorQueries ++ scenarios
     val warmed = scala.collection.mutable.Set.empty[String]
-    // One measurement = warmup (first encounter only) + median of up to
-    // 3 timed reps under a 60s budget (keeps the 10M-row headroom
-    // scenarios from tripling the wall clock). None = every rep failed.
-    def measure(name: String, body: () => Unit): Option[Double] = {
+
+    // Wall-clock budget (r13 postmortem): the driver's r13 run was
+    // KILLED at its timeout with ~57 minutes of finished measurements
+    // and nothing written — the JSON only materialized at the very
+    // end. Two structural fixes:
+    //   1. bench_result.json is rewritten ATOMICALLY after every
+    //      completed row (tmp + rename), so a kill at any moment
+    //      leaves the completed prefix parseable ("partial":true
+    //      until the final flush).
+    //   2. A wall-clock budget (SPARK_GRAFT_BENCH_BUDGET seconds,
+    //      default 1380 = 23 min) DEGRADES the methodology instead of
+    //      overrunning: past it, unvisited pass-1 rows get ONE rep
+    //      (warmup folded in), and pass-2 re-samples are skipped for
+    //      rows that already hold a value — EXCEPT cheap rows (<= 5s),
+    //      which still get a 1-rep second sample: they are the
+    //      noisiest (small denominators) and re-sampling the whole
+    //      micro suite costs a couple of minutes, where one inflated
+    //      single-pass sample poisons a round-over-round comparison.
+    //      The >2x-prior re-measure loop gets a bounded GRACE window
+    //      (budget + 420s): it is the most targeted noise repair —
+    //      only offending rows rerun — and skipping it entirely is
+    //      what left six contention-inflated rows on the first
+    //      budget-shed recording. Degraded rows (1-rep-only, warmup
+    //      folded in) are listed in the output ("degraded").
+    // A quiet full run finishes under the default without shedding;
+    // the budget is the contended-host escape hatch.
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .map(_.toDouble).getOrElse(1380.0)
+    val wallStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
+    def overBudget: Boolean = elapsedSec > budgetSec
+    def overGrace: Boolean = elapsedSec > budgetSec + 420.0
+
+    // Deliberately-slow COMPARATOR rows: each exists to prove a known
+    // delta against its optimized twin (the serialized hot-key carry,
+    // the un-pushed window funnel), not to track the engine — one rep
+    // in pass 1 only, saving minutes per run without losing the point.
+    val comparatorRows = Set("build_20m_skew_plain", "domaincap_10m_nolimit")
+
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    entries.foreach { case (n, _) => best(n) = -1.0 }
+    val degraded = scala.collection.mutable.LinkedHashSet.empty[String]
+
+    def flush(partial: Boolean): String = {
+      val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = best.values.filter(_ >= 0).sum
+      val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":${loadavg()},""" +
+        s""""elapsed_sec":${math.round(elapsedSec)},"budget_sec":$budgetSec,""" +
+        degraded.map("\"" + _ + "\"").mkString(""""degraded":[""", ",", "],") +
+        s""""partial":$partial}"""
+      try {
+        val out = java.nio.file.Paths.get(outPath)
+        val dir = Option(out.toAbsolutePath.getParent)
+          .getOrElse(java.nio.file.Paths.get("."))
+        val tmp = java.nio.file.Files.createTempFile(dir, ".bench_result", ".tmp")
+        java.nio.file.Files.writeString(tmp, json + "\n")
+        java.nio.file.Files.move(tmp, out,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e")
+      }
+      json
+    }
+
+    // One measurement = warmup (first encounter only; folded into the
+    // first timed rep when over budget) + median of up to `maxReps`
+    // timed reps under a 60s per-row budget (keeps the 10M-row
+    // headroom scenarios from tripling the wall clock). None = every
+    // rep failed.
+    def measure(name: String, body: () => Unit, maxReps: Int): Option[Double] = {
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       try {
-        if (!warmed(name)) { body(); warmed += name } // codegen + listing amortization
+        if (!warmed(name)) {
+          if (!overBudget) body() // codegen + listing amortization
+          else degraded += name // first timed rep pays the warm-in
+          warmed += name
+        }
         var budget = 60.0
-        while (times.size < 3 && budget > 0) {
+        while (times.size < maxReps && budget > 0) {
           syncFs()
           val t = timed(body())
           times += t
@@ -984,35 +1100,56 @@ object Bench {
       }
     }
 
-    val pass1 = entries.map { case (n, b) => n -> measure(n, b) }.toMap
-    val pass2 = entries.reverse.map { case (n, b) => n -> measure(n, b) }.toMap
-    val results = entries.map { case (name, body) =>
-      var best = (pass1(name).toSeq ++ pass2(name).toSeq)
-        .foldLeft(-1.0)((a, v) => if (a < 0) v else math.min(a, v))
-      var attempts = 0
-      while (best >= 0 && attempts < 2 &&
-          prior.get(name).exists(p => p > 0 && best > 2 * p)) {
-        System.err.println(
-          f"[bench] $name: $best%.2fs > 2x prior ${prior(name)}%.2fs — re-measuring")
-        measure(name, body).foreach(v => best = math.min(best, v))
-        attempts += 1
+    def record(name: String, v: Option[Double]): Unit = {
+      v.foreach { t =>
+        best(name) = if (best(name) < 0) t else math.min(best(name), t)
       }
-      name -> best
+      flush(partial = true)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val loadEnd = loadavg()
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
+    // pass 1: every row measured once (full reps while under budget)
+    entries.foreach { case (name, body) =>
+      val reps = if (comparatorRows(name) || overBudget) 1 else 3
+      if (reps == 1 && !comparatorRows(name)) degraded += name
+      record(name, measure(name, body, reps))
+    }
+    // pass 2, REVERSED (contention windows cover different rows per
+    // pass; per-row min keeps whichever pass sampled cleanest). Over
+    // budget: expensive rows that already hold a value are shed (their
+    // pass-1 median stands); cheap rows (<= 5s) take a 1-rep second
+    // sample — not marked degraded, their pass-1 median was full.
+    entries.reverse.foreach { case (name, body) =>
+      if (!comparatorRows(name)) {
+        val have = best(name) >= 0
+        if (!overBudget) record(name, measure(name, body, 3))
+        else if (!have) {
+          degraded += name
+          record(name, measure(name, body, 1))
+        } else if (best(name) <= 5.0 && elapsedSec < budgetSec + 240.0)
+          // stop before the grace window closes: the re-measure loop
+          // below is the higher-value spender of what remains
+          record(name, measure(name, body, 1))
+      }
+    }
+    // >2x-prior re-measure loop: runs into the grace window — only
+    // offending rows pay, and a row left >2x prior for want of one
+    // targeted re-run costs a false regression flag next round
+    entries.foreach { case (name, body) =>
+      var attempts = 0
+      while (best(name) >= 0 && attempts < 2 && !overGrace &&
+          prior.get(name).exists(p => p > 0 && best(name) > 2 * p)) {
+        System.err.println(
+          f"[bench] $name: ${best(name)}%.2fs > 2x prior ${prior(name)}%.2fs — re-measuring")
+        record(name, measure(name, body, 3))
+        attempts += 1
+      }
+    }
+
     // Belt and braces for machine consumers: build.sbt routes forked
     // stdout RAW (StdoutOutput — sbt's default logger [info]-prefixed
     // this line and broke the driver's parse in rounds 1-2), and the
-    // JSON is ALSO written to a plain file the driver can read back.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
-    println(json)
+    // JSON is ALSO in bench_result.json (final flush, "partial":false).
+    println(flush(partial = false))
     spark.stop()
   }
 }

@@ -26,6 +26,7 @@ object BenchOne {
     val bpeMode = args.headOption.contains("bpe")
     val seqMode = args.headOption.contains("sequences")
     val shuffleMode = args.headOption.contains("shuffle")
+    val streamGateMode = args.headOption.contains("streamgate")
     val clsFitMode = args.headOption.contains("classifierfit")
     val ivfMode = args.headOption.contains("ivf")
     val incDedupMode = args.headOption.contains("incdedup")
@@ -37,7 +38,7 @@ object BenchOne {
       if (auditMode || skewMode || curateMode || scanMode || substrMode ||
           chunkMode || dsirMode || bpeMode || seqMode || clsFitMode ||
           ivfMode || incDedupMode || pqMode || ivfPqMode || domainCapMode ||
-          sessionMode || shuffleMode)
+          sessionMode || shuffleMode || streamGateMode)
         args.drop(1)
       else args
     val nLabels = posArgs.headOption.map(_.toInt).getOrElse(1000000)
@@ -228,7 +229,7 @@ object BenchOne {
     }
 
     if (curateMode || scanMode || substrMode || chunkMode || dsirMode ||
-        bpeMode || seqMode || shuffleMode) {
+        bpeMode || seqMode || shuffleMode || streamGateMode) {
       // isolate Bench's corpus rows (curate_1m / gopher_c4_10m /
       // exactsubstr_1m / chunk_1m); nLabels reads as the doc count
       // (defaults still apply: 1M docs, `scanfilter 10000000` for the
@@ -242,6 +243,7 @@ object BenchOne {
         else if (bpeMode) Bench.bpeScenario(nDocs)(spark)
         else if (seqMode) Bench.sequencesScenario(nDocs)(spark)
         else if (shuffleMode) Bench.shuffleScenario(nDocs)(spark)
+        else if (streamGateMode) Bench.streamingGateScenario(nDocs)(spark)
         else Bench.chunkScenario(nDocs)(spark)
       val label =
         if (curateMode) "curate"
@@ -251,6 +253,7 @@ object BenchOne {
         else if (bpeMode) "bpe"
         else if (seqMode) "sequences"
         else if (shuffleMode) "shuffle"
+        else if (streamGateMode) "streamgate"
         else "chunk"
       timed("corpus datagen + warmup")(run())
       (1 to 3).foreach { i =>
