@@ -62,6 +62,7 @@ object Main {
           case "export"  => cmdExport(rest)
           case "tokenizer" => cmdTokenizer(rest)
           case "index"   => cmdIndex(rest)
+          case "stream"  => cmdStream(rest)
           case "help" | "-h" | "--help" => println(usage); 0
           case other => System.err.println(s"Unknown command '$other'\n$usage"); 2
         }
@@ -166,6 +167,14 @@ object Main {
       |           per shard, byte-identical across re-runs; key defaults
       |           to doc_id, or pack_group,pack_id,seq_idx for pack --ids
       |           output)
+      |  stream  --input DIR --output DIR --checkpoint DIR
+      |          [--c4] [--gopher] [--repetition] [--min-quality Q]
+      |          [--languages en,de|none] [--keep-verdicts] [--text-col text]
+      |          [--exact-dedup --event-time-col COL [--watermark '1 hour']]
+      |          (incremental ingest: drains the files present, exits;
+      |           re-running with the same --checkpoint processes ONLY
+      |           files that arrived since — gate verdicts bit-identical
+      |           to curate's, output appended exactly-once)
       |  tokenizer --train --input PATH --model DIR [--vocab-size 8192]
       |            [--max-word-types 200000] [--specials TOK1,TOK2]
       |  tokenizer --input PATH --model DIR --output PATH [--count-only]
@@ -1478,6 +1487,90 @@ object Main {
             f"min_recall=${rec.getDouble(1)}%.4f")
         }
     }
+    0
+  }
+
+  /** `graft stream`: INCREMENTAL corpus ingest — the recurring-drop
+    * pattern as one command. The input directory is consumed as a
+    * file stream with `Trigger.AvailableNow` (drain everything
+    * present, then exit) through the streaming hygiene gate and/or
+    * streaming exact dedup, and appended EXACTLY-ONCE to the parquet
+    * output; source offsets live under `--checkpoint`, so re-running
+    * the same command processes only files that arrived since the
+    * last run — no reprocessing, no duplicate output rows, no
+    * bookkeeping script. The gate is the same codegen'd verdict
+    * kernel batch curation runs (verdicts bit-identical to `curate`'s
+    * for the same text); exact dedup holds state only within the
+    * event-time watermark — Spark bounds streaming state by time, so
+    * cross-run duplicates separated by more than the watermark pass
+    * (use the batch `incrementalDedup` store for an unbounded
+    * horizon). */
+  private[graft] def cmdStream(args: Array[String]): Int = {
+    val (f, _) = flags(args)
+    val spark = session()
+    val input = req(f, "input",
+      "stream needs --input DIR (a growing parquet/jsonl directory)")
+    val output = req(f, "output",
+      "stream needs --output DIR (parquet, appended exactly-once)")
+    val chk = req(f, "checkpoint",
+      "stream needs --checkpoint DIR (offset tracking — reruns drain only NEW files)")
+    val textCol = f.getOrElse("text-col", "text")
+    val gateOn = Seq("c4", "gopher", "repetition", "min-quality", "languages")
+      .exists(f.contains)
+    val dedupOn = f.contains("exact-dedup")
+    if (!gateOn && !dedupOn) throw Errors.config(
+      "stream has nothing to do: no gate flags and no --exact-dedup.",
+      "add --c4/--gopher/--repetition/--min-quality/--languages " +
+        "and/or --exact-dedup --event-time-col COL")
+    // streaming sources need a schema up front: pin it from a batch
+    // read of what is in the directory now (same inference curate uses)
+    val schema = readCorpus(spark, input, f.get("input-format")).schema
+    val src = f.get("input-format").getOrElse(inferFormat(input)) match {
+      case "parquet" => spark.readStream.schema(schema).parquet(input)
+      case _         => spark.readStream.schema(schema).json(input)
+    }
+    val languages = f.get("languages") match {
+      case Some("none") => Nil
+      case Some(ls)     => ls.split(",").toSeq
+      case None         => Seq("en")
+    }
+    val gated =
+      if (gateOn) graft.streaming.StreamingPit.streamingQualityGate(
+        src, textCol,
+        c4 = if (f.contains("c4")) Some((3, 5)) else None,
+        gopher = if (f.contains("gopher"))
+          Some(graft.ops.QualityFilters.GopherConfig()) else None,
+        repetition = if (f.contains("repetition"))
+          Some(graft.ops.QualityFilters.RepetitionConfig()) else None,
+        minQuality = f.getOrElse("min-quality", "0.3").toDouble,
+        languages = languages,
+        passedOnly = !f.contains("keep-verdicts"))
+      else src
+    val out =
+      if (dedupOn) graft.streaming.StreamingPit.streamingExactDedup(
+        gated, textCol,
+        eventTimeCol = req(f, "event-time-col",
+          "--exact-dedup needs --event-time-col COL (an event-time " +
+            "timestamp — dedup state is watermark-bounded)"),
+        watermark = f.getOrElse("watermark", "1 hour"))
+      else gated
+    // appended rows = output delta, counted around the drain: the file
+    // sink reports no numOutputRows, and source numInputRows counts
+    // every row once per scan (the dedup plan self-unions the source
+    // for its null-text passthrough leg, doubling it)
+    def outRows(): Long =
+      try spark.read.parquet(output).count()
+      catch { case _: Throwable => 0L } // first run: sink dir not yet created
+    val before = outRows()
+    val q = out.writeStream.format("parquet")
+      .option("path", output)
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    println(s"appended=${outRows() - before} batches=${q.recentProgress.length} " +
+      s"output=$output " +
+      "(rerun with the same --checkpoint drains only newer files)")
     0
   }
 

@@ -1164,6 +1164,62 @@ class CliSpec extends SparkFunSuite {
     assert(err.getMessage.contains("--corpus"), err.getMessage)
   }
 
+  test("stream command: checkpointed incremental drain through gate and dedup") {
+    val dir = Files.createTempDirectory("graft_cli_stream")
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    val chk = s"$dir/chk"
+    def doc(id: Long, text: String) =
+      (id, text, new java.sql.Timestamp(1700000000000L + id * 1000L))
+    val clean = "the quiet harbor town wakes early with the fishing boats " +
+      "and the morning market opens with the fresh catch today"
+    val junk = Seq.fill(10)("############").mkString(" ")
+    // drop 1: two clean pages + one symbol-spam page
+    Seq(doc(1, clean + " one"), doc(2, clean + " two"), doc(3, junk))
+      .toDF("doc_id", "text", "ts").write.mode("append").parquet(in)
+    val args = Array(
+      "--input", in, "--output", out, "--checkpoint", chk,
+      "--min-quality", "0.3", "--languages", "en",
+      "--exact-dedup", "--event-time-col", "ts")
+    val cap1 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap1)) {
+      assert(graft.cli.Main.cmdStream(args) == 0)
+    }
+    assert(cap1.toString.contains("appended=2"), cap1.toString)
+    val r1 = spark.read.parquet(out)
+    assert(r1.select("doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "gate must pass the clean pages and drop the spam")
+    // drop 2 arrives: a clean page, its exact duplicate, more spam.
+    // The rerun must drain ONLY the new files (checkpointed offsets),
+    // gate the spam, and dedup the twins via the restored state store.
+    Seq(doc(4, clean + " four"), doc(5, clean + " four"), doc(6, junk))
+      .toDF("doc_id", "text", "ts").write.mode("append").parquet(in)
+    val cap2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap2)) {
+      assert(graft.cli.Main.cmdStream(args) == 0)
+    }
+    assert(cap2.toString.contains("appended=1"),
+      s"rerun must process only the new drop (one gate+dedup survivor):\n$cap2")
+    val r2 = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(r2.size == 3 && r2.subsetOf(Set(1L, 2L, 4L, 5L)) &&
+      (r2.contains(4L) ^ r2.contains(5L)),
+      s"expected 1,2 + exactly one of the twins, got $r2")
+    // nothing new → a third run drains zero rows and changes nothing
+    val cap3 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap3)) {
+      assert(graft.cli.Main.cmdStream(args) == 0)
+    }
+    assert(cap3.toString.contains("appended=0"), cap3.toString)
+    assert(spark.read.parquet(out).count() == 3)
+    // no transform requested → fail fast, not a silent file copy
+    val err = intercept[graft.errors.ConfigError] {
+      graft.cli.Main.cmdStream(Array(
+        "--input", in, "--output", s"$dir/out2", "--checkpoint", s"$dir/chk2"))
+    }
+    assert(err.getMessage.contains("nothing to do"))
+  }
+
   test("export --output-format jsonl: one ordered text file per shard, byte-identical re-runs") {
     val dir = Files.createTempDirectory("graft_cli_export_jsonl")
     val in = s"$dir/docs.parquet"
