@@ -579,6 +579,21 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // Asymmetric int8 search: the corpus quantized scan-side
+    // (quantizeInt8), queries at full precision; cosine is
+    // scale-invariant so the codes score directly — integer-valued
+    // doubles, exact in both engines, quantization replayed in DuckDB.
+    "q_embed_int8_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qz = e.select(col("vec_id"),
+        graft.ops.Similarity.quantizeInt8(col("embedding")).as("qv"))
+      graft.ops.Similarity.int8TopK(
+        e.filter(col("vec_id") % 50 === 0), qz,
+        "vec_id", "vec_id", "embedding", "qv", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // Embedding-cosine near-duplicate pairs. The DuckDB oracle computes
     // the complete pair set, so this query uses the exact all-pairs
     // entry point; production scale path is cosineNearDupPairsLsh.
@@ -1176,6 +1191,15 @@ object SparkEntry {
       graft.ops.TextAnalysis.topNgrams(
         t(s, dir, "documents"), n = 3, k = 25, idCol = Some("doc_id"))
         .orderBy(col("n_occurrences").desc, col("ngram").asc)),
+    // Per-document TF-IDF keywords: (doc, term) counts shuffle once,
+    // document frequency aggregates the same grain, smoothed-idf score
+    // rounded to 6 decimals BEFORE ranking so the order replays
+    // bit-exactly in DuckDB (libm ln may differ in the last ulp).
+    "q_tfidf" -> ((s, dir) =>
+      graft.ops.TextAnalysis.tfIdfTerms(
+        t(s, dir, "documents"), idCol = "doc_id", k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("doc_id"), col("rank"))),
     // Snapshot drift report: old = docs with doc_id % 5 != 0, new =
     // docs with doc_id % 7 != 0 — per-source deltas, growth ratio and
     // status verdict, both profile rollups + the null-safe full-outer
@@ -2406,6 +2430,36 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // quantization replay: scale = max|x|/127 (order-free max), codes
+    // = round-half-away(x/scale) — integer-valued doubles, so the dot
+    // products are exact and the ranking agrees bit-for-bit
+    "q_embed_int8_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |z AS (
+        |  SELECT vec_id,
+        |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v
+        |  FROM e),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id,
+        |         list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+        |                                     ELSE round(x / scale, 0) END) AS cv
+        |  FROM z),
+        |q AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |         list_dot_product(qv, cv)
+        |           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q_embed_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3300,6 +3354,35 @@ object SparkEntry {
         |       CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
         |FROM g GROUP BY 1
         |ORDER BY n_occurrences DESC, ngram LIMIT 25""".stripMargin,
+
+    // tf/df over lowercased whitespace tokens, smoothed idf
+    // ln((N+1)/(df+1)) + 1 in the SAME expression shape, ROUND(,6)
+    // BEFORE ranking (libm ln ulp defense), ties to the smaller term
+    "q_tfidf" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                t -> len(t) > 0) AS w
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, unnest(w) AS term FROM d),
+        |tfc AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT term, count(*) AS df_t FROM tfc GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tfc.doc_id, tfc.term, tfc.tf, dfreq.df_t,
+        |    ROUND(tfc.tf * (ln((n.n_docs + 1.0) / (dfreq.df_t + 1.0)) + 1.0), 6)
+        |      AS tf_idf
+        |  FROM tfc JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tf_idf DESC, term) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df_t, tf_idf, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     // both snapshot rollups + the null-safe full-outer join; status
     // verdict and growth ratio recomputed identically

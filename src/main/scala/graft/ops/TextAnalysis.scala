@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -265,6 +266,46 @@ object TextAnalysis {
     df.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("doc_freq"))
+
+  /** Top-k TF-IDF terms per document — the routing/keyword signal
+    * behind corpus clustering, topic quotas and per-domain keyword
+    * reports: tf = the term's count in the document (lowercased
+    * whitespace tokens), idf = ln((N+1)/(df+1)) + 1 (the smoothed
+    * form, never zero or negative), score rounded to 6 decimals so
+    * the ranking replays bit-exactly across engines whose libm `ln`
+    * may differ in the last ulp. Ties break toward the
+    * lexicographically smaller term.
+    *
+    * Plan shape at scale: one explode into a MAP-SIDE combined
+    * (doc, term) count — only distinct (doc, term) pairs shuffle —
+    * document frequency as a second aggregate over that same grain,
+    * a shuffle join back on the term key (vocabulary-sized — inherent
+    * to IDF; no broadcast assumption, a web-scale vocab doesn't fit
+    * one), the corpus size attached as a broadcast 1-row cross join
+    * (never a driver action), and the per-document top-k as a plain
+    * rank window that Catalyst plans with a partial WindowGroupLimit
+    * below the exchange. */
+  def tfIdfTerms(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 10): DataFrame = {
+    require(k >= 1, s"tfIdfTerms wants k >= 1, got $k")
+    val terms = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val pairs = df
+      .select(col(idCol).as("doc_id"), explode(terms).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = pairs.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    pairs.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("tf_idf", round(
+        col("tf") * (log((col("n_docs") + 1.0) / (col("df_t") + 1.0)) + 1.0), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("tf_idf").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df_t"),
+        col("tf_idf"), col("rank"))
+  }
 
   /** The k most frequent word n-grams of a corpus, with occurrence and
     * document counts — the discovery report behind every boilerplate /

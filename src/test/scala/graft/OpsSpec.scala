@@ -242,6 +242,39 @@ class OpsSpec extends SparkFunSuite {
     assert(all.map(_.getLong(1)).toSeq == all.map(_.getLong(1)).sorted.reverse.toSeq)
   }
 
+  test("tfIdfTerms: hand-computed scores, tie order, rare-term promotion") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana  CHERRY"), // case + run of spaces fold away
+      (3L, "cherry cherry cherry durian")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tfIdfTerms(df, k = 2)
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getInt(5))).sortBy(t => (t._1, t._6)).toSeq
+    // N=3; df: apple 1, banana 2, cherry 2, durian 1
+    // idf(df=1) = ln(4/2)+1 = 1.693147…, idf(df=2) = ln(4/3)+1 = 1.287682…
+    val rare = math.round((math.log(2.0) + 1.0) * 1e6) / 1e6
+    val mid = math.round((math.log(4.0 / 3.0) + 1.0) * 1e6) / 1e6
+    assert(r == Seq(
+      (1L, "apple", 2L, 1L, math.round(2 * (math.log(2.0) + 1.0) * 1e6) / 1e6, 1),
+      (1L, "banana", 1L, 2L, mid, 2),
+      // doc 2: banana and cherry tie exactly — term asc breaks it
+      (2L, "banana", 1L, 2L, mid, 1),
+      (2L, "cherry", 1L, 2L, mid, 2),
+      (3L, "cherry", 3L, 2L, math.round(3 * (math.log(4.0 / 3.0) + 1.0) * 1e6) / 1e6, 1),
+      (3L, "durian", 1L, 1L, rare, 2)), s"got $r")
+    // at equal tf the rare term outranks the everywhere-term on idf
+    // ("the" is in every doc -> idf exactly 1)
+    val df2 = Seq((1L, "the quasar"), (2L, "the"), (3L, "the"))
+      .toDF("doc_id", "text")
+    val top1 = TextAnalysis.tfIdfTerms(df2, k = 1)
+      .filter(col("doc_id") === 1).head()
+    assert(top1.getString(1) == "quasar",
+      s"rare term must win on idf: $top1")
+  }
+
   test("compression ratio separates repetitive and high-entropy text from prose") {
     import graft.ops.TextAnalysis
     val prose = "The quick brown fox jumps over the lazy dog while " +
@@ -1455,6 +1488,38 @@ class OpsSpec extends SparkFunSuite {
     val row = q.select("qv").head()
     val st = row.getStruct(0)
     assert(st.getAs[scala.collection.Seq[Byte]]("q").length == 64)
+  }
+
+  test("int8TopK: lossless on integral vectors, high recall on real embeddings") {
+    // integral vectors with max|x| = 127 quantize losslessly (scale 1,
+    // codes = values) — int8 search must equal brute force EXACTLY
+    val ints = Seq(
+      (1L, Array(127f, 0f, 3f)), (2L, Array(5f, 127f, -2f)),
+      (3L, Array(-127f, 4f, 9f)), (4L, Array(6f, -8f, 127f)),
+      (5L, Array(127f, 1f, 1f))).toDF("vec_id", "embedding")
+    val qz = ints.select(col("vec_id"),
+      Similarity.quantizeInt8(col("embedding")).as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 9).as("sim"), col("rank"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(Similarity.int8TopK(ints, qz,
+      "vec_id", "vec_id", "embedding", "qv", k = 3)) ==
+      rows(Similarity.bruteForceTopK(ints, ints,
+        "vec_id", "vec_id", "embedding", k = 3)),
+      "lossless quantization must reproduce exact search")
+    // real embeddings: int8 keeps ~7 significant bits — top-5 recall
+    // against exact search stays high
+    val q5 = embeddings.filter(col("vec_id") % 50 === 0)
+    val qze = embeddings.select(col("vec_id"),
+      Similarity.quantizeInt8(col("embedding")).as("qv"))
+    val approx = Similarity.int8TopK(q5, qze,
+      "vec_id", "vec_id", "embedding", "qv", k = 5)
+    val exact = Similarity.bruteForceTopK(q5, embeddings,
+      "vec_id", "vec_id", "embedding", k = 5)
+    val rec = Similarity.recallAtK(approx, exact)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(rec > 0.9, s"int8 mean recall@5 $rec")
   }
 
   test("document frequency table supports empirical maxDf selection") {

@@ -33,6 +33,23 @@ class PlanSpec extends SparkFunSuite {
       s"scan reads more than the projection needs:\n$f")
   }
 
+  test("tf-idf: no Expand, broadcast 1-row total, partial per-doc group limit") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.ops.TextAnalysis.tfIdfTerms(docs, k = 3))
+    // (doc, term) counts + a second agg over the same grain — the
+    // count+countDistinct single-aggregate form would Expand (2x) the
+    // exploded token stream before partial aggregation
+    assert(!plan.contains("Expand"), s"no distinct-expand expected:\n$plan")
+    // corpus size rides a broadcast 1-row cross join, never a driver
+    // action or a shuffled scalar
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row total must broadcast:\n$plan")
+    // per-document top-k caps each task's contribution BEFORE the
+    // exchange (partial WindowGroupLimit below, final above)
+    assert("WindowGroupLimit".r.findAllIn(plan).length == 2,
+      s"partial + final group limits expected:\n$plan")
+  }
+
   test("brute-force topk broadcasts the query side, never the corpus") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val plan = planOf(Similarity.bruteForceTopK(
