@@ -191,6 +191,9 @@ object Main {
       |            [--recall-sample N]  (sample N queries, print mean/min
       |            recall@k vs the exact brute-force baseline — IVF-PQ
       |            needs --corpus for the true vectors)
+      |            [--target-recall T [--recall-sample N]]  (autotune:
+      |            double nprobe on the sample until mean recall@k >= T,
+      |            then run the full search at the chosen nprobe)
       |          | --describe --index DIR   (layout, params, per-list
       |            row counts — list skew says when to rebuild)
       |          | --compact --index DIR    (rewrite appended lists to
@@ -1408,67 +1411,108 @@ object Main {
         val out = req(f, "output", "index --search needs --output PATH")
         val queries = readCorpus(spark, qPath, f.get("input-format"))
         val k = f.getOrElse("k", "10").toInt
-        val nprobe = f.getOrElse("nprobe", "8").toInt
         val pqIdx = isPq(idxDir)
-        val res =
-          if (pqIdx) {
-            val loaded = Similarity.loadIvfPqIndex(spark, idxDir)
-            f.get("refine") match {
+        // a plain IVF index holds the true vectors and ranks exact
+        // cosines already — silently ignoring --refine would let a
+        // user believe a rerank ran (same fail-fast rule the
+        // export format check follows)
+        if (!pqIdx) f.get("refine").foreach(_ => throw Errors.config(
+          "--refine applies to IVF-PQ indexes (ADC shortlist + exact rerank); " +
+            s"$idxDir is a plain IVF index whose probe scores exact cosines.",
+          "drop --refine (or rebuild the index with --pq M,K)"))
+        val pqLoaded = if (pqIdx) Some(Similarity.loadIvfPqIndex(spark, idxDir)) else None
+        val ivfLoaded = if (pqIdx) None else Some(Similarity.loadIvfIndex(spark, idxDir))
+        def corpusFor(why: String) =
+          readCorpus(spark, req(f, "corpus", why), f.get("aux-format"))
+        // the ONE search the command runs — tuning and the final write
+        // go through the same path, so what gets measured is what ships
+        def runSearch(q: org.apache.spark.sql.DataFrame, np: Int) =
+          pqLoaded match {
+            case Some(loaded) => f.get("refine") match {
               case Some(cand) =>
                 // exact rerank needs the true vectors — the codes
                 // deliberately don't carry them
-                val corpus = readCorpus(spark, req(f, "corpus",
-                  "--refine needs --corpus PATH (the true vectors to rerank with)"),
-                  f.get("aux-format"))
-                Similarity.ivfPqTopKRefined(queries, corpus, loaded,
-                  idCol, idCol, vecCol, k, nprobe,
+                Similarity.ivfPqTopKRefined(q, corpusFor(
+                    "--refine needs --corpus PATH (the true vectors to rerank with)"),
+                  loaded, idCol, idCol, vecCol, k, np,
                   if (cand == "true") 0 else cand.toInt)
               case None =>
-                Similarity.ivfPqTopK(queries, loaded, idCol, vecCol, k, nprobe)
+                Similarity.ivfPqTopK(q, loaded, idCol, vecCol, k, np)
             }
-          } else {
-            // a plain IVF index holds the true vectors and ranks exact
-            // cosines already — silently ignoring --refine would let a
-            // user believe a rerank ran (same fail-fast rule the
-            // export format check follows)
-            f.get("refine").foreach(_ => throw graft.errors.Errors.config(
-              "--refine applies to IVF-PQ indexes (ADC shortlist + exact rerank); " +
-                s"$idxDir is a plain IVF index whose probe scores exact cosines.",
-              "drop --refine (or rebuild the index with --pq M,K)"))
-            Similarity.ivfTopKIndexed(queries,
-              Similarity.loadIvfIndex(spark, idxDir), idCol, vecCol, k, nprobe)
+            case None =>
+              Similarity.ivfTopKIndexed(q, ivfLoaded.get, idCol, vecCol, k, np)
           }
+        // deterministic md5-ordered sample — replayable across runs, so
+        // recall numbers stay comparable as the search parameters move
+        def sampleIdsOf(n: Int) = queries.select(col(idCol))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
+        // exact baseline over the TRUE vectors: a plain IVF index
+        // carries them in its lists; IVF-PQ codes deliberately don't,
+        // so the rerank corpus supplies them
+        def truthCorpus(why: String) =
+          if (pqIdx) corpusFor(why)
+          else ivfLoaded.get.lists
+            .select(col("neighbor_id").as(idCol), col("vec").as(vecCol))
+        // --target-recall T: autotune nprobe BEFORE the full search —
+        // doubling sweep over the sampled queries against the exact
+        // baseline, stopping at the first nprobe whose mean recall@k
+        // reaches T (or at nprobe = nlist, recall's ceiling for this
+        // index: past that only PQ distortion remains). The tuning
+        // every ANN deployment otherwise runs by hand.
+        val nprobe = f.get("target-recall") match {
+          case None => f.getOrElse("nprobe", "8").toInt
+          case Some(tStr) =>
+            val target = tStr.toDouble
+            if (target <= 0.0 || target > 1.0) throw Errors.config(
+              s"--target-recall wants a value in (0, 1], got '$tStr'.",
+              "e.g. --target-recall 0.9")
+            val sampleN = f.getOrElse("recall-sample", "50").toInt
+            val ids = sampleIdsOf(sampleN)
+            val sampleQ = queries.join(broadcast(ids), Seq(idCol))
+            val exact = Similarity.bruteForceTopK(sampleQ, truthCorpus(
+                "--target-recall on an IVF-PQ index needs --corpus PATH " +
+                  "(the true vectors for the exact baseline)"),
+              idCol, idCol, vecCol, k).cache()
+            val nlist = pqLoaded.map(_.centroids).getOrElse(ivfLoaded.get.centroids)
+              .count().toInt
+            var np = f.get("nprobe").map(_.toInt).getOrElse(1)
+            var chosen = np
+            var done = false
+            while (!done) {
+              val rec = Similarity.recallAtK(runSearch(sampleQ, np), exact)
+                .agg(avg(col("recall"))).head()
+              val mean = if (rec.isNullAt(0)) 0.0 else rec.getDouble(0)
+              println(f"tune nprobe=$np mean_recall=$mean%.4f")
+              chosen = np
+              if (mean >= target) done = true
+              else if (np >= nlist) {
+                println(f"target_recall=$target%.4f unreachable at " +
+                  s"nprobe=nlist=$nlist — residual loss is quantization " +
+                  "distortion; add --refine (IVF-PQ) or rebuild with more lists")
+                done = true
+              } else np = math.min(nlist, np * 2)
+            }
+            exact.unpersist()
+            chosen
+        }
+        val res = runSearch(queries, nprobe)
         writeCorpus(res, out, f.get("output-format"))
         val n = readCorpus(spark, out, f.get("output-format")).count()
         println(s"results=$n k=$k nprobe=$nprobe written=$out")
-        // --recall-sample N: the tuning loop every ANN deployment runs
-        // (sample queries, exact ground truth once, recall@k as nprobe /
-        // candidate counts move), one flag away instead of a notebook.
+        // --recall-sample N (without --target-recall): measure what the
+        // WRITTEN result delivers on a sampled exact baseline.
         // Ground truth via bruteForceTopK costs |sample| x |corpus|
         // scan-side dots — size the sample, not the corpus.
-        f.get("recall-sample").foreach { nStr =>
+        if (!f.contains("target-recall")) f.get("recall-sample").foreach { nStr =>
           val sampleN = nStr.toInt
           if (sampleN < 1) throw Errors.config(
             s"--recall-sample wants a positive sample size, got '$nStr'.",
             "e.g. --recall-sample 100")
-          // deterministic md5-ordered pick — replayable across runs, so
-          // recall numbers stay comparable as the search parameters move
-          val sampleIds = queries
-            .select(col(idCol))
-            .orderBy(md5(col(idCol).cast("string")), col(idCol))
-            .limit(sampleN)
-          val sampleQ = queries.join(broadcast(sampleIds), Seq(idCol))
-          // exact baseline over the TRUE vectors: a plain IVF index
-          // carries them in its lists; IVF-PQ codes deliberately don't,
-          // so the rerank corpus supplies them
-          val truth =
-            if (pqIdx) readCorpus(spark, req(f, "corpus",
-                "--recall-sample on an IVF-PQ index needs --corpus PATH " +
-                  "(the true vectors for the exact baseline)"),
-              f.get("aux-format"))
-            else Similarity.loadIvfIndex(spark, idxDir).lists
-              .select(col("neighbor_id").as(idCol), col("vec").as(vecCol))
-          val exact = Similarity.bruteForceTopK(sampleQ, truth,
+          val sampleIds = sampleIdsOf(sampleN)
+          val exact = Similarity.bruteForceTopK(
+            queries.join(broadcast(sampleIds), Seq(idCol)),
+            truthCorpus("--recall-sample on an IVF-PQ index needs --corpus " +
+              "PATH (the true vectors for the exact baseline)"),
             idCol, idCol, vecCol, k)
           // the approx side is the WRITTEN result filtered to the
           // sample — recall measures what the search actually delivered

@@ -1164,6 +1164,54 @@ class CliSpec extends SparkFunSuite {
     assert(err.getMessage.contains("--corpus"), err.getMessage)
   }
 
+  test("index --search --target-recall: nprobe doubles until the sample hits the target") {
+    val dir = Files.createTempDirectory("graft_cli_tune")
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val queries = s"$dir/q.parquet"
+    spark.read.parquet(emb).filter(col("vec_id") % 50 === 0).write.parquet(queries)
+    val idx = s"$dir/ivf_idx"
+    val res = s"$dir/res.parquet"
+    val outCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCap)) {
+      assert(graft.cli.Main.cmdIndex(Array(
+        "--build", "--input", emb, "--output", idx, "--nlist", "8")) == 0)
+      // a plain IVF probe at nprobe = nlist ranks exact cosines, so a
+      // target of 1.0 is always reachable — the sweep must terminate
+      assert(graft.cli.Main.cmdIndex(Array(
+        "--search", "--queries", queries, "--index", idx,
+        "--output", res, "--k", "5",
+        "--target-recall", "1.0", "--recall-sample", "7")) == 0)
+    }
+    val lines = outCap.toString.linesIterator.toSeq
+    val tunes = lines.filter(_.startsWith("tune nprobe="))
+    assert(tunes.nonEmpty && tunes.head.startsWith("tune nprobe=1 "),
+      s"sweep must start at nprobe=1:\n$outCap")
+    // doubling sweep: 1, 2, 4, 8 — prefix thereof
+    val swept = tunes.map(_.split("[ =]")(2).toInt)
+    assert(swept == Seq(1, 2, 4, 8).take(swept.length), s"swept $swept")
+    assert(tunes.last.endsWith("mean_recall=1.0000"), s"final tune line: ${tunes.last}")
+    val chosen = lines.find(_.startsWith("results=")).get
+      .split("nprobe=")(1).split(" ")(0).toInt
+    assert(chosen == swept.last, s"final search must run at the chosen nprobe")
+    // the written result IS the library search at that nprobe
+    val viaLib = graft.ops.Similarity.ivfTopKIndexed(
+        spark.read.parquet(queries),
+        graft.ops.Similarity.loadIvfIndex(spark, idx),
+        "vec_id", "embedding", k = 5, nprobe = chosen)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString(",")).toSeq
+    val viaCli = spark.read.parquet(res)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString(",")).toSeq
+    assert(viaCli == viaLib)
+    val err = intercept[graft.errors.ConfigError] {
+      graft.cli.Main.cmdIndex(Array(
+        "--search", "--queries", queries, "--index", idx,
+        "--output", s"$dir/nope.parquet", "--target-recall", "1.5"))
+    }
+    assert(err.getMessage.contains("(0, 1]"))
+  }
+
   test("stream command: checkpointed incremental drain through gate and dedup") {
     val dir = Files.createTempDirectory("graft_cli_stream")
     val in = s"$dir/in"
