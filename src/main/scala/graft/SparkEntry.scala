@@ -1200,6 +1200,16 @@ object SparkEntry {
         t(s, dir, "documents"), idCol = "doc_id", k = 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("doc_id"), col("rank"))),
+    // Content-level drift: distinct 3-gram sets of the two snapshot
+    // slices, full-outer joined — novelty (new side's unseen grams)
+    // and loss (old side's vanished grams), the signal count-based
+    // profileDiff can't see. Same %5/%7 slices as q_profile_diff.
+    "q_ngram_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextAnalysis.ngramNovelty(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 7 =!= 0), n = 3)
+    }),
     // Snapshot drift report: old = docs with doc_id % 5 != 0, new =
     // docs with doc_id % 7 != 0 — per-source deltas, growth ratio and
     // status verdict, both profile rollups + the null-safe full-outer
@@ -3383,6 +3393,36 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df_t, tf_idf, rank
         |FROM ranked WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // distinct 3-gram sets per slice, full-outer joined; novelty and
+    // loss counts + rates recomputed identically
+    "q_ngram_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(w)-2),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS ngram
+        |  FROM d WHERE doc_id % 5 != 0 AND len(w) >= 3),
+        |g1 AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(w)-2),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS ngram
+        |  FROM d WHERE doc_id % 7 != 0 AND len(w) >= 3),
+        |j AS (
+        |  SELECT g0.ngram IS NOT NULL AS o, g1.ngram IS NOT NULL AS n
+        |  FROM g0 FULL OUTER JOIN g1 ON g0.ngram = g1.ngram)
+        |SELECT
+        |  CAST(sum(CASE WHEN o THEN 1 ELSE 0 END) AS BIGINT) AS n_old_ngrams,
+        |  CAST(sum(CASE WHEN n THEN 1 ELSE 0 END) AS BIGINT) AS n_new_ngrams,
+        |  CAST(sum(CASE WHEN n AND NOT o THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel_ngrams,
+        |  CAST(sum(CASE WHEN o AND NOT n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lost_ngrams,
+        |  ROUND(CAST(sum(CASE WHEN n AND NOT o THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN n THEN 1 ELSE 0 END), 6) AS novelty_rate,
+        |  ROUND(CAST(sum(CASE WHEN o AND NOT n THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN o THEN 1 ELSE 0 END), 6) AS lost_rate
+        |FROM j""".stripMargin,
 
     // both snapshot rollups + the null-safe full-outer join; status
     // verdict and growth ratio recomputed identically

@@ -411,6 +411,47 @@ object TextAnalysis {
     * nothing row-scale moves. The join is null-safe on `groupCol`
     * (the rollup total keys on NULL; a genuine null stratum is
     * disambiguated by `is_total`). */
+  /** N-gram novelty between two snapshots — the content-level drift
+    * signal [[profileDiff]]'s counts can't see: a refresh can hold
+    * document and token counts steady while swapping half the actual
+    * phrasing (a crawler suddenly hitting a template farm, a source
+    * silently switching language or dropping its long tail). One row:
+    * distinct n-gram counts of each side, how many of the new side's
+    * n-grams were never seen in the old (`n_novel_ngrams`,
+    * `novelty_rate`) and how many of the old side's disappeared
+    * (`n_lost_ngrams`, `lost_rate`). Healthy refreshes show moderate
+    * novelty; ~0 means the "new" crawl is a rerun, ~1 means the source
+    * changed identity.
+    *
+    * Cost: one distinct per side over the [[graft.functions.Shingles]]
+    * kernel's exploded n-grams (map-side combined — only distinct
+    * n-grams shuffle), one full-outer join on the n-gram key, one
+    * global aggregate. Nothing document-scale moves twice. */
+  def ngramNovelty(oldDf: DataFrame, newDf: DataFrame, n: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"ngramNovelty wants n >= 1, got $n")
+    def grams(df: DataFrame) = df
+      .select(explode(
+        graft.functions.Shingles.shingles(col(textCol), n)).as("ngram"))
+      .distinct()
+    val o = grams(oldDf).withColumn("__o", lit(1L))
+    val nw = grams(newDf).withColumn("__n", lit(1L))
+    o.join(nw, Seq("ngram"), "full_outer")
+      .agg(
+        sum(coalesce(col("__o"), lit(0L))).as("n_old_ngrams"),
+        sum(coalesce(col("__n"), lit(0L))).as("n_new_ngrams"),
+        sum(when(col("__n").isNotNull && col("__o").isNull, 1L)
+          .otherwise(0L)).as("n_novel_ngrams"),
+        sum(when(col("__o").isNotNull && col("__n").isNull, 1L)
+          .otherwise(0L)).as("n_lost_ngrams"))
+      .withColumn("novelty_rate", round(
+        when(col("n_new_ngrams") === 0, 0.0)
+          .otherwise(col("n_novel_ngrams").cast("double") / col("n_new_ngrams")), 6))
+      .withColumn("lost_rate", round(
+        when(col("n_old_ngrams") === 0, 0.0)
+          .otherwise(col("n_lost_ngrams").cast("double") / col("n_old_ngrams")), 6))
+  }
+
   def profileDiff(oldDf: DataFrame, newDf: DataFrame,
       groupCol: String = "source", textCol: String = "text",
       tokens: Option[Column] = None): DataFrame = {

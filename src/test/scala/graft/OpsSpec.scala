@@ -242,6 +242,25 @@ class OpsSpec extends SparkFunSuite {
     assert(all.map(_.getLong(1)).toSeq == all.map(_.getLong(1)).sorted.reverse.toSeq)
   }
 
+  test("ngramNovelty: planted novel/lost sets, stable-corpus zero") {
+    import graft.ops.TextAnalysis
+    val old = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val nw = Seq((1L, "a b c x"), (2L, "p q r s")).toDF("doc_id", "text")
+    // old grams {a b c, b c d}; new {a b c, b c x, p q r, q r s}
+    val r = TextAnalysis.ngramNovelty(old, nw, n = 3).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5)) == ((2L, 4L, 3L, 1L, 0.75, 0.5)), s"$r")
+    // identical snapshots: nothing novel, nothing lost
+    val same = TextAnalysis.ngramNovelty(nw, nw, n = 3).head()
+    assert(same.getDouble(4) == 0.0 && same.getDouble(5) == 0.0)
+    // short/NULL texts contribute no grams and don't crash the report
+    val empty = Seq((1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val vsEmpty = TextAnalysis.ngramNovelty(empty, nw, n = 3).head()
+    assert(vsEmpty.getLong(0) == 0L && vsEmpty.getDouble(4) == 1.0 &&
+      vsEmpty.getDouble(5) == 0.0)
+  }
+
   test("tfIdfTerms: hand-computed scores, tie order, rare-term promotion") {
     import graft.ops.TextAnalysis
     val df = Seq(
