@@ -198,6 +198,11 @@ object Main {
       |            row counts — list skew says when to rebuild)
       |          | --compact --index DIR    (rewrite appended lists to
       |            one file each; atomic dir swap, rows unchanged)
+      |          | --rebuild --index DIR --output NEWDIR [--nlist N]
+      |            [--refine-iters R] [--pq M,K] [--corpus PATH]
+      |            (fresh centroids when --describe shows list skew;
+      |            IVF rebuilds from its own lists, IVF-PQ re-encodes
+      |            from --corpus; readers cut over to NEWDIR)
       |          (persisted ANN: IVF lists of vectors, or with --pq the
       |           IVF-PQ residual-code layout — probes read only nprobe
       |           list partitions; append assigns new batches to the
@@ -1334,10 +1339,11 @@ object Main {
     // scheme (Similarity.indexIsPq) — a java.nio probe would silently
     // answer false for every hdfs:// index and misroute IVF-PQ loads
     def isPq(dir: String): Boolean = Similarity.indexIsPq(spark, dir)
-    val modes = Seq("build", "append", "search", "describe", "compact")
+    val modes = Seq("build", "append", "search", "describe", "compact", "rebuild")
       .filter(f.contains)
     if (modes.size != 1) throw graft.errors.Errors.config(
-      s"index needs exactly one of --build/--append/--search/--describe/--compact" +
+      s"index needs exactly one of --build/--append/--search/--describe/" +
+        s"--compact/--rebuild" +
         (if (modes.isEmpty) "." else s", got --${modes.mkString(" --")}."),
       "pick one mode")
     modes.head match {
@@ -1368,6 +1374,51 @@ object Main {
         val idxDir = req(f, "index", "index --compact needs --index DIR")
         Similarity.compactIndex(spark, idxDir)
         println(s"compacted=$idxDir")
+      case "rebuild" =>
+        // the answer to --describe's skew report: re-cluster with FRESH
+        // centroids into a NEW directory (readers cut over when it's
+        // complete — the same rewrite-to-new-path shape the compact
+        // fail-fast advises for rename-less stores, here by design:
+        // a rebuild changes every list assignment, so an in-place swap
+        // would buy crash complexity for no read-path win)
+        val idxDir = req(f, "index", "index --rebuild needs --index DIR")
+        val newDir = req(f, "output",
+          "index --rebuild needs --output NEWDIR (readers cut over after)")
+        val nlist = f.getOrElse("nlist", "64").toInt
+        val refine = f.getOrElse("refine-iters", "0").toInt
+        if (isPq(idxDir)) {
+          // codes carry no vectors (the whole point of PQ) — a rebuild
+          // re-encodes from the true vectors
+          val corpus = readCorpus(spark, req(f, "corpus",
+            "--rebuild of an IVF-PQ index needs --corpus PATH (codes carry " +
+              "no vectors to re-cluster from)"), f.get("aux-format"))
+          val prior = Similarity.loadIvfPqIndex(spark, idxDir)
+          val (m, cbk) = f.get("pq") match {
+            case Some(mk) =>
+              val parts = mk.split(",").map(_.trim)
+              if (parts.length != 2 ||
+                  parts.exists(p => scala.util.Try(p.toInt).isFailure))
+                throw Errors.config(
+                  s"--pq wants M,K (subspaces, codebook size), got '$mk'.",
+                  "e.g. --pq 8,256 (defaults to the existing index's shape)")
+              (parts(0).toInt, parts(1).toInt)
+            case None => (prior.pq.m, prior.pq.codebookSize)
+          }
+          Similarity.saveIvfPqIndex(Similarity.buildIvfPqIndex(
+            corpus, idCol, vecCol, nlist, m, cbk, refine,
+            f.getOrElse("pq-refine-iters", "0").toInt), newDir)
+          println(s"rebuilt=ivfpq nlist=$nlist m=$m codebook=$cbk " +
+            s"from=$idxDir written=$newDir")
+        } else {
+          // a plain IVF index holds its true vectors — rebuild directly
+          // from the lists, no corpus read needed
+          val prior = Similarity.loadIvfIndex(spark, idxDir)
+          val vectors = prior.lists
+            .select(col("neighbor_id").as(idCol), col("vec").as(vecCol))
+          Similarity.saveIvfIndex(Similarity.buildIvfIndex(
+            vectors, idCol, vecCol, nlist, refine), newDir)
+          println(s"rebuilt=ivf nlist=$nlist from=$idxDir written=$newDir")
+        }
       case "describe" =>
         // ops-facing health view: layout kind, parameters, and the
         // per-list row distribution (list SKEW is what tells an

@@ -1105,6 +1105,57 @@ class CliSpec extends SparkFunSuite {
     assert(err2.getMessage.contains("M,K"))
   }
 
+  test("index --rebuild: fresh centroids to a new dir, rows preserved, PQ needs corpus") {
+    val dir = Files.createTempDirectory("graft_cli_rebuild")
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val idx = s"$dir/ivf4"
+    val idx8 = s"$dir/ivf8"
+    val sink = new java.io.PrintStream(new java.io.ByteArrayOutputStream())
+    Console.withOut(sink) {
+      assert(graft.cli.Main.cmdIndex(Array(
+        "--build", "--input", emb, "--output", idx, "--nlist", "4")) == 0)
+      assert(graft.cli.Main.cmdIndex(Array(
+        "--rebuild", "--index", idx, "--output", idx8, "--nlist", "8")) == 0)
+    }
+    val old = graft.ops.Similarity.loadIvfIndex(spark, idx)
+    val rebuilt = graft.ops.Similarity.loadIvfIndex(spark, idx8)
+    assert(rebuilt.centroids.count() == 8, "rebuild must honor the new nlist")
+    assert(rebuilt.lists.count() == old.lists.count(), "no rows may vanish")
+    // both indexes hold the SAME vectors, and a full probe ranks exact
+    // cosines — identical results despite entirely different lists
+    val q = spark.read.parquet(emb).filter(col("vec_id") % 50 === 0)
+    def rows(idx: graft.ops.Similarity.IvfIndex, np: Int): Seq[String] =
+      graft.ops.Similarity.ivfTopKIndexed(q, idx, "vec_id", "embedding",
+          k = 3, nprobe = np)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(rebuilt, 8) == rows(old, 4),
+      "full probes of old and rebuilt must agree (same vectors, exact cosines)")
+    // IVF-PQ: codes carry no vectors — rebuild demands the corpus
+    val pqIdx = s"$dir/pq"
+    Console.withOut(sink) {
+      assert(graft.cli.Main.cmdIndex(Array(
+        "--build", "--input", emb, "--output", pqIdx,
+        "--nlist", "4", "--pq", "4,16")) == 0)
+    }
+    val err = intercept[graft.errors.ConfigError] {
+      graft.cli.Main.cmdIndex(Array(
+        "--rebuild", "--index", pqIdx, "--output", s"$dir/pq8", "--nlist", "8"))
+    }
+    assert(err.getMessage.contains("--corpus"), err.getMessage)
+    // with the corpus: rebuilt at the inherited PQ shape, all rows coded
+    val outCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCap)) {
+      assert(graft.cli.Main.cmdIndex(Array(
+        "--rebuild", "--index", pqIdx, "--output", s"$dir/pq8",
+        "--nlist", "8", "--corpus", emb)) == 0)
+    }
+    assert(outCap.toString.contains("rebuilt=ivfpq nlist=8 m=4 codebook=16"),
+      s"PQ shape must inherit from the prior index:\n$outCap")
+    assert(graft.ops.Similarity.loadIvfPqIndex(spark, s"$dir/pq8")
+      .codes.count() == spark.read.parquet(emb).count())
+  }
+
   test("index --search --recall-sample: printed recall equals the library computation") {
     val dir = Files.createTempDirectory("graft_cli_recall")
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
