@@ -841,28 +841,44 @@ object Similarity {
     * with sim ≈ dot(q, x). */
   def ivfPqTopK(queries: DataFrame, index: IvfPqIndex, qidCol: String,
       vecCol: String, k: Int, nprobe: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      lutSplitBytes: Long = 16L * 1024): DataFrame = {
     val model = index.pq
     val qv = asDouble(col("__qv"))
     val qbase = queries
       .select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
-    // LUT in its OWN broadcast frame, one row per query: riding the
-    // probe frame would duplicate the m·codebookSize double table
-    // nprobe times per query, multiplying the broadcast by nprobe and
-    // walking large query batches into the driver/broadcast limits.
-    // Computed once per QUERY row (before any per-list explode) either
-    // way; the codes side picks it up with a second broadcast hash
-    // join on query_id after the list probe.
-    val luts = qbase.select(col("query_id"), pqLut(model, qv).as("__lut"))
-    val probed = nearestLists(qbase, "query_id", "__qv",
-        index.centroids, nprobe)
+    // Where does the per-query LUT (m·codebookSize doubles) ride?
+    // Inlined in the probe frame it is duplicated nprobe times per
+    // query — at production shapes (m=16, K=256, nprobe=32: ~1 MB per
+    // query) that walks large query batches straight into the
+    // broadcast/driver limits. In its OWN one-row-per-query broadcast
+    // the duplication is gone, but every scanned candidate row pays a
+    // SECOND broadcast hash join (measured ~1.4x on the 1M-row bench
+    // search, where the whole duplicated LUT is 4 KB/query). All three
+    // inputs to the trade are plan-time constants, so pick per plan:
+    // inline while the duplicated table stays small, split past 16 KB
+    // per query. `lutSplitBytes` is exposed for tests to force either
+    // shape.
+    val inlineLut =
+      nprobe.toLong * model.m * model.codebookSize * 8L <= lutSplitBytes
+    val lutOf = pqLut(model, qv)
+    val probed0 = nearestLists(
+        if (inlineLut) qbase.withColumn("__lut", lutOf) else qbase,
+        "query_id", "__qv", index.centroids, nprobe)
       .join(broadcast(index.centroids), Seq("list_id"))
       .withColumn("__qc", VecOps.vecDot(qv, col("__centroid")))
-      .select(col("list_id"), col("query_id"), col("__qc"))
+    val probed =
+      if (inlineLut)
+        probed0.select(col("list_id"), col("query_id"), col("__lut"), col("__qc"))
+      else probed0.select(col("list_id"), col("query_id"), col("__qc"))
     val adc = pqAdc(model)
-    index.codes
-      .join(broadcast(probed), Seq("list_id"))
-      .join(broadcast(luts), Seq("query_id"))
+    val candidates0 = index.codes.join(broadcast(probed), Seq("list_id"))
+    val candidates =
+      if (inlineLut) candidates0
+      else candidates0.join(
+        broadcast(qbase.select(col("query_id"), lutOf.as("__lut"))),
+        Seq("query_id"))
+    candidates
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
               else lit(true))
       .select(col("query_id"), col("neighbor_id"),

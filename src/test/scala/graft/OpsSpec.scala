@@ -903,6 +903,16 @@ class OpsSpec extends SparkFunSuite {
       "vec_id", "embedding", k = 5, nprobe = 3)
     assert(viaAppend.groupBy("query_id").count()
       .collect().map(_.getLong(1)).toSet == Set(5L))
+    // LUT placement (inline vs split broadcast) is a plan choice only:
+    // both shapes must score identically
+    def adcRows(lutSplit: Long): Seq[String] =
+      Similarity.ivfPqTopK(q, appended, "vec_id", "embedding",
+          k = 5, nprobe = 3, lutSplitBytes = lutSplit)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 9).as("sim"), col("rank"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(adcRows(Long.MaxValue) == adcRows(0L),
+      "inline-LUT and split-LUT plans must rank identically")
   }
 
   test("recall@k: exact self-recall is 1, disjoint is 0, partial counts intersections") {

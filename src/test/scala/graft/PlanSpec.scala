@@ -455,17 +455,26 @@ class PlanSpec extends SparkFunSuite {
       assert(block.contains("pq_code") && !block.contains("array<double>"),
         s"codes scan must read codes, never vectors:\n$block")
     }
-    // the per-query LUT (m·codebookSize doubles) rides its OWN
-    // broadcast, one row per query — the probe frame that explodes to
-    // (query, list) pairs must NOT carry it, or the broadcast bytes
-    // multiply by nprobe (the r13 ADVICE finding)
-    val probeBcasts = f.split("\n\n").filter(b =>
+    // LUT placement is a plan-time size decision: small duplicated
+    // tables ride the probe frame (ONE broadcast join — measured 1.4x
+    // faster at the bench shape), big ones get their own one-row-per-
+    // query broadcast so the bytes never multiply by nprobe (the r13
+    // ADVICE finding). This 4KB/query shape must take the inline path:
+    assert(plan.contains("__lut"), s"inline LUT expected at this shape:\n$plan")
+    // forcing the split (threshold 0): the probe frame must NOT carry
+    // the LUT — it rides a separate query-keyed broadcast
+    val split = planOf(graft.ops.Similarity.ivfPqTopK(q, loaded,
+      "vec_id", "embedding", k = 3, nprobe = 2, lutSplitBytes = 0L))
+    val fs = formatted(graft.ops.Similarity.ivfPqTopK(q, loaded,
+      "vec_id", "embedding", k = 3, nprobe = 2, lutSplitBytes = 0L))
+    val probeBcasts = fs.split("\n\n").filter(b =>
       b.contains("Output") && b.contains("__qc") && b.contains("list_id"))
-    assert(probeBcasts.nonEmpty, s"no probe-frame block found in:\n$f")
+    assert(probeBcasts.nonEmpty, s"no probe-frame block found in:\n$fs")
     probeBcasts.foreach { b =>
       assert(!b.contains("__lut"),
-        s"probe frame must not carry the LUT (nprobe-duplicated broadcast):\n$b")
+        s"split probe frame must not carry the LUT:\n$b")
     }
+    assert(split.contains("__lut"), "the split plan still scores via the LUT")
   }
 
   test("ivf append assignment is scan-side: no exchange") {
