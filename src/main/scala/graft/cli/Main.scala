@@ -144,7 +144,7 @@ object Main {
       |           --score-only writes quality_prob instead of filtering)
       |  profile --input PATH [--group-col source] [--text-col text]
       |          [--tokenizer DIR] [--json PATH] [--diff-against OLD_PATH]
-      |          [--top-ngrams K [--ngram-n 3] [--id-col COL]]
+      |          [--novelty [N]] [--top-ngrams K [--ngram-n 3] [--id-col COL]]
       |          (--tokenizer counts real BPE tokens instead of whitespace;
       |           --diff-against prints the snapshot drift report instead;
       |           --top-ngrams appends the frequent-phrase discovery table)
@@ -1107,6 +1107,18 @@ object Main {
       val ws = (hdr +: tbl.toSeq).transpose.map(_.map(_.length).max)
       (hdr +: tbl.toSeq).foreach { cells =>
         println(cells.zip(ws).map { case (c, w) => c.padTo(w, ' ') }.mkString("  "))
+      }
+      // --novelty [N]: the content-level drift the count table can't
+      // see — distinct n-gram set change between the snapshots
+      f.get("novelty").foreach { nv =>
+        val n = if (nv == "true") 3 else nv.toInt
+        val r = graft.ops.TextAnalysis.ngramNovelty(
+          readCorpus(spark, oldPath, f.get("input-format")),
+          readCorpus(spark, input, f.get("input-format")), n, textCol).head()
+        println(f"novelty n=$n old_ngrams=${r.getLong(0)} " +
+          f"new_ngrams=${r.getLong(1)} novel=${r.getLong(2)} " +
+          f"lost=${r.getLong(3)} novelty_rate=${r.getDouble(4)}%.4f " +
+          f"lost_rate=${r.getDouble(5)}%.4f")
       }
       return 0
     }

@@ -580,6 +580,22 @@ class CliSpec extends SparkFunSuite {
     assert(diffPrinted.contains("grown"), diffPrinted)
     assert(diffPrinted.contains("removed"), diffPrinted)
     assert(diffPrinted.contains("TOTAL"), diffPrinted)
+    // --novelty: the set-level drift line after the count table, equal
+    // to the library report on the same snapshots
+    val novCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(novCap)) {
+      assert(graft.cli.Main.cmdProfile(Array(
+        "--input", in, "--diff-against", oldIn, "--novelty", "3")) == 0)
+    }
+    val nov = novCap.toString.linesIterator
+      .find(_.startsWith("novelty n=3")).getOrElse(
+        fail(s"no novelty line:\n$novCap"))
+    val lib = graft.ops.TextAnalysis.ngramNovelty(
+      spark.read.parquet(oldIn), spark.read.parquet(in), n = 3).head()
+    assert(nov == f"novelty n=3 old_ngrams=${lib.getLong(0)} " +
+      f"new_ngrams=${lib.getLong(1)} novel=${lib.getLong(2)} " +
+      f"lost=${lib.getLong(3)} novelty_rate=${lib.getDouble(4)}%.4f " +
+      f"lost_rate=${lib.getDouble(5)}%.4f", nov)
     // --top-ngrams: the frequent-phrase table appends after the profile
     val topCap = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(topCap)) {
