@@ -953,6 +953,13 @@ object SparkEntry {
     "q_sample_hash" -> ((s, dir) =>
       graft.ops.Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.25)
         .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // Soft quality sampling: p = min(1, (quality/0.8)^2), unit-hash
+    // decided, keep_prob kept for downstream loss weighting
+    "q_soft_sample" -> ((s, dir) =>
+      graft.ops.Sampling.softSample(t(s, dir, "documents"), "doc_id",
+        graft.ops.TextAnalysis.qualityScore(col("text")),
+        pivot = 0.8, sharpness = 2.0)
+        .select("doc_id", "keep_prob").orderBy("doc_id")),
     // Per-language sampling rates (training-mix curation)
     "q_sample_stratified" -> ((s, dir) =>
       graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
@@ -2945,6 +2952,37 @@ object SparkEntry {
         |  ROUND(len_score * 0.3 + punct_score * 0.3 + stop_score * 0.2 + wordlen_score * 0.2, 6) AS quality,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // Soft quality sampling: keep probability (quality/0.8)^2 capped
+    // at 1, decided by the salt-decorrelated unit hash; the quality
+    // score, p, and the floored Long threshold all replay in DuckDB.
+    "q_soft_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) AS len_score,
+        |    1.0 - least(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |                / length(text) * 5.0, 1.0) AS punct_score,
+        |    least(CAST(len(list_filter(wl, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |          / n_tokens * 5.0, 1.0) AS stop_score,
+        |    CASE WHEN CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / n_tokens
+        |              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS wordlen_score
+        |  FROM m),
+        |s AS (
+        |  SELECT doc_id, ROUND(len_score * 0.3 + punct_score * 0.3
+        |    + stop_score * 0.2 + wordlen_score * 0.2, 6) AS quality FROM q),
+        |p AS (
+        |  SELECT doc_id,
+        |    ROUND(least(1.0, pow(greatest(quality, 0.0) / 0.8, 2.0)), 6) AS keep_prob
+        |  FROM s)
+        |SELECT doc_id, keep_prob FROM p
+        |WHERE ('0x' || substr(md5('softsample:42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      < CAST(floor(keep_prob * 1152921504606846976.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
 
     // Sampling family: the unit hash is the top 60 bits of
     // md5('<seed>:' || id) in BOTH engines; thresholds are inlined as

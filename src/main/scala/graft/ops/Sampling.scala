@@ -52,6 +52,35 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, rate: Double, seed: Int = 42): DataFrame =
     df.filter(unitHash(col(idCol), seed, "sample") < lit(rateThreshold(rate)))
 
+  /** Score-proportional ("soft") sampling — the middle ground between
+    * keeping everything and a hard quality threshold that discards
+    * every borderline document: each row keeps with probability
+    * p = min(1, (max(score, 0) / pivot)^sharpness) — 1 at and above
+    * `pivot`, decaying below it, `sharpness` shaping how hard the
+    * knee cuts (1 = proportional, higher = closer to a hard
+    * threshold). The decision is the deterministic unit hash under its
+    * own salt (decorrelated from sample/split/mix — a soft-filtered
+    * corpus must not accidentally be the eval split), so output is a
+    * pure function of (ids, scores, pivot, sharpness, seed):
+    * replayable, layout-independent, and MONOTONE — a row kept at
+    * score s is kept at any higher score under the same seed (same
+    * hash, higher threshold), so re-scoring upward never drops
+    * survivors. `keep_prob` rides the output for downstream loss
+    * weighting (importance-correct training on the soft sample).
+    * p is rounded to 6 decimals before the threshold (cross-engine
+    * `pow` ulp defense) and the threshold floors to an exact Long, so
+    * the boundary comparison is integer-exact in both engines. */
+  def softSample(df: DataFrame, idCol: String, score: Column,
+      pivot: Double, sharpness: Double = 1.0, seed: Int = 42): DataFrame = {
+    require(pivot > 0, s"softSample wants pivot > 0, got $pivot")
+    require(sharpness > 0, s"softSample wants sharpness > 0, got $sharpness")
+    val p = round(
+      least(lit(1.0), pow(greatest(score, lit(0.0)) / pivot, sharpness)), 6)
+    df.withColumn("keep_prob", p)
+      .filter(unitHash(col(idCol), seed, "softsample") <
+        floor(col("keep_prob") * lit(UnitRange.toDouble)).cast("long"))
+  }
+
   /** Per-stratum Bernoulli rates (e.g. per language / per source),
     * `default` for strata not in the map. The rate lookup is an
     * inlined CASE chain — strata counts are small (languages,

@@ -1941,6 +1941,33 @@ class OpsSpec extends SparkFunSuite {
     assert(c != a)
   }
 
+  test("softSample: probability formula, endpoints, monotone under re-scoring") {
+    import graft.ops.Sampling
+    val ids = spark.range(1, 2001).select(col("id").as("doc_id"))
+    def kept(score: Double): Set[Long] =
+      Sampling.softSample(ids, "doc_id", lit(score), pivot = 0.8,
+          sharpness = 2.0)
+        .select("doc_id").as[Long].collect().toSet
+    // endpoints: score 0 keeps nothing, score >= pivot keeps everything
+    assert(kept(0.0).isEmpty)
+    assert(kept(0.8).size == 2000 && kept(1.5).size == 2000)
+    // keep_prob is the documented formula: (0.4/0.8)^2 = 0.25
+    val p = Sampling.softSample(ids, "doc_id", lit(0.4), pivot = 0.8,
+      sharpness = 2.0).select("keep_prob").head().getDouble(0)
+    assert(p == 0.25, s"keep_prob $p")
+    // ~p of rows survive, and the SAME hash decides at every score, so
+    // raising a row's score can only ADD survivors (monotone)
+    val low = kept(0.4)
+    val high = kept(0.6) // p = 0.5625
+    assert(math.abs(low.size / 2000.0 - 0.25) < 0.05, s"${low.size}")
+    assert(low.subsetOf(high),
+      "a row kept at a lower score must stay kept at a higher one")
+    // decorrelated from the plain sample's decision at the same seed
+    val plain = Sampling.hashSample(ids, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(low != plain, "softsample salt must decorrelate from 'sample'")
+  }
+
   test("stratifiedSample: per-stratum rates honored") {
     import graft.ops.Sampling
     val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
