@@ -98,6 +98,7 @@ object Main {
       |          [--boilerplate-max-doc-freq N] [--span-dedup [N]] [--exact-substr [K]]
       |          [--image-hash-col COL | --image-col BIN | --audio-col BIN | --video-col BIN]
       |          [--image-max-hamming 2] [--image-bands 4]
+      |          [--soft-quality-pivot P [--soft-quality-sharpness S]]
       |          [--unigram-buckets N [--unigram-keep K]]
       |          [--bigram-buckets N [--bigram-keep K] [--bigram-model DIR]]
       |          [--decontaminate EVAL_PARQUET [--decontaminate-ngram 8] [--decontaminate-bloom]]
@@ -812,6 +813,13 @@ object Main {
           stratumCol = f.getOrElse("domain-col", "source"),
           k = k.toInt,
           orderCol = f.getOrElse("domain-order-col", "__domain_order"))),
+      // --soft-quality-pivot: score-proportional keep instead of the
+      // hard minQuality floor (combine with --min-quality 0 to go
+      // fully soft, or keep both: floor first, soft decay above it)
+      softQuality = f.get("soft-quality-pivot").map(pv =>
+        Curation.SoftQualityConfig(pv.toDouble,
+          sharpness = f.getOrElse("soft-quality-sharpness", "1.0").toDouble,
+          seed = f.getOrElse("soft-quality-seed", "42").toInt)),
       dsir = f.get("dsir-target").map(path =>
         Curation.DsirConfig(readCorpus(spark, path, f.get("aux-format")),
           k = req(f, "dsir-k", "--dsir-target needs --dsir-k N (how many docs to select)").toInt,

@@ -248,7 +248,19 @@ object Curation {
       decontaminate: Option[DecontaminateConfig] = None,
       semDedup: Option[SemDeDupConfig] = None,
       domainCap: Option[DomainCapConfig] = None,
-      dsir: Option[DsirConfig] = None)
+      dsir: Option[DsirConfig] = None,
+      softQuality: Option[SoftQualityConfig] = None)
+
+  /** Soft quality stage ([[Sampling.softSample]]): score-proportional
+    * keep instead of (or after) the verdict kernel's hard `minQuality`
+    * floor — each scan survivor keeps with probability
+    * min(1, (qualityScore/pivot)^sharpness), deterministically decided
+    * by the salted unit hash. Runs right after the scan, before any
+    * dedup pays for documents the soft filter would have dropped. */
+  final case class SoftQualityConfig(
+      pivot: Double,
+      sharpness: Double = 1.0,
+      seed: Int = 42)
 
   /** Opt-in stage-level resume store for [[curate]]: each completed
     * stage's surviving frame persists as `<dir>/<stage>/` parquet
@@ -443,11 +455,14 @@ object Curation {
         "semDedup" -> h.semDedup.map(_.toString),
         "domainCap" -> h.domainCap.map(_.toString),
         "dsir" -> h.dsir.map(d =>
-          s"${d.k}:${d.buckets}:${d.alpha}:${d.temperature}:${d.seed}")))
+          s"${d.k}:${d.buckets}:${d.alpha}:${d.temperature}:${d.seed}"),
+        "softQuality" -> h.softQuality.map(c =>
+          s"${c.pivot}:${c.sharpness}:${c.seed}")))
     }
     // enabled stage keys in pipeline order, for the prefix check (the
     // names must match the stageOut keys below)
     store.foreach(_.validatePrefix(Seq("scan") ++
+      hygiene.softQuality.map(_ => "soft_quality") ++
       hygiene.urlCol.map(_ => "url_dup") ++
       hygiene.imageDup.map(_ => "image_dup") ++
       hygiene.boilerplate.map(_ => "boilerplate") ++
@@ -551,6 +566,22 @@ object Curation {
       ledger += ("blocklist" -> staged("blocklist")(scanKept.count()))
     }
 
+    // ---- soft quality: score-proportional keep, the probabilistic
+    // alternative to the verdict kernel's hard minQuality floor —
+    // placed FIRST so no dedup stage pays for documents the soft
+    // filter was going to drop anyway ---------------------------------
+    val softKept = hygiene.softQuality match {
+      case Some(sq) =>
+        val (kept, n) = stageOut("soft_quality", "soft quality") {
+          Sampling.softSample(scanKept, idCol,
+            TextAnalysis.qualityScore(col(textCol)),
+            sq.pivot, sq.sharpness, sq.seed).drop("keep_prob")
+        }
+        ledger += ("soft_quality" -> n)
+        kept
+      case None => scanKept
+    }
+
     // ---- URL dedup: one map-side-combined group + a semi join --------
     val urlKept = hygiene.urlCol match {
       case Some(u) =>
@@ -566,14 +597,14 @@ object Curation {
           // silently delete all but one unrelated page
           val canon = QualityFilters.canonicalizeUrl(col(u))
           val usable = col(u).isNotNull && length(canon) > 0
-          val keepers = QualityFilters.dedupByUrl(scanKept.filter(usable), u, idCol)
+          val keepers = QualityFilters.dedupByUrl(softKept.filter(usable), u, idCol)
             .select(col("keep_id").as(idCol))
-          scanKept.filter(!usable)
-            .unionByName(scanKept.filter(usable).join(keepers, Seq(idCol), "left_semi"))
+          softKept.filter(!usable)
+            .unionByName(softKept.filter(usable).join(keepers, Seq(idCol), "left_semi"))
         }
         ledger += ("url_dup" -> n)
         kept
-      case None => scanKept
+      case None => softKept
     }
 
     // ---- image near-dup dedup: 8-byte perceptual-hash key, the

@@ -762,6 +762,43 @@ class CliSpec extends SparkFunSuite {
     assert(err.getMessage.contains("--keep-partial"), err.getMessage)
   }
 
+  test("curate command: --soft-quality-pivot is the library softSample over scan survivors") {
+    val dir = Files.createTempDirectory("graft_cli_softq")
+    val in = s"$dir/docs.parquet"
+    val out = s"$dir/curated.parquet"
+    // a quality spread: stopword-rich prose (high score) and short
+    // low-stopword fragments (low score) — the soft stage should keep
+    // all of the former and a hash-decided fraction of the latter
+    val docs = (1 to 15).map(i => (i.toLong,
+      "the quiet harbor town wakes early with the fishing boats and " +
+        s"the morning market opens with the fresh catch today t$i")) ++
+      (16 to 40).map(i => (i.toLong, s"fragment $i"))
+    docs.toDF("doc_id", "text").write.parquet(in)
+    val cap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap)) {
+      assert(graft.cli.Main.cmdCurate(Array(
+        "--input", in, "--output", out,
+        "--min-quality", "0", "--languages", "none",
+        "--near-dup-threshold", "0.99",
+        "--soft-quality-pivot", "0.8", "--soft-quality-sharpness", "2")) == 0)
+    }
+    assert(cap.toString.contains("soft_quality"),
+      s"soft_quality ledger row missing:\n$cap")
+    val survivors = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    // min-quality 0 + languages none passes every doc into the stage,
+    // so the survivors are EXACTLY the library softSample decision
+    val expected = graft.ops.Sampling.softSample(
+        spark.read.parquet(in), "doc_id",
+        graft.ops.TextAnalysis.qualityScore(col("text")),
+        pivot = 0.8, sharpness = 2.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == expected, s"got $survivors expected $expected")
+    // high-quality prose all survives; the fragments thinned out
+    assert((1L to 15L).toSet.subsetOf(survivors))
+    assert(survivors.count(_ > 15L) < 25, s"fragments must thin: $survivors")
+  }
+
   test("curate command: bigram LM stage via --bigram-buckets and --bigram-model") {
     val dir = Files.createTempDirectory("graft_cli_bigram")
     val in = s"$dir/docs.parquet"

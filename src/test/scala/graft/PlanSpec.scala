@@ -635,6 +635,12 @@ class PlanSpec extends SparkFunSuite {
       docs, "doc_id", "lang", Map("en" -> 2.5), default = 1.0))
     assert(!mixed.contains("Exchange") && !mixed.contains("Join"),
       s"mix should be generate-over-scan, no shuffle:\n$mixed")
+    // soft sampling: the per-row probability is scan-side arithmetic
+    // over the score expression — still a pure filter, no shuffle
+    val soft = planOf(graft.ops.Sampling.softSample(docs, "doc_id",
+      graft.ops.TextAnalysis.qualityScore(col("text")), pivot = 0.8))
+    assert(!soft.contains("Exchange") && !soft.contains("Join"),
+      s"soft sample should be a pure filter:\n$soft")
   }
 
   test("dsir scoring is scan-side and selection is per-partition top-k") {
