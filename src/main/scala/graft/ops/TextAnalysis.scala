@@ -396,21 +396,6 @@ object TextAnalysis {
         (sum(n).cast("double") / count(lit(1))).as("avg_doc_tokens"))
   }
 
-  /** Snapshot-over-snapshot corpus drift report — the governance
-    * check a RECURRING pipeline runs between refreshes: per `groupCol`
-    * stratum (plus the rollup total, `is_total = 1`), document /
-    * token / distinct-text counts of the old and new snapshots side
-    * by side with deltas, the token growth ratio, and a status verdict
-    * (`added` / `removed` / `grown` / `shrunk` / `stable`). Catches
-    * the failure modes counts alone hide: a source that silently
-    * vanished from a crawl, a stratum that doubled and will now
-    * dominate mixing weights, a dedup change that halved unique texts.
-    *
-    * Cost: one [[corpusProfile]] aggregation per snapshot (each a
-    * single scan) + a full-outer join of two STRATUM-sized frames —
-    * nothing row-scale moves. The join is null-safe on `groupCol`
-    * (the rollup total keys on NULL; a genuine null stratum is
-    * disambiguated by `is_total`). */
   /** N-gram novelty between two snapshots — the content-level drift
     * signal [[profileDiff]]'s counts can't see: a refresh can hold
     * document and token counts steady while swapping half the actual
@@ -452,6 +437,21 @@ object TextAnalysis {
           .otherwise(col("n_lost_ngrams").cast("double") / col("n_old_ngrams")), 6))
   }
 
+  /** Snapshot-over-snapshot corpus drift report — the governance
+    * check a RECURRING pipeline runs between refreshes: per `groupCol`
+    * stratum (plus the rollup total, `is_total = 1`), document /
+    * token / distinct-text counts of the old and new snapshots side
+    * by side with deltas, the token growth ratio, and a status verdict
+    * (`added` / `removed` / `grown` / `shrunk` / `stable`). Catches
+    * the failure modes counts alone hide: a source that silently
+    * vanished from a crawl, a stratum that doubled and will now
+    * dominate mixing weights, a dedup change that halved unique texts.
+    *
+    * Cost: one [[corpusProfile]] aggregation per snapshot (each a
+    * single scan) + a full-outer join of two STRATUM-sized frames —
+    * nothing row-scale moves. The join is null-safe on `groupCol`
+    * (the rollup total keys on NULL; a genuine null stratum is
+    * disambiguated by `is_total`). */
   def profileDiff(oldDf: DataFrame, newDf: DataFrame,
       groupCol: String = "source", textCol: String = "text",
       tokens: Option[Column] = None): DataFrame = {
