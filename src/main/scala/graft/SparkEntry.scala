@@ -1217,6 +1217,29 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 7 =!= 0), n = 3)
     }),
+    // The novelty check's 100 TB path: per-side KMV sketches (k longs
+    // per scan task ride the exchange — nothing gram-scale moves) +
+    // sketch set algebra for the novel/lost estimates. k = 256 is far
+    // below this SF's distinct-gram count, so the oracle exercises the
+    // ESTIMATOR (sketch = `SELECT DISTINCT v ORDER BY v LIMIT k`,
+    // estimate = (k-1)*2^52/v_k — deterministic given md5, replayed
+    // bit-for-bit).
+    "q_ngram_novelty_approx" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextAnalysis.ngramNoveltyApprox(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 7 =!= 0), n = 3, k = 256)
+    }),
+    // The profile's 100 TB path: countDistinct(md5) replaced by the
+    // KMV estimate (k = 64 < per-source distinct texts at this SF, so
+    // the estimator path is what the oracle checks; the other profile
+    // columns are covered by q_corpus_profile).
+    "q_corpus_profile_approx" -> ((s, dir) =>
+      graft.ops.TextAnalysis.corpusProfileApprox(
+        t(s, dir, "documents"), k = 64)
+        .select(col("source"), col("is_total"), col("n_docs"),
+          col("n_unique_texts_approx"))
+        .orderBy("is_total", "source")),
     // Snapshot drift report: old = docs with doc_id % 5 != 0, new =
     // docs with doc_id % 7 != 0 — per-source deltas, growth ratio and
     // status verdict, both profile rollups + the null-safe full-outer
@@ -3461,6 +3484,99 @@ object SparkEntry {
         |  ROUND(CAST(sum(CASE WHEN o AND NOT n THEN 1 ELSE 0 END) AS DOUBLE)
         |    / sum(CASE WHEN o THEN 1 ELSE 0 END), 6) AS lost_rate
         |FROM j""".stripMargin,
+
+    // KMV replay: sketch = k smallest distinct 52-bit md5 prefixes
+    // (SELECT DISTINCT v ORDER BY v LIMIT k), estimate = (k-1)*2^52 /
+    // v_k with exactly-representable double operands, union sketch =
+    // k smallest of the sketch union, intersection = in-both fraction
+    // x union estimate — the same op tree the Column form builds, so
+    // every double op is bit-identical
+    "q_ngram_novelty_approx" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(w)-2),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS ngram
+        |  FROM d WHERE doc_id % 5 != 0 AND len(w) >= 3),
+        |g1 AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(w)-2),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS ngram
+        |  FROM d WHERE doc_id % 7 != 0 AND len(w) >= 3),
+        |so AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(ngram), 1, 13) AS BIGINT) AS v
+        |  FROM g0 ORDER BY v LIMIT 256),
+        |sn AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(ngram), 1, 13) AS BIGINT) AS v
+        |  FROM g1 ORDER BY v LIMIT 256),
+        |u AS (
+        |  SELECT v FROM (SELECT v FROM so UNION SELECT v FROM sn)
+        |  ORDER BY v LIMIT 256),
+        |s AS (SELECT
+        |  (SELECT count(*) FROM so) AS ko, (SELECT max(v) FROM so) AS vo,
+        |  (SELECT count(*) FROM sn) AS kn, (SELECT max(v) FROM sn) AS vn,
+        |  (SELECT count(*) FROM u) AS ku, (SELECT max(v) FROM u) AS vu,
+        |  (SELECT count(*) FROM u WHERE v IN (SELECT v FROM so)
+        |     AND v IN (SELECT v FROM sn)) AS hits),
+        |e AS (SELECT
+        |  CASE WHEN ko < 256 THEN CAST(ko AS DOUBLE)
+        |       ELSE (255e0 * 4503599627370496e0)
+        |         / CAST(GREATEST(vo, 1) AS DOUBLE) END AS dold,
+        |  CASE WHEN kn < 256 THEN CAST(kn AS DOUBLE)
+        |       ELSE (255e0 * 4503599627370496e0)
+        |         / CAST(GREATEST(vn, 1) AS DOUBLE) END AS dnew,
+        |  (CASE WHEN ku = 0 THEN 0.0
+        |        ELSE CAST(hits AS DOUBLE) / CAST(ku AS DOUBLE) END)
+        |  * (CASE WHEN ku < 256 THEN CAST(ku AS DOUBLE)
+        |          ELSE (255e0 * 4503599627370496e0)
+        |            / CAST(GREATEST(vu, 1) AS DOUBLE) END) AS dint
+        |  FROM s)
+        |SELECT round(dold, 3) AS n_old_ngrams_est,
+        |  round(dnew, 3) AS n_new_ngrams_est,
+        |  round(GREATEST(dnew - dint, 0.0), 3) AS n_novel_ngrams_est,
+        |  round(GREATEST(dold - dint, 0.0), 3) AS n_lost_ngrams_est,
+        |  CASE WHEN dnew = 0.0 THEN 0.0
+        |       ELSE round(GREATEST(dnew - dint, 0.0) / dnew, 6) END
+        |    AS novelty_rate,
+        |  CASE WHEN dold = 0.0 THEN 0.0
+        |       ELSE round(GREATEST(dold - dint, 0.0) / dold, 6) END
+        |    AS lost_rate
+        |FROM e""".stripMargin,
+
+    // per-source + total KMV replay (k = 64): rank the distinct hash
+    // values per stratum, v_k = the rk=64 value, same estimator
+    "q_corpus_profile_approx" ->
+      """WITH h AS (
+        |  SELECT source, CAST('0x' || substr(md5(text), 1, 13) AS BIGINT) AS v
+        |  FROM documents WHERE text IS NOT NULL),
+        |ds AS (SELECT DISTINCT source, v FROM h),
+        |r AS (SELECT source, v,
+        |        row_number() OVER (PARTITION BY source ORDER BY v) AS rk,
+        |        count(*) OVER (PARTITION BY source) AS nd
+        |      FROM ds),
+        |e0 AS (SELECT source, 0 AS is_total,
+        |        CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+        |             ELSE (63e0 * 4503599627370496e0)
+        |               / CAST(GREATEST(max(CASE WHEN rk = 64 THEN v END), 1)
+        |                      AS DOUBLE) END AS est
+        |      FROM r GROUP BY source),
+        |dt AS (SELECT DISTINCT v FROM h),
+        |rt AS (SELECT v, row_number() OVER (ORDER BY v) AS rk,
+        |         count(*) OVER () AS nd FROM dt),
+        |e1 AS (SELECT NULL AS source, 1 AS is_total,
+        |        CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+        |             ELSE (63e0 * 4503599627370496e0)
+        |               / CAST(GREATEST(max(CASE WHEN rk = 64 THEN v END), 1)
+        |                      AS DOUBLE) END AS est
+        |      FROM rt),
+        |c AS (SELECT source, CAST(GROUPING(source) AS INT) AS is_total,
+        |        count(*) AS n_docs
+        |      FROM documents GROUP BY ROLLUP(source))
+        |SELECT c.source, c.is_total, c.n_docs,
+        |  round(e.est, 3) AS n_unique_texts_approx
+        |FROM c JOIN (SELECT * FROM e0 UNION ALL SELECT * FROM e1) e
+        |  ON c.source IS NOT DISTINCT FROM e.source AND c.is_total = e.is_total
+        |ORDER BY c.is_total, c.source""".stripMargin,
 
     // both snapshot rollups + the null-safe full-outer join; status
     // verdict and growth ratio recomputed identically

@@ -1530,8 +1530,18 @@ object Main {
         // reaches T (or at nprobe = nlist, recall's ceiling for this
         // index: past that only PQ distortion remains). The tuning
         // every ANN deployment otherwise runs by hand.
+        // validated ONCE for both the plain path and the tuning seed:
+        // nprobe <= 0 has no meaning (probe no lists), and as the sweep
+        // seed it would loop forever (0 * 2 == 0 never reaches nlist)
+        def nprobeFlag(): Option[Int] = f.get("nprobe").map { s =>
+          val v = s.toInt
+          if (v < 1) throw Errors.config(
+            s"--nprobe wants a value >= 1 (lists probed per query), got '$s'.",
+            "e.g. --nprobe 8")
+          v
+        }
         val nprobe = f.get("target-recall") match {
-          case None => f.getOrElse("nprobe", "8").toInt
+          case None => nprobeFlag().getOrElse(8)
           case Some(tStr) =>
             val target = tStr.toDouble
             if (target <= 0.0 || target > 1.0) throw Errors.config(
@@ -1546,7 +1556,7 @@ object Main {
               idCol, idCol, vecCol, k).cache()
             val nlist = pqLoaded.map(_.centroids).getOrElse(ivfLoaded.get.centroids)
               .count().toInt
-            var np = f.get("nprobe").map(_.toInt).getOrElse(1)
+            var np = nprobeFlag().getOrElse(1)
             var chosen = np
             var done = false
             while (!done) {

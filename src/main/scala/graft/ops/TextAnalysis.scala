@@ -396,6 +396,35 @@ object TextAnalysis {
         (sum(n).cast("double") / count(lit(1))).as("avg_doc_tokens"))
   }
 
+  /** [[corpusProfile]]'s 100 TB twin: identical report, but the one
+    * column whose exact form shuffles a row-scale key set —
+    * `n_unique_texts`, a `countDistinct` over text fingerprints —
+    * is replaced by `n_unique_texts_approx`, a [[graft.functions
+    * .KmvSketch]] estimate. The k-minimum-values sketch partial-
+    * aggregates map-side and ships k longs per task instead of every
+    * distinct fingerprint; relative error ~ 1/sqrt(k-2) (k=1024 →
+    * ~3.1%), degrading to EXACT whenever a stratum holds fewer than k
+    * distinct texts. Everything else in the profile is the same
+    * single-pass rollup aggregation. */
+  def corpusProfileApprox(df: DataFrame, groupCol: String = "source",
+      textCol: String = "text", tokens: Option[Column] = None,
+      k: Int = 1024): DataFrame = {
+    import graft.functions.KmvSketch
+    val n = tokens.getOrElse(tokenCount(col(textCol))).cast("long")
+    df.rollup(col(groupCol))
+      .agg(
+        grouping(col(groupCol)).cast("int").as("is_total"),
+        count(lit(1)).as("n_docs"),
+        round(KmvSketch.estimate(
+          KmvSketch.sketch(KmvSketch.hash52(col(textCol)), k), k), 3)
+          .as("n_unique_texts_approx"),
+        sum(n).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        min(n).as("min_doc_tokens"),
+        max(n).as("max_doc_tokens"),
+        (sum(n).cast("double") / count(lit(1))).as("avg_doc_tokens"))
+  }
+
   /** N-gram novelty between two snapshots — the content-level drift
     * signal [[profileDiff]]'s counts can't see: a refresh can hold
     * document and token counts steady while swapping half the actual
@@ -435,6 +464,56 @@ object TextAnalysis {
       .withColumn("lost_rate", round(
         when(col("n_old_ngrams") === 0, 0.0)
           .otherwise(col("n_lost_ngrams").cast("double") / col("n_old_ngrams")), 6))
+  }
+
+  /** [[ngramNovelty]]'s 100 TB twin: the exact path moves every
+    * distinct n-gram through a shuffle twice (one distinct per side,
+    * one full-outer join on the gram key) — viable while map-side
+    * combine holds, but a snapshot-over-snapshot check on a 100 TB
+    * corpus has a distinct-gram set in the tens of billions. This
+    * variant aggregates each side to ONE [[graft.functions.KmvSketch]]
+    * (k longs per scan task ride the exchange; nothing gram-scale ever
+    * moves) and derives the same four counts from sketch set algebra
+    * (Beyer et al., SIGMOD'07): the k smallest of the two sketches'
+    * union is a valid union sketch, the fraction of it present in both
+    * sides estimates the Jaccard, and intersection = Jaccard x union.
+    * Per-side counts carry ~1/sqrt(k-2) relative error (k=1024 →
+    * ~3.1%); the derived novel/lost counts inherit roughly the union
+    * estimate's error over the rate difference, so treat rates below
+    * a few percent as "no drift" rather than as a measured small
+    * number — the exact operator is the magnifying glass, this is the
+    * always-on monitor. All estimates degrade to exact when a side has
+    * fewer than k distinct grams. Deterministic given the hash: the
+    * DuckDB oracle replays sketches and estimator bit-for-bit. */
+  def ngramNoveltyApprox(oldDf: DataFrame, newDf: DataFrame, n: Int = 3,
+      textCol: String = "text", k: Int = 1024): DataFrame = {
+    import graft.functions.KmvSketch
+    require(n >= 1, s"ngramNoveltyApprox wants n >= 1, got $n")
+    def sk(df: DataFrame, alias: String) = df
+      .select(explode(
+        graft.functions.Shingles.shingles(col(textCol), n)).as("ngram"))
+      .agg(KmvSketch.sketch(KmvSketch.hash52(col("ngram")), k).as(alias))
+    val withU = sk(oldDf, "so").crossJoin(sk(newDf, "sn"))
+      .withColumn("u", slice(array_sort(array_union(col("so"), col("sn"))), 1, k))
+    val dOld = KmvSketch.estimate(col("so"), k)
+    val dNew = KmvSketch.estimate(col("sn"), k)
+    val dU = KmvSketch.estimate(col("u"), k)
+    val interHits =
+      size(array_intersect(array_intersect(col("u"), col("so")), col("sn")))
+    val rho = when(size(col("u")) === 0, 0.0)
+      .otherwise(interHits.cast("double") / size(col("u")).cast("double"))
+    val dInt = rho * dU
+    val novel = greatest(dNew - dInt, lit(0.0))
+    val lost = greatest(dOld - dInt, lit(0.0))
+    withU.select(
+      round(dOld, 3).as("n_old_ngrams_est"),
+      round(dNew, 3).as("n_new_ngrams_est"),
+      round(novel, 3).as("n_novel_ngrams_est"),
+      round(lost, 3).as("n_lost_ngrams_est"),
+      when(dNew === 0.0, 0.0).otherwise(round(novel / dNew, 6))
+        .as("novelty_rate"),
+      when(dOld === 0.0, 0.0).otherwise(round(lost / dOld, 6))
+        .as("lost_rate"))
   }
 
   /** Snapshot-over-snapshot corpus drift report — the governance

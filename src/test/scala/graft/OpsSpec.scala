@@ -261,6 +261,81 @@ class OpsSpec extends SparkFunSuite {
       vsEmpty.getDouble(5) == 0.0)
   }
 
+  test("KmvSketch: exact regime, duplicates, partition invariance, accuracy") {
+    import graft.functions.KmvSketch
+    // exact regime: fewer distincts than k -> the sketch IS the set
+    val small = (0 until 40).map(i => s"v${i % 20}").toDF("x")
+    val sk = small.agg(KmvSketch.sketch(KmvSketch.hash52($"x"), 64).as("s"),
+      KmvSketch.estimate(
+        KmvSketch.sketch(KmvSketch.hash52($"x"), 64), 64).as("est")).head()
+    assert(sk.getSeq[Long](0).size == 20) // duplicates collapse
+    assert(sk.getSeq[Long](0) == sk.getSeq[Long](0).sorted)
+    assert(sk.getDouble(1) == 20.0)
+    // partitioning must not change the sketch (merge = set semantics)
+    val big = (0 until 50000).map(i => s"item$i").toDF("x")
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      df.agg(KmvSketch.sketch(KmvSketch.hash52($"x"), 512)).head().getSeq[Long](0)
+    assert(sketchOf(big.repartition(1)) == sketchOf(big.repartition(7)))
+    // estimator accuracy: CV ~ 1/sqrt(k-2) = 4.4% at k=512; 3-sigma bound
+    val est = big.agg(KmvSketch.estimate(
+      KmvSketch.sketch(KmvSketch.hash52($"x"), 512), 512)).head().getDouble(0)
+    assert(math.abs(est - 50000.0) / 50000.0 < 0.14, s"est=$est")
+  }
+
+  test("ngramNoveltyApprox: exact when sketches fit, accurate when not") {
+    import graft.ops.TextAnalysis
+    // complete sketches (distinct grams < k) -> identical to the exact
+    // operator, including rates
+    val old = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val nw = Seq((1L, "a b c x"), (2L, "p q r s")).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramNoveltyApprox(old, nw, n = 3, k = 64).head()
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5)) == ((2.0, 4.0, 3.0, 1.0, 0.75, 0.5)), s"$r")
+    // estimator regime: 30k distinct grams per side, 20k shared
+    // (one distinct gram per doc), true rates 1/3
+    def corpus(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"a$i b$i c$i")).toDF("doc_id", "text")
+    val approx = TextAnalysis.ngramNoveltyApprox(
+      corpus(0, 30000), corpus(10000, 40000), n = 3, k = 512).head()
+    assert(math.abs(approx.getDouble(0) - 30000.0) / 30000.0 < 0.14, s"$approx")
+    assert(math.abs(approx.getDouble(1) - 30000.0) / 30000.0 < 0.14, s"$approx")
+    assert(math.abs(approx.getDouble(4) - 1.0 / 3.0) < 0.08, s"$approx")
+    assert(math.abs(approx.getDouble(5) - 1.0 / 3.0) < 0.08, s"$approx")
+    // empty old side: everything novel, nothing lost (guards, not NaN)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val vsEmpty = TextAnalysis.ngramNoveltyApprox(empty, nw, n = 3, k = 64).head()
+    assert(vsEmpty.getDouble(0) == 0.0 && vsEmpty.getDouble(4) == 1.0 &&
+      vsEmpty.getDouble(5) == 0.0)
+  }
+
+  test("corpusProfileApprox: profile intact, approx-unique exact or bounded") {
+    import graft.ops.TextAnalysis
+    val df = (0 until 3000).map { i =>
+      (s"src${i % 2}", s"doc $i body ${i % 2500}")
+    }.toDF("source", "text")
+    // k above the distinct count: approx column IS the exact count,
+    // every other profile column matches the exact operator
+    val exact = TextAnalysis.corpusProfile(df).orderBy("is_total", "source")
+      .collect()
+    val full = TextAnalysis.corpusProfileApprox(df, k = 4096)
+      .orderBy("is_total", "source").collect()
+    exact.zip(full).foreach { case (e, a) =>
+      assert(a.getDouble(a.fieldIndex("n_unique_texts_approx"))
+        == e.getLong(e.fieldIndex("n_unique_texts")).toDouble)
+      assert(a.getLong(a.fieldIndex("n_docs")) == e.getLong(e.fieldIndex("n_docs")))
+      assert(a.getLong(a.fieldIndex("n_tokens")) == e.getLong(e.fieldIndex("n_tokens")))
+    }
+    // estimator regime per stratum: k=64 against 1500 distinct per
+    // source (3-sigma bound at CV = 1/sqrt(62) ~ 12.7%)
+    val approx = TextAnalysis.corpusProfileApprox(df, k = 64)
+      .orderBy("is_total", "source").collect()
+    exact.zip(approx).foreach { case (e, a) =>
+      val t = e.getLong(e.fieldIndex("n_unique_texts")).toDouble
+      val v = a.getDouble(a.fieldIndex("n_unique_texts_approx"))
+      assert(math.abs(v - t) / t < 0.4, s"stratum $e -> $v")
+    }
+  }
+
   test("tfIdfTerms: hand-computed scores, tie order, rare-term promotion") {
     import graft.ops.TextAnalysis
     val df = Seq(

@@ -718,4 +718,30 @@ class PlanSpec extends SparkFunSuite {
     assert(!prof.contains("SinglePartition"),
       s"profile must not collapse to one partition:\n$prof")
   }
+
+  test("KMV drift twins: sketches partial-aggregate map-side, nothing gram-keyed shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // approx novelty: each side reduces to ONE k-long sketch — the
+    // only exchanges carry partial sketch buffers (single group), and
+    // there is no gram-keyed hashpartitioning and no gram-key join
+    // (the exact path's two unavoidable costs at 100 TB)
+    val nov = planOf(graft.ops.TextAnalysis.ngramNoveltyApprox(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 7 =!= 0), n = 3, k = 256))
+    assert(!nov.contains("hashpartitioning(ngram"),
+      s"approx novelty must never shuffle on the gram key:\n$nov")
+    assert(!nov.contains("SortMergeJoin") && !nov.contains("ShuffledHashJoin"),
+      s"approx novelty joins only two 1-row sketch frames:\n$nov")
+    val firstAgg = nov.indexOf("ObjectHashAggregate")
+    assert(firstAgg > 0, s"KMV must run as an object-buffer aggregate:\n$nov")
+    // approx profile: the kmv column rides the SAME single rollup
+    // aggregation as the exact profile (partial before the exchange)
+    val prof = planOf(graft.ops.TextAnalysis.corpusProfileApprox(docs, k = 64))
+    val firstEx = prof.indexOf("Exchange")
+    assert(firstEx > 0 &&
+      prof.substring(0, firstEx).contains("ObjectHashAggregate"),
+      s"approx profile must partially aggregate sketches map-side:\n$prof")
+    assert(!prof.contains("SinglePartition"),
+      s"approx profile must not collapse to one partition:\n$prof")
+  }
 }
