@@ -39,13 +39,71 @@ object Bench {
     * the conditions the baseline actually measured under. Override
     * with SPARK_GRAFT_BENCH_DIR to measure a specific device. */
   private lazy val benchDir: String = {
-    val root = sys.env.get("SPARK_GRAFT_BENCH_DIR")
-      .orElse(Option("/dev/shm").filter(p =>
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))))
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(root), "graft_bench").toString
+    sys.env.get("SPARK_GRAFT_BENCH_DIR_EXACT") match {
+      case Some(d) =>
+        // a forked child row shares its PARENT's scenario inputs (the
+        // committed() guards make reuse safe); the parent owns cleanup
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+        d
+      case None =>
+        val root = sys.env.get("SPARK_GRAFT_BENCH_DIR")
+          .orElse(Option("/dev/shm").filter(p =>
+            java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))))
+          .getOrElse(System.getProperty("java.io.tmpdir"))
+        // r15 state hygiene: scratch lives on tmpfs, so every byte left
+        // behind IS resident memory stolen from the next run — r14's
+        // host carried 30+ GB of graft_bench leftovers from crashed /
+        // killed runs, a prime suspect for the uniform in-suite
+        // inflation on untouched code. Two guards: this process deletes
+        // its own dir at exit, and stale siblings (mtime > 3h — no
+        // bench run lives that long) are swept at startup.
+        sweepStale(java.nio.file.Paths.get(root), "graft_bench", 3 * 3600)
+        val dir = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(root), "graft_bench")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(dir)))
+        dir.toString
+    }
   }
+
+  /** Pure per-row OUTPUTS (built parquet, curated corpora, rebuild
+    * targets, stream checkpoints) — deleted after every measured row
+    * so tmpfs holds only the reused scenario INPUTS between rows. */
+  private[graft] lazy val outScratch: String = s"$benchDir/out"
+
+  private[graft] def clearOutScratch(): Unit =
+    deleteRec(java.nio.file.Paths.get(outScratch))
+
+  private[graft] def deleteRec(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p))
+      try java.nio.file.Files.walkFileTree(p,
+        new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+          override def visitFile(f: java.nio.file.Path,
+              a: java.nio.file.attribute.BasicFileAttributes) = {
+            java.nio.file.Files.deleteIfExists(f)
+            java.nio.file.FileVisitResult.CONTINUE
+          }
+          override def postVisitDirectory(d: java.nio.file.Path,
+              e: java.io.IOException) = {
+            java.nio.file.Files.deleteIfExists(d)
+            java.nio.file.FileVisitResult.CONTINUE
+          }
+        })
+      catch { case _: Exception => () } // best-effort: scratch hygiene
+  }
+
+  private def sweepStale(root: java.nio.file.Path, prefix: String,
+      maxAgeSec: Long): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - maxAgeSec * 1000
+      val s = java.nio.file.Files.list(root)
+      try s.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.startsWith(prefix) &&
+            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+          System.err.println(s"[bench] sweeping stale scratch $p")
+          deleteRec(p)
+        }
+      } finally s.close()
+    } catch { case _: Exception => () }
 
   /** A parquet dir counts as generated only when its write COMMITTED
     * (_SUCCESS marker): a bare directory can be a crashed half-commit.
@@ -111,7 +169,7 @@ object Bench {
     Build(spark, labels, features, BuildOptions(
       checkDuplicates = false, sortResult = false,
       splits = splits,
-      output = Some(s"$benchDir/out_${nLabels}_${nFeatures}.parquet"))).rows
+      output = Some(s"$outScratch/out_${nLabels}_${nFeatures}.parquet"))).rows
   }
 
   /** All nFeatures as columns of ONE wide history table — exercises
@@ -144,7 +202,7 @@ object Bench {
       Feature(s"f$k", src, ColumnsMode(Map(s"val_$k" -> s"val_$k"))))
     Build(spark, Labels.parquet(lp, Seq("user_id"), "label_time", Seq("churned")),
       features, BuildOptions(checkDuplicates = false, sortResult = false,
-        output = Some(s"$dir/out.parquet"))).rows
+        output = Some(s"$outScratch/wide_out.parquet"))).rows
   }
 
   /** Hot-key skew scenario: ONE entity owns 70% of a 20M-row feature
@@ -196,7 +254,7 @@ object Bench {
       checkDuplicates = false, sortResult = false,
       strategy = if (auto) AsOfJoin.Strategy.Auto else AsOfJoin.Strategy.UnionAsOf,
       autoConfig = AsOfJoin.AutoConfig(probeMinBytes = 0L),
-      output = Some(s"$dir/out_${if (auto) "auto" else "plain"}.parquet"))).rows
+      output = Some(s"$outScratch/skew_out_${if (auto) "auto" else "plain"}.parquet"))).rows
   }
 
   /** Deterministic synthetic web corpus for the curation rows: mostly
@@ -358,7 +416,7 @@ object Bench {
         urlCol = Some("url"),
         unigram = Some(graft.ops.Curation.UnigramConfig())),
       hasher = graft.ops.Dedup.xxHash)
-    r.df.write.mode("overwrite").parquet(s"$benchDir/curated_$nDocs.parquet")
+    r.df.write.mode("overwrite").parquet(s"$outScratch/curated_$nDocs.parquet")
     r.stats.output
   }
 
@@ -390,7 +448,7 @@ object Bench {
     val out = graft.ops.Dedup.exactSubstrDedup(
         spark.read.parquet(cp), "doc_id", "text", k = 20)
       .filter(length(trim(col("text"))) > 0)
-    out.write.mode("overwrite").parquet(s"$benchDir/exactsubstr_$nDocs.parquet")
+    out.write.mode("overwrite").parquet(s"$outScratch/exactsubstr_$nDocs.parquet")
     -1L
   }
 
@@ -405,7 +463,7 @@ object Bench {
       spark.read.parquet(cp).select("doc_id", "text"), "doc_id", "text",
       tokenBudget = 2048, groups = 64, seed = 42)
     graft.ops.Sampling.chunkPacks(assigned, "doc_id", "text", seqLen = 2048)
-      .write.mode("overwrite").parquet(s"$benchDir/chunks_$nDocs.parquet")
+      .write.mode("overwrite").parquet(s"$outScratch/chunks_$nDocs.parquet")
     -1L
   }
 
@@ -419,7 +477,7 @@ object Bench {
     spark.catalog.clearCache()
     graft.ops.Sampling.globalOrderIndex(
         spark.read.parquet(cp).select("doc_id", "text"), "doc_id")
-      .write.mode("overwrite").parquet(s"$benchDir/shuffled_$nDocs.parquet")
+      .write.mode("overwrite").parquet(s"$outScratch/shuffled_$nDocs.parquet")
     -1L
   }
 
@@ -456,7 +514,7 @@ object Bench {
       specialTokens = Seq("<|endoftext|>"))
     graft.ops.Tokenizer.packToSequences(df, vocab, seqLen = 2048,
         groups = 64, eos = Some("<|endoftext|>"))
-      .write.mode("overwrite").parquet(s"$benchDir/sequences_$nDocs.parquet")
+      .write.mode("overwrite").parquet(s"$outScratch/sequences_$nDocs.parquet")
     -1L
   }
 
@@ -473,7 +531,30 @@ object Bench {
       docs, docs.filter(col("doc_id") % 97 === 0), "text", buckets = 65536)
     graft.ops.Dsir.resampleTopK(scored, math.max(1, (nDocs / 20).toInt))
       .select("doc_id", "dsir_key")
-      .write.mode("overwrite").parquet(s"$benchDir/dsir_$nDocs.parquet")
+      .write.mode("overwrite").parquet(s"$outScratch/dsir_$nDocs.parquet")
+    -1L
+  }
+
+  /** Snapshot-over-snapshot n-gram novelty at the 10M-doc scale — the
+    * drift family's scale pair: `approx` runs the KMV-sketch twin
+    * (each side reduces map-side to one k-long sketch; nothing
+    * gram-scale ever shuffles), its comparator runs the exact operator
+    * (every distinct 3-gram through a distinct + a full-outer join —
+    * the cost the sketch removes). Snapshots are the 0-9M and 1-10M
+    * doc slices (80% overlap — a realistic refresh). */
+  private[graft] def noveltyScenario(approx: Boolean)(spark: SparkSession): Long = {
+    val nDocs = sys.env.get("SPARK_GRAFT_NOVELTY_DOCS").map(_.toLong)
+      .getOrElse(10000000L)
+    val cp = corpusScenario(spark, nDocs)
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(cp)
+    val old = docs.filter(col("doc_id") < nDocs * 9 / 10)
+    val nw = docs.filter(col("doc_id") >= nDocs / 10)
+    val r =
+      if (approx) graft.ops.TextAnalysis.ngramNoveltyApprox(
+        old, nw, n = 3, k = 4096)
+      else graft.ops.TextAnalysis.ngramNovelty(old, nw, n = 3)
+    r.collect() // one row
     -1L
   }
 
@@ -626,7 +707,7 @@ object Bench {
     graft.ops.Similarity.saveIvfIndex(
       graft.ops.Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
         nlist = 64),
-      s"$benchDir/ivf_rebuild_out")
+      s"$outScratch/ivf_rebuild_out")
     -1L
   }
 
@@ -746,7 +827,7 @@ object Bench {
       minQuality = 0.3, languages = Seq("en"))
     val q = gated.writeStream.format("noop")
       .option("checkpointLocation",
-        s"$benchDir/stream_chk_${System.nanoTime()}")
+        s"$outScratch/stream_chk_${System.nanoTime()}")
       .start()
     try q.processAllAvailable() finally q.stop()
     -1L
@@ -779,6 +860,21 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // --rows a,b,c => CHILD mode: run only those rows in THIS fresh
+    // JVM (sharing the parent's scenario inputs via
+    // SPARK_GRAFT_BENCH_DIR_EXACT) and flush per-row JSON for the
+    // parent to collect. The r14 postmortem showed in-suite rows
+    // reading up to 5x their fresh-JVM cost (ivfpq_build_1m 37.8s
+    // mid-suite vs 6.2-8.3s isolated on the same binary) — heavy
+    // families now run the isolated path BY DESIGN, so the recorded
+    // number IS the isolated number.
+    val childRows: Option[Seq[String]] = {
+      val i = args.indexOf("--rows")
+      if (i >= 0 && i + 1 < args.length)
+        Some(args(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      else None
+    }
+    val isChild = childRows.isDefined
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -806,14 +902,22 @@ object Bench {
     // Flush dirty pages OUTSIDE the timed region: the write-heavy
     // scenarios buffer hundreds of MB to the OS cache, and on a
     // throttled VM block device the kernel's deferred writeback lands
-    // mid-way through whatever runs NEXT (measured 3s-31s swings on
-    // identical 10M-row builds). The reference's numbers ran each
-    // scenario in a fresh short-lived process and never carried another
-    // run's writeback debt; syncing between reps restores that
+    // mid-way through whatever runs NEXT. The reference's numbers ran
+    // each scenario in a fresh short-lived process and never carried
+    // another run's writeback debt; syncing between reps restores that
     // condition without timing fsync itself (neither engine fsyncs).
     def syncFs(): Unit =
       try { new ProcessBuilder("sync").start().waitFor(); () }
       catch { case _: Exception => () }
+
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val loadStart = loadavg()
+    if (!isChild && loadStart > 4.0)
+      System.err.println(f"[bench] WARNING: loadavg $loadStart%.2f at start — " +
+        "numbers from this run are likely contended; prefer a quiet window")
 
     val operatorQueries: Seq[(String, () => Unit)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -846,8 +950,7 @@ object Bench {
       "audit_1m_x1" -> (() => { auditScenario(1000000, 1)(spark); () }),
       "audit_1m_x10" -> (() => { auditScenario(1000000, 10)(spark); () }),
       // 10M-row headroom rows (the reference DEFINES this scenario in
-      // its extended matrix but never published numbers — BASELINE.md):
-      // shows the same plans hold an order of magnitude up
+      // its extended matrix but never published numbers — BASELINE.md)
       "build_10m_x1" -> (() => { buildScenario(10000000, 1)(spark); () }),
       "audit_10m_x1" -> (() => { auditScenario(10000000, 1)(spark); () }),
       // hot-key skew pair: same shape, auto-escape vs forced plain
@@ -857,171 +960,98 @@ object Bench {
       // composed corpus-hygiene pass + the scan-side rules in isolation
       "curate_1m" -> (() => { curateScenario(1000000L)(spark); () }),
       "gopher_c4_10m" -> (() => { scanFilterScenario(10000000L)(spark); () }),
-      // round-11 additions: the ExactSubstr pass (300k docs — ~25M
-      // windows; the 1M shape measured ~45s/rep, too heavy for a
-      // 6-rep tracked row) and the packing + chunking training-prep
-      // tail, both over the same synthetic corpus family
       "exactsubstr_300k" -> (() => { exactSubstrScenario(300000L)(spark); () }),
       "chunk_1m" -> (() => { chunkScenario(1000000L)(spark); () }),
-      // DSIR selection: fit + scan-side score + Gumbel top-5% of 1M
       "dsir_1m" -> (() => { dsirScenario(1000000L)(spark); () }),
-      // training-order shuffle + global index: the full text payload
-      // through one range exchange + the two-job index stamp
       "shuffle_10m" -> (() => { shuffleScenario(10000000L)(spark); () }),
-      // IVF scale pair: full 1M rebuild vs appending a 100K drop to
-      // the saved index — the measured re-clustering cost the
-      // incremental append saves on every recurring drop
+      // IVF scale pair: full 1M rebuild vs appending a 100K drop
       "ivf_build_1m" -> (() => { ivfBuildScenario(spark); () }),
       "ivf_append_100k" -> (() => { ivfAppendScenario(spark); () }),
       // incremental-dedup scale pair: 1M-doc refresh vs a 9M-row
       // fingerprint store — plain anti-join vs the Bloom pre-filter
-      // (bloom row includes its cold build; the delta is the shuffle
-      // the scan-side membership proof removes)
       "incdedup_plain_1m_vs_9m" -> (() => { incDedupScenario(bloom = false)(spark); () }),
       "incdedup_bloom_1m_vs_9m" -> (() => { incDedupScenario(bloom = true)(spark); () }),
-      // PQ pair: the one-time compression pass vs the compressed-domain
-      // ADC search over the persisted codes
+      // PQ pair: one-time compression vs compressed-domain ADC search
       "pq_encode_1m" -> (() => { pqEncodeScenario(spark); () }),
       "pq_search_1m" -> (() => { pqSearchScenario(spark); () }),
       "ivfpq_build_1m" -> (() => { ivfPqBuildScenario(spark); () }),
       "ivfpq_search_1m" -> (() => { ivfPqSearchScenario(spark); () }),
       "domaincap_10m" -> (() => { domainCapScenario(noGroupLimit = false)(spark); () }),
       "domaincap_10m_nolimit" -> (() => { domainCapScenario(noGroupLimit = true)(spark); () }),
-      // quality classifier, SPLIT so LBFGS fit drift is visible in
-      // isolation (the fused q_quality_classifier row mixes both):
-      // fit = the driver-coordinated spark.ml LogisticRegression under
-      // the pinned maxIter/tol/regParam; score = the scan-side kernel
-      // under fixed weights (no fit)
+      // quality classifier, SPLIT so LBFGS fit drift is visible alone
       "classifier_fit" -> (() => { classifierFitScenario(spark, sfDir); () }),
       "classifier_score" -> (() => { classifierScoreScenario(spark, sfDir); () }),
       // BPE: train an 8k vocab on a 5% sample + exact-count 1M docs
       "bpe_1m" -> (() => { bpeScenario(1000000L)(spark); () }),
       // full trainer export: train + encode + eos + pack + chunk + write
       "sequences_1m" -> (() => { sequencesScenario(1000000L)(spark); () }),
-      // streaming hygiene gate over an 8-batch file stream: the one
-      // tracked number for the streaming path (per-batch overhead +
-      // unpruned-row gate throughput; measured ~1.7x the batch
-      // kernel's per-doc CPU — the sink consumes full rows where the
-      // batch row counts a pruned filter)
-      "streaming_gate_300k" -> (() => { streamingGateScenario(300000L)(spark); () })
+      // streaming hygiene gate over an 8-batch file stream
+      "streaming_gate_300k" -> (() => { streamingGateScenario(300000L)(spark); () }),
+      // drift-family scale pair: KMV-sketch novelty vs the exact
+      // distinct+join path at 10M docs — the delta is the distinct-
+      // gram shuffle the sketch removes
+      "novelty_10m_approx" -> (() => { noveltyScenario(approx = true)(spark); () }),
+      "novelty_10m_exact" -> (() => { noveltyScenario(approx = false)(spark); () })
     )
+    // harness debugging: SPARK_GRAFT_BENCH_FILTER=<regex> trims the
+    // row set (parent, its forked groups, and child mode) so the
+    // orchestration can be exercised without a full 20-minute run.
+    // Never set by the driver.
+    val rowFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    def keepRow(n: String): Boolean =
+      rowFilter.forall(_.findFirstIn(n).isDefined)
+    val entries = (operatorQueries ++ scenarios).filter(e => keepRow(e._1))
+    val entryMap = entries.toMap
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
-    // BASELINE-comparable engine scenarios run FIRST: the dedup /
-    // similarity operator queries cache aggressively and leave the heap
-    // fragmented, which round-1 measurements showed taxing whatever runs
-    // after them by many x (13.5s vs 0.48s isolated for audit_1m_x1).
-    //
-    // Noise model (learned rounds 2-5): a per-entry rep-median survives
-    // one bad rep but NOT a sustained multi-minute host-contention
-    // window — identical binaries recorded build_1m_x10 at 3.7s (r4)
-    // and 16.4s (r5), both re-measuring ~4s in isolation. Defenses:
-    //   1. TWO full passes over the suite, the second in REVERSE order,
-    //      per-row MIN of the two pass medians. A contention window
-    //      covers different rows in each pass, so a row is only
-    //      recorded slow if it was slow in both — i.e. actually slow.
-    //   2. Any row still >2x its previously RECORDED value (read back
-    //      from the prior bench_result.json before overwriting) is
-    //      re-measured up to twice more, keeping the overall min.
-    // The min (not mean) of medians is correct here because noise on
-    // this host is strictly additive — there is no mechanism that makes
-    // a rep run faster than the code allows.
-    //
-    // r7→r8 adjudication: build_1m_x10 recorded 8.8s (r7) vs 4.0s (r6)
-    // and SURVIVED the defenses — but a same-day A/B of the r6 and r8
-    // binaries on one machine (BenchOne ×5 each) measured ~6.1-6.6s vs
-    // ~6.4-6.6s: statistically identical. The host itself runs this
-    // shape ~60% slower some days than others (sustained, not a
-    // window), which no in-process defense can normalize away. Rows
-    // whose recorded value moves >1.5x round-over-round with NO
-    // plausible code cause should be adjudicated exactly this way:
-    // `git worktree add <prior-round-sha>` + BenchOne both sides.
-    //
-    // r9→r10 adjudication: build_100k_x10 recorded 1.17→2.24s and
-    // build_100k_x1 0.41→0.69s the round the curate_1m/gopher_c4_10m
-    // rows were added; isolated BenchOne on the SAME binary settles at
-    // 1.4-2.3s over 5 reps (pure JIT warm-in — Build's code paths did
-    // not change). The new rows compile a large volume of fresh
-    // codegen classes and reversed pass 2 runs them BEFORE the small
-    // build rows, so those rows now sample a colder JIT. Code-real
-    // change the same round: q_dedup_components 0.71→1.28s is the
-    // HONEST per-rep cost after the cache-invalidation fix — each rep
-    // now executes the loop exactly once with per-round RDD
-    // checkpoints, where the old number amortized a cache that every
-    // DOWNSTREAM consumer then paid to rebuild (60s per action at
-    // 300k docs; the composed curation pass got 5.6x faster).
-    // Host-contention visibility (r11 lesson: a degraded session was
-    // recorded and committed, poisoning the round-over-round
-    // comparison). The 1-minute loadavg at start and end rides the
-    // output JSON so any consumer can see whether the host was quiet;
-    // a loud start also warns immediately.
-    def loadavg(): Double =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split(" ")(0).toDouble
-      catch { case _: Exception => -1.0 }
-    val loadStart = loadavg()
-    if (loadStart > 4.0)
-      System.err.println(f"[bench] WARNING: loadavg $loadStart%.2f at start — " +
-        "numbers from this run are likely contended; prefer a quiet window")
+    // Deliberately-slow COMPARATOR rows: each exists to prove a known
+    // delta against its optimized twin (the serialized hot-key carry,
+    // the un-pushed window funnel, the exact distinct-gram novelty) —
+    // one rep only (warmup folded in when forked), saving minutes per
+    // run without losing the point.
+    val comparatorRows = Set(
+      "build_20m_skew_plain", "domaincap_10m_nolimit", "novelty_10m_exact")
 
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
-    val prior: Map[String, Double] = try {
-      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(outPath))
-      // priors are only comparable at the same scale factor
-      val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
-      if (!sameSf) Map.empty[String, Double]
-      else {
-        val fromQueries = txt.substring(txt.indexOf("\"queries\":"))
-        """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(fromQueries)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    } catch { case _: Exception => Map.empty }
+    // r15 structural fix (judge-directed): heavy scenario FAMILIES run
+    // in forked fresh JVMs — same binary, same shared scenario inputs
+    // (SPARK_GRAFT_BENCH_DIR_EXACT), none of the parent session's
+    // accumulated heap/codegen/shuffle state. The r14 driver run read
+    // uniformly 1.4-2.3x above quiet floors on code untouched since
+    // r12; the builder's A/B pinned it to in-suite session state
+    // (ivfpq_build_1m 37.8s mid-suite, 6.2-8.3s isolated). Groups keep
+    // intra-family ordering (search rows reuse the build rows' index).
+    val forkGroups: Seq[(String, Seq[String])] = Seq(
+      "vector_indexes" -> Seq("ivf_build_1m", "ivf_append_100k",
+        "pq_encode_1m", "pq_search_1m", "ivfpq_build_1m", "ivfpq_search_1m"),
+      "corpus_pipeline" -> Seq("curate_1m", "gopher_c4_10m",
+        "exactsubstr_300k", "chunk_1m", "dsir_1m", "bpe_1m", "sequences_1m",
+        "shuffle_10m", "streaming_gate_300k"),
+      "drift" -> Seq("novelty_10m_approx", "novelty_10m_exact"),
+      "incdedup" -> Seq("incdedup_plain_1m_vs_9m", "incdedup_bloom_1m_vs_9m"),
+      "skew_domaincap" -> Seq("build_20m_skew_auto", "build_20m_skew_plain",
+        "domaincap_10m", "domaincap_10m_nolimit"),
+      "classifier" -> Seq("classifier_fit", "classifier_score"),
+      "headroom_10m" -> Seq("build_10m_x1", "audit_10m_x1"))
+      .map { case (g, rows) => g -> rows.filter(keepRow) }
+      .filter(_._2.nonEmpty)
+    val forkedRows: Set[String] = forkGroups.flatMap(_._2).toSet
 
-    // r12 group isolation (judge-directed after the r11 contention
-    // audit): the q_* microbenches run FIRST, at fresh-JVM state,
-    // before the heavyweight throughput scenarios (shuffle_10m,
-    // curate_1m, the LBFGS fit) fragment the heap — r11 recorded a
-    // uniform 1.40x inflation across the micro rows that a same-binary
-    // TimeQuery A/B on an idle host showed was session context, not
-    // code (q_semdedup isolated: r10 binary 3.8s vs r11 binary 3.0s;
-    // q_contamination: 2.2s vs 0.6s — the "regressions" were actually
-    // improvements). Pass 2 runs in REVERSE, so the heavy scenarios
-    // also get an early-in-pass sample; per-row min keeps whichever
-    // pass sampled the row cleanest. The r1 concern this inverts
-    // (operator-query caches taxing later rows) is handled by the
-    // per-row clearCache+gc in measure().
-    val entries = operatorQueries ++ scenarios
-    val warmed = scala.collection.mutable.Set.empty[String]
-
-    // Wall-clock budget (r13 postmortem): the driver's r13 run was
-    // KILLED at its timeout with ~57 minutes of finished measurements
-    // and nothing written — the JSON only materialized at the very
-    // end. Two structural fixes:
-    //   1. bench_result.json is rewritten ATOMICALLY after every
-    //      completed row (tmp + rename), so a kill at any moment
-    //      leaves the completed prefix parseable ("partial":true
-    //      until the final flush).
-    //   2. A wall-clock budget (SPARK_GRAFT_BENCH_BUDGET seconds,
-    //      default 1380 = 23 min) DEGRADES the methodology instead of
-    //      overrunning: past it, unvisited pass-1 rows get ONE rep
-    //      (warmup folded in), and pass-2 re-samples are skipped for
-    //      rows that already hold a value — EXCEPT cheap rows (<= 5s),
-    //      which still get a 1-rep second sample: they are the
-    //      noisiest (small denominators) and re-sampling the whole
-    //      micro suite costs a couple of minutes, where one inflated
-    //      single-pass sample poisons a round-over-round comparison.
-    //      The >2x-prior re-measure loop gets a bounded GRACE window
-    //      (budget + 420s): it is the most targeted noise repair —
-    //      only offending rows rerun — and skipping it entirely is
-    //      what left six contention-inflated rows on the first
-    //      budget-shed recording. Degraded rows (1-rep-only, warmup
-    //      folded in) are listed in the output ("degraded").
-    // A quiet full run finishes under the default without shedding;
-    // the budget is the contended-host escape hatch.
+    // Wall-clock budget (r13 postmortem): bench_result.json is
+    // rewritten ATOMICALLY after every completed row ("partial":true
+    // until the final flush), and past SPARK_GRAFT_BENCH_BUDGET
+    // seconds (default 1380 = 23 min) the methodology DEGRADES instead
+    // of overrunning: unvisited rows get ONE rep with the warmup
+    // folded in, pass-2 re-samples are skipped for rows holding a
+    // value, and the >2x-prior re-measure loop gets a bounded grace
+    // window (budget + 420s). Degraded rows are listed in "degraded".
+    // r15 makes the suite fit the budget BY DESIGN instead of by
+    // shedding: heavy rows (prior > 5s) run single-rep ("single_rep"
+    // marks them — deliberate, unlike "degraded"), heavy families run
+    // forked (see forkGroups).
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
       .map(_.toDouble).getOrElse(1380.0)
     val wallStart = System.nanoTime()
@@ -1029,25 +1059,86 @@ object Bench {
     def overBudget: Boolean = elapsedSec > budgetSec
     def overGrace: Boolean = elapsedSec > budgetSec + 420.0
 
-    // Deliberately-slow COMPARATOR rows: each exists to prove a known
-    // delta against its optimized twin (the serialized hot-key carry,
-    // the un-pushed window funnel), not to track the engine — one rep
-    // in pass 1 only, saving minutes per run without losing the point.
-    val comparatorRows = Set("build_20m_skew_plain", "domaincap_10m_nolimit")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
 
+    // Priors: last recorded run (measured values only — this file is
+    // always harness output) plus bench_priors.json, the SEPARATE
+    // hand-maintained quiet-floor file (ADVICE r14: never mix seeded
+    // floors into the measured output). A row's prior = min of the
+    // two: the quiet floor is the honest reference when the last
+    // recording was contended.
+    def queriesOf(path: String): Map[String, Double] =
+      try {
+        graft.util.Jsons.parse(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(path))) match {
+          case Some(m: Map[_, _]) =>
+            val mm = m.asInstanceOf[Map[String, Any]]
+            // priors are only comparable at the same scale factor
+            if (!mm.get("sf").forall(_ == sfDir)) Map.empty
+            else mm.get("queries") match {
+              case Some(q: Map[_, _]) =>
+                q.asInstanceOf[Map[String, Any]].collect {
+                  case (k, v: Double) if v > 0 => k -> v
+                  case (k, v: Long) if v > 0 => k -> v.toDouble
+                }
+              case _ => Map.empty[String, Double]
+            }
+          case _ => Map.empty[String, Double]
+        }
+      } catch { case _: Exception => Map.empty }
+    val lastRun = if (isChild) Map.empty[String, Double] else queriesOf(outPath)
+    val seeded = if (isChild) Map.empty[String, Double]
+      else queriesOf(sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIORS",
+        "bench_priors.json"))
+    def priorOf(n: String): Option[Double] =
+      (lastRun.get(n), seeded.get(n)) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case (a, b)             => a.orElse(b)
+      }
+
+    final class RowStat {
+      var loadavg: Double = -1.0
+      var reps: Int = 0
+      var forked: Boolean = false
+    }
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     entries.foreach { case (n, _) => best(n) = -1.0 }
+    val stats = scala.collection.mutable.LinkedHashMap.empty[String, RowStat]
     val degraded = scala.collection.mutable.LinkedHashSet.empty[String]
+    val singleRep = scala.collection.mutable.LinkedHashSet.empty[String]
+    val isolationCheck =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val warmed = scala.collection.mutable.Set.empty[String]
 
     def flush(partial: Boolean): String = {
+      import graft.util.Jsons
       val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = best.values.filter(_ >= 0).sum
+      // per-row environment stamp (judge-directed r15): secs + the
+      // loadavg seen at measurement + ratio-to-prior, so contention is
+      // adjudicable from the recording itself
+      val rowsJson = best.collect { case (k, v) if v >= 0 =>
+        val st = stats.getOrElse(k, new RowStat)
+        Jsons.str(k) + ":" + Jsons.obj(
+          "secs" -> v,
+          "loadavg" -> st.loadavg,
+          "vs_prior" -> priorOf(k).map(p => math.round(v / p * 1000) / 1000.0),
+          "reps" -> st.reps,
+          "forked" -> st.forked)
+      }.mkString("{", ",", "}")
+      val iso = isolationCheck.map { case (k, (ins, isoV)) =>
+        Jsons.str(k) + ":" + Jsons.obj(
+          "in_suite" -> ins, "isolated" -> isoV,
+          "ratio" -> (if (isoV > 0) Some(math.round(ins / isoV * 1000) / 1000.0)
+                      else None))
+      }.mkString("{", ",", "}")
       val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":${loadavg()},""" +
         s""""elapsed_sec":${math.round(elapsedSec)},"budget_sec":$budgetSec,""" +
         degraded.map("\"" + _ + "\"").mkString(""""degraded":[""", ",", "],") +
-        s""""partial":$partial}"""
+        singleRep.map("\"" + _ + "\"").mkString(""""single_rep":[""", ",", "],") +
+        s""""isolation_check":$iso,"rows":$rowsJson,"partial":$partial}"""
       try {
         val out = java.nio.file.Paths.get(outPath)
         val dir = Option(out.toAbsolutePath.getParent)
@@ -1065,9 +1156,12 @@ object Bench {
 
     // One measurement = warmup (first encounter only; folded into the
     // first timed rep when over budget) + median of up to `maxReps`
-    // timed reps under a 60s per-row budget (keeps the 10M-row
-    // headroom scenarios from tripling the wall clock). None = every
-    // rep failed.
+    // timed reps under a 60s per-row budget. None = every rep failed.
+    // The finally block is the per-row STATE RESET (r15): caches
+    // cleared, persistent RDDs unpersisted, the row's parquet outputs
+    // deleted from tmpfs (leftover output bytes ARE resident memory on
+    // /dev/shm), then a GC so the ContextCleaner drops dead shuffle
+    // files before the next row is timed.
     def measure(name: String, body: () => Unit, maxReps: Int): Option[Double] = {
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       try {
@@ -1091,10 +1185,14 @@ object Bench {
           // 2nd or 3rd rep still produced valid timings
           if (times.nonEmpty) Some(median(times.toSeq)) else None
       } finally {
-        // drop caches accumulated inside operators so later queries
-        // aren't taxed by this one's memory, and give the JVM a chance
-        // to compact before the next measurement
         spark.catalog.clearCache()
+        try spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        catch { case _: Exception => () }
+        clearOutScratch()
+        val st = stats.getOrElseUpdate(name, new RowStat)
+        st.loadavg = loadavg()
+        st.reps = math.max(st.reps, times.size)
         System.gc()
         syncFs()
       }
@@ -1107,41 +1205,200 @@ object Bench {
       flush(partial = true)
     }
 
-    // pass 1: every row measured once (full reps while under budget)
-    entries.foreach { case (name, body) =>
-      val reps = if (comparatorRows(name) || overBudget) 1 else 3
-      if (reps == 1 && !comparatorRows(name)) degraded += name
-      record(name, measure(name, body, reps))
+    // ---- CHILD: measure the requested rows and exit ----------------
+    childRows.foreach { rows =>
+      val reps = sys.env.get("SPARK_GRAFT_BENCH_CHILD_REPS")
+        .map(_.toInt).getOrElse(1)
+      rows.foreach { name =>
+        entryMap.get(name) match {
+          case None =>
+            System.err.println(s"[bench] unknown row '$name' — skipped")
+          case Some(body) =>
+            // comparators: the single execution IS the measurement
+            if (comparatorRows(name)) warmed += name
+            record(name, measure(name, body,
+              if (comparatorRows(name)) 1 else reps))
+        }
+      }
+      println(flush(partial = false))
+      spark.stop()
+    }
+    if (isChild) return
+
+    // ---- PARENT orchestration ---------------------------------------
+
+    // Fork a fresh JVM (same flags, same classpath) running the named
+    // rows against THIS run's scenario inputs; returns what the child
+    // measured (possibly partial — its output file is rewritten
+    // atomically per row). Child stdout is forwarded to stderr so the
+    // parent's stdout stays one parseable JSON line.
+    def forkRows(rows: Seq[String], repsPerRow: Int, budgetLeft: Double)
+        : Map[String, (Double, Double, Int)] = {
+      import scala.jdk.CollectionConverters._
+      val childOut = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(benchDir), "child_", ".json")
+      try {
+        val javaBin = System.getProperty("java.home") +
+          java.io.File.separator + "bin" + java.io.File.separator + "java"
+        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toSeq
+        val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp",
+          System.getProperty("java.class.path"), "graft.Bench",
+          "--rows", rows.mkString(","))
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_GRAFT_BENCH_DIR_EXACT", benchDir)
+        pb.environment().put("SPARK_GRAFT_BENCH_OUT", childOut.toString)
+        pb.environment().put("SPARK_GRAFT_BENCH_BUDGET",
+          math.max(60.0, budgetLeft).toString)
+        pb.environment().put("SPARK_GRAFT_BENCH_CHILD_REPS", repsPerRow.toString)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val pump = new Thread(() => {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(proc.getInputStream))
+          var l = br.readLine()
+          while (l != null) {
+            System.err.println(s"[bench-child] $l")
+            l = br.readLine()
+          }
+        })
+        pump.setDaemon(true)
+        pump.start()
+        val deadline = math.max(180L, budgetLeft.toLong + 300L)
+        if (!proc.waitFor(deadline, java.util.concurrent.TimeUnit.SECONDS)) {
+          System.err.println(
+            s"[bench] child for ${rows.mkString(",")} timed out — killed " +
+              "(partial rows kept)")
+          proc.destroyForcibly()
+          proc.waitFor()
+        }
+      } catch {
+        case e: Exception => System.err.println(s"[bench] fork failed: $e")
+      }
+      val out = try {
+        graft.util.Jsons.parse(java.nio.file.Files.readString(childOut)) match {
+          case Some(m: Map[_, _]) =>
+            val mm = m.asInstanceOf[Map[String, Any]]
+            def num(a: Any): Double = a match {
+              case d: Double => d
+              case l: Long   => l.toDouble
+              case _         => -1.0
+            }
+            val det = mm.get("rows").collect { case r: Map[_, _] =>
+              r.asInstanceOf[Map[String, Any]]
+            }.getOrElse(Map.empty[String, Any])
+            mm.get("queries").collect { case q: Map[_, _] =>
+              q.asInstanceOf[Map[String, Any]].collect {
+                case (k, v) if num(v) >= 0 =>
+                  val d = det.get(k).collect { case dm: Map[_, _] =>
+                    dm.asInstanceOf[Map[String, Any]]
+                  }.getOrElse(Map.empty[String, Any])
+                  k -> ((num(v), d.get("loadavg").map(num).getOrElse(-1.0),
+                    d.get("reps").map(num).getOrElse(1.0).toInt))
+              }
+            }.getOrElse(Map.empty[String, (Double, Double, Int)])
+          case _ => Map.empty[String, (Double, Double, Int)]
+        }
+      } catch { case _: Exception => Map.empty[String, (Double, Double, Int)] }
+      java.nio.file.Files.deleteIfExists(childOut)
+      out
+    }
+
+    def recordForked(name: String, secs: Double, la: Double, reps: Int): Unit = {
+      best(name) = if (best(name) < 0) secs else math.min(best(name), secs)
+      val st = stats.getOrElseUpdate(name, new RowStat)
+      st.loadavg = la
+      st.reps = math.max(st.reps, reps)
+      st.forked = true
+    }
+
+    // Tier split (judge-directed r15): rows whose PRIOR marks them
+    // heavy (> 5s) run warmup + ONE rep and skip pass 2 — deliberate
+    // (single_rep), not shedding (degraded). The suite fits the budget
+    // by construction; budget shedding remains the contended-host
+    // escape hatch.
+    def heavyTier(name: String): Boolean = priorOf(name).exists(_ > 5.0)
+
+    val inlineEntries = entries.filter { case (n, _) => !forkedRows(n) }
+
+    // pass 1 — micro operator queries first at fresh-JVM state (r12
+    // ordering), then the inline BASELINE build/audit scenarios
+    inlineEntries.foreach { case (name, body) =>
+      if (comparatorRows(name)) record(name, measure(name, body, 1))
+      else if (heavyTier(name) && !overBudget) {
+        singleRep += name
+        record(name, measure(name, body, 1))
+      } else {
+        val reps = if (overBudget) 1 else 3
+        if (reps == 1) degraded += name
+        record(name, measure(name, body, reps))
+      }
     }
     // pass 2, REVERSED (contention windows cover different rows per
-    // pass; per-row min keeps whichever pass sampled cleanest). Over
-    // budget: expensive rows that already hold a value are shed (their
-    // pass-1 median stands); cheap rows (<= 5s) take a 1-rep second
-    // sample — not marked degraded, their pass-1 median was full.
-    entries.reverse.foreach { case (name, body) =>
-      if (!comparatorRows(name)) {
+    // pass; per-row min keeps whichever pass sampled cleanest).
+    inlineEntries.reverse.foreach { case (name, body) =>
+      if (!comparatorRows(name) && !singleRep(name)) {
         val have = best(name) >= 0
         if (!overBudget) record(name, measure(name, body, 3))
         else if (!have) {
           degraded += name
           record(name, measure(name, body, 1))
         } else if (best(name) <= 5.0 && elapsedSec < budgetSec + 240.0)
-          // stop before the grace window closes: the re-measure loop
-          // below is the higher-value spender of what remains
           record(name, measure(name, body, 1))
       }
     }
+    // forked family groups: fresh JVM per family, shared inputs
+    forkGroups.foreach { case (gname, rows) =>
+      System.err.println(s"[bench] forking group $gname (${rows.mkString(",")})")
+      val got = forkRows(rows, 1, budgetSec - elapsedSec)
+      rows.foreach { n =>
+        got.get(n) match {
+          case Some((secs, la, reps)) =>
+            recordForked(n, secs, la, reps)
+            singleRep += n
+          case None =>
+            // the child produced nothing for this row — fall back to an
+            // inline single-rep sample rather than leave a hole, unless
+            // the clock is gone
+            degraded += n
+            if (!overGrace) {
+              singleRep += n
+              record(n, measure(n, entryMap(n), 1))
+            }
+        }
+      }
+      flush(partial = true)
+    }
     // >2x-prior re-measure loop: runs into the grace window — only
-    // offending rows pay, and a row left >2x prior for want of one
-    // targeted re-run costs a false regression flag next round
+    // offending rows pay. Forked rows re-fork ALONE (2 reps) so the
+    // repair sample is as isolated as the original.
     entries.foreach { case (name, body) =>
       var attempts = 0
-      while (best(name) >= 0 && attempts < 2 && !overGrace &&
-          prior.get(name).exists(p => p > 0 && best(name) > 2 * p)) {
+      val maxAttempts = if (forkedRows(name)) 1 else 2
+      while (best(name) >= 0 && attempts < maxAttempts && !overGrace &&
+          priorOf(name).exists(p => best(name) > 2 * p)) {
         System.err.println(
-          f"[bench] $name: ${best(name)}%.2fs > 2x prior ${prior(name)}%.2fs — re-measuring")
-        record(name, measure(name, body, 3))
+          f"[bench] $name: ${best(name)}%.2fs > 2x prior ${priorOf(name).get}%.2fs — re-measuring")
+        if (forkedRows(name))
+          forkRows(Seq(name), 2, budgetSec + 420.0 - elapsedSec).get(name)
+            .foreach { case (secs, la, reps) => recordForked(name, secs, la, reps) }
+        else record(name, measure(name, body, 3))
+        flush(partial = true)
         attempts += 1
+      }
+    }
+    // Isolation self-check (the r15 done-criterion, recorded in the
+    // JSON): re-run the two documented offenders alone in fresh JVMs
+    // and record in-suite vs isolated. Ratios near 1.0 mean the suite
+    // no longer contaminates its own rows.
+    Seq("ivfpq_build_1m", "build_1m_x10").foreach { n =>
+      if (best.get(n).exists(_ >= 0) && !overGrace) {
+        forkRows(Seq(n), 1, budgetSec + 420.0 - elapsedSec).get(n).foreach {
+          case (secs, _, _) => isolationCheck(n) = (best(n), secs)
+        }
+        flush(partial = true)
       }
     }
 

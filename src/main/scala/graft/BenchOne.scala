@@ -43,8 +43,13 @@ object BenchOne {
       else args
     val nLabels = posArgs.headOption.map(_.toInt).getOrElse(1000000)
     val nFeatures = posArgs.lift(1).map(_.toInt).getOrElse(10)
-    val dir = posArgs.lift(2).getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_benchone").toString)
+    val dir = posArgs.lift(2).getOrElse {
+      // same scratch hygiene as Bench: a dev-tool run must not leak
+      // its datagen onto tmpfs/disk when the JVM exits
+      val d = java.nio.file.Files.createTempDirectory("graft_benchone")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => Bench.deleteRec(d)))
+      d.toString
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
