@@ -552,7 +552,8 @@ object Bench {
     val nw = docs.filter(col("doc_id") >= nDocs / 10)
     val r =
       if (approx) graft.ops.TextAnalysis.ngramNoveltyApprox(
-        old, nw, n = 3, k = 4096)
+        old, nw, n = 3, k = 4096,
+        hasher = graft.functions.KmvSketch.hash52Fast) // production hasher
       else graft.ops.TextAnalysis.ngramNovelty(old, nw, n = 3)
     r.collect() // one row
     -1L

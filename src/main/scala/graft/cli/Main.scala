@@ -1540,8 +1540,21 @@ object Main {
             "e.g. --nprobe 8")
           v
         }
+        // resolution order: explicit --nprobe wins; else a previously
+        // autotuned default persisted in the index meta; else 8. The
+        // meta is written by --target-recall below, so the sweep is
+        // paid once per index, not once per caller.
+        val metaNprobe = Similarity.readIndexMeta(spark, idxDir)
+          .get("default_nprobe")
+          .flatMap(v => scala.util.Try(v.toInt).toOption)
+          .filter(_ >= 1)
         val nprobe = f.get("target-recall") match {
-          case None => nprobeFlag().getOrElse(8)
+          case None =>
+            nprobeFlag().orElse {
+              metaNprobe.foreach(np => println(
+                s"nprobe=$np from index meta (autotuned; override with --nprobe)"))
+              metaNprobe
+            }.getOrElse(8)
           case Some(tStr) =>
             val target = tStr.toDouble
             if (target <= 0.0 || target > 1.0) throw Errors.config(
@@ -1574,6 +1587,14 @@ object Main {
               } else np = math.min(nlist, np * 2)
             }
             exact.unpersist()
+            // persist the tuning so the NEXT --search of this index
+            // defaults to it (explicit --nprobe still wins) — without
+            // this every caller re-pays the sweep or reverts to the
+            // blind default
+            Similarity.updateIndexMeta(spark, idxDir,
+              Map("default_nprobe" -> chosen.toString))
+            println(s"tuned nprobe=$chosen persisted to index meta " +
+              "(future --search of this index defaults to it)")
             chosen
         }
         val res = runSearch(queries, nprobe)
@@ -1630,9 +1651,39 @@ object Main {
     * cross-run duplicates separated by more than the watermark pass
     * (use the batch `incrementalDedup` store for an unbounded
     * horizon). */
+  /** Drain one streaming frame to a parquet sink with
+    * `Trigger.AvailableNow` and report the rows it ACTUALLY appended —
+    * via an `observe` aggregate read from the query's progress, O(new
+    * batch): the previous implementation counted the WHOLE output
+    * dataset before and after every drain (an O(total-output) metadata
+    * job per log line on a long-lived ingest dir) and swallowed every
+    * read error to 0. Source numInputRows would still be wrong here —
+    * the dedup plan self-unions the source for its null-text
+    * passthrough leg, doubling it; the file sink reports no
+    * numOutputRows. */
+  private def drainTo(df: org.apache.spark.sql.DataFrame, path: String,
+      chk: String, metric: String): (Long, Int) = {
+    val q = df.observe(metric, count(lit(1)).as("rows"))
+      .writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progs = q.recentProgress.toSeq
+    val appended = progs
+      .flatMap(p => Option(p.observedMetrics.get(metric)))
+      .map(_.getLong(0)).sum
+    (appended, progs.length)
+  }
+
   private[graft] def cmdStream(args: Array[String]): Int = {
     val (f, _) = flags(args)
     val spark = session()
+    // the appended counts are summed from recentProgress — raise its
+    // retention cap (default 100) so a huge backlog drain can't drop
+    // early batches from the report
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     val input = req(f, "input",
       "stream needs --input DIR (a growing parquet/jsonl directory)")
     val output = req(f, "output",
@@ -1643,10 +1694,15 @@ object Main {
     val gateOn = Seq("c4", "gopher", "repetition", "min-quality", "languages")
       .exists(f.contains)
     val dedupOn = f.contains("exact-dedup")
-    if (!gateOn && !dedupOn) throw Errors.config(
-      "stream has nothing to do: no gate flags and no --exact-dedup.",
-      "add --c4/--gopher/--repetition/--min-quality/--languages " +
-        "and/or --exact-dedup --event-time-col COL")
+    val nearDupOn = f.contains("near-dup")
+    if (!gateOn && !dedupOn && !nearDupOn) throw Errors.config(
+      "stream has nothing to do: no gate flags, no --exact-dedup, no --near-dup.",
+      "add --c4/--gopher/--repetition/--min-quality/--languages, " +
+        "--exact-dedup --event-time-col COL, and/or --near-dup " +
+        "--near-dup-out DIR --event-time-col COL")
+    if (f.contains("rejects") && !gateOn) throw Errors.config(
+      "--rejects routes gate FAILURES to a side sink, but no gate flags are set.",
+      "add --c4/--gopher/--repetition/--min-quality/--languages")
     // streaming sources need a schema up front: pin it from a batch
     // read of what is in the directory now (same inference curate uses)
     val schema = readCorpus(spark, input, f.get("input-format")).schema
@@ -1659,7 +1715,7 @@ object Main {
       case Some(ls)     => ls.split(",").toSeq
       case None         => Seq("en")
     }
-    val gated =
+    def gate(passedOnly: Boolean): org.apache.spark.sql.DataFrame =
       if (gateOn) graft.streaming.StreamingPit.streamingQualityGate(
         src, textCol,
         c4 = if (f.contains("c4")) Some((3, 5)) else None,
@@ -1669,8 +1725,9 @@ object Main {
           Some(graft.ops.QualityFilters.RepetitionConfig()) else None,
         minQuality = f.getOrElse("min-quality", "0.3").toDouble,
         languages = languages,
-        passedOnly = !f.contains("keep-verdicts"))
+        passedOnly = passedOnly)
       else src
+    val gated = gate(passedOnly = !f.contains("keep-verdicts"))
     val out =
       if (dedupOn) graft.streaming.StreamingPit.streamingExactDedup(
         gated, textCol,
@@ -1679,23 +1736,50 @@ object Main {
             "timestamp — dedup state is watermark-bounded)"),
         watermark = f.getOrElse("watermark", "1 hour"))
       else gated
-    // appended rows = output delta, counted around the drain: the file
-    // sink reports no numOutputRows, and source numInputRows counts
-    // every row once per scan (the dedup plan self-unions the source
-    // for its null-text passthrough leg, doubling it)
-    def outRows(): Long =
-      try spark.read.parquet(output).count()
-      catch { case _: Throwable => 0L } // first run: sink dir not yet created
-    val before = outRows()
-    val q = out.writeStream.format("parquet")
-      .option("path", output)
-      .option("checkpointLocation", chk)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    println(s"appended=${outRows() - before} batches=${q.recentProgress.length} " +
-      s"output=$output " +
-      "(rerun with the same --checkpoint drains only newer files)")
+    val (appended, batches) = drainTo(out, output, chk, "graft_out")
+    var report = s"appended=$appended batches=$batches output=$output"
+    // --rejects DIR: the dead-letter leg — gate FAILURES land in a
+    // side sink WITH their verdict codes (hygiene_verdict != 0 names
+    // the failed rule), so a production ingest can quarantine and
+    // audit what it dropped instead of silently losing it. A separate
+    // checkpointed query over the same source: each sink stays
+    // exactly-once on reruns (a shared foreachBatch would be
+    // at-least-once on one leg after a mid-batch crash).
+    f.get("rejects").foreach { rejDir =>
+      val failed = gate(passedOnly = false).filter(
+        col("hygiene_verdict") =!= graft.functions.Hygiene.PassVerdict)
+      val (nRej, _) = drainTo(failed, rejDir, s"$chk/rejects", "graft_rejects")
+      report += s" rejected=$nRej rejects_dir=$rejDir"
+    }
+    // --near-dup: the MinHash/LSH ingest monitor — each gate-passing
+    // document is checked against the prior members of its LSH buckets
+    // (state bounded by the event-time watermark + retention), hits
+    // land in --near-dup-out with the colliding band, the estimated
+    // Jaccard and the prior doc id. A monitor, not a filter: batch
+    // near-dup dedup stays the authority for removal; this flags
+    // cross-drop duplication AT INGEST, when quarantining is cheap.
+    if (nearDupOn) {
+      val ndOut = req(f, "near-dup-out",
+        "--near-dup needs --near-dup-out DIR (the hit sink)")
+      val hits = graft.streaming.StreamingPit.streamingNearDupHits(
+        gate(passedOnly = true),
+        idCol = f.getOrElse("id-col", "doc_id"),
+        textCol = textCol,
+        eventTimeCol = req(f, "event-time-col",
+          "--near-dup needs --event-time-col COL (an event-time " +
+            "timestamp — bucket state is watermark-bounded)"),
+        k = f.getOrElse("minhash-k", "16").toInt,
+        bands = f.getOrElse("bands", "4").toInt,
+        n = f.getOrElse("ngram-n", "3").toInt,
+        threshold = f.getOrElse("near-dup-threshold", "0.5").toDouble,
+        watermark = f.getOrElse("watermark", "1 hour"),
+        retention = graft.util.Durations.parse(
+          f.getOrElse("near-dup-retention", "1h")),
+        maxBucket = f.getOrElse("max-bucket", "1000").toInt)
+      val (nHits, _) = drainTo(hits.toDF(), ndOut, s"$chk/neardup", "graft_neardup")
+      report += s" neardup_hits=$nHits neardup_dir=$ndOut"
+    }
+    println(report + " (rerun with the same --checkpoint drains only newer files)")
     0
   }
 

@@ -52,9 +52,18 @@ object KmvSketch {
 
   /** Uniform 52-bit hash, replayable in DuckDB as
     * `CAST('0x' || substr(md5(x), 1, 13) AS BIGINT)`: 13 hex chars of
-    * the md5, parsed base-16. */
+    * the md5, parsed base-16. The PORTABLE hasher — use it where a
+    * cross-engine oracle must replay the sketch. */
   def hash52(c: Column): Column =
     conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
+  /** Production hasher: xxhash64 shifted to the same 52-bit domain —
+    * one codegen'd long op per value instead of an md5 digest + hex
+    * parse (the md5 chain measured ~1.8x the EXACT path's entire cost
+    * over 1.2B grams; same convention as Dedup's md5Hash/xxHash pair:
+    * md5 only exists for DuckDB oracle portability). */
+  def hash52Fast(c: Column): Column =
+    shiftrightunsigned(xxhash64(c), 12)
 
   /** The sketch aggregate: ascending array of the (at most) k smallest
     * distinct values of `hash` (null hashes are skipped, like every

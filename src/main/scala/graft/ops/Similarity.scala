@@ -949,6 +949,52 @@ object Similarity {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Operational metadata persisted BESIDE the index (`meta.json`) —
+    * currently the autotuned `default_nprobe` the CLI's
+    * `--target-recall` sweep lands on, so the tuning is paid once and
+    * every later `--search` of the index inherits it instead of
+    * re-sweeping or flying blind on a hardcoded default. Routed
+    * through the Hadoop FileSystem of the path's scheme like the rest
+    * of the lifecycle (works on `hdfs://`; no rename involved — the
+    * file is a hint, simple overwrite-create suffices). The meta is
+    * advisory: a missing or unparseable file degrades to empty, never
+    * fails a search. Appends and compaction leave it in place;
+    * `--rebuild` writes a NEW directory without it by design (fresh
+    * centroids invalidate a tuning made against the old lists). */
+  def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(path, "meta.json")
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Map.empty
+      else {
+        val in = fs.open(p)
+        val txt =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        graft.util.Jsons.parse(txt) match {
+          case Some(m: Map[_, _]) =>
+            m.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> String.valueOf(v) }
+          case _ => Map.empty[String, String]
+        }
+      }
+    } catch { case _: Exception => Map.empty } // advisory — never fail a read
+  }
+
+  /** Merge `kv` into the index's `meta.json` (read-modify-write; same
+    * one-writer contract as append). */
+  def updateIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, kv: Map[String, String]): Unit = {
+    val merged = readIndexMeta(spark, path) ++ kv
+    val p = new org.apache.hadoop.fs.Path(path, "meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(graft.util.Jsons.obj(
+        merged.toSeq.sortBy(_._1).map { case (k, v) => k -> (v: Any) }: _*)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Compact a persisted index in place: each append leaves one file
     * set per touched list partition, so a long-appended index pays its
     * probe cost in file-open overhead; compaction rewrites the data

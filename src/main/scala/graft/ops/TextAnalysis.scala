@@ -408,15 +408,19 @@ object TextAnalysis {
     * single-pass rollup aggregation. */
   def corpusProfileApprox(df: DataFrame, groupCol: String = "source",
       textCol: String = "text", tokens: Option[Column] = None,
-      k: Int = 1024): DataFrame = {
+      k: Int = 1024,
+      hasher: Column => Column = graft.functions.KmvSketch.hash52): DataFrame = {
     import graft.functions.KmvSketch
     val n = tokens.getOrElse(tokenCount(col(textCol))).cast("long")
-    df.rollup(col(groupCol))
+    // fingerprint hashed below the aggregate (codegen'd projection),
+    // not as the aggregate's child — see ngramNoveltyApprox
+    df.withColumn("__h", hasher(col(textCol)))
+      .rollup(col(groupCol))
       .agg(
         grouping(col(groupCol)).cast("int").as("is_total"),
         count(lit(1)).as("n_docs"),
         round(KmvSketch.estimate(
-          KmvSketch.sketch(KmvSketch.hash52(col(textCol)), k), k), 3)
+          KmvSketch.sketch(col("__h"), k), k), 3)
           .as("n_unique_texts_approx"),
         sum(n).as("n_tokens"),
         sum(length(col(textCol)).cast("long")).as("n_chars"),
@@ -486,13 +490,21 @@ object TextAnalysis {
     * fewer than k distinct grams. Deterministic given the hash: the
     * DuckDB oracle replays sketches and estimator bit-for-bit. */
   def ngramNoveltyApprox(oldDf: DataFrame, newDf: DataFrame, n: Int = 3,
-      textCol: String = "text", k: Int = 1024): DataFrame = {
+      textCol: String = "text", k: Int = 1024,
+      hasher: Column => Column = graft.functions.KmvSketch.hash52): DataFrame = {
     import graft.functions.KmvSketch
     require(n >= 1, s"ngramNoveltyApprox wants n >= 1, got $n")
+    // hash in a SELECT below the aggregate: an expression passed as
+    // the aggregate's child evaluates INTERPRETED inside every
+    // update() call (ObjectHashAggregate children skip whole-stage
+    // codegen), which measured 2x the whole exact path at 10M docs —
+    // hashed as a codegen'd projection, the agg's child is a plain
+    // field read
     def sk(df: DataFrame, alias: String) = df
       .select(explode(
         graft.functions.Shingles.shingles(col(textCol), n)).as("ngram"))
-      .agg(KmvSketch.sketch(KmvSketch.hash52(col("ngram")), k).as(alias))
+      .select(hasher(col("ngram")).as("__h"))
+      .agg(KmvSketch.sketch(col("__h"), k).as(alias))
     val withU = sk(oldDf, "so").crossJoin(sk(newDf, "sn"))
       .withColumn("u", slice(array_sort(array_union(col("so"), col("sn"))), 1, k))
     val dOld = KmvSketch.estimate(col("so"), k)

@@ -1308,6 +1308,41 @@ class CliSpec extends SparkFunSuite {
       .select("query_id", "neighbor_id", "rank")
       .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString(",")).toSeq
     assert(viaCli == viaLib)
+    // the tuning PERSISTS (r15): tune lines said so, the index meta
+    // holds it, and a fresh --search WITHOUT flags inherits it — the
+    // sweep is paid once per index, not once per caller
+    assert(lines.exists(_.startsWith(s"tuned nprobe=$chosen persisted")),
+      s"tuning must announce persistence:\n$outCap")
+    assert(graft.ops.Similarity.readIndexMeta(spark, idx)
+      .get("default_nprobe").contains(chosen.toString))
+    val res2 = s"$dir/res2.parquet"
+    val outCap2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCap2)) {
+      assert(graft.cli.Main.cmdIndex(Array(
+        "--search", "--queries", queries, "--index", idx,
+        "--output", res2, "--k", "5")) == 0)
+    }
+    assert(outCap2.toString.contains(s"nprobe=$chosen from index meta"),
+      s"untuned search must inherit the persisted nprobe:\n$outCap2")
+    assert(outCap2.toString.contains(s"nprobe=$chosen written="),
+      outCap2.toString)
+    // an explicit --nprobe still wins over the meta
+    val outCap3 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCap3)) {
+      assert(graft.cli.Main.cmdIndex(Array(
+        "--search", "--queries", queries, "--index", idx,
+        "--output", s"$dir/res3.parquet", "--k", "5", "--nprobe", "2")) == 0)
+    }
+    assert(outCap3.toString.contains("nprobe=2 written="), outCap3.toString)
+    assert(!outCap3.toString.contains("from index meta"), outCap3.toString)
+    // --nprobe 0 is rejected at parse time on BOTH paths (it would
+    // loop the tuning sweep forever: 0 * 2 == 0 never reaches nlist)
+    val npErr = intercept[graft.errors.ConfigError] {
+      graft.cli.Main.cmdIndex(Array(
+        "--search", "--queries", queries, "--index", idx,
+        "--output", s"$dir/nope0.parquet", "--nprobe", "0"))
+    }
+    assert(npErr.getMessage.contains(">= 1"))
     val err = intercept[graft.errors.ConfigError] {
       graft.cli.Main.cmdIndex(Array(
         "--search", "--queries", queries, "--index", idx,
@@ -1370,6 +1405,73 @@ class CliSpec extends SparkFunSuite {
         "--input", in, "--output", s"$dir/out2", "--checkpoint", s"$dir/chk2"))
     }
     assert(err.getMessage.contains("nothing to do"))
+  }
+
+  test("stream --near-dup + --rejects: cross-drain hits flagged, failures quarantined with codes") {
+    val dir = Files.createTempDirectory("graft_cli_stream_nd")
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    val chk = s"$dir/chk"
+    val rej = s"$dir/rejects"
+    val nd = s"$dir/neardup"
+    def doc(id: Long, text: String) =
+      (id, text, new java.sql.Timestamp(1700000000000L + id * 1000L))
+    val clean = "the quiet harbor town wakes early with the fishing boats " +
+      "and the morning market opens with the fresh catch today"
+    val other = "a completely different report about storage engines and " +
+      "the compaction schedule for the weekly index rebuild tonight"
+    val junk = Seq.fill(10)("############").mkString(" ")
+    val args = Array(
+      "--input", in, "--output", out, "--checkpoint", chk,
+      "--min-quality", "0.3", "--languages", "en",
+      "--rejects", rej,
+      "--near-dup", "--near-dup-out", nd, "--event-time-col", "ts",
+      "--near-dup-threshold", "0.5")
+    // drain 1: one clean page, one unrelated clean page, one junk page
+    Seq(doc(1, clean), doc(2, other), doc(3, junk))
+      .toDF("doc_id", "text", "ts").write.mode("append").parquet(in)
+    val cap1 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap1)) {
+      assert(graft.cli.Main.cmdStream(args) == 0)
+    }
+    assert(cap1.toString.contains("appended=2"), cap1.toString)
+    assert(cap1.toString.contains("rejected=1"), cap1.toString)
+    assert(cap1.toString.contains("neardup_hits=0"),
+      s"no prior members yet — nothing to collide with:\n$cap1")
+    // the dead letter carries its verdict CODE (which rule failed),
+    // not just the row
+    val rej1 = spark.read.parquet(rej)
+    assert(rej1.count() == 1 &&
+      rej1.select("doc_id").as[Long].head() == 3L &&
+      rej1.select("hygiene_verdict").as[Int].head() != 0, "verdict-coded reject")
+    // drain 2: a byte-identical near-copy of doc 1 arrives in a LATER
+    // drop, plus more junk — the hit must be found ACROSS drains (the
+    // LSH bucket state lives in the checkpoint), the junk quarantined
+    Seq(doc(11, clean), doc(13, junk))
+      .toDF("doc_id", "text", "ts").write.mode("append").parquet(in)
+    val cap2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap2)) {
+      assert(graft.cli.Main.cmdStream(args) == 0)
+    }
+    assert(cap2.toString.contains("appended=1"), cap2.toString)
+    assert(cap2.toString.contains("rejected=1"), cap2.toString)
+    val hits = spark.read.parquet(nd)
+    assert(hits.count() >= 1, s"cross-drain near-dup must be flagged:\n$cap2")
+    assert(hits.select("id").as[Long].collect().toSet == Set(11L),
+      "only the newcomer reports")
+    assert(hits.select("against").as[Long].collect().toSet == Set(1L),
+      "hit must name the PRIOR doc from drain 1, not the unrelated page")
+    assert(hits.select("best_est").as[Double].collect().forall(_ >= 0.5))
+    assert(spark.read.parquet(rej).count() == 2,
+      "rerun quarantines only the new junk (checkpointed rejects leg)")
+    // --rejects without a gate is meaningless — fail fast
+    val err = intercept[graft.errors.ConfigError] {
+      graft.cli.Main.cmdStream(Array(
+        "--input", in, "--output", s"$dir/out2", "--checkpoint", s"$dir/chk2",
+        "--near-dup", "--near-dup-out", s"$dir/nd2", "--event-time-col", "ts",
+        "--rejects", s"$dir/rej2"))
+    }
+    assert(err.getMessage.contains("no gate flags"))
   }
 
   test("export --output-format jsonl: one ordered text file per shard, byte-identical re-runs") {

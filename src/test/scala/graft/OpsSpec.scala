@@ -280,6 +280,11 @@ class OpsSpec extends SparkFunSuite {
     val est = big.agg(KmvSketch.estimate(
       KmvSketch.sketch(KmvSketch.hash52($"x"), 512), 512)).head().getDouble(0)
     assert(math.abs(est - 50000.0) / 50000.0 < 0.14, s"est=$est")
+    // production hasher (xxhash64 >>> 12, codegen'd — no md5 digest):
+    // same domain, same estimator contract, same error bound
+    val estF = big.agg(KmvSketch.estimate(
+      KmvSketch.sketch(KmvSketch.hash52Fast($"x"), 512), 512)).head().getDouble(0)
+    assert(math.abs(estF - 50000.0) / 50000.0 < 0.14, s"estF=$estF")
   }
 
   test("ngramNoveltyApprox: exact when sketches fit, accurate when not") {
