@@ -1240,6 +1240,17 @@ object SparkEntry {
         .select(col("source"), col("is_total"), col("n_docs"),
           col("n_unique_texts_approx"))
         .orderBy("is_total", "source")),
+    // Distribution-level drift (the third member of the drift family:
+    // counts = q_profile_diff, sets = q_ngram_novelty, distribution =
+    // this): top-k token movers by smoothed-probability delta between
+    // the same snapshot slices. Probabilities rounded to 9dp BEFORE
+    // ranking so the order replays bit-exactly.
+    "q_token_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextAnalysis.tokenDrift(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 7 =!= 0), k = 25)
+    }),
     // Snapshot drift report: old = docs with doc_id % 5 != 0, new =
     // docs with doc_id % 7 != 0 — per-source deltas, growth ratio and
     // status verdict, both profile rollups + the null-safe full-outer
@@ -3577,6 +3588,39 @@ object SparkEntry {
         |FROM c JOIN (SELECT * FROM e0 UNION ALL SELECT * FROM e1) e
         |  ON c.source IS NOT DISTINCT FROM e.source AND c.is_total = e.is_total
         |ORDER BY c.is_total, c.source""".stripMargin,
+
+    // same lowercased whitespace tokens, add-one smoothing over the
+    // union vocab, 9dp rounding before the |delta| ranking
+    "q_token_drift" ->
+      """WITH ot AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0)) AS token
+        |  FROM documents WHERE doc_id % 5 != 0),
+        |nt AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0)) AS token
+        |  FROM documents WHERE doc_id % 7 != 0),
+        |oc AS (SELECT token, count(*) AS old_cnt FROM ot GROUP BY 1),
+        |nc AS (SELECT token, count(*) AS new_cnt FROM nt GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(oc.token, nc.token) AS token,
+        |    COALESCE(old_cnt, 0) AS old_cnt,
+        |    COALESCE(new_cnt, 0) AS new_cnt
+        |  FROM oc FULL OUTER JOIN nc ON oc.token = nc.token),
+        |t AS (SELECT sum(old_cnt) AS old_total, sum(new_cnt) AS new_total,
+        |        count(*) AS vocab FROM j)
+        |SELECT token, old_cnt, new_cnt,
+        |  round(CAST(old_cnt + 1 AS DOUBLE)
+        |    / CAST(old_total + vocab AS DOUBLE), 9) AS old_p,
+        |  round(CAST(new_cnt + 1 AS DOUBLE)
+        |    / CAST(new_total + vocab AS DOUBLE), 9) AS new_p,
+        |  round(CAST(new_cnt + 1 AS DOUBLE) / CAST(new_total + vocab AS DOUBLE)
+        |    - CAST(old_cnt + 1 AS DOUBLE) / CAST(old_total + vocab AS DOUBLE), 9)
+        |    AS delta_p
+        |FROM j CROSS JOIN t
+        |ORDER BY abs(delta_p) DESC, token LIMIT 25""".stripMargin,
 
     // both snapshot rollups + the null-safe full-outer join; status
     // verdict and growth ratio recomputed identically

@@ -1092,6 +1092,18 @@ object Main {
     // consumes) instead of the whitespace default
     val tokens = f.get("tokenizer").map(vp => graft.ops.Tokenizer.tokenCount(
       col(textCol), graft.ops.Tokenizer.load(spark, vp)))
+    // --approx [K]: the 100 TB path — distinct-text and novelty
+    // numbers come from KMV sketches (k longs per task on the wire,
+    // xxhash64 production hasher) instead of exact distinct shuffles;
+    // error ~1/sqrt(K-2), exact below K. Approximate values print with
+    // a ~ prefix so a reader never mistakes them for exact counts.
+    val approxK: Option[Int] = f.get("approx").map { v =>
+      val k = if (v == "true") 1024 else v.toInt
+      if (k < 16) throw Errors.config(
+        s"--approx wants a sketch size >= 16 (or no value for 1024), got '$v'.",
+        "e.g. --approx 4096")
+      k
+    }
     // --diff-against OLD: the snapshot drift report instead of the
     // single-corpus profile — old = that path, new = --input
     f.get("diff-against").foreach { oldPath =>
@@ -1120,13 +1132,40 @@ object Main {
       // see — distinct n-gram set change between the snapshots
       f.get("novelty").foreach { nv =>
         val n = if (nv == "true") 3 else nv.toInt
-        val r = graft.ops.TextAnalysis.ngramNovelty(
+        approxK match {
+          case Some(k) =>
+            val r = graft.ops.TextAnalysis.ngramNoveltyApprox(
+              readCorpus(spark, oldPath, f.get("input-format")),
+              readCorpus(spark, input, f.get("input-format")), n, textCol, k,
+              hasher = graft.functions.KmvSketch.hash52Fast).head()
+            println(f"novelty(approx k=$k) n=$n old_ngrams~${r.getDouble(0)}%.0f " +
+              f"new_ngrams~${r.getDouble(1)}%.0f novel~${r.getDouble(2)}%.0f " +
+              f"lost~${r.getDouble(3)}%.0f novelty_rate=${r.getDouble(4)}%.4f " +
+              f"lost_rate=${r.getDouble(5)}%.4f")
+          case None =>
+            val r = graft.ops.TextAnalysis.ngramNovelty(
+              readCorpus(spark, oldPath, f.get("input-format")),
+              readCorpus(spark, input, f.get("input-format")), n, textCol).head()
+            println(f"novelty n=$n old_ngrams=${r.getLong(0)} " +
+              f"new_ngrams=${r.getLong(1)} novel=${r.getLong(2)} " +
+              f"lost=${r.getLong(3)} novelty_rate=${r.getDouble(4)}%.4f " +
+              f"lost_rate=${r.getDouble(5)}%.4f")
+        }
+      }
+      // --token-drift [K]: the distribution-level drift signal —
+      // top-K token movers by smoothed-probability delta
+      f.get("token-drift").foreach { kk =>
+        val k = if (kk == "true") 20 else kk.toInt
+        val movers = graft.ops.TextAnalysis.tokenDrift(
           readCorpus(spark, oldPath, f.get("input-format")),
-          readCorpus(spark, input, f.get("input-format")), n, textCol).head()
-        println(f"novelty n=$n old_ngrams=${r.getLong(0)} " +
-          f"new_ngrams=${r.getLong(1)} novel=${r.getLong(2)} " +
-          f"lost=${r.getLong(3)} novelty_rate=${r.getDouble(4)}%.4f " +
-          f"lost_rate=${r.getDouble(5)}%.4f")
+          readCorpus(spark, input, f.get("input-format")), textCol, k)
+          .collect()
+        println(s"top ${movers.length} token movers (|delta_p| desc):")
+        movers.foreach { r =>
+          println(f"  ${r.getAs[Double]("delta_p")}%+.9f  " +
+            f"old=${r.getAs[Long]("old_cnt")}%7d new=${r.getAs[Long]("new_cnt")}%7d  " +
+            r.getString(0))
+        }
       }
       return 0
     }
@@ -1144,16 +1183,25 @@ object Main {
         println(f"  ${r.getLong(1)}%8d occ  ${r.getLong(2)}%8d docs  ${r.getString(0)}")
       }
     }
-    val rows = graft.ops.TextAnalysis.corpusProfile(
+    val rows = (approxK match {
+      case Some(k) => graft.ops.TextAnalysis.corpusProfileApprox(
+        readCorpus(spark, input, f.get("input-format")),
+        groupCol, textCol, tokens, k,
+        hasher = graft.functions.KmvSketch.hash52Fast)
+      case None => graft.ops.TextAnalysis.corpusProfile(
         readCorpus(spark, input, f.get("input-format")),
         groupCol, textCol, tokens)
-      .orderBy(col("is_total"), col(groupCol))
+    }).orderBy(col("is_total"), col(groupCol))
       .collect()
+    def uniqOf(r: org.apache.spark.sql.Row): String = approxK match {
+      case Some(_) => f"~${r.getAs[Double]("n_unique_texts_approx")}%.0f"
+      case None    => r.getAs[Long]("n_unique_texts").toString
+    }
     val header = Seq(groupCol, "docs", "uniq_texts", "tokens", "chars",
       "min_tok", "max_tok", "avg_tok")
     val table = rows.map { r =>
       Seq(if (r.getAs[Int]("is_total") == 1) "TOTAL" else String.valueOf(r.get(0)),
-        r.getAs[Long]("n_docs").toString, r.getAs[Long]("n_unique_texts").toString,
+        r.getAs[Long]("n_docs").toString, uniqOf(r),
         r.getAs[Long]("n_tokens").toString, r.getAs[Long]("n_chars").toString,
         r.getAs[Long]("min_doc_tokens").toString, r.getAs[Long]("max_doc_tokens").toString,
         f"${r.getAs[Double]("avg_doc_tokens")}%.1f")
@@ -1169,7 +1217,12 @@ object Main {
             else String.valueOf(r.get(0))),
           "is_total" -> r.getAs[Int]("is_total"),
           "n_docs" -> r.getAs[Long]("n_docs"),
-          "n_unique_texts" -> r.getAs[Long]("n_unique_texts"),
+          (approxK match {
+            case Some(_) =>
+              "n_unique_texts_approx" -> (r.getAs[Double]("n_unique_texts_approx"): Any)
+            case None =>
+              "n_unique_texts" -> (r.getAs[Long]("n_unique_texts"): Any)
+          }),
           "n_tokens" -> r.getAs[Long]("n_tokens"),
           "n_chars" -> r.getAs[Long]("n_chars"),
           "min_doc_tokens" -> r.getAs[Long]("min_doc_tokens"),

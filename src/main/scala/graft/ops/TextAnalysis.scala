@@ -528,6 +528,55 @@ object TextAnalysis {
         .as("lost_rate"))
   }
 
+  /** Token-distribution drift between two snapshots — the
+    * DISTRIBUTION-level member of the drift family ([[profileDiff]]
+    * sees counts, [[ngramNovelty]] sees set membership; neither sees a
+    * source whose token mix quietly shifted — a crawler drifting into
+    * another register, a template flooding one phrase, a language mix
+    * change below the lang-id threshold). Per token of the UNION
+    * vocabulary: occurrence counts per side, add-one-smoothed
+    * probabilities (smoothing over the union vocab, so a token absent
+    * from one side gets a finite, size-aware floor instead of a
+    * division blowup), and the probability delta. Returns the top-k
+    * MOVERS by |delta| — the actionable slice; ties break toward the
+    * lexicographically smaller token, probabilities rounded to 9dp so
+    * the ranking replays bit-exactly across engines.
+    *
+    * Plan shape at scale: one map-side-combined token count per side
+    * (only distinct tokens shuffle — vocabulary-scale, the inherent
+    * floor), a full-outer join on the token key, totals attached as a
+    * broadcast 1-row cross join (never a driver action), and the
+    * top-k cut plans as TakeOrderedAndProject — corpus-wide counts are
+    * never globally sorted. */
+  def tokenDrift(oldDf: DataFrame, newDf: DataFrame,
+      textCol: String = "text", k: Int = 50): DataFrame = {
+    require(k >= 1, s"tokenDrift wants k >= 1, got $k")
+    def counts(df: DataFrame, as: String) = df
+      .select(explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as(as))
+    val joined = counts(oldDf, "old_cnt")
+      .join(counts(newDf, "new_cnt"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("old_cnt"), lit(0L)).as("old_cnt"),
+        coalesce(col("new_cnt"), lit(0L)).as("new_cnt"))
+    val totals = joined.agg(
+      sum(col("old_cnt")).as("old_total"),
+      sum(col("new_cnt")).as("new_total"),
+      count(lit(1)).as("vocab"))
+    val oldP = (col("old_cnt") + 1L).cast("double") /
+      (col("old_total") + col("vocab")).cast("double")
+    val newP = (col("new_cnt") + 1L).cast("double") /
+      (col("new_total") + col("vocab")).cast("double")
+    joined.crossJoin(broadcast(totals))
+      .select(col("token"), col("old_cnt"), col("new_cnt"),
+        round(oldP, 9).as("old_p"),
+        round(newP, 9).as("new_p"),
+        round(newP - oldP, 9).as("delta_p"))
+      .orderBy(abs(col("delta_p")).desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Snapshot-over-snapshot corpus drift report — the governance
     * check a RECURRING pipeline runs between refreshes: per `groupCol`
     * stratum (plus the rollup total, `is_total = 1`), document /

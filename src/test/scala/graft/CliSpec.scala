@@ -596,6 +596,48 @@ class CliSpec extends SparkFunSuite {
       f"new_ngrams=${lib.getLong(1)} novel=${lib.getLong(2)} " +
       f"lost=${lib.getLong(3)} novelty_rate=${lib.getDouble(4)}%.4f " +
       f"lost_rate=${lib.getDouble(5)}%.4f", nov)
+    // --approx: the KMV path — at k >> distinct the estimates ARE the
+    // exact counts (printed with ~ so a reader knows the mode), and
+    // the json carries n_unique_texts_approx instead
+    val apxJson = s"$dir/profile_apx.json"
+    val apxCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(apxCap)) {
+      assert(graft.cli.Main.cmdProfile(Array(
+        "--input", in, "--approx", "--json", apxJson)) == 0)
+    }
+    assert(apxCap.toString.contains("~25"), apxCap.toString)
+    val apxParsed = graft.util.Jsons.parse(
+        Files.readString(java.nio.file.Paths.get(apxJson)))
+      .getOrElse(fail("unparseable approx profile json"))
+      .asInstanceOf[Vector[Any]].map(_.asInstanceOf[Map[String, Any]])
+    assert(apxParsed.find(_("is_total") == 1L).get("n_unique_texts_approx")
+      == 25.0, s"$apxParsed")
+    // --approx novelty: estimates equal the exact report in the
+    // below-k regime, printed in the sketch format
+    val apxNovCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(apxNovCap)) {
+      assert(graft.cli.Main.cmdProfile(Array(
+        "--input", in, "--diff-against", oldIn,
+        "--novelty", "3", "--approx", "64")) == 0)
+    }
+    val apxNov = apxNovCap.toString.linesIterator
+      .find(_.startsWith("novelty(approx k=64) n=3")).getOrElse(
+        fail(s"no approx novelty line:\n$apxNovCap"))
+    assert(apxNov.contains(f"old_ngrams~${lib.getLong(0)}") &&
+      apxNov.contains(f"novel~${lib.getLong(2)}") &&
+      apxNov.contains(f"novelty_rate=${lib.getDouble(4)}%.4f"), apxNov)
+    // --token-drift: the distribution-level mover table, equal to the
+    // library's top movers on the same snapshots
+    val tdCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(tdCap)) {
+      assert(graft.cli.Main.cmdProfile(Array(
+        "--input", in, "--diff-against", oldIn, "--token-drift", "3")) == 0)
+    }
+    assert(tdCap.toString.contains("top 3 token movers"), tdCap.toString)
+    val topMover = graft.ops.TextAnalysis.tokenDrift(
+      spark.read.parquet(oldIn), spark.read.parquet(in), k = 1)
+      .head().getString(0)
+    assert(tdCap.toString.contains(topMover), tdCap.toString)
     // --top-ngrams: the frequent-phrase table appends after the profile
     val topCap = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(topCap)) {

@@ -341,6 +341,28 @@ class OpsSpec extends SparkFunSuite {
     }
   }
 
+  test("tokenDrift: hand-computed smoothed deltas, |delta| rank, token tie-break") {
+    import graft.ops.TextAnalysis
+    val old = Seq((1L, "alpha ALPHA beta")).toDF("doc_id", "text")
+    val nw = Seq((1L, "alpha gamma  gamma")).toDF("doc_id", "text")
+    // union vocab {alpha,beta,gamma}; totals 3/3; add-one smoothing:
+    // alpha 3/6 -> 2/6 (-1/6), beta 2/6 -> 1/6 (-1/6),
+    // gamma 1/6 -> 3/6 (+1/3)
+    val rows = TextAnalysis.tokenDrift(old, nw, k = 10).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("gamma", "alpha", "beta"),
+      s"rank by |delta| desc then token:\n${rows.mkString("\n")}")
+    val gamma = rows.head
+    assert(gamma.getAs[Long]("old_cnt") == 0L &&
+      gamma.getAs[Long]("new_cnt") == 2L)
+    assert(gamma.getAs[Double]("delta_p") == 0.333333333, s"$gamma")
+    assert(rows(1).getAs[Double]("delta_p") == -0.166666667, s"${rows(1)}")
+    // identical snapshots: every delta is exactly zero
+    val same = TextAnalysis.tokenDrift(nw, nw, k = 10).collect()
+    assert(same.forall(_.getAs[Double]("delta_p") == 0.0))
+    // k cuts the mover list, not the vocabulary accounting
+    assert(TextAnalysis.tokenDrift(old, nw, k = 1).count() == 1)
+  }
+
   test("tfIdfTerms: hand-computed scores, tie order, rare-term promotion") {
     import graft.ops.TextAnalysis
     val df = Seq(
