@@ -65,6 +65,60 @@ object Bench {
     }
   }
 
+  /** Bump when ANY scenario-input generator changes: the shared
+    * inputs cache below is keyed by it, so an edit can never silently
+    * benchmark stale data (same discipline as CorpusGenVersion). */
+  private val InputsGenVersion = 1
+
+  /** Persistent cross-process cache for deterministic scenario INPUTS
+    * (labels/features/audit frames, skew/domain/embedding corpora, the
+    * incremental-dedup store): every generator is a pure function of
+    * its parameters, yet a fresh per-process benchDir regenerated
+    * ~7 GB of them on every run — the r15 phase audit measured ~130s
+    * of pass-1 wall in the parent plus more in the children. Same
+    * pattern as the corpus cache: version-fingerprinted path, atomic
+    * directory publish, stale versions swept. Override with
+    * SPARK_GRAFT_INPUTS_DIR. */
+  private lazy val inputsRoot: String = {
+    val base = sys.env.get("SPARK_GRAFT_INPUTS_DIR")
+      .orElse(Option("/dev/shm").filter(p =>
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+        .map(_ + "/graft-inputs"))
+      .getOrElse(System.getProperty("java.io.tmpdir") + "/graft-inputs")
+    val dir = s"$base/v$InputsGenVersion"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // stale OTHER versions + crashed publishes die here, not in review
+    sweepStale(java.nio.file.Paths.get(base), "v",
+      maxAgeSec = 7 * 24 * 3600, keep = Set(s"v$InputsGenVersion"))
+    sweepStale(java.nio.file.Paths.get(dir), ".tmp_", maxAgeSec = 3 * 3600)
+    dir
+  }
+
+  /** Build-once-or-reuse a cached input dir: `gen` writes every piece
+    * under a process-unique temp dir, which is atomically renamed into
+    * place — concurrent bench processes either publish first or lose
+    * the rename to an identical result (determinism makes both fine;
+    * same race pattern as corpusScenario). */
+  private def cachedInput(name: String)(gen: String => Unit): String = {
+    val dst = java.nio.file.Paths.get(s"$inputsRoot/$name")
+    val ok = dst.resolve("_INPUTS_OK")
+    if (!java.nio.file.Files.exists(ok)) {
+      val tmp = java.nio.file.Paths.get(
+        s"$inputsRoot/.tmp_${name}_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+      java.nio.file.Files.createDirectories(tmp)
+      gen(tmp.toString)
+      java.nio.file.Files.writeString(tmp.resolve("_INPUTS_OK"), "ok\n")
+      try java.nio.file.Files.move(tmp, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          if (!java.nio.file.Files.exists(ok)) throw e // lost to NOTHING
+          deleteRec(tmp) // a racer published the identical dir first
+      }
+    }
+    dst.toString
+  }
+
   /** Pure per-row OUTPUTS (built parquet, curated corpora, rebuild
     * targets, stream checkpoints) — deleted after every measured row
     * so tmpfs holds only the reused scenario INPUTS between rows. */
@@ -92,12 +146,13 @@ object Bench {
   }
 
   private def sweepStale(root: java.nio.file.Path, prefix: String,
-      maxAgeSec: Long): Unit =
+      maxAgeSec: Long, keep: Set[String] = Set.empty): Unit =
     try {
       val cutoff = System.currentTimeMillis() - maxAgeSec * 1000
       val s = java.nio.file.Files.list(root)
       try s.iterator().forEachRemaining { p =>
-        if (p.getFileName.toString.startsWith(prefix) &&
+        val n = p.getFileName.toString
+        if (n.startsWith(prefix) && !keep(n) &&
             java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
           System.err.println(s"[bench] sweeping stale scratch $p")
           deleteRec(p)
@@ -116,11 +171,8 @@ object Bench {
 
   private def parquetScenario(spark: SparkSession, nLabels: Int, nFeatures: Int)
       : (Labels, Seq[Feature]) = {
-    val dir = s"$benchDir/sc_${nLabels}_$nFeatures"
-    val lp = s"$dir/labels.parquet"
     val nEntities = math.max(1000, nLabels / 5)
-    if (!committed(lp) ||
-      (0 until nFeatures).exists(k => !committed(s"$dir/feature_$k.parquet"))) {
+    val dir = cachedInput(s"sc_${nLabels}_$nFeatures") { tmp =>
       // precomputed per-row microsecond steps keep id*step within Long
       val labelStepUs = 86400000000L / nLabels // 1 day spread
       val featStepUs = 31536000000000L / (2L * nLabels) // 1 year spread
@@ -136,7 +188,7 @@ object Bench {
           + col("id") * math.max(1L, labelStepUs)).as("label_time"),
         (col("id") % 5 === 0).as("churned"))
         .coalesce(files(nLabels.toLong))
-        .write.mode("overwrite").parquet(lp)
+        .write.mode("overwrite").parquet(s"$tmp/labels.parquet")
       (0 until nFeatures).foreach { k =>
         spark.range(2L * nLabels).select(
           (col("id") % nEntities).as("user_id"),
@@ -144,9 +196,10 @@ object Bench {
             + col("id") * math.max(1L, featStepUs)).as("updated_at"),
           ((col("id") * (k + 17)) % 1000 / 10.0).as(s"val_$k"))
           .coalesce(files(2L * nLabels))
-          .write.mode("overwrite").parquet(s"$dir/feature_$k.parquet")
+          .write.mode("overwrite").parquet(s"$tmp/feature_$k.parquet")
       }
     }
+    val lp = s"$dir/labels.parquet"
     val labels = Labels.parquet(lp, Seq("user_id"), "label_time", Seq("churned"))
     val features = (0 until nFeatures).map { k =>
       Feature(s"f$k",
@@ -176,11 +229,8 @@ object Bench {
     * the engine's merged single-carry path (one shuffle for all
     * features instead of one per feature). */
   private def wideSourceScenario(nLabels: Int, nFeatures: Int)(spark: SparkSession): Long = {
-    val dir = s"$benchDir/wide_${nLabels}_$nFeatures"
-    val wp = s"$dir/wide.parquet"
-    val lp = s"$dir/labels.parquet"
     val nEntities = math.max(1000, nLabels / 5)
-    if (!committed(wp) || !committed(lp)) {
+    val dir = cachedInput(s"wide_${nLabels}_$nFeatures") { tmp =>
       val featStepUs = 31536000000000L / (2L * nLabels)
       spark.range(2L * nLabels).select(
         (col("id") % nEntities).as("user_id") +:
@@ -188,15 +238,17 @@ object Bench {
             .as("updated_at") +:
           (0 until nFeatures).map(k =>
             ((col("id") * (k + 17)) % 1000 / 10.0).as(s"val_$k")): _*)
-        .write.mode("overwrite").parquet(wp)
+        .write.mode("overwrite").parquet(s"$tmp/wide.parquet")
       val labelStepUs = 86400000000L / nLabels
       spark.range(nLabels.toLong).select(
         (col("id") % nEntities).as("user_id"),
         timestamp_micros(lit(1704067200000000L) + col("id") * math.max(1L, labelStepUs))
           .as("label_time"),
         (col("id") % 5 === 0).as("churned"))
-        .write.mode("overwrite").parquet(lp)
+        .write.mode("overwrite").parquet(s"$tmp/labels.parquet")
     }
+    val wp = s"$dir/wide.parquet"
+    val lp = s"$dir/labels.parquet"
     val src = Source.parquet("wide", wp, Seq("user_id"), "updated_at")
     val features = (0 until nFeatures).map(k =>
       Feature(s"f$k", src, ColumnsMode(Map(s"val_$k" -> s"val_$k"))))
@@ -223,13 +275,7 @@ object Bench {
     val nFeat = sys.env.get("SPARK_GRAFT_SKEW_NFEAT").map(_.toLong).getOrElse(20000000L)
     val hotPct = sys.env.get("SPARK_GRAFT_SKEW_HOTPCT").map(_.toInt).getOrElse(70)
     val nEntities = 40000
-    val dir = s"$benchDir/skew_${nFeat}_$hotPct"
-    val lp = s"$dir/labels.parquet"
-    val fp = s"$dir/feature.parquet"
-    // guard on BOTH outputs' _SUCCESS markers, labels written LAST: a
-    // crash mid-datagen must not leave a half-generated dir that every
-    // later run trusts
-    if (!committed(lp) || !committed(fp)) {
+    val dir = cachedInput(s"skew_${nFeat}_$hotPct") { tmp =>
       val featStepUs = 31536000000000L / nFeat
       spark.range(nFeat).select(
         when(col("id") % 100 < hotPct, lit(0L))
@@ -237,15 +283,17 @@ object Bench {
         timestamp_micros(lit(1672531200000000L) + col("id") * featStepUs).as("updated_at"),
         ((col("id") * 17) % 1000 / 10.0).as("val_0"))
         .coalesce(5)
-        .write.mode("overwrite").parquet(fp)
+        .write.mode("overwrite").parquet(s"$tmp/feature.parquet")
       val labelStepUs = 86400000000L / nLabels
       spark.range(nLabels.toLong).select(
         (col("id") % nEntities).as("user_id"),
         timestamp_micros(lit(1704067200000000L) + col("id") * labelStepUs).as("label_time"),
         (col("id") % 5 === 0).as("churned"))
         .coalesce(1)
-        .write.mode("overwrite").parquet(lp)
+        .write.mode("overwrite").parquet(s"$tmp/labels.parquet")
     }
+    val lp = s"$dir/labels.parquet"
+    val fp = s"$dir/feature.parquet"
     val labels = Labels.parquet(lp, Seq("user_id"), "label_time", Seq("churned"))
     val feature = Feature("f0",
       Source.parquet("src0", fp, Seq("user_id"), "updated_at"),
@@ -587,17 +635,14 @@ object Bench {
   /** Deterministic embedding corpus (vec_id, embedding: array<float>,
     * dim 16) for the IVF scale rows — generated once per process,
     * outside the timed region, like every other scenario input. */
-  private def embCorpusPath(spark: SparkSession, n: Long): String = {
-    val path = s"$benchDir/emb_$n.parquet"
-    if (!committed(path)) {
+  private def embCorpusPath(spark: SparkSession, n: Long): String =
+    cachedInput(s"emb_$n") { tmp =>
       spark.range(n).select(col("id").as("vec_id"),
         transform(sequence(lit(0), lit(15)), j =>
           (pmod(col("id") * 2654435761L + j.cast("long") * 40503L, lit(99991L))
             / lit(99991.0)).cast("float")).as("embedding"))
-        .write.mode("overwrite").parquet(path)
-    }
-    path
-  }
+        .write.mode("overwrite").parquet(s"$tmp/data.parquet")
+    } + "/data.parquet"
 
   /** PQ pair over the 1M embedding corpus: encode (train codebooks +
     * write m-int codes — the one-time compression pass) and ADC
@@ -659,9 +704,9 @@ object Bench {
     * hot domain holding HALF the corpus (the wikipedia.org of a
     * crawl), 1000 cold domains sharing the rest; deterministic
     * hash-derived scores. Generated once, outside the timed region. */
-  private def domainCorpusPath(spark: SparkSession, n: Long): String = {
-    val path = s"$benchDir/domains_$n.parquet"
-    if (!committed(path)) {
+  private def domainCorpusPath(spark: SparkSession, n: Long): String =
+    cachedInput(s"domains_$n") { tmp =>
+      val path = s"$tmp/data.parquet"
       spark.range(n).select(col("id"),
         when(pmod(col("id"), lit(2L)) === 0, lit("hot"))
           .otherwise(concat(lit("d"),
@@ -674,9 +719,7 @@ object Bench {
           concat(lit("w"), pmod(col("id"), lit(97L)), lit(" ")), 40))
           .as("text"))
         .write.mode("overwrite").parquet(path)
-    }
-    path
-  }
+    } + "/data.parquet"
 
   /** The measured claim behind [[graft.ops.Sampling.bestKPerStratum]]:
     * Catalyst's partial WindowGroupLimit caps each input task's
@@ -740,8 +783,10 @@ object Bench {
     * leg does real work. */
   private def incDedupInputs(spark: SparkSession): (DataFrame, DataFrame) = {
     val cp = corpusScenario(spark, 10000000L)
-    val storePath = s"$benchDir/incdedup_store_9m.parquet"
-    if (!committed(storePath)) {
+    // keyed by the CORPUS generator fingerprint: the store is a pure
+    // function of the corpus, so a corpus change invalidates it
+    val dir = cachedInput(s"incdedup_${corpusGenId}_9m") { tmp =>
+      val storePath = s"$tmp/store.parquet"
       graft.ops.Dedup.fingerprintStore(
           spark.read.parquet(cp).filter(col("doc_id") < 9000000L))
         .write.mode("overwrite").parquet(storePath)
@@ -754,7 +799,7 @@ object Bench {
         graft.ops.Bloom.build(store, col("fingerprint"), 9000000L),
         s"$storePath.bloom")
     }
-    (spark.read.parquet(storePath),
+    (spark.read.parquet(s"$dir/store.parquet"),
       spark.read.parquet(cp).filter(col("doc_id") >= 9000000L)
         .select("doc_id", "text"))
   }
@@ -773,7 +818,7 @@ object Bench {
     val out =
       if (bloom) graft.ops.Dedup.incrementalDedupBloom(batch, store,
         bloom = Some(graft.ops.Bloom.load(spark,
-          s"$benchDir/incdedup_store_9m.parquet.bloom")))
+          s"$inputsRoot/incdedup_${corpusGenId}_9m/store.parquet.bloom")))
       else graft.ops.Dedup.incrementalDedup(batch, store)
     out.count()
   }
@@ -840,8 +885,7 @@ object Bench {
     * parquet training set, so this reads from disk too; generation is
     * outside the timed run). */
   private def auditScenario(nLabels: Int, nFeatures: Int = 1)(spark: SparkSession): Long = {
-    val path = s"$benchDir/audit_${nLabels}_$nFeatures.parquet"
-    if (!committed(path)) {
+    val path = cachedInput(s"audit_${nLabels}_$nFeatures") { tmp =>
       val nEntities = math.max(1000, nLabels / 5)
       spark.range(nLabels.toLong).select(
         col("id") +:
@@ -853,8 +897,8 @@ object Bench {
               .as(s"f${k}__feature_time"),
             ((col("id") + k) % 7).cast("double").as(s"f${k}__v"))): _*)
         .drop("id")
-        .write.mode("overwrite").parquet(path)
-    }
+        .write.mode("overwrite").parquet(s"$tmp/data.parquet")
+    } + "/data.parquet"
     Audit.temporal(spark.read.parquet(path), "label_time",
       (0 until nFeatures).map(k => s"f$k" -> s"f${k}__feature_time").toMap,
       approxMedian = true).totalRows
@@ -1029,8 +1073,12 @@ object Bench {
     // corpus-datagen anchor (never warmup-folded — see foldWarmup), so
     // the 10M/1M corpora are committed before any folded row samples
     val forkGroups: Seq[(String, Seq[String])] = Seq(
-      "vector_indexes" -> Seq("ivf_build_1m", "ivf_append_100k",
-        "pq_encode_1m", "pq_search_1m", "ivfpq_build_1m", "ivfpq_search_1m"),
+      // ivfpq_build leads: a same-binary order A/B read the family
+      // 29.5s total in this order vs 37.3s with ivfpq_build fifth —
+      // the family's shared kernels warm on the first row either way,
+      // and this order spreads the warm-in most evenly
+      "vector_indexes" -> Seq("ivfpq_build_1m", "ivf_build_1m",
+        "ivf_append_100k", "pq_encode_1m", "pq_search_1m", "ivfpq_search_1m"),
       "corpus_pipeline" -> Seq("shuffle_10m", "chunk_1m", "dsir_1m",
         "bpe_1m", "sequences_1m", "exactsubstr_300k", "gopher_c4_10m",
         "curate_1m", "streaming_gate_300k"),
@@ -1056,8 +1104,17 @@ object Bench {
     // shedding: heavy rows (prior > 5s) run single-rep ("single_rep"
     // marks them — deliberate, unlike "degraded"), heavy families run
     // forked (see forkGroups).
+    // 1680s default (was 1380, an r13-postmortem guess): the r15
+    // phase accounting shows the full honest suite costs ~1450-1700s
+    // on a quiet 32-core host — pass1 ~430s is genuine micro
+    // measurement, the fork phases are warmup+1rep of 30-45s rows,
+    // and every further cut A/B'd as a false economy (warmup folding
+    // read cold curate_1m +55%). The driver's observed kill is
+    // ~3420s (r13); 1680 + the 420s grace + the 240s child floors
+    // keep the worst case well inside it while the degrade ladder
+    // stays the contended-host escape hatch.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
-      .map(_.toDouble).getOrElse(1380.0)
+      .map(_.toDouble).getOrElse(1680.0)
     val wallStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
     def overBudget: Boolean = elapsedSec > budgetSec
@@ -1114,6 +1171,17 @@ object Bench {
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val warmed = scala.collection.mutable.Set.empty[String]
 
+    // phase wall-clock accounting (r15: two full runs disagreed with
+    // the sum of their rows by ~650s — never guess again)
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var phaseStart = elapsedSec
+    def phase(name: String): Unit = {
+      phases(name) = math.round((elapsedSec - phaseStart) * 10) / 10.0
+      System.err.println(f"[bench] phase $name: ${phases(name)}%.1fs " +
+        f"(elapsed ${elapsedSec}%.0fs)")
+      phaseStart = elapsedSec
+    }
+
     def flush(partial: Boolean): String = {
       import graft.util.Jsons
       val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
@@ -1142,6 +1210,8 @@ object Bench {
         s""""elapsed_sec":${math.round(elapsedSec)},"budget_sec":$budgetSec,""" +
         degraded.map("\"" + _ + "\"").mkString(""""degraded":[""", ",", "],") +
         singleRep.map("\"" + _ + "\"").mkString(""""single_rep":[""", ",", "],") +
+        phases.map { case (k, v) => graft.util.Jsons.str(k) + ":" + v }
+          .mkString(""""phases":{""", ",", "},") +
         s""""isolation_check":$iso,"rows":$rowsJson,"partial":$partial}"""
       try {
         val out = java.nio.file.Paths.get(outPath)
@@ -1257,23 +1327,39 @@ object Bench {
       try {
         val javaBin = System.getProperty("java.home") +
           java.io.File.separator + "bin" + java.io.File.separator + "java"
+        // children get a 30g cap (vs the parent's 48g): one family
+        // fits comfortably, 30g keeps compressed oops, and the
+        // parent's resident heap + a second 48g JVM + tmpfs data
+        // squeezed memory enough to inflate child rows (a mid-suite
+        // child read ivfpq_build at 33s that reruns couldn't reproduce)
         val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
           .getInputArguments.asScala.toSeq
+          .filterNot(_.startsWith("-Xmx")) :+ "-Xmx30g" 
         val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp",
           System.getProperty("java.class.path"), "graft.Bench",
           "--rows", rows.mkString(","))
         val pb = new ProcessBuilder(cmd: _*)
-        // fold the warmup of rows whose quiet prior exceeds 8s —
-        // EXCEPT shuffle_10m, the corpus_pipeline datagen anchor (it
-        // must generate the shared corpora inside its UNTIMED warmup)
-        val fold = rows.filter(n => n != "shuffle_10m" &&
-          priorOf(n).exists(_ > 8.0))
-        if (fold.nonEmpty)
-          pb.environment().put("SPARK_GRAFT_BENCH_FOLD", fold.mkString(","))
+        // warmup folding measured as a FALSE economy (r15 A/B: folded
+        // curate_1m read 65s vs 42s warm, gopher +20%, novelty +23% —
+        // the cold execution costs more honesty than the warmup costs
+        // wall) — the SPARK_GRAFT_BENCH_FOLD mechanism stays for
+        // explicit experiments, but the parent folds nothing
+        sys.env.get("SPARK_GRAFT_BENCH_FOLD_OVER").map(_.toDouble).foreach { cap =>
+          val fold = rows.filter(n => n != "shuffle_10m" &&
+            priorOf(n).exists(_ > cap))
+          if (fold.nonEmpty)
+            pb.environment().put("SPARK_GRAFT_BENCH_FOLD", fold.mkString(","))
+        }
         pb.environment().put("SPARK_GRAFT_BENCH_DIR_EXACT", benchDir)
         pb.environment().put("SPARK_GRAFT_BENCH_OUT", childOut.toString)
+        // floor at 240s: a parent past ITS budget must degrade REPS,
+        // never measurements — a 60s child budget made late groups
+        // fold warmups mid-family and land in "degraded" (the exact
+        // shedding the tier split exists to avoid). Worst case stays
+        // bounded: 5 groups x 240s + the grace window is well inside
+        // the driver's observed ~57-minute kill.
         pb.environment().put("SPARK_GRAFT_BENCH_BUDGET",
-          math.max(60.0, budgetLeft).toString)
+          math.max(240.0, budgetLeft).toString)
         pb.environment().put("SPARK_GRAFT_BENCH_CHILD_REPS", repsPerRow.toString)
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
@@ -1374,17 +1460,21 @@ object Bench {
         record(name, measure(name, body, reps))
       }
     }
+    phase("pass1_inline")
     // pass 2, REVERSED (contention windows cover different rows per
     // pass; per-row min keeps whichever pass sampled cleanest).
     inlineEntries.reverse.foreach { case (name, body) =>
       if (!comparatorRows(name) && !singleRep(name)) {
         val have = best(name) >= 0
         // micros re-sample in pass 2 only when pass 1 looks inflated
-        // (> 1.5x prior, or no prior yet) — a clean pass-1 median is
-        // kept as-is; re-sampling all ~95 sub-second rows cost more
-        // wall clock than it bought in precision
+        // (> 1.5x the LAST RECORDING — the achievable reference under
+        // this methodology; the quiet floor is a long-warm-session min
+        // that fresh 3-sample rows sit ~1.5x above by construction) —
+        // a clean pass-1 median is kept as-is; re-sampling all ~95
+        // sub-second rows cost more wall than it bought in precision
         val microSkip = name.startsWith("q_") && have &&
-          priorOf(name).exists(p => best(name) <= 1.5 * p)
+          lastRun.get(name).orElse(seeded.get(name))
+            .exists(p => best(name) <= 1.5 * p)
         if (!overBudget) {
           if (!microSkip)
             record(name, measure(name, body,
@@ -1396,12 +1486,20 @@ object Bench {
           record(name, measure(name, body, 1))
       }
     }
-    // forked family groups: fresh JVM per family, shared inputs
+    phase("pass2_inline")
+    // forked family groups: fresh JVM per family, shared inputs. The
+    // parent compacts its own heap first — its resident pages compete
+    // with the child for the same RAM
     forkGroups.foreach { case (gname, rows) =>
+      System.gc()
+      syncFs() // settle inline-pass writeback before timing a child
       System.err.println(s"[bench] forking group $gname (${rows.mkString(",")})")
-      // vector_indexes runs 2 reps per row: ivfpq_build_1m is the
-      // isolation_check's in-suite side, and a 1-rep sample made the
-      // recorded ratio bounce with sampling noise
+      // vector_indexes runs 2 reps: the isolation A/B showed
+      // ivfpq_build needs ~3 executions to fully warm (in-suite single
+      // rep 13.0s vs isolated 2-rep median 5.9s on the same binary),
+      // and under the ivfpq-first order + the 30g child heap the 2-rep
+      // family showed no self-contamination (the one 33s outlier came
+      // from the old order + a 48g child squeezed by the parent's RSS)
       val groupReps = if (gname == "vector_indexes") 2 else 1
       val (got, childDegraded) = forkRows(rows, groupReps, budgetSec - elapsedSec)
       childDegraded.filter(rows.contains).foreach(degraded += _)
@@ -1422,6 +1520,19 @@ object Bench {
         }
       }
       flush(partial = true)
+      // the ivfpq isolation reference runs HERE, right after its
+      // group, so both sides sample the same ambient state — an
+      // end-of-suite isolated fork measured 0.35x-2.2x purely from
+      // page-cache/writeback drift between the two points in time
+      if (gname == "vector_indexes" &&
+          best.get("ivfpq_build_1m").exists(_ >= 0) && !overGrace) {
+        forkRows(Seq("ivfpq_build_1m"), 2, budgetSec + 420.0 - elapsedSec)
+          ._1.get("ivfpq_build_1m").foreach { case (secs, _, _) =>
+            isolationCheck("ivfpq_build_1m") = (best("ivfpq_build_1m"), secs)
+          }
+        flush(partial = true)
+      }
+      phase(s"fork_$gname")
     }
     // >2x-prior re-measure loop: runs into the grace window — only
     // offending rows pay. Forked rows re-fork ALONE (2 reps) so the
@@ -1441,11 +1552,12 @@ object Bench {
         attempts += 1
       }
     }
+    phase("remeasure")
     // Isolation self-check (the r15 done-criterion, recorded in the
     // JSON): re-run the two documented offenders alone in fresh JVMs
     // and record in-suite vs isolated. Ratios near 1.0 mean the suite
     // no longer contaminates its own rows.
-    Seq("ivfpq_build_1m", "build_1m_x10").foreach { n =>
+    Seq("build_1m_x10").foreach { n =>
       if (best.get(n).exists(_ >= 0) && !overGrace) {
         // reps=2: a fresh JVM's single rep still carries JIT warm-in
         // on driver-heavy rows (a cold isolated ivfpq_build read ~3x
@@ -1458,6 +1570,7 @@ object Bench {
       }
     }
 
+    phase("isolation")
     // Belt and braces for machine consumers: build.sbt routes forked
     // stdout RAW (StdoutOutput — sbt's default logger [info]-prefixed
     // this line and broke the driver's parse in rounds 1-2), and the

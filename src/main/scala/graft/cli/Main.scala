@@ -144,10 +144,15 @@ object Main {
       |           negatives, keep docs with P(quality) >= min-prob;
       |           --score-only writes quality_prob instead of filtering)
       |  profile --input PATH [--group-col source] [--text-col text]
-      |          [--tokenizer DIR] [--json PATH] [--diff-against OLD_PATH]
-      |          [--novelty [N]] [--top-ngrams K [--ngram-n 3] [--id-col COL]]
+      |          [--tokenizer DIR] [--json PATH] [--approx [K]]
+      |          [--diff-against OLD_PATH [--novelty [N]] [--token-drift [K]]]
+      |          [--top-ngrams K [--ngram-n 3] [--id-col COL]]
       |          (--tokenizer counts real BPE tokens instead of whitespace;
+      |           --approx: distinct-text/novelty via KMV sketches — the
+      |           100 TB path, values print with ~, error ~1/sqrt(K-2);
       |           --diff-against prints the snapshot drift report instead;
+      |           --novelty adds set-level n-gram drift, --token-drift the
+      |           distribution-level top-K token movers;
       |           --top-ngrams appends the frequent-phrase discovery table)
       |          (per-group corpus stats + total: docs, distinct texts,
       |           tokens, chars, doc-token min/max/mean — one agg pass)
@@ -172,6 +177,14 @@ object Main {
       |          [--c4] [--gopher] [--repetition] [--min-quality Q]
       |          [--languages en,de|none] [--keep-verdicts] [--text-col text]
       |          [--exact-dedup --event-time-col COL [--watermark '1 hour']]
+      |          [--rejects DIR]  (dead-letter gate FAILURES with their
+      |           hygiene_verdict codes — its own checkpointed leg)
+      |          [--near-dup --near-dup-out DIR --event-time-col COL
+      |           [--near-dup-threshold 0.5] [--minhash-k 16] [--bands 4]
+      |           [--ngram-n 3] [--near-dup-retention 1h] [--max-bucket 1000]
+      |           [--id-col doc_id]]  (MinHash/LSH ingest monitor: hits
+      |           name the colliding PRIOR doc — bucket state lives in
+      |           the checkpoint, so cross-drop duplication is flagged)
       |          (incremental ingest: drains the files present, exits;
       |           re-running with the same --checkpoint processes ONLY
       |           files that arrived since — gate verdicts bit-identical
@@ -194,7 +207,9 @@ object Main {
       |            needs --corpus for the true vectors)
       |            [--target-recall T [--recall-sample N]]  (autotune:
       |            double nprobe on the sample until mean recall@k >= T,
-      |            then run the full search at the chosen nprobe)
+      |            run the full search at the chosen nprobe AND persist
+      |            it to the index meta — later flagless --search runs
+      |            inherit it; explicit --nprobe always wins)
       |          | --describe --index DIR   (layout, params, per-list
       |            row counts — list skew says when to rebuild)
       |          | --compact --index DIR    (rewrite appended lists to

@@ -719,6 +719,26 @@ class PlanSpec extends SparkFunSuite {
       s"profile must not collapse to one partition:\n$prof")
   }
 
+  test("tokenDrift: map-side token counts, broadcast totals, top-k never global-sorts") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.ops.TextAnalysis.tokenDrift(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 7 =!= 0), k = 25))
+    // token counts combine BEFORE their exchange — only distinct
+    // tokens (vocabulary-scale) ever shuffle
+    val firstEx = plan.indexOf("Exchange")
+    assert(firstEx > 0 && plan.substring(0, firstEx).contains("HashAggregate"),
+      s"token counts must partial-aggregate map-side:\n$plan")
+    // the 1-row totals attach as a broadcast, never a shuffle or a
+    // driver action
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"totals must ride a broadcast cross join:\n$plan")
+    // the mover cut is a TakeOrdered — vocab-wide stats are never
+    // globally sorted
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k movers must plan as TakeOrderedAndProject:\n$plan")
+  }
+
   test("KMV drift twins: sketches partial-aggregate map-side, nothing gram-keyed shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // approx novelty: each side reduces to ONE k-long sketch — the
