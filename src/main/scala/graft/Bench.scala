@@ -1253,13 +1253,20 @@ object Bench {
           times += t
           budget -= t
         }
-        Some(median(times.toSeq))
+        // MIN of reps, not median: the suite's own noise model (see
+        // the pass-ordering comment) holds that noise on this host is
+        // strictly additive — nothing makes a rep run faster than the
+        // code allows — and a median of TWO reps is a mean, which one
+        // pathological rep poisons (a 2-rep isolated child recorded
+        // ivfpq_build at 46.8s because one rep hit a reclaim storm the
+        // other rep's 8s disproved)
+        Some(times.min)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           // keep measurements already collected: a run that dies on the
           // 2nd or 3rd rep still produced valid timings
-          if (times.nonEmpty) Some(median(times.toSeq)) else None
+          if (times.nonEmpty) Some(times.min) else None
       } finally {
         spark.catalog.clearCache()
         try spark.sparkContext.getPersistentRDDs.values
