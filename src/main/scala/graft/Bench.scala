@@ -61,6 +61,7 @@ object Bench {
         val dir = java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get(root), "graft_bench")
         Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(dir)))
+        startHeartbeat(dir) // keeps a concurrent bench's sweep off us
         dir.toString
     }
   }
@@ -145,6 +146,28 @@ object Bench {
       catch { case _: Exception => () } // best-effort: scratch hygiene
   }
 
+  /** Heartbeat marker a live run keeps fresh inside its scratch root.
+    * A directory's own mtime only tracks direct-child changes — a long
+    * run writing into nested subdirs looks idle at the top level and a
+    * newly started bench would sweep its scratch out from under it.
+    * Liveness = a fresh heartbeat OR a fresh top-level mtime. */
+  private val HeartbeatName = "_GRAFT_ALIVE"
+
+  private def startHeartbeat(dir: java.nio.file.Path): Unit = {
+    val hb = dir.resolve(HeartbeatName)
+    val t = new Thread(() => {
+      while (true) {
+        try java.nio.file.Files.writeString(hb,
+          s"${ProcessHandle.current().pid()}\n")
+        catch { case _: Exception => () }
+        Thread.sleep(60000)
+      }
+    })
+    t.setDaemon(true)
+    t.setName("graft-bench-heartbeat")
+    t.start()
+  }
+
   private def sweepStale(root: java.nio.file.Path, prefix: String,
       maxAgeSec: Long, keep: Set[String] = Set.empty): Unit =
     try {
@@ -152,8 +175,16 @@ object Bench {
       val s = java.nio.file.Files.list(root)
       try s.iterator().forEachRemaining { p =>
         val n = p.getFileName.toString
-        if (n.startsWith(prefix) && !keep(n) &&
-            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+        val lastAlive =
+          try {
+            val top = java.nio.file.Files.getLastModifiedTime(p).toMillis
+            val hb = p.resolve(HeartbeatName)
+            if (java.nio.file.Files.exists(hb))
+              math.max(top,
+                java.nio.file.Files.getLastModifiedTime(hb).toMillis)
+            else top
+          } catch { case _: Exception => Long.MaxValue } // raced: skip
+        if (n.startsWith(prefix) && !keep(n) && lastAlive < cutoff) {
           System.err.println(s"[bench] sweeping stale scratch $p")
           deleteRec(p)
         }
@@ -1043,8 +1074,18 @@ object Bench {
     // orchestration can be exercised without a full 20-minute run.
     // Never set by the driver.
     val rowFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    // r16 rotation (budget fit, VERDICT r15): novelty_10m_exact has
+    // made its point — BENCH_r15 holds the exact-vs-approx delta
+    // (33.2s vs 29.4s locally; the structural win, the removed
+    // gram-keyed exchange, is PlanSpec-pinned) and the exact path
+    // keeps its CORRECTNESS oracle row. ~35s of suite comes out;
+    // SPARK_GRAFT_BENCH_ROTATED=1 restores rotated comparators for
+    // an explicit re-measure.
+    val rotatedRows: Set[String] =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ROTATED")) Set.empty
+      else Set("novelty_10m_exact")
     def keepRow(n: String): Boolean =
-      rowFilter.forall(_.findFirstIn(n).isDefined)
+      rowFilter.forall(_.findFirstIn(n).isDefined) && !rotatedRows(n)
     val entries = (operatorQueries ++ scenarios).filter(e => keepRow(e._1))
     val entryMap = entries.toMap
 
@@ -1104,17 +1145,18 @@ object Bench {
     // shedding: heavy rows (prior > 5s) run single-rep ("single_rep"
     // marks them — deliberate, unlike "degraded"), heavy families run
     // forked (see forkGroups).
-    // 1680s default (was 1380, an r13-postmortem guess): the r15
-    // phase accounting shows the full honest suite costs ~1450-1700s
-    // on a quiet 32-core host — pass1 ~430s is genuine micro
-    // measurement, the fork phases are warmup+1rep of 30-45s rows,
-    // and every further cut A/B'd as a false economy (warmup folding
-    // read cold curate_1m +55%). The driver's observed kill is
-    // ~3420s (r13); 1680 + the 420s grace + the 240s child floors
-    // keep the worst case well inside it while the degrade ladder
-    // stays the contended-host escape hatch.
+    // 1980s default (r16; was 1680): the budget is the fit-GUARANTEE,
+    // so it must cover the measured DRIVER-host envelope, not the
+    // builder's quiet run — the r15 driver recording cost 1849s under
+    // ~1.5x ambient loadavg inflation vs the builder's quiet 1570s.
+    // Arithmetic: 1849 measured, −~35s (novelty_10m_exact rotated
+    // out), +~40s (the new ivf_build_1m isolation fork) ≈ 1855,
+    // +~7% ambient margin → 1980. Worst case stays well inside the
+    // driver's observed ~3420s kill: 1980 + the 420s grace + one
+    // 240s child floor = 2640s. The degrade ladder remains the
+    // escape hatch for a pathologically contended host.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
-      .map(_.toDouble).getOrElse(1680.0)
+      .map(_.toDouble).getOrElse(1980.0)
     val wallStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
     def overBudget: Boolean = elapsedSec > budgetSec
@@ -1205,7 +1247,13 @@ object Bench {
           "ratio" -> (if (isoV > 0) Some(math.round(ins / isoV * 1000) / 1000.0)
                       else None))
       }.mkString("{", ",", "}")
-      val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      // "stat" stamps the per-row statistic (min over reps since
+      // commit 4294b67 — additive-noise rationale there), and
+      // "baseline_stat" what BASELINE.md's reference numbers are
+      // (median-of-3) — a machine consumer comparing the two must see
+      // the statistics differ
+      val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""stat":"min","baseline_stat":"median","queries":$qs,""" +
         s""""sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":${loadavg()},""" +
         s""""elapsed_sec":${math.round(elapsedSec)},"budget_sec":$budgetSec,""" +
         degraded.map("\"" + _ + "\"").mkString(""""degraded":[""", ",", "],") +
@@ -1365,8 +1413,8 @@ object Bench {
         // shedding the tier split exists to avoid). Worst case stays
         // bounded: 5 groups x 240s + the grace window is well inside
         // the driver's observed ~57-minute kill.
-        pb.environment().put("SPARK_GRAFT_BENCH_BUDGET",
-          math.max(240.0, budgetLeft).toString)
+        val childBudget = math.max(240.0, budgetLeft)
+        pb.environment().put("SPARK_GRAFT_BENCH_BUDGET", childBudget.toString)
         pb.environment().put("SPARK_GRAFT_BENCH_CHILD_REPS", repsPerRow.toString)
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
@@ -1383,7 +1431,12 @@ object Bench {
         })
         pump.setDaemon(true)
         pump.start()
-        val deadline = math.max(180L, budgetLeft.toLong + 300L)
+        // the kill deadline derives from the budget the child was
+        // actually GRANTED (floored at 240s above) — deriving it from
+        // budgetLeft let a parent >60s over budget kill late children
+        // mid-family and fall back to inline measurement in the
+        // contaminated parent JVM, the exact pollution forking avoids
+        val deadline = childBudget.toLong + 300L
         if (!proc.waitFor(deadline, java.util.concurrent.TimeUnit.SECONDS)) {
           System.err.println(
             s"[bench] child for ${rows.mkString(",")} timed out — killed " +
@@ -1527,17 +1580,25 @@ object Bench {
         }
       }
       flush(partial = true)
-      // the ivfpq isolation reference runs HERE, right after its
-      // group, so both sides sample the same ambient state — an
+      // the build-row isolation references run HERE, right after
+      // their group, so both sides sample the same ambient state — an
       // end-of-suite isolated fork measured 0.35x-2.2x purely from
-      // page-cache/writeback drift between the two points in time
-      if (gname == "vector_indexes" &&
-          best.get("ivfpq_build_1m").exists(_ >= 0) && !overGrace) {
-        forkRows(Seq("ivfpq_build_1m"), 2, budgetSec + 420.0 - elapsedSec)
-          ._1.get("ivfpq_build_1m").foreach { case (secs, _, _) =>
-            isolationCheck("ivfpq_build_1m") = (best("ivfpq_build_1m"), secs)
+      // page-cache/writeback drift between the two points in time.
+      // ivf_build_1m joined ivfpq_build_1m in r16: its r15 driver row
+      // read 2.36x its quiet prior while its sibling's isolation
+      // check cleared at 1.179 — running second in the family at
+      // loadavg 21.8 said contention, but only a same-ambient
+      // isolated fork makes that self-adjudicating.
+      if (gname == "vector_indexes") {
+        Seq("ivfpq_build_1m", "ivf_build_1m").foreach { n =>
+          if (best.get(n).exists(_ >= 0) && !overGrace) {
+            forkRows(Seq(n), 2, budgetSec + 420.0 - elapsedSec)
+              ._1.get(n).foreach { case (secs, _, _) =>
+                isolationCheck(n) = (best(n), secs)
+              }
+            flush(partial = true)
           }
-        flush(partial = true)
+        }
       }
       phase(s"fork_$gname")
     }

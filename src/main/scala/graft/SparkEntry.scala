@@ -3584,8 +3584,8 @@ object SparkEntry {
         |        count(*) AS n_docs
         |      FROM documents GROUP BY ROLLUP(source))
         |SELECT c.source, c.is_total, c.n_docs,
-        |  round(e.est, 3) AS n_unique_texts_approx
-        |FROM c JOIN (SELECT * FROM e0 UNION ALL SELECT * FROM e1) e
+        |  COALESCE(round(e.est, 3), 0.0) AS n_unique_texts_approx
+        |FROM c LEFT JOIN (SELECT * FROM e0 UNION ALL SELECT * FROM e1) e
         |  ON c.source IS NOT DISTINCT FROM e.source AND c.is_total = e.is_total
         |ORDER BY c.is_total, c.source""".stripMargin,
 

@@ -63,7 +63,12 @@ object KmvSketch {
     * over 1.2B grams; same convention as Dedup's md5Hash/xxHash pair:
     * md5 only exists for DuckDB oracle portability). */
   def hash52Fast(c: Column): Column =
-    shiftrightunsigned(xxhash64(c), 12)
+    // xxhash64(NULL) returns the SEED, not NULL — without the guard a
+    // null input hashes to a real value and the sketch counts it as an
+    // extra distinct, diverging from hash52 (md5 of NULL is NULL) and
+    // from exact countDistinct
+    when(c.isNull, lit(null).cast("long"))
+      .otherwise(shiftrightunsigned(xxhash64(c), 12))
 
   /** The sketch aggregate: ascending array of the (at most) k smallest
     * distinct values of `hash` (null hashes are skipped, like every

@@ -981,18 +981,35 @@ object Similarity {
     } catch { case _: Exception => Map.empty } // advisory — never fail a read
   }
 
-  /** Merge `kv` into the index's `meta.json` (read-modify-write; same
-    * one-writer contract as append). */
+  /** Merge `kv` into the index's `meta.json`. The write goes through a
+    * temp file + rename (same pattern as the index lifecycle): a plain
+    * overwrite-create left a window where a reader hitting a torn
+    * meta.json silently degraded to the blind nprobe default,
+    * discarding a paid tuning, and two concurrent `--target-recall`
+    * runs could interleave create() halves. Rename makes each publish
+    * all-or-nothing; last-writer-wins on the MERGED map is the most a
+    * hint file needs (the advisory read fallback stays). */
   def updateIndexMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, kv: Map[String, String]): Unit = {
     val merged = readIndexMeta(spark, path) ++ kv
     val p = new org.apache.hadoop.fs.Path(path, "meta.json")
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s".meta_${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(graft.util.Jsons.obj(
         merged.toSeq.sortBy(_._1).map { case (k, v) => k -> (v: Any) }: _*)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    try {
+      fs.delete(p, false) // HDFS rename won't clobber an existing file
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"rename $tmp -> $p returned false")
+    } catch {
+      case e: Exception =>
+        fs.delete(tmp, false)
+        throw e
+    }
   }
 
   /** Compact a persisted index in place: each append leaves one file
