@@ -58,6 +58,51 @@ object SparkEntry {
     s"concat_ws(chr(10), '$HygieneL1', substr(text, 1, 160) || " +
       s"'$HygieneTailSuffix', '$HygieneL3', '$HygieneL4', '$HygieneL5')"
 
+  // ---- q_lang_id_profiles planted docs (shared by the Spark query
+  // and its DuckDB oracle; the sf corpus is synthetic English-ish, so
+  // a multilingual operator needs planted multilingual inputs — same
+  // convention as the hygiene rows). Doc 21 has no letters → 'und'.
+  private[graft] val LangIdDocs: Seq[(Int, String)] = Seq(
+    1 -> "The children are playing in the park and the weather is very nice today but we have to go home now",
+    2 -> "Die Kinder spielen im Park und das Wetter ist heute sehr schön aber wir müssen nach Hause gehen",
+    3 -> "Les enfants jouent dans le parc et le temps est très beau aujourd'hui mais nous devons rentrer à la maison",
+    4 -> "Los niños juegan en el parque y el tiempo es muy bueno hoy pero tenemos que volver a casa",
+    5 -> "As crianças brincam no parque e o tempo está muito bom hoje mas temos que voltar para casa",
+    6 -> "I bambini giocano nel parco e il tempo è molto bello oggi ma dobbiamo tornare a casa perché è tardi",
+    7 -> "De kinderen spelen in het park en het weer is vandaag erg mooi maar we moeten naar huis gaan",
+    8 -> "Дети играют в парке и погода сегодня очень хорошая но мы должны идти домой",
+    9 -> "Τα παιδιά παίζουν στο πάρκο και ο καιρός είναι πολύ καλός σήμερα αλλά πρέπει να πάμε σπίτι",
+    10 -> "הילדים משחקים בפארק ומזג האוויר טוב מאוד היום אבל אנחנו צריכים ללכת הביתה",
+    11 -> "الأطفال يلعبون في الحديقة والطقس جميل جدا اليوم ولكن يجب أن نعود إلى المنزل",
+    12 -> "बच्चे पार्क में खेल रहे हैं और आज मौसम बहुत अच्छा है लेकिन हमें घर जाना है",
+    13 -> "เด็กเล่นในสวนสาธารณะและอากาศวันนี้ดีมากแต่เราต้องกลับบ้าน",
+    14 -> "孩子们在公园里玩耍今天天气很好但是我们必须回家了",
+    15 -> "子供たちは公園で遊んでいます今日は天気がとても良いですが家に帰らなければなりません",
+    16 -> "아이들이 공원에서 놀고 있습니다 오늘 날씨가 매우 좋지만 우리는 집에 가야 합니다",
+    17 -> "Çocuklar parkta oynuyor ve bugün hava çok güzel ama eve gitmemiz gerekiyor",
+    18 -> "Dzieci bawią się w parku a pogoda jest dziś bardzo ładna ale musimy wracać do domu",
+    19 -> "Lapset leikkivät puistossa ja sää on tänään erittäin kaunis mutta meidän täytyy mennä kotiin",
+    20 -> "Trẻ em chơi trong công viên và thời tiết hôm nay rất đẹp nhưng chúng ta phải về nhà",
+    21 -> "12345 67890 --- !!! ???")
+
+  private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The planted docs as a DuckDB VALUES list (same bytes as the
+    * Spark side). */
+  private def langIdDocsSql: String =
+    LangIdDocs.map { case (id, s) => s"($id, ${sqlQuote(s)})" }.mkString(", ")
+
+  /** The derived language profiles as a compact DuckDB VALUES list:
+    * (lang, 'gram gram …') with position = rank — grams never contain
+    * a space (words are letter runs, the pad is '_'), so the oracle
+    * re-derives (lang, gram, rank) with a zipped unnest. Rendered from
+    * [[graft.functions.LangId.Profiles]], the SAME data object the
+    * kernel scores against: a seed edit can never desync the oracle. */
+  private def langIdProfilesSql: String =
+    graft.functions.LangId.Profiles.map { case (lang, grams) =>
+      s"('$lang', ${sqlQuote(grams.map(_._1).mkString(" "))})"
+    }.mkString(", ")
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read nanos as long (legacy conf) and floor-convert
     * to microsecond timestamps (integral `div` — a double division
@@ -355,6 +400,19 @@ object SparkEntry {
         col("doc_id"),
         graft.ops.TextAnalysis.langId(col("text")).as("lang_id")
       ).orderBy("doc_id")),
+    // Real multi-language ID: Cavnar–Trenkle char-n-gram rank
+    // profiles over ~55 languages (one codegen kernel pass; profiles
+    // are deterministic embedded data the oracle re-renders). Planted
+    // multilingual docs — the sf corpus is English-ish synthetic.
+    "q_lang_id_profiles" -> ((s, dir) => {
+      import s.implicits._
+      val scored = graft.ops.TextAnalysis.langIdProfilesScored(col("text"))
+      LangIdDocs.toDF("doc_id", "text").select(
+        col("doc_id"),
+        scored.getField("lang").as("lang"),
+        scored.getField("dist").as("dist")
+      ).orderBy("doc_id")
+    }),
     // Document fingerprinting (md5 of normalized text)
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1652,6 +1710,54 @@ object SparkEntry {
         |       WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
         |       ELSE 'de' END AS lang_id
         |FROM hits ORDER BY doc_id""".stripMargin,
+
+    // Full rank-profile replay: same planted docs, same profile data
+    // (rendered from LangId.Profiles — position in the gram string IS
+    // the rank), same out-of-place math: doc grams are ALL 1/2/3-grams
+    // of '_'-padded letter-run words, ranked by (count desc, gram
+    // binary asc), top 200; distance to a language = sum of
+    // |docRank - profileRank| with penalty 150 (ProfileSize) for
+    // grams absent from the profile; smallest distance wins, ties to
+    // the smaller code. Letter-less docs fall out of every CTE and
+    // replay as ('und', 0) through the LEFT JOIN.
+    "q_lang_id_profiles" ->
+      s"""WITH docs(doc_id, text) AS (VALUES $langIdDocsSql),
+        |w0 AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(regexp_replace(text, '[^\\p{L}]+', ' ', 'g')), ' '),
+        |    x -> len(x) > 0)) AS word
+        |  FROM docs),
+        |pw AS (SELECT doc_id, '_' || word || '_' AS w FROM w0),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)) ||
+        |    list_transform(generate_series(1, len(w) - 1), i -> substr(w, i, 2)) ||
+        |    list_transform(generate_series(1, len(w) - 2), i -> substr(w, i, 3))) AS gram
+        |  FROM pw),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |r AS (SELECT doc_id, gram,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk
+        |      FROM c),
+        |d AS (SELECT doc_id, gram, rk FROM r WHERE rk <= 200),
+        |p0(lang, grams) AS (VALUES $langIdProfilesSql),
+        |p AS (SELECT lang,
+        |        unnest(str_split(grams, ' ')) AS gram,
+        |        unnest(generate_series(1, len(str_split(grams, ' ')))) AS prank
+        |      FROM p0),
+        |dist AS (
+        |  SELECT d.doc_id, l.lang,
+        |    sum(CASE WHEN p.prank IS NULL THEN 150 ELSE abs(d.rk - p.prank) END) AS dist
+        |  FROM d CROSS JOIN (SELECT lang FROM p0) l
+        |  LEFT JOIN p ON p.lang = l.lang AND p.gram = d.gram
+        |  GROUP BY 1, 2),
+        |best AS (SELECT doc_id, lang, dist,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+        |         FROM dist)
+        |SELECT docs.doc_id,
+        |  COALESCE(b.lang, 'und') AS lang,
+        |  CAST(COALESCE(b.dist, 0) AS BIGINT) AS dist
+        |FROM docs LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        |ORDER BY docs.doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -94,6 +94,23 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Real multi-language ID: the Cavnar–Trenkle character n-gram
+    * rank-profile classifier over ~55 languages
+    * ([[graft.functions.LangId]] — one codegen kernel pass, profiles
+    * are deterministic embedded data). `und` for letter-less or NULL
+    * text. The 4-language stopword heuristic above ([[langId]]) stays
+    * as the cheap English-centric fallback. */
+  def langIdProfiles(text: Column): Column =
+    coalesce(
+      graft.functions.LangId.langIdProfilesScored(text).getField("lang"),
+      lit("und"))
+
+  /** [[langIdProfiles]] with the winning out-of-place distance kept —
+    * the confidence signal (smaller = closer to the profile; compare
+    * against `ProfileSize * doc grams` for a normalized score). */
+  def langIdProfilesScored(text: Column): Column =
+    graft.functions.LangId.langIdProfilesScored(text)
+
   /** Composite quality score in [0, 1]: rewards reasonable length,
     * moderate punctuation, presence of stopwords, typical word length.
     * Weights are heuristic; the VALUE is being cheap enough to run on

@@ -27,6 +27,56 @@ class OpsSpec extends SparkFunSuite {
     assert(df(3L).getInt(1) == 1)
   }
 
+  test("lang-id profiles: planted multilingual text, und fallback, determinism") {
+    import graft.functions.LangId
+    // profile data sanity: ≥50 languages, ranks contiguous from 1,
+    // grams unique per language
+    assert(LangId.Profiles.size >= 50)
+    LangId.Profiles.foreach { case (lang, grams) =>
+      assert(grams.nonEmpty && grams.size <= LangId.ProfileSize, lang)
+      assert(grams.map(_._2) == (1 to grams.size), lang)
+      assert(grams.map(_._1).distinct.size == grams.size, lang)
+    }
+    // planted sentences in clearly-separated languages
+    val planted = Seq(
+      1 -> ("en", "The children are playing in the park and the weather is very nice today but we have to go home now"),
+      2 -> ("de", "Die Kinder spielen im Park und das Wetter ist heute sehr schön aber wir müssen nach Hause gehen"),
+      3 -> ("fr", "Les enfants jouent dans le parc et le temps est très beau aujourd'hui mais nous devons rentrer à la maison"),
+      4 -> ("es", "Los niños juegan en el parque y el tiempo es muy bueno hoy pero tenemos que volver a casa"),
+      5 -> ("it", "I bambini giocano nel parco e il tempo è molto bello oggi ma dobbiamo tornare a casa perché è tardi"),
+      6 -> ("ru", "Дети играют в парке и погода сегодня очень хорошая но мы должны идти домой"),
+      7 -> ("el", "Τα παιδιά παίζουν στο πάρκο και ο καιρός είναι πολύ καλός σήμερα αλλά πρέπει να πάμε σπίτι"),
+      8 -> ("he", "הילדים משחקים בפארק ומזג האוויר טוב מאוד היום אבל אנחנו צריכים ללכת הביתה"),
+      9 -> ("ar", "الأطفال يلعبون في الحديقة والطقس جميل جدا اليوم ولكن يجب أن نعود إلى المنزل"),
+      10 -> ("hi", "बच्चे पार्क में खेल रहे हैं और आज मौसम बहुत अच्छा है लेकिन हमें घर जाना है"),
+      11 -> ("th", "เด็กเล่นในสวนสาธารณะและอากาศวันนี้ดีมากแต่เราต้องกลับบ้าน"),
+      12 -> ("zh", "孩子们在公园里玩耍今天天气很好但是我们必须回家了"),
+      13 -> ("ja", "子供たちは公園で遊んでいます今日は天気がとても良いですが家に帰らなければなりません"),
+      14 -> ("ko", "아이들이 공원에서 놀고 있습니다 오늘 날씨가 매우 좋지만 우리는 집에 가야 합니다"),
+      15 -> ("tr", "Çocuklar parkta oynuyor ve bugün hava çok güzel ama eve gitmemiz gerekiyor"),
+      16 -> ("pl", "Dzieci bawią się w parku a pogoda jest dziś bardzo ładna ale musimy wracać do domu"),
+      17 -> ("fi", "Lapset leikkivät puistossa ja sää on tänään erittäin kaunis mutta meidän täytyy mennä kotiin"),
+      18 -> ("nl", "De kinderen spelen in het park en het weer is vandaag erg mooi maar we moeten naar huis gaan"))
+    val got = planted.map { case (id, (_, text)) => (id, text) }
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.langIdProfiles(col("text")).as("lang"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    planted.foreach { case (id, (want, text)) =>
+      assert(got(id) == want, s"doc $id '${text.take(30)}…': got ${got(id)}, want $want")
+    }
+    // und: no letters, empty, null
+    val und = Seq((1, "12345 !!! ???"), (2, ""), (3, null))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.langIdProfiles(col("text")).as("lang"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(und.values.toSet == Set("und"))
+    // scored variant exposes the distance; rerun-deterministic
+    val d1 = Seq(Tuple1(planted.head._2._2)).toDF("text")
+      .select(TextAnalysis.langIdProfilesScored(col("text")).as("s"))
+      .select(col("s.lang"), col("s.dist")).collect().head
+    assert(d1.getString(0) == "en" && d1.getLong(1) > 0)
+  }
+
   test("quality score ranks real text above junk") {
     val q = Seq(
       ("good", "the cat sat on the mat and it is a fine day for walking in the park"),

@@ -274,6 +274,17 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("Exchange"))
   }
 
+  test("lang-id profile kernel stays in whole-stage codegen: scan-side, no exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = docs.select(col("doc_id"),
+      graft.ops.TextAnalysis.langIdProfiles(col("text")).as("lang"))
+    val plan = planOf(df)
+    assert(plan.contains("*(1) Project") && plan.contains("lang_id_profiles"),
+      s"fell out of codegen:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"lang-id must be pure scan-side map work:\n$plan")
+  }
+
   test("ngram repetition kernel stays in whole-stage codegen, one expr for all ns") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.ops.QualityFilters.repetitionSignals(docs.select("doc_id", "text"))
