@@ -87,6 +87,23 @@ object SparkEntry {
 
   private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  // ---- q_pii_scrub_extended planted docs (shared by the Spark query
+  // and its DuckDB oracle). Constraint for the SQL replay: at most ONE
+  // Luhn-VALID card per doc (the oracle replaces by candidate string;
+  // the kernel handles any number — OpsSpec pins the multi-card case).
+  private[graft] val PiiDocs: Seq[(Int, String)] = Seq(
+    1 -> "contact john.doe@example.com or call (555) 123-4567 today",
+    2 -> "server at 192.168.1.100 answered +1 555.123.4567 and went down",
+    3 -> "ssn 123-45-6789 with card 4111 1111 1111 1111 inside",
+    4 -> "invalid card 1234 5678 9012 3456 stays put",
+    5 -> "dash card 4111-1111-1111-1111 then phone 555-123-4567",
+    6 -> "no pii here just words and numbers 42 7 2026",
+    7 -> "mixed a@b.co and 10.0.0.1 and 999-88-7777 and 5500 0000 0000 0004",
+    8 -> "order number 1234567890123456 is not luhn but 4539 1488 0343 6467 is")
+
+  private def piiDocsSql: String =
+    PiiDocs.map { case (id, s) => s"($id, ${sqlQuote(s)})" }.mkString(", ")
+
   /** The planted docs as a DuckDB VALUES list (same bytes as the
     * Spark side). */
   private def langIdDocsSql: String =
@@ -447,6 +464,19 @@ object SparkEntry {
         graft.ops.TextAnalysis.piiCount(col("text")).as("pii_hits"),
         graft.ops.TextAnalysis.scrubPii(col("text")).as("scrubbed")
       ).orderBy("doc_id")),
+    // Extended PII families (phones, SSN shapes, Luhn-gated credit
+    // cards) — all flags on, over planted PII docs; the default config
+    // stays byte-identical to q_pii_scrub (OpsSpec-pinned)
+    "q_pii_scrub_extended" -> ((s, dir) => {
+      import s.implicits._
+      val cfg = graft.ops.TextAnalysis.PiiConfig(
+        phones = true, ssns = true, creditCards = true)
+      PiiDocs.toDF("doc_id", "text").select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.piiCountExtended(col("text"), cfg).as("pii_hits"),
+        graft.ops.TextAnalysis.scrubPiiExtended(col("text"), cfg).as("scrubbed")
+      ).orderBy("doc_id")
+    }),
     // Gopher-style document-quality rules (word-count bounds, mean
     // word length, symbol/bullet/ellipsis ratios, alpha-word ratio,
     // stopword presence). minStopwordKinds=1 because the synthetic
@@ -1823,6 +1853,54 @@ object SparkEntry {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<PII>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Sequential scrub replay: emails → IPv4 → Luhn-valid card
+    // (candidate extraction + pure-integer Luhn sum) → SSN → phone;
+    // counts per family on the ORIGINAL text, matching the Spark
+    // convention. Patterns are byte-identical to the Scala constants
+    // (Java/RE2-common constructs only).
+    "q_pii_scrub_extended" ->
+      s"""WITH docs(doc_id, text) AS (VALUES $piiDocsSql),
+        |cand AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text,
+        |    '\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b')) AS cand
+        |  FROM docs),
+        |okc AS (
+        |  SELECT doc_id, cand FROM (
+        |    SELECT doc_id, cand,
+        |      regexp_replace(cand, '[ -]', '', 'g') AS ds FROM cand)
+        |  WHERE list_sum(list_transform(generate_series(1, 16), i ->
+        |    CASE WHEN i % 2 = 1
+        |         THEN CASE WHEN 2 * CAST(substr(ds, i, 1) AS INT) > 9
+        |                   THEN 2 * CAST(substr(ds, i, 1) AS INT) - 9
+        |                   ELSE 2 * CAST(substr(ds, i, 1) AS INT) END
+        |         ELSE CAST(substr(ds, i, 1) AS INT) END)) % 10 = 0),
+        |nc AS (SELECT doc_id, count(*) AS n_cards, min(cand) AS vcand
+        |       FROM okc GROUP BY 1),
+        |s1 AS (
+        |  SELECT d.doc_id, d.text, nc.vcand, COALESCE(nc.n_cards, 0) AS n_cards,
+        |    regexp_replace(regexp_replace(d.text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<PII>', 'g'),
+        |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<PII>', 'g') AS t
+        |  FROM docs d LEFT JOIN nc ON d.doc_id = nc.doc_id),
+        |s2 AS (
+        |  SELECT doc_id, text, n_cards,
+        |    CASE WHEN vcand IS NULL THEN t
+        |         ELSE replace(t, vcand, '<PII>') END AS t
+        |  FROM s1)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+        |    + n_cards
+        |    + len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))
+        |    + len(regexp_extract_all(text,
+        |        '(\\+\\d{1,3}[ .-]?)?(\\(\\d{3}\\)[ .-]?|\\b\\d{3}[ .-])\\d{3}[ .-]\\d{4}\\b'))
+        |    AS pii_hits,
+        |  regexp_replace(regexp_replace(t,
+        |      '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<PII>', 'g'),
+        |    '(\\+\\d{1,3}[ .-]?)?(\\(\\d{3}\\)[ .-]?|\\b\\d{3}[ .-])\\d{3}[ .-]\\d{4}\\b',
+        |    '<PII>', 'g') AS scrubbed
+        |FROM s2 ORDER BY doc_id""".stripMargin,
 
     "q_quality_gopher" ->
       """WITH base AS (

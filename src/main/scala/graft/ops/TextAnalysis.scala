@@ -274,6 +274,62 @@ object TextAnalysis {
       regexp_replace(text, EmailPattern, replacement),
       Ipv4Pattern, replacement)
 
+  /** NANP-shaped phone numbers with an optional +country prefix:
+    * `(555) 123-4567`, `555-123-4567`, `+1 555.123.4567`. The word
+    * boundary sits only on the bare-digits branch — there is no \b
+    * between a space and '(' or '+'. Verified cross-engine: does NOT
+    * match 16-digit card groups, dotted IPv4 quads, or unbroken digit
+    * runs. */
+  val PhonePattern =
+    "(\\+\\d{1,3}[ .-]?)?(\\(\\d{3}\\)[ .-]?|\\b\\d{3}[ .-])\\d{3}[ .-]\\d{4}\\b"
+
+  /** US SSN shape `ddd-dd-dddd`. */
+  val SsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Which PII families to detect/scrub. The default is EXACTLY the
+    * original [[scrubPii]]/[[piiCount]] surface (emails + IPv4) — the
+    * extended families are opt-in flags, so existing pipelines keep
+    * their bytes. Credit cards are candidate-shape + Luhn checksum
+    * ([[graft.functions.Pii]] — the one family regex alone cannot
+    * decide). */
+  case class PiiConfig(
+      emails: Boolean = true,
+      ipv4: Boolean = true,
+      phones: Boolean = false,
+      ssns: Boolean = false,
+      creditCards: Boolean = false,
+      replacement: String = "<PII>")
+
+  /** Count of PII spans under `cfg` — each family counted on the
+    * ORIGINAL text (the [[piiCount]] convention), cards Luhn-gated. */
+  def piiCountExtended(text: Column, cfg: PiiConfig = PiiConfig()): Column = {
+    val parts =
+      (if (cfg.emails) Seq(size(regexp_extract_all(text, lit(EmailPattern), lit(0)))) else Nil) ++
+      (if (cfg.ipv4) Seq(size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0)))) else Nil) ++
+      (if (cfg.creditCards) Seq(graft.functions.Pii.cardCountCol(text)) else Nil) ++
+      (if (cfg.ssns) Seq(size(regexp_extract_all(text, lit(SsnPattern), lit(0)))) else Nil) ++
+      (if (cfg.phones) Seq(size(regexp_extract_all(text, lit(PhonePattern), lit(0)))) else Nil)
+    if (parts.isEmpty) lit(0) else parts.reduce(_ + _)
+  }
+
+  /** Scrub PII spans under `cfg`, sequentially: emails → IPv4 →
+    * cards (Luhn-gated kernel) → SSNs → phones. Emails first for the
+    * same reason as [[scrubPii]]; IPv4 before phones so a dotted quad
+    * can never be half-eaten as a phone; cards before phones so a
+    * card's digit groups are gone before the phone shapes run. With
+    * the default config this is byte-identical to [[scrubPii]]
+    * (OpsSpec-pinned). All families are scan-side codegen — one
+    * projection over the scan at any corpus scale. */
+  def scrubPiiExtended(text: Column, cfg: PiiConfig = PiiConfig()): Column = {
+    var t = text
+    if (cfg.emails) t = regexp_replace(t, EmailPattern, cfg.replacement)
+    if (cfg.ipv4) t = regexp_replace(t, Ipv4Pattern, cfg.replacement)
+    if (cfg.creditCards) t = graft.functions.Pii.cardScrubCol(t, cfg.replacement)
+    if (cfg.ssns) t = regexp_replace(t, SsnPattern, cfg.replacement)
+    if (cfg.phones) t = regexp_replace(t, PhonePattern, cfg.replacement)
+    t
+  }
+
   /** Corpus document-frequency table: one row per distinct token with
     * the number of documents containing it. One map-side-combined
     * aggregation over exploded distinct-per-doc tokens — the input for

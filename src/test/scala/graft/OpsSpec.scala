@@ -77,6 +77,45 @@ class OpsSpec extends SparkFunSuite {
     assert(d1.getString(0) == "en" && d1.getLong(1) > 0)
   }
 
+  test("pii pattern families: Luhn gate, flag opt-in, default byte-identical") {
+    import graft.ops.TextAnalysis.{PiiConfig, scrubPii, scrubPiiExtended, piiCount, piiCountExtended}
+    import graft.functions.Pii
+    // Luhn unit math (public test numbers)
+    assert(Pii.luhnValid("4111111111111111"))
+    assert(Pii.luhnValid("5500000000000004"))
+    assert(Pii.luhnValid("4539148803436467"))
+    assert(!Pii.luhnValid("1234567890123456"))
+    val texts = Seq(
+      (1, "contact john.doe@example.com or call (555) 123-4567 today"),
+      (2, "server at 192.168.1.100 answered +1 555.123.4567 and went down"),
+      (3, "ssn 123-45-6789 with card 4111 1111 1111 1111 inside"),
+      (4, "invalid card 1234 5678 9012 3456 stays put"),
+      (5, "two cards 4111 1111 1111 1111 and 5500 0000 0000 0004 here"),
+      (6, "no pii here just words and numbers 42 7 2026"))
+    val all = PiiConfig(phones = true, ssns = true, creditCards = true)
+    val got = texts.toDF("id", "text").select(col("id"),
+      piiCountExtended(col("text"), all).as("n"),
+      scrubPiiExtended(col("text"), all).as("s"),
+      // default config must be byte-identical to the original surface
+      (scrubPiiExtended(col("text")) === scrubPii(col("text"))).as("same_scrub"),
+      (piiCountExtended(col("text")) === piiCount(col("text"))).as("same_count"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(texts.forall { case (id, _) =>
+      got(id).getBoolean(3) && got(id).getBoolean(4) })
+    assert(got(1).getInt(1) == 2 &&
+      got(1).getString(2) == "contact <PII> or call <PII> today")
+    assert(got(2).getInt(1) == 2 &&
+      got(2).getString(2) == "server at <PII> answered <PII> and went down")
+    assert(got(3).getInt(1) == 2 &&
+      got(3).getString(2) == "ssn <PII> with card <PII> inside")
+    // Luhn-invalid candidate is NOT PII — untouched
+    assert(got(4).getInt(1) == 0 && got(4).getString(2) == texts(3)._2)
+    // multiple valid cards in one doc: kernel replaces each
+    assert(got(5).getInt(1) == 2 &&
+      got(5).getString(2) == "two cards <PII> and <PII> here")
+    assert(got(6).getInt(1) == 0 && got(6).getString(2) == texts(5)._2)
+  }
+
   test("quality score ranks real text above junk") {
     val q = Seq(
       ("good", "the cat sat on the mat and it is a fine day for walking in the park"),
