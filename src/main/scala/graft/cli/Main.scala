@@ -185,6 +185,9 @@ object Main {
       |           [--id-col doc_id]]  (MinHash/LSH ingest monitor: hits
       |           name the colliding PRIOR doc — bucket state lives in
       |           the checkpoint, so cross-drop duplication is flagged)
+      |          [--state-store rocksdb|hdfs]  (rocksdb default: state
+      |           scales past executor heap; use hdfs only to resume a
+      |           checkpoint written under the old provider)
       |          (incremental ingest: drains the files present, exits;
       |           re-running with the same --checkpoint processes ONLY
       |           files that arrived since — gate verdicts bit-identical
@@ -1752,6 +1755,27 @@ object Main {
     // retention cap (default 100) so a huge backlog drain can't drop
     // early batches from the report
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    // Stateful legs (--exact-dedup dropDuplicates state, --near-dup
+    // per-(band,bucket) member signatures) default to the RocksDB
+    // state store: the default HDFS-backed provider keeps EVERY key of
+    // every loaded state partition on the executor HEAP, so a big
+    // ingest with a long --near-dup-retention OOMs the executors
+    // holding hot buckets; RocksDB spills the working set to local
+    // disk behind a block cache and scales state past memory.
+    // --state-store hdfs restores the old provider — REQUIRED when
+    // resuming a checkpoint whose state was written under it (the two
+    // on-disk state formats are incompatible mid-stream; offsets
+    // survive, state does not).
+    val provider = f.getOrElse("state-store", "rocksdb") match {
+      case "rocksdb" => "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider"
+      case "hdfs" => "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider"
+      case other => throw Errors.config(
+        s"unknown --state-store '$other'.",
+        "use rocksdb (the scale default) or hdfs (pre-r16 checkpoints)")
+    }
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     val input = req(f, "input",
       "stream needs --input DIR (a growing parquet/jsonl directory)")
     val output = req(f, "output",

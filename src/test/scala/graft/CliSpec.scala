@@ -1506,6 +1506,12 @@ class CliSpec extends SparkFunSuite {
     assert(hits.select("best_est").as[Double].collect().forall(_ >= 0.5))
     assert(spark.read.parquet(rej).count() == 2,
       "rerun quarantines only the new junk (checkpointed rejects leg)")
+    // the whole lifecycle above ran under the RocksDB state store —
+    // the r16 default for stream's stateful legs (bucket state scales
+    // past executor heap); pin that the conf actually landed
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"),
+      "stream must default to the RocksDB state store")
     // --rejects without a gate is meaningless — fail fast
     val err = intercept[graft.errors.ConfigError] {
       graft.cli.Main.cmdStream(Array(
@@ -1514,6 +1520,21 @@ class CliSpec extends SparkFunSuite {
         "--rejects", s"$dir/rej2"))
     }
     assert(err.getMessage.contains("no gate flags"))
+    // unknown provider fails fast; --state-store hdfs is accepted (the
+    // pre-r16 checkpoint escape hatch)
+    val err2 = intercept[graft.errors.ConfigError] {
+      graft.cli.Main.cmdStream(args ++ Array("--state-store", "bogus"))
+    }
+    assert(err2.getMessage.contains("state-store"))
+    val cap3 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap3)) {
+      assert(graft.cli.Main.cmdStream(
+        Array("--input", in, "--output", s"$dir/out3",
+          "--checkpoint", s"$dir/chk3", "--min-quality", "0.3",
+          "--state-store", "hdfs")) == 0)
+    }
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("HDFSBackedStateStoreProvider"))
   }
 
   test("export --output-format jsonl: one ordered text file per shard, byte-identical re-runs") {
