@@ -51,7 +51,8 @@ final case class Source(
     path: Option[String] = None,
     df: Option[DataFrame] = None,
     format: Option[SourceFormat.Value] = None,
-    delimiter: String = ","
+    delimiter: String = ",",
+    timestampFormat: Option[String] = None
 ) extends SourceLike {
   if (name.isEmpty)
     throw Errors.config("Source name must be non-empty.", "Give the source a name.")
@@ -65,6 +66,19 @@ final case class Source(
       s"Source '$name' must set exactly one of path or df.",
       "Pass either a file path or an in-memory DataFrame, not both/neither."
     )
+  // The reference declares timestamp_format on every Source but its
+  // engine never reads it (core.py:39,51,73 — a dead parameter; see
+  // COVERAGE.md). Here it is the REAL control where one exists — the
+  // CSV reader's timestampFormat option — and loudly rejected where
+  // none does (parquet/df carry typed timestamps; accepting a format
+  // that has no effect is worse than rejecting it).
+  if (timestampFormat.isDefined &&
+      (df.isDefined || resolvedFormat != SourceFormat.Csv))
+    throw Errors.config(
+      s"Source '$name' sets timestampFormat on a non-CSV source.",
+      "timestampFormat only affects CSV parsing; parquet and DataFrame " +
+        "sources carry typed timestamps already."
+    )
 
   def resolvedFormat: SourceFormat.Value =
     format.getOrElse(SourceFormat.detect(path.get))
@@ -77,7 +91,7 @@ final case class Source(
       case SourceFormat.Csv =>
         // cached-schema open: CSV inference scans the whole file, so a
         // repeat open of an unchanged csv would pay a full extra read
-        graft.sources.SchemaCache.csv(spark, path.get, delimiter)
+        graft.sources.SchemaCache.csv(spark, path.get, delimiter, timestampFormat)
     }
   }
 }
@@ -86,9 +100,9 @@ object Source {
   def parquet(name: String, path: String, keys: Seq[String], timestamp: String): Source =
     Source(name, keys, timestamp, path = Some(path), format = Some(SourceFormat.Parquet))
   def csv(name: String, path: String, keys: Seq[String], timestamp: String,
-      delimiter: String = ","): Source =
+      delimiter: String = ",", timestampFormat: Option[String] = None): Source =
     Source(name, keys, timestamp, path = Some(path), format = Some(SourceFormat.Csv),
-      delimiter = delimiter)
+      delimiter = delimiter, timestampFormat = timestampFormat)
   def frame(name: String, df: DataFrame, keys: Seq[String], timestamp: String): Source =
     Source(name, keys, timestamp, df = Some(df))
 }

@@ -87,9 +87,14 @@ object SchemaCache {
     * so a repeat open of an N-GB csv pays a full extra read. The
     * delimiter participates in the key — the same file parsed with a
     * different delimiter yields a different schema. */
-  def csv(spark: SparkSession, path: String, delimiter: String): DataFrame = {
+  def csv(spark: SparkSession, path: String, delimiter: String,
+      timestampFormat: Option[String] = None): DataFrame = {
     def open(schema: Option[StructType]): DataFrame = {
-      val r = spark.read.option("header", "true").option("delimiter", delimiter)
+      var r = spark.read.option("header", "true").option("delimiter", delimiter)
+      // explicit timestampFormat participates in BOTH inference and
+      // parsing — an unparseable string under the given format fails
+      // loudly instead of silently degrading the column to string
+      timestampFormat.foreach(fmt => r = r.option("timestampFormat", fmt))
       schema match {
         case Some(s) => r.schema(s).csv(path)
         case None    => r.option("inferSchema", "true").csv(path)
@@ -97,7 +102,9 @@ object SchemaCache {
     }
     fingerprint(path) match {
       case Some(fp) =>
-        val key = s"csv:$delimiter:$path"
+        // the format participates in the key: the same file parsed
+        // under a different format yields a different schema
+        val key = s"csv:$delimiter:${timestampFormat.getOrElse("")}:$path"
         cache.get(key) match {
           case (`fp`, known) => open(Some(known))
           case _ =>

@@ -317,6 +317,41 @@ class BuildSpec extends SparkFunSuite {
     assert(r.auditPassed)
   }
 
+  test("CSV source with explicit timestampFormat round-trips a build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_tsfmt")
+    // a format default inference cannot parse: slashes + dotted time
+    users.select(col("user_id"), col("country"),
+        date_format(col("updated_at"), "yyyy/MM/dd HH.mm.ss").as("updated_at"))
+      .write.option("header", "true").csv(s"$dir/users_csv")
+    // without the format the column infers as STRING — the timestamp
+    // probe must reject it loudly, proving the option has real effect
+    val bare = Source.csv("users_fmt", s"$dir/users_csv",
+      Seq("user_id"), "updated_at")
+    assert(bare.resolve(spark).schema("updated_at").dataType ==
+      org.apache.spark.sql.types.StringType)
+    // with the format: typed timestamps, identical values, full build
+    val src = Source.csv("users_fmt", s"$dir/users_csv",
+      Seq("user_id"), "updated_at",
+      timestampFormat = Some("yyyy/MM/dd HH.mm.ss"))
+    val resolved = src.resolve(spark)
+    assert(resolved.schema("updated_at").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val want = users.select("user_id", "updated_at")
+    assert(resolved.select("user_id", "updated_at").exceptAll(want).isEmpty &&
+      want.exceptAll(resolved.select("user_id", "updated_at")).isEmpty,
+      "explicit-format parse must reproduce the original instants")
+    val f = Feature("csv_country", src, ColumnsMode(Map("country" -> "country")))
+    val r = Build(spark, labels, Seq(f),
+      BuildOptions(maxLookback = java.time.Duration.ofDays(3650)))
+    assert(r.rows == 50 && r.features.head.matched == 50 && r.auditPassed)
+    // loud rejection where the option has no effect
+    val err = intercept[graft.errors.ConfigError] {
+      Source("p", Seq("k"), "ts", path = Some("x.parquet"),
+        timestampFormat = Some("yyyy-MM-dd"))
+    }
+    assert(err.getMessage.contains("non-CSV"))
+  }
+
   test("SQL-query source resolves against the session catalog") {
     transactions.createOrReplaceTempView("txn_view")
     val src = SqlSource("txn_sql",
