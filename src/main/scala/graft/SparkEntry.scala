@@ -104,6 +104,56 @@ object SparkEntry {
   private def piiDocsSql: String =
     PiiDocs.map { case (id, s) => s"($id, ${sqlQuote(s)})" }.mkString(", ")
 
+  // ---- q_fix_mojibake planted docs. Stored as (id, CLEAN original,
+  // encode depth); the corrupted inputs are DERIVED by actually
+  // mis-decoding the originals' UTF-8 as Windows-1252 `depth` times —
+  // the same transform the repair table inverts — so the fixture can
+  // never drift from the operator's contract. Depth 0 = clean control
+  // rows (ASCII and real accents must pass through untouched); depth
+  // 2 = double-encoded. Originals avoid the six documented
+  // non-round-tripping chars (Á Í Ï Ð Ý ”).
+  private[graft] val MojibakeOriginals: Seq[(Int, String, Int)] = Seq(
+    (1, "Café crème — l'été s'annonce « très chaud »", 1),
+    (2, "Der Fußball macht großen Spaß bei Löwenbräu", 1),
+    (3, "it’s ‘quoted’ text… with € 99 and ™ marks", 1),
+    (4, "naïve piñata in São Paulo señor", 2),
+    (5, "plain ASCII text stays exactly as it is", 0),
+    (6, "edge chars Ÿ Š ž œ æ ø å kept clean", 0),
+    (7, "", 0))
+
+  private def miscode(s: String, depth: Int): String =
+    (1 to depth).foldLeft(s)((a, _) => new String(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252"))
+
+  private[graft] val MojibakeDocs: Seq[(Int, String)] =
+    MojibakeOriginals.map { case (id, s, d) => id -> miscode(s, d) }
+
+  private def mojibakeDocsSql: String =
+    MojibakeDocs.map { case (id, s) => s"($id, ${sqlQuote(s)})" }.mkString(", ")
+
+  /** The repair chain as DuckDB replace() calls rendered from
+    * [[graft.functions.Mojibake.Pairs]] — the SAME data object the
+    * Spark kernel folds — so a table edit can never desync the
+    * oracle. DuckDB's binder caps expression recursion at 128, so the
+    * 117-pair chain is staged across CTEs (≤60 nested calls each)
+    * instead of one nest; stage order preserves the pair order
+    * exactly. Returns the WITH stages after `docs` and the final
+    * column name.
+    */
+  private def mojibakeFixStagesSql(passes: Int): (String, String) = {
+    val groups = (1 to passes).flatMap { _ =>
+      graft.functions.Mojibake.Pairs.grouped(60).toSeq
+    }
+    val stages = groups.zipWithIndex.map { case (pairs, i) =>
+      val prev = if (i == 0) "text" else s"t$i"
+      val chain = pairs.foldLeft(prev) { case (a, (artifact, target)) =>
+        s"replace($a, ${sqlQuote(artifact)}, ${sqlQuote(target)})"
+      }
+      s"m${i + 1} AS (SELECT doc_id, text, $chain AS t${i + 1} FROM ${if (i == 0) "docs" else s"m$i"})"
+    }
+    (stages.mkString(",\n"), s"m${groups.size}.t${groups.size}")
+  }
+
   /** The planted docs as a DuckDB VALUES list (same bytes as the
     * Spark side). */
   private def langIdDocsSql: String =
@@ -477,6 +527,43 @@ object SparkEntry {
         graft.ops.TextAnalysis.scrubPiiExtended(col("text"), cfg).as("scrubbed")
       ).orderBy("doc_id")
     }),
+    // Mojibake repair: the planted docs are DERIVED corruptions
+    // (UTF-8 mis-decoded as CP1252, once or twice) of clean
+    // originals; passes=2 unwinds both. Clean control rows (ASCII,
+    // real accents, empty) must pass through byte-identical.
+    "q_fix_mojibake" -> ((s, dir) => {
+      import s.implicits._
+      MojibakeDocs.toDF("doc_id", "text").select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.mojibakeChars(col("text"), passes = 2)
+          .as("removed_chars"),
+        graft.ops.TextAnalysis.fixMojibake(col("text"), passes = 2)
+          .as("fixed")
+      ).orderBy("doc_id")
+    }),
+    // Readability (Flesch / Flesch–Kincaid over heuristic sentence +
+    // syllable counts). The synthetic corpus has no punctuation, so
+    // the query appends a deterministic multi-sentence tail to a
+    // third of the docs (same expression in the oracle) to exercise
+    // the sentence splitter.
+    "q_readability" -> ((s, dir) => {
+      val synth = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(". One more sentence here! Done?")).otherwise(lit("")))
+      val r = graft.ops.TextAnalysis.readabilityStats(synth)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        r.getField("n_sentences").as("n_sentences"),
+        r.getField("n_words").as("n_words"),
+        r.getField("n_syllables").as("n_syllables"),
+        r.getField("flesch").as("flesch"),
+        r.getField("fk_grade").as("fk_grade")
+      ).orderBy("doc_id")
+    }),
+    // Zipf power-law fit over the token rank-frequency curve: one
+    // wordcount shuffle, TakeOrdered top-k, k-row regression.
+    "q_zipf" -> ((s, dir) =>
+      graft.ops.TextAnalysis.zipfStats(t(s, dir, "documents"), k = 100)),
     // Gopher-style document-quality rules (word-count bounds, mean
     // word length, symbol/bullet/ellipsis ratios, alpha-word ratio,
     // stopword presence). minStopwordKinds=1 because the synthetic
@@ -1901,6 +1988,86 @@ object SparkEntry {
         |    '(\\+\\d{1,3}[ .-]?)?(\\(\\d{3}\\)[ .-]?|\\b\\d{3}[ .-])\\d{3}[ .-]\\d{4}\\b',
         |    '<PII>', 'g') AS scrubbed
         |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    // Same derived corrupted inputs, same pair table (rendered from
+    // Mojibake.Pairs into a nested replace() chain, two passes), so
+    // the oracle replays the repair byte-for-byte.
+    "q_fix_mojibake" -> {
+      val (stages, finalCol) = mojibakeFixStagesSql(2)
+      s"""WITH docs(doc_id, text) AS (VALUES $mojibakeDocsSql),
+        |$stages
+        |SELECT doc_id,
+        |  CAST(length(text) - length($finalCol) AS INT) AS removed_chars,
+        |  $finalCol AS fixed
+        |FROM ${finalCol.split('.').head} ORDER BY doc_id""".stripMargin
+    },
+
+    // Flesch / FK replay: same token filter, same sentence floor,
+    // same vowel-group syllable heuristic, same double arithmetic
+    // order, 6dp round.
+    "q_readability" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0
+        |                 THEN '. One more sentence here! Done?'
+        |                 ELSE '' END AS text
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0) AS words
+        |  FROM base),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(CASE WHEN len(words) = 0 THEN 0
+        |         ELSE greatest(1, len(list_filter(
+        |           regexp_split_to_array(text, '[.!?]+'),
+        |           s -> len(trim(s)) > 0))) END AS BIGINT) AS n_sentences,
+        |    CAST(COALESCE(list_sum(list_transform(words, w ->
+        |      greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0)
+        |      AS BIGINT) AS n_syll
+        |  FROM w)
+        |SELECT doc_id, n_sentences, n_words,
+        |  CASE WHEN n_words = 0 THEN NULL ELSE n_syll END AS n_syllables,
+        |  CASE WHEN n_words = 0 THEN NULL ELSE
+        |    round(CAST(206.835 AS DOUBLE)
+        |      - CAST(1.015 AS DOUBLE)
+        |        * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |      - CAST(84.6 AS DOUBLE)
+        |        * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+        |  END AS flesch,
+        |  CASE WHEN n_words = 0 THEN NULL ELSE
+        |    round(CAST(0.39 AS DOUBLE)
+        |        * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |      + CAST(11.8 AS DOUBLE)
+        |        * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |      - CAST(15.59 AS DOUBLE), 6)
+        |  END AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Same token filter, same (cnt DESC, token) tie-break for top-k
+    // membership and rank, same regr_* math at 6dp.
+    "q_zipf" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+        |               CAST(sum(cnt) AS BIGINT) AS total_tokens FROM c),
+        |tk AS (SELECT cnt,
+        |         row_number() OVER (ORDER BY cnt DESC, token) AS rank
+        |       FROM c ORDER BY cnt DESC, token LIMIT 100),
+        |fit AS (SELECT
+        |  round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+        |  round(regr_intercept(ln(cnt), ln(rank)), 6) AS zipf_intercept,
+        |  round(regr_r2(ln(cnt), ln(rank)), 6) AS zipf_r2
+        |FROM tk)
+        |SELECT vocab_size, total_tokens, zipf_slope, zipf_intercept,
+        |  zipf_r2
+        |FROM tot, fit""".stripMargin,
 
     "q_quality_gopher" ->
       """WITH base AS (

@@ -718,6 +718,99 @@ object TextAnalysis {
       .otherwise(graft.functions.TextZip.deflateSizeCol(text).cast("double") / raw)
   }
 
+  /** Repair UTF-8-decoded-as-Windows-1252 mojibake ("Ã©" → "é",
+    * "â€™" → "'"): a chain of codegen'd replace()s over the derived
+    * artifact table ([[graft.functions.Mojibake.Pairs]]). `passes = 2`
+    * also unwinds double-encoded text. Pure scan-side map work. */
+  def fixMojibake(text: Column, passes: Int = 1): Column =
+    graft.functions.Mojibake.fix(text, passes)
+
+  /** Characters removed by mojibake repair — 0 for clean text; a
+    * cheap per-document corruption-severity signal. */
+  def mojibakeChars(text: Column, passes: Int = 1): Column =
+    graft.functions.Mojibake.removedChars(text, passes)
+
+  /** Readability statistics: struct(n_sentences, n_words,
+    * n_syllables, flesch, fk_grade).
+    *
+    * Flesch reading ease and Flesch–Kincaid grade from the classic
+    * published formulas, with the standard public heuristics for the
+    * two fuzzy counts: sentences = non-blank runs between terminal
+    * punctuation ([.!?]+), syllables = vowel-group count per word
+    * ([aeiouy]+ runs, minimum 1 per word). Everything is one
+    * projection over higher-order array functions — no shuffle, no
+    * UDF — and every step is integer/regex math a SQL oracle can
+    * replay. Scores are null for wordless documents; sentence count
+    * floors at 1 once words exist (unpunctuated synthetic text is one
+    * long sentence).
+    */
+  def readabilityStats(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val words = filter(tokens(lower(t)), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val nSentences = when(nWords === 0, lit(0L)).otherwise(
+      greatest(lit(1L), size(filter(split(t, "[.!?]+"),
+        s => length(trim(s)) > 0)).cast("long")))
+    val nSyllables = aggregate(
+      transform(words, w =>
+        greatest(lit(1),
+          size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))))),
+      lit(0L), (acc, x) => acc + x)
+    val wps = nWords.cast("double") / nSentences.cast("double")
+    val spw = nSyllables.cast("double") / nWords.cast("double")
+    val flesch = lit(206.835) - lit(1.015) * wps - lit(84.6) * spw
+    val fk = lit(0.39) * wps + lit(11.8) * spw - lit(15.59)
+    struct(
+      nSentences.as("n_sentences"),
+      nWords.as("n_words"),
+      when(nWords === 0, lit(null).cast("long"))
+        .otherwise(nSyllables).as("n_syllables"),
+      when(nWords === 0, lit(null).cast("double"))
+        .otherwise(round(flesch, 6)).as("flesch"),
+      when(nWords === 0, lit(null).cast("double"))
+        .otherwise(round(fk, 6)).as("fk_grade"))
+  }
+
+  /** Corpus token-distribution health: vocabulary size, total token
+    * count, and a power-law (Zipf) fit over the top-`k` tokens —
+    * slope/intercept/R² of ln(freq) on ln(rank). Natural corpora fit
+    * slope ≈ −1 with high R²; template-stuffed or deduplicated-to-
+    * death corpora bend away from it, so the single row is a cheap
+    * drift/regression gate between corpus snapshots.
+    *
+    * Scale shape: one wordcount aggregation (map-side partial before
+    * the token-keyed exchange — the canonical 100 TB shape), a
+    * TakeOrdered top-k (never a global sort), and a k-row regression;
+    * the vocab totals reuse the same exchange (ReusedExchange). Rank
+    * ties break on token order, so membership and fit are
+    * deterministic.
+    */
+  def zipfStats(df: DataFrame, textCol: String = "text",
+      k: Int = 100): DataFrame = {
+    require(k >= 2, s"k must be >= 2 to fit a line, got $k")
+    val counts = df
+      .select(explode(filter(tokens(lower(col(textCol))),
+        w => length(w) > 0)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      count(lit(1)).as("vocab_size"),
+      sum("cnt").as("total_tokens"))
+    val topk = counts
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("token"))))
+    val fit = topk.agg(
+      round(regr_slope(ln(col("cnt")), ln(col("rank"))), 6)
+        .as("zipf_slope"),
+      round(regr_intercept(ln(col("cnt")), ln(col("rank"))), 6)
+        .as("zipf_intercept"),
+      round(regr_r2(ln(col("cnt")), ln(col("rank"))), 6)
+        .as("zipf_r2"))
+    totals.crossJoin(fit)
+  }
+
   /** One-pass enrichment of a document frame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

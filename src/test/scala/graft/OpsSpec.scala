@@ -116,6 +116,100 @@ class OpsSpec extends SparkFunSuite {
     assert(got(6).getInt(1) == 0 && got(6).getString(2) == texts(5)._2)
   }
 
+  test("mojibake repair: derived fixtures round-trip, clean text untouched") {
+    import graft.functions.Mojibake
+    // pair-table sanity: 117 pairs, every artifact re-encodes to the
+    // target's exact UTF-8 bytes, longest-first order
+    assert(Mojibake.Pairs.size == 117)
+    Mojibake.Pairs.foreach { case (a, t) =>
+      assert(java.util.Arrays.equals(
+        a.getBytes("windows-1252"),
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8)), s"$a -> $t")
+    }
+    assert(Mojibake.Pairs.sliding(2).forall {
+      case Seq((a, _), (b, _)) => a.length >= b.length
+      case _                   => true
+    })
+    // the planted corruption fixtures must repair back to their clean
+    // originals (depth 0 = already clean, must pass through untouched)
+    val fixtures = SparkEntry.MojibakeOriginals.map { case (id, orig, _) =>
+      (id, orig) }.toMap
+    val got = SparkEntry.MojibakeDocs.toDF("id", "text")
+      .select(col("id"),
+        TextAnalysis.fixMojibake(col("text"), passes = 2).as("fixed"),
+        TextAnalysis.mojibakeChars(col("text"), passes = 2).as("removed"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    fixtures.foreach { case (id, orig) =>
+      assert(got(id).getString(1) == orig, s"doc $id") }
+    // corrupted rows shrink, clean rows report zero
+    assert(got(1).getInt(2) > 0 && got(4).getInt(2) > 0)
+    assert(got(5).getInt(2) == 0 && got(6).getInt(2) == 0 &&
+      got(7).getInt(2) == 0)
+    // single-pass repairs single-encoding; the double-encoded doc
+    // needs the second pass
+    val onePass = SparkEntry.MojibakeDocs.toDF("id", "text")
+      .select(col("id"),
+        TextAnalysis.fixMojibake(col("text")).as("fixed"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(onePass(1) == fixtures(1) && onePass(2) == fixtures(2))
+    assert(onePass(4) != fixtures(4))
+    // null text stays null
+    val n = Seq((1, null.asInstanceOf[String])).toDF("id", "text")
+      .select(TextAnalysis.fixMojibake(col("text")).as("f")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("readability: known text, sentence floor, wordless null") {
+    val df = Seq(
+      (1L, "The cat sat on the mat. It was happy there! Was it fun? Yes."),
+      (2L, "unpunctuated words keep flowing along this line"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.readabilityStats(col("text")).as("r"))
+      .select(col("id"), col("r.n_sentences"), col("r.n_words"),
+        col("r.n_syllables"), col("r.flesch"), col("r.fk_grade"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(df(1L).getLong(1) == 4 && df(1L).getLong(2) == 14)
+    // vowel-group heuristic: happy=2 (a, y), there=2 (e, e), every
+    // other word = 1 -> 16
+    assert(df(1L).getLong(3) == 16)
+    assert(df(1L).getDouble(4) > 90.0) // short simple sentences read easy
+    // no terminal punctuation -> one sentence, scores still defined
+    assert(df(2L).getLong(1) == 1 && df(2L).getLong(2) == 7)
+    assert(!df(2L).isNullAt(4))
+    // wordless and null docs: zero counts, null scores
+    Seq(3L, 4L).foreach { id =>
+      assert(df(id).getLong(1) == 0 && df(id).getLong(2) == 0)
+      assert(df(id).isNullAt(3) && df(id).isNullAt(4) && df(id).isNullAt(5))
+    }
+  }
+
+  test("zipf stats: known counts, deterministic fit, slope matches local math") {
+    // planted counts: a=8 b=4 c=2 d=1 -> vocab 4, total 15
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val row = TextAnalysis.zipfStats(
+      Seq((1L, text)).toDF("doc_id", "text"), k = 4).collect().head
+    assert(row.getLong(0) == 4 && row.getLong(1) == 15)
+    // same least-squares math locally, rounded the same way
+    val pts = Seq((1, 8L), (2, 4L), (3, 2L), (4, 1L))
+      .map { case (r, c) => (math.log(r.toDouble), math.log(c.toDouble)) }
+    val n = pts.size
+    val (mx, my) = (pts.map(_._1).sum / n, pts.map(_._2).sum / n)
+    val sxy = pts.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sxx = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+    val slope = BigDecimal(sxy / sxx)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getDouble(2) - slope) < 2e-6, s"got ${row.getDouble(2)}, want $slope")
+    assert(row.getDouble(2) < 0 && row.getDouble(4) > 0.9)
+    // ties in counts break on token order -> stable across runs
+    val docs2 = spark.read.parquet(s"$sf/documents.parquet")
+    val a = TextAnalysis.zipfStats(docs2, k = 50).collect().head
+    val b = TextAnalysis.zipfStats(docs2, k = 50).collect().head
+    assert(a == b)
+  }
+
   test("quality score ranks real text above junk") {
     val q = Seq(
       ("good", "the cat sat on the mat and it is a fine day for walking in the park"),

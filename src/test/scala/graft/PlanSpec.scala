@@ -285,6 +285,48 @@ class PlanSpec extends SparkFunSuite {
       s"lang-id must be pure scan-side map work:\n$plan")
   }
 
+  test("mojibake repair stays in whole-stage codegen: scan-side, no exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // two passes = 234 chained StringReplaces — must still land in
+    // ONE codegen'd projection (Spark splits oversized generated
+    // methods internally), never an interpreted fallback or a shuffle
+    val df = docs.select(col("doc_id"),
+      graft.ops.TextAnalysis.fixMojibake(col("text"), passes = 2).as("fixed"),
+      graft.ops.TextAnalysis.mojibakeChars(col("text"), passes = 2).as("n"))
+    val plan = planOf(df)
+    assert(plan.contains("*(1) Project") && plan.contains("replace"),
+      s"fell out of codegen:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"mojibake repair must be pure scan-side map work:\n$plan")
+  }
+
+  test("readability is one scan-side projection: no exchange, no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val r = graft.ops.TextAnalysis.readabilityStats(col("text"))
+    val df = docs.select(col("doc_id"),
+      r.getField("flesch").as("flesch"),
+      r.getField("fk_grade").as("fk"))
+    val plan = planOf(df)
+    // higher-order array functions don't codegen, but the plan must
+    // still be a single Project over the scan — nothing distributed
+    assert(plan.contains("Project") && !plan.contains("Exchange") &&
+      !plan.contains("Join") && !plan.contains("Aggregate"),
+      s"readability must be pure scan-side map work:\n$plan")
+  }
+
+  test("zipf stats: top-k is TakeOrdered, totals ride a broadcast join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.ops.TextAnalysis.zipfStats(docs, k = 100))
+    // the rank-frequency cut is a TakeOrdered — the token counts are
+    // never globally sorted (the 100 TB killer for a vocab-wide sort)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k tokens must plan as TakeOrderedAndProject:\n$plan")
+    // the 1-row totals × 1-row fit join must be a broadcast, and the
+    // only post-limit window runs over k rows in a single partition
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row frames must join via broadcast:\n$plan")
+  }
+
   test("ngram repetition kernel stays in whole-stage codegen, one expr for all ns") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.ops.QualityFilters.repetitionSignals(docs.select("doc_id", "text"))
