@@ -94,7 +94,8 @@ object Main {
       |  quickstart [DIR]   generate demo data, build, audit
       |  curate  --input PATH --output PATH [--id-col doc_id] [--text-col text]
       |          [--min-quality 0.3] [--languages en,de|none] [--c4] [--gopher]
-      |          [--repetition] [--line-dedup] [--blocklist w1,w2] [--url-col COL]
+      |          [--repetition] [--line-dedup] [--fix-mojibake [PASSES]]
+      |          [--blocklist w1,w2] [--url-col COL]
       |          [--boilerplate-max-doc-freq N] [--span-dedup [N]] [--exact-substr [K]]
       |          [--image-hash-col COL | --image-col BIN | --audio-col BIN | --video-col BIN]
       |          [--image-max-hamming 2] [--image-bands 4]
@@ -761,6 +762,11 @@ object Main {
       repetition =
         if (f.contains("repetition")) Some(QualityFilters.RepetitionConfig()) else None,
       lineDedup = f.contains("line-dedup"),
+      // --fix-mojibake [PASSES]: repair CP1252 mis-decoding before the
+      // quality verdict (transport damage is not a quality signal);
+      // bare flag = 1 pass, a value adds double-decode unwinding
+      mojibakePasses = f.get("fix-mojibake")
+        .map(v => if (v == "true") 1 else v.toInt).getOrElse(0),
       blocklist = f.get("blocklist").map(_.split(",").toSeq.filter(_.nonEmpty)),
       urlCol = f.get("url-col"),
       // --image-hash-col names a PRECOMPUTED 64-bit hash column;

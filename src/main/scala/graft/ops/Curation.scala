@@ -236,6 +236,15 @@ object Curation {
         * deliberately sees the PRE-rewrite text: within-document
         * repetition is itself a quality signal. */
       lineDedup: Boolean = false,
+      /** Mojibake repair passes ([[graft.functions.Mojibake]]); 0 =
+        * off. Unlike lineDedup, the repair runs BEFORE the quality
+        * verdict: encoding corruption is transport damage, not a
+        * content-quality signal, and unrepaired artifacts both
+        * depress quality scores (inflated symbol ratios) and split
+        * dedup clusters (a corrupted twin hashes differently from its
+        * clean original). Fused into the same scan — the replace
+        * chain is codegen'd map work on the corpus read. */
+      mojibakePasses: Int = 0,
       blocklist: Option[Seq[String]] = None,
       urlCol: Option[String] = None,
       imageDup: Option[ImageDupConfig] = None,
@@ -357,6 +366,16 @@ object Curation {
         * keep-min-id (whatever was ingested first). */
       nearDupKeepCol: Option[String] = None
   ): CurationResult = {
+    // Mojibake repair is a pre-transform of the corpus itself: the
+    // verdict kernel, the hash dedups, and every rewrite see the
+    // REPAIRED text, so a corrupted twin re-joins its clean
+    // duplicate's cluster instead of hashing apart. The replace chain
+    // fuses into the same codegen'd corpus scan as the verdict.
+    val corpus =
+      if (hygiene.mojibakePasses > 0)
+        docs.withColumn(textCol,
+          graft.functions.Mojibake.fix(col(textCol), hygiene.mojibakePasses))
+      else docs
     val t = col(textCol)
     // C4 rewrites the text (line filtering); every later scan-side rule
     // evaluates the CLEANED text, exactly like the recipe's own order.
@@ -437,6 +456,7 @@ object Curation {
         "c4" -> h.c4.map(_.toString), "gopher" -> h.gopher.map(_.toString),
         "repetition" -> h.repetition.map(_.toString),
         "lineDedup" -> h.lineDedup,
+        "mojibakePasses" -> h.mojibakePasses,
         "blocklist" -> h.blocklist.map(_.mkString(",")),
         "urlCol" -> h.urlCol,
         "imageDup" -> h.imageDup.map(_.toString),
@@ -519,7 +539,7 @@ object Curation {
           val side = st.readSide("scan")
           (df, side("__input"), stageIdx.map { case (n, _) => n -> side(n) })
         case _ =>
-          val vCounts = staged("scan ledger")(docs.groupBy(verdict.as("__verdict"))
+          val vCounts = staged("scan ledger")(corpus.groupBy(verdict.as("__verdict"))
             .agg(count(lit(1)).as("__n"))
             .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
           val inputN = vCounts.values.sum
@@ -537,7 +557,7 @@ object Curation {
           // verdict filter and C4 rewrite — one corpus read, cleanText
           // evaluated once per document as the kernel's child.
           val scanFiltered =
-            docs.filter(verdict === graft.functions.Hygiene.PassVerdict)
+            corpus.filter(verdict === graft.functions.Hygiene.PassVerdict)
               .withColumn(textCol,
                 if (hygiene.lineDedup) graft.functions.LineDedup.of(cleanText)
                 else cleanText)

@@ -323,6 +323,29 @@ class CliSpec extends SparkFunSuite {
       spark.read.parquet(out2).select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("curate --fix-mojibake: corrupted twin collapses, survivors carry repaired text") {
+    val dir = Files.createTempDirectory("graft_cli_mojibake")
+    val in = s"$dir/docs.parquet"
+    val out = s"$dir/curated.parquet"
+    val clean = "the café serves warm crème brûlée every single morning here"
+    val corrupted = new String(
+      clean.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+    Seq(
+      (1L, clean),
+      (2L, corrupted),
+      (3L, "an unrelated page about harbor boats and morning fog banks")
+    ).toDF("doc_id", "text").write.parquet(in)
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      assert(graft.cli.Main.cmdCurate(Array(
+        "--input", in, "--output", out, "--min-quality", "0",
+        "--languages", "none", "--fix-mojibake")) == 0)
+    }
+    val kept = spark.read.parquet(out).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.size == 2 && kept.contains(3L), s"got ${kept.keySet}")
+    assert(kept.values.forall(!_.contains("Ã")), s"unrepaired text in $kept")
+  }
+
   test("curate --max-per-domain: keeps the N longest survivors per domain") {
     val dir = Files.createTempDirectory("graft_cli_domaincap")
     val in = s"$dir/docs.parquet"

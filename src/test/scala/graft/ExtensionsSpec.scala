@@ -458,6 +458,38 @@ class ExtensionsSpec extends SparkFunSuite {
     r.release(); r0.release()
   }
 
+  test("curate mojibakePasses: repaired pre-verdict, corrupted twin rejoins its dup cluster") {
+    import graft.ops.Curation
+    val clean = "the café serves warm crème brûlée every single morning here"
+    // the corrupted twin: same doc mis-decoded through CP1252 upstream
+    val corrupted = new String(
+      clean.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+    assert(corrupted != clean)
+    val docs = Seq(
+      (1L, clean),
+      (2L, corrupted),
+      (3L, "an unrelated page about harbor boats and morning fog banks")
+    ).toDF("doc_id", "text")
+    val r = Curation.curate(docs, minQuality = 0.0, languages = Nil,
+      nearDupThreshold = 0.99,
+      hygiene = Curation.HygieneConfig(mojibakePasses = 1))
+    // a pre-transform, not a filter: no ledger row of its own
+    assert(!r.stats.stages.map(_._1).contains("mojibake"))
+    // the twins hash identically after repair -> exact dedup keeps one
+    assert(r.stats.dropped("exact_dup") == 1, r.stats.toString)
+    val kept = r.df.select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    // survivor text is the REPAIRED text
+    assert(kept.values.forall(t => !t.contains("Ã©") && !t.contains("Ã¨")),
+      s"survivors must carry repaired text: $kept")
+    assert(kept.contains(3L))
+    // default (0 passes) leaves the corrupted twin distinct
+    val r0 = Curation.curate(docs, minQuality = 0.0, languages = Nil,
+      nearDupThreshold = 0.99, hygiene = Curation.HygieneConfig())
+    assert(r0.stats.dropped("exact_dup") == 0, r0.stats.toString)
+    r.release(); r0.release()
+  }
+
   test("curation second-wave stages: one planted failure per stage") {
     import graft.ops.Curation
     val banner = "accept all cookies to continue browsing"
