@@ -147,14 +147,15 @@ object Main {
       |  profile --input PATH [--group-col source] [--text-col text]
       |          [--tokenizer DIR] [--json PATH] [--approx [K]]
       |          [--diff-against OLD_PATH [--novelty [N]] [--token-drift [K]]]
-      |          [--top-ngrams K [--ngram-n 3] [--id-col COL]]
+      |          [--top-ngrams K [--ngram-n 3] [--id-col COL]] [--zipf [K]]
       |          (--tokenizer counts real BPE tokens instead of whitespace;
       |           --approx: distinct-text/novelty via KMV sketches — the
       |           100 TB path, values print with ~, error ~1/sqrt(K-2);
       |           --diff-against prints the snapshot drift report instead;
       |           --novelty adds set-level n-gram drift, --token-drift the
       |           distribution-level top-K token movers;
-      |           --top-ngrams appends the frequent-phrase discovery table)
+      |           --top-ngrams appends the frequent-phrase discovery table;
+      |           --zipf appends the rank-frequency power-law fit line)
       |          (per-group corpus stats + total: docs, distinct texts,
       |           tokens, chars, doc-token min/max/mean — one agg pass)
       |  shuffle --input PATH --output PATH [--id-col doc_id] [--seed 42]
@@ -1257,6 +1258,18 @@ object Main {
       println(s"json=$jp")
     }
     printTopNgrams()
+    // --zipf [K]: rank-frequency power-law fit over the top-K tokens
+    // — the one-line corpus-health gate (natural text: slope near -1
+    // with high R2; template-stuffed corpora bend away from it)
+    f.get("zipf").foreach { kk =>
+      val k = if (kk == "true") 100 else kk.toInt
+      val r = graft.ops.TextAnalysis.zipfStats(
+        readCorpus(spark, input, f.get("input-format")), textCol, k).head()
+      println(f"zipf k=$k vocab=${r.getLong(0)} tokens=${r.getLong(1)} " +
+        (if (r.isNullAt(2)) "slope=- intercept=- r2=- (empty corpus)"
+         else f"slope=${r.getDouble(2)}%.4f intercept=${r.getDouble(3)}%.4f " +
+           f"r2=${r.getDouble(4)}%.4f"))
+    }
     0
   }
 

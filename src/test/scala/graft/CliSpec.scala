@@ -588,6 +588,16 @@ class CliSpec extends SparkFunSuite {
     assert(parsed.size == 3)
     val total = parsed.find(_("is_total") == 1L).get
     assert(total("n_docs") == 25L, s"got $total")
+    // --zipf: the power-law fit line appends after the table
+    val zipfCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(zipfCap)) {
+      assert(graft.cli.Main.cmdProfile(Array(
+        "--input", in, "--zipf", "10")) == 0)
+    }
+    val zline = zipfCap.toString.linesIterator
+      .find(_.startsWith("zipf ")).getOrElse(fail(zipfCap.toString))
+    assert(zline.contains("k=10") && zline.contains("vocab=") &&
+      zline.contains("slope=-"), zline)
     // --diff-against: the drift report — "code" removed, "web" grown
     val oldIn = s"$dir/docs_old.parquet"
     ((1 to 10).map(i => (i.toLong, "web", s"alpha beta doc $i")) ++
