@@ -2008,7 +2008,7 @@ object SparkEntry {
     "q_readability" ->
       """WITH base AS (
         |  SELECT doc_id,
-        |    text || CASE WHEN doc_id % 3 = 0
+        |    COALESCE(text, '') || CASE WHEN doc_id % 3 = 0
         |                 THEN '. One more sentence here! Done?'
         |                 ELSE '' END AS text
         |  FROM documents),

@@ -795,6 +795,10 @@ object TextAnalysis {
     val totals = counts.agg(
       count(lit(1)).as("vocab_size"),
       sum("cnt").as("total_tokens"))
+    // the unpartitioned window runs AFTER the limit, over at most k
+    // rows — WindowExec's single-partition warning is about row-scale
+    // inputs and does not apply here (a literal partition spec would
+    // be constant-folded away, so it cannot silence it)
     val topk = counts
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
