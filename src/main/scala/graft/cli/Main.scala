@@ -178,6 +178,8 @@ object Main {
       |  stream  --input DIR --output DIR --checkpoint DIR
       |          [--c4] [--gopher] [--repetition] [--min-quality Q]
       |          [--languages en,de|none] [--keep-verdicts] [--text-col text]
+      |          [--fix-mojibake [PASSES]]  (repair CP1252 mis-decoding
+      |           before the gate — stateless, both legs see repaired text)
       |          [--exact-dedup --event-time-col COL [--watermark '1 hour']]
       |          [--rejects DIR]  (dead-letter gate FAILURES with their
       |           hygiene_verdict codes — its own checkpointed leg)
@@ -1817,10 +1819,21 @@ object Main {
     // streaming sources need a schema up front: pin it from a batch
     // read of what is in the directory now (same inference curate uses)
     val schema = readCorpus(spark, input, f.get("input-format")).schema
-    val src = f.get("input-format").getOrElse(inferFormat(input)) match {
+    val rawSrc = f.get("input-format").getOrElse(inferFormat(input)) match {
       case "parquet" => spark.readStream.schema(schema).parquet(input)
       case _         => spark.readStream.schema(schema).json(input)
     }
+    // --fix-mojibake [PASSES]: repair CP1252 mis-decoding BEFORE the
+    // gate (same rationale as curate: transport damage is not a
+    // quality signal, and unrepaired artifacts depress gate scores).
+    // A stateless projection — it fuses into each micro-batch's scan
+    // and flows into every leg (gate, rejects, dedup, near-dup).
+    val src = f.get("fix-mojibake")
+      .map(v => if (v == "true") 1 else v.toInt)
+      .filter(_ > 0)
+      .map(p => rawSrc.withColumn(textCol,
+        graft.functions.Mojibake.fix(col(textCol), p)))
+      .getOrElse(rawSrc)
     val languages = f.get("languages") match {
       case Some("none") => Nil
       case Some(ls)     => ls.split(",").toSeq

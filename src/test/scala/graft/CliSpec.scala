@@ -1482,6 +1482,33 @@ class CliSpec extends SparkFunSuite {
     assert(err.getMessage.contains("nothing to do"))
   }
 
+  test("stream --fix-mojibake: repaired before the gate, corrupted twin dedups away") {
+    val dir = Files.createTempDirectory("graft_cli_stream_mj")
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    val chk = s"$dir/chk"
+    def doc(id: Long, text: String) =
+      (id, text, new java.sql.Timestamp(1700000000000L + id * 1000L))
+    val clean = "the café by the harbor serves crème brûlée while the " +
+      "morning market opens with the fresh catch of the day again"
+    val corrupted = new String(
+      clean.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+    Seq(doc(1, clean), doc(2, corrupted))
+      .toDF("doc_id", "text", "ts").write.mode("append").parquet(in)
+    val cap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap)) {
+      assert(graft.cli.Main.cmdStream(Array(
+        "--input", in, "--output", out, "--checkpoint", chk,
+        "--min-quality", "0", "--languages", "none",
+        "--fix-mojibake", "--exact-dedup", "--event-time-col", "ts")) == 0)
+    }
+    // repaired text hashes identically -> the streaming dedup keeps one
+    assert(cap.toString.contains("appended=1"), cap.toString)
+    val rows = spark.read.parquet(out).select("doc_id", "text").collect()
+    assert(rows.length == 1 && rows.head.getString(1) == clean,
+      s"survivor must carry repaired text: ${rows.toSeq}")
+  }
+
   test("stream --near-dup + --rejects: cross-drain hits flagged, failures quarantined with codes") {
     val dir = Files.createTempDirectory("graft_cli_stream_nd")
     val in = s"$dir/in"
