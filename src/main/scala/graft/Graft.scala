@@ -29,7 +29,7 @@ object Graft {
 
   /** Library version, recorded in build manifests (the reference stamps
     * `timefence_version` the same way, engine.py:1425). */
-  val Version = "0.4.0"
+  val Version = "0.6.0"
 
   /** Point-in-time-correct training-set build (SURVEY §3.1).
     *
