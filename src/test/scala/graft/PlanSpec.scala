@@ -325,6 +325,15 @@ class PlanSpec extends SparkFunSuite {
     // only post-limit window runs over k rows in a single partition
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"1-row frames must join via broadcast:\n$plan")
+    // the totals and top-k branches both consume the token wordcount:
+    // under AQE the second branch must REUSE the shuffle stage, so the
+    // corpus is scanned and shuffled ONCE (the static plan prints the
+    // exchange twice; the executed plan must not run it twice)
+    val df = graft.ops.TextAnalysis.zipfStats(docs, k = 100)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"wordcount shuffle must be reused across branches:\n$executed")
   }
 
   test("ngram repetition kernel stays in whole-stage codegen, one expr for all ns") {
