@@ -815,10 +815,16 @@ object TextAnalysis {
     totals.crossJoin(fit)
   }
 
-  /** One-pass enrichment of a document frame. */
-  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+  /** One-pass enrichment of a document frame. `extended = true` adds
+    * the heavier r16 signals — rank-profile language ID, Flesch
+    * reading ease, and the mojibake-corruption count — still one
+    * scan-side projection (the default column set is unchanged, so
+    * existing callers keep their schema).
+    */
+  def analyze(df: DataFrame, textCol: String = "text",
+      extended: Boolean = false): DataFrame = {
     val t = col(textCol)
-    df.withColumns(Map(
+    val base = df.withColumns(Map(
       "n_tokens" -> tokenCount(t),
       "n_tokens_bpe" -> bpeTokenCount(t),
       "punct_ratio" -> punctRatio(t),
@@ -827,6 +833,12 @@ object TextAnalysis {
       "lang_id" -> langId(t),
       "quality" -> qualityScore(t),
       "fingerprint" -> fingerprint(t)
+    ))
+    if (!extended) base
+    else base.withColumns(Map(
+      "lang_id_profiles" -> langIdProfiles(t),
+      "flesch" -> readabilityStats(t).getField("flesch"),
+      "mojibake_chars" -> mojibakeChars(t)
     ))
   }
 }

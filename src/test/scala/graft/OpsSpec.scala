@@ -210,6 +210,19 @@ class OpsSpec extends SparkFunSuite {
     assert(a == b)
   }
 
+  test("analyze extended: adds the r16 signals, default schema unchanged") {
+    val df = Seq((1L, "The children are playing in the park today")).toDF("doc_id", "text")
+    val base = TextAnalysis.analyze(df)
+    val ext = TextAnalysis.analyze(df, extended = true)
+    assert(!base.columns.contains("flesch"))
+    assert(Seq("lang_id_profiles", "flesch", "mojibake_chars")
+      .forall(ext.columns.contains))
+    val r = ext.collect().head
+    assert(r.getAs[String]("lang_id_profiles") == "en")
+    assert(r.getAs[Int]("mojibake_chars") == 0)
+    assert(!r.isNullAt(r.fieldIndex("flesch")))
+  }
+
   test("quality score ranks real text above junk") {
     val q = Seq(
       ("good", "the cat sat on the mat and it is a fine day for walking in the park"),
