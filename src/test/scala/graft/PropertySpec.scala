@@ -477,4 +477,43 @@ class PropertySpec extends AnyFunSuite {
       Prop(got == want) :| s"banded $got != brute $want"
     }, 25)
   }
+
+  test("mojibake repair inverts corruption for separated targets, shrinks, never throws") {
+    import graft.functions.Mojibake
+    // pure-Scala reference of the Column fold: Pairs applied in order,
+    // all occurrences each (String.replace == StringReplace semantics);
+    // OpsSpec ties the Column version to expected outputs on fixtures
+    def fixPure(s: String): String =
+      Mojibake.Pairs.foldLeft(s) { case (a, (art, tgt)) => a.replace(art, tgt) }
+    def corrupt(s: String): String = new String(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+    val targets = Mojibake.Pairs.map(_._2.charAt(0))
+    // originals with NO adjacent non-ASCII chars: each target char is
+    // followed by an ASCII letter, so corrupt -> fix is an exact
+    // inverse (adjacent targets are genuinely ambiguous: the CHARS
+    // 'A-tilde' + ellipsis are byte-identical to mis-decoded 'A-ring'
+    // -- the known limit of any CP1252 repair heuristic)
+    val genSeparated = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      1 -> Gen.const(" "),
+      3 -> Gen.oneOf(targets).flatMap(t =>
+        Gen.alphaChar.map(a => s"$t$a"))
+    )).map(_.mkString)
+    check(Prop.forAllNoShrink(genSeparated) { s =>
+      val fixed = fixPure(corrupt(s))
+      Prop(fixed == s) :| s"fix(corrupt('$s')) = '$fixed'"
+    }, 500)
+    // totality on arbitrary unicode soup (including artifact-shaped
+    // and half-artifact sequences): never throws, never grows
+    val genSoup = Gen.listOf(Gen.frequency(
+      3 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(targets),
+      2 -> Gen.oneOf(Mojibake.Pairs.flatMap(_._1.toSeq)),
+      1 -> Gen.choose(0x20.toChar, 0x2fff.toChar)
+    )).map(_.mkString)
+    check(Prop.forAllNoShrink(genSoup) { s =>
+      val f1 = fixPure(s)
+      Prop(f1.length <= s.length) :| s"grew: '$s' -> '$f1'"
+    }, 500)
+  }
 }
