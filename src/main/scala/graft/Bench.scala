@@ -1084,8 +1084,15 @@ object Bench {
     val rotatedRows: Set[String] =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ROTATED")) Set.empty
       else Set("novelty_10m_exact")
+    // an explicit SPARK_GRAFT_BENCH_FILTER overrides the rotation set:
+    // a developer asking for a specific row by name (the documented
+    // dev knob) must get it even if it is rotated out of the default
+    // suite — otherwise the filter silently matches nothing
     def keepRow(n: String): Boolean =
-      rowFilter.forall(_.findFirstIn(n).isDefined) && !rotatedRows(n)
+      rowFilter match {
+        case Some(re) => re.findFirstIn(n).isDefined
+        case None     => !rotatedRows(n)
+      }
     val entries = (operatorQueries ++ scenarios).filter(e => keepRow(e._1))
     val entryMap = entries.toMap
 

@@ -547,7 +547,11 @@ object SparkEntry {
     // third of the docs (same expression in the oracle) to exercise
     // the sentence splitter.
     "q_readability" -> ((s, dir) => {
-      val synth = concat(col("text"),
+      // coalesce BEFORE the concat so a null text still receives the
+      // tail — matching the oracle's COALESCE(text,'') || tail; a bare
+      // concat would null-propagate and silently drop the tail for
+      // null docs on the Spark side only
+      val synth = concat(coalesce(col("text"), lit("")),
         when(col("doc_id") % 3 === 0,
           lit(". One more sentence here! Done?")).otherwise(lit("")))
       val r = graft.ops.TextAnalysis.readabilityStats(synth)
@@ -1832,9 +1836,11 @@ object SparkEntry {
     // (rendered from LangId.Profiles — position in the gram string IS
     // the rank), same out-of-place math: doc grams are ALL 1/2/3-grams
     // of '_'-padded letter-run words, ranked by (count desc, gram
-    // binary asc), top 200; distance to a language = sum of
-    // |docRank - profileRank| with penalty 150 (ProfileSize) for
-    // grams absent from the profile; smallest distance wins, ties to
+    // binary asc), top DocTopK; distance to a language = sum of
+    // |docRank - profileRank| with penalty ProfileSize for grams
+    // absent from the profile (BOTH rendered from the LangId object,
+    // like the profiles, so a tuning edit cannot desync the oracle);
+    // smallest distance wins, ties to
     // the smaller code. Letter-less docs fall out of every CTE and
     // replay as ('und', 0) through the LEFT JOIN.
     "q_lang_id_profiles" ->
@@ -1855,7 +1861,8 @@ object SparkEntry {
         |r AS (SELECT doc_id, gram,
         |        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk
         |      FROM c),
-        |d AS (SELECT doc_id, gram, rk FROM r WHERE rk <= 200),
+        |d AS (SELECT doc_id, gram, rk FROM r
+        |      WHERE rk <= ${graft.functions.LangId.DocTopK}),
         |p0(lang, grams) AS (VALUES $langIdProfilesSql),
         |p AS (SELECT lang,
         |        unnest(str_split(grams, ' ')) AS gram,
@@ -1863,7 +1870,9 @@ object SparkEntry {
         |      FROM p0),
         |dist AS (
         |  SELECT d.doc_id, l.lang,
-        |    sum(CASE WHEN p.prank IS NULL THEN 150 ELSE abs(d.rk - p.prank) END) AS dist
+        |    sum(CASE WHEN p.prank IS NULL
+        |             THEN ${graft.functions.LangId.ProfileSize}
+        |             ELSE abs(d.rk - p.prank) END) AS dist
         |  FROM d CROSS JOIN (SELECT lang FROM p0) l
         |  LEFT JOIN p ON p.lang = l.lang AND p.gram = d.gram
         |  GROUP BY 1, 2),
@@ -2056,7 +2065,8 @@ object SparkEntry {
         |  FROM documents),
         |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size,
-        |               CAST(sum(cnt) AS BIGINT) AS total_tokens FROM c),
+        |               CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS total_tokens
+        |        FROM c),
         |tk AS (SELECT cnt,
         |         row_number() OVER (ORDER BY cnt DESC, token) AS rank
         |       FROM c ORDER BY cnt DESC, token LIMIT 100),

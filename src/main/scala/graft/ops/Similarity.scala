@@ -1002,9 +1002,23 @@ object Similarity {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     try {
-      fs.delete(p, false) // HDFS rename won't clobber an existing file
-      if (!fs.rename(tmp, p))
-        throw new java.io.IOException(s"rename $tmp -> $p returned false")
+      // OVERWRITE rename publishes atomically where the FS supports it
+      // (HDFS, local): no window where meta.json is absent and no loss
+      // on a crash mid-publish — a reader sees the old or the new
+      // content, never neither. Schemes without FileContext support
+      // fall back to delete+rename, which keeps a small no-file window
+      // (those schemes lack atomic rename anyway — the index lifecycle
+      // already fails fast on them for the data swaps).
+      try {
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.delete(p, false) // HDFS plain rename won't clobber
+          if (!fs.rename(tmp, p))
+            throw new java.io.IOException(s"rename $tmp -> $p returned false")
+      }
     } catch {
       case e: Exception =>
         fs.delete(tmp, false)

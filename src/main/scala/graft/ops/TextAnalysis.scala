@@ -794,7 +794,9 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(
       count(lit(1)).as("vocab_size"),
-      sum("cnt").as("total_tokens"))
+      // coalesce: sum over ZERO count rows (empty / all-null corpus)
+      // is null, which would NPE a Row.getLong consumer
+      coalesce(sum("cnt"), lit(0L)).as("total_tokens"))
     // the unpartitioned window runs AFTER the limit, over at most k
     // rows — WindowExec's single-partition warning is about row-scale
     // inputs and does not apply here (a literal partition spec would

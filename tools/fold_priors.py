@@ -26,9 +26,17 @@ def main(paths):
         with open(path) as f:
             run = json.load(f)
         assert run.get("sf") == pri["sf"], f"sf mismatch in {path}"
+        # a mid-run snapshot (rewritten after every row) is not a quiet
+        # recording — folding it would put an incomplete row set into
+        # the provenance ledger as if it were one
+        assert not run.get("partial"), f"{path} is a partial run"
+        label = os.path.basename(path)
+        # re-folding the same file must replace its ledger entry, not
+        # duplicate it — the ledger is the auditable recording count
+        ledger = [e for e in ledger if e.get("label") != label]
         rows = run["queries"]
         meta = {
-            "label": os.path.basename(path),
+            "label": label,
             "elapsed_sec": run.get("elapsed_sec"),
             "stat": run.get("stat", "min"),
             "queries": rows,
