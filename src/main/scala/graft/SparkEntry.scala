@@ -564,6 +564,17 @@ object SparkEntry {
         r.getField("fk_grade").as("fk_grade")
       ).orderBy("doc_id")
     }),
+    // Script (writing-system) detection over the planted multilingual
+    // docs — the cheap routing signal that runs before rank-profile
+    // lang-id at scale. Same char-class patterns replayed in DuckDB
+    // (literal-range classes parse identically in Java regex and RE2).
+    "q_detect_script" -> ((s, dir) => {
+      import s.implicits._
+      LangIdDocs.toDF("doc_id", "text").select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.detectScript(col("text")).as("script")
+      ).orderBy("doc_id")
+    }),
     // Zipf power-law fit over the token rank-frequency curve: one
     // wordcount shuffle, TakeOrdered top-k, k-row regression.
     "q_zipf" -> ((s, dir) =>
@@ -2054,6 +2065,29 @@ object SparkEntry {
         |      - CAST(15.59 AS DOUBLE), 6)
         |  END AS fk_grade
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Same planted docs, same literal-range char classes (rendered
+    // from ScriptRanges — one pattern string, two regex engines),
+    // same argmax with priority tie-break and the und zero-floor.
+    "q_detect_script" -> {
+      val ranges = graft.ops.TextAnalysis.ScriptRanges.zipWithIndex
+        .map { case ((name, cls), i) => s"('$name', $i, ${sqlQuote(cls)})" }
+        .mkString(", ")
+      s"""WITH docs(doc_id, text) AS (VALUES $langIdDocsSql),
+        |sc(script, prio, cls) AS (VALUES $ranges),
+        |counts AS (
+        |  SELECT d.doc_id, s.script, s.prio,
+        |    len(regexp_extract_all(d.text, s.cls)) AS n
+        |  FROM docs d CROSS JOIN sc s),
+        |best AS (
+        |  SELECT doc_id, script, n,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY n DESC, prio) AS rn
+        |  FROM counts)
+        |SELECT doc_id,
+        |  CASE WHEN n = 0 THEN 'und' ELSE script END AS script
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
 
     // Same token filter, same (cnt DESC, token) tie-break for top-k
     // membership and rank, same regr_* math at 6dp.

@@ -817,6 +817,59 @@ object TextAnalysis {
     totals.crossJoin(fit)
   }
 
+  /** Unicode script (writing-system) ranges for [[detectScript]]:
+    * (name, char-class). The classes are built from LITERAL range
+    * characters (not \\uXXXX escapes) because Java regex and RE2
+    * spell escapes differently (\\uXXXX vs \\x{XXXX}) but both accept
+    * raw UTF-8 pattern characters — so the oracle replays the SAME
+    * pattern strings byte-for-byte. BMP ranges only. Order =
+    * tie-break priority.
+    */
+  private def scriptClass(extra: String, ranges: (Int, Int)*): String =
+    ranges.map { case (a, b) => s"${a.toChar}-${b.toChar}" }
+      .mkString("[" + extra, "", "]")
+
+  private[graft] val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> scriptClass("A-Za-z", (0x00C0, 0x024F)),
+    "cyrillic" -> scriptClass("", (0x0400, 0x04FF)),
+    "greek" -> scriptClass("", (0x0370, 0x03FF)),
+    "arabic" -> scriptClass("", (0x0600, 0x06FF), (0x0750, 0x077F)),
+    "hebrew" -> scriptClass("", (0x0590, 0x05FF)),
+    "devanagari" -> scriptClass("", (0x0900, 0x097F)),
+    "thai" -> scriptClass("", (0x0E00, 0x0E7F)),
+    "cjk" -> scriptClass("", (0x3400, 0x4DBF), (0x4E00, 0x9FFF)),
+    "kana" -> scriptClass("", (0x3040, 0x30FF)),
+    "hangul" -> scriptClass("", (0x1100, 0x11FF), (0xAC00, 0xD7AF)))
+
+  /** Dominant writing system of a document: count characters in each
+    * script's Unicode ranges, return the argmax (ties break on
+    * [[ScriptRanges]] order), `und` when no script character occurs.
+    *
+    * The cheap routing signal in a multilingual pipeline: script
+    * detection is an order of magnitude cheaper than rank-profile
+    * language ID, so at 100 TB it runs first and routes documents to
+    * per-script strata (only Latin-script text needs the 30-language
+    * Latin disambiguation; CJK/Hangul/Thai are near-decided here).
+    * One scan-side projection of regexp_count calls — no shuffle, no
+    * UDF. BMP ranges only (supplementary-plane CJK extensions are not
+    * counted; crawl text beyond the BMP is negligible and the oracle
+    * replays the exact same ranges).
+    */
+  def detectScript(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val counts = ScriptRanges.map { case (name, cls) =>
+      name -> regexp_count(t, lit(cls))
+    }
+    val best = counts.tail.foldLeft(
+      struct(counts.head._2.as("n"), lit(counts.head._1).as("s"))) {
+      case (acc, (name, cnt)) =>
+        // strict > keeps the earlier (higher-priority) script on ties
+        when(cnt > acc.getField("n"),
+          struct(cnt.as("n"), lit(name).as("s"))).otherwise(acc)
+    }
+    when(best.getField("n") === 0, lit("und")).otherwise(best.getField("s"))
+  }
+
   /** One-pass enrichment of a document frame. `extended = true` adds
     * the heavier r16 signals — rank-profile language ID, Flesch
     * reading ease, and the mojibake-corruption count — still one

@@ -210,6 +210,30 @@ class OpsSpec extends SparkFunSuite {
     assert(a == b)
   }
 
+  test("script detection: planted scripts, und fallback, null-safe") {
+    val df = Seq(
+      (1L, "plain latin text with words"),
+      (2L, "Дети играют в парке"),
+      (3L, "Τα παιδιά παίζουν"),
+      (4L, "الأطفال يلعبون في الحديقة"),
+      (5L, "הילדים משחקים בפארק"),
+      (6L, "बच्चे पार्क में खेल"),
+      (7L, "เด็กเล่นในสวน"),
+      (8L, "孩子们在公园里玩耍"),
+      (9L, "こどもたちはこうえんで"),
+      (10L, "아이들이 공원에서"),
+      (11L, "12345 --- !!!"),
+      (12L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.detectScript(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Map(1L -> "latin", 2L -> "cyrillic", 3L -> "greek",
+      4L -> "arabic", 5L -> "hebrew", 6L -> "devanagari", 7L -> "thai",
+      8L -> "cjk", 9L -> "kana", 10L -> "hangul", 11L -> "und",
+      12L -> "und")
+    want.foreach { case (id, s) => assert(df(id) == s, s"doc $id") }
+  }
+
   test("analyze extended: adds the r16 signals, default schema unchanged") {
     val df = Seq((1L, "The children are playing in the park today")).toDF("doc_id", "text")
     val base = TextAnalysis.analyze(df)

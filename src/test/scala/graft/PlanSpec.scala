@@ -314,6 +314,16 @@ class PlanSpec extends SparkFunSuite {
       s"readability must be pure scan-side map work:\n$plan")
   }
 
+  test("script detection is one scan-side projection: no exchange, no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = docs.select(col("doc_id"),
+      graft.ops.TextAnalysis.detectScript(col("text")).as("script"))
+    val plan = planOf(df)
+    assert(plan.contains("Project") && !plan.contains("Exchange") &&
+      !plan.contains("Join") && !plan.contains("Aggregate"),
+      s"script detection must be pure scan-side map work:\n$plan")
+  }
+
   test("zipf stats: top-k is TakeOrdered, totals ride a broadcast join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.ops.TextAnalysis.zipfStats(docs, k = 100))
