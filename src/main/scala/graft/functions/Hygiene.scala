@@ -108,7 +108,6 @@ object Hygiene {
   val QualityStage = 4
   val LanguageStage = 5
 
-  private val Ws = java.util.regex.Pattern.compile("\\s+")
   private val Lorem = UTF8String.fromString("lorem ipsum")
   private val Brace = UTF8String.fromString("{")
   private val NoTokens = new Array[String](0)
@@ -169,11 +168,11 @@ object Hygiene {
     // guard forcing tokenCount to 0 (trim strips 0x20 only, split keeps
     // leading empties — both quirks must survive).
     val trimmed = clean.trim().toString
-    val toks = if (trimmed.isEmpty) NoTokens else Ws.split(trimmed, -1)
+    val toks = if (trimmed.isEmpty) NoTokens else Tok.splitWs(trimmed)
     val nToks = toks.length
     // tokens(lower(text)): lower FIRST, then trim, then split.
     val lowTrim = clean.toLowerCase.trim().toString
-    val lowToks = if (lowTrim.isEmpty) NoTokens else Ws.split(lowTrim, -1)
+    val lowToks = if (lowTrim.isEmpty) NoTokens else Tok.splitWs(lowTrim)
 
     // meanWordLength numerator = length(regexp_replace(trim, "\s+", ""))
     // = total non-whitespace CODE POINTS = sum of token lengths
@@ -246,7 +245,11 @@ object Hygiene {
       if (NgramRepetition.dupLineRatioCompute(clean) > s.repMaxDupLineRatio)
         return RepetitionStage
       if (s.repTopNs.length + s.repDupNs.length > 0) {
-        val r = NgramRepetition.compute(clean, s.repTopNs, s.repDupNs)
+        // lowToks IS tokens(lower(clean)) — the exact array
+        // NgramRepetition.compute would rebuild (same lower → trim →
+        // split chain); passing it skips a second lowercase + split of
+        // the document (the kernel profile's single largest cost)
+        val r = NgramRepetition.computeFromToks(lowToks, s.repTopNs, s.repDupNs)
         var f = 0
         while (f < s.repTopNs.length) {
           if (r.getDouble(f) > s.repTopThresholds(f)) return RepetitionStage

@@ -33,8 +33,6 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NgramRepetition {
 
-  private val Ws = java.util.regex.Pattern.compile("\\s+")
-
   /** Replicates `trim(text)` (Spark's StringTrim strips 0x20 only —
     * NOT general whitespace; a leading tab survives and yields a
     * leading empty token after the `\s+` split, and the kernel must
@@ -49,15 +47,24 @@ object NgramRepetition {
     * @return struct of doubles, topNs fields then dupNs fields
     */
   def compute(text: UTF8String, topNs: Array[Int], dupNs: Array[Int]): InternalRow = {
-    val out = new Array[Any](topNs.length + dupNs.length)
-    java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], java.lang.Double.valueOf(0.0))
-
     // tokens(lower(text)) = split(trim(lower(text)), "\\s+"):
     // UTF8String.toLowerCase is exactly Spark's Lower, trim() exactly
-    // StringTrim, Pattern.split(str, -1) exactly StringSplit's default.
+    // StringTrim, Tok.splitWs exactly Pattern.split(str, -1).
     val str = sparkTrim(text.toLowerCase).toString
-    if (str.isEmpty) return new GenericInternalRow(out) // tokenCount = 0
-    val toks = Ws.split(str, -1)
+    val toks = if (str.isEmpty) null else Tok.splitWs(str)
+    computeFromToks(toks, topNs, dupNs)
+  }
+
+  /** [[compute]] over PRE-TOKENIZED `tokens(lower(text))` — the
+    * hygiene-verdict kernel already holds exactly this array (same
+    * lower → trim → split chain), so its repetition stage passes it in
+    * instead of re-lowercasing and re-splitting the document. `toks`
+    * null or empty = the empty-after-trim document (tokenCount 0). */
+  def computeFromToks(toks: Array[String], topNs: Array[Int],
+      dupNs: Array[Int]): InternalRow = {
+    val out = new Array[Any](topNs.length + dupNs.length)
+    java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], java.lang.Double.valueOf(0.0))
+    if (toks == null || toks.length == 0) return new GenericInternalRow(out)
     val numToks = toks.length
 
     // Code-point lengths (Spark `length` counts code points, not
@@ -92,26 +99,59 @@ object NgramRepetition {
       i += 1
     }
 
-    var f = 0
-    while (f < topNs.length + dupNs.length) {
-      val isTop = f < topNs.length
-      val n = if (isTop) topNs(f) else dupNs(f - topNs.length)
-      if (numToks >= n) {
+    // Families in ascending n order (the two config arrays are each
+    // sorted; merge them) so the per-position gram hashes ROLL
+    // forward: extending every start position's hash by one token per
+    // unit of n replaces the per-family inner rehash loop — sum(n)
+    // multiplies per position become max(n), ~4x less hash arithmetic
+    // under the Gopher default (top 2,3,4 / dup 5..10). The hash fold
+    // is unchanged (h = h*31 + id from the FNV offset), and every hit
+    // is still verified by id-range compare, so counts cannot change.
+    val nFam = topNs.length + dupNs.length
+    val famN = new Array[Int](nFam)
+    val famIsTop = new Array[Boolean](nFam)
+    val famOut = new Array[Int](nFam)
+    var ti = 0
+    var di = 0
+    var w = 0
+    while (w < nFam) {
+      if (di >= dupNs.length || (ti < topNs.length && topNs(ti) <= dupNs(di))) {
+        famN(w) = topNs(ti); famIsTop(w) = true; famOut(w) = ti; ti += 1
+      } else {
+        famN(w) = dupNs(di); famIsTop(w) = false
+        famOut(w) = topNs.length + di; di += 1
+      }
+      w += 1
+    }
+    if (nFam > 0 && numToks >= famN(0)) {
+      // one open-addressing table sized for the SMALLEST n (most
+      // grams), reused by every family: linear probing, exact
+      // verification by id-range compare on every hit (collisions
+      // cannot miscount); a larger-than-needed cap only lowers the
+      // load factor for the bigger ns.
+      val maxGrams = numToks - famN(0) + 1
+      var cap = 4
+      while (cap < maxGrams * 2) cap <<= 1
+      val mask = cap - 1
+      val slotStart = new Array[Int](cap)
+      val slotCount = new Array[Long](cap)
+      val roll = new Array[Int](numToks)
+      java.util.Arrays.fill(roll, -2128831035)
+      var curN = 0
+      var f = 0
+      while (f < nFam && numToks >= famN(f)) {
+        val n = famN(f)
+        while (curN < n) {
+          var s = 0
+          val lim = numToks - curN
+          while (s < lim) { roll(s) = roll(s) * 31 + ids(s + curN); s += 1 }
+          curN += 1
+        }
         val grams = numToks - n + 1
-        // open addressing on a rolling id hash, linear probing, exact
-        // verification by id-range compare on every hit (collisions
-        // cannot miscount)
-        var cap = 4
-        while (cap < grams * 2) cap <<= 1
-        val mask = cap - 1
-        val slotStart = new Array[Int](cap)
         java.util.Arrays.fill(slotStart, -1)
-        val slotCount = new Array[Long](cap)
         var s = 0
         while (s < grams) {
-          var h = -2128831035
-          var k = s
-          while (k < s + n) { h = h * 31 + ids(k); k += 1 }
+          val h = roll(s)
           var idx = (h ^ (h >>> 16)) & mask
           var placed = false
           while (!placed) {
@@ -134,7 +174,7 @@ object NgramRepetition {
           s += 1
         }
         var frac = 0.0
-        if (isTop) {
+        if (famIsTop(f)) {
           // max count; ties break toward the longer gram — same as the
           // reference fold's (bestCnt, bestLen) pair.
           var bestCnt = 0L
@@ -164,9 +204,9 @@ object NgramRepetition {
           }
           frac = math.min(1.0, dupChars.toDouble / normChars)
         }
-        out(f) = frac
+        out(famOut(f)) = frac
+        f += 1
       }
-      f += 1
     }
     new GenericInternalRow(out)
   }

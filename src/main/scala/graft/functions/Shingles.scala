@@ -32,9 +32,9 @@ object Shingles {
   def compute(s: UTF8String, n: Int): ArrayData = {
     // UTF8String.trim trims ASCII spaces only, exactly like SQL trim
     val txt = s.trim().toString
-    // Java split(regex, -1) == Spark split(str, regex) (limit -1);
-    // on a trimmed string no trailing separators survive anyway
-    val toks = txt.split("\\s+", -1)
+    // Tok.splitWs == Pattern.split(str, -1) == Spark split (limit -1),
+    // without the regex engine or String.split's per-call re-compile
+    val toks = Tok.splitWs(txt)
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
     else {
       val seen = new java.util.LinkedHashSet[String]
@@ -70,7 +70,7 @@ object Shingles {
     * generated code. */
   def computeAll(s: UTF8String, n: Int): ArrayData = {
     val txt = s.trim().toString
-    val toks = txt.split("\\s+", -1)
+    val toks = Tok.splitWs(txt)
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
     else {
       val out = new Array[Any](toks.length - n + 1)

@@ -23,8 +23,6 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextStats {
 
-  private val Ws = java.util.regex.Pattern.compile("\\s+")
-
   /** Replicates `trim(s)`: leading/trailing 0x20 only. */
   private def trimSpaces(s: String): String = {
     var a = 0
@@ -66,7 +64,7 @@ object TextStats {
   def alphaWordCount(text: UTF8String): Int = {
     val str = trimSpaces(text.toString)
     if (str.isEmpty) return 0 // split("") = [""], no letter anyway
-    val toks = Ws.split(str, -1)
+    val toks = Tok.splitWs(str)
     var n = 0
     var i = 0
     while (i < toks.length) {
@@ -98,7 +96,7 @@ object TextStats {
       // tokens = [""]: no stopword is empty, all counts stay 0
       return new GenericInternalRow(out)
     }
-    val toks = Ws.split(str, -1)
+    val toks = Tok.splitWs(str)
     var i = 0
     while (i < toks.length) {
       val t = toks(i)

@@ -516,4 +516,72 @@ class PropertySpec extends AnyFunSuite {
       Prop(f1.length <= s.length) :| s"grew: '$s' -> '$f1'"
     }, 500)
   }
+
+  test("Tok.splitWs equals Pattern.split(\"\\\\s+\", -1) on arbitrary strings") {
+    // the r16 fast path replaces the regex engine in every text
+    // kernel's tokenization; this fuzz pins it to the regex itself,
+    // including the limit=-1 quirks (leading/trailing empties, [""]
+    // for "", all-whitespace inputs) and every \s member
+    val ws = java.util.regex.Pattern.compile("\\s+")
+    val piece = Gen.frequency(
+      5 -> Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString),
+      3 -> Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r"),
+      1 -> Gen.oneOf("", "  ", " \t ", "\r\n", "café", "…", " ", "一二"),
+      1 -> Gen.choose(0x20.toChar, 0x2fff.toChar).map(_.toString))
+    val gen = Gen.listOf(piece).map(_.mkString)
+    check(Prop.forAllNoShrink(gen) { s =>
+      val fast = graft.functions.Tok.splitWs(s).toSeq
+      val ref = ws.split(s, -1).toSeq
+      Prop(fast == ref) :| s"'$s': $fast vs $ref"
+    }, 2000)
+  }
+
+  test("rolling-hash ngram repetition equals an independent string-gram count") {
+    // the r16 rolling-hash family loop must count exactly like a naive
+    // joined-string HashMap per n — top fraction (max count, ties to
+    // the longer gram) and dup fraction both, over arbitrary token
+    // soups with planted repetition
+    import graft.functions.NgramRepetition
+    import org.apache.spark.unsafe.types.UTF8String
+    val word = Gen.frequency(
+      5 -> Gen.oneOf("a", "b", "cc", "ddd", "the", "of", "spam"),
+      1 -> Gen.listOfN(2, Gen.alphaChar).map(_.mkString),
+      1 -> Gen.oneOf("café", "…x"))
+    val doc = for {
+      n <- Gen.choose(0, 60)
+      toks <- Gen.listOfN(n, word)
+      rep <- Gen.choose(0, 3) // plant a repeated run to exercise dups
+    } yield (toks ++ List.fill(rep)(toks.take(6)).flatten).mkString(" ")
+    val topNs = Array(2, 3, 4)
+    val dupNs = Array(5, 6, 7, 8, 9, 10)
+    def naive(text: String): Seq[Double] = {
+      val toks = text.trim.split("\\s+", -1).toSeq.filter(_ => true)
+      val norm = toks.mkString(" ").codePointCount(0, toks.mkString(" ").length)
+      def fracs(n: Int, top: Boolean): Double = {
+        if (text.trim.isEmpty || toks.length < n || norm == 0) 0.0
+        else {
+          val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+          val cnt = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          if (top) {
+            val (bc, bl) = cnt.foldLeft((0L, 0L)) { case ((c0, l0), (g, c)) =>
+              val l = g.codePointCount(0, g.length).toLong
+              if (c > c0 || (c == c0 && l > l0)) (c, l) else (c0, l0)
+            }
+            math.min(1.0, (bc * bl).toDouble / norm)
+          } else {
+            val dup = cnt.collect { case (g, c) if c > 1 =>
+              c * g.codePointCount(0, g.length).toLong }.sum
+            math.min(1.0, dup.toDouble / norm)
+          }
+        }
+      }
+      topNs.map(fracs(_, top = true)).toSeq ++ dupNs.map(fracs(_, top = false))
+    }
+    check(Prop.forAllNoShrink(doc) { text =>
+      val r = NgramRepetition.compute(UTF8String.fromString(text), topNs, dupNs)
+      val got = (0 until 9).map(r.getDouble)
+      val want = naive(text.toLowerCase)
+      Prop(got == want) :| s"'${text.take(80)}': $got vs $want"
+    }, 300)
+  }
 }
