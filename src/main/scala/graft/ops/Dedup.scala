@@ -403,8 +403,11 @@ object Dedup {
       portableHash: Boolean = false): DataFrame = {
     require(k >= 1, s"exactSubstrDedup wants k >= 1, got $k")
     val toks = col("__toks")
+    // ws_tokens kernel == filter(split(trim(text), "\\s+"), len > 0)
+    // (PropertySpec-pinned) but codegen'd: this projection runs over
+    // the corpus THREE times (window pass, probe pass, reassembly)
     val withToks = df.withColumn("__toks",
-      filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0))
+      graft.functions.WsTokens.of(col(textCol)))
     val windowHash =
       if (portableHash)
         when(size(toks) >= k,

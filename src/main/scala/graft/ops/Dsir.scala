@@ -52,7 +52,7 @@ object Dsir {
   /** Lowercased whitespace tokens — the shared corpus tokenization
     * (same normal form as the bigram LM / unigram scorers). */
   private[ops] def toks(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    graft.functions.WsTokens.lowerOf(text)
 
   /** Unigram + bigram surface forms of a document (DSIR's feature
     * set). Only materialized by the reference formulation

@@ -662,8 +662,7 @@ object Sampling {
     // successors into the next pack at a nonzero offset), so the
     // chunk math needs the true running sum in pack order
     val withOff = assigned
-      .withColumn("__toks",
-        filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0))
+      .withColumn("__toks", graft.functions.WsTokens.of(col(textCol)))
       .withColumn("__n", size(col("__toks")).cast("long"))
       .withColumn("__off", sum(col("__n")).over(w) - col("__n"))
     val sliced = withOff

@@ -23,7 +23,7 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+    graft.functions.WsTokens.countOf(text)
 
   /** A BPE-flavored token estimate: words and punctuation split like a
     * byte-pair pre-tokenizer would (letters+digits runs, single
@@ -361,8 +361,7 @@ object TextAnalysis {
   def tfIdfTerms(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 10): DataFrame = {
     require(k >= 1, s"tfIdfTerms wants k >= 1, got $k")
-    val terms = filter(split(lower(trim(col(textCol))), "\\s+"),
-      t => length(t) > 0)
+    val terms = graft.functions.WsTokens.lowerOf(col(textCol))
     val pairs = df
       .select(col(idCol).as("doc_id"), explode(terms).as("term"))
       .groupBy("doc_id", "term")
@@ -625,8 +624,7 @@ object TextAnalysis {
       textCol: String = "text", k: Int = 50): DataFrame = {
     require(k >= 1, s"tokenDrift wants k >= 1, got $k")
     def counts(df: DataFrame, as: String) = df
-      .select(explode(filter(split(lower(trim(col(textCol))), "\\s+"),
-        t => length(t) > 0)).as("token"))
+      .select(explode(graft.functions.WsTokens.lowerOf(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as(as))
     val joined = counts(oldDf, "old_cnt")
       .join(counts(newDf, "new_cnt"), Seq("token"), "full_outer")

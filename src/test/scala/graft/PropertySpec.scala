@@ -536,6 +536,38 @@ class PropertySpec extends AnyFunSuite {
     }, 2000)
   }
 
+  test("WsTokens kernels equal their HOF/split Column formulations") {
+    // ws_tokens / ws_tokens(lower) / ws_token_count replace the
+    // CodegenFallback filter(split(...)) tokenizations in ExactSubstr,
+    // chunking, DSIR, TF-IDF and token-drift — pinned here against the
+    // original Column expressions over whitespace-adversarial soups
+    import graft.functions.WsTokens
+    val piece = Gen.frequency(
+      5 -> Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString),
+      3 -> Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r"),
+      1 -> Gen.oneOf("", "  ", " \t ", "\r\n", "Café", "…", " ", "一二"))
+    val gen = Gen.listOf(piece).map(_.mkString)
+    check(Prop.forAllNoShrink(Gen.listOfN(200, gen)) { ts =>
+      val rows = (null.asInstanceOf[String] :: ts).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(
+          WsTokens.of(col("text")).as("k1"),
+          filter(split(trim(col("text")), "\\s+"), t => length(t) > 0).as("r1"),
+          WsTokens.lowerOf(col("text")).as("k2"),
+          filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0).as("r2"),
+          WsTokens.countOf(col("text")).as("k3"),
+          when(length(trim(col("text"))) === 0, 0)
+            .otherwise(size(split(trim(col("text")), "\\s+"))).as("r3"))
+        .collect()
+      rows.forall { r =>
+        r.getAs[Seq[String]]("k1") == r.getAs[Seq[String]]("r1") &&
+          r.getAs[Seq[String]]("k2") == r.getAs[Seq[String]]("r2") &&
+          r.getAs[Any]("k3") == r.getAs[Any]("r3")
+      }
+    }, 10)
+  }
+
   test("rolling-hash ngram repetition equals an independent string-gram count") {
     // the r16 rolling-hash family loop must count exactly like a naive
     // joined-string HashMap per n — top fraction (max count, ties to
