@@ -54,7 +54,7 @@ object KmvSketch {
     * `CAST('0x' || substr(md5(x), 1, 13) AS BIGINT)`: 13 hex chars of
     * the md5, parsed base-16. The PORTABLE hasher — use it where a
     * cross-engine oracle must replay the sketch. */
-  def hash52(c: Column): Column =
+  val hash52: Column => Column = c =>
     conv(substring(md5(c), 1, 13), 16, 10).cast("long")
 
   /** Production hasher: xxhash64 shifted to the same 52-bit domain —
@@ -62,7 +62,7 @@ object KmvSketch {
     * parse (the md5 chain measured ~1.8x the EXACT path's entire cost
     * over 1.2B grams; same convention as Dedup's md5Hash/xxHash pair:
     * md5 only exists for DuckDB oracle portability). */
-  def hash52Fast(c: Column): Column =
+  val hash52Fast: Column => Column = c =>
     // xxhash64(NULL) returns the SEED, not NULL — without the guard a
     // null input hashes to a real value and the sketch counts it as an
     // extra distinct, diverging from hash52 (md5 of NULL is NULL) and

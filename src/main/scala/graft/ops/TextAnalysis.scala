@@ -572,11 +572,23 @@ object TextAnalysis {
     // codegen), which measured 2x the whole exact path at 10M docs —
     // hashed as a codegen'd projection, the agg's child is a plain
     // field read
-    def sk(df: DataFrame, alias: String) = df
-      .select(explode(
-        graft.functions.Shingles.shingles(col(textCol), n)).as("ngram"))
-      .select(hasher(col("ngram")).as("__h"))
-      .agg(KmvSketch.sketch(col("__h"), k).as(alias))
+    // built-in hashers fuse shingling+hashing into ONE kernel pass
+    // ([[graft.functions.ShingleHash]] — no gram strings are ever
+    // materialized; distinct-by-hash is sketch-equivalent to the
+    // unfused distinct-by-gram pipeline, OpsSpec-pinned): the unfused
+    // path built ~80 gram strings per document only to hash them,
+    // ~10s of pure allocation per snapshot side at 10M docs. Custom
+    // hashers keep the general formulation.
+    def sk(df: DataFrame, alias: String) =
+      if ((hasher eq KmvSketch.hash52Fast) || (hasher eq KmvSketch.hash52)) df
+        .select(explode(graft.functions.ShingleHash.of(
+          col(textCol), n, md5Mode = hasher eq KmvSketch.hash52)).as("__h"))
+        .agg(KmvSketch.sketch(col("__h"), k).as(alias))
+      else df
+        .select(explode(
+          graft.functions.Shingles.shingles(col(textCol), n)).as("ngram"))
+        .select(hasher(col("ngram")).as("__h"))
+        .agg(KmvSketch.sketch(col("__h"), k).as(alias))
     val withU = sk(oldDf, "so").crossJoin(sk(newDf, "sn"))
       .withColumn("u", slice(array_sort(array_union(col("so"), col("sn"))), 1, k))
     val dOld = KmvSketch.estimate(col("so"), k)

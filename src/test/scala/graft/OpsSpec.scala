@@ -507,6 +507,41 @@ class OpsSpec extends SparkFunSuite {
     assert(math.abs(estF - 50000.0) / 50000.0 < 0.14, s"estF=$estF")
   }
 
+  test("ShingleHash fused kernel: sketch-identical to the unfused shingle+hash pipeline") {
+    import graft.functions.{KmvSketch, ShingleHash, Shingles}
+    // adversarial texts: duplicates within and across docs, unicode,
+    // whitespace soup, short and null docs
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps again and again and again"),
+      (3L, "a b a b a b a b"),
+      (4L, "  \tcafé … naïve\n tokens split here  "),
+      (5L, "short"), (6L, ""), (7L, null.asInstanceOf[String]),
+      (8L, "one two three one two three one two three")).toDF("doc_id", "text")
+    for (md5Mode <- Seq(false, true); n <- Seq(2, 3, 5)) {
+      val hasher = if (md5Mode) KmvSketch.hash52 else KmvSketch.hash52Fast
+      val fused = docs
+        .select(explode(ShingleHash.of($"text", n, md5Mode)).as("__h"))
+        .agg(KmvSketch.sketch($"__h", 64)).head().getSeq[Long](0)
+      val unfused = docs
+        .select(explode(Shingles.shingles($"text", n)).as("g"))
+        .select(hasher($"g").as("__h"))
+        .agg(KmvSketch.sketch($"__h", 64)).head().getSeq[Long](0)
+      assert(fused == unfused, s"md5Mode=$md5Mode n=$n")
+    }
+    // and the operator dispatch end-to-end: fused fast/md5 paths match
+    // a custom-hasher run of the SAME hash expression (generic path)
+    val old = docs.filter($"doc_id" <= 4)
+    val nw = docs.filter($"doc_id" >= 3)
+    val viaFast = graft.ops.TextAnalysis.ngramNoveltyApprox(
+      old, nw, n = 3, k = 64, hasher = KmvSketch.hash52Fast).head()
+    val genericFast: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => KmvSketch.hash52Fast(c) // new function object: forces generic path
+    val viaGeneric = graft.ops.TextAnalysis.ngramNoveltyApprox(
+      old, nw, n = 3, k = 64, hasher = genericFast).head()
+    assert(viaFast == viaGeneric)
+  }
+
   test("ngramNoveltyApprox: exact when sketches fit, accurate when not") {
     import graft.ops.TextAnalysis
     // complete sketches (distinct grams < k) -> identical to the exact
