@@ -835,21 +835,29 @@ object TextAnalysis {
     * pattern strings byte-for-byte. BMP ranges only. Order =
     * tie-break priority.
     */
-  private def scriptClass(extra: String, ranges: (Int, Int)*): String =
+  private def scriptClass(ranges: Seq[(Int, Int)]): String =
     ranges.map { case (a, b) => s"${a.toChar}-${b.toChar}" }
-      .mkString("[" + extra, "", "]")
+      .mkString("[", "", "]")
 
-  private[graft] val ScriptRanges: Seq[(String, String)] = Seq(
-    "latin" -> scriptClass("A-Za-z", (0x00C0, 0x024F)),
-    "cyrillic" -> scriptClass("", (0x0400, 0x04FF)),
-    "greek" -> scriptClass("", (0x0370, 0x03FF)),
-    "arabic" -> scriptClass("", (0x0600, 0x06FF), (0x0750, 0x077F)),
-    "hebrew" -> scriptClass("", (0x0590, 0x05FF)),
-    "devanagari" -> scriptClass("", (0x0900, 0x097F)),
-    "thai" -> scriptClass("", (0x0E00, 0x0E7F)),
-    "cjk" -> scriptClass("", (0x3400, 0x4DBF), (0x4E00, 0x9FFF)),
-    "kana" -> scriptClass("", (0x3040, 0x30FF)),
-    "hangul" -> scriptClass("", (0x1100, 0x11FF), (0xAC00, 0xD7AF)))
+  /** The structured range source both renderings derive from: the
+    * regex classes below (byte-identical to the previous literal
+    * spelling — 'A'-'Z' renders as "A-Z") and the
+    * [[graft.functions.ScriptDetect]] kernel's integer tables, so the
+    * two can never drift. */
+  private[graft] val ScriptRangeData: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "latin" -> Seq((0x41, 0x5A), (0x61, 0x7A), (0x00C0, 0x024F)),
+    "cyrillic" -> Seq((0x0400, 0x04FF)),
+    "greek" -> Seq((0x0370, 0x03FF)),
+    "arabic" -> Seq((0x0600, 0x06FF), (0x0750, 0x077F)),
+    "hebrew" -> Seq((0x0590, 0x05FF)),
+    "devanagari" -> Seq((0x0900, 0x097F)),
+    "thai" -> Seq((0x0E00, 0x0E7F)),
+    "cjk" -> Seq((0x3400, 0x4DBF), (0x4E00, 0x9FFF)),
+    "kana" -> Seq((0x3040, 0x30FF)),
+    "hangul" -> Seq((0x1100, 0x11FF), (0xAC00, 0xD7AF)))
+
+  private[graft] val ScriptRanges: Seq[(String, String)] =
+    ScriptRangeData.map { case (n, rs) => n -> scriptClass(rs) }
 
   /** Dominant writing system of a document: count characters in each
     * script's Unicode ranges, return the argmax (ties break on
@@ -865,20 +873,17 @@ object TextAnalysis {
     * counted; crawl text beyond the BMP is negligible and the oracle
     * replays the exact same ranges).
     */
-  def detectScript(text: Column): Column = {
-    val t = coalesce(text, lit(""))
-    val counts = ScriptRanges.map { case (name, cls) =>
-      name -> regexp_count(t, lit(cls))
-    }
-    val best = counts.tail.foldLeft(
-      struct(counts.head._2.as("n"), lit(counts.head._1).as("s"))) {
-      case (acc, (name, cnt)) =>
-        // strict > keeps the earlier (higher-priority) script on ties
-        when(cnt > acc.getField("n"),
-          struct(cnt.as("n"), lit(name).as("s"))).otherwise(acc)
-    }
-    when(best.getField("n") === 0, lit("und")).otherwise(best.getField("s"))
-  }
+  def detectScript(text: Column): Column =
+    // one codegen'd kernel pass over the code points instead of ten
+    // regexp_count columns folded through a when-chain whose
+    // accumulator appeared TWICE per level — a 2^10-node expression
+    // tree that cost ~1.8s of pure planning/codegen per query on a
+    // 21-row input. Counts and the strict->/earlier-wins tie-break are
+    // identical (kernel tables derive from the same ScriptRangeData
+    // the oracle's regex classes render from; OpsSpec pins the kernel
+    // against the regexp_count fold).
+    graft.functions.ScriptDetect.of(coalesce(text, lit("")),
+      ScriptRangeData)
 
   /** One-pass enrichment of a document frame. `extended = true` adds
     * the heavier r16 signals — rank-profile language ID, Flesch

@@ -234,6 +234,44 @@ class OpsSpec extends SparkFunSuite {
     want.foreach { case (id, s) => assert(df(id) == s, s"doc $id") }
   }
 
+  test("script kernel equals the regexp_count fold on adversarial text") {
+    // the codegen kernel replaced the exponential when-chain; pin its
+    // counts + tie-break (strict >, earlier script wins) against the
+    // reference regexp_count formulation over mixed-script soups,
+    // exact ties, supplementary-plane chars, and range boundaries
+    val ref: org.apache.spark.sql.Column => org.apache.spark.sql.Column = { text =>
+      val t = coalesce(text, lit(""))
+      val counts = TextAnalysis.ScriptRanges.map { case (name, cls) =>
+        name -> regexp_count(t, lit(cls))
+      }
+      val best = counts.tail.foldLeft(
+        struct(counts.head._2.as("n"), lit(counts.head._1).as("s"))) {
+        case (acc, (name, cnt)) =>
+          when(cnt > acc.getField("n"),
+            struct(cnt.as("n"), lit(name).as("s"))).otherwise(acc)
+      }
+      when(best.getField("n") === 0, lit("und")).otherwise(best.getField("s"))
+    }
+    val docs = Seq(
+      "abc Дети",                       // exact 3-3 tie: latin wins (earlier)
+      "ab Дети",                        // cyrillic ahead
+      "Àɏ¿",             // latin range boundaries + non-script
+      "ͰϿЀӿ",       // greek/cyrillic 2-2 tie: greek later than latin but earlier than... order check
+      "😀 𠮟 abc",  // emoji + supplementary CJK ext: only latin counts
+      "عربى והhebrew",                  // arabic vs hebrew mix
+      "ひらがな漢字カタカナ",              // kana vs cjk
+      "ᄀ가힯",             // hangul boundary chars
+      "", "   ", "12345 !!!",
+      null.asInstanceOf[String]) ++
+      SparkEntry.LangIdDocs.map(_._2)
+    val rows = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(TextAnalysis.detectScript(col("text")).as("k"),
+        ref(col("text")).as("r"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
   test("analyze extended: adds the r16 signals, default schema unchanged") {
     val df = Seq((1L, "The children are playing in the park today")).toDF("doc_id", "text")
     val base = TextAnalysis.analyze(df)
