@@ -37,6 +37,41 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** The ONE ranking site for every search path: top-k rows per
+    * query_id under (sim desc, neighbor_id asc), with `rank` = 1-based
+    * position — exactly `row_number().over(partitionBy(query_id)
+    * .orderBy(sim.desc, id.asc)).filter(_ <= k)`, which is also what
+    * every DuckDB oracle replays.
+    *
+    * For the (double sim, long id) shape every contract query uses,
+    * ranking runs as the [[graft.functions.TopKPairs]] bounded-heap
+    * aggregate: the window form fully SORTS each scan task's entire
+    * pair stream before its partial WindowGroupLimit can drop
+    * anything (O(N log N) on |corpus|×|queries| pairs), while the
+    * heap pays one comparison against the running k-th best per pair
+    * and only (|queries| × k)-sized buffers ride the exchange. Other
+    * id types keep the window form (generic, rarely hot). */
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val aggPath = scored.schema("sim").dataType == DoubleType &&
+      scored.schema("neighbor_id").dataType == LongType
+    if (aggPath) {
+      scored.groupBy(col("query_id"))
+        .agg(graft.functions.TopKPairs.of(col("sim"), col("neighbor_id"), k)
+          .as("__topk"))
+        .select(col("query_id"), posexplode(col("__topk")).as(Seq("__pos", "__e")))
+        .select(col("query_id"),
+          col("__e").getField("neighbor_id").as("neighbor_id"),
+          col("__e").getField("sim").as("sim"),
+          (col("__pos") + lit(1)).cast(IntegerType).as("rank"))
+    } else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`: (qidCol, vecCol); `corpus`: (idCol, vecCol).
     * The query side is broadcast — the corpus is scanned once and
@@ -59,10 +94,7 @@ object Similarity {
     val scored = joined.select(
       col("query_id"), col("neighbor_id"),
       (VecOps.vecDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Random-hyperplane signature: bit b = sign of dot(vec, plane_b).
@@ -98,13 +130,10 @@ object Similarity {
       .withColumn("__cn", sqrt(VecOps.vecDot(col("__cv"), col("__cv"))))
     val joined = c.join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    joined
+    rankTopK(joined
       .select(col("query_id"), col("neighbor_id"),
-        (VecOps.vecDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+        (VecOps.vecDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("sim")),
+      k)
   }
 
   /** IVF-style approximate top-k. Centroids = `nlist` corpus vectors
@@ -227,14 +256,11 @@ object Similarity {
   private def probeLists(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val joined = c.join(broadcast(q), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-    val wr = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    joined
+    rankTopK(joined
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("sim"))
-      .distinct()
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= k)
+      .distinct(),
+      k)
   }
 
   /** A persisted IVF index: broadcastable centroids + the corpus
@@ -266,7 +292,14 @@ object Similarity {
     index.centroids
       .select(col("list_id"), col("__centroid").as("centroid"))
       .write.mode("overwrite").parquet(s"$path/centroids.parquet")
-    index.lists.write.mode("overwrite")
+    // cluster by list BEFORE the partitioned write — the same
+    // file-count arithmetic appendIvfIndex documents (every write
+    // task otherwise holds open files for every list it touches:
+    // tasks × nlist small files per FULL build, ~2048 at 32 tasks ×
+    // 64 lists; one bounded exchange buys ~one file per list). The
+    // probe-time pruned read and the bit-identical-to-inline value
+    // contract only see rows, never file boundaries.
+    index.lists.repartition(col("list_id")).write.mode("overwrite")
       .partitionBy("list_id").parquet(s"$path/lists.parquet")
   }
 
@@ -419,13 +452,11 @@ object Similarity {
       .withColumn("__cn", sqrt(VecOps.vecDot(col("__cv"), col("__cv"))))
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-    joined.select(
+    rankTopK(joined.select(
         col("query_id"), col("neighbor_id"),
         (VecOps.vecDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-          .as("sim"))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
+          .as("sim")),
+      k)
   }
 
   /** Unit-normalize a vector (double precision). */
@@ -670,9 +701,7 @@ object Similarity {
         (VecOps.vecDot(col("__qv"), col("__cv"))
           / (sqrt(VecOps.vecDot(col("__qv"), col("__qv")))
             * sqrt(VecOps.vecDot(col("__cv"), col("__cv"))))).as("sim"))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
+      .transform(rankTopK(_, k))
 
   /** Asymmetric-distance top-k over PQ codes: per query, ONE lookup
     * table of subvector·centroid inner products is computed on the
@@ -693,9 +722,7 @@ object Similarity {
       .join(broadcast(q.withColumn("__lut", lut).drop("__qv")),
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"), adc.as("sim"))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
+      .transform(rankTopK(_, k))
   }
 
   /** PQ search with exact re-ranking: ADC proposes `candidates` ids
@@ -801,7 +828,9 @@ object Similarity {
     } yield (j, i, index.pq.codebooks(j)(i).toSeq))
       .toDF("j", "i", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks.parquet")
-    index.codes.write.mode("overwrite")
+    // cluster by list first — same tasks × nlist file-count rationale
+    // as saveIvfIndex / appendIvfIndex
+    index.codes.repartition(col("list_id")).write.mode("overwrite")
       .partitionBy("list_id").parquet(s"$path/codes.parquet")
   }
 
@@ -883,9 +912,7 @@ object Similarity {
               else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         (col("__qc") + adc).as("sim"))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
+      .transform(rankTopK(_, k))
   }
 
   /** IVF-PQ search with exact re-ranking: ADC over the probed lists

@@ -2926,4 +2926,49 @@ class OpsSpec extends SparkFunSuite {
     assert(total.getAs[Long]("n_docs") == 4 && total.getAs[Long]("n_tokens") == 5)
     assert(total.getAs[Long]("n_unique_texts") == 3) // "a b", "c", ""
   }
+
+  test("TopKPairs heap aggregate: rank-identical to the row_number window, " +
+      "ties/NaN/zero/null fuzz") {
+    import org.apache.spark.sql.expressions.Window
+    // adversarial sim pool: exact duplicates (tie-break by id), NaN
+    // (sorts ABOVE all numbers in desc), +/-0.0 (distinct under
+    // Double.compare), nulls (desc_nulls_last), and plain values
+    val simPool: Array[java.lang.Double] = Array(
+      0.5, 0.5, 0.5, -0.25, 1.0, 1.0, Double.NaN, Double.NaN, 0.0, -0.0,
+      null, null, 0.999999999, 0.999999998, -1.0, 3.14)
+    val rnd = new scala.util.Random(20260818)
+    val rows = for {
+      q <- 0L until 7L
+      n <- 0 until (20 + rnd.nextInt(30))
+    } yield (q, rnd.nextLong(), simPool(rnd.nextInt(simPool.length)))
+    // unique neighbor ids per query keep row_number deterministic
+    val data = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(data.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sim",
+          org.apache.spark.sql.types.DoubleType))))
+      .repartition(7) // several partials per group: exercises merge+serde
+    // sim compared via raw bits: NaN == NaN must hold, -0.0 != 0.0
+    def key(r: org.apache.spark.sql.Row): (Long, Int, Long, Option[Long]) =
+      (r.getLong(0), r.getInt(3), r.getLong(1),
+        if (r.isNullAt(2)) None
+        else Some(java.lang.Double.doubleToLongBits(r.getDouble(2))))
+    for (k <- Seq(1, 3, 10, 1000)) {
+      val agg = Similarity.rankTopK(df, k).collect()
+        .map(key).sortBy(t => (t._1, t._2))
+      val win = df.withColumn("rank",
+          row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("sim").desc, col("neighbor_id").asc)))
+        .filter(col("rank") <= k).collect()
+        .map(key).sortBy(t => (t._1, t._2))
+      assert(agg.length == win.length, s"k=$k: ${agg.length} vs ${win.length}")
+      agg.zip(win).foreach { case (a, w) => assert(a == w, s"k=$k: $a vs $w") }
+    }
+  }
 }
