@@ -1280,7 +1280,20 @@ object Bench {
       } catch {
         case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e")
       }
-      json
+      // STDOUT gets a COMPACT line (r16 VERDICT #2): the full stamped
+      // record above (per-row loadavg/vs_prior/reps, phases,
+      // isolation) grew past 30KB and a truncated stdout-tail capture
+      // cost round 15→16 its whole prev column. The driver contract —
+      // one JSON line with metric/value/unit/queries/sf — fits in the
+      // name→secs map alone; everything else lives in $outPath.
+      // "rotated" names rows dropped from the default suite BY DESIGN
+      // so a comparator sees drops-by-design, not regressions.
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""stat":"min","baseline_stat":"median","queries":$qs,""" +
+        s""""sf":"$sfDir","cpus":${cpus.toIntOption.getOrElse(-1)},""" +
+        rotatedRows.toSeq.sorted.map("\"" + _ + "\"")
+          .mkString(""""rotated":[""", ",", "],") +
+        s""""detail":${graft.util.Jsons.str(outPath)},"partial":$partial}"""
     }
 
     // One measurement = warmup (first encounter only; folded into the

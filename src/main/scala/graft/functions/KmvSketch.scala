@@ -53,7 +53,13 @@ object KmvSketch {
   /** Uniform 52-bit hash, replayable in DuckDB as
     * `CAST('0x' || substr(md5(x), 1, 13) AS BIGINT)`: 13 hex chars of
     * the md5, parsed base-16. The PORTABLE hasher — use it where a
-    * cross-engine oracle must replay the sketch. */
+    * cross-engine oracle must replay the sketch.
+    *
+    * VAL IDENTITY IS LOAD-BEARING (ADVICE r16): ngramNoveltyApprox
+    * dispatches its fused shingle_hash kernel by reference equality
+    * (`hasher eq hash52` / `eq hash52Fast`) — these must stay `val`s,
+    * and an eta-expanded wrapper (`c => hash52(c)`) silently takes
+    * the slower unfused (but equivalent) path. */
   val hash52: Column => Column = c =>
     conv(substring(md5(c), 1, 13), 16, 10).cast("long")
 

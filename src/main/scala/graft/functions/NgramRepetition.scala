@@ -293,6 +293,13 @@ case class NgramRepetitionExpr(child: Expression, topNs: Seq[Int], dupNs: Seq[In
   require((topNs ++ dupNs).forall(_ >= 2), s"ngram_repetition wants n >= 2, got ${topNs ++ dupNs}")
   require(topNs.distinct == topNs && dupNs.distinct == dupNs,
     "ngram_repetition wants distinct ns per family")
+  // the r16 rolling-hash extension walks each family list ascending
+  // (shared rolling hash rolls n upward; the numToks >= famN(f) early
+  // exit assumes later families need MORE tokens) — unsorted input
+  // would return silently wrong fractions, not an error (ADVICE r16)
+  require(topNs.sorted == topNs && dupNs.sorted == dupNs,
+    s"ngram_repetition wants each family's ns sorted ascending, " +
+      s"got topNs=$topNs dupNs=$dupNs")
 
   private val topArr = topNs.toArray
   private val dupArr = dupNs.toArray

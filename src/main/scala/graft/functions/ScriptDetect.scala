@@ -74,13 +74,21 @@ object ScriptDetect {
 
   def of(text: Column, ranges: Seq[(String, Seq[(Int, Int)])]): Column =
     ColumnBridge.column(
-      ScriptDetectExpr(ColumnBridge.expression(text), table(ranges)))
+      ScriptDetectExpr(ColumnBridge.expression(text), ranges))
 }
 
-/** See [[ScriptDetect.detect]]. `table` is config, not a child — it
+/** See [[ScriptDetect.detect]]. `ranges` is config, not a child — the
+  * case-class field stays the VALUE-equal Seq form (ADVICE r16: a
+  * reference-equal table field defeated Catalyst canonicalization /
+  * common-subexpression elimination between identical detectScript
+  * expressions); the flattened lookup table is derived lazily and
   * reaches generated code as a referenced object. */
-case class ScriptDetectExpr(child: Expression, table: ScriptDetectTable)
+case class ScriptDetectExpr(child: Expression,
+    ranges: Seq[(String, Seq[(Int, Int)])])
     extends UnaryExpression {
+
+  @transient private lazy val table: ScriptDetectTable =
+    ScriptDetect.table(ranges)
 
   override def dataType: DataType = StringType
 
