@@ -717,12 +717,71 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     val lut = pqLut(model, asDouble(col("__qv")))
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
-    val adc = pqAdc(model)
-    codes.select(col(idCol).as("neighbor_id"), col("pq_code"))
-      .join(broadcast(q.withColumn("__lut", lut).drop("__qv")),
-        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .select(col("query_id"), col("neighbor_id"), adc.as("sim"))
-      .transform(rankTopK(_, k))
+    val qframe = q.withColumn("__lut", lut).drop("__qv")
+    val codesSel = codes.select(col(idCol).as("neighbor_id"), col("pq_code"))
+    // Fused ADC scan (guide §3 + codegen): the broadcast-nested-loop
+    // join materializes Q joined rows per corpus code (~200 ns/pair of
+    // row machinery at the bench shape) just to feed the ranking
+    // aggregate. When the shape allows, collect the SAME Spark-
+    // evaluated (query_id, __lut) rows the broadcast would carry —
+    // LUT values bit-identical by construction — and run one
+    // PqAdcTopK aggregate over the codes scan: Q bounded heaps, a
+    // few array loads per pair, no joined-row allocation. The
+    // fallback (generic id types, null/duplicate query ids, null
+    // LUTs) is the unfused plan, value-identical and OpsSpec-pinned.
+    fusedAdcTopK(qframe, codesSel, k, model, excludeSelf).getOrElse {
+      val adc = pqAdc(model)
+      codesSel
+        .join(broadcast(qframe),
+          if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+        .select(col("query_id"), col("neighbor_id"), adc.as("sim"))
+        .transform(rankTopK(_, k))
+    }
+  }
+
+  /** The [[graft.functions.PqAdcTopK]] dispatch shared by [[pqTopK]]:
+    * Some(result) when the fused kernel applies, None to take the
+    * unfused join. `qframe`: (query_id, __lut[, __qc]). */
+  /** Test hook: OpsSpec pins fused == unfused by flipping this off for
+    * the reference run. Always on in production paths. */
+  private[graft] var adcFusionEnabled = true
+
+  private def fusedAdcTopK(qframe: DataFrame, codesSel: DataFrame, k: Int,
+      model: PqModel, excludeSelf: Boolean): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
+    if (!adcFusionEnabled) return None
+    val addQc = qframe.columns.contains("__qc")
+    val shapeOk = qframe.schema("query_id").dataType == LongType &&
+      codesSel.schema("neighbor_id").dataType == LongType &&
+      (codesSel.schema("pq_code").dataType match {
+        case ArrayType(IntegerType, _) => true
+        case _                         => false
+      })
+    if (!shapeOk) return None
+    val rows = qframe.collect()
+    val qs = scala.collection.mutable.ArrayBuffer.empty[graft.functions.PqAdcTopK.Query]
+    val lutIdx = rows.headOption.map(_.fieldIndex("__lut")).getOrElse(1)
+    val qcIdx = if (addQc) rows.headOption.map(_.fieldIndex("__qc")).getOrElse(2) else -1
+    rows.foreach { r =>
+      if (r.isNullAt(0)) return None // null query_id: window groups it
+      val lutAny = if (r.isNullAt(lutIdx)) null else r.getSeq[Any](lutIdx)
+      if (lutAny == null || lutAny.exists(_ == null)) return None // null LUT: sims go null
+      if (addQc && r.isNullAt(qcIdx)) return None
+      qs += graft.functions.PqAdcTopK.Query(r.getLong(0),
+        lutAny.map(_.asInstanceOf[Double]).toArray,
+        if (addQc) r.getDouble(qcIdx) else 0.0)
+    }
+    // duplicate query ids rank TOGETHER under the window form — only
+    // the per-distinct-query kernel shape is equivalence-safe
+    if (qs.map(_.id).distinct.length != qs.length) return None
+    Some(codesSel
+      .agg(graft.functions.PqAdcTopK.of(col("neighbor_id"), col("pq_code"),
+        qs.toSeq, k, model.m, model.codebookSize, excludeSelf, addQc).as("__topk"))
+      .select(explode(col("__topk")).as("__e"))
+      .select(col("__e").getField("query_id").as("query_id"),
+        col("__e").getField("neighbor_id").as("neighbor_id"),
+        col("__e").getField("sim").as("sim"),
+        col("__e").getField("rank").as("rank")))
   }
 
   /** PQ search with exact re-ranking: ADC proposes `candidates` ids

@@ -2927,6 +2927,35 @@ class OpsSpec extends SparkFunSuite {
     assert(total.getAs[Long]("n_unique_texts") == 3) // "a b", "c", ""
   }
 
+  test("PqAdcTopK fused scan: bit-identical to the unfused BNLJ+rank pipeline") {
+    // synthetic corpus with planted exact duplicates (ADC ties -> id
+    // tie-break), plus a query id overlapping corpus ids (excludeSelf)
+    val rnd = new scala.util.Random(20260817)
+    val docs = (0L until 400L).map { i =>
+      val base = Array.fill(8)(rnd.nextGaussian())
+      // every 7th vector duplicates its predecessor: equal codes
+      val v = if (i % 7 == 0 && i > 0) null else base
+      (i, (if (v == null) Array.fill(8)(0.1 * (i % 5)) else v).toSeq.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val model = Similarity.trainPq(docs, "vec_id", "embedding",
+      m = 4, codebookSize = 8)
+    val codes = Similarity.pqEncode(docs, "embedding", model)
+    val queries = docs.filter($"vec_id" % 40 === 0)
+    for (excludeSelf <- Seq(true, false); k <- Seq(3, 11)) {
+      def run(): Seq[(Long, Long, Double, Int)] =
+        Similarity.pqTopK(queries, codes, "vec_id", "embedding", "vec_id",
+            k, model, excludeSelf)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .sortBy(t => (t._1, t._4)).toSeq
+      val fused = run()
+      Similarity.adcFusionEnabled = false
+      val unfused = try run() finally Similarity.adcFusionEnabled = true
+      assert(fused == unfused, s"excludeSelf=$excludeSelf k=$k")
+      assert(fused.nonEmpty)
+    }
+  }
+
   test("TopKPairs heap aggregate: rank-identical to the row_number window, " +
       "ties/NaN/zero/null fuzz") {
     import org.apache.spark.sql.expressions.Window

@@ -388,7 +388,7 @@ class PlanSpec extends SparkFunSuite {
     assert(semiIdx >= 0, s"no broadcast semi join:\n$plan")
   }
 
-  test("pq ADC search broadcasts the queries; the code scan never shuffles") {
+  test("pq ADC search fuses to one code scan: no join, no code shuffle") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val model = Similarity.trainPq(e, "vec_id", "embedding",
       m = 4, codebookSize = 8)
@@ -396,15 +396,27 @@ class PlanSpec extends SparkFunSuite {
       e.filter(col("vec_id") % 50 === 0),
       Similarity.pqEncode(e, "embedding", model),
       "vec_id", "embedding", "vec_id", k = 5, model))
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastExchange"),
-      s"query side (with its lookup table) must broadcast:\n$plan")
-    // the corpus code side reaches the join without an exchange — only
-    // the (queries x k)-scale ranked result shuffles for the window
-    val joinIdx = plan.indexOf("BroadcastNestedLoopJoin")
-    val exIdx = plan.indexOf("Exchange hashpartitioning")
-    assert(exIdx == -1 || exIdx < joinIdx,
-      s"corpus codes must not hash-exchange below the join:\n$plan")
+    // r17: the PqAdcTopK kernel scores every collected query inside
+    // ONE aggregate over the code scan — the broadcast-nested-loop
+    // join (Q joined rows per corpus code of pure row machinery) is
+    // gone, and only the k-bounded heap buffers cross the single
+    // exchange
+    assert(plan.contains("pq_adc_topk"),
+      s"fused ADC aggregate expected:\n$plan")
+    assert(!plan.contains("Join"), s"no join in the fused ADC scan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus codes must never hash-exchange:\n$plan")
+    // the generic fallback (non-long ids) keeps the broadcast join
+    // shape: query side broadcast, codes never exchanged below it
+    val s = Similarity.pqEncode(e, "embedding", model)
+      .withColumn("vec_id", col("vec_id").cast("string"))
+    val fb = planOf(Similarity.pqTopK(
+      e.filter(col("vec_id") % 50 === 0)
+        .withColumn("vec_id", col("vec_id").cast("string")),
+      s, "vec_id", "embedding", "vec_id", k = 5, model))
+    assert(fb.contains("BroadcastNestedLoopJoin") ||
+      fb.contains("BroadcastExchange"),
+      s"fallback query side must broadcast:\n$fb")
   }
 
   test("packStats reuses the assignment partitioning; topNgrams plans TakeOrdered") {
